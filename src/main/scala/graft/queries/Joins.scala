@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
+import Dsl._
+
+/** Joins — SURVEY.md §2.1 #6-17.
+  *
+  * Reference analog: the passage↔scheduled-trip match
+  * (`get_trip_ids_from_day_train_nums`, substring trip matching) and
+  * the GTFS star-schema denormalization (`build_stop_times_ext`)
+  * [P match_ids.py, extract_schedule.py — SURVEY.md §0].
+  */
+object Joins extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    QueryDef(
+      "join_inner",
+      (spark, sf) => {
+        val o = Tables.orders(spark, sf)
+        val c = Tables.customer(spark, sf)
+        o.join(c, o("o_custkey") === c("c_custkey"), "inner")
+          .select("o_orderkey", "o_custkey", "c_name", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, c_name, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+      scaleNote = "Shuffle-hash/SMJ on custkey at scale; both sides partition on the join key so the shuffle is 1 pass each. With orders bucketed by o_custkey the shuffle disappears entirely. AQE converts to broadcast when customer fits."),
+
+    QueryDef(
+      "join_broadcast",
+      (spark, sf) => {
+        val n = Tables.nation(spark, sf)
+        val r = Tables.region(spark, sf)
+        n.join(broadcast(r), n("n_regionkey") === r("r_regionkey"), "inner")
+          .select("n_nationkey", "n_name", "r_name")
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT n_nationkey, n_name, r_name FROM nation JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey"),
+      scaleNote = "Explicit broadcast(): dimension tables (5/25 rows; still tiny at 100 TB fact scale) ship to every executor once — zero shuffle of the big side. This is the station-metadata enrichment pattern."),
+
+    QueryDef(
+      "join_left",
+      (spark, sf) => {
+        val o = Tables.orders(spark, sf)
+        val c = Tables.customer(spark, sf)
+        // Join condition includes a non-key predicate so unmatched rows
+        // really occur (null-extended) — the reference keeps raw passage
+        // records whose train number matched no scheduled trip.
+        o.join(c, o("o_custkey") === c("c_custkey") && c("c_acctbal") > 5000.0, "left")
+          .select("o_orderkey", "o_custkey", "c_name", "c_acctbal")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, c_name, c_acctbal FROM orders LEFT JOIN customer ON o_custkey = c_custkey AND c_acctbal > 5000.0 ORDER BY o_orderkey"),
+      scaleNote = "Outer joins cannot drop the big side; broadcast of the small (right) side keeps it shuffle-free for the fact table."),
+
+    QueryDef(
+      "join_full",
+      (spark, sf) => {
+        val c = Tables.customer(spark, sf)
+          .groupBy("c_nationkey").agg(count(lit(1)).as("n_cust"))
+        val s = Tables.supplier(spark, sf)
+          .groupBy("s_nationkey").agg(count(lit(1)).as("n_supp"))
+        c.join(s, c("c_nationkey") === s("s_nationkey"), "full")
+          .select(
+            coalesce(c("c_nationkey"), s("s_nationkey")).as("nationkey"),
+            col("n_cust"), col("n_supp"))
+          .orderBy("nationkey")
+      },
+      Some("SELECT COALESCE(c.k, s.k) AS nationkey, n_cust, n_supp FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) c FULL JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) s ON c.k = s.k ORDER BY nationkey"),
+      scaleNote = "Pre-aggregation shrinks both sides to |nations| rows before the full outer join — aggregate-then-join is the scale pattern; the join itself is trivial afterwards."),
+
+    QueryDef(
+      "join_semi",
+      (spark, sf) => {
+        val c = Tables.customer(spark, sf)
+        val o = Tables.orders(spark, sf)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) ORDER BY c_custkey"),
+      scaleNote = "left_semi never materializes right columns and short-circuits on first match; Catalyst's RewritePredicateSubquery produces the same plan from EXISTS. Right side reduced to distinct keys before shuffle."),
+
+    QueryDef(
+      "join_anti",
+      (spark, sf) => {
+        val c = Tables.customer(spark, sf)
+        val urgent = Tables.orders(spark, sf)
+          .filter(col("o_orderpriority") === "1-URGENT")
+        c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_anti")
+          .select("c_custkey", "c_name")
+          .orderBy("c_custkey")
+      },
+      Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
+      scaleNote = "NOT EXISTS as left_anti — the 'scheduled trips never observed' (missed trains) pattern. Filter on the right side is applied before the join, shrinking the build side."),
+
+    QueryDef(
+      "join_cross",
+      (spark, sf) =>
+        Tables.region(spark, sf).crossJoin(Tables.nation(spark, sf))
+          .select("r_regionkey", "r_name", "n_nationkey", "n_name")
+          .orderBy("r_regionkey", "n_nationkey"),
+      Some("SELECT r_regionkey, r_name, n_nationkey, n_name FROM region CROSS JOIN nation ORDER BY r_regionkey, n_nationkey"),
+      scaleNote = "Cross join only ever between bounded dimensions (125 rows); BroadcastNestedLoop. Never cross-join fact tables at scale."),
+
+    QueryDef(
+      "join_theta",
+      (spark, sf) => {
+        val s = Tables.supplier(spark, sf)
+        val c = Tables.customer(spark, sf)
+        s.join(c, s("s_nationkey") === c("c_nationkey") && s("s_acctbal") > c("c_acctbal"), "inner")
+          .select("s_suppkey", "c_custkey")
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("SELECT s_suppkey, c_custkey FROM supplier JOIN customer ON s_nationkey = c_nationkey AND s_acctbal > c_acctbal ORDER BY s_suppkey, c_custkey"),
+      scaleNote = "Non-equi predicate rides on the nationkey equi-join: Catalyst plans SMJ/SHJ on the equality and post-filters the inequality — never a pure nested loop. Skewed nations handled by AQE skew split."),
+
+    QueryDef(
+      "join_range",
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        val o = Tables.orders(spark, sf)
+        li.join(o, li("l_orderkey") === o("o_orderkey")
+            && li("l_shipdate") >= o("o_orderdate")
+            && li("l_shipdate") <= o("o_orderdate") + expr("INTERVAL 120 DAYS"), "inner")
+          .select("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+          .orderBy("l_orderkey", "l_linenumber", "l_shipdate", "o_orderdate")
+      },
+      Some("SELECT l_orderkey, l_linenumber, l_shipdate, o_orderdate FROM lineitem JOIN orders ON l_orderkey = o_orderkey AND l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 120 DAY ORDER BY l_orderkey, l_linenumber, l_shipdate, o_orderdate"),
+      scaleNote = "Range predicate anchored on an equi key: the passage-within-service-day-window pattern. Shuffles once on orderkey; the interval filter is evaluated inside the join, no blow-up."),
+
+    // As-of join — Spark has no native ASOF (DuckDB does). Rewrite:
+    // union left+right tagged rows, sort within user by (ts, side),
+    // carry the latest right row forward with last(ignoreNulls) over a
+    // running frame, keep left rows. Right side first deduped to one
+    // row per (user_id, ts) so tie semantics are engine-independent.
+    QueryDef(
+      "join_asof",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
+        val left = ev.select(
+          col("user_id"), col("ts"), col("event_id"),
+          lit(null).cast("long").as("match_id"), lit(1).as("is_left"))
+        val right = purchases.select(
+          col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+          col("match_id"), lit(0).as("is_left"))
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("is_left").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        left.unionByName(right)
+          .withColumn("asof_match_id", last(col("match_id"), ignoreNulls = true).over(w))
+          .filter(col("is_left") === 1)
+          .select(col("event_id"), col("ts"), col("asof_match_id"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, e.ts, p.match_id AS asof_match_id FROM events e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+      scaleNote = "Union+window rewrite shuffles each side once on user_id and sorts within partitions — same cost class as a sort-merge join, no per-row lookups. The running last(ignoreNulls) is O(n) per partition. This is the observation↔latest-schedule match at the core of the reference."),
+
+    QueryDef(
+      "join_like",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val docs = Tables.documents(spark, sf)
+        val tokens = Seq("merge", "window", "shuffle").toDF("w")
+        docs.join(broadcast(tokens), col("text").contains(col("w")), "inner")
+          .select("doc_id", "w")
+          .orderBy("doc_id", "w")
+      },
+      Some("SELECT doc_id, w FROM documents JOIN (VALUES ('merge'), ('window'), ('shuffle')) t(w) ON contains(text, w) ORDER BY doc_id, w"),
+      scaleNote = "The reference's substring trip-number match, done as a BroadcastNestedLoopJoin against a tiny broadcast token list — each doc partition scans locally. For large token sets, switch to tokenize+explode+equi-join (see text_tokens) or a prefix-filtered LSH pre-join."),
+
+    QueryDef(
+      "join_star",
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        val o = Tables.orders(spark, sf)
+        val c = Tables.customer(spark, sf)
+        val n = Tables.nation(spark, sf)
+        val r = Tables.region(spark, sf)
+        li.join(o, li("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy("r_name", "n_name")
+          .agg(
+            sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
+              .cast(D4)).cast(D4).as("revenue"),
+            count(lit(1)).as("n_items"))
+          .orderBy("r_name", "n_name")
+      },
+      Some("SELECT r_name, n_name, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+      scaleNote = "The stop_times_ext denormalization analog. Fact table shuffles once per non-broadcast join; nation/region broadcast explicitly, customer via AQE when under threshold. At 100 TB: bucket lineitem+orders on orderkey to eliminate the first (largest) shuffle."))
+}
