@@ -36,5 +36,129 @@ object Aggregates extends QueryGroup {
             count(lit(1)).as("count_order"))
           .orderBy("l_returnflag", "l_linestatus"),
       Some("SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price, ROUND(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty, count(*) AS count_order FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30' GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
-      scaleNote = "2-phase HashAggregate: map-side partial aggregation collapses 100 TB to |groups|×partitions rows before the shuffle; only ~6 groups cross the wire per partition. Decimal sums are exact so partial/final split cannot change the answer; the double cast happens once on the final exact value."))
+      scaleNote = "2-phase HashAggregate: map-side partial aggregation collapses 100 TB to |groups|×partitions rows before the shuffle; only ~6 groups cross the wire per partition. Decimal sums are exact so partial/final split cannot change the answer; the double cast happens once on the final exact value."),
+
+    // #19 — keyless aggregation: monitoring totals [P utils_misc.py].
+    QueryDef(
+      "agg_global",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumDec2(col("o_totalprice")).cast("double").as("sum_price"),
+            min(col("o_totalprice")).as("min_price"),
+            max(col("o_totalprice")).as("max_price"),
+            min(col("o_orderdate")).as("min_date"),
+            max(col("o_orderdate")).as("max_date")),
+      Some("SELECT count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price, min(o_orderdate) AS min_date, max(o_orderdate) AS max_date FROM orders"),
+      scaleNote = "Keyless agg = partial per partition + single-row final merge; the shuffle carries one row per partition. min/max of stored doubles are order-independent (no summation), sum goes through exact decimal."),
+
+    // #20 — distinct aggregation: distinct trains per day analog
+    // [P extract_api.py day_train_num].
+    QueryDef(
+      "agg_distinct",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS n_orders, count(DISTINCT o_custkey) AS n_cust FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      scaleNote = "Spark plans distinct-agg as Expand + two-phase aggregate: first dedup (priority,custkey) partially map-side, then count — no single-node distinct set. At extreme cardinality switch to approx_count_distinct (see agg_approx_hll)."),
+
+    // #21 — grouping sets (SQL surface; DSL has only rollup/cube).
+    QueryDef(
+      "agg_grouping_sets",
+      (spark, sf) => {
+        Tables.lineitem(spark, sf).createOrReplaceTempView("lineitem")
+        spark.sql(
+          """SELECT l_returnflag, l_linestatus, count(*) AS n,
+            |CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty
+            |FROM lineitem
+            |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      },
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ()) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+      scaleNote = "Grouping sets expand each input row once per set (Expand node) before the same 2-phase hash agg — 3 sets = 3× map-side rows, still one shuffle. NULL sort position pinned explicitly (Spark defaults NULLS FIRST, DuckDB NULLS LAST)."),
+
+    // #22 — rollup.
+    QueryDef(
+      "agg_rollup",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .rollup("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+      scaleNote = "ROLLUP = prefix grouping sets; same Expand + 2-phase agg shape, output bounded by Σ|prefix-group| rows."),
+
+    // #23 — cube.
+    QueryDef(
+      "agg_cube",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .cube("l_returnflag", "l_linestatus")
+          .agg(count(lit(1)).as("n"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first),
+      Some("SELECT l_returnflag, l_linestatus, count(*) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus) ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST"),
+      scaleNote = "CUBE expands 2^k grouping sets — k kept small by design; at scale prefer materializing the base aggregate once and rolling up from it."),
+
+    // #24 — post-aggregation filter: stations-with-enough-data analog
+    // [P query.py].
+    QueryDef(
+      "agg_having",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_custkey")
+          .agg(
+            count(lit(1)).as("n_orders"),
+            sumDec2(col("o_totalprice")).cast("double").as("sum_price"))
+          .filter(col("n_orders") >= 13)
+          .orderBy("o_custkey"),
+      Some("SELECT o_custkey, count(*) AS n_orders, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price FROM orders GROUP BY o_custkey HAVING count(*) >= 13 ORDER BY o_custkey"),
+      scaleNote = "HAVING is a filter over the aggregate output — applied post-shuffle on already-collapsed groups, so it costs nothing extra; it cannot be pushed below the agg."),
+
+    // #25 — argmax: latest-state-per-key upsert semantic
+    // [P utils_dynamo.py]. Tie-safe: max over a (price, orderkey) struct
+    // is lexicographic in both engines, so equal prices resolve by the
+    // unique orderkey instead of arrival order (bare max_by/arg_max is
+    // nondeterministic under ties).
+    QueryDef(
+      "agg_argmax",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_custkey")
+          .agg(
+            max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+              .getField("k").as("top_orderkey"),
+            max(col("o_totalprice")).as("top_price"))
+          .orderBy("o_custkey"),
+      Some("SELECT o_custkey, (max(struct_pack(p := o_totalprice, k := o_orderkey))).k AS top_orderkey, max(o_totalprice) AS top_price FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      scaleNote = "Struct-max is a single 2-phase agg — the scalable form of 'latest row per key'. No window, no sort, no self-join; partials merge associatively across 1000 executors."),
+
+    // #26 — collection aggregate: nested per-station train lists
+    // [P serializers.py get_nested_dicts].
+    QueryDef(
+      "agg_collect_list",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_custkey")
+          .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+          .orderBy("o_custkey"),
+      Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
+
+    // #57 — approximate distinct (HLL++). No DuckDB oracle: approx
+    // algorithms differ across engines; covered by a tolerance test in
+    // the ScalaTest suite instead (SURVEY §2.0 oracle=✗).
+    QueryDef(
+      "agg_approx_hll",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+          .orderBy("o_orderpriority"),
+      None,
+      scaleNote = "HLL++ sketches merge associatively: map-side partials are fixed-size (KB) regardless of input rows, so 100 TB of keys costs the same shuffle as 1 GB. rsd=0.02 trades 2% error for a ~4KB sketch. This is the distinct-train counter at scale."))
 }

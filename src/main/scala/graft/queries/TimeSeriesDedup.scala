@@ -1,5 +1,109 @@
 package graft.queries
-import graft.engine.{QueryDef, QueryGroup}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
+import Dsl._
+
+/** Deduplication / latest-state / batch time-series — SURVEY.md §2.1
+  * #40-42 and #50-51.
+  *
+  * Reference analog: the Dynamo/Mongo keyed-upsert core (latest record
+  * per day+station+train), the "current station board" state, polling-
+  * cycle bucketing and trip sessionization [P utils_dynamo.py,
+  * query.py, extract_api.py operate_multiple_cycles, match_ids.py —
+  * SURVEY.md §0].
+  */
 object TimeSeriesDedup extends QueryGroup {
-  def defs: Seq[QueryDef] = Seq()
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // #40 — SELECT DISTINCT on a projection.
+    QueryDef(
+      "distinct_rows",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .select("user_id", "event_type")
+          .distinct()
+          .orderBy("user_id", "event_type"),
+      Some("SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type"),
+      scaleNote = "Distinct = hash-aggregate on all columns with map-side partial dedup; wire volume is |distinct| per partition, not |rows|."),
+
+    // #41 — keyed dedup keeping a deterministic winner. NEVER bare
+    // dropDuplicates: its winner is whichever row a partition happens
+    // to see first. row_number over an explicit total order per key is
+    // the upsert-by-primary-key analog made reproducible.
+    QueryDef(
+      "dedup_keep_first",
+      (spark, sf) => {
+        val w = Window.partitionBy("user_id", "event_type")
+          .orderBy(col("event_id").asc)
+        Tables.loadEvents(spark, sf)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select("user_id", "event_type", "event_id", "ts", "value")
+          .orderBy("user_id", "event_type")
+      },
+      Some("SELECT user_id, event_type, event_id, ts, value FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type ORDER BY event_id ASC) AS rn FROM events) WHERE rn = 1 ORDER BY user_id, event_type"),
+      scaleNote = "One shuffle on the dedup key, per-partition sort, keep rank 1. Catalyst's WindowGroupLimit prunes each group to 1 row during the sort. At 100 TB, pre-bucketing by the key removes the shuffle."),
+
+    // #42 — latest state per key: the current-station-board semantic.
+    // Aggregate form (struct-max), not a window: no sort, merges
+    // associatively — the right shape for a 100 TB latest-state scan.
+    // event_id in the struct breaks any ts tie deterministically.
+    QueryDef(
+      "last_state",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .groupBy("user_id")
+          .agg(max(struct(
+            col("ts").as("t"), col("event_id").as("e"),
+            col("event_type").as("ty"), col("value").as("v"))).as("s"))
+          .select(
+            col("user_id"),
+            col("s.t").as("last_ts"), col("s.e").as("last_event_id"),
+            col("s.ty").as("last_type"), col("s.v").as("last_value"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, s.t AS last_ts, s.e AS last_event_id, s.ty AS last_type, s.v AS last_value FROM (SELECT user_id, max(struct_pack(t := ts, e := event_id, ty := event_type, v := value)) AS s FROM events GROUP BY user_id) ORDER BY user_id"),
+      scaleNote = "Struct-max is a 2-phase agg: map-side partials keep one candidate per key per partition, the shuffle carries |keys| rows. A window version would sort every partition; this doesn't."),
+
+    // #50 — tumbling time buckets: the N-minute polling cycle rollup.
+    // Batch twin of stream_tumbling (§2.3).
+    QueryDef(
+      "ts_tumbling",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sumDec2(col("value")).cast("double").as("sum_value"))
+          .orderBy("bucket"),
+      Some("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, count(*) AS n_events, count(DISTINCT user_id) AS n_users, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY bucket"),
+      scaleNote = "date_trunc is a codegen'd scalar, so this is a plain 2-phase hash agg keyed on the bucket — time bucketing costs nothing beyond the agg itself. Buckets are naturally ordered for range-partitioned output."),
+
+    // #51 — sessionization via lag + cumulative-sum islands: trip
+    // segmentation from passage gaps. Batch twin of stream_session.
+    QueryDef(
+      "ts_session",
+      (spark, sf) => {
+        val byTime = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.loadEvents(spark, sf)
+          .withColumn("gap_us",
+            unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(byTime).cast("timestamp")))
+          .withColumn("is_new",
+            when(col("gap_us").isNull || col("gap_us") > 1800000000L, lit(1)).otherwise(lit(0)))
+          .withColumn("session_id", sum(col("is_new")).over(running))
+          .groupBy("user_id", "session_id")
+          .agg(
+            count(lit(1)).as("n_events"),
+            min(col("ts")).as("session_start"),
+            max(col("ts")).as("session_end"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000 OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+      scaleNote = "lag + cumsum islands: one shuffle on user_id serves both windows (same spec), then a hash agg on (user, session). The streaming twin (session_window / flatMapGroupsWithState) shares semantics — parity-tested in §5."))
 }

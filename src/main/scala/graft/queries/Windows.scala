@@ -1,5 +1,157 @@
 package graft.queries
-import graft.engine.{QueryDef, QueryGroup}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
+import Dsl._
+
+/** Window functions — SURVEY.md §2.1 #27-33.
+  *
+  * Reference analog: the delay computation (observed − scheduled, a
+  * lag/window arithmetic over per-trip ordered passages) and the
+  * station-board rankings / next-N departures [P match_ids.py,
+  * query.py — SURVEY.md §0].
+  *
+  * Determinism: every ORDER BY inside a window carries a unique
+  * tie-break key (orderkey / event_id) except where tie semantics are
+  * themselves deterministic (rank/dense_rank assign equal ranks to
+  * peers; RANGE frames include all peers on both engines).
+  */
 object Windows extends QueryGroup {
-  def defs: Seq[QueryDef] = Seq()
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // #27 — ranking trio. rank/dense_rank rank over the (possibly
+    // tied) price alone — ties get equal ranks, deterministic;
+    // row_number needs the unique orderkey tie-break.
+    QueryDef(
+      "win_rank",
+      (spark, sf) => {
+        val byPrice = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc)
+        val byPriceKey = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+            row_number().over(byPriceKey).as("rn"),
+            rank().over(byPrice).as("rnk"),
+            dense_rank().over(byPrice).as("drnk"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn, rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk, dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk FROM orders ORDER BY o_custkey, o_orderkey"),
+      scaleNote = "One shuffle on the partition key, in-partition sort, O(n) rank pass. Station-board ordering at 100 TB: partition count scales with |stations|; a single hot key serializes its partition — salt or pre-filter if a key exceeds executor memory."),
+
+    // #28 — top-k per group: the next-N-departures pattern [P query.py].
+    QueryDef(
+      "win_topk_group",
+      (spark, sf) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(spark, sf)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey", "rn")
+      },
+      Some("SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn FROM orders) WHERE rn <= 3 ORDER BY o_custkey, rn"),
+      scaleNote = "rank-then-filter is the distributed top-k-per-group: no global sort, no collect. Catalyst pushes the rn<=3 filter into the window via WindowGroupLimit (Spark 3.5+), so each partition only keeps 3 rows during the sort."),
+
+    // #29 — running total: cumulative delay along a trip analog.
+    QueryDef(
+      "win_running",
+      (spark, sf) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+            sum(dec2(col("o_totalprice"))).over(w)
+              .cast(D2).cast("double").as("running_spend"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, o_orderdate, CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS DOUBLE) AS running_spend FROM orders ORDER BY o_custkey, o_orderkey"),
+      scaleNote = "Running frame is a single O(n) accumulation per partition after the one shuffle+sort. Decimal accumulator keeps every prefix exact, so the frame evaluation order (fixed by the unique sort) is also value-exact."),
+
+    // #30 — lag/lead: THE delay computation analog — delta between an
+    // observation and its predecessor [P match_ids.py compute_delay].
+    QueryDef(
+      "win_lag_lead",
+      (spark, sf) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("event_id").asc)
+        Tables.loadEvents(spark, sf)
+          .select(
+            col("event_id"), col("user_id"), col("ts"), col("value"),
+            lag(col("value"), 1).over(w).as("prev_value"),
+            lead(col("value"), 1).over(w).as("next_value"),
+            // IEEE subtraction of two stored doubles is exact and
+            // engine-independent — no rounding needed.
+            (col("value") - lag(col("value"), 1).over(w)).as("delta"),
+            // gap in integer µs: every ts has sub-second precision, so
+            // whole-second truncation would corrupt the gap
+            (unix_micros(col("ts").cast("timestamp")) -
+              unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+              .as("gap_us"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, ts, value, lag(value, 1) OVER w AS prev_value, lead(value, 1) OVER w AS next_value, value - lag(value, 1) OVER w AS delta, epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) ORDER BY event_id"),
+      scaleNote = "lag/lead share one window spec → one shuffle on user_id, one sort, all four outputs in a single WindowExec pass. This is delay = observed − previous at scale: no self-join."),
+
+    // #31 — time-RANGE frame: trailing 1h per user. Frame bounds on
+    // integer epoch-µs so both engines compare identical keys; RANGE
+    // includes all peers, so no tie-break is needed for determinism.
+    QueryDef(
+      "win_range_time",
+      (spark, sf) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(unix_micros(col("ts").cast("timestamp")))
+          .rangeBetween(-3600000000L, 0L)
+        Tables.loadEvents(spark, sf)
+          .select(
+            col("event_id"), col("user_id"), col("ts"),
+            count(lit(1)).over(w).as("n_1h"),
+            sum(dec2(col("value"))).over(w)
+              .cast(D2).cast("double").as("sum_1h"))
+          .orderBy("event_id")
+      },
+      Some("SELECT event_id, user_id, ts, count(*) OVER w AS n_1h, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DECIMAL(18,2)) AS DOUBLE) AS sum_1h FROM events WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts) RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) ORDER BY event_id"),
+      scaleNote = "RANGE frame evaluated with a sliding two-pointer over the sorted partition — O(n) amortized, no per-row rescans. The rolling-passage-window analog; decimal accumulator stays exact under incremental add/evict."),
+
+    // #32 — distribution: delay quartiles analog [P notebooks].
+    QueryDef(
+      "win_ntile",
+      (spark, sf) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile FROM orders ORDER BY o_orderkey"),
+      scaleNote = "ntile needs the partition row count before assigning buckets — WindowExec buffers the partition; bounded here by rows-per-priority. For unbounded partitions prefer percent_rank (streaming-computable) or pre-computed quantile cut-points."),
+
+    // #33 — first/last with explicit full frame: first/last passage of
+    // day per station [P query.py]. Default window frame would stop
+    // last_value at CURRENT ROW — pin UNBOUNDED FOLLOWING explicitly.
+    QueryDef(
+      "win_first_last",
+      (spark, sf) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_custkey"), col("o_orderkey"),
+            first(col("o_orderkey")).over(w).as("first_key"),
+            last(col("o_orderkey")).over(w).as("last_key"),
+            first(col("o_orderdate")).over(w).as("first_date"),
+            last(col("o_orderdate")).over(w).as("last_date"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_key, last_value(o_orderkey) OVER w AS last_key, first_value(o_orderdate) OVER w AS first_date, last_value(o_orderdate) OVER w AS last_date FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey"),
+      scaleNote = "Full-partition frame: first/last are computed once per partition and broadcast to its rows — O(n), no re-scan per row. Same shuffle profile as win_rank."))
 }
