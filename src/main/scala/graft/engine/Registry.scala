@@ -14,7 +14,8 @@ object Registry {
     Windows,
     SortSetScalar,
     TimeSeriesDedup,
-    TextVector)
+    TextVector,
+    NearDup)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

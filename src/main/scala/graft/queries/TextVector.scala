@@ -1,5 +1,246 @@
 package graft.queries
-import graft.engine.{QueryDef, QueryGroup}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
+import Dsl._
+
+/** Text analysis & vector similarity — SURVEY.md §2.1 #52-56 plus the
+  * LLM-training-pipeline operators mandated by the north star (language
+  * ID, quality scoring, fingerprinting, n-gram Jaccard near-dup, ANN
+  * top-k). Near-dup MinHash-LSH (#58) lives in [[NearDup]].
+  *
+  * Float determinism strategy: embeddings are float32; any float
+  * aggregation is order-sensitive across engines. We quantize each
+  * element with floor(x · 2^20) — widening float→double is exact,
+  * multiplying by a power of two is an exponent shift (exact), floor is
+  * exact — then do all reductions in 64-bit integers (associative,
+  * order-independent) and finish with a single IEEE-correctly-rounded
+  * division/sqrt, which is bit-identical on both engines.
+  */
 object TextVector extends QueryGroup {
-  def defs: Seq[QueryDef] = Seq()
+
+  /** floor(x·2^20) per element — exact on both engines. */
+  private def quantize(c: org.apache.spark.sql.Column) =
+    transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
+
+  private def sumLong(arr: org.apache.spark.sql.Column) =
+    aggregate(arr, lit(0L), (acc, x) => acc + x)
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // #52 — tokenize + explode + count: the word-frequency core of
+    // every text pipeline (north-star [D BASELINE.json]).
+    QueryDef(
+      "text_tokens",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+          .groupBy("lang", "w")
+          .agg(count(lit(1)).as("cnt"))
+          .filter(col("cnt") >= 50)
+          .orderBy("lang", "w"),
+      Some("SELECT lang, w, count(*) AS cnt FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY lang, w HAVING count(*) >= 50 ORDER BY lang, w"),
+      scaleNote = "explode multiplies rows ~100× but feeds straight into a map-side-combined hash agg — the wire carries |lang×vocab| partials, not tokens. At 100 TB pre-aggregate per input split; never collect a vocabulary to the driver."),
+
+    // #53 — deterministic lexicon scoring (sentiment-style).
+    QueryDef(
+      "text_score",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val lex = Seq(("join", 1), ("merge", 1), ("group", 1),
+          ("sort", -1), ("scan", -1)).toDF("w", "wt")
+        Tables.documents(spark, sf)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(lex), Seq("w"), "left")
+          .groupBy("doc_id")
+          .agg(sum(coalesce(col("wt"), lit(0))).as("score"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, CAST(sum(COALESCE(wt, 0)) AS BIGINT) AS score FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t LEFT JOIN (VALUES ('join', 1), ('merge', 1), ('group', 1), ('sort', -1), ('scan', -1)) l(w, wt) ON t.w = l.w GROUP BY doc_id ORDER BY doc_id"),
+      scaleNote = "Lexicon broadcast to every executor; the integer score sum is associative so map-side partials apply. Swap the 5-entry lexicon for a 100k-entry one and nothing changes structurally."),
+
+    // #54 — cosine similarity pairs over a threshold, blocked by label.
+    // Label-blocking IS the scale design (the coarse-quantizer/bucket
+    // step of IVF): candidate pairs are generated only within a bucket,
+    // never all-pairs across the corpus.
+    QueryDef(
+      "vec_cosine_pairs",
+      (spark, sf) => {
+        val q = Tables.embeddings(spark, sf)
+          .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
+          .withColumn("norm2", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+        val a = q.select(col("vec_id").as("id1"), col("label"),
+          col("qv").as("qv1"), col("norm2").as("n1"))
+        val b = q.select(col("vec_id").as("id2"), col("label").as("label2"),
+          col("qv").as("qv2"), col("norm2").as("n2"))
+        a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
+          .withColumn("dot", sumLong(zip_with(col("qv1"), col("qv2"), (x, y) => x * y)))
+          .withColumn("cos", round(col("dot").cast("double") /
+            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 4))
+          .filter(col("cos") >= 0.2)
+          .select("id1", "id2", "label", "cos")
+          .orderBy("id1", "id2")
+      },
+      Some("WITH q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv FROM embeddings), n AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS norm2 FROM q), e AS (SELECT vec_id, label, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), d AS (SELECT a.vec_id AS id1, b.vec_id AS id2, a.label AS label, CAST(sum(a.v*b.v) AS BIGINT) AS dot FROM e a JOIN e b ON a.idx = b.idx AND a.label = b.label AND a.vec_id < b.vec_id GROUP BY 1, 2, 3) SELECT id1, id2, label, round(CAST(dot AS DOUBLE)/(sqrt(CAST(n1.norm2 AS DOUBLE))*sqrt(CAST(n2.norm2 AS DOUBLE))), 4) AS cos FROM d JOIN n n1 ON d.id1 = n1.vec_id JOIN n n2 ON d.id2 = n2.vec_id WHERE round(CAST(dot AS DOUBLE)/(sqrt(CAST(n1.norm2 AS DOUBLE))*sqrt(CAST(n2.norm2 AS DOUBLE))), 4) >= 0.2 ORDER BY id1, id2"),
+      scaleNote = "Threshold-not-top-k (SURVEY §2.0 rule 3); quantized integer dot products are order-independent, so the HOF pipeline stays in codegen with zero float nondeterminism. At 100 TB replace the label block with LSH/IVF bucketing (same join shape, computed bucket key) — see NearDup for the banded pattern."),
+
+    // #55 — per-label centroid over quantized elements: integer sum
+    // per (label, dim), one exact division at the end.
+    QueryDef(
+      "vec_centroid",
+      (spark, sf) =>
+        Tables.embeddings(spark, sf)
+          .select(col("label"), posexplode(quantize(col("embedding"))))
+          .withColumn("idx", col("pos") + 1)
+          .groupBy("label", "idx")
+          // + 0.0 collapses IEEE negative zero (round can yield -0.0
+          // from tiny negative means; the engines disagree on its sign)
+          .agg((round(sum(col("col")).cast("double") /
+            (count(lit(1)).cast("double") * lit(1048576.0)), 4) + lit(0.0)).as("centroid"))
+          .orderBy("label", "idx"),
+      Some("SELECT label, idx, round(CAST(sum(v) AS DOUBLE)/(count(*)*1048576.0), 4) + 0.0 AS centroid FROM (SELECT label, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT))) AS v, generate_subscripts(embedding, 1) AS idx FROM embeddings) GROUP BY label, idx ORDER BY label, idx"),
+      scaleNote = "posexplode fans each vector into 64 (label,dim) rows, but the integer partial sums combine map-side — the shuffle carries |labels|×64 cells. The centroid update is associative, exactly what a distributed k-means iteration needs."),
+
+    // #56 — multimodal join: text metadata ⋈ vector representation of
+    // the same underlying object (doc_id = vec_id).
+    QueryDef(
+      "multimodal_join",
+      (spark, sf) => {
+        val d = Tables.documents(spark, sf)
+        val e = Tables.embeddings(spark, sf)
+        d.join(e, d("doc_id") === e("vec_id"))
+          .groupBy("label")
+          .agg(
+            count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("sum_chars"),
+            (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+            countDistinct(col("lang")).as("n_langs"),
+            min(col("n_chars")).as("min_chars"),
+            max(col("n_chars")).as("max_chars"))
+          .orderBy("label")
+      },
+      Some("SELECT label, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars, CAST(sum(n_chars) AS DOUBLE)/count(*) AS avg_chars, count(DISTINCT lang) AS n_langs, min(n_chars) AS min_chars, max(n_chars) AS max_chars FROM documents JOIN embeddings ON doc_id = vec_id GROUP BY label ORDER BY label"),
+      scaleNote = "The text↔vector modality join is an equi join on the shared id — co-partition both modalities on that id at write time (bucketing) and it is shuffle-free. Stats are int-exact; the one division is correctly rounded."),
+
+    // ---- North-star text-pipeline extras (beyond the reference) ----
+
+    // Language ID via marker-token voting: deterministic argmax over
+    // per-language marker counts (n-gram-profile heuristic shape).
+    QueryDef(
+      "text_lang_id",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val markers = Seq(
+          ("scan", "en"), ("join", "en"), ("merge", "fr"), ("window", "fr"),
+          ("sort", "de"), ("group", "de"), ("query", "es"), ("value", "es"),
+          ("key", "zh"), ("line", "zh")).toDF("w", "lang_guess")
+        val scored = Tables.documents(spark, sf)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .join(broadcast(markers), Seq("w"))
+          .groupBy("doc_id", "lang_guess")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("doc_id")
+          .agg(max(struct(col("cnt").as("c"), col("lang_guess").as("l")))
+            .getField("l").as("pred"))
+        Tables.documents(spark, sf)
+          .join(scored, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            coalesce(col("pred"), lit("und")).as("pred_lang"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT d.doc_id, d.lang, COALESCE(s.pred, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, (max(struct_pack(c := cnt, l := lang_guess))).l AS pred FROM (SELECT doc_id, lang_guess, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t JOIN (VALUES ('scan','en'),('join','en'),('merge','fr'),('window','fr'),('sort','de'),('group','de'),('query','es'),('value','es'),('key','zh'),('line','zh')) m(w, lang_guess) ON t.w = m.w GROUP BY doc_id, lang_guess) GROUP BY doc_id) s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+      scaleNote = "Marker lexicon broadcasts; voting is a 2-phase count + associative struct-max argmax. A real n-gram LM profile is the same plan with a bigger lexicon and log-probability weights."),
+
+    // Quality scoring: length / uniqueness / stopword ratios — the
+    // classic pre-training corpus filters, all int counts + one
+    // correctly-rounded division each.
+    QueryDef(
+      "text_quality",
+      (spark, sf) => {
+        val toks = split(col("text"), " ")
+        Tables.documents(spark, sf)
+          .select(
+            col("doc_id"),
+            col("n_chars"),
+            size(toks).as("n_tokens"),
+            size(array_distinct(toks)).as("n_uniq"),
+            (size(array_distinct(toks)).cast("double") / size(toks).cast("double"))
+              .as("uniq_ratio"),
+            (size(filter(toks, t => t.isin("a", "key", "value"))).cast("double") /
+              size(toks).cast("double")).as("stop_ratio"),
+            ((col("n_chars") - (size(toks) - lit(1))).cast("double") /
+              size(toks).cast("double")).as("avg_tok_len"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens, len(list_distinct(string_split(text, ' '))) AS n_uniq, CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)/len(string_split(text, ' ')) AS uniq_ratio, CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['a','key','value'], t))) AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio, CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)/len(string_split(text, ' ')) AS avg_tok_len FROM documents ORDER BY doc_id"),
+      scaleNote = "Pure per-row scalar pipeline in codegen — the corpus-filter pass that runs before any shuffle at 100 TB. Ratios are single divisions of exact integers: bit-identical across engines."),
+
+    // Document fingerprint: polynomial rolling hash folded over the
+    // token stream in order — integer arithmetic only.
+    QueryDef(
+      "text_fingerprint",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .select(
+            col("doc_id"),
+            aggregate(
+              transform(split(col("text"), " "),
+                t => (length(t).cast("long") * 256 + ascii(t).cast("long"))),
+              lit(0L),
+              (acc, x) => (acc * 31 + x) % 1000000007L).as("fingerprint"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(string_split(text, ' '), t -> CAST(length(t)*256 + ascii(t) AS BIGINT))), (a, b) -> (a*31 + b) % 1000000007) AS fingerprint FROM documents ORDER BY doc_id"),
+      scaleNote = "Order-sensitive fold stays per-row (no distribution concern); modulus keeps every intermediate below 2^36. Equal fingerprints → candidate exact-duplicates; group by fingerprint for the first-pass exact dedup at scale."),
+
+    // ANN top-k: brute-force cosine against a small query set — the
+    // exact baseline the bucketed variants are measured against.
+    // Deterministic because the quantized cosine is bit-identical, so
+    // ordering by (cos DESC, vec_id) is a total order.
+    QueryDef(
+      "ann_topk",
+      (spark, sf) => {
+        val q = Tables.embeddings(spark, sf)
+          .select(col("vec_id"), quantize(col("embedding")).as("qv"))
+          .withColumn("norm2", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+        val queries = q.filter(col("vec_id") % 1000 === 0)
+          .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("norm2").as("qn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        broadcast(queries).join(q, col("query_id") =!= col("vec_id"))
+          .withColumn("dot", sumLong(zip_with(col("qq"), col("qv"), (x, y) => x * y)))
+          .withColumn("cos", round(col("dot").cast("double") /
+            (sqrt(col("qn").cast("double")) * sqrt(col("norm2").cast("double"))), 4))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "rank", "vec_id", "cos")
+          .orderBy("query_id", "rank")
+      },
+      Some("WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv FROM embeddings), n AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS norm2 FROM q), e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), qs AS (SELECT vec_id FROM q WHERE vec_id % 1000 = 0), d AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, CAST(sum(a.v*b.v) AS BIGINT) AS dot FROM e a JOIN e b ON a.idx = b.idx AND a.vec_id <> b.vec_id WHERE a.vec_id IN (SELECT vec_id FROM qs) GROUP BY 1, 2), c AS (SELECT d.query_id AS query_id, d.vec_id AS vec_id, round(CAST(dot AS DOUBLE)/(sqrt(CAST(n1.norm2 AS DOUBLE))*sqrt(CAST(n2.norm2 AS DOUBLE))), 4) AS cos FROM d JOIN n n1 ON d.query_id = n1.vec_id JOIN n n2 ON d.vec_id = n2.vec_id) SELECT query_id, rank, vec_id, cos FROM (SELECT query_id, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM c) WHERE rank <= 3 ORDER BY query_id, rank"),
+      scaleNote = "Query set broadcasts; every candidate partition scores locally and WindowGroupLimit keeps 3 rows per query during the sort — no all-pairs materialization. The IVF/LSH scale path (NearDup-style bucketing) prunes candidates before scoring; this operator is its exact-recall baseline."),
+
+    // n-gram (unigram-set) Jaccard near-duplicate pairs, blocked by
+    // (lang, source) — exact integer set sizes, one division.
+    QueryDef(
+      "ngram_jaccard",
+      (spark, sf) => {
+        val t = Tables.documents(spark, sf)
+          .select(col("doc_id"), col("lang"), col("source"),
+            array_distinct(split(col("text"), " ")).as("toks"))
+        val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"), col("toks").as("t1"))
+        val b = t.select(col("doc_id").as("id2"), col("lang").as("lang2"),
+          col("source").as("source2"), col("toks").as("t2"))
+        a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
+            && col("id1") < col("id2"))
+          .withColumn("jac", round(
+            size(array_intersect(col("t1"), col("t2"))).cast("double") /
+              size(array_union(col("t1"), col("t2"))).cast("double"), 4))
+          .filter(col("jac") >= 0.5)
+          .select("id1", "id2", "jac")
+          .orderBy("id1", "id2")
+      },
+      Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5 ORDER BY id1, id2"),
+      scaleNote = "Blocking on (lang, source) bounds candidate pairs to within-block quadratic; at 100 TB replace with MinHash-LSH banding (NearDup) which generates the same verified pairs without enumerating blocks — this operator doubles as LSH's exact-verify step."))
 }
