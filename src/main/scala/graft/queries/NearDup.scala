@@ -13,7 +13,8 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   *      shingles isolate true sequence-level near-duplicates);
   *   2. K=64 MinHash values per doc via a derandomized universal hash
   *      family h_i(t) = (a_i·x + b_i) mod P over x = xxhash64(t) mod P
-  *      — computed with array HOFs per row, no shuffle;
+  *      — shingle rows hashed once in codegen, then 64 map-side-combined
+  *      min aggregates;
   *   3. banding: B=32 bands of R=2 rows; band key = hash(band index,
   *      minhash pair). P(candidate | jaccard s) = 1 − (1 − s²)³²:
   *      ≈ 0.9999 at s=0.5, ≈ 0.27 at s=0.1 — tuned for τ=0.5;
@@ -35,34 +36,61 @@ object NearDup extends QueryGroup {
   def coefA(i: Int): Long = 2L * i + 1
   def coefB(i: Int): Long = (104729L * i + 12345L) % P
 
-  /** MinHash signature as an array column (length NumHashes). */
-  def signature(toks: Column): Column = {
-    val base = transform(toks, t => pmod(xxhash64(t), lit(P)))
-    array((0 until NumHashes).map { i =>
-      array_min(transform(base,
-        x => pmod(lit(coefA(i)) * x + lit(coefB(i)), lit(P))))
-    }: _*)
-  }
+  /** Per-document MinHash signature via explode + codegen'd min aggs.
+    *
+    * Two array-HOF formulations were benchmarked first and rejected:
+    * per-permutation `array_min(transform(base, ...))` (23.6 s at
+    * sf0.1 — projection collapse re-inlines the base hash 64×) and a
+    * single-pass zip_with fold (25.8 s — higher-order functions are
+    * interpreted, 320M lambda calls each allocating arrays). Exploding
+    * shingles to rows instead keeps everything in WholeStageCodegen:
+    * one xxhash64 per shingle row, 64 fused affine-mod scalars, and a
+    * 2-phase min aggregate whose map-side partials collapse each doc
+    * to one 64-column row before the shuffle. Duplicate shingles need
+    * no dedup — they cannot change a min.
+    */
+  def minhashSignature(shRows: DataFrame): DataFrame =
+    shRows
+      .withColumn("h", pmod(xxhash64(col("sh")), lit(P)))
+      .groupBy("doc_id")
+      .agg(
+        min(pmod(lit(coefA(0)) * col("h") + lit(coefB(0)), lit(P))).as("m0"),
+        (1 until NumHashes).map(i =>
+          min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i")): _*)
 
-  /** Distinct word 3-gram shingles of a token array column. */
-  def shingles(tk: Column): Column = {
-    val grams = transform(sequence(lit(1), size(tk) - 2),
-      i => concat_ws(" ", element_at(tk, i), element_at(tk, i + 1),
-        element_at(tk, i + 2)))
-    when(size(tk) >= 3, array_distinct(grams)).otherwise(array().cast("array<string>"))
+  /** Word 3-gram shingles as ROWS (doc_id, sh).
+    *
+    * An array-HOF shingle builder (transform over sequence + element_at)
+    * measured ~5-6 s per evaluation at sf0.1 — higher-order functions
+    * are interpreted per element. posexplode + two lead() windows keep
+    * shingle construction fully inside WholeStageCodegen after one
+    * shuffle on doc_id; docs with <3 tokens yield no rows.
+    */
+  def shingleRows(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs
+      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
   }
 
   /** Candidate near-duplicate pairs with verified Jaccard ≥ tau. */
   def nearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val toks = docs
-      .select(col("doc_id"), shingles(split(col("text"), " ")).as("toks"))
-      .filter(size(col("toks")) > 0)
-    val sig = toks.withColumn("sig", signature(col("toks")))
+    val shRows = shingleRows(docs)
+    // separate aggregations on purpose: fusing collect_set with the 64
+    // mins forces the whole pass into ObjectHashAggregate (no codegen)
+    // — measured 11.8 s vs 9.2 s split
+    val toks = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("toks"))
+    val sig = minhashSignature(shRows)
     // band keys: hash(band index, the R minhashes of the band)
     val banded = sig.select(
       col("doc_id"),
       explode(array((0 until Bands).map { j =>
-        xxhash64(lit(j), col("sig")(j * Rows), col("sig")(j * Rows + 1))
+        xxhash64(lit(j), col(s"m${j * Rows}"), col(s"m${j * Rows + 1}"))
       }: _*)).as("band_key"))
     val cand = banded.as("x")
       .join(banded.as("y"),
