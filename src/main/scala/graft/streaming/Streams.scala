@@ -1,0 +1,122 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming operators — SURVEY.md §2.3.
+  *
+  * Reference analog: the reference IS a streaming system in all but
+  * name — `operate_one_cycle` polls every N minutes, parses passages,
+  * enriches them, and upserts the latest state per (day, station,
+  * train) into DynamoDB/Mongo [P extract_api.py, utils_dynamo.py —
+  * SURVEY.md §0]. Each transform below is the micro-batch equivalent;
+  * all are tested against MemoryStream in StreamingSpec, and the
+  * windowed/session ops are parity-tested against their batch twins
+  * (ts_tumbling / ts_session).
+  *
+  * 100 TB design: state stores are per-key-partition (RocksDB-backed in
+  * prod config); watermarks bound state size; every transform here is
+  * shuffle-on-key exactly once per micro-batch.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  case class UserState(user_id: Long, last_ts: java.sql.Timestamp,
+      last_event_id: Long, last_type: String, last_value: Double)
+
+  /** Per-hour tumbling counts/sums, append-mode after watermark —
+    * the polling-cycle rollup. Batch twin: ts_tumbling. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      // group on the window column itself — projecting .start inside
+      // the grouping key severs watermark propagation (append mode
+      // then rejects the aggregation)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("bucket"), col("n_events"), col("sum_value"))
+
+  /** 1h windows sliding every 15min — each event lands in 4 windows. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").as("bucket"), col("n_events"))
+
+  /** 30-min-gap session windows per user — trip segmentation.
+    * Batch twin: ts_session (lag+cumsum islands). */
+  def session(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+
+  /** Exactly-once per event_id within the watermark horizon. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes").dropDuplicates("event_id")
+
+  /** Latest record per user with explicit state — the reference's
+    * "current station board" upsert kept in a streaming state store
+    * instead of DynamoDB. Ties on ts resolve by event_id, matching the
+    * batch last_state struct-max. */
+  def lastState(events: Dataset[Event]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
+          val candidates = state.getOption.iterator ++ evs.map(e =>
+            UserState(uid, e.ts, e.event_id, e.event_type, e.value))
+          val latest = candidates.maxBy(s => (s.last_ts.getTime, s.last_event_id))
+          state.update(latest)
+          Iterator(latest)
+      }
+  }
+
+  /** Stream ⋈ static dimension — the schedule-enrichment join
+    * [P match_ids.py]: each micro-batch joins against the broadcast
+    * static side with no streaming state. */
+  def joinStatic(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** Idempotent keyed upsert per micro-batch — the Dynamo batch-write
+    * analog [P utils_dynamo.py]. Each batch is first collapsed to its
+    * latest row per key (struct-max, same tie rule as lastState), then
+    * merged into the store; replaying a batch is a no-op because the
+    * merge keeps the (ts, event_id)-max row. */
+  def upsertBatch(batch: DataFrame, store: UpsertStore): Unit = {
+    val latest = batch
+      .groupBy("user_id")
+      .agg(max(struct(col("ts").as("t"), col("event_id").as("e"),
+        col("value").as("v"))).as("s"))
+      .select(col("user_id"), col("s.t"), col("s.e"), col("s.v"))
+    // the store stands in for the external KV service: in production
+    // this is a per-partition client write (batch.foreachPartition),
+    // never a driver collect of raw events — only |keys| rows arrive
+    latest.collect().foreach { r =>
+      store.put(r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    }
+  }
+}
+
+/** In-memory keyed KV standing in for the DynamoDB sink in tests.
+  * Upsert keeps the (ts, event_id)-max value per key — idempotent
+  * under micro-batch replay. */
+class UpsertStore extends Serializable {
+  private val m = scala.collection.concurrent.TrieMap
+    .empty[Long, (java.sql.Timestamp, Long, Double)]
+  def put(k: Long, v: (java.sql.Timestamp, Long, Double)): Unit =
+    m.updateWith(k) {
+      case Some(old) if Ordering[(Long, Long)].gteq(
+        (old._1.getTime, old._2), (v._1.getTime, v._2)) => Some(old)
+      case _ => Some(v)
+    }
+  def snapshot: Map[Long, (java.sql.Timestamp, Long, Double)] = m.toMap
+  def size: Int = m.size
+}

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.NearDup
+
+/** MinHash-LSH near-dup: planted-pair recall, precision, and recall vs
+  * the exact ground truth on the real corpus (SURVEY.md §5). */
+class NearDupSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  // deterministic pseudo-random doc: 60 tokens from a 40-word vocab
+  private def synthDoc(seed: Long): String = {
+    val vocab = (0 until 40).map(i => s"tok$i")
+    var x = seed
+    (0 until 60).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      vocab(((x >>> 33) % 40).toInt)
+    }.mkString(" ")
+  }
+
+  test("planted near-duplicates are found; unrelated docs are not paired") {
+    val base = synthDoc(1)
+    val nearDup = base.split(" ").updated(5, "MUTATED").mkString(" ") // j ≈ 0.9
+    val docs = mkDocs(Seq(
+      (1L, base), (2L, nearDup),
+      (3L, synthDoc(100)), (4L, synthDoc(200)), (5L, synthDoc(300))))
+    val pairs = NearDup.nearDupPairs(docs, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "planted pair missed")
+    assert(pairs.size == 1, s"false positives: $pairs")
+  }
+
+  test("exact duplicates get jaccard 1.0") {
+    val d = synthDoc(7)
+    val docs = mkDocs(Seq((1L, d), (2L, d), (3L, synthDoc(8))))
+    val rows = NearDup.nearDupPairs(docs, 0.5).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Double]("jac") == 1.0)
+  }
+
+  test("100% recall vs exact blocked Jaccard ground truth at sf0.001") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // exact ground truth: all-pairs 3-gram-shingle jaccard ≥ 0.5
+    val sh = NearDup.shingleRows(docs)
+      .groupBy("doc_id").agg(collect_set("sh").as("t"))
+    val a = sh.select(col("doc_id").as("id1"), col("t").as("t1"))
+    val b = sh.select(col("doc_id").as("id2"), col("t").as("t2"))
+    val truth = a.join(b, col("id1") < col("id2"))
+      .withColumn("jac",
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))).cast("double"))
+      .filter(col("jac") >= 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = NearDup.nearDupPairs(docs, 0.5)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth unexpectedly empty")
+    assert(found == truth,
+      s"missed=${(truth -- found).size} extra=${(found -- truth).size}")
+  }
+
+  test("short docs (<3 tokens) are excluded, not crashed on") {
+    val docs = mkDocs(Seq((1L, "one two"), (2L, "solo"), (3L, synthDoc(9))))
+    assert(NearDup.nearDupPairs(docs, 0.5).count() == 0)
+  }
+}

