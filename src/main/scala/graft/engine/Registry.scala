@@ -15,7 +15,9 @@ object Registry {
     SortSetScalar,
     TimeSeriesDedup,
     TextVector,
-    NearDup)
+    NearDup,
+    SimHash,
+    Multimodal)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

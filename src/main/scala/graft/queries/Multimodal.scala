@@ -1,0 +1,117 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryDef, QueryGroup, Tables}
+
+/** Multimodal columns — opaque binary payloads with typed metadata,
+  * plus the decode / feature-extract / frame-sample plumbing a
+  * training-data pipeline needs (north star [D BASELINE.json]).
+  *
+  * The container ships no image/audio codecs, so the DECODE step is a
+  * stub behind [[Codec]] (clearly marked); everything Spark-side —
+  * schema, typed Dataset plumbing, per-partition batch shape,
+  * partition-parallel feature extraction — is real and tested
+  * (MultimodalSpec). Payloads are derived deterministically from the
+  * driver's documents table so every run sees identical bytes.
+  */
+object Multimodal extends QueryGroup {
+
+  /** One media object: opaque bytes + typed metadata. The 100 TB layout
+    * keeps payloads in their own column chunk (parquet splits column
+    * pages) so metadata-only queries never touch bytes. */
+  case class Media(media_id: Long, payload: Array[Byte], format: String,
+      width: Int, height: Int)
+
+  case class MediaFeatures(media_id: Long, format: String, n_bytes: Int,
+      mean_byte: Double, hist4: Array[Long])
+
+  /** STUB boundary: the real implementation decodes an image/audio
+    * payload with a native codec. Not available in this container —
+    * the stub is the identity over the raw bytes, which keeps the
+    * pipeline deterministic and the plumbing real. */
+  object Codec {
+    /** Real impl: e.g. javax.imageio / ffmpeg binding → pixel array. */
+    def decode(format: String, payload: Array[Byte]): Array[Byte] =
+      payload // STUB — identity; swap for a codec in production
+
+    /** Real impl: resample decoded pixels to (w, h). Stub: truncate/pad
+      * to the target byte count so output shape is honored. */
+    def resize(decoded: Array[Byte], w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, w * h / 64)
+      java.util.Arrays.copyOf(decoded, target)
+    }
+  }
+
+  /** Deterministic media table derived from documents: payload = UTF-8
+    * bytes of the text (stands in for encoded pixels), metadata from
+    * doc fields. */
+  def mediaTable(spark: SparkSession, sfDir: String): Dataset[Media] = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id").as("media_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        // deterministic fake format/dimensions from the id
+        when(col("doc_id") % 3 === 0, "png")
+          .when(col("doc_id") % 3 === 1, "jpeg")
+          .otherwise("webp").as("format"),
+        (col("n_chars") % 64 + 16).cast("int").as("width"),
+        (col("n_chars") % 48 + 16).cast("int").as("height"))
+      .as[Media]
+  }
+
+  /** Decode + feature-extract, partition-parallel. mapPartitions is the
+    * deliberate mechanism here (not a UDF-per-row): a real codec wants
+    * to amortize native-library init per partition, exactly like a
+    * Pandas-UDF batch would. Features: byte count, mean byte value,
+    * 4-bucket byte histogram. */
+  def extractFeatures(media: Dataset[Media]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // per-partition codec init would happen here
+      it.map { m =>
+        val px = Codec.decode(m.format, m.payload)
+        val hist = new Array[Long](4)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) {
+          val b = px(i) & 0xff
+          hist(b >> 6) += 1
+          sum += b
+          i += 1
+        }
+        MediaFeatures(m.media_id, m.format, px.length,
+          if (px.length == 0) 0.0 else sum.toDouble / px.length, hist)
+      }
+    }
+  }
+
+  /** Frame sampling for a "video" payload: every strideth byte-block —
+    * the per-row slice shape of real frame extraction. */
+  def frameSample(media: Dataset[Media], blockSize: Int, stride: Int): DataFrame = {
+    import media.sparkSession.implicits._
+    media.flatMap { m =>
+      m.payload.grouped(blockSize).zipWithIndex
+        .filter(_._2 % stride == 0)
+        .map { case (block, idx) => (m.media_id, idx, block) }
+    }.toDF("media_id", "frame_idx", "frame_bytes")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    // Feature extraction as a declared operator. No DuckDB oracle: the
+    // decode path is engine-specific by design (oracle=✗ policy);
+    // determinism is asserted in MultimodalSpec instead.
+    QueryDef(
+      "multimodal_features",
+      (spark, sf) => {
+        import spark.implicits._
+        extractFeatures(mediaTable(spark, sf)).toDF()
+          .select(col("media_id"), col("format"), col("n_bytes"),
+            round(col("mean_byte"), 4).as("mean_byte"),
+            col("hist4"))
+          .orderBy("media_id")
+      },
+      None,
+      scaleNote = "Payload bytes never shuffle: decode + featurize run inside the scan partition (mapPartitions amortizes codec init, the Pandas-UDF batch analog), and only the small feature rows move. At 100 TB keep payloads in a separate parquet column (or object-store refs) so metadata/feature queries prune the byte column entirely."))
+}

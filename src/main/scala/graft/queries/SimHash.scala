@@ -1,0 +1,78 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryDef, QueryGroup, Tables}
+
+/** SimHash near-duplicate detection — the second LLM-corpus dedup
+  * family (north star): a 64-bit locality-sensitive fingerprint whose
+  * Hamming distance tracks cosine/Jaccard similarity of the shingle
+  * multiset.
+  *
+  * Shares [[NearDup.shingleRows]] (word 3-gram shingles) so the two
+  * dedup families are directly comparable. Like NearDup this is a
+  * banded-candidate design: 4 bands of 16 bits; two docs within
+  * Hamming distance k < 4·... share at least one full band far more
+  * often than random pairs (pigeonhole: distance ≤ 3 GUARANTEES a
+  * shared band), so candidates come from equi-joins, never all-pairs.
+  *
+  * No DuckDB oracle (xxhash64-based); SimHashSpec asserts planted-pair
+  * behavior and the hamming/identity invariants.
+  */
+object SimHash extends QueryGroup {
+
+  val Bits = 64
+  val Bands = 4
+  val BandBits: Int = Bits / Bands // 16
+
+  /** (doc_id, simhash) — one 2-phase aggregation: per shingle row, each
+    * bit of xxhash64 votes ±1; the sign of each bit's sum becomes the
+    * fingerprint bit. All 64 vote sums are codegen'd scalar aggregates
+    * with map-side partials (same shape as NearDup.minhashSignature). */
+  def simhash(shRows: DataFrame): DataFrame = {
+    val h = xxhash64(col("sh"))
+    val votes = (0 until Bits).map { b =>
+      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+    }
+    val fp = (0 until Bits).map { b =>
+      (col(s"b$b") > 0).cast("long") * lit(
+        if (b == 63) Long.MinValue else 1L << b) // bit 63 is the sign bit
+    }.reduce(_ + _) // disjoint bits: sum == bitwise OR
+    shRows
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash"))
+  }
+
+  /** Pairs within Hamming distance maxHamming, via band-collision
+    * candidates. Distance ≤ 3 is guaranteed detected (pigeonhole over
+    * 4 bands); larger distances are detected iff an undamaged band
+    * survives — the standard recall/cost dial. */
+  def nearPairs(docs: DataFrame, maxHamming: Int): DataFrame = {
+    val sig = simhash(NearDup.shingleRows(docs))
+    val banded = sig.select(
+      col("doc_id"), col("simhash"),
+      explode(array((0 until Bands).map { j =>
+        struct(lit(j).as("band"),
+          shiftright(col("simhash"), j * BandBits)
+            .bitwiseAND(lit((1L << BandBits) - 1)).as("v"))
+      }: _*)).as("bk"))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
+        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id1", "id2", "hamming")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "simhash_near",
+      (spark, sf) =>
+        nearPairs(Tables.documents(spark, sf), 3).orderBy("id1", "id2"),
+      None,
+      scaleNote = "One aggregation produces the 64-bit fingerprint (8 bytes per doc — 100 TB of text collapses to GBs of signatures); banding turns near-pair search into 4 equi-joins on 16-bit keys. Hot 16-bit buckets (skewed band values) are salted or length-partitioned before the self-join at scale."))
+}

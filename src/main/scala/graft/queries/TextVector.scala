@@ -154,6 +154,23 @@ object TextVector extends QueryGroup {
       Some("SELECT d.doc_id, d.lang, COALESCE(s.pred, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, (max(struct_pack(c := cnt, l := lang_guess))).l AS pred FROM (SELECT doc_id, lang_guess, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t JOIN (VALUES ('scan','en'),('join','en'),('merge','fr'),('window','fr'),('sort','de'),('group','de'),('query','es'),('value','es'),('key','zh'),('line','zh')) m(w, lang_guess) ON t.w = m.w GROUP BY doc_id, lang_guess) GROUP BY doc_id) s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
       scaleNote = "Marker lexicon broadcasts; voting is a 2-phase count + associative struct-max argmax. A real n-gram LM profile is the same plan with a bigger lexicon and log-probability weights."),
 
+    // Token counting with a BPE-ish regex (word / number / punctuation
+    // classes, ASCII form identical under Java regex and RE2) next to
+    // the whitespace count — the cost estimator every training-data
+    // pipeline runs first.
+    QueryDef(
+      "text_token_count",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .select(
+            col("doc_id"),
+            size(split(col("text"), " ")).as("n_ws_tokens"),
+            size(regexp_extract_all(col("text"),
+              lit(" ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+"), lit(0))).as("n_bpe_tokens"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, len(string_split(text, ' ')) AS n_ws_tokens, len(regexp_extract_all(text, ' ?[a-z]+| ?[0-9]+| ?[^ a-z0-9]+')) AS n_bpe_tokens FROM documents ORDER BY doc_id"),
+      scaleNote = "Per-row regex scan in codegen; at corpus scale this is the map-only token-budget pass — aggregate with a plain sum to cost a training mix, no shuffle of text."),
+
     // Quality scoring: length / uniqueness / stopword ratios — the
     // classic pre-training corpus filters, all int counts + one
     // correctly-rounded division each.

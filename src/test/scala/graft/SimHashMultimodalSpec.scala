@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{Multimodal, NearDup, SimHash}
+
+class SimHashSpec extends SparkSpec {
+
+  private def mkDocs(rows: Seq[(Long, String)]) = {
+    val s = spark
+    import s.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private def synthDoc(seed: Long): String = {
+    val vocab = (0 until 40).map(i => s"tok$i")
+    var x = seed
+    (0 until 60).map { _ =>
+      x = (x * 6364136223846793005L + 1442695040888963407L)
+      vocab(((x >>> 33) % 40).toInt)
+    }.mkString(" ")
+  }
+
+  test("identical docs have hamming 0; near-dups small; unrelated docs distant") {
+    val base = synthDoc(1)
+    val near = base.split(" ").updated(5, "MUTATED").mkString(" ")
+    val docs = mkDocs(Seq((1L, base), (2L, base), (3L, near), (4L, synthDoc(77))))
+    val sig = SimHash.simhash(NearDup.shingleRows(docs))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) < ham(sig(1L), sig(4L)),
+      s"near=${ham(sig(1L), sig(3L))} far=${ham(sig(1L), sig(4L))}")
+  }
+
+  test("nearPairs finds exact duplicates and respects the hamming bound") {
+    val base = synthDoc(5)
+    val docs = mkDocs(Seq((1L, base), (2L, base), (3L, synthDoc(6)), (4L, synthDoc(9))))
+    val pairs = SimHash.nearPairs(docs, 3).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
+    assert(pairs.values.forall(_ <= 3))
+  }
+
+  test("simhash_near on the real corpus agrees with MinHash on exact dup sets") {
+    // every jaccard-1.0 pair (identical shingle sets) must be hamming 0
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val mh = NearDup.nearDupPairs(docs, 0.5)
+      .filter(col("jac") === 1.0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val sh = SimHash.nearPairs(docs, 0)
+      .select("id1", "id2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mh.subsetOf(sh), s"missing: ${mh -- sh}")
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  test("feature extraction is deterministic and schema-stable") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+    val a = feats.orderBy("media_id").collect()
+    val b = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf))
+      .orderBy("media_id").collect()
+    assert(a.length == 500)
+    assert(a.map(_.media_id).sameElements(b.map(_.media_id)))
+    assert(a.map(_.mean_byte).sameElements(b.map(_.mean_byte)))
+  }
+
+  test("histogram buckets sum to payload size; mean is consistent") {
+    val feats = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).collect()
+    feats.foreach { f =>
+      assert(f.hist4.sum == f.n_bytes, s"media ${f.media_id}")
+      assert(f.mean_byte >= 0 && f.mean_byte <= 255)
+    }
+  }
+
+  test("payload bytes match the source text length (decode plumbing intact)") {
+    val n = Multimodal.extractFeatures(Multimodal.mediaTable(spark, sf)).toDF()
+      .join(graft.engine.Tables.documents(spark, sf),
+        col("media_id") === col("doc_id"))
+      .filter(col("n_bytes") =!= length(col("text")))
+      .count()
+    assert(n == 0)
+  }
+
+  test("frame sampling produces every strideth block") {
+    val media = Multimodal.mediaTable(spark, sf).limit(5)
+    val frames = Multimodal.frameSample(media, blockSize = 16, stride = 2)
+    val byId = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
+      max("frame_idx").as("maxIdx")).collect()
+    byId.foreach { r =>
+      // frames kept are idx 0, 2, 4, ... — max index even, count = max/2+1
+      assert(r.getInt(2) % 2 == 0)
+      assert(r.getLong(1) == r.getInt(2) / 2 + 1)
+    }
+  }
+
+  test("resize stub honors the requested output shape contract") {
+    val out = Multimodal.Codec.resize(Array.fill[Byte](1000)(7), 32, 32)
+    assert(out.length == 32 * 32 / 64)
+  }
+}
