@@ -11,7 +11,10 @@ object BenchOne {
     spark.sparkContext.setLogLevel("WARN")
     val fn = SparkEntry.queries(name)
     val t0 = System.nanoTime(); val n = fn(spark, sfDir).count()
-    println(s"RESULT $name rows=$n sec=${(System.nanoTime()-t0)/1e9}")
+    val cold = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime(); fn(spark, sfDir).count()
+    val warm = (System.nanoTime() - t1) / 1e9
+    println(s"RESULT $name rows=$n cold=$cold warm=$warm")
     spark.stop()
   }
 }

@@ -76,7 +76,10 @@ object TextVector extends QueryGroup {
         val b = q.select(col("vec_id").as("id2"), col("label").as("label2"),
           col("qv").as("qv2"), col("norm2").as("n2"))
         a.join(b, col("label") === col("label2") && col("id1") < col("id2"))
-          .withColumn("dot", sumLong(zip_with(col("qv1"), col("qv2"), (x, y) => x * y)))
+          // codegen'd custom Expression: the interpreted zip_with+
+          // aggregate HOF dot was the dominant per-pair cost (M9 note
+          // in graft.plans.LongArrayDot)
+          .withColumn("dot", graft.plans.LongArrayDot.dot(col("qv1"), col("qv2")))
           .withColumn("cos", round(col("dot").cast("double") /
             (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 4))
           .filter(col("cos") >= 0.2)
@@ -227,7 +230,7 @@ object TextVector extends QueryGroup {
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(queries).join(q, col("query_id") =!= col("vec_id"))
-          .withColumn("dot", sumLong(zip_with(col("qq"), col("qv"), (x, y) => x * y)))
+          .withColumn("dot", graft.plans.LongArrayDot.dot(col("qq"), col("qv")))
           .withColumn("cos", round(col("dot").cast("double") /
             (sqrt(col("qn").cast("double")) * sqrt(col("norm2").cast("double"))), 4))
           .withColumn("rank", row_number().over(w))

@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.plans.LongArrayDot
+
+class LongArrayDotSpec extends SparkSpec {
+
+  test("codegen result equals the interpreted HOF dot product") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(
+      (Seq(1L, 2L, 3L), Seq(4L, 5L, 6L)),
+      (Seq(-7L, 0L, 2L), Seq(3L, 9L, -1L)),
+      (Seq.empty[Long], Seq.empty[Long])
+    ).toDF("a", "b")
+    val rows = df.select(
+      LongArrayDot.dot(col("a"), col("b")).as("cg"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0L), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    assert(rows(0).getLong(0) == 32L)
+    // length mismatch: zip_with null-pads (HOF → NULL); the expression
+    // takes the common prefix — documented divergence
+    val mismatch = Seq((Seq(1L, 2L), Seq(10L, 20L, 30L))).toDF("a", "b")
+      .select(LongArrayDot.dot(col("a"), col("b"))).head()
+    assert(mismatch.getLong(0) == 50L)
+  }
+
+  test("null input propagates null; type mismatch is rejected at analysis") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Some(Seq(1L)), Option.empty[Seq[Long]])).toDF("a", "b")
+    val r = df.select(LongArrayDot.dot(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+    val bad = Seq(("x", Seq(1L))).toDF("a", "b")
+    intercept[Exception] {
+      bad.select(LongArrayDot.dot(col("a"), col("b"))).head()
+    }
+  }
+}
