@@ -17,7 +17,8 @@ object Registry {
     TextVector,
     NearDup,
     SimHash,
-    Multimodal)
+    Multimodal,
+    AnnIvf)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.AnnIvf
+
+class AnnIvfSpec extends SparkSpec {
+
+  test("bucket assignment is deterministic and within range") {
+    val b1 = AnnIvf.bucketed(spark, sf).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val b2 = AnnIvf.bucketed(spark, sf).select("vec_id", "bucket")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(b1 == b2)
+    assert(b1.values.forall(b => b >= 0 && b < 256))
+    assert(b1.values.toSet.size > 10, "bucketing degenerate")
+  }
+
+  test("every reported neighbour shares the query's bucket") {
+    val b = AnnIvf.bucketed(spark, sf)
+    val res = AnnIvf.topkInBucket(b, 3)
+    val joined = res.join(
+      b.select(col("vec_id"), col("bucket").as("cand_bucket")), "vec_id")
+    assert(joined.filter(col("bucket") =!= col("cand_bucket")).count() == 0)
+  }
+
+  test("ann_ivf results are a subset of the exact ann_topk candidate scores") {
+    // for each (query, neighbour) pair IVF returns, the exact cosine it
+    // reports must match the quantized-cosine definition ann_topk uses
+    val ivf = graft.engine.Registry.byName("ann_ivf").build(spark, sf)
+      .select(col("query_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = graft.engine.Registry.byName("ann_topk").build(spark, sf)
+      .select(col("query_id"), col("vec_id"), col("cos")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // overlapping pairs agree on the score exactly
+    val overlap = ivf.keySet.intersect(exact.keySet)
+    overlap.foreach(k => assert(ivf(k) == exact(k), s"score mismatch at $k"))
+  }
+
+  test("an exact duplicate of a query vector is always retrieved (recall-1 case)") {
+    val s = spark
+    import s.implicits._
+    // duplicate query vector 0 under a fresh id, rebuild the bucketed set
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 0)
+      .select(lit(900000L).as("vec_id"), col("embedding"), col("label"))
+    val patched = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    val dir = java.nio.file.Files.createTempDirectory("annivf").toString
+    patched.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val res = AnnIvf.topkInBucket(AnnIvf.bucketed(spark, dir), 3)
+      .filter(col("query_id") === 0).collect()
+    assert(res.exists(r => r.getLong(3) == 900000L && r.getDouble(4) == 1.0),
+      s"duplicate not retrieved: ${res.mkString(";")}")
+  }
+}
