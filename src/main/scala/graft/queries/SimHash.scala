@@ -30,15 +30,18 @@ object SimHash extends QueryGroup {
     * fingerprint bit. All 64 vote sums are codegen'd scalar aggregates
     * with map-side partials (same shape as NearDup.minhashSignature). */
   def simhash(shRows: DataFrame): DataFrame = {
-    val h = xxhash64(col("sh"))
+    // materialize the hash as a child-projection attribute: referencing
+    // xxhash64(sh) directly in all 64 vote expressions would re-inline
+    // (and recompute) it 64× per row
+    val hashed = shRows.withColumn("h", xxhash64(col("sh")))
     val votes = (0 until Bits).map { b =>
-      sum(when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
     }
     val fp = (0 until Bits).map { b =>
       (col(s"b$b") > 0).cast("long") * lit(
         if (b == 63) Long.MinValue else 1L << b) // bit 63 is the sign bit
     }.reduce(_ + _) // disjoint bits: sum == bitwise OR
-    shRows
+    hashed
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as("simhash"))
