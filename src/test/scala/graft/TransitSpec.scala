@@ -1,0 +1,153 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.domain.Transit
+
+/** End-to-end domain semantics over the FIXTURES.md §2 fixtures: GTFS
+  * denormalization, calendar exceptions, fuzzy passage matching
+  * (incl. ambiguity + anti path), past-midnight delays, cancellation
+  * flags, polling-cycle upsert, station board. */
+class TransitSpec extends SparkSpec {
+
+  import Transit._
+
+  private def s = spark
+  private def ts(v: String) = Timestamp.valueOf(v)
+
+  // --- GTFS fixtures (FIXTURES.md §2.1) ---
+  private lazy val stops = {
+    val sp = s; import sp.implicits._
+    Seq(
+      ("StopPoint:DUA8738400", "Pont Cardinet", 48.887, 2.316, "StopArea:DUA8738400"),
+      ("StopPoint:DUA8739300", "Saint-Lazare", 48.876, 2.325, "StopArea:DUA8739300")
+    ).toDF("stop_id", "stop_name", "stop_lat", "stop_lon", "parent_station")
+  }
+
+  private lazy val trips = {
+    val sp = s; import sp.implicits._
+    Seq(
+      ("DUASN165109F01", "R1", "S_WEEK", "PARIS"),
+      ("DUASN134683F01", "R1", "S_WEEK", "VERSAILLES"),
+      ("DUASN200100F01", "R1", "S_EXC", "NIGHT"),      // past-midnight trip
+      ("DUASN555001F01", "R1", "S_WEEK", "AMBIG-A"),   // both contain "5550"
+      ("DUASN555002F01", "R1", "S_WEEK", "AMBIG-B")
+    ).toDF("trip_id", "route_id", "service_id", "trip_headsign")
+  }
+
+  private lazy val stopTimes = {
+    val sp = s; import sp.implicits._
+    Seq(
+      ("DUASN165109F01", "12:09:00", "12:09:00", "StopPoint:DUA8738400", 1),
+      ("DUASN134683F01", "12:14:00", "12:14:00", "StopPoint:DUA8738400", 1),
+      ("DUASN200100F01", "25:10:00", "25:10:00", "StopPoint:DUA8738400", 5), // rollover
+      ("DUASN555001F01", "10:00:00", "10:00:00", "StopPoint:DUA8739300", 1),
+      ("DUASN555002F01", "10:05:00", "10:05:00", "StopPoint:DUA8739300", 1)
+    ).toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
+  }
+
+  private lazy val calendar = {
+    val sp = s; import sp.implicits._
+    Seq(
+      ("S_WEEK", 1, 1, 1, 1, 1, 1, 1, "20170101", "20171231"),
+      ("S_EXC", 0, 0, 0, 0, 0, 0, 0, "20170101", "20171231") // exception-only
+    ).toDF("service_id", "monday", "tuesday", "wednesday", "thursday",
+      "friday", "saturday", "sunday", "start_date", "end_date")
+  }
+
+  private lazy val calendarDates = {
+    val sp = s; import sp.implicits._
+    Seq(
+      ("S_EXC", "20170520", 1), // added on the test day
+      ("S_WEEK", "20170521", 2) // removed the day after
+    ).toDF("service_id", "date", "exception_type")
+  }
+
+  // --- passage fixtures (FIXTURES.md §2.2) ---
+  private lazy val passages = {
+    val sp = s; import sp.implicits._
+    Seq(
+      // theoretical then observed (delay pair), expected_ts evolving
+      // across two polling cycles for the same (day_train_num, station)
+      ("87384008", "165109", "POPI", "87384008", ts("2017-05-20 12:09:00"), "T",
+        null, "2017-05-20", "11:50", "20170520_165109"),
+      ("87384008", "165109", "POPI", "87384008", ts("2017-05-20 12:12:00"), "R",
+        null, "2017-05-20", "11:55", "20170520_165109"),
+      ("87384008", "165109", "POPI", "87384008", ts("2017-05-20 12:14:00"), "R",
+        "Retardé", "2017-05-20", "12:00", "20170520_165109"),
+      // cancellation
+      ("87384008", "134683", "PEBU", "87384008", ts("2017-05-20 12:14:00"), "R",
+        "Supprimé", "2017-05-20", "12:00", "20170520_134683"),
+      // past-midnight: scheduled 25:10 on 20170520 = 01:10 on the 21st
+      ("87384008", "200100", "NUIT", "87384008", ts("2017-05-21 01:15:00"), "R",
+        null, "2017-05-20", "23:55", "20170520_200100"),
+      // no matching trip (anti path)
+      ("87384008", "999999", "XXXX", "87384008", ts("2017-05-20 13:00:00"), "R",
+        null, "2017-05-20", "12:30", "20170520_999999"),
+      // ambiguous train number (two candidate trips)
+      ("87393009", "5550", "AMBI", "87393009", ts("2017-05-20 10:00:00"), "R",
+        null, "2017-05-20", "09:30", "20170520_5550")
+    ).toDF("station_id", "num", "miss", "term", "expected_ts", "mode",
+      "etat", "request_day", "request_time", "day_train_num")
+  }
+
+  private lazy val ext = stopTimesExt(trips, stopTimes, stops)
+
+  test("stopTimesExt denormalizes and converts past-midnight GTFS times") {
+    val rows = ext.collect()
+    assert(rows.length == 5)
+    val night = rows.find(_.getAs[String]("trip_id") == "DUASN200100F01").get
+    assert(night.getAs[Long]("departure_secs") == 25 * 3600 + 10 * 60)
+    assert(night.getAs[String]("stop_name") == "Pont Cardinet")
+  }
+
+  test("activeServices applies weekday regime plus add/remove exceptions") {
+    val sat = activeServices(calendar, calendarDates, "20170520")
+      .collect().map(_.getString(0)).toSet
+    assert(sat == Set("S_WEEK", "S_EXC")) // S_EXC only via exception
+    val sun = activeServices(calendar, calendarDates, "20170521")
+      .collect().map(_.getString(0)).toSet
+    assert(sun == Set.empty[String]) // S_WEEK removed that day; S_EXC not added
+  }
+
+  test("matchPassages: unique match, anti path, and ambiguity → unmatched") {
+    val active = activeServices(calendar, calendarDates, "20170520")
+    val m = matchPassages(passages, ext, active, "20170520")
+    assert(m.count() == passages.count(), "no passage may be dropped or duplicated")
+    val byNum = m.collect().groupBy(_.getAs[String]("num"))
+    assert(byNum("165109").forall(_.getAs[String]("trip_id") == "DUASN165109F01"))
+    assert(byNum("200100").head.getAs[String]("trip_id") == "DUASN200100F01") // exception service matched
+    assert(byNum("999999").head.getAs[String]("trip_id") == null) // unmatched
+    assert(byNum("5550").head.getAs[String]("trip_id") == null)   // ambiguous → unmatched
+  }
+
+  test("computeDelays: observed − scheduled, incl. past-midnight rollover") {
+    val active = activeServices(calendar, calendarDates, "20170520")
+    val d = computeDelays(
+      matchPassages(passages, ext, active, "20170520"), "20170520")
+      .collect().map(r => (r.getAs[String]("num"), r.getAs[Timestamp]("expected_ts").toString,
+        r.getAs[Long]("delay_sec"), r.getAs[Boolean]("cancelled")))
+    val late = d.filter(x => x._1 == "165109" && x._2.startsWith("2017-05-20 12:14"))
+    assert(late.head._3 == 300L) // 12:14 observed vs 12:09 scheduled
+    val night = d.filter(_._1 == "200100")
+    assert(night.head._3 == 300L) // 01:15 on the 21st vs 25:10 → 01:10
+    val cancelled = d.filter(_._1 == "134683")
+    assert(cancelled.head._4, "Supprimé must be flagged cancelled")
+  }
+
+  test("lastPassageState keeps the newest polling cycle per (train, station)") {
+    val state = lastPassageState(passages)
+    val row = state.filter(col("day_train_num") === "20170520_165109").head()
+    assert(row.getAs[Timestamp]("expected_ts") == ts("2017-05-20 12:14:00"))
+    assert(row.getAs[String]("mode") == "R")
+    assert(row.getAs[String]("etat") == "Retardé")
+    assert(state.count() == 5) // one row per (day_train_num, station)
+  }
+
+  test("stationBoard lists next departures, soonest first, excluding cancellations") {
+    val board = stationBoard(lastPassageState(passages), "87384008",
+      ts("2017-05-20 12:00:00"), 5).collect()
+    // 134683 is Supprimé → excluded; expect 165109 (12:14), 999999 (13:00), 200100 (01:15 next day)
+    assert(board.map(_.getAs[String]("num")).toSeq == Seq("165109", "999999", "200100"))
+  }
+}
