@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.engine.{GraftExtensions, SkewJoin}
+
+class ExtensionsSpec extends SparkSpec {
+
+  test("long_array_dot is callable from SQL after install") {
+    GraftExtensions.install(spark)
+    val r = spark.sql(
+      "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
+      .head().getLong(0)
+    assert(r == 32L)
+    GraftExtensions.install(spark) // idempotent
+  }
+
+  test("salted join returns exactly the plain-join result under heavy skew") {
+    val s = spark
+    import s.implicits._
+    // 10k rows all on ONE hot key + a tail
+    val big = ((1 to 10000).map(i => (1L, i)) ++ (1 to 100).map(i => (2L, i)))
+      .toDF("k", "v")
+    val small = Seq((1L, "hot"), (2L, "cold"), (3L, "unused")).toDF("k", "name")
+    val plain = big.join(small, "k")
+    val salted = SkewJoin.salted(big, small, "k", 8)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k", "name").count().orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    val b = plain.groupBy("k", "name").count().orderBy("k")
+      .collect().map(_.toSeq).toSeq
+    assert(a == b)
+    // the hot key's rows actually spread across multiple salt buckets
+    val spread = big.withColumn("_salt",
+      pmod(xxhash64(col("k"), monotonically_increasing_id()), lit(8L)).cast("int"))
+      .filter(col("k") === 1).select("_salt").distinct().count()
+    assert(spread > 4, s"salt did not spread the hot key (got $spread buckets)")
+  }
+
+  test("streaming file-source replay: parquet slices through readStream match batch") {
+    val dir = Files.createTempDirectory("replay").toString
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    // two "polling cycle" slices appended to a watched directory
+    ev.filter(col("event_id") < 500).write.parquet(s"$dir/slice=0")
+    ev.filter(col("event_id") >= 500).write.parquet(s"$dir/slice=1")
+    val stream = spark.readStream
+      .schema(ev.schema)
+      .option("pathGlobFilter", "*.parquet")
+      .parquet(s"$dir/slice=*")
+    val q = graft.streaming.Streams.tumbling(stream)
+      .writeStream.format("memory").queryName("replay_tumb")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay_tumb")
+        .groupBy("bucket").agg(sum("n_events").as("n"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      val batch = ev.groupBy(date_trunc("hour", col("ts")).as("b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, s"parity broken: stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+}
