@@ -249,11 +249,16 @@ object TextVector extends QueryGroup {
         val t = Tables.documents(spark, sf)
           .select(col("doc_id"), col("lang"), col("source"),
             array_distinct(split(col("text"), " ")).as("toks"))
-        val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"), col("toks").as("t1"))
+          .withColumn("nt", size(col("toks")))
+        val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
+          col("toks").as("t1"), col("nt").as("n1"))
         val b = t.select(col("doc_id").as("id2"), col("lang").as("lang2"),
-          col("source").as("source2"), col("toks").as("t2"))
+          col("source").as("source2"), col("toks").as("t2"), col("nt").as("n2"))
         a.join(b, col("lang") === col("lang2") && col("source") === col("source2")
-            && col("id1") < col("id2"))
+            && col("id1") < col("id2")
+            // implied by jac >= 0.5 (2|I| >= |U| => 2*min >= max), so
+            // this prunes array work without changing the result set
+            && least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")))
           .withColumn("jac", round(
             size(array_intersect(col("t1"), col("t2"))).cast("double") /
               size(array_union(col("t1"), col("t2"))).cast("double"), 4))
@@ -261,6 +266,6 @@ object TextVector extends QueryGroup {
           .select("id1", "id2", "jac")
           .orderBy("id1", "id2")
       },
-      Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5 ORDER BY id1, id2"),
+      Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id AND 2*least(len(a.toks), len(b.toks)) >= greatest(len(a.toks), len(b.toks)) WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5 ORDER BY id1, id2"),
       scaleNote = "Blocking on (lang, source) bounds candidate pairs to within-block quadratic; at 100 TB replace with MinHash-LSH banding (NearDup) which generates the same verified pairs without enumerating blocks — this operator doubles as LSH's exact-verify step."))
 }

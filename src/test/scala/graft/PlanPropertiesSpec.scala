@@ -1,0 +1,62 @@
+package graft
+
+import graft.engine.Registry
+
+/** Physical-plan regression guards: the plan shapes the 100 TB design
+  * depends on must survive refactors. Each assertion pins a property
+  * that PlanAudit verified manually. */
+class PlanPropertiesSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    Registry.byName(name).build(spark, sf).queryExecution.executedPlan.toString
+
+  test("filter_basic pushes its predicates into the parquet scan") {
+    val p = plan("filter_basic")
+    // toString truncates the full filter list; presence of a non-empty
+    // PushedFilters block is the guard (full list verified in PlanAudit)
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(800))
+    assert(p.contains("StartsWith(l_linestatus"), p.take(800))
+  }
+
+  test("join_broadcast plans a BroadcastHashJoin (no shuffle of either dim)") {
+    val p = plan("join_broadcast")
+    assert(p.contains("BroadcastHashJoin"), p.take(800))
+  }
+
+  test("limit_topk plans TakeOrderedAndProject (no global sort)") {
+    val p = plan("limit_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("win_topk_group gets WindowGroupLimit pushdown") {
+    val p = plan("win_topk_group")
+    assert(p.contains("WindowGroupLimit"), p.take(800))
+  }
+
+  test("agg_sum_group is a 2-phase hash aggregate (map-side partials)") {
+    val p = plan("agg_sum_group")
+    assert(p.contains("partial_sum"), p.take(800))
+    assert(p.contains("HashAggregate"))
+  }
+
+  test("no similarity operator falls back to a cartesian product") {
+    for (q <- Seq("dedup_near", "simhash_near", "vec_cosine_pairs",
+        "ngram_jaccard", "ann_ivf")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n${p.take(800)}")
+    }
+  }
+
+  test("scan_parquet projection reaches the reader (4-column ReadSchema)") {
+    val p = plan("scan_parquet")
+    val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_orderkey") && !read.contains("l_shipdate"),
+      s"projection not pruned: $read")
+  }
+
+  test("last_state aggregates without a window sort (associative struct-max)") {
+    val p = plan("last_state")
+    assert(!p.contains("Window"), "last_state should not need WindowExec")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
+  }
+}
