@@ -1,0 +1,29 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Measures warm wall-time for representative operators across scale
+  * factors — evidence that the plans scale linearly (SCALING.md). */
+object ScalingCurve {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
+    val queries = Seq("agg_sum_group", "join_star", "win_rank", "join_asof",
+      "ts_session", "dedup_near", "vec_cosine_pairs", "ann_ivf", "text_tokens")
+    try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
+    queries.foreach { q =>
+      val fn = SparkEntry.queries(q)
+      val times = sfs.map { sf =>
+        val dir = s"/root/testdata/$sf"
+        fn(spark, dir).count() // warm codegen for this query shape
+        val t0 = System.nanoTime(); fn(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      println(f"CURVE $q%-18s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+    }
+    spark.stop()
+  }
+}

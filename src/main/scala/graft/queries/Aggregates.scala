@@ -149,6 +149,22 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
 
+    // Approximate quantiles (delay-percentile sketch analog, SURVEY
+    // §2.4): approx_percentile's QuantileSummaries sketch merges
+    // associatively across partitions — the scalable percentile. No
+    // oracle (sketch implementations differ per engine); tolerance-
+    // tested in OperatorPropertiesSpec.
+    QueryDef(
+      "agg_approx_quantile",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(percentile_approx(col("o_totalprice"),
+            array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("pcts"))
+          .orderBy("o_orderpriority"),
+      None,
+      scaleNote = "QuantileSummaries partials are fixed-size regardless of row count and merge associatively — percentiles over 100 TB shuffle KB per partition. accuracy=1000 bounds rank error at 1/1000; the exact-percentile alternative needs a global sort."),
+
     // #57 — approximate distinct (HLL++). No DuckDB oracle: approx
     // algorithms differ across engines; covered by a tolerance test in
     // the ScalaTest suite instead (SURVEY §2.0 oracle=✗).

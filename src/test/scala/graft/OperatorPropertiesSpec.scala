@@ -123,6 +123,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("approx quantiles bracket the exact percentiles within sketch error") {
+    val approx = run("agg_approx_quantile").collect()
+      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val o = graft.engine.Tables.orders(spark, sf)
+    val exact = o.groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("p"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    exact.foreach { case (k, ex) =>
+      approx(k).zip(ex).foreach { case (a, e) =>
+        assert(math.abs(a - e) / e < 0.1, s"$k: approx=$a exact=$e")
+      }
+    }
+  }
+
   test("topk_group: every kept row beats every dropped row in its group") {
     val top = run("win_topk_group")
     val worstKept = top.groupBy("o_custkey").agg(min("o_totalprice").as("kept_min"),
