@@ -1,0 +1,23 @@
+package graft.engine
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-first entry point: registers every testdata table as a temp
+  * view (ns-safe events included) plus the engine's SQL functions, so
+  * a user can drive the whole surface with `spark.sql(...)` — the
+  * serving-query interface of the reference [P query.py DBQuerier],
+  * Spark-native. */
+object Catalog {
+
+  /** Register all tables of one scale-factor directory as temp views
+    * and install the custom function surface. Idempotent. */
+  def register(spark: SparkSession, sfDir: String): Unit = {
+    Tables.names.foreach { n =>
+      val df = if (n == "events") Tables.loadEvents(spark, sfDir)
+        else Tables.load(spark, sfDir, n)
+      df.createOrReplaceTempView(n)
+    }
+    GraftExtensions.install(spark)
+    graft.functions.Gtfs.register(spark)
+  }
+}

@@ -158,7 +158,7 @@ object Joins extends QueryGroup {
           .orderBy("event_id")
       },
       Some("SELECT e.event_id, e.ts, p.match_id AS asof_match_id FROM events e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
-      scaleNote = "Union+window rewrite shuffles each side once on user_id and sorts within partitions — same cost class as a sort-merge join, no per-row lookups. The running last(ignoreNulls) is O(n) per partition. This is the observation↔latest-schedule match at the core of the reference."),
+      scaleNote = "Union+window rewrite shuffles each side once on user_id and sorts within partitions — same cost class as a sort-merge join, no per-row lookups. The running last(ignoreNulls) is O(n) per partition. This is the observation↔latest-schedule match at the core of the reference. Residual skew risk: AQE cannot split a window partition, so a pathologically hot user_id serializes its partition — graft.engine.SkewJoin-style salting (salt the key, as-of within salt, merge) is the 100×-skew fallback."),
 
     QueryDef(
       "join_like",
