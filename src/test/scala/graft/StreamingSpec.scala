@@ -136,6 +136,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("parquet upsert sink: durable latest-state, idempotent under replay") {
+    val s = spark
+    import s.implicits._
+    val path = java.nio.file.Files.createTempDirectory("upsert").toString + "/state"
+    val sink = new graft.streaming.ParquetUpsertSink(path)
+    val mem = MemoryStream[Event](7, spark, None)
+    val q = mem.toDF().writeStream
+      .foreachBatch((batch: org.apache.spark.sql.DataFrame, _: Long) => sink.upsert(batch))
+      .outputMode("update").start()
+    try {
+      mem.addData(fixture.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(fixture.drop(3): _*)
+      q.processAllAvailable()
+      val st1 = sink.state(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+      assert(st1 == Map(1L -> 6L, 2L -> 5L)) // latest per user, durable
+      mem.addData(fixture: _*) // replay everything
+      q.processAllAvailable()
+      val st2 = sink.state(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+      assert(st2 == st1, "replay changed the durable state")
+    } finally q.stop()
+  }
+
   test("stream_upsert_sink is idempotent under micro-batch replay") {
     val s = spark
     import s.implicits._
