@@ -83,8 +83,10 @@ object NearDup extends QueryGroup {
     val shRows = shingleRows(docs)
     // separate aggregations on purpose: fusing collect_set with the 64
     // mins forces the whole pass into ObjectHashAggregate (no codegen)
-    // — measured 11.8 s vs 9.2 s split
-    val toks = shRows.groupBy("doc_id").agg(collect_set(col("sh")).as("toks"))
+    // — measured 11.8 s vs 9.2 s split. Sets sorted once here so the
+    // verify join can merge-count instead of hashing per pair.
+    val toks = shRows.groupBy("doc_id")
+      .agg(array_sort(collect_set(col("sh"))).as("toks"))
     val sig = minhashSignature(shRows)
     // band keys: hash(band index, the R minhashes of the band)
     val banded = sig.select(
@@ -101,9 +103,10 @@ object NearDup extends QueryGroup {
     cand
       .join(toks.select(col("doc_id").as("id1"), col("toks").as("t1")), "id1")
       .join(toks.select(col("doc_id").as("id2"), col("toks").as("t2")), "id2")
-      .withColumn("jac", round(
-        size(array_intersect(col("t1"), col("t2"))).cast("double") /
-          size(array_union(col("t1"), col("t2"))).cast("double"), 4))
+      .withColumn("ni",
+        graft.plans.SortedIntersectCount.count(col("t1"), col("t2")))
+      .withColumn("jac", round(col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"), 4))
       .filter(col("jac") >= tau)
       .select("id1", "id2", "jac")
   }

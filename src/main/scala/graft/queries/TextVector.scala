@@ -246,9 +246,12 @@ object TextVector extends QueryGroup {
     QueryDef(
       "ngram_jaccard",
       (spark, sf) => {
+        // sorted distinct token sets: SortedIntersectCount does one
+        // codegen merge walk per pair instead of array_intersect's
+        // per-pair hash set (and |U| = n1 + n2 − |I|)
         val t = Tables.documents(spark, sf)
           .select(col("doc_id"), col("lang"), col("source"),
-            array_distinct(split(col("text"), " ")).as("toks"))
+            array_sort(array_distinct(split(col("text"), " "))).as("toks"))
           .withColumn("nt", size(col("toks")))
         val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
           col("toks").as("t1"), col("nt").as("n1"))
@@ -259,9 +262,10 @@ object TextVector extends QueryGroup {
             // implied by jac >= 0.5 (2|I| >= |U| => 2*min >= max), so
             // this prunes array work without changing the result set
             && least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")))
-          .withColumn("jac", round(
-            size(array_intersect(col("t1"), col("t2"))).cast("double") /
-              size(array_union(col("t1"), col("t2"))).cast("double"), 4))
+          .withColumn("ni",
+            graft.plans.SortedIntersectCount.count(col("t1"), col("t2")))
+          .withColumn("jac", round(col("ni").cast("double") /
+            (col("n1") + col("n2") - col("ni")).cast("double"), 4))
           .filter(col("jac") >= 0.5)
           .select("id1", "id2", "jac")
           .orderBy("id1", "id2")

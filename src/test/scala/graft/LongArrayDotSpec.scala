@@ -26,6 +26,22 @@ class LongArrayDotSpec extends SparkSpec {
     assert(mismatch.getLong(0) == 50L)
   }
 
+  test("sorted_intersect_count matches array_intersect on sorted distinct arrays") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val rows = (0 until 200).map { _ =>
+      val a = (0 until rnd.nextInt(50)).map(_ => s"w${rnd.nextInt(60)}").distinct.sorted
+      val b = (0 until rnd.nextInt(50)).map(_ => s"w${rnd.nextInt(60)}").distinct.sorted
+      (a, b)
+    }
+    val bad = rows.toDF("a", "b").select(
+      graft.plans.SortedIntersectCount.count(col("a"), col("b")).as("cg"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("cg") =!= col("ref")).collect()
+    assert(bad.isEmpty, bad.mkString(","))
+  }
+
   test("null input propagates null; type mismatch is rejected at analysis") {
     val s = spark
     import s.implicits._
