@@ -149,6 +149,38 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
 
+    // Pivot: the per-station × per-event-type matrix (wide report
+    // shape). Spark pivot leaves empty cells NULL while the oracle's
+    // FILTER counts give 0 — coalesce pins the semantics.
+    QueryDef(
+      "agg_pivot",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .groupBy("user_id")
+          .pivot("event_type", Seq("click", "view", "purchase"))
+          .count()
+          .select(col("user_id"),
+            coalesce(col("click"), lit(0L)).as("click"),
+            coalesce(col("view"), lit(0L)).as("view"),
+            coalesce(col("purchase"), lit(0L)).as("purchase"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, count(*) FILTER (WHERE event_type = 'click') AS click, count(*) FILTER (WHERE event_type = 'view') AS view, count(*) FILTER (WHERE event_type = 'purchase') AS purchase FROM events GROUP BY user_id ORDER BY user_id"),
+      scaleNote = "Pivot with EXPLICIT values compiles to one pass of conditional aggregates (no second job to discover the column set — never omit the value list at scale); output width is bounded by the declared values."),
+
+    // Unpivot/melt: wide → long reshape (the inverse report shape).
+    QueryDef(
+      "reshape_unpivot",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .select(col("o_orderkey"),
+            col("o_totalprice").as("totalprice"),
+            col("o_custkey").cast("double").as("custkey"))
+          .unpivot(Array(col("o_orderkey")),
+            Array(col("totalprice"), col("custkey")), "metric", "val")
+          .orderBy("o_orderkey", "metric"),
+      Some("SELECT o_orderkey, metric, val FROM (SELECT o_orderkey, 'totalprice' AS metric, o_totalprice AS val FROM orders UNION ALL SELECT o_orderkey, 'custkey', CAST(o_custkey AS DOUBLE) FROM orders) ORDER BY o_orderkey, metric"),
+      scaleNote = "Unpivot is a per-row Expand (k output rows per input row, no shuffle); value columns must share one type, so the cast happens before the reshape."),
+
     // Approximate quantiles (delay-percentile sketch analog, SURVEY
     // §2.4): approx_percentile's QuantileSummaries sketch merges
     // associatively across partitions — the scalable percentile. No

@@ -34,22 +34,41 @@ object AnnIvf extends QueryGroup {
   private def quantize(c: org.apache.spark.sql.Column) =
     transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
 
-  /** (vec_id, qv, norm2, bucket) for every embedding. */
-  def bucketed(spark: SparkSession, sfDir: String): DataFrame = {
+  /** (vec_id, qv, norm2, bucket) for every embedding. `planes` is the
+    * recall/selectivity dial: 8 → 256 buckets (tight, for top-k), 4 →
+    * 16 buckets (coarse, for near-dup pair mining). */
+  def bucketed(spark: SparkSession, sfDir: String,
+      planes: Int = Planes): DataFrame = {
     val q = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), quantize(col("embedding")).as("qv"))
       .withColumn("norm2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
     val comps = q.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v")))
-    val sums = (0 until Planes).map { j =>
+    val sums = (0 until planes).map { j =>
       // s_ji = ±1 from hash parity — deterministic pseudo-hyperplane
       sum(when(pmod(xxhash64(lit(j) * 4099 + col("i")), lit(2)) === 0,
         col("v")).otherwise(-col("v"))).as(s"p$j")
     }
     val buckets = comps.groupBy("vec_id").agg(sums.head, sums.tail: _*)
       .select(col("vec_id"),
-        (0 until Planes).map(j => (col(s"p$j") > 0).cast("int") * lit(1 << j))
+        (0 until planes).map(j => (col(s"p$j") > 0).cast("int") * lit(1 << j))
           .reduce(_ + _).as("bucket"))
     q.join(buckets, "vec_id")
+  }
+
+  /** Embedding-cosine near-duplicate pairs: same coarse bucket, exact
+    * quantized cosine ≥ tau — completes the dedup family (exact,
+    * MinHash, SimHash, n-gram Jaccard, embedding-cosine). */
+  def cosineNearDup(b: DataFrame, tau: Double): DataFrame = {
+    val a = b.select(col("vec_id").as("id1"), col("qv").as("q1"),
+      col("norm2").as("na"), col("bucket"))
+    val c = b.select(col("vec_id").as("id2"), col("qv").as("q2"),
+      col("norm2").as("nb"), col("bucket").as("bucket2"))
+    a.join(c, col("bucket") === col("bucket2") && col("id1") < col("id2"))
+      .withColumn("cos", round(
+        LongArrayDot.dot(col("q1"), col("q2")).cast("double") /
+          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4))
+      .filter(col("cos") >= tau)
+      .select("id1", "id2", "cos")
   }
 
   /** Top-k within the query's bucket by exact quantized cosine. */
@@ -76,5 +95,13 @@ object AnnIvf extends QueryGroup {
       (spark, sf) =>
         topkInBucket(bucketed(spark, sf), 3).orderBy("query_id", "rank"),
       None,
-      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/256 vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition. Recall is tuned by multi-probe (flip low-margin hyperplane bits) rather than widening buckets; ann_topk is the exact baseline this trades against."))
+      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/256 vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition. Recall is tuned by multi-probe (flip low-margin hyperplane bits) rather than widening buckets; ann_topk is the exact baseline this trades against."),
+
+    QueryDef(
+      "emb_near_dup",
+      (spark, sf) =>
+        cosineNearDup(bucketed(spark, sf, planes = 4), 0.25)
+          .orderBy("id1", "id2"),
+      None,
+      scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."))
 }

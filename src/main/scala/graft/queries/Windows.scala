@@ -134,6 +134,24 @@ object Windows extends QueryGroup {
       Some("SELECT o_orderkey, o_orderpriority, o_totalprice, ntile(4) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile FROM orders ORDER BY o_orderkey"),
       scaleNote = "ntile needs the partition row count before assigning buckets — WindowExec buffers the partition; bounded here by rows-per-priority. For unbounded partitions prefer percent_rank (streaming-computable) or pre-computed quantile cut-points."),
 
+    // Distribution functions: percent_rank/cume_dist over a unique
+    // total order — (rank−1)/(n−1) and rank/n are single divisions of
+    // identical integers on both engines.
+    QueryDef(
+      "win_percent",
+      (spark, sf) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            round(percent_rank().over(w), 4).as("pr"),
+            round(cume_dist().over(w), 4).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, round(percent_rank() OVER w, 4) AS pr, round(cume_dist() OVER w, 4) AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) ORDER BY o_orderkey"),
+      scaleNote = "Like ntile, distribution functions need the partition count before emitting — WindowExec buffers the partition; for unbounded partitions precompute counts with an agg join instead."),
+
     // #33 — first/last with explicit full frame: first/last passage of
     // day per station [P query.py]. Default window frame would stop
     // last_value at CURRENT ROW — pin UNBOUNDED FOLLOWING explicitly.

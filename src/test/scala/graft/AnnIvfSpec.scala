@@ -37,6 +37,22 @@ class AnnIvfSpec extends SparkSpec {
     overlap.foreach(k => assert(ivf(k) == exact(k), s"score mismatch at $k"))
   }
 
+  test("emb_near_dup reports only pairs above tau and finds planted duplicates") {
+    val s = spark
+    import s.implicits._
+    val emb = graft.engine.Tables.embeddings(spark, sf)
+    val dup = emb.filter(col("vec_id") === 7)
+      .select(lit(900007L).as("vec_id"), col("embedding"), col("label"))
+    val patched = emb.select("vec_id", "embedding", "label").unionByName(dup)
+    val dir = java.nio.file.Files.createTempDirectory("embnd").toString
+    patched.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pairs = AnnIvf.cosineNearDup(AnnIvf.bucketed(spark, dir, planes = 4), 0.25)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2)))
+    assert(pairs.forall(_._2 >= 0.25))
+    assert(pairs.exists(p => p._1 == (7L, 900007L) && p._2 == 1.0),
+      "planted exact duplicate not found (identical vectors share every bucket)")
+  }
+
   test("an exact duplicate of a query vector is always retrieved (recall-1 case)") {
     val s = spark
     import s.implicits._
