@@ -149,6 +149,30 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
 
+    // Moment statistics via exact decimal sums: variance from
+    // (Σx², Σx, n) — the only float ops are two correctly-rounded
+    // conversions and three arithmetic steps on identical inputs, so
+    // stddev is deterministic cross-engine (native stddev aggregates
+    // accumulate in floats, summation-order-dependent).
+    QueryDef(
+      "agg_stats",
+      (spark, sf) => {
+        val D38 = org.apache.spark.sql.types.DecimalType(38, 4)
+        val sx = sum(dec2(col("o_totalprice"))).cast(D2).cast("double")
+        val sxx = sum((dec2(col("o_totalprice")) * dec2(col("o_totalprice")))
+          .cast(D38)).cast(D38).cast("double")
+        val n = count(lit(1)).cast("double")
+        Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            round((sxx - sx * sx / n) / n, 4).as("var_pop"),
+            round(sqrt((sxx - sx * sx / n) / n), 4).as("stddev_pop"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n, round((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / count(*), 4) AS var_pop, round(sqrt((CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) - CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) * CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)) / count(*)), 4) AS stddev_pop FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      scaleNote = "Decimal moment sums merge associatively like any sum — variance over 100 TB is one 2-phase agg; no second pass, no float accumulation drift across partitionings (the two-pass 'subtract the mean' formulation would need 2× the scans)."),
+
     // Pivot: the per-station × per-event-type matrix (wide report
     // shape). Spark pivot leaves empty cells NULL while the oracle's
     // FILTER counts give 0 — coalesce pins the semantics.

@@ -67,6 +67,33 @@ object TimeSeriesDedup extends QueryGroup {
       Some("SELECT user_id, s.t AS last_ts, s.e AS last_event_id, s.ty AS last_type, s.v AS last_value FROM (SELECT user_id, max(struct_pack(t := ts, e := event_id, ty := event_type, v := value)) AS s FROM events GROUP BY user_id) ORDER BY user_id"),
       scaleNote = "Struct-max is a 2-phase agg: map-side partials keep one candidate per key per partition, the shuffle carries |keys| rows. A window version would sort every partition; this doesn't."),
 
+    // Seeded Bernoulli sampling — the corpus-subsampling pass of a
+    // training-data pipeline. Deterministic for a fixed seed+partition
+    // layout within Spark; not reproducible in DuckDB (different PRNG)
+    // → no oracle, invariants tested in OperatorPropertiesSpec.
+    QueryDef(
+      "sample_fraction",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
+          .select("l_orderkey", "l_linenumber", "l_quantity")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
+      None,
+      scaleNote = "Bernoulli sampling is a per-row coin flip in the scan — no shuffle, no count pass; at 100 TB this is the only affordable subsample (exact-size sampling needs a global sort or reservoir)."),
+
+    // Stratified sampling: per-class quotas (balance a training mix).
+    QueryDef(
+      "sample_stratified",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .stat.sampleBy("lang",
+            Map("en" -> 0.5, "fr" -> 0.5, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2),
+            42L)
+          .select("doc_id", "lang")
+          .orderBy("doc_id"),
+      None,
+      scaleNote = "sampleBy keys the Bernoulli rate by stratum — still a single scan-side filter, no shuffle. The language-rebalancing pass of a pre-training mix at corpus scale."),
+
     // #50 — tumbling time buckets: the N-minute polling cycle rollup.
     // Batch twin of stream_tumbling (§2.3).
     QueryDef(

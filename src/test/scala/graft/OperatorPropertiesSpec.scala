@@ -137,6 +137,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("seeded samples are reproducible, subsets, and near the target rate") {
+    val s1 = run("sample_fraction").collect().map(_.toSeq)
+    val s2 = run("sample_fraction").collect().map(_.toSeq)
+    assert(s1.sameElements(s2), "same seed must reproduce the same sample")
+    val total = graft.engine.Tables.lineitem(spark, sf).count().toDouble
+    assert(math.abs(s1.length / total - 0.1) < 0.03, s"rate off: ${s1.length / total}")
+    val strat = run("sample_stratified")
+      .join(graft.engine.Tables.documents(spark, sf), Seq("doc_id", "lang"))
+    assert(strat.count() == run("sample_stratified").count(), "sample must be a subset")
+    val byLang = run("sample_stratified").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang.getOrElse("en", 0L) > byLang.getOrElse("de", 0L),
+      s"stratified rates not applied: $byLang")
+  }
+
   test("topk_group: every kept row beats every dropped row in its group") {
     val top = run("win_topk_group")
     val worstKept = top.groupBy("o_custkey").agg(min("o_totalprice").as("kept_min"),
