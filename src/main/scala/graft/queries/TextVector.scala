@@ -246,12 +246,17 @@ object TextVector extends QueryGroup {
     QueryDef(
       "ngram_jaccard",
       (spark, sf) => {
-        // sorted distinct token sets: SortedIntersectCount does one
-        // codegen merge walk per pair instead of array_intersect's
-        // per-pair hash set (and |U| = n1 + n2 − |I|)
+        // sorted distinct HASHED token sets: SortedIntersectCount does
+        // one codegen merge walk per pair instead of array_intersect's
+        // per-pair hash set; 8-byte ids compare cheaper and shrink the
+        // 12.5M-pair join payload ~4× vs strings. xxhash64 collisions
+        // across a distinct-token vocabulary are ~2^-64 — set sizes and
+        // intersections match the string computation, so the string-
+        // based oracle is unchanged. |U| = n1 + n2 − |I|.
         val t = Tables.documents(spark, sf)
           .select(col("doc_id"), col("lang"), col("source"),
-            array_sort(array_distinct(split(col("text"), " "))).as("toks"))
+            array_sort(array_distinct(transform(split(col("text"), " "),
+              tk => xxhash64(tk)))).as("toks"))
           .withColumn("nt", size(col("toks")))
         val a = t.select(col("doc_id").as("id1"), col("lang"), col("source"),
           col("toks").as("t1"), col("nt").as("n1"))

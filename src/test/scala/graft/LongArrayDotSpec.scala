@@ -40,6 +40,15 @@ class LongArrayDotSpec extends SparkSpec {
       size(array_intersect(col("a"), col("b"))).as("ref"))
       .filter(col("cg") =!= col("ref")).collect()
     assert(bad.isEmpty, bad.mkString(","))
+    // bigint variant: same semantics over sorted distinct longs
+    val longRows = rows.map { case (a, b) =>
+      (a.map(_.hashCode.toLong).distinct.sorted, b.map(_.hashCode.toLong).distinct.sorted)
+    }
+    val badL = longRows.toDF("a", "b").select(
+      graft.plans.SortedIntersectCount.count(col("a"), col("b")).as("cg"),
+      size(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("cg") =!= col("ref")).collect()
+    assert(badL.isEmpty, badL.mkString(","))
   }
 
   test("null input propagates null; type mismatch is rejected at analysis") {
