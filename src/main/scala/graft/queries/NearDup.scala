@@ -78,7 +78,15 @@ object NearDup extends QueryGroup {
         concat_ws(" ", col("tok"), col("t1"), col("t2")).as("sh"))
   }
 
-  /** Candidate near-duplicate pairs with verified Jaccard ≥ tau. */
+  /** Candidate near-duplicate pairs with verified Jaccard ≥ tau.
+    *
+    * Candidate generation is a band-key SELF-JOIN here, while SimHash
+    * uses bucket-collect + pair expansion — both were measured: the
+    * self-join evaluates the upstream pipeline once per side but wins
+    * when that pipeline is cheap and buckets are sparse singletons
+    * (32 bands × minhash pairs rarely collide: 1.9 s vs 2.2 s at
+    * sf0.1); collect+expand wins when the upstream aggregation
+    * dominates (SimHash's 64-vote pass: 1.8 s vs 2.6 s). */
   def nearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
     val shRows = shingleRows(docs)
     // separate aggregations on purpose: fusing collect_set with the 64

@@ -60,13 +60,27 @@ object SimHash extends QueryGroup {
           shiftright(col("simhash"), j * BandBits)
             .bitwiseAND(lit((1L << BandBits) - 1)).as("v"))
       }: _*)).as("bk"))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"),
-        col("x.simhash").as("s1"), col("y.simhash").as("s2"))
+    // bucket-collect pair expansion (NearDup.bucketPairs rationale):
+    // the signature pipeline is aggregated once, and each collected
+    // element carries (doc_id, simhash) so the hamming verify needs no
+    // re-join against sig
+    val ids = col("ids")
+    val pairs = flatten(transform(
+      sequence(lit(1), size(ids) - 1),
+      i => transform(slice(ids, i + 1, size(ids)),
+        y => struct(
+          element_at(ids, i).getField("doc_id").as("id1"),
+          element_at(ids, i).getField("simhash").as("s1"),
+          y.getField("doc_id").as("id2"),
+          y.getField("simhash").as("s2")))))
+    banded
+      .groupBy("bk")
+      .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
+      .filter(size(ids) > 1)
+      .select(explode(pairs).as("p"))
+      .select(col("p.id1"), col("p.id2"),
+        expr("bit_count(p.s1 ^ p.s2)").as("hamming"))
       .distinct()
-      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
       .filter(col("hamming") <= maxHamming)
       .select("id1", "id2", "hamming")
   }
