@@ -24,9 +24,6 @@ object TextVector extends QueryGroup {
   private def quantize(c: org.apache.spark.sql.Column) =
     transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
 
-  private def sumLong(arr: org.apache.spark.sql.Column) =
-    aggregate(arr, lit(0L), (acc, x) => acc + x)
-
   def defs: Seq[QueryDef] = Seq(
 
     // #52 — tokenize + explode + count: the word-frequency core of
