@@ -81,33 +81,41 @@ object Transit {
     * Ambiguous train numbers (>1 candidate trip) are left UNMATCHED
     * (null schedule columns), like unmatched numbers — the reference's
     * unique-match policy, kept deterministic.
-    * Scale: the contains-join broadcasts the (small) per-day passage
-    * batch against the schedule; candidates then collapse via a
-    * count-filtered aggregation, all map-side-combinable. */
+    *
+    * Shape: inner contains-join generates candidates with the SMALL
+    * side (the per-day passage batch) broadcast — broadcasting the
+    * schedule would ship the big side; then unique candidates
+    * left-join back onto passages by FULL passage identity (all
+    * passage columns, so two polling cycles that report identical
+    * expected times still match independently), which also restores
+    * unmatched and ambiguous rows with null schedule columns. */
   def matchPassages(passages: DataFrame, ext: DataFrame,
       active: DataFrame, day: String): DataFrame = {
     val sched = ext.join(active, "service_id")
-    val candidates = passages
-      .join(broadcast(sched),
+    val passageKey = passages.columns.toSeq
+    val candidates = sched
+      .join(broadcast(passages),
         col("trip_id").contains(col("num")) &&
           uic7(col("station_id")) === regexp_extract(col("stop_id"), "([0-9]{7})", 1),
-        "left")
-    // unique-match policy: exactly one candidate keeps its schedule
+        "inner")
+    // unique-match policy: exactly one candidate keeps its schedule;
+    // the count is per passage ROW (full identity incl. request time)
     val counted = candidates
       .withColumn("n_cand",
-        count(col("trip_id")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy("day_train_num", "station_id", "mode", "expected_ts")))
-    // ambiguous passages (n_cand > 1) keep their row but lose the
-    // schedule columns; their candidate rows then collapse via distinct
-    counted
-      .withColumn("matched", col("trip_id").isNotNull && col("n_cand") === 1)
-      .select(passages.columns.map(col) ++ Seq(
-        when(col("matched"), col("trip_id")).as("trip_id"),
-        when(col("matched"), col("service_id")).as("service_id"),
-        when(col("matched"), col("stop_sequence")).as("stop_sequence"),
-        when(col("matched"), col("departure_secs")).as("departure_secs")): _*)
-      .distinct()
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(passageKey.map(col): _*)))
+    // rename join-side keys (uniq descends from passages — unqualified
+    // columns would be ambiguous in the self-join)
+    val uniq = counted
+      .filter(col("n_cand") === 1)
+      .select(passageKey.map(k => col(k).as(s"u_$k")) ++
+        Seq(col("trip_id"), col("service_id"),
+          col("stop_sequence"), col("departure_secs")): _*)
+    // null-safe equality: etat is legitimately null on on-time trains
+    val cond = passageKey.map(k => col(k) <=> col(s"u_$k")).reduce(_ && _)
+    passages.join(uniq, cond, "left")
+      .select(passageKey.map(col) ++ Seq(col("trip_id"),
+        col("service_id"), col("stop_sequence"), col("departure_secs")): _*)
   }
 
   /** Scheduled wall-clock timestamp of a stop call on service day

@@ -12,8 +12,10 @@ import graft.plans.LongArrayDot
   * or call [[GraftExtensions.install]] on a live session (idempotent).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
+    ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
+  }
 }
 
 object GraftExtensions {
@@ -27,12 +29,23 @@ object GraftExtensions {
       LongArrayDot(children.head, children(1))
     })
 
+  private[engine] val sortedIntersectCountDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("sorted_intersect_count"),
+    new ExpressionInfo(classOf[graft.plans.SortedIntersectCount].getName,
+      "sorted_intersect_count"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2,
+        "sorted_intersect_count(a, b) takes two arguments")
+      graft.plans.SortedIntersectCount(children.head, children(1))
+    })
+
   /** Register on an already-built session (the driver owns session
     * construction, so injection at build time isn't always available). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    spark.sessionState.functionRegistry.registerFunction(
-      longArrayDotDescriptor._1, longArrayDotDescriptor._2,
-      longArrayDotDescriptor._3)
+    Seq(longArrayDotDescriptor, sortedIntersectCountDescriptor).foreach { d =>
+      spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
+    }
 }
 
 /** Skew-handling utility the scale notes reference: salted join for a

@@ -52,3 +52,31 @@ object Dsl {
     * TIMESTAMP 'yyyy-MM-dd'). */
   def tsLit(s: String): Column = lit(s).cast("timestamp_ntz")
 }
+
+/** Shared vector determinism helpers: ONE definition of the float
+  * quantization every similarity operator (and its oracle SQL) relies
+  * on — the cross-operator score-equality tests depend on these
+  * staying identical everywhere. */
+object Vec {
+  /** 2^20 — exponent-shift multiply, exact on every element. */
+  val QuantScale: Double = 1048576.0
+
+  /** floor(x·2^20) per element: widen exact, shift exact, floor exact —
+    * zero rounding anywhere, identical across engines. */
+  def quantize(c: Column): Column =
+    org.apache.spark.sql.functions.transform(c,
+      x => org.apache.spark.sql.functions.floor(
+        x.cast("double") * org.apache.spark.sql.functions.lit(QuantScale))
+        .cast("long"))
+
+  /** Integer squared norm of a quantized vector. */
+  def norm2(qv: Column): Column =
+    org.apache.spark.sql.functions.aggregate(qv,
+      org.apache.spark.sql.functions.lit(0L), (a, x) => a + x * x)
+
+  /** Deterministic cosine from integer dot + norms: one CR division. */
+  def cosine(dot: Column, n1: Column, n2: Column): Column =
+    org.apache.spark.sql.functions.round(dot.cast("double") /
+      (org.apache.spark.sql.functions.sqrt(n1.cast("double")) *
+        org.apache.spark.sql.functions.sqrt(n2.cast("double"))), 4)
+}

@@ -31,17 +31,14 @@ object AnnIvf extends QueryGroup {
 
   val Planes = 8
 
-  private def quantize(c: org.apache.spark.sql.Column) =
-    transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
-
   /** (vec_id, qv, norm2, bucket) for every embedding. `planes` is the
     * recall/selectivity dial: 8 → 256 buckets (tight, for top-k), 4 →
     * 16 buckets (coarse, for near-dup pair mining). */
   def bucketed(spark: SparkSession, sfDir: String,
       planes: Int = Planes): DataFrame = {
     val q = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-      .withColumn("norm2", aggregate(col("qv"), lit(0L), (a, x) => a + x * x))
+      .select(col("vec_id"), graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .withColumn("norm2", graft.engine.Vec.norm2(col("qv")))
     val comps = q.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v")))
     val sums = (0 until planes).map { j =>
       // s_ji = ±1 from hash parity — deterministic pseudo-hyperplane
@@ -64,9 +61,8 @@ object AnnIvf extends QueryGroup {
     val c = b.select(col("vec_id").as("id2"), col("qv").as("q2"),
       col("norm2").as("nb"), col("bucket").as("bucket2"))
     a.join(c, col("bucket") === col("bucket2") && col("id1") < col("id2"))
-      .withColumn("cos", round(
-        LongArrayDot.dot(col("q1"), col("q2")).cast("double") /
-          (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 4))
+      .withColumn("cos", graft.engine.Vec.cosine(
+        LongArrayDot.dot(col("q1"), col("q2")), col("na"), col("nb")))
       .filter(col("cos") >= tau)
       .select("id1", "id2", "cos")
   }
@@ -82,8 +78,7 @@ object AnnIvf extends QueryGroup {
       .join(b, Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("dot", LongArrayDot.dot(col("qq"), col("qv")))
-      .withColumn("cos", round(col("dot").cast("double") /
-        (sqrt(col("qn").cast("double")) * sqrt(col("norm2").cast("double"))), 4))
+      .withColumn("cos", graft.engine.Vec.cosine(col("dot"), col("qn"), col("norm2")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "bucket", "rank", "vec_id", "cos")

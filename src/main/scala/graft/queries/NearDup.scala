@@ -114,9 +114,12 @@ object NearDup extends QueryGroup {
       .join(toks.select(col("doc_id").as("id2"), col("toks").as("t2")), "id2")
       .withColumn("ni",
         graft.plans.SortedIntersectCount.count(col("t1"), col("t2")))
+      // threshold on the unrounded ratio (matches the exact ground
+      // truth); round only the emitted column
+      .filter(col("ni").cast("double") /
+        (size(col("t1")) + size(col("t2")) - col("ni")).cast("double") >= tau)
       .withColumn("jac", round(col("ni").cast("double") /
         (size(col("t1")) + size(col("t2")) - col("ni")).cast("double"), 4))
-      .filter(col("jac") >= tau)
       .select("id1", "id2", "jac")
   }
 

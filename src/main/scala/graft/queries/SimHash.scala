@@ -38,8 +38,7 @@ object SimHash extends QueryGroup {
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"b$b")
     }
     val fp = (0 until Bits).map { b =>
-      (col(s"b$b") > 0).cast("long") * lit(
-        if (b == 63) Long.MinValue else 1L << b) // bit 63 is the sign bit
+      (col(s"b$b") > 0).cast("long") * lit(1L << b)
     }.reduce(_ + _) // disjoint bits: sum == bitwise OR
     hashed
       .groupBy("doc_id")

@@ -20,10 +20,6 @@ import Dsl._
   */
 object TextVector extends QueryGroup {
 
-  /** floor(x·2^20) per element — exact on both engines. */
-  private def quantize(c: org.apache.spark.sql.Column) =
-    transform(c, x => floor(x.cast("double") * lit(1048576.0)).cast("long"))
-
   def defs: Seq[QueryDef] = Seq(
 
     // #52 — tokenize + explode + count: the word-frequency core of
@@ -66,8 +62,8 @@ object TextVector extends QueryGroup {
       "vec_cosine_pairs",
       (spark, sf) => {
         val q = Tables.embeddings(spark, sf)
-          .select(col("vec_id"), col("label"), quantize(col("embedding")).as("qv"))
-          .withColumn("norm2", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+          .select(col("vec_id"), col("label"), graft.engine.Vec.quantize(col("embedding")).as("qv"))
+          .withColumn("norm2", graft.engine.Vec.norm2(col("qv")))
         val a = q.select(col("vec_id").as("id1"), col("label"),
           col("qv").as("qv1"), col("norm2").as("n1"))
         val b = q.select(col("vec_id").as("id2"), col("label").as("label2"),
@@ -77,8 +73,7 @@ object TextVector extends QueryGroup {
           // aggregate HOF dot was the dominant per-pair cost (M9 note
           // in graft.plans.LongArrayDot)
           .withColumn("dot", graft.plans.LongArrayDot.dot(col("qv1"), col("qv2")))
-          .withColumn("cos", round(col("dot").cast("double") /
-            (sqrt(col("n1").cast("double")) * sqrt(col("n2").cast("double"))), 4))
+          .withColumn("cos", graft.engine.Vec.cosine(col("dot"), col("n1"), col("n2")))
           .filter(col("cos") >= 0.2)
           .select("id1", "id2", "label", "cos")
           .orderBy("id1", "id2")
@@ -92,13 +87,13 @@ object TextVector extends QueryGroup {
       "vec_centroid",
       (spark, sf) =>
         Tables.embeddings(spark, sf)
-          .select(col("label"), posexplode(quantize(col("embedding"))))
+          .select(col("label"), posexplode(graft.engine.Vec.quantize(col("embedding"))))
           .withColumn("idx", col("pos") + 1)
           .groupBy("label", "idx")
           // + 0.0 collapses IEEE negative zero (round can yield -0.0
           // from tiny negative means; the engines disagree on its sign)
           .agg((round(sum(col("col")).cast("double") /
-            (count(lit(1)).cast("double") * lit(1048576.0)), 4) + lit(0.0)).as("centroid"))
+            (count(lit(1)).cast("double") * lit(graft.engine.Vec.QuantScale)), 4) + lit(0.0)).as("centroid"))
           .orderBy("label", "idx"),
       Some("SELECT label, idx, round(CAST(sum(v) AS DOUBLE)/(count(*)*1048576.0), 4) + 0.0 AS centroid FROM (SELECT label, unnest(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT))) AS v, generate_subscripts(embedding, 1) AS idx FROM embeddings) GROUP BY label, idx ORDER BY label, idx"),
       scaleNote = "posexplode fans each vector into 64 (label,dim) rows, but the integer partial sums combine map-side — the shuffle carries |labels|×64 cells. The centroid update is associative, exactly what a distributed k-means iteration needs."),
@@ -220,16 +215,15 @@ object TextVector extends QueryGroup {
       "ann_topk",
       (spark, sf) => {
         val q = Tables.embeddings(spark, sf)
-          .select(col("vec_id"), quantize(col("embedding")).as("qv"))
-          .withColumn("norm2", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+          .select(col("vec_id"), graft.engine.Vec.quantize(col("embedding")).as("qv"))
+          .withColumn("norm2", graft.engine.Vec.norm2(col("qv")))
         val queries = q.filter(col("vec_id") % 1000 === 0)
           .select(col("vec_id").as("query_id"), col("qv").as("qq"), col("norm2").as("qn"))
         val w = Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id").asc)
         broadcast(queries).join(q, col("query_id") =!= col("vec_id"))
           .withColumn("dot", graft.plans.LongArrayDot.dot(col("qq"), col("qv")))
-          .withColumn("cos", round(col("dot").cast("double") /
-            (sqrt(col("qn").cast("double")) * sqrt(col("norm2").cast("double"))), 4))
+          .withColumn("cos", graft.engine.Vec.cosine(col("dot"), col("qn"), col("norm2")))
           .withColumn("rank", row_number().over(w))
           .filter(col("rank") <= 3)
           .select("query_id", "rank", "vec_id", "cos")
@@ -266,12 +260,17 @@ object TextVector extends QueryGroup {
             && least(col("n1"), col("n2")) * 2 >= greatest(col("n1"), col("n2")))
           .withColumn("ni",
             graft.plans.SortedIntersectCount.count(col("t1"), col("t2")))
+          // threshold on the UNROUNDED ratio: exact-jaccard >= 0.5 is
+          // what mathematically implies the size-ratio prune above
+          // (round-then-compare would admit j = 0.49995.. pairs the
+          // prune excludes); round only for display
+          .filter(col("ni").cast("double") /
+            (col("n1") + col("n2") - col("ni")).cast("double") >= 0.5)
           .withColumn("jac", round(col("ni").cast("double") /
             (col("n1") + col("n2") - col("ni")).cast("double"), 4))
-          .filter(col("jac") >= 0.5)
           .select("id1", "id2", "jac")
           .orderBy("id1", "id2")
       },
-      Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id AND 2*least(len(a.toks), len(b.toks)) >= greatest(len(a.toks), len(b.toks)) WHERE round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) >= 0.5 ORDER BY id1, id2"),
+      Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id AND 2*least(len(a.toks), len(b.toks)) >= greatest(len(a.toks), len(b.toks)) WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5 ORDER BY id1, id2"),
       scaleNote = "Blocking on (lang, source) bounds candidate pairs to within-block quadratic; at 100 TB replace with MinHash-LSH banding (NearDup) which generates the same verified pairs without enumerating blocks — this operator doubles as LSH's exact-verify step."))
 }

@@ -120,29 +120,33 @@ class ParquetUpsertSink(path: String) extends Serializable {
 
   def upsert(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    val latestOfBatch = batch
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    def collapse(df: DataFrame) = df
       .groupBy("user_id")
       .agg(max(struct(col("ts").as("t"), col("event_id").as("e"),
         col("value").as("v"))).as("s"))
       .select(col("user_id"), col("s.t").as("ts"),
         col("s.e").as("event_id"), col("s.v").as("value"))
-    val exists = new java.io.File(path).exists()
-    val merged = if (exists) {
-      spark.read.parquet(path).unionByName(latestOfBatch)
-        .groupBy("user_id")
-        .agg(max(struct(col("ts").as("t"), col("event_id").as("e"),
-          col("value").as("v"))).as("s"))
-        .select(col("user_id"), col("s.t").as("ts"),
-          col("s.e").as("event_id"), col("s.v").as("value"))
-    } else latestOfBatch
-    val tmp = path + ".staging"
-    merged.write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic swap: never leave readers a half-written state table
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(path)
-    fs.delete(dst, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+    val latestOfBatch = collapse(batch)
+    // existence via the SAME filesystem the writes use (a java.io.File
+    // check would silently discard prior state on hdfs://, s3a://, …)
+    val merged = if (fs.exists(dst))
+      collapse(spark.read.parquet(path).unionByName(latestOfBatch))
+    else latestOfBatch
+    val tmp = new org.apache.hadoop.fs.Path(path + ".staging")
+    merged.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // swap keeps a recoverable copy at every step: old state moves to
+    // .backup before the new table takes its place, and the backup is
+    // dropped only after the new state is in position. A crash leaves
+    // either dst or dst.backup intact — true atomicity needs a
+    // manifest/table format; this is the closest a directory swap gets.
+    val backup = new org.apache.hadoop.fs.Path(path + ".backup")
+    fs.delete(backup, true)
+    if (fs.exists(dst)) fs.rename(dst, backup)
+    fs.rename(tmp, dst)
+    fs.delete(backup, true)
   }
 
   def state(spark: org.apache.spark.sql.SparkSession): DataFrame =

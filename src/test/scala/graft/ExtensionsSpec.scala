@@ -12,6 +12,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT long_array_dot(array(1L, 2L, 3L), array(4L, 5L, 6L)) AS d")
       .head().getLong(0)
     assert(r == 32L)
+    val ic = spark.sql(
+      "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c")
+      .head().getInt(0)
+    assert(ic == 2)
     GraftExtensions.install(spark) // idempotent
   }
 
@@ -54,8 +58,11 @@ class ExtensionsSpec extends SparkSpec {
       .outputMode("update").start()
     try {
       q.processAllAvailable()
+      // update-mode memory sink appends one row per UPDATED window per
+      // micro-batch — take the latest (max) count per bucket, never sum
+      // (summing double-counts windows updated across batches)
       val streamed = spark.table("replay_tumb")
-        .groupBy("bucket").agg(sum("n_events").as("n"))
+        .groupBy("bucket").agg(max("n_events").as("n"))
         .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
       val batch = ev.groupBy(date_trunc("hour", col("ts")).as("b"))
         .agg(count(lit(1)).as("n"))

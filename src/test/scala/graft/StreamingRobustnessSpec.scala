@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.Files
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 /** Production-grade streaming concerns: the RocksDB state backend (the
@@ -24,8 +25,12 @@ class StreamingRobustnessSpec extends SparkSpec {
     try {
       q.processAllAvailable()
       assert(sp.table("rocks_dedup").count() == 200)
-      // the running query really uses RocksDB, not the default HDFS store
-      assert(q.lastProgress.stateOperators.asInstanceOf[Array[_]].nonEmpty)
+      // the running query really uses RocksDB: its state operator
+      // reports rocksdb-specific custom metrics (the default HDFS
+      // provider reports none of these)
+      val metrics = q.lastProgress.stateOperators.head.customMetrics
+      assert(metrics.keySet.asScala.exists(_.toLowerCase.contains("rocksdb")),
+        s"no rocksdb metrics in ${metrics.keySet}")
     } finally q.stop()
   }
 

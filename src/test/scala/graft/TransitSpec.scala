@@ -75,6 +75,11 @@ class TransitSpec extends SparkSpec {
         null, "2017-05-20", "11:55", "20170520_165109"),
       ("87384008", "165109", "POPI", "87384008", ts("2017-05-20 12:14:00"), "R",
         "Retardé", "2017-05-20", "12:00", "20170520_165109"),
+      // re-poll with UNCHANGED expected_ts (the common no-update cycle):
+      // must still match its trip — regression for candidate counting
+      // per passage ROW, not per (train, station, mode, expected_ts)
+      ("87384008", "165109", "POPI", "87384008", ts("2017-05-20 12:14:00"), "R",
+        "Retardé", "2017-05-20", "12:05", "20170520_165109"),
       // cancellation
       ("87384008", "134683", "PEBU", "87384008", ts("2017-05-20 12:14:00"), "R",
         "Supprimé", "2017-05-20", "12:00", "20170520_134683"),
