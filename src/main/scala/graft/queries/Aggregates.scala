@@ -149,6 +149,47 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
 
+    // Mode (most frequent value), made tie-deterministic: count per
+    // (group, value) then struct-max — bare mode() returns an arbitrary
+    // tied value.
+    QueryDef(
+      "agg_mode",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag", "l_quantity")
+          .agg(count(lit(1)).as("cnt"))
+          .groupBy("l_returnflag")
+          .agg(max(struct(col("cnt").as("c"), col("l_quantity").as("v")))
+            .getField("v").as("mode_qty"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, (max(struct_pack(c := cnt, v := l_quantity))).v AS mode_qty FROM (SELECT l_returnflag, l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1, 2) GROUP BY l_returnflag ORDER BY l_returnflag"),
+      scaleNote = "Two chained hash aggregations, both map-side-combinable; the intermediate is |group×distinct-value| rows, never raw data. Ties resolve to the largest value — deterministic where mode() is not."),
+
+    // Re-aggregatable distinct sketches (DataSketches HLL): build one
+    // sketch per group, then UNION the serialized sketches for the
+    // rollup row — the two-level pattern that makes distinct counts
+    // reaggregatable across dimensions at 100 TB (plain
+    // approx_count_distinct partials are not exposed). No oracle
+    // (sketch bytes are engine-specific); tolerance-tested.
+    QueryDef(
+      "agg_hll_sketch",
+      (spark, sf) => {
+        val perPriority = Tables.orders(spark, sf)
+          .groupBy("o_orderpriority")
+          .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+            count(lit(1)).as("n_orders"))
+        val levels = perPriority
+          .select(col("o_orderpriority"),
+            expr("hll_sketch_estimate(sk)").as("approx_cust"), col("n_orders"))
+        val rollup = perPriority
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_cust"),
+            sum(col("n_orders")).as("n_orders"))
+          .select(lit("ALL").as("o_orderpriority"), col("approx_cust"), col("n_orders"))
+        levels.unionByName(rollup).orderBy("o_orderpriority")
+      },
+      None,
+      scaleNote = "The sketch column IS the reusable artifact: persist per-(dim) sketches once, answer any rollup by unioning KB-sized sketches instead of rescanning 100 TB — the cube-of-distincts pattern. Sketches merge associatively; estimates are read out only at the edge."),
+
     // Moment statistics via exact decimal sums: variance from
     // (Σx², Σx, n) — the only float ops are two correctly-rounded
     // conversions and three arithmetic steps on identical inputs, so

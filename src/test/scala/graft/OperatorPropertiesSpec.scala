@@ -123,6 +123,17 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("HLL sketch union estimate matches exact distinct within 5%") {
+    val rows = run("agg_hll_sketch").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val o = graft.engine.Tables.orders(spark, sf)
+    val exactAll = o.select(countDistinct("o_custkey")).head().getLong(0)
+    assert(math.abs(rows("ALL") - exactAll).toDouble / exactAll < 0.05,
+      s"union estimate ${rows("ALL")} vs exact $exactAll")
+    // union-of-sketches must not be smaller than any single group
+    assert(rows("ALL") >= rows.filter(_._1 != "ALL").values.max)
+  }
+
   test("approx quantiles bracket the exact percentiles within sketch error") {
     val approx = run("agg_approx_quantile").collect()
       .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
