@@ -34,6 +34,36 @@ class StreamingRobustnessSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("multi-batch incremental processing: AvailableNow + maxFilesPerTrigger") {
+    val src = Files.createTempDirectory("mb-src").toString
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    ev.filter(col("event_id") < 300).write.parquet(s"$src/s0")
+    ev.filter(col("event_id") >= 300 && col("event_id") < 600).write.parquet(s"$src/s1")
+    ev.filter(col("event_id") >= 600).write.parquet(s"$src/s2")
+    val stream = spark.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", "2") // force several micro-batches
+      .parquet(s"$src/s*")
+    val q = graft.streaming.Streams.tumbling(stream)
+      .writeStream.format("memory").queryName("mb_tumb")
+      .outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination() // AvailableNow stops itself when caught up
+    assert(q.recentProgress.count(_.numInputRows > 0) > 1,
+      "expected multiple non-empty micro-batches")
+    // latest update per window must equal the batch aggregation even
+    // though windows were updated incrementally across batches
+    val streamed = spark.table("mb_tumb")
+      .groupBy("bucket").agg(max("n_events").as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val batch = ev.groupBy(date_trunc("hour", col("ts")).as("b"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"incremental != batch")
+  }
+
   test("checkpoint recovery: a restarted query continues without reprocessing") {
     val src = Files.createTempDirectory("ckpt-src").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
