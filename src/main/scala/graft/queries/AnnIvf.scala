@@ -48,9 +48,26 @@ object AnnIvf extends QueryGroup {
     val buckets = comps.groupBy("vec_id").agg(sums.head, sums.tail: _*)
       .select(col("vec_id"),
         (0 until planes).map(j => (col(s"p$j") > 0).cast("int") * lit(1 << j))
-          .reduce(_ + _).as("bucket"))
+          .reduce(_ + _).as("bucket"),
+        // the least-confident hyperplane: smallest |projection| — the
+        // bit most likely to differ for a true near neighbour
+        (1 until planes).foldLeft(struct(abs(col("p0")).as("m"), lit(0).as("j"))) {
+          (acc, j) => {
+            val cand = struct(abs(col(s"p$j")).as("m"), lit(j).as("j"))
+            when(cand.getField("m") < acc.getField("m"), cand).otherwise(acc)
+          }
+        }.getField("j").as("weak_plane"))
     q.join(buckets, "vec_id")
   }
+
+  /** Multi-probe query-side bucket set: the home bucket plus the bucket
+    * across the weakest hyperplane (bucket XOR 2^weak_plane). Doubles
+    * candidate work for a measured recall gain — the standard IVF
+    * probe dial, here with the margin-guided probe choice. */
+  def probeBuckets(queries: DataFrame): DataFrame =
+    queries.withColumn("probe", explode(array(
+      col("bucket"),
+      col("bucket").bitwiseXOR(expr("shiftleft(1, weak_plane)")))))
 
   /** Embedding-cosine near-duplicate pairs: same coarse bucket, exact
     * quantized cosine ≥ tau — completes the dedup family (exact,
@@ -67,15 +84,22 @@ object AnnIvf extends QueryGroup {
       .select("id1", "id2", "cos")
   }
 
-  /** Top-k within the query's bucket by exact quantized cosine. */
-  def topkInBucket(b: DataFrame, k: Int): DataFrame = {
-    val queries = b.filter(col("vec_id") % 1000 === 0)
+  /** Top-k within the query's bucket(s) by exact quantized cosine.
+    * With multiProbe, each query also searches the bucket across its
+    * weakest hyperplane. */
+  def topkInBucket(b: DataFrame, k: Int, multiProbe: Boolean = false): DataFrame = {
+    val baseQueries = b.filter(col("vec_id") % 1000 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
-        col("norm2").as("qn"), col("bucket"))
+        col("norm2").as("qn"), col("bucket"), col("weak_plane"))
+    val queries =
+      if (multiProbe) probeBuckets(baseQueries)
+        .select(col("query_id"), col("qq"), col("qn"), col("probe").as("qbucket"))
+      else baseQueries
+        .select(col("query_id"), col("qq"), col("qn"), col("bucket").as("qbucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("vec_id").asc)
     broadcast(queries)
-      .join(b, Seq("bucket"))
+      .join(b, col("qbucket") === col("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .withColumn("dot", LongArrayDot.dot(col("qq"), col("qv")))
       .withColumn("cos", graft.engine.Vec.cosine(col("dot"), col("qn"), col("norm2")))
@@ -90,7 +114,7 @@ object AnnIvf extends QueryGroup {
       (spark, sf) =>
         topkInBucket(bucketed(spark, sf), 3).orderBy("query_id", "rank"),
       None,
-      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/256 vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition. Recall is tuned by multi-probe (flip low-margin hyperplane bits) rather than widening buckets; ann_topk is the exact baseline this trades against."),
+      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/256 vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition. Recall is tuned by multi-probe — implemented: probeBuckets adds the bucket across the query's weakest (smallest-margin) hyperplane, doubling candidates for measured recall gain (AnnIvfSpec) — rather than widening buckets; ann_topk is the exact baseline this trades against."),
 
     QueryDef(
       "emb_near_dup",

@@ -53,6 +53,20 @@ class AnnIvfSpec extends SparkSpec {
       "planted exact duplicate not found (identical vectors share every bucket)")
   }
 
+  test("multi-probe recall dominates single-probe against the exact baseline") {
+    val b = AnnIvf.bucketed(spark, sf)
+    val exact = graft.engine.Registry.byName("ann_topk").build(spark, sf)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(res: Array[org.apache.spark.sql.Row]): Double = {
+      val found = res.map(r => (r.getLong(0), r.getLong(3))).toSet
+      found.intersect(exact).size.toDouble / exact.size
+    }
+    val single = recall(AnnIvf.topkInBucket(b, 3).collect())
+    val probed = recall(AnnIvf.topkInBucket(b, 3, multiProbe = true).collect())
+    assert(probed >= single, s"multi-probe recall $probed < single $single")
+  }
+
   test("an exact duplicate of a query vector is always retrieved (recall-1 case)") {
     val s = spark
     import s.implicits._
