@@ -64,6 +64,25 @@ def canon(v):
     return str(v)
 
 
+def nonscalar_cols(df):
+    """Columns whose cells would crash the driver's sort-before-hash.
+
+    Round-2 lesson (CORRECTNESS_r02): the driver sort_values the fetched
+    frame over ALL columns before hashing — numpy.ndarray / list / dict
+    cells are unhashable and crash the harness, even for no-oracle
+    queries (agg_approx_quantile had oracle=None and still ERR'd). Any
+    declared query's final schema must be scalar-only.
+    """
+    bad = []
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object and len(col) > 0:
+            v = col.iloc[0]
+            if isinstance(v, (np.ndarray, list, tuple, dict)):
+                bad.append(c)
+    return bad
+
+
 fails, passes = [], []
 for name in sorted(oracle):
     sql = oracle[name]
@@ -76,6 +95,10 @@ for name in sorted(oracle):
         odf = con.execute(sql).df()             # oracle side: float path
     except Exception as e:
         fails.append((name, f"exec error: {e}"))
+        continue
+    ns = nonscalar_cols(sdf)
+    if ns:
+        fails.append((name, f"non-scalar cells would crash driver hasher: {ns}"))
         continue
     scols, ocols = list(sdf.columns), list(odf.columns)
     if sorted(scols) != sorted(ocols):
@@ -103,13 +126,18 @@ for name, n in passes:
     print(f"PASS {name} ({n} rows)")
 for name, why in fails:
     print(f"FAIL {name}: {why}")
-# queries without oracle: report rows-only
+# queries without oracle: rows-only, but still scalar-schema-checked
+# (the driver crashes on array cells here too — see nonscalar_cols)
 declared = set(oracle)
 for d in sorted(os.listdir(OUT)):
     if os.path.isdir(f"{OUT}/{d}") and d not in declared:
-        n = con.execute(
-            f"SELECT count(*) FROM read_parquet({glob.glob(f'{OUT}/{d}/*.parquet')!r})"
-        ).fetchone()[0]
-        print(f"INFO {d}: no oracle, {n} rows")
+        files = sorted(glob.glob(f"{OUT}/{d}/*.parquet"))
+        ndf = pq.read_table(files).to_pandas()
+        ns = nonscalar_cols(ndf)
+        if ns:
+            fails.append((d, f"non-scalar cells would crash driver hasher: {ns}"))
+            print(f"FAIL {d}: non-scalar cells would crash driver hasher: {ns}")
+        else:
+            print(f"INFO {d}: no oracle, {len(ndf)} rows")
 print(f"\n{len(passes)} pass / {len(fails)} fail / {len(oracle)} declared")
 sys.exit(1 if fails else 0)

@@ -138,16 +138,55 @@ object Aggregates extends QueryGroup {
       scaleNote = "Struct-max is a single 2-phase agg — the scalable form of 'latest row per key'. No window, no sort, no self-join; partials merge associatively across 1000 executors."),
 
     // #26 — collection aggregate: nested per-station train lists
-    // [P serializers.py get_nested_dicts].
+    // [P serializers.py get_nested_dicts]. The list is EMITTED as a
+    // comma-joined string: the driver harness sorts the fetched frame
+    // before hashing and array cells are unhashable in pandas
+    // (CORRECTNESS_r02 — all 4 ERRs were exactly the array-output
+    // queries), so final schemas must be scalar-only. RegistrySpec
+    // enforces this for every declared query.
     QueryDef(
       "agg_collect_list",
       (spark, sf) =>
         Tables.orders(spark, sf)
           .groupBy("o_custkey")
-          .agg(array_sort(collect_list(col("o_orderkey"))).as("orderkeys"))
+          .agg(array_join(
+            transform(array_sort(collect_list(col("o_orderkey"))),
+              k => k.cast("string")), ",").as("orderkeys"))
           .orderBy("o_custkey"),
-      Some("SELECT o_custkey, list(o_orderkey ORDER BY o_orderkey) AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
+      Some("SELECT o_custkey, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
+
+    // Nested result-set serialization — the reference's EP3 "nested
+    // dicts per station" serializers [P serializers.py, SURVEY §1.3]:
+    // per customer, a JSON array of their top-3 orders. Built with
+    // collect_list(struct(...)) + MANUAL formatting (concat, not
+    // to_json) so key order / whitespace / number rendering are pinned
+    // on both engines: order keys render as integers, prices through
+    // DECIMAL(18,2)→string ("1234.56" both sides). Element order is
+    // pinned by sorting the collected (rank, json) structs.
+    QueryDef(
+      "nested_json",
+      (spark, sf) => {
+        import org.apache.spark.sql.expressions.Window
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        Tables.orders(spark, sf)
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3)
+          .select(col("o_custkey"), col("rk"),
+            concat(lit("{\"k\":"), col("o_orderkey").cast("string"),
+              lit(",\"p\":\""), dec2(col("o_totalprice")).cast("string"),
+              lit("\"}")).as("j"))
+          .groupBy("o_custkey")
+          .agg(concat(lit("["),
+            array_join(transform(
+              array_sort(collect_list(struct(col("rk"), col("j")))),
+              e => e.getField("j")), ","),
+            lit("]")).as("top_orders"))
+          .orderBy("o_custkey")
+      },
+      Some("SELECT o_custkey, '[' || string_agg(j, ',' ORDER BY rk) || ']' AS top_orders FROM (SELECT o_custkey, rk, '{\"k\":' || CAST(o_orderkey AS VARCHAR) || ',\"p\":\"' || CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '\"}' AS j FROM (SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk FROM orders) WHERE rk <= 3) GROUP BY o_custkey ORDER BY o_custkey"),
+      scaleNote = "The API-response materialization pattern: WindowGroupLimit prunes to k rows per key during the sort, collect_list buffers only those k structs, and the JSON string is built per group — no driver-side serialization, output is |customers| rows each O(k) bytes. At 100 TB this is exactly how nested per-station boards are emitted to a serving store."),
 
     // Mode (most frequent value), made tie-deterministic: count per
     // (group, value) then struct-max — bare mode() returns an arbitrary
@@ -258,6 +297,12 @@ object Aggregates extends QueryGroup {
           .groupBy("o_orderpriority")
           .agg(percentile_approx(col("o_totalprice"),
             array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("pcts"))
+          // scalar-only final schema (driver-hash rule): unpack the
+          // 3-element sketch result into named percentile columns
+          .select(col("o_orderpriority"),
+            element_at(col("pcts"), 1).as("p50"),
+            element_at(col("pcts"), 2).as("p95"),
+            element_at(col("pcts"), 3).as("p99"))
           .orderBy("o_orderpriority"),
       None,
       scaleNote = "QuantileSummaries partials are fixed-size regardless of row count and merge associatively — percentiles over 100 TB shuffle KB per partition. accuracy=1000 bounds rank error at 1/1000; the exact-percentile alternative needs a global sort."),

@@ -88,7 +88,9 @@ object AnnIvf extends QueryGroup {
     * With multiProbe, each query also searches the bucket across its
     * weakest hyperplane. */
   def topkInBucket(b: DataFrame, k: Int, multiProbe: Boolean = false): DataFrame = {
-    val baseQueries = b.filter(col("vec_id") % 1000 === 0)
+    // % 10 ≈ 50 query vectors at sf0.01 (500 vecs) — dense enough
+    // that the driver's row check is discriminating (r2 had 1 row)
+    val baseQueries = b.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("norm2").as("qn"), col("bucket"), col("weak_plane"))
     val queries =
@@ -112,9 +114,18 @@ object AnnIvf extends QueryGroup {
     QueryDef(
       "ann_ivf",
       (spark, sf) =>
-        topkInBucket(bucketed(spark, sf), 3).orderBy("query_id", "rank"),
+        // 6 planes (64 buckets) + multi-probe for the DECLARED query:
+        // at the 500–2000-vector test scale, 256 buckets hold ~2
+        // vectors each and nearly every top-k comes back empty (r2:
+        // 1 row) — 64 buckets keep ~8 candidates per query so the
+        // driver's row check is discriminating, and the probe path is
+        // exercised under the driver, not only in AnnIvfSpec. At
+        // corpus scale, dial planes up so |bucket| ≈ corpus/2^planes
+        // stays near the per-query budget.
+        topkInBucket(bucketed(spark, sf, planes = 6), 3, multiProbe = true)
+          .orderBy("query_id", "rank"),
       None,
-      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/256 vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition. Recall is tuned by multi-probe — implemented: probeBuckets adds the bucket across the query's weakest (smallest-margin) hyperplane, doubling candidates for measured recall gain (AnnIvfSpec) — rather than widening buckets; ann_topk is the exact baseline this trades against."),
+      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/2^planes vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition (planes is the bucket-size dial: pick 2^planes ≈ corpus/target-candidates). Recall is tuned by multi-probe — implemented: probeBuckets adds the bucket across the query's weakest (smallest-margin) hyperplane, doubling candidates for measured recall gain (AnnIvfSpec) — rather than widening buckets; ann_topk is the exact baseline this trades against."),
 
     QueryDef(
       "emb_near_dup",

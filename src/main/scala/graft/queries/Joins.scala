@@ -196,5 +196,32 @@ object Joins extends QueryGroup {
           .orderBy("r_name", "n_name")
       },
       Some("SELECT r_name, n_name, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS revenue, count(*) AS n_items FROM lineitem JOIN orders ON l_orderkey = o_orderkey JOIN customer ON o_custkey = c_custkey JOIN nation ON c_nationkey = n_nationkey JOIN region ON n_regionkey = r_regionkey GROUP BY r_name, n_name ORDER BY r_name, n_name"),
-      scaleNote = "The stop_times_ext denormalization analog. Fact table shuffles once per non-broadcast join; nation/region broadcast explicitly, customer via AQE when under threshold. At 100 TB: bucket lineitem+orders on orderkey to eliminate the first (largest) shuffle."))
+      scaleNote = "The stop_times_ext denormalization analog. Fact table shuffles once per non-broadcast join; nation/region broadcast explicitly, customer via AQE when under threshold. At 100 TB: bucket lineitem+orders on orderkey to eliminate the first (largest) shuffle."),
+
+    // TPC-H-Q9-shaped profit rollup over the part dimension: the
+    // second star family (lineitem ⋈ part ⋈ supplier ⋈ nation),
+    // closing the one driver table (`part`) the r2 surface never
+    // queried. Profit = revenue − retailprice·quantity cost proxy,
+    // in exact decimal, final DOUBLE emit (driver-hash rule).
+    QueryDef(
+      "join_star_parts",
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        val p = Tables.part(spark, sf)
+          .filter(col("p_name").contains("red"))
+        val s = Tables.supplier(spark, sf)
+        val n = Tables.nation(spark, sf)
+        li.join(p, li("l_partkey") === p("p_partkey"))
+          .join(s, li("l_suppkey") === s("s_suppkey"))
+          .join(broadcast(n), s("s_nationkey") === n("n_nationkey"))
+          .groupBy(col("n_name"), year(col("l_shipdate")).as("o_year"))
+          .agg(
+            sum((dec2(col("l_extendedprice")) * (lit(1) - dec2(col("l_discount")))
+              - dec2(col("p_retailprice")) * dec2(col("l_quantity")))
+              .cast(D4)).cast(D4).cast("double").as("profit"),
+            count(lit(1)).as("n_items"))
+          .orderBy("n_name", "o_year")
+      },
+      Some("SELECT n_name, year(l_shipdate) AS o_year, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS profit, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE contains(p_name, 'red') GROUP BY n_name, o_year ORDER BY n_name, o_year"),
+      scaleNote = "Q9 shape: the selective part filter is pushed to the part scan BEFORE the join (predicate pushdown), shrinking the probe side ~8×. At TPC-H scale part is too big to broadcast — lineitem shuffles on partkey then suppkey; bucketing lineitem by partkey at write time removes the first shuffle. Nation broadcasts always. Group count is |nation|×|year|, so the 2-phase agg output is tiny regardless of input scale."))
 }

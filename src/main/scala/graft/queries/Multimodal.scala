@@ -109,7 +109,12 @@ object Multimodal extends QueryGroup {
         extractFeatures(mediaTable(spark, sf)).toDF()
           .select(col("media_id"), col("format"), col("n_bytes"),
             round(col("mean_byte"), 4).as("mean_byte"),
-            col("hist4"))
+            // scalar-only final schema (driver-hash rule): unpack the
+            // 4-bucket histogram into named scalar columns
+            element_at(col("hist4"), 1).as("h0"),
+            element_at(col("hist4"), 2).as("h1"),
+            element_at(col("hist4"), 3).as("h2"),
+            element_at(col("hist4"), 4).as("h3"))
           .orderBy("media_id")
       },
       None,

@@ -191,13 +191,16 @@ object SortSetScalar extends QueryGroup {
           .select(
             col("vec_id"),
             size(col("embedding")).as("n_dims"),
-            slice(ints, 1, 3).as("ints3"),
+            // scalar-only final schema (driver-hash rule): the sliced
+            // prefix is emitted comma-joined, not as an array cell
+            array_join(transform(slice(ints, 1, 3),
+              x => x.cast("string")), ",").as("ints3"),
             aggregate(ints, lit(0L), (acc, x) => acc + x).as("int_sum"),
             array_contains(ints, 1).as("has1"),
             size(filter(col("embedding"), x => x > 0)).as("n_pos"))
           .orderBy("vec_id")
       },
-      Some("SELECT vec_id, len(embedding) AS n_dims, list_transform(embedding[1:3], x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)) AS ints3, CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER))) AS BIGINT) AS int_sum, list_contains(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)), 1) AS has1, len(list_filter(embedding, x -> x > 0)) AS n_pos FROM embeddings ORDER BY vec_id"),
+      Some("SELECT vec_id, len(embedding) AS n_dims, array_to_string(list_transform(embedding[1:3], x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)), ',') AS ints3, CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER))) AS BIGINT) AS int_sum, list_contains(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)), 1) AS has1, len(list_filter(embedding, x -> x > 0)) AS n_pos FROM embeddings ORDER BY vec_id"),
       scaleNote = "Higher-order functions evaluate per-row inside codegen — no explode/re-group round trip, no shuffle. This is the per-row vector toolkit the ANN operators build on."),
 
     // #48 — JSON field extraction: Mongo document fields analog

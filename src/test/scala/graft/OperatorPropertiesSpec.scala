@@ -135,8 +135,11 @@ class OperatorPropertiesSpec extends SparkSpec {
   }
 
   test("approx quantiles bracket the exact percentiles within sketch error") {
+    // the declared query unpacks the sketch into p50/p95/p99 scalars
+    // (driver-hash rule: no array final columns)
     val approx = run("agg_approx_quantile").collect()
-      .map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+      .map(r => r.getString(0) ->
+        Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
     val o = graft.engine.Tables.orders(spark, sf)
     val exact = o.groupBy("o_orderpriority")
       .agg(expr("percentile(o_totalprice, array(0.5, 0.95, 0.99))").as("p"))

@@ -33,4 +33,28 @@ class RegistrySpec extends SparkSpec {
     val names = Registry.all.map(_.name.toLowerCase)
     assert(names.distinct.size == names.size)
   }
+
+  test("no declared query emits ARRAY/MAP/STRUCT final columns (driver-hash rule)") {
+    // The driver's compare sorts the fetched pandas frame before
+    // hashing; non-scalar cells (numpy.ndarray, dict) are unhashable
+    // and crash the harness — this hit DECIMAL rendering in round 1
+    // and array cells in round 2 (CORRECTNESS_r02: the 4 ERRs were
+    // exactly the array-output queries, including no-oracle ones).
+    // Final schemas must therefore be scalar-only for EVERY declared
+    // query; serialize collections (array_join / per-element columns)
+    // before the last select.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType, DecimalType}
+    Registry.all.foreach { d =>
+      val schema = d.build(spark, sf).schema
+      schema.fields.foreach { f =>
+        val bad = f.dataType match {
+          case _: ArrayType | _: MapType | _: StructType => true
+          case _: DecimalType => true // round-1 lesson: decimal renders differently per client path
+          case _ => false
+        }
+        assert(!bad,
+          s"${d.name}.${f.name} has non-hashable final type ${f.dataType.simpleString}")
+      }
+    }
+  }
 }
