@@ -15,6 +15,10 @@ object PlanAudit {
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
+      // the bench times .count() — audit THAT plan too (the final
+      // global sort must be optimized away under the count)
+      println(s"----- $n under count() -----")
+      SparkEntry.queries(n)(spark, sfDir).groupBy().count().explain("formatted")
     }
     spark.stop()
   }

@@ -59,4 +59,22 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("Window"), "last_state should not need WindowExec")
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
+
+  test("join_range under count(): sort eliminated, hash join on the equi key") {
+    // r2 bench flagged join_range as a 2x regression with unchanged
+    // code. PlanAudit showed the count() plan (what Bench times) is
+    // correct — equi hash join on orderkey with the interval range as
+    // residual condition, the oracle-only global sort optimized away,
+    // scans pruned to 2 columns each — so the slow sample was run
+    // variance, not plan shape. This pins that plan.
+    val counted = Registry.byName("join_range").build(spark, sf)
+      .groupBy().count()
+    val p = counted.queryExecution.executedPlan.toString
+    assert(!p.contains("Sort "), s"global sort not eliminated under count():\n${p.take(800)}")
+    assert(p.contains("HashJoin"), s"expected a hash join on the equi key:\n${p.take(800)}")
+    assert(!p.contains("BroadcastNestedLoop") && !p.contains("CartesianProduct"),
+      s"range join degenerated to a loop join:\n${p.take(800)}")
+    val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
+    assert(!read.contains("l_extendedprice"), s"column pruning lost: $read")
+  }
 }
