@@ -98,16 +98,23 @@ object Transit {
         col("trip_id").contains(col("num")) &&
           uic7(col("station_id")) === regexp_extract(col("stop_id"), "([0-9]{7})", 1),
         "inner")
-    // unique-match policy: exactly one candidate keeps its schedule;
-    // the count is per passage ROW (full identity incl. request time)
+    // unique-match policy: ambiguity is uniqueness of TRIP, not of
+    // candidate rows — a loop route where one trip calls twice at the
+    // same station yields 2 candidate rows for 1 trip_id and must
+    // still match (r2 advice). Per passage row (full identity incl.
+    // request time): count distinct trips; if exactly one, keep the
+    // deterministic stop call (min stop_sequence).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(passageKey.map(col): _*)
     val counted = candidates
-      .withColumn("n_cand",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(passageKey.map(col): _*)))
+      .withColumn("n_trips", size(collect_set(col("trip_id")).over(w)))
     // rename join-side keys (uniq descends from passages — unqualified
     // columns would be ambiguous in the self-join)
     val uniq = counted
-      .filter(col("n_cand") === 1)
+      .filter(col("n_trips") === 1)
+      .withColumn("call_rn", row_number().over(
+        w.orderBy(col("stop_sequence").asc, col("departure_secs").asc)))
+      .filter(col("call_rn") === 1)
       .select(passageKey.map(k => col(k).as(s"u_$k")) ++
         Seq(col("trip_id"), col("service_id"),
           col("stop_sequence"), col("departure_secs")): _*)
@@ -128,14 +135,26 @@ object Transit {
   }
 
   /** delay = observed (mode=R) − scheduled, in seconds; cancellations
-    * (`etat = 'Supprimé'`) flagged, not dropped. */
-  def computeDelays(matched: DataFrame, day: String): DataFrame =
+    * (`etat = 'Supprimé'`) flagged, not dropped.
+    *
+    * UTC-session requirement (asserted): [[Gtfs.parseFrDatetime]]
+    * interprets the feed's wall-clock string in the SESSION time zone
+    * while [[scheduledTs]] anchors the service day to UTC — in a
+    * non-UTC session delay_sec would silently shift by the zone
+    * offset. All bundled mains/tests pin spark.sql.session.timeZone=
+    * UTC; fail loudly rather than drift if a caller doesn't. */
+  def computeDelays(matched: DataFrame, day: String): DataFrame = {
+    val tz = matched.sparkSession.conf.get("spark.sql.session.timeZone")
+    require(tz == "UTC",
+      s"computeDelays requires spark.sql.session.timeZone=UTC, got '$tz' " +
+        "(parseFrDatetime parses in session TZ; scheduledTs anchors to UTC)")
     matched
       .filter(col("mode") === "R" && col("departure_secs").isNotNull)
       .withColumn("scheduled_ts", scheduledTs(day, col("departure_secs")))
       .withColumn("delay_sec",
         unix_timestamp(col("expected_ts")) - unix_timestamp(col("scheduled_ts")))
       .withColumn("cancelled", coalesce(col("etat") === "Supprimé", lit(false)))
+  }
 
   /** Latest record per (day_train_num, station) across polling cycles —
     * associative struct-max, no window sort (the 100 TB upsert shape,

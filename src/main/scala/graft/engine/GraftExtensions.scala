@@ -58,9 +58,12 @@ object GraftExtensions {
 object SkewJoin {
 
   def salted(big: DataFrame, small: DataFrame, key: String, n: Int): DataFrame = {
-    // deterministic salt: spread each hot key's rows across n buckets
+    // salt derived from FULL row content, so assignment is reproducible
+    // across runs and repartitionings (monotonically_increasing_id
+    // depends on partition layout — r2 advice). Duplicate rows share a
+    // salt, which only costs spread on pathological all-duplicate keys.
     val saltedBig = big.withColumn("_salt",
-      pmod(xxhash64(col(key), monotonically_increasing_id()), lit(n.toLong)).cast("int"))
+      pmod(xxhash64(big.columns.map(col): _*), lit(n.toLong)).cast("int"))
     val saltedSmall = small
       .withColumn("_salt", explode(array((0 until n).map(lit): _*)))
     saltedBig.join(saltedSmall, Seq(key, "_salt")).drop("_salt")

@@ -39,7 +39,13 @@ object Gtfs {
   def serviceDay(ts: Column, cutoverHour: Int = 3): Column =
     to_date(ts - expr(s"INTERVAL $cutoverHour HOURS"))
 
-  /** `dd/mm/yyyy HH:MM` (the passage feed's date format) → timestamp. */
+  /** `dd/mm/yyyy HH:MM` (the passage feed's date format) → timestamp.
+    *
+    * NOTE: to_timestamp interprets the wall-clock string in the
+    * SESSION time zone. The domain pipeline anchors service days to
+    * UTC ([[graft.domain.Transit.scheduledTs]]), so delay math is only
+    * coherent in a UTC session — Transit.computeDelays asserts this
+    * (all bundled mains/tests pin spark.sql.session.timeZone=UTC). */
   def parseFrDatetime(c: Column): Column =
     to_timestamp(c, "dd/MM/yyyy HH:mm")
 

@@ -120,9 +120,13 @@ class ParquetUpsertSink(path: String) extends Serializable {
 
   def upsert(batch: DataFrame): Unit = {
     val spark = batch.sparkSession
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
     val dst = new org.apache.hadoop.fs.Path(path)
+    // the PATH's own filesystem, not the default one — FileSystem.get
+    // (conf) returns the default FS, and with e.g. an hdfs:// default
+    // and an s3a:// sink path every exists()/rename() below would
+    // either throw Wrong FS or consult the wrong store (an exists(dst)
+    // = false on the wrong FS silently drops all prior state)
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
     def collapse(df: DataFrame) = df
       .groupBy("user_id")
       .agg(max(struct(col("ts").as("t"), col("event_id").as("e"),
@@ -130,6 +134,12 @@ class ParquetUpsertSink(path: String) extends Serializable {
       .select(col("user_id"), col("s.t").as("ts"),
         col("s.e").as("event_id"), col("s.v").as("value"))
     val latestOfBatch = collapse(batch)
+    // crash recovery: a failure between rename(dst, backup) and
+    // rename(tmp, dst) leaves no dst but a complete dst.backup —
+    // restore it before merging, otherwise this batch would silently
+    // rebuild state from itself alone
+    val backup0 = new org.apache.hadoop.fs.Path(path + ".backup")
+    if (!fs.exists(dst) && fs.exists(backup0)) fs.rename(backup0, dst)
     // existence via the SAME filesystem the writes use (a java.io.File
     // check would silently discard prior state on hdfs://, s3a://, …)
     val merged = if (fs.exists(dst))

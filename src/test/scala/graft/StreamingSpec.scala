@@ -158,6 +158,17 @@ class StreamingSpec extends SparkSpec {
       val st2 = sink.state(spark).collect()
         .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
       assert(st2 == st1, "replay changed the durable state")
+      // crash-window recovery: a failure between rename(dst, backup)
+      // and rename(tmp, dst) leaves only dst.backup — the next upsert
+      // must restore it, not silently rebuild state from its own batch
+      val conf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(conf)
+      fs.rename(dst, new org.apache.hadoop.fs.Path(path + ".backup"))
+      sink.upsert(fixture.take(1).toDF()) // batch contains only user 1
+      val st3 = sink.state(spark).collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("event_id")).toMap
+      assert(st3 == st1, s"backup state lost after simulated crash: $st3")
     } finally q.stop()
   }
 

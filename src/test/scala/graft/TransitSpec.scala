@@ -31,7 +31,8 @@ class TransitSpec extends SparkSpec {
       ("DUASN134683F01", "R1", "S_WEEK", "VERSAILLES"),
       ("DUASN200100F01", "R1", "S_EXC", "NIGHT"),      // past-midnight trip
       ("DUASN555001F01", "R1", "S_WEEK", "AMBIG-A"),   // both contain "5550"
-      ("DUASN555002F01", "R1", "S_WEEK", "AMBIG-B")
+      ("DUASN555002F01", "R1", "S_WEEK", "AMBIG-B"),
+      ("DUASN777100F01", "R1", "S_WEEK", "LOOP")       // calls twice at one stop
     ).toDF("trip_id", "route_id", "service_id", "trip_headsign")
   }
 
@@ -42,7 +43,11 @@ class TransitSpec extends SparkSpec {
       ("DUASN134683F01", "12:14:00", "12:14:00", "StopPoint:DUA8738400", 1),
       ("DUASN200100F01", "25:10:00", "25:10:00", "StopPoint:DUA8738400", 5), // rollover
       ("DUASN555001F01", "10:00:00", "10:00:00", "StopPoint:DUA8739300", 1),
-      ("DUASN555002F01", "10:05:00", "10:05:00", "StopPoint:DUA8739300", 1)
+      ("DUASN555002F01", "10:05:00", "10:05:00", "StopPoint:DUA8739300", 1),
+      // loop route: ONE trip, TWO calls at the same station — must not
+      // be classified ambiguous (uniqueness is per trip_id, not rows)
+      ("DUASN777100F01", "11:00:00", "11:00:00", "StopPoint:DUA8739300", 1),
+      ("DUASN777100F01", "11:40:00", "11:40:00", "StopPoint:DUA8739300", 4)
     ).toDF("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")
   }
 
@@ -91,7 +96,10 @@ class TransitSpec extends SparkSpec {
         null, "2017-05-20", "12:30", "20170520_999999"),
       // ambiguous train number (two candidate trips)
       ("87393009", "5550", "AMBI", "87393009", ts("2017-05-20 10:00:00"), "R",
-        null, "2017-05-20", "09:30", "20170520_5550")
+        null, "2017-05-20", "09:30", "20170520_5550"),
+      // loop trip passage: unique TRIP with two stop calls → matched
+      ("87393009", "777100", "LOOP", "87393009", ts("2017-05-20 11:05:00"), "R",
+        null, "2017-05-20", "10:30", "20170520_777100")
     ).toDF("station_id", "num", "miss", "term", "expected_ts", "mode",
       "etat", "request_day", "request_time", "day_train_num")
   }
@@ -100,7 +108,7 @@ class TransitSpec extends SparkSpec {
 
   test("stopTimesExt denormalizes and converts past-midnight GTFS times") {
     val rows = ext.collect()
-    assert(rows.length == 5)
+    assert(rows.length == 7)
     val night = rows.find(_.getAs[String]("trip_id") == "DUASN200100F01").get
     assert(night.getAs[Long]("departure_secs") == 25 * 3600 + 10 * 60)
     assert(night.getAs[String]("stop_name") == "Pont Cardinet")
@@ -124,6 +132,11 @@ class TransitSpec extends SparkSpec {
     assert(byNum("200100").head.getAs[String]("trip_id") == "DUASN200100F01") // exception service matched
     assert(byNum("999999").head.getAs[String]("trip_id") == null) // unmatched
     assert(byNum("5550").head.getAs[String]("trip_id") == null)   // ambiguous → unmatched
+    // loop route: one trip, two calls at the station — unique TRIP, so
+    // it matches, on the deterministic first call (min stop_sequence)
+    assert(byNum("777100").length == 1, "loop passage must not duplicate")
+    assert(byNum("777100").head.getAs[String]("trip_id") == "DUASN777100F01")
+    assert(byNum("777100").head.getAs[Int]("stop_sequence") == 1)
   }
 
   test("computeDelays: observed − scheduled, incl. past-midnight rollover") {
@@ -146,7 +159,7 @@ class TransitSpec extends SparkSpec {
     assert(row.getAs[Timestamp]("expected_ts") == ts("2017-05-20 12:14:00"))
     assert(row.getAs[String]("mode") == "R")
     assert(row.getAs[String]("etat") == "Retardé")
-    assert(state.count() == 5) // one row per (day_train_num, station)
+    assert(state.count() == 6) // one row per (day_train_num, station)
   }
 
   test("stationBoard lists next departures, soonest first, excluding cancellations") {
