@@ -208,26 +208,37 @@ object Aggregates extends QueryGroup {
     // sketch per group, then UNION the serialized sketches for the
     // rollup row — the two-level pattern that makes distinct counts
     // reaggregatable across dimensions at 100 TB (plain
-    // approx_count_distinct partials are not exposed). No oracle
-    // (sketch bytes are engine-specific); tolerance-tested.
+    // approx_count_distinct partials are not exposed). The estimate
+    // itself is engine-specific, so the EMITTED columns are the exact
+    // n_orders plus a Spark-computed tolerance verdict (|est − exact|
+    // / exact ≤ 5%) the oracle states as TRUE — a sketch regression
+    // flips the boolean and fails the driver hash (r2 verdict #8:
+    // oracle the sketch path instead of tolerance-testing only).
     QueryDef(
       "agg_hll_sketch",
       (spark, sf) => {
-        val perPriority = Tables.orders(spark, sf)
+        val o = Tables.orders(spark, sf)
+        val perPriority = o
           .groupBy("o_orderpriority")
           .agg(expr("hll_sketch_agg(o_custkey)").as("sk"),
+            countDistinct(col("o_custkey")).as("exact_cust"),
             count(lit(1)).as("n_orders"))
         val levels = perPriority
-          .select(col("o_orderpriority"),
-            expr("hll_sketch_estimate(sk)").as("approx_cust"), col("n_orders"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            (abs(expr("hll_sketch_estimate(sk)") - col("exact_cust"))
+              .cast("double") / col("exact_cust") <= 0.05).as("est_in_tol"))
         val rollup = perPriority
-          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_cust"),
+          .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("est"),
             sum(col("n_orders")).as("n_orders"))
-          .select(lit("ALL").as("o_orderpriority"), col("approx_cust"), col("n_orders"))
+          .crossJoin(broadcast(
+            o.agg(countDistinct(col("o_custkey")).as("exact_all"))))
+          .select(lit("ALL").as("o_orderpriority"), col("n_orders"),
+            (abs(col("est") - col("exact_all")).cast("double") /
+              col("exact_all") <= 0.05).as("est_in_tol"))
         levels.unionByName(rollup).orderBy("o_orderpriority")
       },
-      None,
-      scaleNote = "The sketch column IS the reusable artifact: persist per-(dim) sketches once, answer any rollup by unioning KB-sized sketches instead of rescanning 100 TB — the cube-of-distincts pattern. Sketches merge associatively; estimates are read out only at the edge."),
+      Some("SELECT o_orderpriority, count(*) AS n_orders, TRUE AS est_in_tol FROM orders GROUP BY o_orderpriority UNION ALL SELECT 'ALL' AS o_orderpriority, count(*) AS n_orders, TRUE AS est_in_tol FROM orders ORDER BY o_orderpriority"),
+      scaleNote = "The sketch column IS the reusable artifact: persist per-(dim) sketches once, answer any rollup by unioning KB-sized sketches instead of rescanning 100 TB — the cube-of-distincts pattern. Sketches merge associatively; estimates are read out only at the edge. The exact countDistinct here exists ONLY to oracle the tolerance verdict at test scale; production reads the estimate alone."),
 
     // Moment statistics via exact decimal sums: variance from
     // (Σx², Σx, n) — the only float ops are two correctly-rounded
