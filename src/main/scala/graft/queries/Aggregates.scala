@@ -298,36 +298,50 @@ object Aggregates extends QueryGroup {
 
     // Approximate quantiles (delay-percentile sketch analog, SURVEY
     // §2.4): approx_percentile's QuantileSummaries sketch merges
-    // associatively across partitions — the scalable percentile. No
-    // oracle (sketch implementations differ per engine); tolerance-
-    // tested in OperatorPropertiesSpec.
+    // associatively across partitions — the scalable percentile. The
+    // sketch's picked values are engine-specific, so the EMITTED
+    // columns are exact n_orders plus Spark-computed tolerance
+    // verdicts (approx within 2% of the exact percentile) the oracle
+    // states as TRUE — a sketch regression flips a boolean and fails
+    // the driver hash (same pattern as agg_hll_sketch). Raw values
+    // are additionally bracket-tested in OperatorPropertiesSpec.
     QueryDef(
       "agg_approx_quantile",
-      (spark, sf) =>
+      (spark, sf) => {
+        def inTol(i: Int) =
+          (abs(element_at(col("pcts"), i) - element_at(col("exact"), i)) /
+            element_at(col("exact"), i) <= 0.02)
         Tables.orders(spark, sf)
           .groupBy("o_orderpriority")
-          .agg(percentile_approx(col("o_totalprice"),
-            array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("pcts"))
-          // scalar-only final schema (driver-hash rule): unpack the
-          // 3-element sketch result into named percentile columns
-          .select(col("o_orderpriority"),
-            element_at(col("pcts"), 1).as("p50"),
-            element_at(col("pcts"), 2).as("p95"),
-            element_at(col("pcts"), 3).as("p99"))
-          .orderBy("o_orderpriority"),
-      None,
-      scaleNote = "QuantileSummaries partials are fixed-size regardless of row count and merge associatively — percentiles over 100 TB shuffle KB per partition. accuracy=1000 bounds rank error at 1/1000; the exact-percentile alternative needs a global sort."),
+          .agg(
+            percentile_approx(col("o_totalprice"),
+              array(lit(0.5), lit(0.95), lit(0.99)), lit(1000)).as("pcts"),
+            expr("percentile(o_totalprice, array(0.5D, 0.95D, 0.99D))").as("exact"),
+            count(lit(1)).as("n_orders"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            inTol(1).as("p50_in_tol"), inTol(2).as("p95_in_tol"),
+            inTol(3).as("p99_in_tol"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_orders, TRUE AS p50_in_tol, TRUE AS p95_in_tol, TRUE AS p99_in_tol FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      scaleNote = "QuantileSummaries partials are fixed-size regardless of row count and merge associatively — percentiles over 100 TB shuffle KB per partition. accuracy=1000 bounds rank error at 1/1000. The exact percentile (global-sort class) exists ONLY to oracle the verdict at test scale; production reads the sketch alone."),
 
-    // #57 — approximate distinct (HLL++). No DuckDB oracle: approx
-    // algorithms differ across engines; covered by a tolerance test in
-    // the ScalaTest suite instead (SURVEY §2.0 oracle=✗).
+    // #57 — approximate distinct (HLL++). The estimate is engine-
+    // specific, so emit the exact distinct plus a Spark-computed
+    // tolerance verdict the oracle states as TRUE (pattern shared with
+    // agg_hll_sketch / agg_approx_quantile): the driver hash now
+    // guards the HLL++ path instead of a rows-only check.
     QueryDef(
       "agg_approx_hll",
       (spark, sf) =>
         Tables.orders(spark, sf)
           .groupBy("o_orderpriority")
-          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"))
+          .agg(approx_count_distinct(col("o_custkey"), 0.02).as("approx_cust"),
+            countDistinct(col("o_custkey")).as("n_cust"))
+          .select(col("o_orderpriority"), col("n_cust"),
+            (abs(col("approx_cust") - col("n_cust")).cast("double") /
+              col("n_cust") <= 0.05).as("est_in_tol"))
           .orderBy("o_orderpriority"),
-      None,
-      scaleNote = "HLL++ sketches merge associatively: map-side partials are fixed-size (KB) regardless of input rows, so 100 TB of keys costs the same shuffle as 1 GB. rsd=0.02 trades 2% error for a ~4KB sketch. This is the distinct-train counter at scale."))
+      Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, TRUE AS est_in_tol FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+      scaleNote = "HLL++ sketches merge associatively: map-side partials are fixed-size (KB) regardless of input rows, so 100 TB of keys costs the same shuffle as 1 GB. rsd=0.02 trades 2% error for a ~4KB sketch. This is the distinct-train counter at scale. The exact countDistinct exists ONLY to oracle the tolerance verdict at test scale; production reads the estimate alone."))
 }

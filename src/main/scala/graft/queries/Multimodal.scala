@@ -99,9 +99,13 @@ object Multimodal extends QueryGroup {
   }
 
   def defs: Seq[QueryDef] = Seq(
-    // Feature extraction as a declared operator. No DuckDB oracle: the
-    // decode path is engine-specific by design (oracle=✗ policy);
-    // determinism is asserted in MultimodalSpec instead.
+    // Feature extraction as a declared operator. Oracled: the stub
+    // decode is the identity over UTF-8 bytes and the driver corpus is
+    // pure ASCII (strlen == length measured at every SF), so DuckDB
+    // can mirror the whole featurization with ord() per character —
+    // byte histogram, integer byte sum, one double division. With a
+    // real codec this oracle is replaced by MultimodalSpec's
+    // determinism assertions (the decode becomes engine-specific).
     QueryDef(
       "multimodal_features",
       (spark, sf) => {
@@ -117,6 +121,6 @@ object Multimodal extends QueryGroup {
             element_at(col("hist4"), 4).as("h3"))
           .orderBy("media_id")
       },
-      None,
+      Some("WITH b AS (SELECT doc_id AS media_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS byte FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)) SELECT d.doc_id AS media_id, CASE WHEN d.doc_id%3=0 THEN 'png' WHEN d.doc_id%3=1 THEN 'jpeg' ELSE 'webp' END AS format, CAST(length(d.text) AS INTEGER) AS n_bytes, round(CAST(sum(b.byte) AS DOUBLE)/count(*), 4) AS mean_byte, count(*) FILTER (WHERE b.byte < 64) AS h0, count(*) FILTER (WHERE b.byte >= 64 AND b.byte < 128) AS h1, count(*) FILTER (WHERE b.byte >= 128 AND b.byte < 192) AS h2, count(*) FILTER (WHERE b.byte >= 192) AS h3 FROM documents d JOIN b ON d.doc_id = b.media_id GROUP BY d.doc_id, d.text ORDER BY media_id"),
       scaleNote = "Payload bytes never shuffle: decode + featurize run inside the scan partition (mapPartitions amortizes codec init, the Pandas-UDF batch analog), and only the small feature rows move. At 100 TB keep payloads in a separate parquet column (or object-store refs) so metadata/feature queries prune the byte column entirely."))
 }
