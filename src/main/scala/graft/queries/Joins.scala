@@ -223,5 +223,21 @@ object Joins extends QueryGroup {
           .orderBy("n_name", "o_year")
       },
       Some("SELECT n_name, year(l_shipdate) AS o_year, CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS DOUBLE) AS profit, count(*) AS n_items FROM lineitem JOIN part ON l_partkey = p_partkey JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey WHERE contains(p_name, 'red') GROUP BY n_name, o_year ORDER BY n_name, o_year"),
-      scaleNote = "Q9 shape: the selective part filter is pushed to the part scan BEFORE the join (predicate pushdown), shrinking the probe side ~8×. At TPC-H scale part is too big to broadcast — lineitem shuffles on partkey then suppkey; bucketing lineitem by partkey at write time removes the first shuffle. Nation broadcasts always. Group count is |nation|×|year|, so the 2-phase agg output is tiny regardless of input scale."))
+      scaleNote = "Q9 shape: the selective part filter is pushed to the part scan BEFORE the join (predicate pushdown), shrinking the probe side ~8×. At TPC-H scale part is too big to broadcast — lineitem shuffles on partkey then suppkey; bucketing lineitem by partkey at write time removes the first shuffle. Nation broadcasts always. Group count is |nation|×|year|, so the 2-phase agg output is tiny regardless of input scale."),
+
+    // Correlated scalar subquery (TPC-H Q17-family): parts priced above
+    // their brand's average. Catalyst DECORRELATES this into an
+    // aggregate + equi join — never a per-row subquery execution — the
+    // operator class that makes "compare each row to its group" viable
+    // at scale. Average via exact decimal sum / count (float avg is
+    // summation-order-dependent across engines).
+    QueryDef(
+      "subquery_scalar",
+      (spark, sf) => {
+        Tables.part(spark, sf).createOrReplaceTempView("part")
+        spark.sql(
+          "SELECT p_partkey, p_brand, p_retailprice FROM part p WHERE p_retailprice > (SELECT CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) ORDER BY p_partkey")
+      },
+      Some("SELECT p_partkey, p_brand, p_retailprice FROM part p WHERE p_retailprice > (SELECT CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) ORDER BY p_partkey"),
+      scaleNote = "Decorrelation rewrites the correlated subquery to groupBy(p_brand).agg + an equi join back — one aggregate pass + one shuffle-or-broadcast join regardless of row count, instead of |rows| subquery executions. The per-brand aggregate is tiny (|brands| rows) and broadcasts. PlanPropertiesSpec pins the no-nested-loop shape."))
 }

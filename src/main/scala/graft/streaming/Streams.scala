@@ -85,6 +85,29 @@ object Streams {
   def joinStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
 
+  /** Stream ⋈ stream interval join — observation↔observation
+    * correlation (e.g. a click followed by a purchase within 30 min,
+    * the passage↔passage re-poll correlation analog). Both sides carry
+    * a watermark and the join condition bounds event time on BOTH
+    * sides, so each side's state store evicts rows once the other
+    * side's watermark passes the interval — bounded state at any
+    * scale. Output columns are renamed up-front: a self-join of one
+    * source stream would otherwise produce ambiguous attributes. */
+  def joinStreamStream(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val p = purchases.select(col("event_id").as("purchase_id"),
+      col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    c.join(p,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"),
+      "inner")
+      .select("click_id", "user_id", "click_ts", "purchase_id", "purchase_ts")
+  }
+
   /** Idempotent keyed upsert per micro-batch — the Dynamo batch-write
     * analog [P utils_dynamo.py]. Each batch is first collapsed to its
     * latest row per key (struct-max, same tie rule as lastState), then

@@ -60,6 +60,13 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("SortAggregate"))
   }
 
+  test("subquery_scalar decorrelates to an aggregate + join (no per-row subquery)") {
+    val p = plan("subquery_scalar")
+    assert(p.contains("HashAggregate"), s"expected decorrelated aggregate:\n${p.take(800)}")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"),
+      s"correlated subquery degenerated to a loop join:\n${p.take(800)}")
+  }
+
   test("join_range under count(): sort eliminated, hash join on the equi key") {
     // r2 bench flagged join_range as a 2x regression with unchanged
     // code. PlanAudit showed the count() plan (what Bench times) is

@@ -136,6 +136,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_join_stream: interval join matches the batch equivalent") {
+    val s = spark
+    import s.implicits._
+    // clicks and purchases in and out of the 30-min interval
+    val evs = Seq(
+      Event(2, ts(5), 1, "click", 2.0),
+      Event(7, ts(20), 1, "purchase", 7.0),  // 15 min after click 2: joins
+      Event(4, ts(65), 1, "purchase", 4.0),  // 60 min after click 2: dropped
+      Event(8, ts(40), 2, "click", 8.0),
+      Event(9, ts(50), 2, "purchase", 9.0))  // 10 min after click 8: joins
+    val mem = MemoryStream[Event](8, spark, None)
+    val src = mem.toDF()
+    val joined = Streams.joinStreamStream(
+      src.filter(col("event_type") === "click"),
+      src.filter(col("event_type") === "purchase"))
+    val q = joined.writeStream.format("memory")
+      .queryName("t_ss_join").outputMode("append").start()
+    try {
+      mem.addData(evs: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("t_ss_join")
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == Set((2L, 7L), (8L, 9L)), s"stream=$streamed")
+      // batch twin over the same data agrees
+      val df = evs.toDF()
+      val batch = Streams.joinStreamStream(
+        df.filter(col("event_type") === "click"),
+        df.filter(col("event_type") === "purchase"))
+        .select("click_id", "purchase_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("parquet upsert sink: durable latest-state, idempotent under replay") {
     val s = spark
     import s.implicits._
