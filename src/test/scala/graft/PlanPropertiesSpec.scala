@@ -47,6 +47,30 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("plan sweep: no declared query plans a cartesian or unexpected loop join") {
+    // The 100 TB kill-switch, applied to the WHOLE surface: a
+    // CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
+    // the two operators that are nested-loop BY DESIGN (join_cross is
+    // a bounded dim×dim cross join; join_like is a contains-predicate
+    // join against a broadcast token list), means some refactor turned
+    // an equi join into an all-pairs scan.
+    // agg_hll_sketch: the rollup row crossJoins a broadcast SINGLE-ROW
+    // aggregate (the global exact distinct for the tolerance verdict) —
+    // a nested loop over exactly one row is a constant, not a scan.
+    // ann_topk: the brute-force exact-recall BASELINE — broadcast query
+    // set against every vector is its defining semantics; ann_ivf is
+    // the bucketed equi-join scale path measured against it.
+    val bnljByDesign = Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk")
+    Registry.all.foreach { d =>
+      val p = plan(d.name)
+      assert(!p.contains("CartesianProduct"),
+        s"${d.name} plans CartesianProduct:\n${p.take(600)}")
+      if (!bnljByDesign(d.name))
+        assert(!p.contains("BroadcastNestedLoop"),
+          s"${d.name} plans BroadcastNestedLoopJoin:\n${p.take(600)}")
+    }
+  }
+
   test("scan_parquet projection reaches the reader (4-column ReadSchema)") {
     val p = plan("scan_parquet")
     val read = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
