@@ -20,4 +20,18 @@ object Catalog {
     GraftExtensions.install(spark)
     graft.functions.Gtfs.register(spark)
   }
+
+  /** Persist a table as a managed catalog table and compute CBO
+    * statistics (row count + per-column NDV/min/max). Temp views
+    * cannot carry statistics — at 100 TB, stats-driven join reorder
+    * and broadcast decisions require ANALYZE at ingest, exactly this
+    * call after each load. Returns the catalog table name. */
+  def analyzed(spark: SparkSession, sfDir: String, name: String): String = {
+    val df = if (name == "events") Tables.loadEvents(spark, sfDir)
+      else Tables.load(spark, sfDir, name)
+    val t = s"g_$name"
+    df.write.mode("overwrite").saveAsTable(t)
+    spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS")
+    t
+  }
 }
