@@ -156,6 +156,23 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_custkey, array_to_string(list(o_orderkey ORDER BY o_orderkey), ',') AS orderkeys FROM orders GROUP BY o_custkey ORDER BY o_custkey"),
       scaleNote = "collect_list falls back to ObjectHashAggregate (buffers rows); safe only because group size is bounded (orders per customer). array_sort pins element order — collect order itself is partition-dependent. For unbounded groups, cap with slice() or pre-aggregate."),
 
+    // Boolean/conditional aggregate family: count_if / bool_and /
+    // bool_or — the data-quality assertion aggregates (e.g. "every
+    // passage has a station id", "any cancelled in this window").
+    QueryDef(
+      "agg_boolean",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy("o_orderstatus")
+          .agg(
+            expr("count_if(o_totalprice > 200000)").as("n_big"),
+            expr("bool_and(o_totalprice > 0)").as("all_pos"),
+            expr("bool_or(o_orderpriority = '1-URGENT')").as("has_urgent"),
+            count(lit(1)).as("n"))
+          .orderBy("o_orderstatus"),
+      Some("SELECT o_orderstatus, count(*) FILTER (WHERE o_totalprice > 200000) AS n_big, bool_and(o_totalprice > 0) AS all_pos, bool_or(o_orderpriority = '1-URGENT') AS has_urgent, count(*) AS n FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"),
+      scaleNote = "Conditional counts and boolean folds are all associative single-pass aggregates with map-side partials — the corpus-validation pass (every/any invariants over 100 TB) costs one 2-phase agg, never a second scan per assertion."),
+
     // Nested result-set serialization — the reference's EP3 "nested
     // dicts per station" serializers [P serializers.py, SURVEY §1.3]:
     // per customer, a JSON array of their top-3 orders. Built with

@@ -203,6 +203,31 @@ object SortSetScalar extends QueryGroup {
       Some("SELECT vec_id, len(embedding) AS n_dims, array_to_string(list_transform(embedding[1:3], x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)), ',') AS ints3, CAST(list_sum(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER))) AS BIGINT) AS int_sum, list_contains(list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*10) AS INTEGER)), 1) AS has1, len(list_filter(embedding, x -> x > 0)) AS n_pos FROM embeddings ORDER BY vec_id"),
       scaleNote = "Higher-order functions evaluate per-row inside codegen — no explode/re-group round trip, no shuffle. This is the per-row vector toolkit the ANN operators build on."),
 
+    // Map-typed column surface: build a MAP from columns, extract /
+    // inspect it per row — the variant-attribute document shape
+    // (passage XML attrs [P extract_api.py]) worked on as a typed
+    // column. The map stays INTERNAL (scalar-only final schema rule);
+    // the oracle mirrors the extracted VALUES, which is what the
+    // check compares.
+    QueryDef(
+      "fn_map",
+      (spark, sf) => {
+        val m = map(
+          lit("status"), col("o_orderstatus"),
+          lit("priority"), col("o_orderpriority"))
+        Tables.orders(spark, sf)
+          .select(
+            col("o_orderkey"),
+            element_at(m, "status").as("status_val"),
+            element_at(m, "priority").as("prio_val"),
+            element_at(m, "missing").as("missing_val"), // absent key → NULL
+            size(m).as("n_keys"),
+            array_join(array_sort(map_keys(m)), ",").as("keys_sorted"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderstatus AS status_val, o_orderpriority AS prio_val, CAST(NULL AS VARCHAR) AS missing_val, 2 AS n_keys, 'priority,status' AS keys_sorted FROM orders ORDER BY o_orderkey"),
+      scaleNote = "Map construction/extraction is per-row codegen in the scan projection — the typed replacement for schemaless document fields. At ingest scale, prefer exploding hot keys into real columns (pruning + stats); keep the map only for the long tail of rare attributes."),
+
     // #48 — JSON field extraction: Mongo document fields analog
     // [P utils_mongo.py].
     QueryDef(
