@@ -78,6 +78,24 @@ class SourcesSpec extends SparkSpec {
     assert(control.queryExecution.executedPlan.toString.contains("Exchange"))
   }
 
+  test("ORC roundtrip preserves values and pushes filters to the scan") {
+    // format breadth beyond parquet: the engine's scans are format-
+    // agnostic DataFrame reads, so ORC (the other columnar format in
+    // every Spark distribution) works with the same pushdown behavior
+    val path = tmp("orc") + "/orders"
+    val orders = graft.engine.Tables.orders(spark, sf)
+    orders.write.orc(path)
+    val back = spark.read.orc(path)
+    assert(back.schema == orders.schema)
+    assert(back.count() == orders.count())
+    val filtered = back.filter(col("o_orderpriority") === "1-URGENT")
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("o_orderpriority"),
+      s"ORC filter not pushed:\n${plan.take(500)}")
+    assert(filtered.count() ==
+      orders.filter(col("o_orderpriority") === "1-URGENT").count())
+  }
+
   test("partitioned sink writes a prunable directory layout") {
     val path = tmp("part") + "/events"
     val ev = graft.engine.Tables.loadEvents(spark, sf)
