@@ -171,5 +171,26 @@ object Windows extends QueryGroup {
           .orderBy("o_custkey", "o_orderkey")
       },
       Some("SELECT o_custkey, o_orderkey, first_value(o_orderkey) OVER w AS first_key, last_value(o_orderkey) OVER w AS last_key, first_value(o_orderdate) OVER w AS first_date, last_value(o_orderdate) OVER w AS last_date FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY o_custkey, o_orderkey"),
-      scaleNote = "Full-partition frame: first/last are computed once per partition and broadcast to its rows — O(n), no re-scan per row. Same shuffle profile as win_rank."))
+      scaleNote = "Full-partition frame: first/last are computed once per partition and broadcast to its rows — O(n), no re-scan per row. Same shuffle profile as win_rank."),
+
+    // Distribution + positional window functions: cume_dist (fraction
+    // of partition at-or-below this row) and nth_value over a running
+    // frame. The total order (price, unique orderkey tie-break) makes
+    // every peer group a single row, so cume_dist is k/n of exact
+    // integers — one IEEE division, deterministic cross-engine.
+    QueryDef(
+      "win_dist",
+      (spark, sf) => {
+        val ord = Seq(col("o_totalprice").asc, col("o_orderkey").asc)
+        val w = Window.partitionBy("o_orderpriority").orderBy(ord: _*)
+        val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.orders(spark, sf)
+          .select(
+            col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            cume_dist().over(w).as("cdist"),
+            nth_value(col("o_orderkey"), 3).over(running).as("third_key"))
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_orderpriority, o_totalprice, cume_dist() OVER w AS cdist, nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) ORDER BY o_orderkey"),
+      scaleNote = "Both functions ride the same one-shuffle-one-sort window pass as win_rank; cume_dist needs the partition row count (computed in the same pass), nth_value a bounded running frame. No extra exchange over the rest of the window family."))
 }
