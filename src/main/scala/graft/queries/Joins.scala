@@ -239,5 +239,24 @@ object Joins extends QueryGroup {
           "SELECT p_partkey, p_brand, p_retailprice FROM part p WHERE p_retailprice > (SELECT CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) ORDER BY p_partkey")
       },
       Some("SELECT p_partkey, p_brand, p_retailprice FROM part p WHERE p_retailprice > (SELECT CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) ORDER BY p_partkey"),
-      scaleNote = "Decorrelation rewrites the correlated subquery to groupBy(p_brand).agg + an equi join back — one aggregate pass + one shuffle-or-broadcast join regardless of row count, instead of |rows| subquery executions. The per-brand aggregate is tiny (|brands| rows) and broadcasts. PlanPropertiesSpec pins the no-nested-loop shape."))
+      scaleNote = "Decorrelation rewrites the correlated subquery to groupBy(p_brand).agg + an equi join back — one aggregate pass + one shuffle-or-broadcast join regardless of row count, instead of |rows| subquery executions. The per-brand aggregate is tiny (|brands| rows) and broadcasts. PlanPropertiesSpec pins the no-nested-loop shape."),
+
+    // Salted skew join, declared: the big side's hot keys are spread
+    // across 8 salt buckets (content-derived salt), the small side is
+    // replicated 8×, and the join runs on (key, salt). The ORACLE is
+    // the PLAIN join — hash equality under the driver proves salting
+    // is semantics-preserving, not just asserted in ExtensionsSpec.
+    QueryDef(
+      "join_skew_salted",
+      (spark, sf) => {
+        val big = Tables.orders(spark, sf)
+          .select("o_orderkey", "o_custkey", "o_totalprice")
+        val small = Tables.customer(spark, sf)
+          .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+        graft.engine.SkewJoin.salted(big, small, "o_custkey", 8)
+          .select("o_orderkey", "o_custkey", "c_mktsegment", "o_totalprice")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
+      scaleNote = "The explicit fallback for key skew beyond what AQE's skew-split handles: n× replication of the small side buys n-way parallelism on a single hot key. Salt is derived from row content (reproducible across runs/partitionings); the join stays equi on (key, salt) — shuffle-hash, never a loop. Use when one key exceeds a task's memory; otherwise prefer plain AQE."))
 }
