@@ -28,12 +28,23 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+      // incremental per-query line: even if the final summary line is
+      // truncated by a bounded tail capture (r3 lost 13 of 84 entries
+      // that way), every individual time survives as its own short line
+      println(f"""{"q":"$name","sec":$t%.4f}""")
       name -> t
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 4-decimal times keep the summary line compact (~25 chars/query
+    // instead of ~40) — the r3 truncation was a line-length problem
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // durable copy: the full JSON is also written to bench.json so no
+    // amount of stdout truncation can lose it
+    java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),
+      (line + "\n").getBytes("UTF-8"))
+    println(line)
     spark.stop()
   }
 }

@@ -24,12 +24,44 @@ import graft.plans.LongArrayDot
   * is the standard probe-count dial (search 2^p neighbouring buckets
   * by flipping low-margin bits at 100 TB).
   *
-  * No DuckDB oracle (xxhash64-derived hyperplanes); AnnIvfSpec covers
-  * bucket determinism, in-bucket containment, and planted-dup recall.
+  * Hash-oracled in DuckDB (new r4): the hyperplanes are CONSTANTS
+  * (parities of xxhash64 over plane/component indices), so the whole
+  * pipeline — bucket id, weak plane, multi-probe, quantized cosine —
+  * replays exactly in SQL with the [[Signs]] table embedded as list
+  * literals. AnnIvfSpec additionally covers bucket determinism,
+  * in-bucket containment, and the Signs/runtime-parity equality.
   */
 object AnnIvf extends QueryGroup {
 
   val Planes = 8
+
+  /** The ±1 hyperplane components, precomputed: sign(j)(i) = +1 iff
+    * xxhash64(j·4099 + i) is even — exactly the parity `bucketed`
+    * computes at runtime. The table exists so the DuckDB oracle can
+    * reproduce bucket ids (embedded as list literals in the SQL);
+    * AnnIvfSpec asserts it equals the runtime parities, so the two
+    * can never drift apart silently. Rows = plane j, columns = vector
+    * component i (the testdata embedding dim is 64). */
+  val Signs: Array[Array[Int]] = Array(
+    Array(-1,-1,1,-1,1,1,-1,-1,-1,-1,1,-1,-1,-1,-1,1,1,-1,1,1,1,1,-1,-1,-1,1,1,1,1,-1,1,-1,1,-1,1,1,-1,-1,-1,1,1,-1,1,1,1,1,-1,1,1,1,-1,-1,1,1,-1,1,1,-1,-1,1,-1,1,1,-1),
+    Array(1,-1,-1,-1,1,-1,1,1,-1,1,1,-1,-1,1,1,-1,-1,-1,1,-1,-1,-1,-1,1,-1,-1,1,-1,-1,1,-1,1,1,1,1,-1,-1,-1,1,1,-1,-1,-1,1,-1,-1,1,1,-1,1,-1,1,1,-1,1,1,-1,-1,1,1,-1,1,1,-1),
+    Array(-1,-1,1,1,1,1,-1,1,1,1,-1,1,1,1,-1,1,1,1,-1,1,-1,1,-1,1,1,1,1,-1,-1,1,-1,-1,-1,-1,-1,-1,1,1,-1,-1,1,1,1,-1,-1,-1,-1,1,1,1,-1,1,1,-1,-1,1,-1,1,-1,1,-1,-1,-1,1),
+    Array(-1,1,-1,-1,-1,1,1,1,1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,1,1,-1,-1,-1,1,-1,-1,1,1,-1,-1,1,1,1,-1,1,-1,-1,-1,1,-1,-1,-1,-1,-1,1,1,1,1,-1,-1,-1,1,1,1,-1,-1,-1,1,-1,1,-1,-1,1),
+    Array(-1,-1,1,-1,1,-1,1,-1,-1,-1,-1,-1,-1,1,1,1,1,1,-1,1,1,1,1,-1,1,1,1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,1,-1,-1,1,-1,1,-1,1,-1,1,-1,1,-1,-1,1,-1,1,-1),
+    Array(-1,1,1,-1,-1,1,-1,1,1,1,-1,1,-1,-1,1,1,1,1,1,1,1,1,1,1,1,-1,1,-1,-1,-1,-1,1,1,-1,1,-1,1,-1,1,-1,1,-1,1,1,-1,-1,1,-1,-1,-1,1,1,1,1,-1,-1,1,1,1,1,-1,1,1,-1),
+    Array(-1,1,-1,1,-1,1,1,1,1,1,1,1,-1,1,1,1,1,1,1,1,1,-1,1,1,-1,-1,-1,1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,1,-1,1,-1,-1,1,-1,1,-1,-1,1,1,-1,-1,-1,-1,1,1,-1,1),
+    Array(-1,-1,1,1,1,-1,1,1,-1,1,1,-1,-1,1,1,-1,-1,1,-1,-1,-1,-1,1,1,1,-1,1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,-1,1,-1,-1,1,1,-1,-1,-1,-1,-1,1,1,-1,1,1,-1,-1,1,1,-1,-1,-1,1,-1,-1))
+
+  /** DuckDB SQL fragments mirroring `bucketed` over the quantized
+    * vector column `qv` (64 components, 1-indexed in SQL). */
+  private def planeSumSql(j: Int): String =
+    s"CAST(list_sum(list_transform(range(1,65), i -> qv[i] * ([${Signs(j).mkString(",")}])[i])) AS BIGINT)"
+  private def psSql(planes: Int): String =
+    (0 until planes).map(planeSumSql).mkString("[", ",", "]")
+  private def bucketSql(planes: Int): String =
+    (0 until planes).map(j => s"${1 << j}*(CASE WHEN ps[${j + 1}]>0 THEN 1 ELSE 0 END)").mkString(" + ")
+  private val QuantSql =
+    "SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv FROM embeddings"
 
   /** (vec_id, qv, norm2, bucket) for every embedding. `planes` is the
     * recall/selectivity dial: 8 → 256 buckets (tight, for top-k), 4 →
@@ -88,9 +120,13 @@ object AnnIvf extends QueryGroup {
     * With multiProbe, each query also searches the bucket across its
     * weakest hyperplane. */
   def topkInBucket(b: DataFrame, k: Int, multiProbe: Boolean = false): DataFrame = {
-    // % 10 ≈ 50 query vectors at sf0.01 (500 vecs) — dense enough
-    // that the driver's row check is discriminating (r2 had 1 row)
-    val baseQueries = b.filter(col("vec_id") % 10 === 0)
+    // FIXED-SIZE query set: the 100 lowest vec_ids (dense 0..n-1 at
+    // every SF) — O(1) in corpus size, so the broadcast below never
+    // grows with the data and total candidate work stays linear
+    // (r3 verdict: a proportional `% 10` set was quadratic-by-
+    // parameterization). 100 queries keep the driver row check
+    // discriminating (r2 had 1 row).
+    val baseQueries = b.filter(col("vec_id") < 100)
       .select(col("vec_id").as("query_id"), col("qv").as("qq"),
         col("norm2").as("qn"), col("bucket"), col("weak_plane"))
     val queries =
@@ -124,14 +160,29 @@ object AnnIvf extends QueryGroup {
         // stays near the per-query budget.
         topkInBucket(bucketed(spark, sf, planes = 6), 3, multiProbe = true)
           .orderBy("query_id", "rank"),
-      None,
-      scaleNote = "The candidate join is equi on bucket id, so each query scores |corpus|/2^planes vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition (planes is the bucket-size dial: pick 2^planes ≈ corpus/target-candidates). Recall is tuned by multi-probe — implemented: probeBuckets adds the bucket across the query's weakest (smallest-margin) hyperplane, doubling candidates for measured recall gain (AnnIvfSpec) — rather than widening buckets; ann_topk is the exact baseline this trades against."),
+      // Full hash oracle (new r4): the hyperplane signs are CONSTANTS
+      // (parities of xxhash64 over plane/component indices), so the
+      // bucket id, weak plane, multi-probe set, and exact quantized
+      // cosine are all reproducible in DuckDB with the Signs table
+      // embedded as list literals.
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(6)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(6)} AS bucket, list_position(list_transform(ps, x -> abs(x)), list_min(list_transform(ps, x -> abs(x)))) - 1 AS weak FROM pr),
+qs AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn, unnest([bucket, xor(bucket, (1 << weak))]) AS qbucket FROM b WHERE vec_id < 100),
+c AS (SELECT qs.query_id, b.bucket, b.vec_id, round(CAST(list_sum(list_transform(range(1,65), i -> qs.qq[i]*b.qv[i])) AS DOUBLE)/(sqrt(CAST(qs.qn AS DOUBLE))*sqrt(CAST(b.n2 AS DOUBLE))),4) AS cos FROM qs JOIN b ON qs.qbucket = b.bucket AND qs.query_id <> b.vec_id)
+SELECT query_id, bucket, rank, vec_id, cos FROM (SELECT query_id, bucket, vec_id, cos, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM c) WHERE rank <= 3 ORDER BY query_id, rank""".replaceAll("\\n", " ")),
+      scaleNote = "The query set is a FIXED 100 vectors (O(1) in corpus size — the broadcast side never grows). The candidate join is equi on bucket id, so each query scores |corpus|/2^planes vectors instead of |corpus| — at 100 TB, partition the corpus BY bucket at write time and a query touches one partition (planes is the bucket-size dial: pick 2^planes ≈ corpus/target-candidates). Recall is tuned by multi-probe — implemented: probeBuckets adds the bucket across the query's weakest (smallest-margin) hyperplane, doubling candidates for measured recall gain (AnnIvfSpec) — rather than widening buckets; ann_topk is the exact baseline this trades against."),
 
     QueryDef(
       "emb_near_dup",
       (spark, sf) =>
         cosineNearDup(bucketed(spark, sf, planes = 4), 0.25)
           .orderBy("id1", "id2"),
-      None,
+      // Full hash oracle (new r4) — same Signs-table technique as
+      // ann_ivf, with the coarse 4-plane quantizer.
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr)
+SELECT id1, id2, cos FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25 ORDER BY id1, id2""".replaceAll("\\n", " ")),
       scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."))
 }

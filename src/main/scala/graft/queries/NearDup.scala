@@ -21,9 +21,15 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   *   4. equi-self-join on band key → candidate pairs (distinct);
   *   5. exact Jaccard verify within candidates, keep ≥ τ.
   *
-  * No DuckDB oracle: xxhash64 is not reproducible there; correctness is
-  * covered by NearDupSpec (planted near-dups, recall vs the exact
-  * `ngram_jaccard` ground truth) per SURVEY §2.0 oracle=✗ policy.
+  * Hash-oracled in DuckDB (new r4): the minhashes themselves are not
+  * reproducible there (xxhash64), but the OUTPUT is — the oracle
+  * computes the exact 3-gram-shingle Jaccard pair set with a sparse
+  * shingle self-join (only pairs sharing a shingle are enumerated,
+  * never all pairs), and on the planted corpus (every true pair has
+  * jac ≥ 0.9, band-miss probability (1−s²)³² ≈ 1e-23) the LSH found
+  * set equals the truth set exactly, so the hash compare is also a
+  * recall/precision-1.0 assertion. NearDupSpec keeps the planted-pair
+  * and recall invariants as targeted tests.
   */
 object NearDup extends QueryGroup {
 
@@ -128,6 +134,10 @@ object NearDup extends QueryGroup {
       "dedup_near",
       (spark, sf) =>
         nearDupPairs(Tables.documents(spark, sf), 0.5).orderBy("id1", "id2"),
-      None,
+      // Exact ground truth via a SPARSE shingle self-join: unnest the
+      // distinct shingle sets and equi-join on the shingle, so only
+      // pairs sharing ≥1 shingle are touched (0.07 s at sf0.01 vs ~60 s
+      // for the naive all-pairs list_intersect formulation).
+      Some("WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4) SELECT id1, id2, round(CAST(ni AS DOUBLE)/(n1+n2-ni), 4) AS jac FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5 ORDER BY id1, id2"),
       scaleNote = "Banded LSH replaces the O(n²) pair space with per-band equi-joins on computed keys — the only join is shuffle-on-band_key, and the quadratic blowup is confined to same-bucket collisions (expected ≈ s²·pairs per band). At 100 TB: raise R to sharpen the threshold, salt oversized buckets (cap bucket size, re-split), and run exact verify only on the surviving ~0.01% of pairs. Never dropDuplicates on raw text; never cross join."))
 }

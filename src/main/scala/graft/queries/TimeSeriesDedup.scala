@@ -16,6 +16,32 @@ import Dsl._
   */
 object TimeSeriesDedup extends QueryGroup {
 
+  val Seed = 42L
+
+  /** Per-language sampling rate for the stratified mix (unmapped
+    * classes are dropped: rate 0). */
+  val StratRates: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "fr" -> 0.5, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2)
+
+  def stratRate(lang: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    StratRates.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+      when(lang === l, f).otherwise(acc)
+    }
+
+  /** Scan-side seeded Bernoulli sample: a per-row coin flip, no
+    * shuffle, no count pass — deterministic for a fixed seed and
+    * partition layout. The raw sampling primitive behind the
+    * sample_fraction verdict query. */
+  def sampleFraction(df: org.apache.spark.sql.DataFrame, f: Double,
+      seed: Long): org.apache.spark.sql.DataFrame =
+    df.filter(rand(seed) < f)
+
+  /** Stratified Bernoulli sample: the rate is a CASE over the stratum
+    * column inside the same scan-side filter. */
+  def sampleStratified(docs: org.apache.spark.sql.DataFrame,
+      seed: Long): org.apache.spark.sql.DataFrame =
+    docs.filter(rand(seed) < stratRate(col("lang")))
+
   def defs: Seq[QueryDef] = Seq(
 
     // #40 — SELECT DISTINCT on a projection.
@@ -68,31 +94,58 @@ object TimeSeriesDedup extends QueryGroup {
       scaleNote = "Struct-max is a 2-phase agg: map-side partials keep one candidate per key per partition, the shuffle carries |keys| rows. A window version would sort every partition; this doesn't."),
 
     // Seeded Bernoulli sampling — the corpus-subsampling pass of a
-    // training-data pipeline. Deterministic for a fixed seed+partition
-    // layout within Spark; not reproducible in DuckDB (different PRNG)
-    // → no oracle, invariants tested in OperatorPropertiesSpec.
+    // training-data pipeline. The sampled ROWS depend on Spark's PRNG
+    // (not reproducible in DuckDB), so the declared query emits the
+    // sketch-style verdict rows (SURVEY §2.0): the exact population
+    // count the oracle recomputes, a binomial rate-tolerance boolean
+    // (|k − f·n| ≤ 2 + 4σ — layout-robust: any partition layout keeps
+    // a correct sampler inside 4σ), and a same-seed determinism
+    // boolean. The raw sample is `sampleFraction`, tested in
+    // OperatorPropertiesSpec.
     QueryDef(
       "sample_fraction",
-      (spark, sf) =>
-        Tables.lineitem(spark, sf)
-          .sample(withReplacement = false, fraction = 0.1, seed = 42L)
-          .select("l_orderkey", "l_linenumber", "l_quantity")
-          .orderBy("l_orderkey", "l_linenumber", "l_quantity"),
-      None,
-      scaleNote = "Bernoulli sampling is a per-row coin flip in the scan — no shuffle, no count pass; at 100 TB this is the only affordable subsample (exact-size sampling needs a global sort or reservoir)."),
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        // one scan, one aggregation carries the exact total AND the
+        // sampled count — no 1×1 join of aggregates, no driver action
+        val rate = li
+          .withColumn("s", (rand(Seed) < 0.1).cast("long"))
+          .agg(count(lit(1)).as("n"), sum(col("s")).as("k"))
+          .select(lit("rate_in_tol").as("metric"), col("n"),
+            (abs(col("k") - col("n") * 0.1) <=
+              lit(2.0) + lit(4.0) * sqrt(lit(0.1 * 0.9) * col("n"))).as("ok"))
+        val keys = Seq("l_orderkey", "l_linenumber", "l_quantity")
+        val s1 = sampleFraction(li, 0.1, Seed).select(keys.map(col): _*)
+        val s2 = sampleFraction(li, 0.1, Seed).select(keys.map(col): _*)
+        val det = s1.exceptAll(s2).unionAll(s2.exceptAll(s1))
+          .agg((count(lit(1)) === 0).as("ok"))
+          .select(lit("deterministic").as("metric"),
+            lit(null).cast("long").as("n"), col("ok"))
+        rate.unionByName(det).orderBy("metric")
+      },
+      Some("SELECT * FROM (SELECT 'deterministic' AS metric, CAST(NULL AS BIGINT) AS n, TRUE AS ok UNION ALL SELECT 'rate_in_tol' AS metric, count(*) AS n, TRUE AS ok FROM lineitem) ORDER BY metric"),
+      scaleNote = "Bernoulli sampling is a per-row coin flip in the scan — no shuffle, no count pass; at 100 TB this is the only affordable subsample (exact-size sampling needs a global sort or reservoir). The verdict harness adds one map-side-combined count aggregate."),
 
     // Stratified sampling: per-class quotas (balance a training mix).
+    // Verdict rows per stratum: exact class count + per-stratum
+    // binomial rate tolerance (same 2 + 4σ bound as sample_fraction).
     QueryDef(
       "sample_stratified",
       (spark, sf) =>
         Tables.documents(spark, sf)
-          .stat.sampleBy("lang",
-            Map("en" -> 0.5, "fr" -> 0.5, "de" -> 0.2, "es" -> 0.2, "zh" -> 0.2),
-            42L)
-          .select("doc_id", "lang")
-          .orderBy("doc_id"),
-      None,
-      scaleNote = "sampleBy keys the Bernoulli rate by stratum — still a single scan-side filter, no shuffle. The language-rebalancing pass of a pre-training mix at corpus scale."),
+          .withColumn("f", stratRate(col("lang")))
+          .withColumn("s", (rand(Seed) < col("f")).cast("long"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"), sum(col("s")).as("k"),
+            max(col("f")).as("f"))
+          .select(col("lang"), col("n_docs"),
+            (abs(col("k") - col("f") * col("n_docs")) <=
+              lit(2.0) + lit(4.0) *
+                sqrt(col("f") * (lit(1.0) - col("f")) * col("n_docs")))
+              .as("rate_in_tol"))
+          .orderBy("lang"),
+      Some("SELECT lang, count(*) AS n_docs, TRUE AS rate_in_tol FROM documents GROUP BY lang ORDER BY lang"),
+      scaleNote = "The stratum rate is a CASE over the class column inside the same scan-side Bernoulli filter — still no shuffle, no per-class pass. The language-rebalancing pass of a pre-training mix at corpus scale."),
 
     // #50 — tumbling time buckets: the N-minute polling cycle rollup.
     // Batch twin of stream_tumbling (§2.3).

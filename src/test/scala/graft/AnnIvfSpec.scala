@@ -5,6 +5,25 @@ import graft.queries.AnnIvf
 
 class AnnIvfSpec extends SparkSpec {
 
+  test("the hardcoded Signs table equals the runtime hash parities") {
+    // the DuckDB oracle embeds AnnIvf.Signs as literals; `bucketed`
+    // derives the same ±1s from xxhash64 parity at runtime — if either
+    // side changes, this is the tripwire
+    val idx = spark.range(64).select(col("id").cast("int").as("i"))
+    val signs = (0 until AnnIvf.Planes).map { j =>
+      when(pmod(xxhash64(lit(j) * 4099 + col("i")), lit(2)) === 0, 1)
+        .otherwise(-1).as(s"s$j")
+    }
+    val runtime = idx.select(col("i") +: signs: _*).orderBy("i").collect()
+    runtime.foreach { r =>
+      val i = r.getInt(0)
+      (0 until AnnIvf.Planes).foreach { j =>
+        assert(r.getInt(j + 1) == AnnIvf.Signs(j)(i),
+          s"sign mismatch at plane $j component $i")
+      }
+    }
+  }
+
   test("bucket assignment is deterministic and within range") {
     val b1 = AnnIvf.bucketed(spark, sf).select("vec_id", "bucket")
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap

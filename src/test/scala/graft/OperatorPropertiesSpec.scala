@@ -166,18 +166,34 @@ class OperatorPropertiesSpec extends SparkSpec {
   }
 
   test("seeded samples are reproducible, subsets, and near the target rate") {
-    val s1 = run("sample_fraction").collect().map(_.toSeq)
-    val s2 = run("sample_fraction").collect().map(_.toSeq)
+    import graft.queries.TimeSeriesDedup.{sampleFraction, sampleStratified}
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val s1 = sampleFraction(li, 0.1, 42L)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq)
+    val s2 = sampleFraction(li, 0.1, 42L)
+      .select("l_orderkey", "l_linenumber").collect().map(_.toSeq)
     assert(s1.sameElements(s2), "same seed must reproduce the same sample")
-    val total = graft.engine.Tables.lineitem(spark, sf).count().toDouble
+    val total = li.count().toDouble
     assert(math.abs(s1.length / total - 0.1) < 0.03, s"rate off: ${s1.length / total}")
-    val strat = run("sample_stratified")
-      .join(graft.engine.Tables.documents(spark, sf), Seq("doc_id", "lang"))
-    assert(strat.count() == run("sample_stratified").count(), "sample must be a subset")
-    val byLang = run("sample_stratified").groupBy("lang").count()
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val strat = sampleStratified(docs, 42L).select("doc_id", "lang")
+    assert(strat.join(docs, Seq("doc_id", "lang")).count() == strat.count(),
+      "sample must be a subset")
+    val byLang = strat.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(byLang.getOrElse("en", 0L) > byLang.getOrElse("de", 0L),
+    val nLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // rates actually applied: en at 0.5 must out-sample de at 0.2
+    assert(byLang.getOrElse("en", 0L).toDouble / nLang("en") >
+      byLang.getOrElse("de", 0L).toDouble / nLang("de"),
       s"stratified rates not applied: $byLang")
+    // the declared verdict queries must be all-green themselves
+    val vf = run("sample_fraction").collect()
+    assert(vf.length == 2 && vf.forall(r => r.getBoolean(2)),
+      s"sample_fraction verdicts: ${vf.mkString(";")}")
+    val vs = run("sample_stratified").collect()
+    assert(vs.nonEmpty && vs.forall(r => r.getBoolean(2)),
+      s"sample_stratified verdicts: ${vs.mkString(";")}")
   }
 
   test("topk_group: every kept row beats every dropped row in its group") {
