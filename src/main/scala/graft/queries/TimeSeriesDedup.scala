@@ -162,6 +162,27 @@ object TimeSeriesDedup extends QueryGroup {
       Some("SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS bucket, count(*) AS n_events, count(DISTINCT user_id) AS n_users, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value FROM events GROUP BY 1 ORDER BY bucket"),
       scaleNote = "date_trunc is a codegen'd scalar, so this is a plain 2-phase hash agg keyed on the bucket — time bucketing costs nothing beyond the agg itself. Buckets are naturally ordered for range-partitioned output."),
 
+    // #50b — SLIDING time windows (1h window, 15min slide): the batch
+    // twin of stream_sliding, closing SURVEY §7 risk 5 (the recipe it
+    // prescribes: slide offsets on the oracle side via an unnest join,
+    // Spark side via the native multi-assign window()). Each event
+    // lands in window_len/slide = 4 windows on both engines; window
+    // grids agree because both align to an epoch on the 15-min grid.
+    QueryDef(
+      "ts_sliding",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+          .agg(
+            count(lit(1)).as("n_events"),
+            countDistinct(col("user_id")).as("n_users"),
+            sumDec2(col("value")).cast("double").as("sum_value"))
+          .select(col("window.start").as("bucket"),
+            col("n_events"), col("n_users"), col("sum_value"))
+          .orderBy("bucket"),
+      Some("SELECT bucket, count(*) AS n_events, count(DISTINCT user_id) AS n_users, CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_value FROM (SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS bucket, user_id, value FROM events, (SELECT unnest([0,1,2,3]) AS k)) GROUP BY bucket ORDER BY bucket"),
+      scaleNote = "window(len, slide) expands each row to len/slide bucket keys before the same 2-phase hash agg as ts_tumbling — wire volume is 4x rows but the expansion is map-side and fuses into codegen; no extra shuffle vs tumbling. At 100 TB prefer the coarsest slide the product tolerates (cost is linear in len/slide), or aggregate tumbling at slide granularity and roll 4 adjacent buckets up in a second tiny agg."),
+
     // #51 — sessionization via lag + cumulative-sum islands: trip
     // segmentation from passage gaps. Batch twin of stream_session.
     QueryDef(

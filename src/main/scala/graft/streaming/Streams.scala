@@ -64,18 +64,47 @@ object Streams {
   /** Latest record per user with explicit state — the reference's
     * "current station board" upsert kept in a streaming state store
     * instead of DynamoDB. Ties on ts resolve by event_id, matching the
-    * batch last_state struct-max. */
-  def lastState(events: Dataset[Event]): Dataset[UserState] = {
+    * batch last_state struct-max.
+    *
+    * State carries an event-time TTL (SURVEY §2.3: "latest record
+    * per key WITH TIMEOUT"): once the watermark passes a key's last
+    * event time + `ttl`, the key is evicted and rebuilt on re-arrival,
+    * so the store stays bounded by the recently-active key set even
+    * over an unbounded key space — without it, 100 TB of churning
+    * user ids grows the state store forever. The TTL is event-time
+    * (not processing-time) deliberately: processing-time timeouts make
+    * `FlatMapGroupsWithStateExec.shouldRunAnotherBatch` permanently
+    * true, so the query spins empty micro-batches to poll timers (and
+    * `processAllAvailable` never terminates); the event-time variant
+    * only re-fires when the watermark actually advances, and is
+    * replay-deterministic besides. Eviction + re-creation is asserted
+    * in StreamingSpec via the state-store row metrics. */
+  def lastState(events: Dataset[Event],
+      ttl: String = "30 minutes",
+      watermarkDelay: String = "1 hour"): Dataset[UserState] = {
     import events.sparkSession.implicits._
     events
+      .withWatermark("ts", watermarkDelay)
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.EventTimeTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[UserState]) =>
-          val candidates = state.getOption.iterator ++ evs.map(e =>
-            UserState(uid, e.ts, e.event_id, e.event_type, e.value))
-          val latest = candidates.maxBy(s => (s.last_ts.getTime, s.last_event_id))
-          state.update(latest)
-          Iterator(latest)
+          if (state.hasTimedOut) {
+            // watermark passed last_ts + ttl: drop this key's state;
+            // the next arrival rebuilds it from scratch
+            state.remove()
+            Iterator.empty
+          } else {
+            val candidates = state.getOption.iterator ++ evs.map(e =>
+              UserState(uid, e.ts, e.event_id, e.event_type, e.value))
+            val latest = candidates.maxBy(s => (s.last_ts.getTime, s.last_event_id))
+            state.update(latest)
+            // timeout must sit strictly above the current watermark —
+            // a late-but-kept row's ts may already be below it
+            state.setTimeoutTimestamp(
+              math.max(latest.last_ts.getTime, state.getCurrentWatermarkMs()), ttl)
+            Iterator(latest)
+          }
       }
   }
 
@@ -119,11 +148,14 @@ object Streams {
       .agg(max(struct(col("ts").as("t"), col("event_id").as("e"),
         col("value").as("v"))).as("s"))
       .select(col("user_id"), col("s.t"), col("s.e"), col("s.v"))
-    // the store stands in for the external KV service: in production
-    // this is a per-partition client write (batch.foreachPartition),
-    // never a driver collect of raw events — only |keys| rows arrive
-    latest.collect().foreach { r =>
-      store.put(r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+    // per-partition client writes, exactly as a production KV sink
+    // would do them — each executor partition opens its "client" (here
+    // the serializable TrieMap-backed store) and writes its own rows;
+    // nothing is collected to the driver
+    latest.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      rows.foreach { r =>
+        store.put(r.getLong(0), (r.getTimestamp(1), r.getLong(2), r.getDouble(3)))
+      }
     }
   }
 }
@@ -188,10 +220,25 @@ class ParquetUpsertSink(path: String) extends Serializable {
 
 /** In-memory keyed KV standing in for the DynamoDB sink in tests.
   * Upsert keeps the (ts, event_id)-max value per key — idempotent
-  * under micro-batch replay. */
+  * under micro-batch replay.
+  *
+  * The backing map lives in a JVM-wide registry keyed by store id
+  * (the MemorySink pattern): task closures serialize a COPY of this
+  * object, and the copy resolves to the same map, so per-partition
+  * executor writes stay visible to the driver-side instance in
+  * local/test mode. A multi-JVM cluster needs a real external KV —
+  * that path is [[ParquetUpsertSink]]. */
+object UpsertStore {
+  private val stores = scala.collection.concurrent.TrieMap
+    .empty[String, scala.collection.concurrent.TrieMap[Long, (java.sql.Timestamp, Long, Double)]]
+  private[streaming] def mapFor(id: String) =
+    stores.getOrElseUpdate(id,
+      scala.collection.concurrent.TrieMap.empty[Long, (java.sql.Timestamp, Long, Double)])
+}
+
 class UpsertStore extends Serializable {
-  private val m = scala.collection.concurrent.TrieMap
-    .empty[Long, (java.sql.Timestamp, Long, Double)]
+  private val id = java.util.UUID.randomUUID().toString
+  private def m = UpsertStore.mapFor(id)
   def put(k: Long, v: (java.sql.Timestamp, Long, Double)): Unit =
     m.updateWith(k) {
       case Some(old) if Ordering[(Long, Long)].gteq(

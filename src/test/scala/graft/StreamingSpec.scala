@@ -53,6 +53,19 @@ class StreamingSpec extends SparkSpec {
     assert(rows.length == 4) // 1h window / 15min slide
   }
 
+  test("stream_sliding matches the ts_sliding batch twin on the fixture") {
+    val rows = runStream(Streams.sliding, fixture, "update", "t_slide_par")
+    val streamed = rows.map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val s = spark
+    import s.implicits._
+    val batch = fixture.toDF()
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("bucket"), col("n"))
+      .collect().map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+  }
+
   test("stream_session groups by 30-min gaps and matches batch sessionization") {
     val rows = runStream(Streams.session, fixture, "complete", "t_sess")
     val streamed = rows.map(r => (r.getLong(0), r.getLong(3))).groupBy(_._1)
@@ -117,6 +130,39 @@ class StreamingSpec extends SparkSpec {
         .map(r => (r.getLong(0), r.getLong(2))) // (user_id, last_event_id)
       val finalPerUser = rows.groupBy(_._1).view.mapValues(_.last._2).toMap
       assert(finalPerUser == Map(1L -> 6L, 2L -> 5L))
+    } finally q.stop()
+  }
+
+  test("stream_last_state TTL evicts idle keys and re-creates them on re-arrival") {
+    val s = spark
+    import s.implicits._
+    val mem = MemoryStream[Event](14, spark, None)
+    // zero watermark delay so each batch's max ts IS the watermark;
+    // 10-min TTL measured in event time
+    val q = Streams.lastState(mem.toDS(), ttl = "10 minutes",
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("t_ttl")
+      .outputMode("update").start()
+    def stateRows: Long =
+      q.recentProgress.filter(_.stateOperators.nonEmpty)
+        .last.stateOperators(0).numRowsTotal
+    try {
+      mem.addData(Event(10, ts(0), 1, "view", 1.0)) // user 1 @10:00
+      q.processAllAvailable()
+      assert(stateRows == 1L)
+      // user 2 @10:30 pushes the watermark past user 1's 10:10 timeout;
+      // Spark then runs the timer batch (shouldRunAnotherBatch fires on
+      // watermark advance) which must evict user 1's state
+      mem.addData(Event(20, ts(30), 2, "view", 2.0))
+      q.processAllAvailable()
+      assert(stateRows == 1L, s"idle key not evicted: $stateRows state rows")
+      // user 1 re-arrives above the watermark → state is rebuilt from
+      // scratch and the new row is emitted
+      mem.addData(Event(5, ts(31), 1, "click", 9.0))
+      q.processAllAvailable()
+      assert(stateRows == 2L, s"evicted key not re-created: $stateRows state rows")
+      val u1 = spark.table("t_ttl").collect().filter(_.getLong(0) == 1L)
+      assert(u1.last.getLong(2) == 5L, s"rebuilt state wrong: ${u1.mkString(";")}")
     } finally q.stop()
   }
 
