@@ -99,24 +99,35 @@ object SimHash extends QueryGroup {
         val docs = Tables.documents(spark, sf)
         val found = nearPairs(docs, 3).select("id1", "id2")
         val truth = NearDup.nearDupPairs(docs, 0.5).select("id1", "id2")
-        // one aggregation carries BOTH the exact truth-pair count (the
-        // oracle recomputes it) and the hit count — no 1×1 join of two
-        // aggregates, no driver-side action
-        val recall = truth
-          .join(found.withColumn("hit", lit(1L)), Seq("id1", "id2"), "left")
-          .agg(count(lit(1)).as("n"),
-            (sum(coalesce(col("hit"), lit(0L))) >=
-              count(lit(1)).cast("double") * 0.4).as("ok"))
-          .select(lit("recall_ge_04").as("metric"), col("n"), col("ok"))
-        // every emitted simhash pair must be a true jaccard-≥0.5 pair
-        // (measured precision 1.0 on the planted corpus; a fingerprint
-        // or banding bug that admits junk pairs flips this to false)
-        val precision = found
-          .join(truth, Seq("id1", "id2"), "left_anti")
-          .agg((count(lit(1)) === 0).as("ok"))
-          .select(lit("precision_subset").as("metric"),
-            lit(null).cast("long").as("n"), col("ok"))
-        recall.unionByName(precision).orderBy("metric")
+        // ONE full-outer join + one aggregation carries all three
+        // verdict ingredients (truth count, hits, found-only junk).
+        // A recall join plus a precision anti-join would reference the
+        // truth and found pipelines twice each — locally that's saved
+        // by ReuseExchange (measured: equal runtime), but the single-
+        // pass shape doesn't depend on that optimization surviving
+        // AQE re-planning at scale. The ~3 s cost at sf0.1 is simply
+        // both LSH pipelines end-to-end; that's the price of a hard
+        // verdict and matches dedup_near's audited budget.
+        val stats = truth.withColumn("t", lit(1L))
+          .join(found.withColumn("f", lit(1L)), Seq("id1", "id2"), "full")
+          .agg(
+            count(col("t")).as("nt"),
+            sum(when(col("t").isNotNull && col("f").isNotNull, 1L)
+              .otherwise(0L)).as("hits"),
+            // every emitted simhash pair must be a true jaccard-≥0.5
+            // pair (measured precision 1.0 on the planted corpus; a
+            // fingerprint or banding bug that admits junk pairs makes
+            // junk > 0 and flips the verdict)
+            sum(when(col("t").isNull, 1L).otherwise(0L)).as("junk"))
+        stats.select(explode(array(
+          struct(lit("precision_subset").as("metric"),
+            lit(null).cast("long").as("n"), (col("junk") === 0).as("ok")),
+          struct(lit("recall_ge_04").as("metric"), col("nt").as("n"),
+            (col("hits").cast("double") >=
+              col("nt").cast("double") * 0.4).as("ok")))).as("r"))
+          .select(col("r.metric").as("metric"), col("r.n").as("n"),
+            col("r.ok").as("ok"))
+          .orderBy("metric")
       },
       Some("WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4), tr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5) SELECT * FROM (SELECT 'precision_subset' AS metric, CAST(NULL AS BIGINT) AS n, TRUE AS ok UNION ALL SELECT 'recall_ge_04' AS metric, (SELECT count(*) FROM tr) AS n, TRUE AS ok) ORDER BY metric"),
       scaleNote = "One aggregation produces the 64-bit fingerprint (8 bytes per doc — 100 TB of text collapses to GBs of signatures); banding turns near-pair search into 4 equi-joins on 16-bit keys. Hot 16-bit buckets (skewed band values) are salted or length-partitioned before the self-join at scale."))
