@@ -11,6 +11,21 @@ object GenScale {
       val o = if (d.oracle.isDefined) "duckdb" else "tests"
       sb.append(s"| `${d.name}` | $o | ${d.scaleNote} |\n")
     }
+    sb.append("""
+## Catalog statistics and cost-based planning
+
+`Catalog.analyzed` (ANALYZE ... FOR ALL COLUMNS at ingest) feeds the
+CBO row-count + NDV/min/max stats. Measured effect (CatalogSpec):
+with `spark.sql.cbo.enabled` + `joinReorder.enabled` and analyzed
+tables, the Q9 star join authored worst-first (`lineitem ⋈ supplier ⋈
+nation ⋈ part`) is re-planned to join the filtered `part` side first
+(`lineitem ⋈ part ⋈ supplier ⋈ nation`) — the stats-driven reorder
+that matters at 100 TB, where a wrong first join shuffles the fact
+table against an unfiltered dimension. Stats also flip post-filter
+small sides to broadcast without hints. Temp views cannot carry
+stats, so at scale ANALYZE belongs in the ingest path, exactly where
+`Catalog.analyzed` runs it.
+""")
     Files.writeString(Paths.get("SCALE.md"), sb.toString)
     println(s"wrote SCALE.md (${graft.engine.Registry.all.size} operators)")
   }

@@ -44,4 +44,39 @@ class CatalogSpec extends SparkSpec {
     assert(j.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
+
+  test("CBO join-reorder: statistics rewrite a badly-authored Q9 star join") {
+    val sp = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(sp)
+    try {
+      Seq("lineitem", "part", "supplier", "nation")
+        .foreach(Catalog.analyzed(sp, sf, _))
+      // deliberately bad authoring order: the selective part join LAST —
+      // without stats Spark preserves it (left-deep, author order); with
+      // stats + joinReorder the DP planner is free to pick a cheaper one
+      val q = """SELECT n_name, count(*) AS n
+                |FROM g_lineitem
+                |JOIN g_supplier ON l_suppkey = s_suppkey
+                |JOIN g_nation ON s_nationkey = n_nationkey
+                |JOIN g_part ON l_partkey = p_partkey
+                |WHERE contains(p_name, 'red')
+                |GROUP BY n_name""".stripMargin
+      def leafOrder(): Seq[String] = sp.sql(q).queryExecution.optimizedPlan
+        .collectLeaves().map(l => "g_\\w+".r.findFirstIn(l.toString).getOrElse("?"))
+      sp.conf.set("spark.sql.cbo.enabled", "false")
+      val plain = leafOrder()
+      val expect = sp.sql(q).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      sp.conf.set("spark.sql.cbo.enabled", "true")
+      sp.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      val reordered = leafOrder()
+      assert(plain != reordered,
+        s"statistics did not change the join order: $plain")
+      // the reordered plan is still semantically the same query
+      val got = sp.sql(q).collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == expect)
+    } finally {
+      sp.conf.set("spark.sql.cbo.enabled", "false")
+      org.apache.spark.sql.SparkSession.setActiveSession(spark)
+    }
+  }
 }
