@@ -18,7 +18,8 @@ object Registry {
     NearDup,
     SimHash,
     Multimodal,
-    AnnIvf)
+    AnnIvf,
+    CorpusOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryDef, QueryGroup, Tables}
+
+/** Corpus-preparation operators for an LLM training-data pipeline —
+  * the steps between raw deduplicated text/embeddings and a training
+  * mix: keyword weighting, deterministic train/val splitting, and
+  * embedding quantization. All three are hard-oracled against DuckDB.
+  *
+  * Cross-engine determinism notes (SURVEY §2.0):
+  *  - tfidf uses the RATIONAL idf variant `(N+1)/(df+1)` instead of
+  *    `ln((N+1)/(df+1))`: same ranking monotonicity, but a single
+  *    IEEE-754 division both engines round identically — no libm
+  *    `ln` ulp skew. Ties broken by term text, giving a total order.
+  *  - the split hashes DOCUMENT CONTENT (md5 prefix), not doc_id, so
+  *    membership is stable under re-ingestion/re-partitioning and
+  *    near-duplicate handling stays per-content.
+  *  - quantization widens float32 → float64 (exact), and every
+  *    arithmetic step is written in the same order in both engines.
+  */
+object CorpusOps extends QueryGroup {
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf × (N+1)/(df+1). The document representation / keyword-index
+    // pass of a corpus pipeline.
+    QueryDef(
+      "tfidf_keywords",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val w = docs.select(col("doc_id"),
+          explode(split(col("text"), " ")).as("term"))
+        val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val dfreq = w.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
+        val n = docs.agg(count(lit(1)).as("n"))
+        val scored = tf
+          .join(broadcast(dfreq), "term")
+          .crossJoin(broadcast(n))
+          .withColumn("score", col("tf").cast("double") *
+            ((col("n") + lit(1.0)) / (col("df") + lit(1.0))))
+        scored
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("doc_id")
+              .orderBy(col("score").desc, col("term"))))
+          .filter(col("rk") <= 3)
+          .select(col("doc_id"), col("term"),
+            round(col("score"), 4).as("score"), col("rk"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("WITH w AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents), tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1,2), df AS (SELECT term, count(DISTINCT doc_id) AS df FROM w GROUP BY 1), n AS (SELECT count(*) AS n FROM documents), s AS (SELECT doc_id, term, CAST(tf AS DOUBLE) * ((n + 1.0) / (df + 1.0)) AS score FROM tf JOIN df USING (term) CROSS JOIN n), r AS (SELECT doc_id, term, score, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rk FROM s) SELECT doc_id, term, round(score,4) AS score, rk FROM r WHERE rk <= 3 ORDER BY doc_id, rk"),
+      scaleNote = "tf is a 2-phase hash agg on (doc,term); df is |vocab| rows — broadcast here, a shuffle-on-term join once vocab outgrows the broadcast threshold (the plan shape is identical). The corpus count N is a single-row broadcast (constant, not a scan). Top-k per doc rides WindowGroupLimit, so each partition retains 3 rows during the sort — no global sort, no collect."),
+
+    // Deterministic content-hash train/val split (90/10): the split
+    // every training pipeline needs, keyed on md5(text) so membership
+    // survives re-ingestion, re-partitioning, and id reassignment.
+    QueryDef(
+      "split_train_val",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .withColumn("bucket",
+            conv(substring(md5(col("text")), 1, 8), 16, 10)
+              .cast("long") % 100)
+          .withColumn("split",
+            when(col("bucket") < 90, lit("train")).otherwise(lit("val")))
+          .select(col("doc_id"), col("bucket"), col("split"))
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket, CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id"),
+      scaleNote = "Map-only: one codegen'd hash per row, no shuffle, no state — the split of 100 TB costs a single scan and assignment is reproducible on any cluster layout. Content-keyed hashing also means exact duplicates land in the SAME split (no train/val leakage through dup pairs), which id-keyed splits cannot guarantee."),
+
+    // Symmetric int8 quantization per embedding vector (scale =
+    // 127/max|x|) — the storage/serving compression step for an
+    // embedding corpus; emits per-vector integer summaries.
+    QueryDef(
+      "emb_quantize",
+      (spark, sf) => {
+        val s = Tables.embeddings(spark, sf)
+          .select(col("vec_id"), explode(col("embedding")).as("x"))
+          .withColumn("xd", col("x").cast("double"))
+        val byVec = Window.partitionBy("vec_id")
+        s.withColumn("max_abs", max(abs(col("xd"))).over(byVec))
+          .filter(col("max_abs") > 0)
+          .withColumn("q", round(col("xd") * (lit(127.0) / col("max_abs"))))
+          .groupBy("vec_id")
+          .agg(sum(col("q")).cast("long").as("q_sum"),
+            min(col("q")).cast("long").as("q_min"),
+            max(col("q")).cast("long").as("q_max"))
+          .orderBy("vec_id")
+      },
+      Some("WITH s AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings), m AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS max_abs FROM s GROUP BY 1), qt AS (SELECT s.vec_id, round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS q FROM s JOIN m ON s.vec_id = m.vec_id WHERE max_abs > 0) SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum, CAST(min(q) AS BIGINT) AS q_min, CAST(max(q) AS BIGINT) AS q_max FROM qt GROUP BY 1 ORDER BY vec_id"),
+      scaleNote = "One shuffle on vec_id serves both the max|x| window and the final agg (same key); the window buffers exactly |dims| rows per key. The double sum of quantized values is exact (integers < 2^53), so partial-merge order cannot skew the hash. Quantized int8 payloads cut ANN-candidate shuffle volume 4× vs float32 — pair with ann_ivf's bucketed join."))
+}

@@ -60,7 +60,11 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_topk: the brute-force exact-recall BASELINE — broadcast query
     // set against every vector is its defining semantics; ann_ivf is
     // the bucketed equi-join scale path measured against it.
-    val bnljByDesign = Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk")
+    // tfidf_keywords: like agg_hll_sketch, its only loop join is the
+    // corpus count N — a broadcast SINGLE-ROW aggregate (a constant).
+    val bnljByDesign =
+      Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
+        "tfidf_keywords")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
