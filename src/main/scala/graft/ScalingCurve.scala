@@ -12,7 +12,9 @@ object ScalingCurve {
     spark.sparkContext.setLogLevel("ERROR")
     val sfs = Seq("sf0.001", "sf0.01", "sf0.1")
     val queries = Seq("agg_sum_group", "join_star", "win_rank", "join_asof",
-      "ts_session", "dedup_near", "vec_cosine_pairs", "ann_ivf", "text_tokens")
+      "ts_session", "dedup_near", "vec_cosine_pairs", "ann_ivf", "text_tokens",
+      "ann_topk", "ts_sliding", "tfidf_keywords", "split_train_val",
+      "emb_quantize", "dedup_clusters", "simhash_near")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)

@@ -206,5 +206,35 @@ object TimeSeriesDedup extends QueryGroup {
           .orderBy("user_id", "session_id")
       },
       Some("SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000 OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
-      scaleNote = "lag + cumsum islands: one shuffle on user_id serves both windows (same spec), then a hash agg on (user, session). The streaming twin (session_window / flatMapGroupsWithState) shares semantics — parity-tested in §5."))
+      scaleNote = "lag + cumsum islands: one shuffle on user_id serves both windows (same spec), then a hash agg on (user, session). The streaming twin (session_window / flatMapGroupsWithState) shares semantics — parity-tested in §5."),
+
+    // #51b — gap-fill resample: one row per (user, day) over the full
+    // corpus span, forward-filling the day's last observed value (ties
+    // on ts broken by event_id, the last_state rule). The daily
+    // station-board snapshot: state tracking between observations.
+    QueryDef(
+      "ts_resample",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val bounds = ev.agg(
+          date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("interval 1 day"))).as("day"))
+        val daily = ev
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("s"))
+          .select(col("user_id"), col("day"), col("s.value").as("day_val"))
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("value", last(col("day_val"), ignoreNulls = true).over(
+            Window.partitionBy("user_id").orderBy("day")
+              .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .select(col("user_id"), col("day"), col("value"))
+          .orderBy("user_id", "day")
+      },
+      Some("WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events), u AS (SELECT DISTINCT user_id FROM events), g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM u CROSS JOIN b), dl AS (SELECT user_id, day, value FROM (SELECT user_id, date_trunc('day', ts) AS day, value, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), j AS (SELECT g.user_id, g.day, dl.value FROM g LEFT JOIN dl ON g.user_id = dl.user_id AND g.day = dl.day) SELECT user_id, CAST(day AS TIMESTAMP) AS day, last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM j ORDER BY user_id, day"),
+      scaleNote = "Grid size is |users| x |days| — independent of event count, so the explode never outgrows the dimension product. Daily-last is a 2-phase struct-max agg (no window over raw events); the fill window runs over the GRID (30 rows per user here), and its shuffle key (user_id) matches the join's, so one exchange serves both. Bounds are a single-row broadcast. Forward fill copies stored doubles — zero float arithmetic to skew."))
 }

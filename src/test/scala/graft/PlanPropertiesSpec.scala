@@ -62,9 +62,12 @@ class PlanPropertiesSpec extends SparkSpec {
     // the bucketed equi-join scale path measured against it.
     // tfidf_keywords: like agg_hll_sketch, its only loop join is the
     // corpus count N — a broadcast SINGLE-ROW aggregate (a constant).
+    // tfidf_keywords / ts_resample: the only loop join is a broadcast
+    // SINGLE-ROW aggregate (corpus count N / global day bounds) — a
+    // constant, not a scan.
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
-        "tfidf_keywords")
+        "tfidf_keywords", "ts_resample")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
