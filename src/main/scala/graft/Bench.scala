@@ -1,6 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  // Locale.ROOT: the f-interpolator honors the default locale, and a
+  // decimal-comma locale would render 0,1234 — invalid JSON
+  private def fmt(t: Double): String =
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(t))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -31,15 +36,15 @@ object Bench {
       // incremental per-query line: even if the final summary line is
       // truncated by a bounded tail capture (r3 lost 13 of 84 entries
       // that way), every individual time survives as its own short line
-      println(f"""{"q":"$name","sec":$t%.4f}""")
+      println(s"""{"q":"$name","sec":${fmt(t)}}""")
       name -> t
     }
     // 4-decimal times keep the summary line compact (~25 chars/query
     // instead of ~40) — the r3 truncation was a line-length problem
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + f"$v%.4f" }
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line = f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // durable copy: the full JSON is also written to bench.json so no
     // amount of stdout truncation can lose it
     java.nio.file.Files.write(java.nio.file.Paths.get("bench.json"),

@@ -36,8 +36,11 @@ object CorpusOps extends QueryGroup {
         val tf = w.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
         val dfreq = w.groupBy("term").agg(countDistinct(col("doc_id")).as("df"))
         val n = docs.agg(count(lit(1)).as("n"))
+        // no broadcast HINT on the df join: |vocab| is tiny here but
+        // corpus-dependent at 100 TB — the planner (sizes/stats/AQE)
+        // owns that call; only the single-row N is broadcast by fiat
         val scored = tf
-          .join(broadcast(dfreq), "term")
+          .join(dfreq, "term")
           .crossJoin(broadcast(n))
           .withColumn("score", col("tf").cast("double") *
             ((col("n") + lit(1.0)) / (col("df") + lit(1.0))))

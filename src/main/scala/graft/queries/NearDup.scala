@@ -129,16 +129,22 @@ object NearDup extends QueryGroup {
       .select("id1", "id2", "jac")
   }
 
+  /** Shared DuckDB CTE chain computing the exact word-3-gram-shingle
+    * pair table `p(id1, id2, n1, n2, ni)` via a SPARSE shingle
+    * self-join: unnest the distinct shingle sets and equi-join on the
+    * shingle, so only pairs sharing ≥1 shingle are touched (0.07 s at
+    * sf0.01 vs ~60 s for the naive all-pairs list_intersect
+    * formulation). This is THE exact ground truth — dedup_near,
+    * dedup_clusters, and simhash_near all interpolate this one
+    * definition, so the three oracles can never drift apart. */
+  val TruthPairCtes: String = "w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)"
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_near",
       (spark, sf) =>
         nearDupPairs(Tables.documents(spark, sf), 0.5).orderBy("id1", "id2"),
-      // Exact ground truth via a SPARSE shingle self-join: unnest the
-      // distinct shingle sets and equi-join on the shingle, so only
-      // pairs sharing ≥1 shingle are touched (0.07 s at sf0.01 vs ~60 s
-      // for the naive all-pairs list_intersect formulation).
-      Some("WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4) SELECT id1, id2, round(CAST(ni AS DOUBLE)/(n1+n2-ni), 4) AS jac FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5 ORDER BY id1, id2"),
+      Some(s"WITH $TruthPairCtes SELECT id1, id2, round(CAST(ni AS DOUBLE)/(n1+n2-ni), 4) AS jac FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5 ORDER BY id1, id2"),
       scaleNote = "Banded LSH replaces the O(n²) pair space with per-band equi-joins on computed keys — the only join is shuffle-on-band_key, and the quadratic blowup is confined to same-bucket collisions (expected ≈ s²·pairs per band). At 100 TB: raise R to sharpen the threshold, salt oversized buckets (cap bucket size, re-split), and run exact verify only on the surviving ~0.01% of pairs. Never dropDuplicates on raw text; never cross join."),
 
     // Cluster resolution: near-dup PAIRS → connected components →
@@ -151,12 +157,15 @@ object NearDup extends QueryGroup {
     QueryDef(
       "dedup_clusters",
       (spark, sf) => {
+        // lazy checkpoints: identical lineage truncation, but building
+        // the DataFrame (plan sweeps, schema checks) runs zero jobs —
+        // materialization waits for the first real action
         val pairs = nearDupPairs(Tables.documents(spark, sf), 0.5)
           .select(col("id1"), col("id2"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
           .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-          .localCheckpoint()
+          .localCheckpoint(false)
         var lab = edges.select(col("src").as("v")).distinct()
           .select(col("v"), col("v").as("lab"))
         // 6 rounds reach min-label across any component of diameter
@@ -172,12 +181,12 @@ object NearDup extends QueryGroup {
           // each round references lab twice, so lineage doubles per
           // round — a cut every 3rd round caps the plan at 8 copies
           // of a checkpointed leaf instead of letting it grow 2^rounds
-          if (i % 3 == 0) lab = lab.localCheckpoint()
+          if (i % 3 == 0) lab = lab.localCheckpoint(false)
         }
         lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
             (col("v") === col("lab")).as("is_canonical"))
           .orderBy("doc_id")
       },
-      Some("WITH RECURSIVE w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4), pr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5), e AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2, id1 FROM pr), vs AS (SELECT DISTINCT src AS v FROM e), reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v) SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v ORDER BY doc_id"),
+      Some(s"WITH RECURSIVE $TruthPairCtes, pr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5), e AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2, id1 FROM pr), vs AS (SELECT DISTINCT src AS v FROM e), reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v) SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v ORDER BY doc_id"),
       scaleNote = "Iterations = component diameter, each one equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch the propagation to alternating small-star/large-star (O(log n) rounds, skew-safe on high-degree hubs) and checkpoint every round — exactly what this implementation does in miniature. The canonical-min rule is deterministic, so re-runs pick identical survivors."))
 }

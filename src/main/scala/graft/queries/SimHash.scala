@@ -129,6 +129,6 @@ object SimHash extends QueryGroup {
             col("r.ok").as("ok"))
           .orderBy("metric")
       },
-      Some("WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4), tr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5) SELECT * FROM (SELECT 'precision_subset' AS metric, CAST(NULL AS BIGINT) AS n, TRUE AS ok UNION ALL SELECT 'recall_ge_04' AS metric, (SELECT count(*) FROM tr) AS n, TRUE AS ok) ORDER BY metric"),
+      Some(s"WITH ${NearDup.TruthPairCtes}, tr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5) SELECT * FROM (SELECT 'precision_subset' AS metric, CAST(NULL AS BIGINT) AS n, TRUE AS ok UNION ALL SELECT 'recall_ge_04' AS metric, (SELECT count(*) FROM tr) AS n, TRUE AS ok) ORDER BY metric"),
       scaleNote = "One aggregation produces the 64-bit fingerprint (8 bytes per doc — 100 TB of text collapses to GBs of signatures); banding turns near-pair search into 4 equi-joins on 16-bit keys. Hot 16-bit buckets (skewed band values) are salted or length-partitioned before the self-join at scale."))
 }

@@ -239,6 +239,10 @@ object UpsertStore {
 class UpsertStore extends Serializable {
   private val id = java.util.UUID.randomUUID().toString
   private def m = UpsertStore.mapFor(id)
+  /** Drop this store's backing map from the JVM-wide registry — the
+    * registry holds the only strong reference, so without close() a
+    * long-lived process accumulates one map per store instance. */
+  def close(): Unit = UpsertStore.stores.remove(id)
   def put(k: Long, v: (java.sql.Timestamp, Long, Double)): Unit =
     m.updateWith(k) {
       case Some(old) if Ordering[(Long, Long)].gteq(

@@ -59,6 +59,10 @@ class BucketingSpec extends SparkSpec {
       // same answer as the shuffled baseline
       assert(bucketed.count() == plain.count())
     } finally {
+      // the bucketed tables are PERMANENT catalog tables in the shared
+      // metastore/warehouse — drop them so later suites see none
+      sp.sql("DROP TABLE IF EXISTS b_lineitem")
+      sp.sql("DROP TABLE IF EXISTS b_orders")
       org.apache.spark.sql.SparkSession.setActiveSession(spark)
     }
   }

@@ -60,8 +60,6 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_topk: the brute-force exact-recall BASELINE — broadcast query
     // set against every vector is its defining semantics; ann_ivf is
     // the bucketed equi-join scale path measured against it.
-    // tfidf_keywords: like agg_hll_sketch, its only loop join is the
-    // corpus count N — a broadcast SINGLE-ROW aggregate (a constant).
     // tfidf_keywords / ts_resample: the only loop join is a broadcast
     // SINGLE-ROW aggregate (corpus count N / global day bounds) — a
     // constant, not a scan.

@@ -271,6 +271,6 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       assert(store.snapshot == snap1, "replay changed the store")
       assert(snap1(1L)._2 == 6L && snap1(2L)._2 == 5L) // latest event ids
-    } finally q.stop()
+    } finally { q.stop(); store.close() }
   }
 }
