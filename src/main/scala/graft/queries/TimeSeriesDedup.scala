@@ -236,5 +236,5 @@ object TimeSeriesDedup extends QueryGroup {
           .orderBy("user_id", "day")
       },
       Some("WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events), u AS (SELECT DISTINCT user_id FROM events), g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM u CROSS JOIN b), dl AS (SELECT user_id, day, value FROM (SELECT user_id, date_trunc('day', ts) AS day, value, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), j AS (SELECT g.user_id, g.day, dl.value FROM g LEFT JOIN dl ON g.user_id = dl.user_id AND g.day = dl.day) SELECT user_id, CAST(day AS TIMESTAMP) AS day, last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM j ORDER BY user_id, day"),
-      scaleNote = "Grid size is |users| x |days| — independent of event count, so the explode never outgrows the dimension product. Daily-last is a 2-phase struct-max agg (no window over raw events); the fill window runs over the GRID (30 rows per user here), and its shuffle key (user_id) matches the join's, so one exchange serves both. Bounds are a single-row broadcast. Forward fill copies stored doubles — zero float arithmetic to skew."))
+      scaleNote = "Grid size is |users| x |days| — independent of event count, so the explode never outgrows the dimension product. Daily-last is a 2-phase struct-max agg that collapses events to |users| x |active days| rows, which the planner broadcasts against the grid (measured plan: BroadcastHashJoin + one window exchange). If the daily side outgrows broadcast at 100 TB, pre-partition both sides by user_id: hash(user_id) satisfies the (user_id, day) join clustering AND the fill window's partitioning, so one exchange serves both. Forward fill copies stored doubles — zero float arithmetic to skew."))
 }

@@ -39,6 +39,23 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("HashAggregate"))
   }
 
+  test("tfidf_keywords' top-3 filter rides WindowGroupLimit") {
+    assert(plan("tfidf_keywords").contains("WindowGroupLimit"))
+  }
+
+  test("split_train_val is map-only: no hash shuffle, one range sort") {
+    val p = plan("split_train_val")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+    assert(p.contains("Exchange rangepartitioning"), p.take(800))
+  }
+
+  test("emb_quantize's window and aggregation share one hash exchange") {
+    val p = plan("emb_quantize")
+    val hashExchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashExchanges == 1,
+      s"expected the vec_id exchange to serve window AND agg, got $hashExchanges:\n${p.take(800)}")
+  }
+
   test("no similarity operator falls back to a cartesian product") {
     for (q <- Seq("dedup_near", "simhash_near", "vec_cosine_pairs",
         "ngram_jaccard", "ann_ivf")) {
