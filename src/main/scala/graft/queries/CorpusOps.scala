@@ -73,6 +73,28 @@ object CorpusOps extends QueryGroup {
       Some("SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket, CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id"),
       scaleNote = "Map-only: one codegen'd hash per row, no shuffle, no state — the split of 100 TB costs a single scan and assignment is reproducible on any cluster layout. Content-keyed hashing also means exact duplicates land in the SAME split (no train/val leakage through dup pairs), which id-keyed splits cannot guarantee."),
 
+    // Per-document novelty: the fraction of a doc's distinct shingles
+    // that occur in NO other document — the decontamination/novelty
+    // signal (a doc of all-shared shingles is boilerplate or benchmark
+    // leakage; all-unique is fresh content). Shares NearDup's shingle
+    // definition and the oracle reuses the same truth CTE chain.
+    QueryDef(
+      "doc_novelty",
+      (spark, sf) => {
+        val sh = NearDup.shingleRows(Tables.documents(spark, sf)).distinct()
+        val bySh = Window.partitionBy("sh")
+        sh.withColumn("n_docs", count(lit(1)).over(bySh))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_shingles"),
+            sum(when(col("n_docs") === 1, 1L).otherwise(0L)).as("n_unique"))
+          .withColumn("novelty",
+            round(col("n_unique").cast("double") /
+              col("n_shingles").cast("double"), 4))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH ${NearDup.TruthPairCtes}, f AS (SELECT g, count(*) AS n_docs FROM s GROUP BY g) SELECT doc_id, count(*) AS n_shingles, CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty FROM s JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id"),
+      scaleNote = "One shuffle on the shingle key serves the document-frequency window; the per-doc rollup then shuffles |docs| partials, not shingles. The integer ratio is exact, so the score is bit-identical on any layout. At 100 TB hash the shingle to 8 bytes first (the ngram_jaccard trick) so the wide shuffle carries fixed-width keys, and pre-filter df=1 shingles map-side with a bloom filter built from the frequency pass."),
+
     // Symmetric int8 quantization per embedding vector (scale =
     // 127/max|x|) — the storage/serving compression step for an
     // embedding corpus; emits per-vector integer summaries.

@@ -22,12 +22,10 @@ class BucketingSpec extends SparkSpec {
     try {
       // force the SMJ path: broadcast would hide the co-location story
       sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      Tables.lineitem(sp, sf).write.mode("overwrite")
-        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-        .saveAsTable("b_lineitem")
-      Tables.orders(sp, sf).write.mode("overwrite")
-        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-        .saveAsTable("b_orders")
+      graft.sources.Sinks.writeBucketed(
+        Tables.lineitem(sp, sf), "b_lineitem", "l_orderkey", 8)
+      graft.sources.Sinks.writeBucketed(
+        Tables.orders(sp, sf), "b_orders", "o_orderkey", 8)
 
       // 1) plain parquet: the same join must shuffle BOTH sides —
       //    the baseline the bucketed plan is measured against

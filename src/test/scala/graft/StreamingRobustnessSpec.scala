@@ -64,6 +64,45 @@ class StreamingRobustnessSpec extends SparkSpec {
     assert(streamed == batch, s"incremental != batch")
   }
 
+  test("last_state recovers its keyed state from checkpoint across restart") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("ls-src").toString
+    val ckpt = Files.createTempDirectory("ls-ckpt").toString
+    def ev(id: Long, t: String, u: Long) =
+      graft.streaming.Streams.Event(id, java.sql.Timestamp.valueOf(t), u, "view", 1.0)
+    Seq(ev(10, "2024-01-01 10:00:00", 1), ev(11, "2024-01-01 12:00:00", 1))
+      .toDS().write.parquet(s"$src/slice0")
+    val schema = implicitly[org.apache.spark.sql.Encoder[graft.streaming.Streams.Event]].schema
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    def start() = graft.streaming.Streams.lastState(
+        spark.readStream.schema(schema).parquet(s"$src/slice*")
+          .as[graft.streaming.Streams.Event])
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[graft.streaming.Streams.UserState], _: Long) =>
+        batch.collect().foreach(r => emitted.add(r.user_id -> r.last_event_id)))
+      .option("checkpointLocation", ckpt)
+      .outputMode("update").start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.asScala.toSeq.contains(1L -> 11L), s"got ${emitted.asScala}")
+    emitted.clear()
+
+    // while the query is down, an event arrives that is NEWER than the
+    // watermark but OLDER than the checkpointed latest (12:00): only a
+    // query that recovered its state can keep event 11 as the answer —
+    // a state-less restart would emit event 5
+    Seq(ev(5, "2024-01-01 11:30:00", 1)).toDS().write.parquet(s"$src/slice1")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted.asScala.toSeq == Seq(1L -> 11L),
+        s"checkpointed state lost across restart: ${emitted.asScala}")
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: a restarted query continues without reprocessing") {
     val src = Files.createTempDirectory("ckpt-src").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
