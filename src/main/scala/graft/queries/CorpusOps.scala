@@ -73,6 +73,29 @@ object CorpusOps extends QueryGroup {
       Some("SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket, CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id"),
       scaleNote = "Map-only: one codegen'd hash per row, no shuffle, no state — the split of 100 TB costs a single scan and assignment is reproducible on any cluster layout. Content-keyed hashing also means exact duplicates land in the SAME split (no train/val leakage through dup pairs), which id-keyed splits cannot guarantee."),
 
+    // Training-mix rebalancing manifest: per-language sampling rates
+    // that downsample over-represented languages to a uniform target
+    // share. rate = min(1, total/(|langs| x n_docs)) is one integer
+    // product and one IEEE division — bit-identical across engines;
+    // pair with sample_fraction to execute the plan.
+    QueryDef(
+      "corpus_mix",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val t = docs.agg(count(lit(1)).as("total"),
+          countDistinct(col("lang")).as("nl"))
+        docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(t))
+          .withColumn("rate_raw",
+            least(lit(1.0), col("total") / (col("nl") * col("n_docs"))))
+          .select(col("lang"), col("n_docs"),
+            round(col("rate_raw"), 6).as("rate"),
+            floor(col("n_docs") * col("rate_raw")).cast("long").as("n_keep"))
+          .orderBy("lang")
+      },
+      Some("WITH t AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM documents) SELECT lang, count(*) AS n_docs, round(least(1.0, t.total / (t.nl * count(*))), 6) AS rate, CAST(floor(count(*) * least(1.0, t.total / (t.nl * count(*)))) AS BIGINT) AS n_keep FROM documents CROSS JOIN t GROUP BY lang, t.total, t.nl ORDER BY lang"),
+      scaleNote = "Two tiny aggregations (|langs| rows and one global row) over one scan each — the manifest costs two map-side-combined passes no matter the corpus size, and the single-row totals broadcast. The rates then DRIVE the heavy work: a scan-side Bernoulli filter per language (sample_fraction's shape), never a shuffle. Swap the uniform target for any published mix vector without changing the plan."),
+
     // Per-document novelty: the fraction of a doc's distinct shingles
     // that occur in NO other document — the decontamination/novelty
     // signal (a doc of all-shared shingles is boilerplate or benchmark
