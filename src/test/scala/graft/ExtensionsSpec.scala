@@ -41,6 +41,38 @@ class ExtensionsSpec extends SparkSpec {
     assert(spread > 4, s"salt did not spread the hot key (got $spread buckets)")
   }
 
+  test("AQE splits the skewed partition of a shuffle join at runtime") {
+    // the OTHER half of the skew story: SkewJoin.salted is the
+    // deterministic plan-time fix; AQE's OptimizeSkewedJoin is the
+    // runtime fix the scale notes lean on — prove it actually fires
+    val sp = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(sp)
+    try {
+      sp.conf.set("spark.sql.adaptive.enabled", "true")
+      sp.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // test-scale thresholds: the hot partition (~50k rows) is "skewed"
+      // relative to an 8KB advisory target
+      sp.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+      sp.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+      sp.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      import sp.implicits._
+      val left = sp.range(0, 50000).select(lit(0L).as("k"), col("id").as("v"))
+        .union(sp.range(1, 200).select(col("id").as("k"), col("id").as("v")))
+      val right = sp.range(0, 200).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = left.join(right, "k")
+      // collect() (not count()) so THIS dataset's queryExecution runs —
+      // count() builds a separate aggregate execution and would leave
+      // j's adaptive plan unexecuted (isFinalPlan=false)
+      assert(j.collect().length == 50000 + 199)
+      // after execution the adaptive plan is final; the skewed SMJ
+      // partition must have been split (skew=true marker)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not fire:\n${plan.take(1200)}")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("streaming file-source replay: parquet slices through readStream match batch") {
     val dir = Files.createTempDirectory("replay").toString
     val ev = graft.engine.Tables.loadEvents(spark, sf)
