@@ -19,7 +19,8 @@ object Registry {
     SimHash,
     Multimodal,
     AnnIvf,
-    CorpusOps)
+    CorpusOps,
+    PipelineOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

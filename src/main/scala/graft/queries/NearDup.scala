@@ -137,7 +137,13 @@ object NearDup extends QueryGroup {
     * formulation). This is THE exact ground truth — dedup_near,
     * dedup_clusters, and simhash_near all interpolate this one
     * definition, so the three oracles can never drift apart. */
-  val TruthPairCtes: String = "w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t), p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)"
+  /** The per-document distinct-shingle table `s(doc_id, n, g)` alone —
+    * the reusable prefix of [[TruthPairCtes]] for oracles that need
+    * shingle sets but not the pair table (doc_novelty's frequency
+    * rollup, contamination_check's eval-set containment join). */
+  val ShingleCtes: String = "w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM w0), s AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS g FROM t)"
+
+  val TruthPairCtes: String = ShingleCtes + ", p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)"
 
   def defs: Seq[QueryDef] = Seq(
     QueryDef(

@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.{Registry, Tables}
+import graft.functions.MisraGries
+import graft.queries.PipelineOps
+
+/** Semantic invariants for the round-4 pipeline operators, beyond the
+  * DuckDB hash gate: SCD2 interval algebra, decontamination ground
+  * truth, redaction completeness, and the Misra–Gries guarantees
+  * under adversarial merge orders (which the declared verdict query
+  * can only sample one layout of). */
+class PipelineOpsSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).build(spark, sf)
+
+  test("merge_scd2: versions partition each user's timeline exactly") {
+    val out = run("merge_scd2").cache()
+    try {
+      // exactly one open (is_current) version per user
+      val users = out.select("user_id").distinct().count()
+      assert(out.filter(col("is_current")).count() == users)
+      // intervals chain: valid_to of version v == valid_from of v+1;
+      // non-open intervals are strictly positive-length
+      val chained = out.as("a").join(out.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.version") + 1 === col("b.version"))
+      val broken = chained.filter(
+        col("a.valid_to") =!= col("b.valid_from") ||
+          col("a.valid_from") >= col("a.valid_to")).count()
+      assert(broken == 0, s"$broken broken interval chains")
+      // adjacent versions always change type (runs are maximal)
+      val sameType = chained.filter(
+        col("a.event_type") === col("b.event_type")).count()
+      assert(sameType == 0, s"$sameType non-maximal runs")
+      // version row count = 1 + number of type changes in event order
+      val ev = Tables.loadEvents(spark, sf)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = ev
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+        .count()
+      assert(out.count() == changes)
+      // n_events adds back up to the event log
+      assert(out.agg(sum("n_events")).head.getLong(0) == ev.count())
+    } finally { out.unpersist(); () }
+  }
+
+  test("contamination_check: containment fractions match a direct recompute") {
+    val out = run("contamination_check").cache()
+    try {
+      assert(out.count() > 0, "vacuous: no corpus doc overlaps the holdout")
+      // every winner comes from the holdout, fractions in (0, 1]
+      assert(out.filter(col("eval_id") >= PipelineOps.EvalSetSize ||
+        col("eval_id") < 0).count() == 0)
+      assert(out.filter(col("contamination") <= 0 ||
+        col("contamination") > 1).count() == 0)
+      // independent recompute of the max containment for 5 sample docs
+      // via the O(n²) definition the operator must never use at scale
+      val docs = Tables.documents(spark, sf)
+      val sh = queries.NearDup.shingleRows(docs).distinct().cache()
+      val sample = out.orderBy("doc_id").limit(5).collect()
+      val evalSets = sh.filter(col("doc_id") < PipelineOps.EvalSetSize)
+        .collect().groupBy(_.getLong(0))
+        .map { case (k, rs) => k -> rs.map(_.getString(1)).toSet }
+      for (r <- sample) {
+        val d = r.getLong(0)
+        val mySh = sh.filter(col("doc_id") === d)
+          .collect().map(_.getString(1)).toSet
+        val best = evalSets.map { case (e, s) =>
+          (mySh.intersect(s).size, -e)
+        }.max
+        assert(r.getLong(2) == best._1.toLong,
+          s"doc $d: ni ${r.getLong(2)} != ${best._1}")
+        assert(r.getLong(1) == -best._2, s"doc $d: wrong argmax eval doc")
+        val frac = BigDecimal(best._1.toDouble / mySh.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(math.abs(r.getDouble(3) - frac) < 1e-9)
+      }
+      sh.unpersist()
+    } finally { out.unpersist(); () }
+  }
+
+  test("text_pii_redact scrubs every digit and counts the runs") {
+    val out = run("text_pii_redact").cache()
+    try {
+      assert(out.filter(col("redacted").rlike("[0-9]")).count() == 0)
+      // n_hits is consistent: replacing each run with one '#' means
+      // len(original) - len(redacted) = totalDigitChars - n_runs ≥ 0,
+      // checked exactly via a reference recompute on a sample
+      val ev = Tables.loadEvents(spark, sf)
+        .select("event_id", "props").limit(50).collect()
+      val got = out.limit(50).collect()
+        .map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+      for (r <- ev) {
+        val (red, n) = got(r.getLong(0))
+        val runs = "[0-9]+".r.findAllIn(r.getString(1)).toSeq
+        assert(n == runs.size)
+        assert(red == "[0-9]+".r.replaceAllIn(r.getString(1), "#"))
+      }
+    } finally { out.unpersist(); () }
+  }
+
+  test("MisraGries invariants hold under adversarial merge orders") {
+    val k = 4
+    // skewed stream: term i appears 2^(7-i) times, i = 0..9
+    val stream = (0 until 10).flatMap(i => Seq.fill(1 << math.max(0, 7 - i))(s"t$i"))
+    val n = stream.size
+    def estimates(chunks: Seq[Seq[String]]): Map[String, Long] = {
+      val mg = new MisraGries(k)
+      chunks.map(_.foldLeft(mg.zero)(mg.reduce)).foldLeft(mg.zero)(mg.merge)
+    }
+    val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+    // layouts: single pass, sorted, reverse-sorted, round-robin 7 ways,
+    // and a pathological all-heavy-first split
+    val layouts = Seq(
+      Seq(stream), Seq(stream.sorted), Seq(stream.sorted.reverse),
+      (0 until 7).map(i => stream.zipWithIndex.collect { case (s, j) if j % 7 == i => s }),
+      Seq(stream.filter(_ == "t0"), stream.filter(_ != "t0")))
+    for ((chunks, li) <- layouts.zipWithIndex) {
+      val est = estimates(chunks)
+      assert(est.size <= k, s"layout $li: capacity exceeded")
+      for ((t, e) <- est) {
+        assert(e <= truth(t), s"layout $li: overcount of $t")
+        assert(truth(t) - e <= n / (k + 1), s"layout $li: error bound broken for $t")
+      }
+      for ((t, c) <- truth if c > n / (k + 1))
+        assert(est.contains(t), s"layout $li: heavy term $t evicted")
+    }
+  }
+
+  test("agg_heavy_hitters verdict is non-vacuous (the heavy set is non-empty)") {
+    val row = run("agg_heavy_hitters").head
+    assert(row.getAs[Long]("n_heavy") >= 1, "no heavy language: verdict vacuous")
+    assert(row.getAs[Boolean]("heavy_all_present"))
+    assert(row.getAs[Boolean]("bounds_ok"))
+    assert(row.getAs[Boolean]("capacity_ok"))
+  }
+}
