@@ -130,6 +130,23 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("scd2Merge == full recompute at every split boundary") {
+    val ev = Tables.loadEvents(spark, sf).cache()
+    try {
+      val full = PipelineOps.scd2(ev)
+      // boundaries spanning: near-empty prev, mid-split, near-empty
+      // increment — each mixes absorb / close / new-user / quiet-user
+      for (b <- Seq("2024-01-02", "2024-01-10", "2024-01-16", "2024-01-30")) {
+        val t = lit(b).cast("timestamp_ntz")
+        val merged = PipelineOps.scd2Merge(
+          PipelineOps.scd2(ev.filter(col("ts") < t)),
+          ev.filter(col("ts") >= t))
+        val diff = merged.exceptAll(full).unionAll(full.exceptAll(merged))
+        assert(diff.isEmpty, s"boundary $b: incremental != full recompute")
+      }
+    } finally { ev.unpersist(); () }
+  }
+
   test("agg_heavy_hitters verdict is non-vacuous (the heavy set is non-empty)") {
     val row = run("agg_heavy_hitters").head
     assert(row.getAs[Long]("n_heavy") >= 1, "no heavy language: verdict vacuous")
