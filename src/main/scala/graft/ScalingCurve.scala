@@ -14,7 +14,9 @@ object ScalingCurve {
     val queries = Seq("agg_sum_group", "join_star", "win_rank", "join_asof",
       "ts_session", "dedup_near", "vec_cosine_pairs", "ann_ivf", "text_tokens",
       "ann_topk", "ts_sliding", "tfidf_keywords", "split_train_val",
-      "emb_quantize", "dedup_clusters", "simhash_near")
+      "emb_quantize", "dedup_clusters", "simhash_near",
+      "merge_scd2", "merge_scd2_incremental", "contamination_check",
+      "text_pii_redact", "agg_heavy_hitters")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)

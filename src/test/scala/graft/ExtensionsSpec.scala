@@ -73,6 +73,32 @@ class ExtensionsSpec extends SparkSpec {
     } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // the runtime-pruning story SCALE.md's join notes lean on: with a
+    // selective filter on the small side of a shuffle join, Catalyst
+    // injects a bloom filter built from the filtered keys as a
+    // might_contain predicate on the FACT side — at 100 TB that skips
+    // most fact rows before the shuffle. Prove the injection fires.
+    val sp = spark.newSession()
+    org.apache.spark.sql.SparkSession.setActiveSession(sp)
+    try {
+      sp.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      // test-scale thresholds: sf0.001 scans are KB-sized
+      sp.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "1KB")
+      sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val li = sp.read.parquet(s"$sf/lineitem.parquet")
+      val part = sp.read.parquet(s"$sf/part.parquet")
+        .filter(col("p_size") === 1) // selective: ~2% of parts
+      val j = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size").count()
+      assert(j.collect().nonEmpty)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${plan.take(1500)}")
+    } finally org.apache.spark.sql.SparkSession.setActiveSession(spark)
+  }
+
   test("streaming file-source replay: parquet slices through readStream match batch") {
     val dir = Files.createTempDirectory("replay").toString
     val ev = graft.engine.Tables.loadEvents(spark, sf)
