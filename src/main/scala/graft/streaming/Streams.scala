@@ -108,6 +108,60 @@ object Streams {
       }
   }
 
+  case class Scd2State(version: Long, event_type: String,
+      valid_from: java.sql.Timestamp, n_events: Long)
+  case class Scd2Closed(user_id: Long, version: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      n_events: Long)
+
+  /** Streaming SCD2 maintenance — the stream twin of the batch
+    * merge_scd2 / merge_scd2_incremental pair: per-user open-version
+    * state folded over arriving events, CLOSED versions emitted in
+    * append mode the moment a type change supersedes them. The open
+    * version lives in the state store (it is tomorrow's
+    * merge_scd2_incremental `prev` slice, not a row to emit yet).
+    *
+    * Ordered-ingest assumption, stated loudly: events for a user are
+    * folded in (ts, event_id) order WITHIN each micro-batch, and
+    * batches are assumed time-ordered across batches (the reference's
+    * polling loop delivers exactly that). A late event belonging to an
+    * already-closed version would need watermark-buffered reordering —
+    * that variant buffers events until the watermark and folds them on
+    * timeout, at the price of state linear in the horizon. Parity with
+    * the batch scd2 under ordered replay is asserted in StreamingSpec.
+    *
+    * No timeout BY DESIGN (contrast lastState's event-time TTL): the
+    * open version is the product — evicting it would corrupt version
+    * numbering on the key's next event. State is O(1) per user
+    * (version counter + type + two scalars), so the store is bounded
+    * by |users|, not by history; for a truly unbounded churning key
+    * space, archive keys cold via the incremental batch path instead
+    * of a timeout. */
+  def scd2Stream(events: Dataset[Event]): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[Scd2State]) =>
+          val out = Seq.newBuilder[Scd2Closed]
+          var cur = state.getOption.orNull
+          for (e <- evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            if (cur == null)
+              cur = Scd2State(1L, e.event_type, e.ts, 1L)
+            else if (cur.event_type == e.event_type)
+              cur = cur.copy(n_events = cur.n_events + 1)
+            else {
+              out += Scd2Closed(uid, cur.version, cur.event_type,
+                cur.valid_from, e.ts, cur.n_events)
+              cur = Scd2State(cur.version + 1, e.event_type, e.ts, 1L)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */

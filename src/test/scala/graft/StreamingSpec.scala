@@ -166,6 +166,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_scd2 closed versions match the batch scd2 under ordered replay") {
+    val s = spark
+    import s.implicits._
+    // real event slices (sf0.001), replayed in three time-ordered
+    // micro-batches — the polling-loop delivery the operator assumes
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(300), all.slice(300, 700), all.drop(700))
+    val mem = MemoryStream[Streams.Event](15, spark, None)
+    val q = Streams.scd2Stream(mem.toDS()).writeStream.format("memory")
+      .queryName("t_scd2").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_scd2")
+        .select("user_id", "version", "event_type", "valid_from",
+          "valid_to", "n_events")
+      val batchClosed = graft.queries.PipelineOps
+        .scd2(all.toSeq.toDF())
+        .filter(!col("is_current"))
+        .select("user_id", "version", "event_type", "valid_from",
+          "valid_to", "n_events")
+      val diff = streamed.exceptAll(batchClosed)
+        .unionAll(batchClosed.exceptAll(streamed))
+      assert(diff.isEmpty,
+        s"stream/batch SCD2 divergence: ${diff.take(5).mkString(";")}")
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("stream_join_static enriches the stream against a broadcast dimension") {
     val s = spark
     import s.implicits._
