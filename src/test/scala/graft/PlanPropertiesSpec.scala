@@ -43,6 +43,26 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan("tfidf_keywords").contains("WindowGroupLimit"))
   }
 
+  test("merge_scd2 shares ONE hash exchange across both windows and the agg") {
+    // hashpartitioning(user_id) from the first window must satisfy the
+    // (user_id, version, event_type) groupBy AND the byVersion window —
+    // a second hash exchange means the run-assembly got re-shuffled
+    val p = plan("merge_scd2")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1, s"expected 1 hash exchange, got $hashEx:\n${p.take(900)}")
+  }
+
+  test("contamination_check broadcasts the eval holdout (no corpus-shingle shuffle join)") {
+    val p = plan("contamination_check")
+    assert(p.contains("BroadcastHashJoin"), p.take(900))
+  }
+
+  test("text_pii_redact plans no hash exchange (map-only scrub)") {
+    val p = plan("text_pii_redact")
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"redaction should be shuffle-free:\n${p.take(900)}")
+  }
+
   test("split_train_val is map-only: no hash shuffle, one range sort") {
     val p = plan("split_train_val")
     assert(!p.contains("Exchange hashpartitioning"), p.take(800))
