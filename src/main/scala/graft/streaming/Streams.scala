@@ -126,9 +126,10 @@ object Streams {
     * batches are assumed time-ordered across batches (the reference's
     * polling loop delivers exactly that). A late event belonging to an
     * already-closed version would need watermark-buffered reordering —
-    * that variant buffers events until the watermark and folds them on
-    * timeout, at the price of state linear in the horizon. Parity with
-    * the batch scd2 under ordered replay is asserted in StreamingSpec.
+    * [[scd2StreamOoO]] IS that variant, trading O(horizon) buffer
+    * state for disorder tolerance. Parity with the batch scd2 under
+    * ordered replay is asserted in StreamingSpec (and under shuffled
+    * replay for the OoO variant).
     *
     * No timeout BY DESIGN (contrast lastState's event-time TTL): the
     * open version is the product — evicting it would corrupt version
@@ -158,6 +159,57 @@ object Streams {
             }
           }
           if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
+
+  case class Scd2Buffer(open: Option[Scd2State], pending: Seq[Event])
+
+  /** Out-of-order-tolerant streaming SCD2 — the watermark-buffered
+    * variant scd2Stream's contract points to: events are HELD in state
+    * until the watermark passes them, then folded in (ts, event_id)
+    * order, so any disorder within the watermark delay cannot corrupt
+    * version numbering. Closed versions appear once their closing
+    * event is watermark-final — the emitted set is always a prefix
+    * (by valid_to ≤ watermark) of the batch answer.
+    *
+    * The price vs scd2Stream is state linear in the horizon (pending
+    * events per user within the delay) instead of O(1) — the standard
+    * buffer-until-watermark trade. Eviction of the BUFFER is by
+    * event-time timeout at the earliest pending event; the open
+    * version itself still never expires (it is the product). */
+  def scd2StreamOoO(events: Dataset[Event],
+      watermarkDelay: String = "1 hour"): Dataset[Scd2Closed] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[Scd2Buffer]) =>
+          val st = state.getOption.getOrElse(Scd2Buffer(None, Nil))
+          val wm = state.getCurrentWatermarkMs()
+          val (ripe, hold) = (st.pending ++ evs)
+            .partition(_.ts.getTime <= wm)
+          val out = Seq.newBuilder[Scd2Closed]
+          var cur = st.open.orNull
+          for (e <- ripe.sortBy(e => (e.ts.getTime, e.event_id))) {
+            if (cur == null)
+              cur = Scd2State(1L, e.event_type, e.ts, 1L)
+            else if (cur.event_type == e.event_type)
+              cur = cur.copy(n_events = cur.n_events + 1)
+            else {
+              out += Scd2Closed(uid, cur.version, cur.event_type,
+                cur.valid_from, e.ts, cur.n_events)
+              cur = Scd2State(cur.version + 1, e.event_type, e.ts, 1L)
+            }
+          }
+          state.update(Scd2Buffer(Option(cur), hold))
+          // wake when the watermark passes the earliest held event so
+          // it gets folded even if this key never sees data again
+          if (hold.nonEmpty)
+            state.setTimeoutTimestamp(
+              math.max(hold.map(_.ts.getTime).min, wm + 1))
           out.result().iterator
       }
   }

@@ -197,6 +197,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_scd2_ooo folds shuffled arrivals correctly via watermark buffering") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // deterministic shuffle WITHIN each slice: slices are time-ordered,
+    // so no event ever arrives below the PREVIOUS batch's watermark —
+    // disorder inside a batch is invisible to the watermark, and the
+    // 1-hour delay just sets how much of the tail stays pending
+    def scramble(xs: Array[Streams.Event]) =
+      xs.sortBy(e => e.event_id * 2654435761L % 1000)
+    val slices = Seq(scramble(all.take(300)),
+      scramble(all.slice(300, 700)), scramble(all.drop(700)))
+    val mem = MemoryStream[Streams.Event](16, spark, None)
+    val q = Streams.scd2StreamOoO(mem.toDS(), "1 hour").writeStream
+      .format("memory").queryName("t_scd2_ooo").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val cols = Seq("user_id", "version", "event_type", "valid_from",
+        "valid_to", "n_events")
+      val streamed = spark.table("t_scd2_ooo").select(cols.head, cols.tail: _*)
+      val batchClosed = graft.queries.PipelineOps.scd2(all.toSeq.toDF())
+        .filter(!col("is_current")).select(cols.head, cols.tail: _*)
+      // emitted set must be a SUBSET of the batch answer (nothing
+      // wrong was ever emitted under disorder)...
+      assert(streamed.exceptAll(batchClosed).isEmpty,
+        "OoO stream emitted versions the batch answer does not contain")
+      // ...and everything watermark-final must have been emitted:
+      // final watermark = max ts - delay, so every version closed
+      // more than an hour before the end must be present
+      val wmFinal = new java.sql.Timestamp(
+        all.map(_.ts.getTime).max - 3600L * 1000)
+      val due = batchClosed.filter(col("valid_to") <= lit(wmFinal))
+      assert(due.exceptAll(streamed).isEmpty,
+        "watermark-final versions missing from the OoO stream output")
+      assert(streamed.count() > 0, "vacuous: nothing emitted")
+    } finally q.stop()
+  }
+
   test("stream_join_static enriches the stream against a broadcast dimension") {
     val s = spark
     import s.implicits._
