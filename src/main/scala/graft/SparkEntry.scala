@@ -8,9 +8,11 @@ import graft.engine.Registry
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * TPC-H-Q1-style pricing summary (SURVEY.md §7 M1). */
+    * The full corpus-release pipeline in one DAG (LSH dedup → quality
+    * floor → language rebalance → content-hash split) — the engine's
+    * north star composed end-to-end (SURVEY.md §2.2d). */
   def entry(spark: SparkSession): DataFrame =
-    Registry.byName("agg_sum_group").build(spark, "/root/testdata/sf0.001")
+    Registry.byName("corpus_pipeline").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -145,6 +145,48 @@ object NearDup extends QueryGroup {
 
   val TruthPairCtes: String = ShingleCtes + ", p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.n AS n1, b.n AS n2, count(*) AS ni FROM s a JOIN s b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2,3,4)"
 
+  /** Exact connected-components fixpoint over the τ=0.5 truth pairs,
+    * ending in `canon(doc_id, cluster_id, is_canonical)` — the
+    * cluster-resolution truth shared by dedup_clusters and
+    * corpus_pipeline (requires WITH RECURSIVE). */
+  val ClusterCtes: String = TruthPairCtes + ", pr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5), e AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2, id1 FROM pr), vs AS (SELECT DISTINCT src AS v FROM e), reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v), canon AS (SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v)"
+
+  /** Near-dup cluster resolution: pairs → connected components →
+    * canonical member (min doc_id). Iterative min-label propagation
+    * over the pair graph; see dedup_clusters' QueryDef for the
+    * checkpointing rationale. Returns (doc_id, cluster_id,
+    * is_canonical) for every doc that HAS a near-dup partner. */
+  def clusters(docs: DataFrame, tau: Double): DataFrame = {
+    // lazy checkpoints: identical lineage truncation, but building
+    // the DataFrame (plan sweeps, schema checks) runs zero jobs —
+    // materialization waits for the first real action
+    val pairs = nearDupPairs(docs, tau)
+      .select(col("id1"), col("id2"))
+      .localCheckpoint(false)
+    val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
+      .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
+      .localCheckpoint(false)
+    var lab = edges.select(col("src").as("v")).distinct()
+      .select(col("v"), col("v").as("lab"))
+    // 6 rounds reach min-label across any component of diameter
+    // ≤ 6 — dedup components are shallow (near-dup chains are
+    // short; measured diameter ≤ 3 on this corpus), and the
+    // oracle's recursive CTE runs to the true fixpoint, so a
+    // too-deep component would FAIL the hash, not hide
+    for (i <- 1 to 6) {
+      val prop = edges
+        .join(lab.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), col("lab"))
+      lab = lab.union(prop).groupBy("v").agg(min(col("lab")).as("lab"))
+      // each round references lab twice, so lineage doubles per
+      // round — a cut every 3rd round caps the plan at 8 copies
+      // of a checkpointed leaf instead of letting it grow 2^rounds
+      if (i % 3 == 0) lab = lab.localCheckpoint(false)
+    }
+    lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
+      (col("v") === col("lab")).as("is_canonical"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "dedup_near",
@@ -162,37 +204,8 @@ object NearDup extends QueryGroup {
     // the lineage flat instead of doubling per iteration.
     QueryDef(
       "dedup_clusters",
-      (spark, sf) => {
-        // lazy checkpoints: identical lineage truncation, but building
-        // the DataFrame (plan sweeps, schema checks) runs zero jobs —
-        // materialization waits for the first real action
-        val pairs = nearDupPairs(Tables.documents(spark, sf), 0.5)
-          .select(col("id1"), col("id2"))
-          .localCheckpoint(false)
-        val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))
-          .union(pairs.select(col("id2").as("src"), col("id1").as("dst")))
-          .localCheckpoint(false)
-        var lab = edges.select(col("src").as("v")).distinct()
-          .select(col("v"), col("v").as("lab"))
-        // 6 rounds reach min-label across any component of diameter
-        // ≤ 6 — dedup components are shallow (near-dup chains are
-        // short; measured diameter ≤ 3 on this corpus), and the
-        // oracle's recursive CTE runs to the true fixpoint, so a
-        // too-deep component would FAIL the hash, not hide
-        for (i <- 1 to 6) {
-          val prop = edges
-            .join(lab.withColumnRenamed("v", "src"), "src")
-            .select(col("dst").as("v"), col("lab"))
-          lab = lab.union(prop).groupBy("v").agg(min(col("lab")).as("lab"))
-          // each round references lab twice, so lineage doubles per
-          // round — a cut every 3rd round caps the plan at 8 copies
-          // of a checkpointed leaf instead of letting it grow 2^rounds
-          if (i % 3 == 0) lab = lab.localCheckpoint(false)
-        }
-        lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
-            (col("v") === col("lab")).as("is_canonical"))
-          .orderBy("doc_id")
-      },
-      Some(s"WITH RECURSIVE $TruthPairCtes, pr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5), e AS (SELECT id1 AS src, id2 AS dst FROM pr UNION ALL SELECT id2, id1 FROM pr), vs AS (SELECT DISTINCT src AS v FROM e), reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v) SELECT v AS doc_id, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v ORDER BY doc_id"),
+      (spark, sf) =>
+        clusters(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
       scaleNote = "Iterations = component diameter, each one equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch the propagation to alternating small-star/large-star (O(log n) rounds, skew-safe on high-degree hubs) and checkpoint every round — exactly what this implementation does in miniature. The canonical-min rule is deterministic, so re-runs pick identical survivors."))
 }

@@ -190,6 +190,52 @@ object PipelineOps extends QueryGroup {
       Some("SELECT event_id, regexp_replace(props, '[0-9]+', '#', 'g') AS redacted, CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_hits FROM events ORDER BY event_id"),
       scaleNote = "Map-only: one codegen'd regex pass per row, zero shuffle, zero state — scrubbing 100 TB costs exactly one scan+rewrite and parallelizes to any executor count (the orderBy exists only for the deterministic oracle; production writes partition-local). Swap in the full PII pattern bank (emails, phones, SSNs) as additional regexp_replace stages in the same projection — still one pass."),
 
+    // THE pipeline: every corpus-release step composed into ONE
+    // declared DAG — near-dup dedup (keep the canonical cluster
+    // member), quality floor, language rebalancing to a uniform mix
+    // (deterministic content-hash sampling at corpus_mix's rates),
+    // content-hash train/val split. Emits one disposition row per doc:
+    // dup | short | sampled_out | train | val. The oracle rebuilds all
+    // four stages on the exact cluster fixpoint, so the hash gates the
+    // whole composition, not just the pieces.
+    QueryDef(
+      "corpus_pipeline",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val canon = NearDup.clusters(docs, 0.5)
+          .select(col("doc_id"), col("is_canonical"))
+        val d = docs.select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
+            .as("sbucket"),
+          (conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long") % 10000)
+            .as("lbucket"),
+          size(split(col("text"), " ")).as("ntok"))
+        val s1 = d.join(canon, Seq("doc_id"), "left")
+          .withColumn("early",
+            when(col("is_canonical") === false, "dup")
+              .when(col("ntok") < 25, "short"))
+        val pool = s1.filter(col("early").isNull)
+        val t = pool.agg(count(lit(1)).as("total"),
+          countDistinct(col("lang")).as("nl"))
+        // per-language keep rates on the POST-filter pool (corpus_mix's
+        // formula); |langs| is a bounded domain, so the rate table
+        // broadcasts by construction, not by luck
+        val rr = pool.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .crossJoin(broadcast(t))
+          .withColumn("rate",
+            least(lit(1.0), col("total") / (col("nl") * col("n_docs"))))
+          .select("lang", "rate")
+        s1.join(broadcast(rr), Seq("lang"), "left")
+          .select(col("doc_id"), col("lang"),
+            when(col("early").isNotNull, col("early"))
+              .when(col("lbucket") < floor(col("rate") * 10000),
+                when(col("sbucket") < 90, "train").otherwise("val"))
+              .otherwise("sampled_out").as("status"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE ${NearDup.ClusterCtes}, d AS (SELECT doc_id, lang, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS sbucket, ('0x'||substr(md5(text),9,8))::BIGINT % 10000 AS lbucket, len(string_split(text,' ')) AS ntok FROM documents), s1 AS (SELECT d.*, CASE WHEN c.is_canonical = FALSE THEN 'dup' WHEN ntok < 25 THEN 'short' END AS early FROM d LEFT JOIN canon c USING (doc_id)), pool AS (SELECT * FROM s1 WHERE early IS NULL), tt AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM pool), r0 AS (SELECT lang, count(*) AS n_docs FROM pool GROUP BY 1), rr AS (SELECT lang, least(1.0, tt.total/(tt.nl*n_docs)) AS rate FROM r0 CROSS JOIN tt) SELECT doc_id, s1.lang, CASE WHEN early IS NOT NULL THEN early WHEN lbucket < floor(rate*10000) THEN (CASE WHEN sbucket < 90 THEN 'train' ELSE 'val' END) ELSE 'sampled_out' END AS status FROM s1 LEFT JOIN rr ON s1.lang = rr.lang ORDER BY doc_id"),
+      scaleNote = "The full corpus release as one DAG, so Catalyst sees (and the driver gates) the composition: the only heavy stage is the LSH cluster pass (dedup_clusters' shape — banded equi-joins, never all-pairs); everything after is one scan of the doc table with two bounded-size broadcast joins (|langs| rate rows, the single-row totals) and codegen'd hash bucketing. Disposition is pure content hashing — re-running on a re-partitioned 100 TB corpus reproduces byte-identical train/val membership, and near-dup CLUSTERS (not just exact dups) land on one side of the split via the canonical-keep rule. Statuses are emitted (not filtered away) so every downstream consumer shares one audit manifest."),
+
     // Mergeable heavy-hitters (Misra–Gries) over the language column,
     // verdict-oracled: the sketch SET is merge-order-dependent, so the
     // declared row carries the exact stream stats the oracle recomputes

@@ -147,6 +147,37 @@ class PipelineOpsSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
+  test("corpus_pipeline dispositions are exhaustive and stage-consistent") {
+    val out = run("corpus_pipeline").cache()
+    try {
+      val docs = Tables.documents(spark, sf)
+      // one disposition per doc, none missing
+      assert(out.count() == docs.count())
+      val byStatus = out.groupBy("status").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // every stage fires on this corpus (no vacuous stage)
+      for (s <- Seq("dup", "short", "sampled_out", "train", "val"))
+        assert(byStatus.getOrElse(s, 0L) > 0, s"stage '$s' is vacuous")
+      assert(byStatus.keySet ==
+        Set("dup", "short", "sampled_out", "train", "val"))
+      // dup rows are EXACTLY the non-canonical cluster members
+      val nonCanon = queries.NearDup.clusters(docs, 0.5)
+        .filter(!col("is_canonical")).select("doc_id")
+      val dups = out.filter(col("status") === "dup").select("doc_id")
+      assert(dups.exceptAll(nonCanon).unionAll(nonCanon.exceptAll(dups)).isEmpty)
+      // the canonical member of every cluster survives dedup (its
+      // disposition is anything but 'dup') — no cluster is wiped out
+      val canonKept = queries.NearDup.clusters(docs, 0.5)
+        .filter(col("is_canonical")).select("doc_id")
+        .join(out, "doc_id").filter(col("status") === "dup")
+      assert(canonKept.isEmpty)
+      // train share of the split pool is ~90%
+      val tr = byStatus("train").toDouble
+      val ratio = tr / (tr + byStatus("val"))
+      assert(ratio > 0.8 && ratio < 0.97, s"split ratio off: $ratio")
+    } finally { out.unpersist(); () }
+  }
+
   test("agg_heavy_hitters verdict is non-vacuous (the heavy set is non-empty)") {
     val row = run("agg_heavy_hitters").head
     assert(row.getAs[Long]("n_heavy") >= 1, "no heavy language: verdict vacuous")

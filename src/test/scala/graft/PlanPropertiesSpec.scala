@@ -104,7 +104,7 @@ class PlanPropertiesSpec extends SparkSpec {
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
         "tfidf_keywords", "ts_resample", "corpus_mix",
-        "agg_heavy_hitters")
+        "agg_heavy_hitters", "corpus_pipeline")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
