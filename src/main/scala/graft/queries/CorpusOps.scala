@@ -118,6 +118,47 @@ object CorpusOps extends QueryGroup {
       Some(s"WITH ${NearDup.TruthPairCtes}, f AS (SELECT g, count(*) AS n_docs FROM s GROUP BY g) SELECT doc_id, count(*) AS n_shingles, CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty FROM s JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id"),
       scaleNote = "One shuffle on the shingle key serves the document-frequency window; the per-doc rollup then shuffles |docs| partials, not shingles. The integer ratio is exact, so the score is bit-identical on any layout. At 100 TB hash the shingle to 8 bytes first (the ngram_jaccard trick) so the wide shuffle carries fixed-width keys, and pre-filter df=1 shingles map-side with a bloom filter built from the frequency pass."),
 
+    // Sequence packing: assign documents (in stable doc_id order) to
+    // fixed-token-budget training sequences — the batch-assembly step
+    // before tokenized text becomes training examples. seq_id =
+    // floor(tokens-before-this-doc / budget), i.e. documents flow into
+    // 2048-token bins and may straddle a boundary (standard packed-
+    // sequence semantics). The global running count is computed as a
+    // TWO-PHASE distributed prefix sum — per-shard subtotals, a tiny
+    // offsets cumsum, then shard-local windows — never a
+    // single-partition window over the corpus.
+    QueryDef(
+      "pack_sequences",
+      (spark, sf) => {
+        val budget = 2048
+        val shardSpan = 64 // contiguous doc_id blocks preserve order
+        val docs = Tables.documents(spark, sf)
+          .select(col("doc_id"),
+            size(split(col("text"), " ")).cast("long").as("ntok"),
+            expr(s"doc_id div $shardSpan").as("shard"))
+        // phase 1: per-shard token subtotals (|shards| rows)
+        val subtotals = docs.groupBy("shard")
+          .agg(sum(col("ntok")).as("shard_tok"))
+        // phase 2: offsets via a cumsum over the TINY subtotal table —
+        // the only single-partition window touches |shards| rows, a
+        // bounded-size plan node at any corpus size
+        val offsets = subtotals.withColumn("offset",
+          coalesce(sum(col("shard_tok")).over(
+            Window.orderBy("shard")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("shard", "offset")
+        // phase 3: shard-local running sums + the broadcast offsets
+        val wShard = Window.partitionBy("shard").orderBy("doc_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        docs.join(broadcast(offsets), "shard")
+          .withColumn("cum", col("offset") + sum(col("ntok")).over(wShard))
+          .select(col("doc_id"), col("ntok"), col("cum"),
+            floor((col("cum") - col("ntok")) / budget).cast("long").as("seq_id"))
+          .orderBy("doc_id")
+      },
+      Some("SELECT doc_id, ntok, CAST(cum AS BIGINT) AS cum, CAST(floor((cum - ntok) / 2048) AS BIGINT) AS seq_id FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) ORDER BY doc_id"),
+      scaleNote = "A global running sum is the textbook distributed-prefix-sum: per-shard subtotals (map-side agg), a cumsum over the |shards|-row subtotal table (the ONLY single-partition step — KB-sized at any corpus scale), and shard-local windows shifted by the broadcast offsets. The naive formulation (one Window over ORDER BY doc_id with no partition key) funnels 100 TB through ONE task — this plan never does, pinned in PlanPropertiesSpec. Shards here are contiguous doc_id blocks; at scale they are the ingest partition ranges, so phase 3 reuses the storage partitioning with zero extra shuffle."),
+
     // Symmetric int8 quantization per embedding vector (scale =
     // 127/max|x|) — the storage/serving compression step for an
     // embedding corpus; emits per-vector integer summaries.

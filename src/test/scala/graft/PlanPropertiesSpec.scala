@@ -57,6 +57,31 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(900))
   }
 
+  test("pack_sequences: the corpus-level window is sharded, not single-partition") {
+    // the two-phase prefix sum's whole point: only the |shards|-row
+    // offsets cumsum may run in one partition; the window over the doc
+    // table must carry a partition spec. The naive global-ORDER-BY
+    // formulation would show one unpartitioned WindowExec over the scan.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p0 = Registry.byName("pack_sequences").build(spark, sf)
+      .queryExecution.executedPlan
+    // AQE wraps the real plan; collect() does not descend into it
+    val p = p0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val wins = p.collect { case w: WindowExec => w }
+    assert(wins.size == 2, s"expected 2 windows, got ${wins.size}")
+    val (unpart, part) = wins.partition(_.partitionSpec.isEmpty)
+    assert(part.size == 1, "doc-level window lost its shard partitioning")
+    assert(unpart.size == 1)
+    // the unpartitioned one must sit above an aggregate (bounded input)
+    assert(unpart.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty, "single-partition window is not over the subtotal aggregate")
+  }
+
   test("text_pii_redact plans no hash exchange (map-only scrub)") {
     val p = plan("text_pii_redact")
     assert(!p.contains("Exchange hashpartitioning"),
