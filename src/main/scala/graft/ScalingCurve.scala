@@ -16,7 +16,7 @@ object ScalingCurve {
       "ann_topk", "ts_sliding", "tfidf_keywords", "split_train_val",
       "emb_quantize", "dedup_clusters", "simhash_near",
       "merge_scd2", "merge_scd2_incremental", "contamination_check",
-      "text_pii_redact", "agg_heavy_hitters", "corpus_pipeline", "pack_sequences")
+      "text_pii_redact", "agg_heavy_hitters", "corpus_pipeline", "pack_sequences", "ann_kmeans")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)

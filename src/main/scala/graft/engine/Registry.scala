@@ -19,6 +19,7 @@ object Registry {
     SimHash,
     Multimodal,
     AnnIvf,
+    AnnKmeans,
     CorpusOps,
     PipelineOps)
 

@@ -88,6 +88,20 @@ object DevProbe {
       val s = obs.getOrElse(l, 0L)
       println(s"$l,$n,$s,${s.toDouble / n}")
     }
+    // k-means probe-1 recall + cell sizes (ann_kmeans verdict design)
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      import graft.queries.AnnKmeans
+      val vecs = AnnKmeans.quantized(spark, d)
+      val cents = AnnKmeans.train(vecs)
+      val asg = AnnKmeans.assign(vecs, cents)
+      val sizes = asg.groupBy("cid").count().orderBy("cid").collect()
+        .map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(" ")
+      val queries = vecs.filter(col("vec_id") < 100)
+      val ivf = AnnKmeans.topkInCell(vecs, cents, queries, AnnKmeans.TopK, nprobe = 3)
+      val exact = AnnKmeans.topkExact(vecs, queries, AnnKmeans.TopK)
+      val hits = exact.join(ivf, Seq("query_id", "vec_id"), "left_semi").count()
+      println(s"== KMEANS $d cells=[$sizes] hits=$hits/300 ==")
+    }
     spark.stop()
   }
 }

@@ -129,7 +129,7 @@ class PlanPropertiesSpec extends SparkSpec {
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
         "tfidf_keywords", "ts_resample", "corpus_mix",
-        "agg_heavy_hitters", "corpus_pipeline")
+        "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
