@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
 import graft.functions.MisraGries
 
-/** Round-4 depth operators: warehouse/state-assembly (SCD2 merge),
-  * eval-set decontamination, PII scrubbing, and a mergeable
-  * heavy-hitters sketch — the remaining steps a production
-  * training-data pipeline runs between raw logs and a corpus release.
+/** Round-4 depth operators: warehouse/state-assembly (SCD2 merge,
+  * plus the hash-proven incremental path), eval-set decontamination,
+  * PII scrubbing, a mergeable heavy-hitters sketch, and
+  * corpus_pipeline — the whole release composed into one oracled DAG
+  * (and the engine's flagship `SparkEntry.entry`).
   *
   * Determinism notes (SURVEY §2.0): SCD2 orders by (ts, event_id) so
   * every window is a total order; contamination shares NearDup's ONE
