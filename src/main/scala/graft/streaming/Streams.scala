@@ -177,7 +177,14 @@ object Streams {
     * events per user within the delay) instead of O(1) — the standard
     * buffer-until-watermark trade. Eviction of the BUFFER is by
     * event-time timeout at the earliest pending event; the open
-    * version itself still never expires (it is the product). */
+    * version itself still never expires (it is the product).
+    *
+    * Events LATER than the watermark never reach the fold: Spark
+    * filters below-watermark input rows before flatMapGroupsWithState
+    * (verified in StreamingSpec — a late event older than an
+    * already-closed version is dropped, not mis-folded), so `ripe`
+    * here only ever contains buffered rows the watermark just passed,
+    * in order. */
   def scd2StreamOoO(events: Dataset[Event],
       watermarkDelay: String = "1 hour"): Dataset[Scd2Closed] = {
     import events.sparkSession.implicits._

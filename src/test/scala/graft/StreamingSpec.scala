@@ -238,6 +238,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_scd2_ooo drops below-watermark events instead of mis-folding them") {
+    // semantics guard: Spark filters late input rows before
+    // flatMapGroupsWithState, so an event older than an already-closed
+    // version must vanish — if it ever reached the fold it would be
+    // "ripe" immediately and corrupt the closed version's count
+    val s = spark
+    import s.implicits._
+    def T(x: String) = Timestamp.valueOf(x)
+    val mem = MemoryStream[Streams.Event](17, spark, None)
+    val q = Streams.scd2StreamOoO(mem.toDS(), "0 seconds").writeStream
+      .format("memory").queryName("t_scd2_late").outputMode("append").start()
+    try {
+      mem.addData(Event(1, T("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, T("2024-01-01 11:00:00"), 1, "click", 1.0))
+      q.processAllAvailable() // watermark -> 11:00
+      // LATE: belongs inside version 1, which is about to close
+      mem.addData(Event(3, T("2024-01-01 10:30:00"), 1, "view", 1.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, T("2024-01-01 12:00:00"), 1, "error", 1.0))
+      q.processAllAvailable()
+      val v1 = spark.table("t_scd2_late").filter(col("version") === 1).collect()
+      assert(v1.length == 1)
+      // n_events == 1: the late 10:30 view did NOT inflate the closed run
+      assert(v1.head.getAs[Long]("n_events") == 1L,
+        s"late event leaked into a closed version: ${v1.head}")
+      assert(v1.head.getAs[String]("event_type") == "view")
+    } finally q.stop()
+  }
+
   test("stream_join_static enriches the stream against a broadcast dimension") {
     val s = spark
     import s.implicits._
