@@ -136,7 +136,11 @@ class PipelineOpsSpec extends SparkSpec {
       val full = PipelineOps.scd2(ev)
       // boundaries spanning: near-empty prev, mid-split, near-empty
       // increment — each mixes absorb / close / new-user / quiet-user
-      for (b <- Seq("2024-01-02", "2024-01-10", "2024-01-16", "2024-01-30")) {
+      // includes the degenerate ends: a boundary before every event
+      // (empty prev — merge must equal the increment's own SCD2) and
+      // after every event (empty increment — prev must pass through)
+      for (b <- Seq("2023-12-01", "2024-01-02", "2024-01-10",
+          "2024-01-16", "2024-01-30", "2025-01-01")) {
         val t = lit(b).cast("timestamp_ntz")
         val merged = PipelineOps.scd2Merge(
           PipelineOps.scd2(ev.filter(col("ts") < t)),
