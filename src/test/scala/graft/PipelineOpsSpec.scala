@@ -182,6 +182,38 @@ class PipelineOpsSpec extends SparkSpec {
     } finally { out.unpersist(); () }
   }
 
+  test("MisraGries guarantees hold on random streams with random chunking") {
+    // ScalaCheck-driven: Zipf-ish random streams over a 20-symbol
+    // alphabet, split into random chunk layouts — the MG bounds must
+    // hold for every (stream, layout) pair, not just curated ones
+    import org.scalacheck.{Gen, rng}
+    val k = 5
+    val mg = new MisraGries(k)
+    val streamGen = Gen.listOfN(400,
+      Gen.frequency((8, Gen.const(0)), (4, Gen.const(1)), (2, Gen.const(2)),
+        (1, Gen.choose(3, 19))).map(i => s"s$i"))
+    for (seed <- 1 to 40) {
+      val stream = streamGen(Gen.Parameters.default,
+        rng.Seed(seed.toLong)).getOrElse(Nil)
+      val n = stream.size
+      // random chunk layout derived from the same seed
+      val nChunks = 1 + seed % 7
+      val chunks = stream.zipWithIndex
+        .groupBy { case (_, i) => (i * 2654435761L + seed) % nChunks }
+        .values.map(_.map(_._1)).toSeq
+      val est = chunks.map(_.foldLeft(mg.zero)(mg.reduce))
+        .foldLeft(mg.zero)(mg.merge)
+      val truth = stream.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      assert(est.size <= k, s"seed $seed: capacity broken")
+      for ((t, e) <- est) {
+        assert(e <= truth(t), s"seed $seed: overcount of $t")
+        assert(truth(t) - e <= n / (k + 1), s"seed $seed: bound broken for $t")
+      }
+      for ((t, c) <- truth if c > n / (k + 1))
+        assert(est.contains(t), s"seed $seed: heavy term $t evicted")
+    }
+  }
+
   test("agg_heavy_hitters verdict is non-vacuous (the heavy set is non-empty)") {
     val row = run("agg_heavy_hitters").head
     assert(row.getAs[Long]("n_heavy") >= 1, "no heavy language: verdict vacuous")
