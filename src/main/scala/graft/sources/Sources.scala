@@ -101,6 +101,34 @@ object JsonDocs {
 
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(documentSchema).json(path)
+
+  /** Robust json-lines ingest: PERMISSIVE mode with an explicit
+    * corrupt-record column. At 100 TB some fraction of every feed is
+    * malformed; FAILFAST kills the job on the first bad byte and
+    * DROPMALFORMED silently loses data — the production answer is to
+    * QUARANTINE: parse what parses, keep the raw text of what does
+    * not, and route the two by `_corrupt IS NULL`. The corrupt column
+    * must ALSO appear in the schema passed to the reader (Spark drops
+    * it otherwise) but not in the declared document schema. */
+  def readRobust(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .schema(documentSchema.add(StructField("_corrupt", StringType)))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .json(path)
+
+  /** The two routes of a robust ingest: (clean rows, quarantine).
+    * The input is cached first — Spark refuses corrupt-column-only
+    * queries against a raw JSON scan (UNSUPPORTED_FEATURE.
+    * QUERY_ONLY_CORRUPT_RECORD_COLUMN: the parser would need a
+    * second pass to know what failed), and a production ingest
+    * materializes the parse ONCE before splitting anyway — never
+    * parse 100 TB twice to route two outputs. */
+  def quarantine(raw: DataFrame): (DataFrame, DataFrame) = {
+    val parsed = raw.cache()
+    (parsed.filter(col("_corrupt").isNull).drop("_corrupt"),
+      parsed.filter(col("_corrupt").isNotNull).select(col("_corrupt").as("raw")))
+  }
 }
 
 /** Sinks. The scale-relevant demonstration is BUCKETING: writing both

@@ -60,6 +60,24 @@ class SourcesSpec extends SparkSpec {
     assert(d.schema("doc_id").dataType.typeName == "long")
   }
 
+  test("robust JSON ingest quarantines malformed lines instead of crashing or dropping") {
+    val dir = tmp("json_robust")
+    Files.writeString(java.nio.file.Paths.get(s"$dir/d.jsonl"),
+      """{"doc_id": 1, "text": "scan join merge", "lang": "en", "source": "src0", "n_chars": 15}
+        |{"doc_id": 2, "text": "window order, "lang": BROKEN
+        |not json at all
+        |{"doc_id": 3, "text": "hash batch", "lang": "de", "source": "src2", "n_chars": 10}""".stripMargin)
+    val (clean, bad) = JsonDocs.quarantine(JsonDocs.readRobust(spark, dir))
+    assert(clean.count() == 2)
+    assert(clean.columns.toSeq == JsonDocs.documentSchema.fieldNames.toSeq)
+    assert(clean.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // quarantine keeps the RAW text of both malformed lines for replay
+    val raws = bad.collect().map(_.getString(0))
+    assert(raws.length == 2, s"expected 2 quarantined lines, got ${raws.mkString("|")}")
+    assert(raws.exists(_.contains("not json at all")))
+    assert(raws.exists(_.contains("BROKEN")))
+  }
+
   test("bucketed write eliminates the join shuffle (the 100 TB star-join lever)") {
     val sp = spark.newSession() // isolated runtime confs, shared temp warehouse
     sp.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
