@@ -122,7 +122,13 @@ object Gtfs {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
-  /** Register the UDx surface on a session (geometric_mean UDAF). */
-  def register(spark: SparkSession): Unit =
+  /** Register the UDx surface on a session (geometric_mean and
+    * heavy_hitters UDAFs). heavy_hitters(col) folds a string column
+    * into a ≤16-entry Misra–Gries summary map (term → estimate) with
+    * the mergeable-summaries guarantees — usable from plain SQL:
+    * `SELECT heavy_hitters(lang) FROM docs`. */
+  def register(spark: SparkSession): Unit = {
     spark.udf.register("geometric_mean", udaf(GeometricMean))
+    spark.udf.register("heavy_hitters", udaf(new MisraGries(16)))
+  }
 }

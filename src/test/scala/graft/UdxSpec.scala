@@ -71,6 +71,20 @@ class UdxSpec extends SparkSpec {
     assert(math.abs(r - expected) < 1e-12)
   }
 
+  test("heavy_hitters UDAF is callable from SQL and keeps the majority term") {
+    Gtfs.register(spark)
+    val docs = graft.engine.Tables.documents(spark, sf)
+    docs.createOrReplaceTempView("udx_docs")
+    val m = spark.sql("SELECT heavy_hitters(lang) AS hh FROM udx_docs")
+      .head().getMap[String, Long](0)
+    assert(m.size <= 16)
+    // 'en' is ~44% of the corpus — with k=16 capacity over a 5-value
+    // domain nothing is ever evicted, so estimates are exact counts
+    val exact = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m.toMap == exact)
+  }
+
   test("delay computation composes: observed − scheduled in seconds") {
     // the reference's core analytic, from the UDx primitives
     val df = spark.sql(
