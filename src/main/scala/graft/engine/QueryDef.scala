@@ -62,12 +62,11 @@ object Vec {
   val QuantScale: Double = 1048576.0
 
   /** floor(x·2^20) per element: widen exact, shift exact, floor exact —
-    * zero rounding anywhere, identical across engines. */
-  def quantize(c: Column): Column =
-    org.apache.spark.sql.functions.transform(c,
-      x => org.apache.spark.sql.functions.floor(
-        x.cast("double") * org.apache.spark.sql.functions.lit(QuantScale))
-        .cast("long"))
+    * zero rounding anywhere, identical across engines. Backed by the
+    * codegen'd [[graft.plans.QuantizeVec]] Expression (bit-identical
+    * to the `transform`-HOF formulation, which is interpreted per
+    * element — QuantizeVecSpec pins the equality). */
+  def quantize(c: Column): Column = graft.plans.QuantizeVec.quantize(c)
 
   /** Integer squared norm of a quantized vector. */
   def norm2(qv: Column): Column =
