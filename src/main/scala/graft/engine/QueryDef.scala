@@ -68,10 +68,10 @@ object Vec {
     * element — QuantizeVecSpec pins the equality). */
   def quantize(c: Column): Column = graft.plans.QuantizeVec.quantize(c)
 
-  /** Integer squared norm of a quantized vector. */
-  def norm2(qv: Column): Column =
-    org.apache.spark.sql.functions.aggregate(qv,
-      org.apache.spark.sql.functions.lit(0L), (a, x) => a + x * x)
+  /** Integer squared norm of a quantized vector — the self dot
+    * product, so it rides the codegen'd [[graft.plans.LongArrayDot]]
+    * instead of an interpreted `aggregate` HOF. */
+  def norm2(qv: Column): Column = graft.plans.LongArrayDot.dot(qv, qv)
 
   /** Deterministic cosine from integer dot + norms: one CR division. */
   def cosine(dot: Column, n1: Column, n2: Column): Column =
