@@ -15,6 +15,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
+    ext.injectFunction(GraftExtensions.quantizeVecDescriptor)
   }
 }
 
@@ -40,10 +41,21 @@ object GraftExtensions {
       graft.plans.SortedIntersectCount(children.head, children(1))
     })
 
+  private[engine] val quantizeVecDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("quantize_vec"),
+    new ExpressionInfo(classOf[graft.plans.QuantizeVec].getName,
+      "quantize_vec"),
+    (children: Seq[Expression]) => {
+      require(children.length == 1, "quantize_vec(v) takes one argument")
+      graft.plans.QuantizeVec(children.head)
+    })
+
   /** Register on an already-built session (the driver owns session
     * construction, so injection at build time isn't always available). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
-    Seq(longArrayDotDescriptor, sortedIntersectCountDescriptor).foreach { d =>
+    Seq(longArrayDotDescriptor, sortedIntersectCountDescriptor,
+      quantizeVecDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

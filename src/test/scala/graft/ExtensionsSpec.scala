@@ -16,6 +16,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c")
       .head().getInt(0)
     assert(ic == 2)
+    val qv = spark.sql(
+      "SELECT quantize_vec(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q")
+      .head().getSeq[Long](0)
+    assert(qv == Seq(524288L, -524288L))
     GraftExtensions.install(spark) // idempotent
   }
 
