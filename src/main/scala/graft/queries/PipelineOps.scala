@@ -145,6 +145,33 @@ object PipelineOps extends QueryGroup {
       Some(Scd2OracleSql),
       scaleNote = "THE scale path for state assembly over an append-only log: yesterday's SCD2 table (|users| × avg-versions rows, already on disk) plus ONE day of events — the full history is never re-scanned. The merge is two equi-joins on user_id against the open-version slice (|users| rows; broadcastable for dimension-sized user sets) plus the increment's own single-exchange SCD2. Every day costs O(day + |open versions|) instead of O(history). The declared query reproduces the full-recompute hash bit-for-bit, so correctness of the stitching (absorb-vs-close, renumbering, interval closure) is driver-gated, not just unit-tested."),
 
+    // The CONSUMER side of SCD2 — the point-in-time join every
+    // feature store / label pipeline runs: attach to each event the
+    // dimension version that was active AT ITS TIMESTAMP
+    // (vf ≤ ts < vt, open version unbounded). Intervals tile each
+    // user's timeline, so every event matches exactly one version
+    // (asserted in spec); here the probe is a fixed late-January
+    // slice of the log itself, playing the role of a label stream.
+    QueryDef(
+      "join_point_in_time",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val scd = scd2(ev)
+        val probe = ev.filter(col("ts") >= Dsl.tsLit("2024-01-25"))
+          .select(col("event_id"), col("user_id"), col("ts"))
+        probe.join(scd.select(col("user_id"), col("version"),
+            col("event_type").as("state_type"),
+            col("valid_from"), col("valid_to")),
+          probe("user_id") === scd("user_id") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+          .select(col("event_id"), probe("user_id"), col("ts"),
+            col("version"), col("state_type"))
+          .orderBy("event_id")
+      },
+      Some("WITH o AS (SELECT user_id, event_type, ts, event_id, CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events), v AS (SELECT user_id, event_type, ts, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM o), g AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type, min(ts) AS valid_from FROM v GROUP BY 1,2,3), scd AS (SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM g) SELECT e.event_id, e.user_id, e.ts, s.version, s.event_type AS state_type FROM events e JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to) WHERE e.ts >= TIMESTAMP '2024-01-25' ORDER BY e.event_id"),
+      scaleNote = "Equi join on user_id with the interval predicate as a post-join filter — never a pure range join: the key-group amplification is versions-per-user (small and bounded by run count), not |dim|. At 100 TB bucket BOTH the fact stream and the SCD2 table by user_id (Sinks.writeBucketed) and the join is shuffle-free; when the dim is the bigger side, flip to the as-of formulation (join_asof's window-over-union) which needs no interval materialization. This is deliberately the same plan family as join_range, specialized to tiling intervals so each probe row matches exactly once."),
+
     // Benchmark decontamination: for every corpus doc, its maximum
     // 3-gram-shingle containment against a FIXED eval holdout —
     // the "is this training doc leaking an eval item" gate run before

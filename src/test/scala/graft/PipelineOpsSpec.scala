@@ -151,6 +151,31 @@ class PipelineOpsSpec extends SparkSpec {
     } finally { ev.unpersist(); () }
   }
 
+  test("join_point_in_time: every probe event matches exactly one version") {
+    val out = run("join_point_in_time").cache()
+    try {
+      val ev = Tables.loadEvents(spark, sf)
+      val probeCount = ev
+        .filter(col("ts") >= lit("2024-01-25").cast("timestamp_ntz")).count()
+      // intervals tile the timeline: no probe row lost, none duplicated
+      assert(out.count() == probeCount)
+      assert(out.select("event_id").distinct().count() == probeCount)
+      // the joined state is the probe event's own run: re-derive each
+      // event's version from the SCD2 table directly for 5 samples
+      val scd = queries.PipelineOps.scd2(ev).cache()
+      for (r <- out.orderBy("event_id").limit(5).collect()) {
+        val ts = r.getAs[java.time.LocalDateTime](2) // timestamp_ntz
+        val hit = scd.filter(col("user_id") === r.getLong(1) &&
+          col("valid_from") <= lit(ts) &&
+          (col("valid_to").isNull || col("valid_to") > lit(ts)))
+          .collect()
+        assert(hit.length == 1)
+        assert(hit.head.getAs[Long]("version") == r.getLong(3))
+      }
+      scd.unpersist()
+    } finally { out.unpersist(); () }
+  }
+
   test("corpus_pipeline dispositions are exhaustive and stage-consistent") {
     val out = run("corpus_pipeline").cache()
     try {
