@@ -24,11 +24,13 @@ object Bench {
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
-      // min of two timed runs: a single sample is exposed to one-off
+      // min of three timed runs: a single sample is exposed to one-off
       // noise (GC pause, broadcast-thread contention) — r2 recorded a
       // 2x join_range "regression" on unchanged code and an unchanged
-      // plan this way. The min is the steady-state cost of the plan.
-      val t = (1 to 2).map { _ =>
+      // plan this way, and even min-of-2 still showed ±15% run-to-run
+      // drift on box-level noise in r4. The min is the steady-state
+      // cost of the plan; +1 sample costs ~30 s per bench run.
+      val t = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
