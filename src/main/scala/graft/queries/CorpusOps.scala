@@ -22,6 +22,23 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   */
 object CorpusOps extends QueryGroup {
 
+  /** THE train/val membership key: md5-prefix content-hash bucket in
+    * [0, 100). One definition (Scala + SQL fragment) shared by
+    * split_train_val and corpus_pipeline so the standalone split and
+    * the pipeline's split stage can never diverge. */
+  def splitBucket(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(text), 1, 8), 16, 10).cast("long") % 100
+  val SplitBucketSql: String = "('0x'||substr(md5(text),1,8))::BIGINT % 100"
+
+  /** Uniform-training-mix keep rate min(1, total/(|langs|·n)) — shared
+    * by corpus_mix (the manifest) and corpus_pipeline (the execution),
+    * same drift rationale. */
+  def mixRate(total: org.apache.spark.sql.Column, nl: org.apache.spark.sql.Column,
+      nDocs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(1.0), total / (nl * nDocs))
+  def mixRateSql(total: String, nl: String, n: String): String =
+    s"least(1.0, $total / ($nl * $n))"
+
   def defs: Seq[QueryDef] = Seq(
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -63,14 +80,12 @@ object CorpusOps extends QueryGroup {
       "split_train_val",
       (spark, sf) =>
         Tables.documents(spark, sf)
-          .withColumn("bucket",
-            conv(substring(md5(col("text")), 1, 8), 16, 10)
-              .cast("long") % 100)
+          .withColumn("bucket", splitBucket(col("text")))
           .withColumn("split",
             when(col("bucket") < 90, lit("train")).otherwise(lit("val")))
           .select(col("doc_id"), col("bucket"), col("split"))
           .orderBy("doc_id"),
-      Some("SELECT doc_id, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS bucket, CASE WHEN ('0x'||substr(md5(text),1,8))::BIGINT % 100 < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id"),
+      Some(s"SELECT doc_id, $SplitBucketSql AS bucket, CASE WHEN $SplitBucketSql < 90 THEN 'train' ELSE 'val' END AS split FROM documents ORDER BY doc_id"),
       scaleNote = "Map-only: one codegen'd hash per row, no shuffle, no state — the split of 100 TB costs a single scan and assignment is reproducible on any cluster layout. Content-keyed hashing also means exact duplicates land in the SAME split (no train/val leakage through dup pairs), which id-keyed splits cannot guarantee."),
 
     // Training-mix rebalancing manifest: per-language sampling rates
@@ -87,13 +102,13 @@ object CorpusOps extends QueryGroup {
         docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
           .crossJoin(broadcast(t))
           .withColumn("rate_raw",
-            least(lit(1.0), col("total") / (col("nl") * col("n_docs"))))
+            mixRate(col("total"), col("nl"), col("n_docs")))
           .select(col("lang"), col("n_docs"),
             round(col("rate_raw"), 6).as("rate"),
             floor(col("n_docs") * col("rate_raw")).cast("long").as("n_keep"))
           .orderBy("lang")
       },
-      Some("WITH t AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM documents) SELECT lang, count(*) AS n_docs, round(least(1.0, t.total / (t.nl * count(*))), 6) AS rate, CAST(floor(count(*) * least(1.0, t.total / (t.nl * count(*)))) AS BIGINT) AS n_keep FROM documents CROSS JOIN t GROUP BY lang, t.total, t.nl ORDER BY lang"),
+      Some(s"WITH t AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM documents) SELECT lang, count(*) AS n_docs, round(${mixRateSql("t.total", "t.nl", "count(*)")}, 6) AS rate, CAST(floor(count(*) * ${mixRateSql("t.total", "t.nl", "count(*)")}) AS BIGINT) AS n_keep FROM documents CROSS JOIN t GROUP BY lang, t.total, t.nl ORDER BY lang"),
       scaleNote = "Two tiny aggregations (|langs| rows and one global row) over one scan each — the manifest costs two map-side-combined passes no matter the corpus size, and the single-row totals broadcast. The rates then DRIVE the heavy work: a scan-side Bernoulli filter per language (sample_fraction's shape), never a shuffle. Swap the uniform target for any published mix vector without changing the plan."),
 
     // Per-document novelty: the fraction of a doc's distinct shingles

@@ -107,11 +107,20 @@ object PipelineOps extends QueryGroup {
       .unionByName(adjusted)
   }
 
+  /** The SCD2 run-assembly CTE chain `o → v → g` — ONE definition
+    * (the ShingleCtes pattern) interpolated by every oracle that
+    * needs the version table, so the run-detection logic (lag
+    * change-detect, (ts, event_id) tie-break, cumsum) can never
+    * drift between merge_scd2 / merge_scd2_incremental /
+    * join_point_in_time. */
+  private val Scd2Ctes =
+    "o AS (SELECT user_id, event_type, ts, event_id, CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events), v AS (SELECT user_id, event_type, ts, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM o), g AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type, min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events FROM v GROUP BY 1,2,3)"
+
   /** The full-recompute SCD2 SQL — merge_scd2's oracle, and also
     * merge_scd2_incremental's: the incremental path must reproduce the
     * batch answer bit-for-bit. */
   private val Scd2OracleSql =
-    "WITH o AS (SELECT user_id, event_type, ts, event_id, CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events), v AS (SELECT user_id, event_type, ts, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM o), g AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type, min(ts) AS valid_from, CAST(count(*) AS BIGINT) AS n_events FROM v GROUP BY 1,2,3) SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, n_events, (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current FROM g ORDER BY user_id, version"
+    s"WITH $Scd2Ctes SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to, n_events, (lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL) AS is_current FROM g ORDER BY user_id, version"
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -169,7 +178,7 @@ object PipelineOps extends QueryGroup {
             col("version"), col("state_type"))
           .orderBy("event_id")
       },
-      Some("WITH o AS (SELECT user_id, event_type, ts, event_id, CASE WHEN event_type IS NOT DISTINCT FROM lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) THEN 0 ELSE 1 END AS chg FROM events), v AS (SELECT user_id, event_type, ts, sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version FROM o), g AS (SELECT user_id, CAST(version AS BIGINT) AS version, event_type, min(ts) AS valid_from FROM v GROUP BY 1,2,3), scd AS (SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM g) SELECT e.event_id, e.user_id, e.ts, s.version, s.event_type AS state_type FROM events e JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to) WHERE e.ts >= TIMESTAMP '2024-01-25' ORDER BY e.event_id"),
+      Some(s"WITH $Scd2Ctes, scd AS (SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM g) SELECT e.event_id, e.user_id, e.ts, s.version, s.event_type AS state_type FROM events e JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to) WHERE e.ts >= TIMESTAMP '2024-01-25' ORDER BY e.event_id"),
       scaleNote = "Equi join on user_id with the interval predicate as a post-join filter — never a pure range join: the key-group amplification is versions-per-user (small and bounded by run count), not |dim|. At 100 TB bucket BOTH the fact stream and the SCD2 table by user_id (Sinks.writeBucketed) and the join is shuffle-free; when the dim is the bigger side, flip to the as-of formulation (join_asof's window-over-union) which needs no interval materialization. This is deliberately the same plan family as join_range, specialized to tiling intervals so each probe row matches exactly once."),
 
     // Benchmark decontamination: for every corpus doc, its maximum
@@ -233,8 +242,7 @@ object PipelineOps extends QueryGroup {
         val canon = NearDup.clusters(docs, 0.5)
           .select(col("doc_id"), col("is_canonical"))
         val d = docs.select(col("doc_id"), col("lang"),
-          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long") % 100)
-            .as("sbucket"),
+          CorpusOps.splitBucket(col("text")).as("sbucket"),
           (conv(substring(md5(col("text")), 9, 8), 16, 10).cast("long") % 10000)
             .as("lbucket"),
           size(split(col("text"), " ")).as("ntok"))
@@ -251,7 +259,7 @@ object PipelineOps extends QueryGroup {
         val rr = pool.groupBy("lang").agg(count(lit(1)).as("n_docs"))
           .crossJoin(broadcast(t))
           .withColumn("rate",
-            least(lit(1.0), col("total") / (col("nl") * col("n_docs"))))
+            CorpusOps.mixRate(col("total"), col("nl"), col("n_docs")))
           .select("lang", "rate")
         s1.join(broadcast(rr), Seq("lang"), "left")
           .select(col("doc_id"), col("lang"),
@@ -261,7 +269,7 @@ object PipelineOps extends QueryGroup {
               .otherwise("sampled_out").as("status"))
           .orderBy("doc_id")
       },
-      Some(s"WITH RECURSIVE ${NearDup.ClusterCtes}, d AS (SELECT doc_id, lang, ('0x'||substr(md5(text),1,8))::BIGINT % 100 AS sbucket, ('0x'||substr(md5(text),9,8))::BIGINT % 10000 AS lbucket, len(string_split(text,' ')) AS ntok FROM documents), s1 AS (SELECT d.*, CASE WHEN c.is_canonical = FALSE THEN 'dup' WHEN ntok < 25 THEN 'short' END AS early FROM d LEFT JOIN canon c USING (doc_id)), pool AS (SELECT * FROM s1 WHERE early IS NULL), tt AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM pool), r0 AS (SELECT lang, count(*) AS n_docs FROM pool GROUP BY 1), rr AS (SELECT lang, least(1.0, tt.total/(tt.nl*n_docs)) AS rate FROM r0 CROSS JOIN tt) SELECT doc_id, s1.lang, CASE WHEN early IS NOT NULL THEN early WHEN lbucket < floor(rate*10000) THEN (CASE WHEN sbucket < 90 THEN 'train' ELSE 'val' END) ELSE 'sampled_out' END AS status FROM s1 LEFT JOIN rr ON s1.lang = rr.lang ORDER BY doc_id"),
+      Some(s"WITH RECURSIVE ${NearDup.ClusterCtes}, d AS (SELECT doc_id, lang, ${CorpusOps.SplitBucketSql} AS sbucket, ('0x'||substr(md5(text),9,8))::BIGINT % 10000 AS lbucket, len(string_split(text,' ')) AS ntok FROM documents), s1 AS (SELECT d.*, CASE WHEN c.is_canonical = FALSE THEN 'dup' WHEN ntok < 25 THEN 'short' END AS early FROM d LEFT JOIN canon c USING (doc_id)), pool AS (SELECT * FROM s1 WHERE early IS NULL), tt AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM pool), r0 AS (SELECT lang, count(*) AS n_docs FROM pool GROUP BY 1), rr AS (SELECT lang, ${CorpusOps.mixRateSql("tt.total", "tt.nl", "n_docs")} AS rate FROM r0 CROSS JOIN tt) SELECT doc_id, s1.lang, CASE WHEN early IS NOT NULL THEN early WHEN lbucket < floor(rate*10000) THEN (CASE WHEN sbucket < 90 THEN 'train' ELSE 'val' END) ELSE 'sampled_out' END AS status FROM s1 LEFT JOIN rr ON s1.lang = rr.lang ORDER BY doc_id"),
       scaleNote = "The full corpus release as one DAG, so Catalyst sees (and the driver gates) the composition: the only heavy stage is the LSH cluster pass (dedup_clusters' shape — banded equi-joins, never all-pairs); everything after is one scan of the doc table with two bounded-size broadcast joins (|langs| rate rows, the single-row totals) and codegen'd hash bucketing. Disposition is pure content hashing — re-running on a re-partitioned 100 TB corpus reproduces byte-identical train/val membership, and near-dup CLUSTERS (not just exact dups) land on one side of the split via the canonical-keep rule. Statuses are emitted (not filtered away) so every downstream consumer shares one audit manifest."),
 
     // Mergeable heavy-hitters (Misra–Gries) over the language column,

@@ -114,6 +114,29 @@ object Streams {
       valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
       n_events: Long)
 
+  /** The ONE SCD2 fold both streaming variants share (a change here
+    * must keep batch parity for BOTH — the StreamingSpec parity tests
+    * guard it): fold `events` in (ts, event_id) order into the open
+    * version, emitting each version the moment a type change closes
+    * it. Returns (closed versions, new open version or null). */
+  private def foldScd2(uid: Long, start: Scd2State,
+      events: Seq[Event]): (Seq[Scd2Closed], Scd2State) = {
+    val out = Seq.newBuilder[Scd2Closed]
+    var cur = start
+    for (e <- events.sortBy(e => (e.ts.getTime, e.event_id))) {
+      if (cur == null)
+        cur = Scd2State(1L, e.event_type, e.ts, 1L)
+      else if (cur.event_type == e.event_type)
+        cur = cur.copy(n_events = cur.n_events + 1)
+      else {
+        out += Scd2Closed(uid, cur.version, cur.event_type,
+          cur.valid_from, e.ts, cur.n_events)
+        cur = Scd2State(cur.version + 1, e.event_type, e.ts, 1L)
+      }
+    }
+    (out.result(), cur)
+  }
+
   /** Streaming SCD2 maintenance — the stream twin of the batch
     * merge_scd2 / merge_scd2_incremental pair: per-user open-version
     * state folded over arriving events, CLOSED versions emitted in
@@ -145,21 +168,10 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout) {
         (uid: Long, evs: Iterator[Event], state: GroupState[Scd2State]) =>
-          val out = Seq.newBuilder[Scd2Closed]
-          var cur = state.getOption.orNull
-          for (e <- evs.toIndexedSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
-            if (cur == null)
-              cur = Scd2State(1L, e.event_type, e.ts, 1L)
-            else if (cur.event_type == e.event_type)
-              cur = cur.copy(n_events = cur.n_events + 1)
-            else {
-              out += Scd2Closed(uid, cur.version, cur.event_type,
-                cur.valid_from, e.ts, cur.n_events)
-              cur = Scd2State(cur.version + 1, e.event_type, e.ts, 1L)
-            }
-          }
+          val (closed, cur) =
+            foldScd2(uid, state.getOption.orNull, evs.toIndexedSeq)
           if (cur != null) state.update(cur)
-          out.result().iterator
+          closed.iterator
       }
   }
 
@@ -198,26 +210,14 @@ object Streams {
           val wm = state.getCurrentWatermarkMs()
           val (ripe, hold) = (st.pending ++ evs)
             .partition(_.ts.getTime <= wm)
-          val out = Seq.newBuilder[Scd2Closed]
-          var cur = st.open.orNull
-          for (e <- ripe.sortBy(e => (e.ts.getTime, e.event_id))) {
-            if (cur == null)
-              cur = Scd2State(1L, e.event_type, e.ts, 1L)
-            else if (cur.event_type == e.event_type)
-              cur = cur.copy(n_events = cur.n_events + 1)
-            else {
-              out += Scd2Closed(uid, cur.version, cur.event_type,
-                cur.valid_from, e.ts, cur.n_events)
-              cur = Scd2State(cur.version + 1, e.event_type, e.ts, 1L)
-            }
-          }
+          val (closed, cur) = foldScd2(uid, st.open.orNull, ripe)
           state.update(Scd2Buffer(Option(cur), hold))
           // wake when the watermark passes the earliest held event so
           // it gets folded even if this key never sees data again
           if (hold.nonEmpty)
             state.setTimeoutTimestamp(
               math.max(hold.map(_.ts.getTime).min, wm + 1))
-          out.result().iterator
+          closed.iterator
       }
   }
 

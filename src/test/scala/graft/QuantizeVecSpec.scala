@@ -36,6 +36,18 @@ class QuantizeVecSpec extends SparkSpec {
     assert(rows(2).isNullAt(1) && rows(2).isNullAt(2))
   }
 
+  test("quantize_vec propagates null ELEMENTS like the HOF (SQL-surface safety)") {
+    // a null slot must stay null, not silently become 0 — callers of
+    // the registered SQL function have no loader precondition
+    val s = spark
+    import s.implicits._
+    val df = Seq((1L, Seq[java.lang.Double](0.5, null, -0.5))).toDF("id", "v")
+    val r = df.select(QuantizeVec.quantize(col("v")).as("q"),
+      hofQuantize(col("v")).as("h")).head()
+    assert(r.getSeq[Any](0) == r.getSeq[Any](1))
+    assert(r.getSeq[Any](0) == Seq(524288L, null, -524288L))
+  }
+
   test("quantize_vec stays inside WholeStageCodegen (no interpreted HOF)") {
     val emb = graft.engine.Tables.embeddings(spark, sf)
     val plan = emb.select(QuantizeVec.quantize(col("embedding")).as("q"))
