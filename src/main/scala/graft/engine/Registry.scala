@@ -21,7 +21,8 @@ object Registry {
     AnnIvf,
     AnnKmeans,
     CorpusOps,
-    PipelineOps)
+    PipelineOps,
+    Analytics)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

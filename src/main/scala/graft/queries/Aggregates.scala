@@ -12,6 +12,31 @@ import Dsl._
   */
 object Aggregates extends QueryGroup {
 
+  /** Count-Min bucket: md5-derived so Spark and DuckDB compute the
+    * identical cell — production would swap in xxhash64. */
+  def cmsBucket(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+      w: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(concat(i.cast("string"), lit(":"), key)), 1, 8), 16, 10)
+      .cast("long") % w
+
+  /** Count-Min point estimates for every distinct key in `keyCol`:
+    * (key, exact_n, cms_est). The sketch is the d×w cell count table;
+    * estimates take the min over the key's d cells. Factored out so
+    * AnalyticsSpec can drive it over planted key distributions. */
+  def cmsPointEstimates(df: org.apache.spark.sql.DataFrame, keyCol: String,
+      d: Int, w: Int): org.apache.spark.sql.DataFrame = {
+    val rows = explode(array((0 until d).map(lit): _*)).as("i")
+    val cells = df.select(col(keyCol), rows)
+      .withColumn("b", cmsBucket(col("i"), col(keyCol), w))
+      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    val keys = df.groupBy(keyCol).agg(count(lit(1)).as("exact_n"))
+    keys.select(col(keyCol), col("exact_n"), rows)
+      .withColumn("b", cmsBucket(col("i"), col(keyCol), w))
+      .join(cells, Seq("i", "b"))
+      .groupBy(keyCol, "exact_n")
+      .agg(min(col("c")).as("cms_est"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // TPC-H Q1-style pricing summary: the flagship (SparkEntry.entry).
@@ -360,5 +385,23 @@ object Aggregates extends QueryGroup {
               col("n_cust") <= 0.05).as("est_in_tol"))
           .orderBy("o_orderpriority"),
       Some("SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_cust, TRUE AS est_in_tol FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
-      scaleNote = "HLL++ sketches merge associatively: map-side partials are fixed-size (KB) regardless of input rows, so 100 TB of keys costs the same shuffle as 1 GB. rsd=0.02 trades 2% error for a ~4KB sketch. This is the distinct-train counter at scale. The exact countDistinct exists ONLY to oracle the tolerance verdict at test scale; production reads the estimate alone."))
+      scaleNote = "HLL++ sketches merge associatively: map-side partials are fixed-size (KB) regardless of input rows, so 100 TB of keys costs the same shuffle as 1 GB. rsd=0.02 trades 2% error for a ~4KB sketch. This is the distinct-train counter at scale. The exact countDistinct exists ONLY to oracle the tolerance verdict at test scale; production reads the estimate alone."),
+
+    // Count-Min sketch: the mergeable point-frequency summary
+    // (frequency analog of the HLL distinct sketch; completes the
+    // sketch family with agg_hll_sketch and agg_heavy_hitters).
+    // Unlike those two, every piece here is EXACT integer arithmetic
+    // on md5-derived buckets both engines compute identically, so the
+    // whole d×w matrix and the estimates are hard-oracled — no
+    // tolerance verdict needed. The CMS guarantee (est ≥ true count)
+    // is emitted as a column the oracle also derives.
+    QueryDef(
+      "agg_cms_sketch",
+      (spark, sf) =>
+        cmsPointEstimates(Tables.loadEvents(spark, sf), "event_type", 4, 32)
+          .select(col("event_type"), col("exact_n"), col("cms_est"),
+            (col("cms_est") >= col("exact_n")).as("no_undercount"))
+          .orderBy("event_type"),
+      Some("WITH params AS (SELECT unnest([0,1,2,3]) AS i), cells AS (SELECT i, ('0x'||substr(md5(i::VARCHAR||':'||event_type),1,8))::BIGINT % 32 AS b, count(*) AS c FROM events CROSS JOIN params GROUP BY 1,2), keys AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1) SELECT k.event_type, k.exact_n, min(c.c) AS cms_est, min(c.c) >= k.exact_n AS no_undercount FROM keys k CROSS JOIN params p JOIN cells c ON c.i = p.i AND c.b = ('0x'||substr(md5(p.i::VARCHAR||':'||k.event_type),1,8))::BIGINT % 32 GROUP BY 1,2 ORDER BY 1"),
+      scaleNote = "The sketch is a fixed d×w integer matrix (128 cells here) built by one map-side-combined count — partials merge by cell-wise addition, so 100 TB of events shuffles d×w longs per partition no matter the key cardinality; the build never holds per-key state (contrast agg_heavy_hitters' O(k) candidate map). Point estimates are d broadcast-joined lookups. Width w bounds overcount at 2N/w with probability 1−2^−d; size the matrix, not the data. The md5 buckets exist for cross-engine oracling — production swaps in xxhash64 (cheaper, same layout)."))
 }

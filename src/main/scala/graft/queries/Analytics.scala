@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryDef, QueryGroup, Tables}
+
+/** Behavioral / layout analytics over the event stream — the product-
+  * analytics queries a passenger-facing transit system (or any
+  * clickstream) runs on its observation log: funnel conversion, cohort
+  * retention, peak concurrency, and the Z-order data-layout key that
+  * makes multi-dimension scans prunable at 100 TB.
+  *
+  * Reference analog: the dashboard/serving side of the ETL — per-day
+  * per-station activity rollups over the passage log [P query.py,
+  * notebooks — SURVEY.md §0]; funnel/retention/concurrency are the
+  * same first-touch / sweep-line shapes over `events`.
+  */
+object Analytics extends QueryGroup {
+
+  /** Z-order (Morton) interleave of two 8-bit dimensions into a 16-bit
+    * key, expressed as pure integer arithmetic so the SAME formula runs
+    * in Spark codegen and DuckDB. Bit b of x lands at position 2b, bit
+    * b of y at 2b+1. */
+  object ZOrder {
+    val Bits = 8
+
+    def zkey(x: Column, y: Column): Column =
+      (0 until Bits).map { b =>
+        (shiftright(x, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b))) +
+          (shiftright(y, b).bitwiseAND(lit(1L)) * lit(1L << (2 * b + 1)))
+      }.reduce(_ + _)
+
+    def zkeySql(x: String, y: String): String =
+      (0 until Bits).map { b =>
+        s"((($x >> $b) & 1) * ${1L << (2 * b)}) + ((($y >> $b) & 1) * ${1L << (2 * b + 1)})"
+      }.mkString(" + ")
+  }
+
+  /** First qualifying `typ` event per user within `withinHours` after
+    * that user's timestamp in `prev(prevTs)` — the funnel-step chain
+    * link. Equi-join on user_id + min-aggregate; every stage reuses
+    * the same user_id partitioning. */
+  private def firstWithin(ev: DataFrame, typ: String, prev: DataFrame,
+      prevTs: String, outTs: String, withinHours: Int): DataFrame =
+    ev.filter(col("event_type") === typ).select(col("user_id"), col("ts"))
+      .join(prev.select(col("user_id"), col(prevTs)), "user_id")
+      .filter(col("ts") >= col(prevTs) &&
+        col("ts") <= col(prevTs) + expr(s"INTERVAL $withinHours HOURS"))
+      .groupBy("user_id")
+      .agg(min(col("ts")).as(outTs))
+
+  def defs: Seq[QueryDef] = Seq(
+
+    // Ordered-sequence funnel: view → click → purchase, each step the
+    // FIRST qualifying event within 24h of the previous step's time.
+    // First-touch attribution made deterministic (min over ts), the
+    // conversion report every clickstream pipeline ships.
+    QueryDef(
+      "funnel_steps",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val t1 = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("ts1"))
+        val t2 = firstWithin(ev, "click", t1, "ts1", "ts2", 24)
+        val t3 = firstWithin(ev, "purchase", t2, "ts2", "ts3", 24)
+        def cnt(df: DataFrame, step: Int, stage: String) =
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(step).as("step"), lit(stage).as("stage"), col("n_users"))
+        cnt(t1, 1, "view").unionByName(cnt(t2, 2, "click"))
+          .unionByName(cnt(t3, 3, "purchase"))
+          .orderBy("step")
+      },
+      Some("WITH t1 AS (SELECT user_id, min(ts) AS ts1 FROM events WHERE event_type='view' GROUP BY 1), t2 AS (SELECT e.user_id, min(e.ts) AS ts2 FROM events e JOIN t1 ON e.user_id=t1.user_id AND e.ts >= t1.ts1 AND e.ts <= t1.ts1 + INTERVAL 24 HOUR WHERE e.event_type='click' GROUP BY 1), t3 AS (SELECT e.user_id, min(e.ts) AS ts3 FROM events e JOIN t2 ON e.user_id=t2.user_id AND e.ts >= t2.ts2 AND e.ts <= t2.ts2 + INTERVAL 24 HOUR WHERE e.event_type='purchase' GROUP BY 1) SELECT 1 AS step, 'view' AS stage, count(*) AS n_users FROM t1 UNION ALL SELECT 2, 'click', count(*) FROM t2 UNION ALL SELECT 3, 'purchase', count(*) FROM t3 ORDER BY step"),
+      scaleNote = "Each stage is an equi-join on user_id plus a min-aggregate, and every stage shuffles on the SAME key — one user_id partitioning serves the whole chain, and stage tables shrink monotonically (step N's output is step N+1's small side, broadcastable once conversion bites). The time bound is a residual predicate, never a join key. At 100 TB the event log is date-partitioned, so the first-touch scan prunes to the funnel horizon; a k-step funnel is k-1 such joins, not a per-user sort of the full log."),
+
+    // Cohort retention: users grouped by first-seen day, distinct
+    // activity counted per (cohort, day-offset) — the engagement decay
+    // matrix behind every retention chart.
+    QueryDef(
+      "retention_cohort",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val c = ev.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+        ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .join(c, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY 1) SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, date_diff('day', c.cohort, date_trunc('day', e.ts)) AS day_offset, count(DISTINCT e.user_id) AS n_users FROM events e JOIN c ON e.user_id = c.user_id GROUP BY 1,2 ORDER BY 1,2"),
+      scaleNote = "The cohort table is |users| rows (a dimension, broadcastable or bucketed on user_id alongside the log), and the join back is equi on user_id — the same exchange the cohort aggregate just produced, so AQE reuses it. The distinct-count shuffles (cohort, offset, user) partials; at 100 TB swap countDistinct for an HLL sketch per cell (agg_approx_hll's pattern) and the matrix costs one pass regardless of user count."),
+
+    // Peak concurrency: 30-min-gap sessions (shared ts_session
+    // definition) → sweep line over ±1 session edges → per-hour max of
+    // the running active-session count. 'How many trains are on the
+    // network right now', computed scalably.
+    QueryDef(
+      "peak_concurrency",
+      (spark, sf) => {
+        val sess = TimeSeriesDedup.sessionBounds(Tables.loadEvents(spark, sf))
+        // minute-grid edges: +1 when a session starts, -1 the minute
+        // AFTER it ends (inclusive-end semantics; point sessions stay
+        // visible in their minute). Net deltas per minute make edge
+        // ordering within a minute irrelevant.
+        val edges = sess
+          .select(date_trunc("minute", col("st")).as("m"), lit(1L).as("d"))
+          .unionAll(sess.select(
+            (date_trunc("minute", col("en")) + expr("INTERVAL 1 MINUTE")).as("m"),
+            lit(-1L).as("d")))
+        val net = edges.groupBy("m").agg(sum(col("d")).as("nd"))
+          .withColumn("hour", date_trunc("hour", col("m")))
+        // two-phase distributed prefix sum (pack_sequences' shape):
+        // per-hour subtotals, a cumsum over the tiny |hours| table,
+        // then hour-local running sums shifted by the offsets — the
+        // global sweep line without a single-partition window.
+        val subtot = net.groupBy("hour").agg(sum(col("nd")).as("h_nd"))
+        val offsets = subtot.withColumn("offset",
+          coalesce(sum(col("h_nd")).over(
+            Window.orderBy("hour").rowsBetween(Window.unboundedPreceding, -1)),
+            lit(0L)))
+          .select("hour", "offset")
+        val wHour = Window.partitionBy("hour").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        // true hourly peak: the carried-in plateau (concurrency at hour
+        // start = the hour's prefix-sum offset) can exceed every value
+        // at this hour's own edges when the first edge is a departure
+        net.join(broadcast(offsets), "hour")
+          .withColumn("conc", col("offset") + sum(col("nd")).over(wHour))
+          .groupBy("hour")
+          .agg(max(col("conc")).as("edge_peak"), max(col("offset")).as("carried"))
+          .select(col("hour"),
+            greatest(col("edge_peak"), col("carried")).as("peak"))
+          .orderBy("hour")
+      },
+      Some("WITH sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM (" + TimeSeriesDedup.SessionIslandsSql + ") GROUP BY 1,2), ed AS (SELECT date_trunc('minute', st) AS m, 1 AS d FROM sess UNION ALL SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess), net AS (SELECT m, sum(d) AS nd FROM ed GROUP BY 1), run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1) SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(edge_peak, coalesce(lag(final_conc) OVER (ORDER BY hour), 0)) AS BIGINT) AS peak FROM hr ORDER BY hour"),
+      scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences."),
+
+    // Z-order layout key: Morton-interleave (l_partkey, l_orderkey)
+    // low bytes into one clustering key. Sorting/range-partitioning the
+    // write by zkey bounds BOTH dimensions per file, so parquet min/max
+    // stats prune scans filtering on EITHER column — the multi-
+    // dimensional data-layout lever (AnalyticsSpec measures the span
+    // contraction vs a single-column sort).
+    QueryDef(
+      "layout_zorder",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
+          .withColumn("zkey", ZOrder.zkey(col("x"), col("y")))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some(s"SELECT l_orderkey, l_linenumber, x, y, ${ZOrder.zkeySql("x", "y")} AS zkey FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem) ORDER BY l_orderkey, l_linenumber"),
+      scaleNote = "The key itself is map-only codegen integer math — zero shuffle to compute. Its value is at WRITE time: repartitionByRange(zkey) + sortWithinPartitions(zkey) gives every file a small axis-aligned rectangle of (x,y) space, so min/max row-group stats prune scans on either dimension (a single-column sort leaves the other dimension's span at full width — measured 3-4× span contraction in AnalyticsSpec). At 100 TB this replaces one-dimension partition pruning with multi-dimension file skipping; widen to k dims by interleaving k bit streams."))
+}

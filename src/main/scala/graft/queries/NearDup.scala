@@ -187,7 +187,37 @@ object NearDup extends QueryGroup {
       (col("v") === col("lab")).as("is_canonical"))
   }
 
+  /** Per-document nearest neighbor by PREFIX edit distance within a
+    * (lang, source) block — the fuzzy-dup family member character-level
+    * edit distance covers and set-based measures miss (reorderings
+    * keep Jaccard high but edit distance low only for true near-dups;
+    * small in-place edits keep edit distance low). Prefix-64 bounds
+    * the DP cost per pair at 64×64 regardless of document length.
+    * Factored out so AnalyticsSpec can feed planted fixtures. */
+  def editNearestNeighbor(docs: DataFrame, prefixLen: Int): DataFrame = {
+    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      substring(col("text"), 1, prefixLen).as("p"))
+    val pairs = d.as("a")
+      .join(d.as("b"),
+        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
+          && col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        levenshtein(col("a.p"), col("b.p")).as("dist"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1").orderBy(col("dist").asc, col("id2").asc)
+    pairs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("id1").as("doc_id"), col("id2").as("nn_id"), col("dist"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "dedup_edit_nn",
+      (spark, sf) =>
+        editNearestNeighbor(Tables.documents(spark, sf), 64).orderBy("doc_id"),
+      Some("WITH d AS (SELECT doc_id, lang, source, substr(text,1,64) AS p FROM documents), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.p, b.p) AS dist FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id) SELECT doc_id, nn_id, dist FROM (SELECT id1 AS doc_id, id2 AS nn_id, dist, row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM pairs) WHERE rk = 1 ORDER BY doc_id"),
+      scaleNote = "Blocking on (lang, source) is the equi-join key; the prefix cap makes per-pair cost O(64²) instead of O(len²), and the NN keep-1 rides WindowGroupLimit (each partition retains one row per doc during the sort). Within-block pairs are still quadratic — at 100 TB this operator is the VERIFY stage: candidates come from LSH banding (dedup_near) or SimHash buckets, and edit distance runs only on survivors, exactly like ngram_jaccard doubles as LSH's exact check. The reference's fuzzy train-number match (substring containment) is this same block-then-verify shape."),
+
     QueryDef(
       "dedup_near",
       (spark, sf) =>

@@ -42,6 +42,32 @@ object TimeSeriesDedup extends QueryGroup {
       seed: Long): org.apache.spark.sql.DataFrame =
     docs.filter(rand(seed) < stratRate(col("lang")))
 
+  /** THE sessionization definition (30-min gap, ties broken by
+    * event_id): lag + cumulative-sum islands assigning (user_id, ts,
+    * session_id) — one Scala + one SQL rendering shared by ts_session
+    * and Analytics.peak_concurrency so the two can never drift. */
+  def sessionIslands(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val byTime = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("gap_us",
+        unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(byTime).cast("timestamp")))
+      .withColumn("is_new",
+        when(col("gap_us").isNull || col("gap_us") > 1800000000L, lit(1)).otherwise(lit(0)))
+      .withColumn("session_id", sum(col("is_new")).over(running))
+  }
+
+  val SessionIslandsSql: String =
+    "SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000 OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS is_new FROM events)"
+
+  /** Session intervals (user_id, session_id, st, en) from the shared
+    * island assignment. */
+  def sessionBounds(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    sessionIslands(ev)
+      .groupBy("user_id", "session_id")
+      .agg(min(col("ts")).as("st"), max(col("ts")).as("en"))
+
   def defs: Seq[QueryDef] = Seq(
 
     // #40 — SELECT DISTINCT on a projection.
@@ -187,25 +213,15 @@ object TimeSeriesDedup extends QueryGroup {
     // segmentation from passage gaps. Batch twin of stream_session.
     QueryDef(
       "ts_session",
-      (spark, sf) => {
-        val byTime = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("event_id").asc)
-        val running = byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        Tables.loadEvents(spark, sf)
-          .withColumn("gap_us",
-            unix_micros(col("ts").cast("timestamp")) -
-              unix_micros(lag(col("ts"), 1).over(byTime).cast("timestamp")))
-          .withColumn("is_new",
-            when(col("gap_us").isNull || col("gap_us") > 1800000000L, lit(1)).otherwise(lit(0)))
-          .withColumn("session_id", sum(col("is_new")).over(running))
+      (spark, sf) =>
+        sessionIslands(Tables.loadEvents(spark, sf))
           .groupBy("user_id", "session_id")
           .agg(
             count(lit(1)).as("n_events"),
             min(col("ts")).as("session_start"),
             max(col("ts")).as("session_end"))
-          .orderBy("user_id", "session_id")
-      },
-      Some("SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM (SELECT user_id, ts, CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id FROM (SELECT user_id, ts, event_id, CASE WHEN epoch_us(ts) - epoch_us(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)) > 1800000000 OR lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) IS NULL THEN 1 ELSE 0 END AS is_new FROM events)) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
+          .orderBy("user_id", "session_id"),
+      Some(s"SELECT user_id, session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end FROM ($SessionIslandsSql) GROUP BY user_id, session_id ORDER BY user_id, session_id"),
       scaleNote = "lag + cumsum islands: one shuffle on user_id serves both windows (same spec), then a hash agg on (user, session). The streaming twin (session_window / flatMapGroupsWithState) shares semantics — parity-tested in §5."),
 
     // #51b — gap-fill resample: one row per (user, day) over the full
