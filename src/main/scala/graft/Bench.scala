@@ -35,6 +35,13 @@ object Bench {
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }.min
+      // the checkpointing queries (LSH clustering, corpus_pipeline,
+      // ann_kmeans) leave localCheckpoint blocks behind until the JVM
+      // happens to GC the RDD handles; on a 100+ GB heap that lag lets
+      // block-manager residue from query N tax queries N+1..: drop it
+      // eagerly so every query is timed against a clean executor
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       // incremental per-query line: even if the final summary line is
       // truncated by a bounded tail capture (r3 lost 13 of 84 entries
       // that way), every individual time survives as its own short line

@@ -221,6 +221,65 @@ object Streams {
       }
   }
 
+  case class FunnelState(stage: Int, window_until: Long)
+  case class FunnelHit(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** Streaming funnel — the real-time twin of the batch funnel_steps:
+    * per-user stage machine (view → click → purchase, each within
+    * `withinHours` of the previous stage's event) emitting a hit row
+    * the moment a user reaches a stage. Batch parity (per-stage
+    * distinct-user counts) is asserted in StreamingSpec under ordered
+    * replay.
+    *
+    * Same ordered-ingest assumption as scd2Stream (events folded in
+    * (ts, event_id) order within a batch, batches time-ordered): the
+    * reference's polling loop delivers that; disorder within a
+    * watermark horizon would take scd2StreamOoO's buffer-until-final
+    * pattern unchanged.
+    *
+    * State is O(1) per user (stage + deadline) with NO timeout BY
+    * DESIGN (scd2Stream's trade, same reasoning): evicting ANY key —
+    * terminal or lapsed — lets a later view restart that user's
+    * funnel, emitting duplicate stage hits under re-entry semantics
+    * and diverging from the batch first-touch definition (an early
+    * version evicted completed users and the parity test caught
+    * exactly that duplicate). The store is bounded by |users|, not by
+    * event history; for an unbounded churning user space, either
+    * accept re-entry semantics (evict on window_until + horizon) or
+    * archive cold keys through the batch path. */
+  def funnel(events: Dataset[Event], withinHours: Int = 24,
+      watermarkDelay: String = "1 hour"): Dataset[FunnelHit] = {
+    import events.sparkSession.implicits._
+    val withinMs = withinHours * 3600L * 1000
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(0, 0L))
+          val hits = Seq.newBuilder[FunnelHit]
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val t = e.ts.getTime
+            st.stage match {
+              case 0 if e.event_type == "view" =>
+                st = FunnelState(1, t + withinMs)
+                hits += FunnelHit(uid, 1, e.ts)
+              case 1 if e.event_type == "click" && t <= st.window_until =>
+                st = FunnelState(2, t + withinMs)
+                hits += FunnelHit(uid, 2, e.ts)
+              case 2 if e.event_type == "purchase" && t <= st.window_until =>
+                st = FunnelState(3, 0L)
+                hits += FunnelHit(uid, 3, e.ts)
+              case _ => () // non-advancing event (ordered fold: a
+              // click before any view, a lapsed window, stage 3)
+            }
+          }
+          state.update(st)
+          hits.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */

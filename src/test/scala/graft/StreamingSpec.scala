@@ -238,6 +238,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_funnel reaches batch funnel_steps' per-stage counts under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(300), all.slice(300, 700), all.drop(700))
+    val mem = MemoryStream[Streams.Event](18, spark, None)
+    val q = Streams.funnel(mem.toDS()).writeStream.format("memory")
+      .queryName("t_funnel").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val hits = spark.table("t_funnel")
+      // exactly-once per (user, stage): the state machine advances
+      // monotonically, so no stage can be emitted twice for a user
+      assert(hits.groupBy("user_id", "stage").count()
+        .filter(col("count") > 1).isEmpty, "duplicate stage hit")
+      val streamed = hits.groupBy("stage")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val batch = graft.engine.Registry.byName("funnel_steps")
+        .build(spark, sf)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      assert(streamed == batch,
+        s"stream $streamed != batch $batch per-stage user counts")
+      assert(streamed(1) > 0)
+    } finally q.stop()
+  }
+
   test("stream_scd2_ooo drops below-watermark events instead of mis-folding them") {
     // semantics guard: Spark filters late input rows before
     // flatMapGroupsWithState, so an event older than an already-closed
