@@ -16,7 +16,9 @@ object ScalingCurve {
       "ann_topk", "ts_sliding", "tfidf_keywords", "split_train_val",
       "emb_quantize", "dedup_clusters", "simhash_near",
       "merge_scd2", "merge_scd2_incremental", "contamination_check",
-      "text_pii_redact", "agg_heavy_hitters", "corpus_pipeline", "pack_sequences", "ann_kmeans")
+      "text_pii_redact", "agg_heavy_hitters", "corpus_pipeline", "pack_sequences", "ann_kmeans",
+      "funnel_steps", "retention_cohort", "peak_concurrency",
+      "layout_zorder", "agg_cms_sketch", "dedup_edit_nn")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)
@@ -27,6 +29,10 @@ object ScalingCurve {
         (System.nanoTime() - t0) / 1e9
       }
       println(f"CURVE $q%-18s ${times.map(t => f"$t%7.3f").mkString(" ")}")
+      // same inter-query hygiene as Bench: drop localCheckpoint
+      // residue so the next curve isn't taxed by this one's blocks
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     spark.stop()
   }

@@ -138,6 +138,38 @@ object Analytics extends QueryGroup {
       Some("WITH sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM (" + TimeSeriesDedup.SessionIslandsSql + ") GROUP BY 1,2), ed AS (SELECT date_trunc('minute', st) AS m, 1 AS d FROM sess UNION ALL SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess), net AS (SELECT m, sum(d) AS nd FROM ed GROUP BY 1), run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1) SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(edge_peak, coalesce(lag(final_conc) OVER (ORDER BY hour), 0)) AS BIGINT) AS peak FROM hr ORDER BY hour"),
       scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences."),
 
+    // Rolling z-score anomaly detection over hourly event counts —
+    // the monitoring pass a delay pipeline runs on its own output
+    // (sudden spikes/droughts in observations). The trailing-24h
+    // mean/std come from exact INTEGER window sums (s, ss), so the
+    // one float division and sqrt see identical inputs on both
+    // engines; zero-variance windows emit NULL z instead of ±inf.
+    QueryDef(
+      "ts_anomaly",
+      (spark, sf) => {
+        val h = Tables.loadEvents(spark, sf)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val win = Window.orderBy("bucket").rowsBetween(-24, -1)
+        val mean = col("s").cast("double") / 24
+        val variance = (col("ss").cast("double") -
+          col("s").cast("double") * col("s").cast("double") / 24) / 24
+        h.withColumn("s", sum(col("n")).over(win))
+          .withColumn("ss", sum(col("n") * col("n")).over(win))
+          .withColumn("k", count(lit(1)).over(win))
+          .filter(col("k") === 24)
+          .select(col("bucket"), col("n"),
+            when(variance > 0,
+              round((col("n").cast("double") - mean) / sqrt(variance), 4))
+              .as("z"),
+            (variance > 0 &&
+              abs(col("n").cast("double") - mean) > lit(3) * sqrt(variance))
+              .as("is_anomaly"))
+          .orderBy("bucket")
+      },
+      Some("WITH h AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY 1), w AS (SELECT bucket, n, sum(n) OVER win AS s, sum(n*n) OVER win AS ss, count(*) OVER win AS k FROM h WINDOW win AS (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)), v AS (SELECT bucket, n, CAST(n AS DOUBLE) - CAST(s AS DOUBLE)/24 AS dev, (CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)*CAST(s AS DOUBLE)/24)/24 AS var FROM w WHERE k = 24) SELECT CAST(bucket AS TIMESTAMP) AS bucket, n, CASE WHEN var > 0 THEN round(dev / sqrt(var), 4) END AS z, (var > 0 AND abs(dev) > 3 * sqrt(var)) AS is_anomaly FROM v ORDER BY bucket"),
+      scaleNote = "The hourly rollup collapses the event stream to |hours| rows before any window touches it — the window input is timeline-sized, not data-sized, at any corpus scale. The trailing frame is bounded (24 rows), so at a long timeline the window shards by time range with a 24-hour halo (each shard also reads the previous day's buckets) — bounded-frame windows are the one window class that partitions with replication instead of a global sort. Integer s/ss sums make the float z bit-identical on any layout; thresholding is a comparison, never a sort key."),
+
     // Z-order layout key: Morton-interleave (l_partkey, l_orderkey)
     // low bytes into one clustering key. Sorting/range-partitioning the
     // write by zkey bounds BOTH dimensions per file, so parquet min/max

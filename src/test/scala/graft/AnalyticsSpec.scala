@@ -123,6 +123,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(real.forall(_.getBoolean(3)), "no_undercount violated on events")
   }
 
+  test("ts_anomaly: full 24h frames only; anomaly flag consistent with z") {
+    val rows = run("ts_anomaly").collect()
+    val hours = Tables.loadEvents(spark, sf)
+      .select(countDistinct(date_trunc("hour", col("ts")))).collect()(0).getLong(0)
+    assert(rows.length == hours - 24, s"${rows.length} rows vs $hours hours")
+    rows.foreach { r =>
+      val z = if (r.isNullAt(2)) None else Some(r.getDouble(2))
+      val anom = r.getBoolean(3)
+      z match {
+        case Some(v) => assert(anom == (math.abs(v) > 3.0) ||
+          math.abs(math.abs(v) - 3.0) < 1e-3, // round(4) boundary slack
+          s"flag $anom inconsistent with z=$v")
+        case None => assert(!anom, "anomaly flagged on zero-variance window")
+      }
+    }
+    assert(rows.exists(_.getBoolean(3)), "no anomaly fired: test corpus vacuous")
+  }
+
   test("dedup_edit_nn: planted twin is found at distance 0") {
     import spark.implicits._
     val docs = Seq(

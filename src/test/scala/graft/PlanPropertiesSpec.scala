@@ -82,6 +82,30 @@ class PlanPropertiesSpec extends SparkSpec {
     }.nonEmpty, "single-partition window is not over the subtotal aggregate")
   }
 
+  test("peak_concurrency: the sweep-line window is sharded, not single-partition") {
+    // same contract as pack_sequences: the only unpartitioned window
+    // may touch the bounded per-hour subtotal table, never the edge
+    // stream itself
+    import org.apache.spark.sql.execution.window.WindowExec
+    val p0 = Registry.byName("peak_concurrency").build(spark, sf)
+      .queryExecution.executedPlan
+    val p = p0 match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case x => x
+    }
+    val wins = p.collect { case w: WindowExec => w }
+    val unpart = wins.filter(_.partitionSpec.isEmpty)
+    assert(unpart.size == 1, s"expected 1 unpartitioned window, got ${unpart.size}")
+    assert(unpart.head.collectFirst {
+      case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+    }.nonEmpty, "offsets cumsum is not over the subtotal aggregate")
+  }
+
+  test("dedup_edit_nn: NN keep-1 rides WindowGroupLimit") {
+    assert(plan("dedup_edit_nn").contains("WindowGroupLimit"))
+  }
+
   test("text_pii_redact plans no hash exchange (map-only scrub)") {
     val p = plan("text_pii_redact")
     assert(!p.contains("Exchange hashpartitioning"),
