@@ -241,6 +241,25 @@ object Joins extends QueryGroup {
       Some("SELECT p_partkey, p_brand, p_retailprice FROM part p WHERE p_retailprice > (SELECT CAST(CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*) FROM part p2 WHERE p2.p_brand = p.p_brand) ORDER BY p_partkey"),
       scaleNote = "Decorrelation rewrites the correlated subquery to groupBy(p_brand).agg + an equi join back — one aggregate pass + one shuffle-or-broadcast join regardless of row count, instead of |rows| subquery executions. The per-brand aggregate is tiny (|brands| rows) and broadcasts. PlanPropertiesSpec pins the no-nested-loop shape."),
 
+    // Lateral correlated subquery (top-N per outer row): the remaining
+    // subquery class after subquery_scalar — a per-nation ORDER BY +
+    // LIMIT subquery referencing the outer row. Catalyst decorrelates
+    // the lateral to one equi join + a per-key rank filter (measured
+    // plan: BroadcastHashJoin feeding a windowed filter), never a
+    // per-outer-row execution. Stored doubles sort deterministically
+    // (no arithmetic, identical bit patterns both engines) with the
+    // name tiebreak.
+    QueryDef(
+      "join_lateral",
+      (spark, sf) => {
+        Tables.nation(spark, sf).createOrReplaceTempView("nation")
+        Tables.customer(spark, sf).createOrReplaceTempView("customer")
+        spark.sql(
+          "SELECT n.n_name, t.c_name, t.c_acctbal FROM nation n, LATERAL (SELECT c_name, c_acctbal FROM customer c WHERE c.c_nationkey = n.n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) t ORDER BY n.n_name, t.c_acctbal DESC, t.c_name")
+      },
+      Some("SELECT n.n_name, t.c_name, t.c_acctbal FROM nation n, LATERAL (SELECT c_name, c_acctbal FROM customer c WHERE c.c_nationkey = n.n_nationkey ORDER BY c_acctbal DESC, c_name LIMIT 2) t ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"),
+      scaleNote = "Decorrelation turns the lateral LIMIT subquery into the win_topk_group shape: one equi join on the correlation key + a rank-filter window — cost is one shuffle each side regardless of outer row count, where naive lateral evaluation would run |outer| sorted scans. The 'top N related rows per entity' serving query (next departures per station) at any scale."),
+
     // Salted skew join, declared: the big side's hot keys are spread
     // across 8 salt buckets (content-derived salt), the small side is
     // replicated 8×, and the join runs on (key, salt). The ORACLE is
