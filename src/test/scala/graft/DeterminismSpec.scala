@@ -1,0 +1,45 @@
+package graft
+
+import graft.engine.Registry
+
+/** Layout-independence proof for the declared surface: the engine's
+  * cross-engine determinism rules (decimal sums, integer-quantized
+  * floats, total ORDER BY) claim the OUTPUT is a pure function of the
+  * data — not of partitioning, parallelism, or adaptive replanning.
+  * This spec executes representative queries under different shuffle
+  * layouts and with AQE disabled and asserts bit-identical rows — the
+  * property that makes results reproducible when the same job moves
+  * from local[4] to a 1000-executor cluster. */
+class DeterminismSpec extends SparkSpec {
+
+  // float-emitting, verdict-emitting, window-heavy, and
+  // prefix-sum-sharded operators — the ones where partition layout
+  // could plausibly leak into values
+  private val names = Seq(
+    "agg_stats", "vec_cosine_pairs", "tfidf_keywords", "ts_anomaly",
+    "agg_cms_sketch", "pack_sequences", "merge_scd2", "corpus_mix",
+    "dedup_near", "peak_concurrency", "join_lateral", "emb_quantize")
+
+  private def rows(s: org.apache.spark.sql.SparkSession, name: String) =
+    Registry.byName(name).build(s, sf).collect().map(_.toSeq).toSeq
+
+  test("declared results are bit-identical across shuffle-partition layouts") {
+    val other = spark.newSession()
+    other.conf.set("spark.sql.shuffle.partitions", "7")
+    for (n <- names) {
+      val a = rows(spark, n)
+      val b = rows(other, n)
+      assert(a == b, s"$n differs between shuffle layouts 4 and 7")
+    }
+  }
+
+  test("declared results are bit-identical with AQE disabled") {
+    val noAqe = spark.newSession()
+    noAqe.conf.set("spark.sql.adaptive.enabled", "false")
+    for (n <- names) {
+      val a = rows(spark, n)
+      val b = rows(noAqe, n)
+      assert(a == b, s"$n differs with AQE off")
+    }
+  }
+}
