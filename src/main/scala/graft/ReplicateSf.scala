@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Builds a K× replica of a driver scale factor for SCALING
+  * measurements ONLY (correctness oracles always run on the driver's
+  * own parquet — this data never feeds `Verify`).
+  *
+  * Replication rules keep each copy internally consistent and keep
+  * workload SHAPE realistic:
+  *  - every key column is offset by copy·(max+1), so joins resolve
+  *    within a copy and key cardinalities scale with the data;
+  *  - document text is deterministically re-ordered per (copy, doc):
+  *    tokens sorted by xxhash64(token, copy, doc_id) — a PER-DOC
+  *    permutation. The token multiset (length, vocabulary, quality
+  *    stats) is preserved, but 3-gram shingle sets are randomized
+  *    per doc. Per-copy-only ordering was measured and rejected: one
+  *    shared sort key per copy puts every doc's shared vocabulary in
+  *    the same relative order, making EVERYTHING a shingle-near-dup
+  *    of everything (3.4M pairs at 10×) — the per-doc key keeps the
+  *    near-dup density realistic. Without any reshuffle every doc
+  *    would gain K−1 exact near-duplicates instead;
+  *  - timestamps are kept, so the event timeline densifies (more
+  *    events per hour) instead of stretching — the realistic direction
+  *    for a busier network.
+  */
+object ReplicateSf {
+  def main(args: Array[String]): Unit = {
+    val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
+    val copies = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(df: DataFrame, keyCols: Seq[String],
+        perturb: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
+          (d, _) => d): DataFrame = {
+      val spans = keyCols.map(k =>
+        k -> (df.agg(max(col(k))).collect()(0).getLong(0) + 1L)).toMap
+      val c = explode(array((0 until copies).map(lit): _*)).as("_copy")
+      val wide = df.select(col("*"), c)
+      val shifted = keyCols.foldLeft(wide) { (d, k) =>
+        d.withColumn(k, col(k) + col("_copy") * spans(k))
+      }
+      perturb(shifted, col("_copy")).drop("_copy")
+    }
+
+    // dims stay fixed (region/nation/supplier/part are genuinely
+    // dimension-sized at any scale); facts and corpus tables replicate
+    val orders = spark.read.parquet(s"$src/orders.parquet")
+    val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
+    val customer = spark.read.parquet(s"$src/customer.parquet")
+    val events = spark.read.parquet(s"$src/events.parquet")
+    val documents = spark.read.parquet(s"$src/documents.parquet")
+    val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
+
+    replicate(customer, Seq("c_custkey"))
+      .write.mode("overwrite").parquet(s"$dst/customer.parquet")
+    replicate(orders, Seq("o_orderkey", "o_custkey"))
+      .write.mode("overwrite").parquet(s"$dst/orders.parquet")
+    replicate(lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+      .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
+    replicate(events, Seq("event_id", "user_id"))
+      .write.mode("overwrite").parquet(s"$dst/events.parquet")
+    replicate(documents, Seq("doc_id"), (d, copy) =>
+      d.withColumn("text", concat_ws(" ", array_sort(
+        transform(split(col("text"), " "),
+          t => struct(xxhash64(t, copy, col("doc_id")).as("h"), t.as("t"))))
+        .getField("t"))))
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    replicate(embeddings, Seq("vec_id"))
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    // small dims copied as-is
+    for (t <- Seq("region", "nation", "supplier", "part"))
+      spark.read.parquet(s"$src/$t.parquet")
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    println(s"REPLICATED $copies x $src -> $dst")
+    spark.stop()
+  }
+}

