@@ -73,7 +73,16 @@ object ReplicateSf {
           t => struct(xxhash64(t, copy, col("doc_id")).as("h"), t.as("t"))))
         .getField("t"))))
       .write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    replicate(embeddings, Seq("vec_id"))
+    // per-(copy, vec) dimension permutation: value multiset (norms,
+    // quantization behavior) preserved, cross-copy cosine decorrelated
+    // — without it every vector has K−1 exact clones and cosine-pair
+    // outputs inflate quadratically in K
+    replicate(embeddings, Seq("vec_id"), (d, _) =>
+      d.withColumn("embedding", array_sort(
+        transform(col("embedding"),
+          (x, i) => struct(xxhash64(col("_copy"), col("vec_id"), i).as("h"),
+            x.as("x"))))
+        .getField("x")))
       .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
     // small dims copied as-is
     for (t <- Seq("region", "nation", "supplier", "part"))

@@ -184,5 +184,5 @@ SELECT query_id, bucket, rank, vec_id, cos FROM (SELECT query_id, bucket, vec_id
 pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
 b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr)
 SELECT id1, id2, cos FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25 ORDER BY id1, id2""".replaceAll("\\n", " ")),
-      scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."))
+      scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). Plane count is THE scale dial — grow it with the corpus so |bucket| ≈ corpus/2^planes stays constant and the pair space stays LINEAR: measured on the 10× replica, 4 planes = 16.4 s / 562k pairs vs 8 planes = 1.7 s / 67k pairs (SCALING.md). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."))
 }
