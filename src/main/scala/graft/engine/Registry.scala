@@ -22,7 +22,8 @@ object Registry {
     AnnKmeans,
     CorpusOps,
     PipelineOps,
-    Analytics)
+    Analytics,
+    GraphOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

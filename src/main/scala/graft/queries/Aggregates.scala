@@ -411,5 +411,93 @@ object Aggregates extends QueryGroup {
             (col("cms_est") >= col("exact_n")).as("no_undercount"))
           .orderBy("event_type"),
       Some("WITH params AS (SELECT unnest([0,1,2,3]) AS i), cells AS (SELECT i, ('0x'||substr(md5(event_type),1+8*i,8))::BIGINT % 32 AS b, count(*) AS c FROM events CROSS JOIN params GROUP BY 1,2), keys AS (SELECT event_type, count(*) AS exact_n FROM events GROUP BY 1) SELECT k.event_type, k.exact_n, min(c.c) AS cms_est, min(c.c) >= k.exact_n AS no_undercount FROM keys k CROSS JOIN params p JOIN cells c ON c.i = p.i AND c.b = ('0x'||substr(md5(k.event_type),1+8*p.i,8))::BIGINT % 32 GROUP BY 1,2 ORDER BY 1"),
-      scaleNote = "The sketch is a fixed d×w integer matrix (128 cells here) built by one map-side-combined count — partials merge by cell-wise addition, so 100 TB of events shuffles d×w longs per partition no matter the key cardinality; the build never holds per-key state (contrast agg_heavy_hitters' O(k) candidate map). Point estimates are d broadcast-joined lookups. Width w bounds overcount at 2N/w with probability 1−2^−d; size the matrix, not the data. The md5 buckets exist for cross-engine oracling — production swaps in xxhash64 (cheaper, same layout)."))
+      scaleNote = "The sketch is a fixed d×w integer matrix (128 cells here) built by one map-side-combined count — partials merge by cell-wise addition, so 100 TB of events shuffles d×w longs per partition no matter the key cardinality; the build never holds per-key state (contrast agg_heavy_hitters' O(k) candidate map). Point estimates are d broadcast-joined lookups. Width w bounds overcount at 2N/w with probability 1−2^−d; size the matrix, not the data. The md5 buckets exist for cross-engine oracling — production swaps in xxhash64 (cheaper, same layout)."),
+
+    // Exact distributed median + nearest-rank p90, interpolation-free:
+    // the two middle order statistics are selected by row_number and
+    // averaged in exact DECIMAL (only ever /1 or /2 — at most 3
+    // decimal digits, no float interpolation), p90 is the single
+    // element at rank ceil(0.9·n). Complements agg_approx_quantile:
+    // that one is the production sketch, this one the exact answer —
+    // and the pair documents the exactness/scalability trade.
+    QueryDef(
+      "agg_median_exact",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val ww = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+        Tables.orders(spark, sf)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(ww))
+          .groupBy("o_orderpriority")
+          .agg(
+            max(col("n")).as("n_orders"),
+            // odd n: (n+1)/2 == (n+2)/2 → the single middle row matches
+            // both predicates once; even n: the two middle rows sum
+            sum(when(col("rn") === expr("(n + 1) div 2") ||
+                col("rn") === expr("(n + 2) div 2"),
+              col("o_totalprice").cast(D4))).as("msum"),
+            max(when(col("rn") === expr("(9 * n + 9) div 10"),
+              col("o_totalprice"))).as("p90v"))
+          .select(col("o_orderpriority"), col("n_orders"),
+            (col("msum") / when(col("n_orders") % 2 === 1, 1).otherwise(2))
+              .cast(D4).cast("double").as("median"),
+            dec2(col("p90v")).cast("double").as("p90"))
+          .orderBy("o_orderpriority")
+      },
+      Some("WITH t AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, max(n) AS n_orders, CAST(CAST(sum(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) / (CASE WHEN max(n) % 2 = 1 THEN 1 ELSE 2 END) AS DECIMAL(18,4)) AS DOUBLE) AS median, CAST(CAST(max(CASE WHEN rn = (9*n+9)//10 THEN o_totalprice END) AS DECIMAL(18,2)) AS DOUBLE) AS p90 FROM t GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Exact rank selection needs a total order per group — here row_number shards by the 5-value priority key, so each group funnels through one sort chain: fine at test scale, the known bottleneck at 100 TB. The scale path is documented by the pair: agg_approx_quantile's mergeable sketch for production, or (when exactness is required) the two-pass histogram narrowing — a first pass builds a value-bucket CDF from map-side counts, identifies the ~1/w-wide bucket containing the target rank, and a second pass sorts only that bucket. The median arithmetic itself is float-free (DECIMAL midpoint, /1 or /2), so the answer is layout-independent wherever the rank is computed."),
+
+    // Bloom filter membership as a declared, hard-oracled query:
+    // m=8192 bits, k=3 md5-slice hashes (agg_cms_sketch's digest
+    // trick), built over the high-value customer set and probed with
+    // every customer. Both engines derive the identical bit set, so
+    // set bits, positives, false positives and the observed FPR are
+    // all exact — and the Bloom contract (zero false negatives) is
+    // emitted as a verdict column. Completes the sketch family: HLL
+    // (distinct) / MG (top-k) / CMS (frequency) / Bloom (membership).
+    QueryDef(
+      "agg_bloom_filter",
+      (spark, sf) => {
+        val m = 8192
+        def positions(df: org.apache.spark.sql.DataFrame, key: String) = df
+          .withColumn("dg", md5(col(key).cast("string")))
+          .select(col(key), explode(array((0 until 3).map(i =>
+            cmsBucket(col("dg"), i, m)): _*)).as("pos"))
+          .distinct()
+        val keys = Tables.orders(spark, sf)
+          .filter(col("o_totalprice") > 495000)
+          .select(col("o_custkey")).distinct()
+        val bits = positions(keys, "o_custkey").select("pos").distinct()
+        val probes = positions(
+          Tables.customer(spark, sf).select("c_custkey"), "c_custkey")
+        // a key's k positions may collide with each other, so "all set"
+        // is count-of-DISTINCT-positions == hits, not hits == k
+        val perKey = probes
+          .join(broadcast(bits.withColumn("hit", lit(1))), Seq("pos"), "left")
+          .groupBy("c_custkey")
+          .agg(count(lit(1)).as("npos"), count(col("hit")).as("nhit"))
+          .withColumn("bloom_pos", col("npos") === col("nhit"))
+        perKey
+          .join(broadcast(keys.withColumnRenamed("o_custkey", "c_custkey")
+            .withColumn("member", lit(true))), Seq("c_custkey"), "left")
+          .withColumn("member", coalesce(col("member"), lit(false)))
+          .agg(
+            count(lit(1)).as("n_probe"),
+            sum(when(col("member"), 1L).otherwise(0L)).as("n_members"),
+            sum(when(col("bloom_pos"), 1L).otherwise(0L)).as("n_bloom_pos"),
+            sum(when(col("bloom_pos") && !col("member"), 1L).otherwise(0L))
+              .as("n_false_pos"),
+            (sum(when(col("member") && !col("bloom_pos"), 1L).otherwise(0L)) === 0)
+              .as("no_false_neg"))
+          .select(col("n_probe"), col("n_members"), col("n_bloom_pos"),
+            col("n_false_pos"), col("no_false_neg"),
+            round(col("n_false_pos").cast("double") /
+              (col("n_probe") - col("n_members")), 4).as("fpr"))
+      },
+      Some("WITH ks AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 495000), sl AS (SELECT unnest([0,1,2]) AS i), bits AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1+8*i,8))::BIGINT % 8192 AS pos FROM ks CROSS JOIN sl), pr AS (SELECT DISTINCT c_custkey, ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1+8*i,8))::BIGINT % 8192 AS pos FROM customer CROSS JOIN sl), pk AS (SELECT pr.c_custkey, count(*) AS npos, count(bits.pos) AS nhit FROM pr LEFT JOIN bits ON pr.pos = bits.pos GROUP BY 1), fl AS (SELECT pk.c_custkey, pk.npos = pk.nhit AS bloom_pos, ks.o_custkey IS NOT NULL AS member FROM pk LEFT JOIN ks ON pk.c_custkey = ks.o_custkey) SELECT count(*) AS n_probe, count(*) FILTER (WHERE member) AS n_members, count(*) FILTER (WHERE bloom_pos) AS n_bloom_pos, count(*) FILTER (WHERE bloom_pos AND NOT member) AS n_false_pos, count(*) FILTER (WHERE member AND NOT bloom_pos) = 0 AS no_false_neg, round(CAST(count(*) FILTER (WHERE bloom_pos AND NOT member) AS DOUBLE) / (count(*) - count(*) FILTER (WHERE member)), 4) AS fpr FROM fl"),
+      scaleNote = "The filter is m bits REGARDLESS of corpus size — the set-bit table is capped at m rows (8 KB here) however many keys feed it, built by one map-side-combined distinct and broadcast to every probe task, so probing is map-only: no shuffle of the probe side ever. That is the point of a Bloom filter at 100 TB — ship the 8 KB, not the key set — and it is the same mechanism Spark's own runtime injection uses (bloom_filter_agg/might_contain, proven firing in ExtensionsSpec); this declared query exists to hash-prove the semantics cross-engine, FPR included. Size m ≈ 1.44·n·log2(1/p) and k ≈ 0.7·m/n for target FPR p; the md5 slices exist for oracling, production uses xxhash64."))
 }

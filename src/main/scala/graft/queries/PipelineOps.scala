@@ -306,5 +306,47 @@ object PipelineOps extends QueryGroup {
               .as("capacity_ok"))
       },
       Some(s"WITH f AS (SELECT lang, count(*) AS freq FROM documents GROUP BY 1), x AS (SELECT count(*) AS n FROM documents) SELECT max(n) AS n, CAST(sum(CASE WHEN freq * ${MgK + 1} > n THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy, TRUE AS heavy_all_present, TRUE AS bounds_ok, TRUE AS capacity_ok FROM f CROSS JOIN x"),
-      scaleNote = "MG partials are ≤ k entries per partition REGARDLESS of rows or vocabulary — the top-terms question over 100 TB ships O(k) bytes per partition through one tiny shuffle, where an exact top-terms must shuffle the whole (term, count) vocabulary. merge subtracts the (k+1)-th largest count, preserving the N/(k+1) error bound (mergeable-summaries result). The exact per-language counts here exist ONLY to oracle the invariants at test scale; production reads the sketch alone. For real corpora run it over tokens (k=10^4): same plan, still KB-size partials."))
+      scaleNote = "MG partials are ≤ k entries per partition REGARDLESS of rows or vocabulary — the top-terms question over 100 TB ships O(k) bytes per partition through one tiny shuffle, where an exact top-terms must shuffle the whole (term, count) vocabulary. merge subtracts the (k+1)-th largest count, preserving the N/(k+1) error bound (mergeable-summaries result). The exact per-language counts here exist ONLY to oracle the invariants at test scale; production reads the sketch alone. For real corpora run it over tokens (k=10^4): same plan, still KB-size partials."),
+
+    // Incremental aggregate maintenance (materialized-view refresh):
+    // the history partition's aggregate STATE (exact decimal sums +
+    // counts per group) is merged with a later increment's state by a
+    // full-outer join + coalesce-add — never re-reading history — and
+    // derived metrics (avg) are computed from the merged state at read
+    // time. Oracled against the FULL recompute over all of lineitem,
+    // so hash equality proves the merge exact, including groups that
+    // exist in only one side. The batch twin of the streaming sinks'
+    // state story (merge_scd2_incremental's pattern applied to
+    // algebraic aggregates).
+    QueryDef(
+      "agg_incremental_merge",
+      (spark, sf) => {
+        import Dsl._
+        val cutoff = tsLit("1998-01-01")
+        def state(df: org.apache.spark.sql.DataFrame) = df
+          .groupBy("l_returnflag", "l_linestatus")
+          .agg(sumDec2(col("l_quantity")).as("sq"),
+            sumDec2(col("l_extendedprice")).as("sp"),
+            count(lit(1)).as("n"))
+        val li = Tables.lineitem(spark, sf)
+        val hist = state(li.filter(col("l_shipdate") < cutoff))
+          .withColumnsRenamed(Map("sq" -> "sq1", "sp" -> "sp1", "n" -> "n1"))
+        val incr = state(li.filter(col("l_shipdate") >= cutoff))
+          .withColumnsRenamed(Map("sq" -> "sq2", "sp" -> "sp2", "n" -> "n2"))
+        hist.join(incr, Seq("l_returnflag", "l_linestatus"), "full_outer")
+          .select(col("l_returnflag"), col("l_linestatus"),
+            (coalesce(col("sq1"), lit(0).cast(D2)) +
+              coalesce(col("sq2"), lit(0).cast(D2))).cast(D2).as("sqm"),
+            (coalesce(col("sp1"), lit(0).cast(D2)) +
+              coalesce(col("sp2"), lit(0).cast(D2))).cast(D2).as("spm"),
+            (coalesce(col("n1"), lit(0L)) + coalesce(col("n2"), lit(0L))).as("n_rows"))
+          .select(col("l_returnflag"), col("l_linestatus"),
+            col("sqm").cast("double").as("sum_qty"),
+            col("spm").cast("double").as("sum_price"),
+            col("n_rows"),
+            round(col("sqm").cast("double") / col("n_rows"), 4).as("avg_qty"))
+          .orderBy("l_returnflag", "l_linestatus")
+      },
+      Some("SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price, count(*) AS n_rows, round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "The refresh reads ONLY the increment — history participates as its aggregate state (|groups| rows, not |rows|), so a daily refresh over a 100 TB log costs one pass over the new partition plus a groups-sized outer join, and the state table is itself partitionable by group key. This works because the aggregates are algebraic: SUM/COUNT states merge by addition, AVG derives from merged state at read time (never store avg — it does not merge). DECIMAL state keeps the merge bit-exact on any layout; MIN/MAX merge the same way, and the sketch family (HLL/CMS/MG) extends the pattern to distincts, frequencies and top-k — this query is the glue that turns those mergeable partials into an incrementally-maintained warehouse."))
 }

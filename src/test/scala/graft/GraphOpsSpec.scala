@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.engine.Registry
+import graft.queries.GraphOps
+
+/** Invariants for the round-4 additions: integer PageRank, exact
+  * median, Bloom membership, incremental aggregate maintenance. */
+class GraphOpsSpec extends SparkSpec {
+
+  private def run(name: String) = Registry.byName(name).build(spark, sf)
+
+  import spark.implicits._
+
+  test("pagerank: hand-computed 3-node path graph") {
+    // path a—b—c (undirected): deg a=1, b=2, c=1.
+    // r0 = 1e6 each. One iteration:
+    //   a gets b/2 = 500000 → 150000 + 850000*... = 150000 + (85*500000) div 100 = 575000
+    //   b gets a/1 + c/1 = 2000000 → 150000 + 1700000 = 1850000
+    //   c symmetric to a → 575000
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    val r1 = GraphOps.pagerank(e, 1).orderBy("node")
+      .as[(Long, Long)].collect.toSeq
+    assert(r1 === Seq((1L, 575000L), (2L, 1850000L), (3L, 575000L)))
+    // second iteration, from (575000, 1850000, 575000):
+    //   a: b/2 = 925000 → 150000 + (85*925000) div 100 = 936250
+    //   b: a + c = 1150000 → 150000 + 977500 = 1127500
+    val r2 = GraphOps.pagerank(e, 2).orderBy("node")
+      .as[(Long, Long)].collect.toSeq
+    assert(r2 === Seq((1L, 936250L), (2L, 1127500L), (3L, 936250L)))
+  }
+
+  test("pagerank: regular graphs are rank-uniform fixpoints") {
+    // 4-cycle: every node deg 2, perfectly symmetric — rank stays equal
+    // across nodes at every iteration, and the damped fixpoint is
+    // r = 150000 + 0.85r → r = 1e6 exactly (floor-exact here).
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (3L, 2L), (4L, 3L), (1L, 4L)).toDF("src", "dst")
+    val r = GraphOps.pagerank(cyc, 3).select("r").as[Long].collect.toSeq
+    assert(r === Seq.fill(4)(1000000L))
+  }
+
+  test("graph_pagerank: layout-independent, mass-bounded, all nodes ranked") {
+    val a = run("graph_pagerank").collect.toSeq
+    val b = Registry.byName("graph_pagerank")
+      .build(spark.newSession(), sf).repartition(13).collect.toSeq
+    assert(a.toSet === b.toSet) // bit-identical on any layout
+    val ranks = a.map(_.getLong(2))
+    assert(ranks.forall(_ >= 150000L)) // teleport floor
+    // total mass ≤ N·1e6 (floor divisions only ever lose mass)
+    assert(ranks.sum <= a.size * GraphOps.R0)
+    // node set = all distinct custkeys/suppkeys that traded
+    val nCust = a.count(_.getString(0) == "customer")
+    val nSupp = a.count(_.getString(0) == "supplier")
+    assert(nCust > 0 && nSupp > 0 && nCust + nSupp === a.size)
+  }
+
+  test("agg_median_exact matches percentile(0.5) interpolation per group") {
+    // for p=0.5 linear interpolation degenerates to the mid-pair mean —
+    // the same value our interpolation-free DECIMAL path computes
+    val exact = run("agg_median_exact")
+      .select("o_orderpriority", "median").as[(String, Double)]
+      .collect.toMap
+    val ref = engine.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(expr("percentile(o_totalprice, 0.5D)").as("m"))
+      .as[(String, Double)].collect.toMap
+    assert(exact.keySet === ref.keySet)
+    exact.foreach { case (k, v) => assert(math.abs(v - ref(k)) < 1e-6, k) }
+  }
+
+  test("agg_bloom_filter: the Bloom contract holds") {
+    val row = run("agg_bloom_filter").collect.head
+    val (nProbe, nMembers, nPos, nFalse) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3))
+    assert(row.getBoolean(4), "false negative — impossible for a Bloom filter")
+    assert(nPos === nMembers + nFalse) // positives decompose exactly
+    assert(nMembers > 0 && nMembers < nProbe) // non-vacuous fixture
+    val fpr = row.getDouble(5)
+    assert(fpr >= 0.0 && fpr <= 1.0)
+  }
+
+  test("agg_incremental_merge equals the full recompute (Spark side)") {
+    import graft.engine.Dsl._
+    val merged = run("agg_incremental_merge").collect.toSeq
+    val full = engine.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(sumDec2(col("l_quantity")).cast("double").as("sum_qty"),
+        sumDec2(col("l_extendedprice")).cast("double").as("sum_price"),
+        count(lit(1)).as("n_rows"))
+      .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+        col("sum_price"), col("n_rows"),
+        round(col("sum_qty") / col("n_rows"), 4).as("avg_qty"))
+      .orderBy("l_returnflag", "l_linestatus").collect.toSeq
+    assert(merged === full)
+  }
+}
