@@ -18,7 +18,9 @@ object ScalingCurve {
       "merge_scd2", "merge_scd2_incremental", "contamination_check",
       "text_pii_redact", "agg_heavy_hitters", "corpus_pipeline", "pack_sequences", "ann_kmeans",
       "funnel_steps", "retention_cohort", "peak_concurrency",
-      "layout_zorder", "agg_cms_sketch", "dedup_edit_nn")
+      "layout_zorder", "agg_cms_sketch", "dedup_edit_nn",
+      "graph_pagerank", "agg_median_exact", "agg_bloom_filter",
+      "agg_incremental_merge")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)
