@@ -252,5 +252,61 @@ object TimeSeriesDedup extends QueryGroup {
           .orderBy("user_id", "day")
       },
       Some("WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events), u AS (SELECT DISTINCT user_id FROM events), g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM u CROSS JOIN b), dl AS (SELECT user_id, day, value FROM (SELECT user_id, date_trunc('day', ts) AS day, value, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1), j AS (SELECT g.user_id, g.day, dl.value FROM g LEFT JOIN dl ON g.user_id = dl.user_id AND g.day = dl.day) SELECT user_id, CAST(day AS TIMESTAMP) AS day, last_value(value IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value FROM j ORDER BY user_id, day"),
-      scaleNote = "Grid size is |users| x |days| — independent of event count, so the explode never outgrows the dimension product. Daily-last is a 2-phase struct-max agg that collapses events to |users| x |active days| rows, which the planner broadcasts against the grid (measured plan: BroadcastHashJoin + one window exchange). If the daily side outgrows broadcast at 100 TB, pre-partition both sides by user_id: hash(user_id) satisfies the (user_id, day) join clustering AND the fill window's partitioning, so one exchange serves both. Forward fill copies stored doubles — zero float arithmetic to skew."))
+      scaleNote = "Grid size is |users| x |days| — independent of event count, so the explode never outgrows the dimension product. Daily-last is a 2-phase struct-max agg that collapses events to |users| x |active days| rows, which the planner broadcasts against the grid (measured plan: BroadcastHashJoin + one window exchange). If the daily side outgrows broadcast at 100 TB, pre-partition both sides by user_id: hash(user_id) satisfies the (user_id, day) join clustering AND the fill window's partitioning, so one exchange serves both. Forward fill copies stored doubles — zero float arithmetic to skew."),
+
+    // Linear-interpolation gap fill: ts_resample's grid, but gap days
+    // take the straight line between the surrounding observations
+    // evaluated at the day boundary (numeric sensors), not a copy of
+    // the stale value. Anchors: previous day's LAST observation and
+    // next day's FIRST (resample's struct-max/min tie rule); days
+    // with data emit their actual daily-last; days before the first /
+    // after the last observation stay 'none'. The time fraction is a
+    // ratio of exact BIGINT microsecond differences, and the one
+    // float expression is written identically in both engines, so
+    // round(,4) hash-matches (ts_anomaly's precedent).
+    QueryDef(
+      "ts_interpolate",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val bounds = ev.agg(
+          date_trunc("day", min(col("ts"))).as("d0"),
+          date_trunc("day", max(col("ts"))).as("d1"))
+        val grid = ev.select(col("user_id")).distinct()
+          .crossJoin(broadcast(bounds))
+          .select(col("user_id"),
+            explode(sequence(col("d0"), col("d1"),
+              expr("interval 1 day"))).as("day"))
+        val daily = ev
+          .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .agg(max(struct(col("ts"), col("event_id"), col("value"))).as("l"),
+            min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
+          .select(col("user_id"), col("day"),
+            col("l.ts").as("l_ts"), col("l.value").as("l_v"),
+            col("f.ts").as("f_ts"), col("f.value").as("f_v"))
+        val wPrev = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wNext = Window.partitionBy("user_id").orderBy("day")
+          .rowsBetween(1, Window.unboundedFollowing)
+        val frac =
+          (expr("unix_micros(CAST(day AS TIMESTAMP))") -
+            expr("unix_micros(CAST(p_ts AS TIMESTAMP))")).cast("double") /
+            (expr("unix_micros(CAST(n_ts AS TIMESTAMP))") -
+              expr("unix_micros(CAST(p_ts AS TIMESTAMP))")).cast("double")
+        grid.join(daily, Seq("user_id", "day"), "left")
+          .withColumn("p_ts", last(col("l_ts"), ignoreNulls = true).over(wPrev))
+          .withColumn("p_v", last(col("l_v"), ignoreNulls = true).over(wPrev))
+          .withColumn("n_ts", first(col("f_ts"), ignoreNulls = true).over(wNext))
+          .withColumn("n_v", first(col("f_v"), ignoreNulls = true).over(wNext))
+          .select(col("user_id"), col("day"),
+            when(col("l_v").isNotNull, lit("actual"))
+              .when(col("p_v").isNotNull && col("n_v").isNotNull, lit("interp"))
+              .otherwise(lit("none")).as("status"),
+            when(col("l_v").isNotNull, col("l_v"))
+              .when(col("p_v").isNotNull && col("n_v").isNotNull,
+                round(col("p_v") + (col("n_v") - col("p_v")) * frac, 4))
+              .as("value"))
+          .orderBy("user_id", "day")
+      },
+      Some("WITH b AS (SELECT date_trunc('day', min(ts)) AS d0, date_trunc('day', max(ts)) AS d1 FROM events), u AS (SELECT DISTINCT user_id FROM events), g AS (SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM u CROSS JOIN b), d AS (SELECT user_id, date_trunc('day', ts) AS day, ts, value, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts DESC, event_id DESC) AS rl, row_number() OVER (PARTITION BY user_id, date_trunc('day', ts) ORDER BY ts ASC, event_id ASC) AS rf FROM events), dd AS (SELECT user_id, day, max(CASE WHEN rl=1 THEN ts END) AS l_ts, max(CASE WHEN rl=1 THEN value END) AS l_v, max(CASE WHEN rf=1 THEN ts END) AS f_ts, max(CASE WHEN rf=1 THEN value END) AS f_v FROM d GROUP BY 1,2), j AS (SELECT g.user_id, g.day, dd.l_ts, dd.l_v, dd.f_ts, dd.f_v FROM g LEFT JOIN dd ON g.user_id=dd.user_id AND g.day=dd.day), w AS (SELECT user_id, day, l_v, last_value(l_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_ts, last_value(l_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS p_v, first_value(f_ts IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_ts, first_value(f_v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS n_v FROM j) SELECT user_id, CAST(day AS TIMESTAMP) AS day, CASE WHEN l_v IS NOT NULL THEN 'actual' WHEN p_v IS NOT NULL AND n_v IS NOT NULL THEN 'interp' ELSE 'none' END AS status, CASE WHEN l_v IS NOT NULL THEN l_v WHEN p_v IS NOT NULL AND n_v IS NOT NULL THEN round(p_v + (n_v - p_v) * (CAST(epoch_us(day) - epoch_us(p_ts) AS DOUBLE) / CAST(epoch_us(n_ts) - epoch_us(p_ts) AS DOUBLE)), 4) END AS value FROM w ORDER BY user_id, day"),
+      scaleNote = "Same scale shape as ts_resample (grid = |users| x |days|, daily anchors from one 2-phase struct-max/min agg, broadcast join onto the grid) plus two bounded-frame-free windows over the grid — both partitioned by user_id, so the resample remedy applies verbatim: pre-partition by user_id once and one exchange serves the join and both windows. The interpolation arithmetic is a per-row map over grid rows: BIGINT microsecond differences, one double division written identically in both engines — nothing in the fill step scales with event count."))
 }

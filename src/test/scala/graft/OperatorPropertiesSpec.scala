@@ -206,4 +206,48 @@ class OperatorPropertiesSpec extends SparkSpec {
     val bad = worstKept.join(sizes, "o_custkey").filter(col("n") >= 3 && col("k") =!= 3)
     assert(bad.count() == 0)
   }
+
+  test("ts_interpolate: actual = daily last; interp bounded by its true anchors") {
+    // java.sql.Timestamp (raw events) vs LocalDateTime (ntz query output)
+    def dayKey(v: Any): String = v.toString.take(10)
+    val interp = run("ts_interpolate").collect()
+    val res = run("ts_resample")
+      .collect().map(r => (r.getLong(0), dayKey(r.get(1))) -> r).toMap
+    // true anchors from raw events: per (user, day) first/last value
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("f"),
+        max(struct(col("ts"), col("event_id"), col("value"))).as("l"))
+      .select(col("user_id"), col("day"),
+        col("f.value").as("fv"), col("l.value").as("lv"))
+      .collect()
+      .map(r => (r.getLong(0), dayKey(r.get(1))) -> (r.getDouble(2), r.getDouble(3)))
+      .toMap
+    var nInterp = 0
+    interp.groupBy(_.getLong(0)).values.foreach { rows =>
+      val sorted = rows.sortBy(r => dayKey(r.get(1)))
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val key = (r.getLong(0), dayKey(r.get(1)))
+        r.getString(2) match {
+          case "actual" => // must equal resample's daily-last
+            assert(r.getDouble(3) === res(key).getDouble(2), s"actual mismatch at $key")
+          case "none" =>
+            assert(r.isNullAt(3), s"'none' row carries a value at $key")
+          case "interp" =>
+            nInterp += 1
+            // previous actual day's LAST and next actual day's FIRST
+            val pv = sorted.take(i).reverse.find(_.getString(2) == "actual")
+              .map(p => ev((p.getLong(0), dayKey(p.get(1))))._2)
+            val nv = sorted.drop(i + 1).find(_.getString(2) == "actual")
+              .map(n => ev((n.getLong(0), dayKey(n.get(1))))._1)
+            assert(pv.isDefined && nv.isDefined, s"interp without anchors at $key")
+            val lo = math.min(pv.get, nv.get) - 1e-4
+            val hi = math.max(pv.get, nv.get) + 1e-4
+            assert(r.getDouble(3) >= lo && r.getDouble(3) <= hi,
+              s"interp ${r.getDouble(3)} outside [$lo,$hi] at $key")
+        }
+      }
+    }
+    assert(nInterp > 0, "fixture produced no gap days - vacuous test")
+  }
 }
