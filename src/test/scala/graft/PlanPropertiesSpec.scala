@@ -146,13 +146,13 @@ class PlanPropertiesSpec extends SparkSpec {
     // ann_topk: the brute-force exact-recall BASELINE — broadcast query
     // set against every vector is its defining semantics; ann_ivf is
     // the bucketed equi-join scale path measured against it.
-    // tfidf_keywords / ts_resample / corpus_mix / agg_heavy_hitters:
-    // the only loop join is a broadcast SINGLE-ROW aggregate (corpus
-    // count N / global day bounds / global totals / the MG verdict's
-    // stream length) — a constant, not a scan.
+    // tfidf_keywords / ts_resample / ts_interpolate / corpus_mix /
+    // agg_heavy_hitters: the only loop join is a broadcast SINGLE-ROW
+    // aggregate (corpus count N / global day bounds / global totals /
+    // the MG verdict's stream length) — a constant, not a scan.
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
-        "tfidf_keywords", "ts_resample", "corpus_mix",
+        "tfidf_keywords", "ts_resample", "ts_interpolate", "corpus_mix",
         "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans")
     Registry.all.foreach { d =>
       val p = plan(d.name)
