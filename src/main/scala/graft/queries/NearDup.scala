@@ -194,20 +194,35 @@ object NearDup extends QueryGroup {
       .localCheckpoint(false)
     var lab = edges.select(col("src").as("v")).distinct()
       .select(col("v"), col("v").as("lab"))
-    // 6 rounds reach min-label across any component of diameter
-    // ≤ 6 — dedup components are shallow (near-dup chains are
-    // short; measured diameter ≤ 3 on this corpus), and the
-    // oracle's recursive CTE runs to the true fixpoint, so a
-    // too-deep component would FAIL the hash, not hide
-    for (i <- 1 to 6) {
+    // Convergence-checked propagation: min-label is MONOTONE (each
+    // vertex's label can only decrease, because the old label stays in
+    // the union), so the total label sum strictly decreases every
+    // round until the true fixpoint — a stable sum IS convergence.
+    // One tiny driver-side aggregate per round replaces the previous
+    // fixed 6-round unroll, which silently assumed component diameter
+    // ≤ 6 (a deeper dup-chain would have failed the recursive-CTE
+    // oracle loudly, but failed nonetheless). DECIMAL(38,0) sum can't
+    // overflow at any corpus size. The eager checkpoint each round
+    // both flattens the doubling lineage and makes the convergence
+    // probe read cached partitions instead of re-running the round
+    // (lazy checkpoints measured unstable for per-round loop state —
+    // see SCALING.md's iterative-loop recipe).
+    var prevSum: java.math.BigDecimal = null
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 64,
+        "dedup_clusters: label propagation did not converge in 64 rounds")
       val prop = edges
         .join(lab.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), col("lab"))
       lab = lab.union(prop).groupBy("v").agg(min(col("lab")).as("lab"))
-      // each round references lab twice, so lineage doubles per
-      // round — a cut every 3rd round caps the plan at 8 copies
-      // of a checkpointed leaf instead of letting it grow 2^rounds
-      if (i % 3 == 0) lab = lab.localCheckpoint(false)
+        .localCheckpoint(true)
+      val s = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
+      if (prevSum != null && (s == null || s.compareTo(prevSum) == 0))
+        converged = true
+      prevSum = s
     }
     lab.select(col("v").as("doc_id"), col("lab").as("cluster_id"),
       (col("v") === col("lab")).as("is_canonical"))
@@ -287,5 +302,5 @@ object NearDup extends QueryGroup {
       (spark, sf) =>
         clusters(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
       Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
-      scaleNote = "Iterations = component diameter, each one equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch the propagation to alternating small-star/large-star (O(log n) rounds, skew-safe on high-degree hubs) and checkpoint every round — exactly what this implementation does in miniature. The canonical-min rule is deterministic, so re-runs pick identical survivors."))
+      scaleNote = "Convergence-checked: rounds run until the label sum goes stable (monotone min-label ⇒ stable sum = true fixpoint), so iterations = component diameter + 1 with NO assumed diameter bound; the convergence probe is one DECIMAL(38,0) sum over the checkpointed label table per round. Each round is equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch the propagation to alternating small-star/large-star (O(log n) rounds, skew-safe on high-degree hubs) and checkpoint every round — exactly what this implementation does in miniature. The canonical-min rule is deterministic, so re-runs pick identical survivors."))
 }

@@ -63,6 +63,24 @@ class NearDupSpec extends SparkSpec {
       s"missed=${(truth -- found).size} extra=${(found -- truth).size}")
   }
 
+  test("clusters converges on a planted diameter-10 chain") {
+    // Chain of 11 sliding-window docs: doc i = tokens [4i, 4i+19] over
+    // one unique token stream → 18 shingles each, consecutive docs
+    // share 14 (jac 14/22 ≈ 0.64 ≥ 0.5), distance-2 docs share 10
+    // (10/26 ≈ 0.38 < 0.5). So the pair graph is exactly the path
+    // 1-2-…-11 (diameter 10) — the old fixed-6-round propagation
+    // could NOT reach min-label across it; the convergence loop must.
+    val docs = mkDocs((0 until 11).map { i =>
+      ((i + 1).toLong, (i * 4 until i * 4 + 20).map(t => s"w$t").mkString(" "))
+    })
+    val rows = NearDup.clusters(docs, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+    assert(rows.length == 11, s"expected all 11 chain docs, got ${rows.length}")
+    assert(rows.forall(_._2 == 1L),
+      s"all labels must reach the chain min 1: ${rows.toSeq.sortBy(_._1)}")
+    assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == 1L)
+  }
+
   test("short docs (<3 tokens) are excluded, not crashed on") {
     val docs = mkDocs(Seq((1L, "one two"), (2L, "solo"), (3L, synthDoc(9))))
     assert(NearDup.nearDupPairs(docs, 0.5).count() == 0)
