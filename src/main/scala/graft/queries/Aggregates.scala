@@ -290,18 +290,28 @@ object Aggregates extends QueryGroup {
       Some("SELECT o_orderpriority, count(*) AS n_orders, TRUE AS est_in_tol FROM orders GROUP BY o_orderpriority UNION ALL SELECT 'ALL' AS o_orderpriority, count(*) AS n_orders, TRUE AS est_in_tol FROM orders ORDER BY o_orderpriority"),
       scaleNote = "The sketch column IS the reusable artifact: persist per-(dim) sketches once, answer any rollup by unioning KB-sized sketches instead of rescanning 100 TB — the cube-of-distincts pattern. Sketches merge associatively; estimates are read out only at the edge. The exact countDistinct here exists ONLY to oracle the tolerance verdict at test scale; production reads the estimate alone."),
 
-    // Moment statistics via exact decimal sums: variance from
-    // (Σx², Σx, n) — the only float ops are two correctly-rounded
-    // conversions and three arithmetic steps on identical inputs, so
-    // stddev is deterministic cross-engine (native stddev aggregates
-    // accumulate in floats, summation-order-dependent).
+    // Moment statistics via exact sums: variance from (Σx², Σx, n) —
+    // the only float ops are two correctly-rounded conversions and
+    // three arithmetic steps on identical inputs, so stddev is
+    // deterministic cross-engine (native stddev aggregates accumulate
+    // in floats, summation-order-dependent). The per-row hot path is
+    // PURE LONG arithmetic: x is scaled to exact cents (a long), the
+    // square is a long multiply (max ~3.6e15, far under overflow), and
+    // only the two SUM buffers are decimal. The r4 formulation
+    // multiplied DECIMAL(18,2)×DECIMAL(18,2)→DECIMAL(37,4) per row —
+    // precision 37 forces the BigDecimal slow path on every input row
+    // and benched 4.4× slower (0.61 s vs 0.14 s at sf0.1); descaling
+    // by 10⁴ ONCE PER GROUP after the exact integer sum produces the
+    // bit-identical decimal value (T/10⁴ is exact at scale 4, no
+    // rounding), so the final double cast matches the oracle's.
     QueryDef(
       "agg_stats",
       (spark, sf) => {
         val D38 = org.apache.spark.sql.types.DecimalType(38, 4)
-        val sx = sum(dec2(col("o_totalprice"))).cast(D2).cast("double")
-        val sxx = sum((dec2(col("o_totalprice")) * dec2(col("o_totalprice")))
-          .cast(D38)).cast(D38).cast("double")
+        val cents = round(col("o_totalprice") * 100).cast("long")
+        val sx = (sum(cents.cast("decimal(20,0)")) / 100).cast(D2).cast("double")
+        val sxx = (sum((cents * cents).cast("decimal(38,0)")) / 10000)
+          .cast(D38).cast("double")
         val n = count(lit(1)).cast("double")
         Tables.orders(spark, sf)
           .groupBy("o_orderpriority")
