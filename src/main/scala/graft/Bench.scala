@@ -21,6 +21,9 @@ object Bench {
     // the smallest scale factor (same shape, negligible data) before
     // timing it at the target one.
     val warmDir = "/root/testdata/sf0.001"
+    // fresh per-run: the durable per-query ledger is append-mode below
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get("bench_queries.jsonl"))
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
       try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
@@ -45,6 +48,13 @@ object Bench {
       // incremental per-query line: even if the final summary line is
       // truncated by a bounded tail capture (r3 lost 13 of 84 entries
       // that way), every individual time survives as its own short line
+      // — AND is appended to a durable jsonl file BEFORE the stdout
+      // print, so no stdout capture policy can lose a measurement
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("bench_queries.jsonl"),
+        (s"""{"q":"$name","sec":${fmt(t)}}""" + "\n").getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
       println(s"""{"q":"$name","sec":${fmt(t)}}""")
       name -> t
     }

@@ -9,8 +9,11 @@ import org.apache.spark.sql.functions._
   *
   * Replication rules keep each copy internally consistent and keep
   * workload SHAPE realistic:
-  *  - every key column is offset by copy·(max+1), so joins resolve
-  *    within a copy and key cardinalities scale with the data;
+  *  - every replicated key column is offset by copy·span where span is
+  *    the PARENT key domain (customer's for o_custkey, orders' for
+  *    l_orderkey, the shared doc/vec domain for doc_id/vec_id), so FK
+  *    joins resolve within a copy at unchanged selectivity; FKs into
+  *    non-replicated dims (l_partkey, l_suppkey) are left unshifted;
   *  - document text is deterministically re-ordered per (copy, doc):
   *    tokens sorted by xxhash64(token, copy, doc_id) — a PER-DOC
   *    permutation. The token multiset (length, vocabulary, quality
@@ -37,21 +40,29 @@ object ReplicateSf {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicate(df: DataFrame, keyCols: Seq[String],
+    // every shifted column carries an EXPLICIT span, and an FK's span
+    // comes from its PARENT's key domain — a per-table max would
+    // misalign FKs across copies (o_custkey shifted by max(o_custkey)+1
+    // only resolves against c_custkey shifted by max(c_custkey)+1 when
+    // the two maxes coincide), silently diluting fact-dim join
+    // selectivity ~1/K in the replica timings
+    def replicate(df: DataFrame, shifts: Seq[(String, Long)],
         perturb: (DataFrame, org.apache.spark.sql.Column) => DataFrame =
           (d, _) => d): DataFrame = {
-      val spans = keyCols.map(k =>
-        k -> (df.agg(max(col(k))).collect()(0).getLong(0) + 1L)).toMap
       val c = explode(array((0 until copies).map(lit): _*)).as("_copy")
       val wide = df.select(col("*"), c)
-      val shifted = keyCols.foldLeft(wide) { (d, k) =>
-        d.withColumn(k, col(k) + col("_copy") * spans(k))
+      val shifted = shifts.foldLeft(wide) { case (d, (k, span)) =>
+        d.withColumn(k, col(k) + col("_copy") * span)
       }
       perturb(shifted, col("_copy")).drop("_copy")
     }
+    def span(df: DataFrame, k: String): Long =
+      df.agg(max(col(k))).collect()(0).getLong(0) + 1L
 
     // dims stay fixed (region/nation/supplier/part are genuinely
-    // dimension-sized at any scale); facts and corpus tables replicate
+    // dimension-sized at any scale) — so l_partkey/l_suppkey stay
+    // UNSHIFTED: shifting them would point copies >= 1 at nonexistent
+    // dim keys; facts and corpus tables replicate
     val orders = spark.read.parquet(s"$src/orders.parquet")
     val lineitem = spark.read.parquet(s"$src/lineitem.parquet")
     val customer = spark.read.parquet(s"$src/customer.parquet")
@@ -59,15 +70,23 @@ object ReplicateSf {
     val documents = spark.read.parquet(s"$src/documents.parquet")
     val embeddings = spark.read.parquet(s"$src/embeddings.parquet")
 
-    replicate(customer, Seq("c_custkey"))
+    val custSpan = span(customer, "c_custkey")
+    val orderSpan = span(orders, "o_orderkey")
+    // doc_id and vec_id equi-join in multimodal_join: one shared span
+    val docSpan = math.max(span(documents, "doc_id"),
+      span(embeddings, "vec_id"))
+
+    replicate(customer, Seq("c_custkey" -> custSpan))
       .write.mode("overwrite").parquet(s"$dst/customer.parquet")
-    replicate(orders, Seq("o_orderkey", "o_custkey"))
+    replicate(orders, Seq("o_orderkey" -> orderSpan,
+        "o_custkey" -> custSpan))
       .write.mode("overwrite").parquet(s"$dst/orders.parquet")
-    replicate(lineitem, Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate(lineitem, Seq("l_orderkey" -> orderSpan))
       .write.mode("overwrite").parquet(s"$dst/lineitem.parquet")
-    replicate(events, Seq("event_id", "user_id"))
+    replicate(events, Seq("event_id" -> span(events, "event_id"),
+        "user_id" -> span(events, "user_id")))
       .write.mode("overwrite").parquet(s"$dst/events.parquet")
-    replicate(documents, Seq("doc_id"), (d, copy) =>
+    replicate(documents, Seq("doc_id" -> docSpan), (d, copy) =>
       d.withColumn("text", concat_ws(" ", array_sort(
         transform(split(col("text"), " "),
           t => struct(xxhash64(t, copy, col("doc_id")).as("h"), t.as("t"))))
@@ -77,7 +96,7 @@ object ReplicateSf {
     // quantization behavior) preserved, cross-copy cosine decorrelated
     // — without it every vector has K−1 exact clones and cosine-pair
     // outputs inflate quadratically in K
-    replicate(embeddings, Seq("vec_id"), (d, _) =>
+    replicate(embeddings, Seq("vec_id" -> docSpan), (d, _) =>
       d.withColumn("embedding", array_sort(
         transform(col("embedding"),
           (x, i) => struct(xxhash64(col("_copy"), col("vec_id"), i).as("h"),

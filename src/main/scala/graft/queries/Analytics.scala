@@ -97,6 +97,15 @@ object Analytics extends QueryGroup {
     // definition) → sweep line over ±1 session edges → per-hour max of
     // the running active-session count. 'How many trains are on the
     // network right now', computed scalably.
+    //
+    // CONTRACT: the timeline has a row only for hours containing at
+    // least one session start/end EDGE. An hour inside a long session
+    // with no edge emits no row even though concurrency is nonzero
+    // throughout (its peak equals the carried prefix at the next
+    // emitted hour, so no information is lost). Both engines share the
+    // contract, so the oracle is edge-hour-aligned by construction; a
+    // dense per-hour timeline is one ts_resample-style grid gap-fill
+    // away (emit the carried `offset` for edge-free hours).
     QueryDef(
       "peak_concurrency",
       (spark, sf) => {
@@ -136,7 +145,7 @@ object Analytics extends QueryGroup {
           .orderBy("hour")
       },
       Some("WITH sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM (" + TimeSeriesDedup.SessionIslandsSql + ") GROUP BY 1,2), ed AS (SELECT date_trunc('minute', st) AS m, 1 AS d FROM sess UNION ALL SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess), net AS (SELECT m, sum(d) AS nd FROM ed GROUP BY 1), run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1) SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(edge_peak, coalesce(lag(final_conc) OVER (ORDER BY hour), 0)) AS BIGINT) AS peak FROM hr ORDER BY hour"),
-      scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences."),
+      scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences. Declared contract: rows exist only for hours WITH edges — an edge-free hour inside a long session is elided (its constant concurrency is the next emitted hour's carried offset); densify via the resample grid if a gapless timeline is needed."),
 
     // Rolling z-score anomaly detection over hourly event counts —
     // the monitoring pass a delay pipeline runs on its own output

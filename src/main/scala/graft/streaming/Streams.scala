@@ -259,7 +259,15 @@ object Streams {
         (uid: Long, evs: Iterator[Event], state: GroupState[FunnelState]) =>
           var st = state.getOption.getOrElse(FunnelState(0, 0L))
           val hits = Seq.newBuilder[FunnelHit]
-          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+          // equal-ts events fold in STAGE order (view < click <
+          // purchase), not event_id order: the batch chain's predicate
+          // is ts >= prev_ts, so a click sharing its timestamp with
+          // the qualifying view must see the view applied first — an
+          // event_id tiebreak dropped it whenever the click's id
+          // sorted lower (batch/stream parity on timestamp ties)
+          val stageRank = Map("view" -> 0, "click" -> 1, "purchase" -> 2)
+          for (e <- evs.toSeq.sortBy(e =>
+              (e.ts.getTime, stageRank.getOrElse(e.event_type, 3), e.event_id))) {
             val t = e.ts.getTime
             st.stage match {
               case 0 if e.event_type == "view" =>

@@ -34,9 +34,13 @@ object PagerankProbe {
     val e0 = pairs.select(col("c").as("src"), col("s").as("dst"))
       .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
 
+    // mirror the SHIPPED GraphOps.pagerank plan exactly: edges
+    // partitioned by DST (the aggregate key), rank side broadcast —
+    // an earlier probe revision kept the rejected src-partitioned
+    // orientation and its per-round timings stopped explaining the
+    // declared plan
     val e = t("edges eager ckpt") {
-      e0.repartition(col("src")).sortWithinPartitions("src")
-        .localCheckpoint(true)
+      e0.repartition(col("dst")).localCheckpoint(true)
     }
     val deg = t("deg eager ckpt") {
       e.groupBy("src").agg(count(lit(1)).as("d")).localCheckpoint(true)
@@ -49,7 +53,7 @@ object PagerankProbe {
       r = t(s"round $i") {
         val contribs = r.withColumnRenamed("node", "src").join(deg, "src")
           .select(col("src"), expr("r div d").as("cpe"))
-        e.join(contribs, "src")
+        e.join(broadcast(contribs), "src")
           .groupBy(col("dst").as("node"))
           .agg(sum(col("cpe")).as("cin"))
           .select(col("node"),

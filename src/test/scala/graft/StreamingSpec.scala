@@ -268,6 +268,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_funnel counts equal-timestamp stage ties like the batch >= predicate") {
+    val s = spark
+    import s.implicits._
+    def T(x: String) = Timestamp.valueOf(x)
+    // all three stages share one timestamp, and the event_ids are
+    // ordered AGAINST stage order (purchase lowest) — an (ts, event_id)
+    // fold would process purchase/click before the view and drop them;
+    // the batch chain (ts >= prev_ts) counts all three stages
+    val mem = MemoryStream[Streams.Event](19, spark, None)
+    val q = Streams.funnel(mem.toDS()).writeStream.format("memory")
+      .queryName("t_funnel_tie").outputMode("append").start()
+    try {
+      mem.addData(
+        Event(3, T("2024-01-01 10:00:00"), 1, "view", 1.0),
+        Event(2, T("2024-01-01 10:00:00"), 1, "click", 1.0),
+        Event(1, T("2024-01-01 10:00:00"), 1, "purchase", 1.0))
+      q.processAllAvailable()
+      val stages = spark.table("t_funnel_tie").select("stage")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(stages == Seq(1, 2, 3),
+        s"equal-ts ties must advance all stages (batch >= parity): $stages")
+    } finally q.stop()
+  }
+
   test("stream_scd2_ooo drops below-watermark events instead of mis-folding them") {
     // semantics guard: Spark filters late input rows before
     // flatMapGroupsWithState, so an event older than an already-closed
