@@ -91,7 +91,39 @@ object Analytics extends QueryGroup {
           .orderBy("cohort", "day_offset")
       },
       Some("WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY 1) SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, date_diff('day', c.cohort, date_trunc('day', e.ts)) AS day_offset, count(DISTINCT e.user_id) AS n_users FROM events e JOIN c ON e.user_id = c.user_id GROUP BY 1,2 ORDER BY 1,2"),
-      scaleNote = "The cohort table is |users| rows (a dimension, broadcastable or bucketed on user_id alongside the log), and the join back is equi on user_id — the same exchange the cohort aggregate just produced, so AQE reuses it. The distinct-count shuffles (cohort, offset, user) partials; at 100 TB swap countDistinct for an HLL sketch per cell (agg_approx_hll's pattern) and the matrix costs one pass regardless of user count."),
+      scaleNote = "The cohort table is |users| rows (a dimension, broadcastable or bucketed on user_id alongside the log), and the join back is equi on user_id — the same exchange the cohort aggregate just produced, so AQE reuses it. The distinct-count shuffles (cohort, offset, user) partials; at 100 TB swap countDistinct for an HLL sketch per cell — retention_cohort_approx IS that swap, measured sub-linear in SCALING.md."),
+
+    // Sketch-backed retention matrix: the scale remedy retention_
+    // cohort's own scaleNote prescribes, demonstrated as a declared
+    // operator. Each cell carries the HLL++ estimate next to the exact
+    // distinct; the EMITTED columns are the exact count (hash-checked)
+    // plus a Spark-computed tolerance verdict the oracle states as
+    // TRUE (agg_approx_hll's pattern) — production drops the exact
+    // column and reads the estimate alone.
+    QueryDef(
+      "retention_cohort_approx",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val c = ev.groupBy("user_id")
+          .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+        ev.select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .join(c, "user_id")
+          .groupBy(col("cohort"),
+            datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"),
+            approx_count_distinct(col("user_id"), 0.02).as("est"))
+          // 2 + 10% absolute+relative band: rsd 0.02 gives σ≈2% per
+          // cell, and the matrix has HUNDREDS of cells — a pure-2.5σ
+          // band would flip a tail cell spuriously; a broken sketch
+          // misses by far more than 10%. Small cells sit in HLL++'s
+          // exact sparse mode, covered by the +2 term.
+          .select(col("cohort"), col("day_offset"), col("n_users"),
+            (abs(col("est") - col("n_users")).cast("double") <=
+              lit(2.0) + lit(0.10) * col("n_users")).as("est_in_tol"))
+          .orderBy("cohort", "day_offset")
+      },
+      Some("WITH c AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort FROM events GROUP BY 1) SELECT CAST(c.cohort AS TIMESTAMP) AS cohort, date_diff('day', c.cohort, date_trunc('day', e.ts)) AS day_offset, count(DISTINCT e.user_id) AS n_users, TRUE AS est_in_tol FROM events e JOIN c ON e.user_id = c.user_id GROUP BY 1,2 ORDER BY 1,2"),
+      scaleNote = "The sketch path is what ships at 100 TB: per-cell HLL partials are FIXED-SIZE (KB) regardless of user count, merge associatively map-side, and the matrix costs one pass — where exact countDistinct shuffles every (cohort, offset, user) triple and carries the worst measured 100×-data slope in SCALING.md (3.8×). The exact column here exists ONLY to oracle the tolerance verdict at test scale; persisting the sketches additionally makes any cohort re-slice a sketch-union, not a rescan (agg_hll_sketch's cube pattern)."),
 
     // Peak concurrency: 30-min-gap sessions (shared ts_session
     // definition) → sweep line over ±1 session edges → per-hour max of
