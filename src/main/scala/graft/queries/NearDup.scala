@@ -245,27 +245,40 @@ object NearDup extends QueryGroup {
     * regardless of document length. Docs alone in their block emit no
     * row. Factored out so AnalyticsSpec can feed planted fixtures. */
   def editNearestNeighbor(docs: DataFrame, prefixLen: Int,
-      window: Int = 8): DataFrame = {
-    val rnW = org.apache.spark.sql.expressions.Window
-      .partitionBy("lang", "source")
-      .orderBy(col("len").asc, col("doc_id").asc)
-    val d = docs.select(col("doc_id"), col("lang"), col("source"),
+      window: Int = 8, passes: Int = 2): DataFrame = {
+    val d0 = docs.select(col("doc_id"), col("lang"), col("source"),
       length(col("text")).as("len"),
       substring(col("text"), 1, prefixLen).as("p"))
-      .withColumn("rn", row_number().over(rnW))
-      .drop("len")
-    // offset explosion turns the sliding window into a PURE equi join
-    // on (block, rank): W probe rows per doc, never a block² enumerate
-    val probes = d.select(col("lang"), col("source"),
-      col("doc_id").as("id1"), col("p").as("p1"), col("rn"),
-      explode(sequence(lit(1), lit(window))).as("k"))
-      .select(col("lang"), col("source"), col("id1"), col("p1"),
-        (col("rn") + col("k")).as("rn2"))
-    val p0 = probes.join(
-      d.select(col("lang"), col("source"), col("doc_id").as("id2"),
-        col("p").as("p2"), col("rn").as("rn2")),
-      Seq("lang", "source", "rn2"))
-      .select(col("id1"), col("id2"), levenshtein(col("p1"), col("p2")).as("dist"))
+    // one SNM pass = one sort key: rank within block, then the offset
+    // explosion turns the sliding window into a PURE equi join on
+    // (block, rank) — W probe rows per doc, never a block² enumerate
+    def passPairs(sortKey: Seq[Column]): DataFrame = {
+      val rnW = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "source").orderBy(sortKey: _*)
+      val d = d0.withColumn("rn", row_number().over(rnW)).drop("len")
+      val probes = d.select(col("lang"), col("source"),
+        col("doc_id").as("id1"), col("p").as("p1"), col("rn"),
+        explode(sequence(lit(1), lit(window))).as("k"))
+        .select(col("lang"), col("source"), col("id1"), col("p1"),
+          (col("rn") + col("k")).as("rn2"))
+      probes.join(
+        d.select(col("lang"), col("source"), col("doc_id").as("id2"),
+          col("p").as("p2"), col("rn").as("rn2")),
+        Seq("lang", "source", "rn2"))
+        .select(col("id1"), col("id2"),
+          levenshtein(col("p1"), col("p2")).as("dist"))
+    }
+    // multi-pass SNM: a single sort key has a recall blind spot — two
+    // same-length docs separated by > W same-length neighbors in
+    // (len, doc_id) order never meet. The second pass sorts by the
+    // REVERSED prefix, so docs sharing a long prefix-suffix (an edit
+    // near the front) become sort-adjacent; candidates union before
+    // the keep-1, and a pair found by both passes dedups in the rank
+    // filter (identical rows, same keep decision).
+    val p0 =
+      if (passes <= 1) passPairs(Seq(col("len").asc, col("doc_id").asc))
+      else passPairs(Seq(col("len").asc, col("doc_id").asc))
+        .unionAll(passPairs(Seq(reverse(col("p")).asc, col("doc_id").asc)))
     val pairs = p0.unionAll(p0.select(col("id2").as("id1"),
       col("id1").as("id2"), col("dist")))
     val w = org.apache.spark.sql.expressions.Window
@@ -280,8 +293,8 @@ object NearDup extends QueryGroup {
       "dedup_edit_nn",
       (spark, sf) =>
         editNearestNeighbor(Tables.documents(spark, sf), 64).orderBy("doc_id"),
-      Some("WITH d AS (SELECT doc_id, lang, source, substr(text,1,64) AS p, row_number() OVER (PARTITION BY lang, source ORDER BY length(text), doc_id) AS rn FROM documents), pr AS (SELECT a.lang, a.source, a.doc_id AS id1, a.p AS p1, a.rn + k.k AS rn2 FROM d a, (SELECT unnest(range(1,9)) AS k) k), p0 AS (SELECT id1, b.doc_id AS id2, levenshtein(p1, b.p) AS dist FROM pr JOIN d b ON b.lang = pr.lang AND b.source = pr.source AND b.rn = pr.rn2), pp AS (SELECT id1, id2, dist FROM p0 UNION ALL SELECT id2, id1, dist FROM p0) SELECT doc_id, nn_id, dist FROM (SELECT id1 AS doc_id, id2 AS nn_id, dist, row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM pp) WHERE rk = 1 ORDER BY doc_id"),
-      scaleNote = "Sorted Neighborhood: one shuffle on (lang, source) for the length-sort, then an offset explosion (W=8 probe rows per doc) joined equi on (block, rank) — candidate count is W·|docs|, LINEAR in the corpus where per-block enumeration is quadratic (measured on the 10× replica: 130 s block-join → ~3 s SNM at identical coverage). The prefix cap makes per-pair cost O(64²) instead of O(len²); the NN keep-1 rides WindowGroupLimit. At 100 TB the same shape runs per block partition; for higher recall run multiple passes with different sort keys (multi-pass SNM) or feed candidates from LSH banding (dedup_near) — edit distance as the verify stage, like ngram_jaccard doubles as LSH's exact check. The reference's fuzzy train-number match (substring containment) is this same block-then-verify shape."),
+      Some("WITH d AS (SELECT doc_id, lang, source, substr(text,1,64) AS p, length(text) AS len FROM documents), d1 AS (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY len, doc_id) AS rn FROM d), d2 AS (SELECT *, row_number() OVER (PARTITION BY lang, source ORDER BY reverse(p), doc_id) AS rn FROM d), ks AS (SELECT unnest(range(1,9)) AS k), pr1 AS (SELECT a.lang, a.source, a.doc_id AS id1, a.p AS p1, a.rn + ks.k AS rn2 FROM d1 a, ks), p01 AS (SELECT id1, b.doc_id AS id2, levenshtein(p1, b.p) AS dist FROM pr1 JOIN d1 b ON b.lang = pr1.lang AND b.source = pr1.source AND b.rn = pr1.rn2), pr2 AS (SELECT a.lang, a.source, a.doc_id AS id1, a.p AS p1, a.rn + ks.k AS rn2 FROM d2 a, ks), p02 AS (SELECT id1, b.doc_id AS id2, levenshtein(p1, b.p) AS dist FROM pr2 JOIN d2 b ON b.lang = pr2.lang AND b.source = pr2.source AND b.rn = pr2.rn2), p0 AS (SELECT * FROM p01 UNION ALL SELECT * FROM p02), pp AS (SELECT id1, id2, dist FROM p0 UNION ALL SELECT id2, id1, dist FROM p0) SELECT doc_id, nn_id, dist FROM (SELECT id1 AS doc_id, id2 AS nn_id, dist, row_number() OVER (PARTITION BY id1 ORDER BY dist, id2) AS rk FROM pp) WHERE rk = 1 ORDER BY doc_id"),
+      scaleNote = "MULTI-PASS Sorted Neighborhood: pass 1 sorts each (lang, source) block by length, pass 2 by the REVERSED prefix — a single sort key has a structural blind spot (same-length docs > W sort-neighbors apart never meet; the reversed key makes front-edited pairs adjacent via their shared tail), and the union of both passes' candidates feeds one keep-1. Candidate count is 2W·|docs|, still LINEAR where per-block enumeration is quadratic (measured on the 10× replica: 130 s block-join → ~3 s single-pass SNM at identical coverage; the second pass re-sorts the same |docs|-row projection, +1 shuffle). The prefix cap makes per-pair cost O(64²); the NN keep-1 rides WindowGroupLimit. More recall dials: more passes (content-hash-rotated keys) or LSH-banded candidates (dedup_near) with edit distance as the verify stage. The reference's fuzzy train-number match (substring containment) is this same block-then-verify shape."),
 
     QueryDef(
       "dedup_near",

@@ -161,4 +161,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(nn(5L)._1 == 4L)
     assert(nn.size == 5)
   }
+
+  test("multi-pass SNM finds the front-edited pair the length sort misses") {
+    import spark.implicits._
+    // A (id 1) and B (id 20) differ ONLY in the first token — edit
+    // distance 2 — and 18 same-length fillers sit between them in
+    // doc_id order, so the (len, doc_id) pass keeps them > W=8 ranks
+    // apart: a structural single-pass miss. The reversed-prefix pass
+    // sorts by the shared tail, making them adjacent.
+    val a = "qq alpha beta gamma delta epsilon"
+    val b = "zz alpha beta gamma delta epsilon"
+    val fillers = (2 until 20).map { i =>
+      val base = f"fill$i%02d "
+      (i.toLong, "en", "s0", base + "w" * (a.length - base.length))
+    }
+    val docs = (Seq((1L, "en", "s0", a), (20L, "en", "s0", b)) ++ fillers)
+      .toDF("doc_id", "lang", "source", "text")
+    assert(docs.select(length(col("text"))).distinct().count() == 1,
+      "fixture broken: lengths differ, the length sort would not scatter")
+    val one = NearDup.editNearestNeighbor(docs, 64, passes = 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    val two = NearDup.editNearestNeighbor(docs, 64).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    assert(one(1L)._1 != 20L && one(1L)._2 > 2,
+      s"fixture vacuous: single pass already found the pair: ${one(1L)}")
+    assert(two(1L) == ((20L, 2)), s"multi-pass missed the pair: ${two(1L)}")
+    assert(two(20L) == ((1L, 2)), s"multi-pass not symmetric: ${two(20L)}")
+  }
 }
