@@ -189,13 +189,46 @@ object PipelineOps extends QueryGroup {
     QueryDef(
       "contamination_check",
       (spark, sf) => {
+        // the shingle table feeds FOUR consumers (eval side, corpus
+        // side, denominators, bloom build) — materialize it once; lazy,
+        // so plan-only inspections run zero jobs
         val sh = NearDup.shingleRows(Tables.documents(spark, sf)).distinct()
+          .localCheckpoint(false)
         val ev = sh.filter(col("doc_id") < EvalSetSize)
           .select(col("doc_id").as("eval_id"), col("sh"))
         val co = sh.filter(col("doc_id") >= EvalSetSize)
+        // denominator BEFORE the prune: contamination is ni / ALL of
+        // the doc's shingles, not ni / survivors
         val nSh = co.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+        // Bloom prefilter, the explicit stage this query's scaleNote
+        // prescribes: k=3 positions per shingle in an m=64Ki space,
+        // aggregated to ONE position-set row and broadcast — MB-scale
+        // at any corpus size where the exact eval-shingle broadcast is
+        // GB-scale at full eval suites. A corpus shingle probes its 3
+        // positions in the broadcast map and is dropped unless all
+        // hit. Bloom guarantees NO false negatives, so the exact
+        // probe's matches — and the oracle — are bit-identical; false
+        // positives only waste an exact-probe row each. The bloom is
+        // engine-INTERNAL (the oracle never sees it), so positions use
+        // codegen'd xxhash64, not the md5 cross-engine trick the
+        // oracle-visible sketches need.
+        val M = 65536
+        def bpos(s: org.apache.spark.sql.Column, i: Int) =
+          pmod(xxhash64(lit(i), s), lit(M))
+        val bloom = ev
+          .select(explode(array((0 until 3).map(i =>
+            bpos(col("sh"), i)): _*)).as("p"))
+          .distinct()
+          .agg(map_from_entries(
+            collect_list(struct(col("p"), lit(true)))).as("bloom"))
+        val pruned = co
+          .crossJoin(broadcast(bloom))
+          .filter((0 until 3).map(i =>
+            element_at(col("bloom"), bpos(col("sh"), i)).isNotNull)
+            .reduce(_ && _))
+          .select(col("doc_id"), col("sh"))
         // tie-break max overlap by LOWEST eval id: max(struct(ni, -id))
-        co.join(broadcast(ev), "sh")
+        pruned.join(broadcast(ev), "sh")
           .groupBy("doc_id", "eval_id")
           .agg(count(lit(1)).as("ni"))
           .groupBy("doc_id")
@@ -209,7 +242,7 @@ object PipelineOps extends QueryGroup {
           .orderBy("doc_id")
       },
       Some(s"WITH ${NearDup.ShingleCtes}, ev AS (SELECT doc_id AS eval_id, g FROM s WHERE doc_id < $EvalSetSize), co AS (SELECT doc_id, n, g FROM s WHERE doc_id >= $EvalSetSize), i AS (SELECT doc_id, eval_id, count(*) AS ni, any_value(n) AS n FROM co JOIN ev USING (g) GROUP BY 1,2), b AS (SELECT doc_id, max(struct_pack(ni := ni, nid := -eval_id)) AS mx, any_value(n) AS n FROM i GROUP BY 1) SELECT doc_id, CAST(-(mx.nid) AS BIGINT) AS eval_id, CAST(mx.ni AS BIGINT) AS ni, round(CAST(mx.ni AS DOUBLE) / n, 4) AS contamination FROM b ORDER BY doc_id"),
-      scaleNote = "The eval holdout is FIXED-SIZE (a benchmark suite: thousands of docs), so its shingle set broadcasts O(1) in corpus size and the containment join is map-side — the 100 TB corpus is scanned once, no shuffle of corpus shingles against anything growing. Per-doc rollups shuffle |docs| partials keyed by doc_id. At full scale hash shingles to 8 bytes first (ngram_jaccard's trick) so the broadcast table and join keys are fixed-width; a bloom filter over eval shingles in the scan prunes the 99% of corpus shingles that hit nothing before the exact probe."),
+      scaleNote = "The eval holdout is FIXED-SIZE (a benchmark suite: thousands of docs), so its shingle set broadcasts O(1) in corpus size and the containment join is map-side — the 100 TB corpus is scanned once, no shuffle of corpus shingles against anything growing. The bloom prefilter is now an EXPLICIT stage (not just an optimizer hope): a broadcast position-set map probes 3 hash positions per corpus shingle in the scan and drops the ~99% that cannot match before the exact probe, with zero false negatives by construction. Per-doc rollups shuffle |docs| partials keyed by doc_id. At full scale hash shingles to 8 bytes first (ngram_jaccard's trick) so the broadcast table and join keys are fixed-width."),
 
     // PII scrubbing: redact digit runs from the free-form props
     // payload and count redactions — the compliance pass before text

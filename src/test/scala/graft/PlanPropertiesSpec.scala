@@ -150,10 +150,13 @@ class PlanPropertiesSpec extends SparkSpec {
     // agg_heavy_hitters: the only loop join is a broadcast SINGLE-ROW
     // aggregate (corpus count N / global day bounds / global totals /
     // the MG verdict's stream length) — a constant, not a scan.
+    // contamination_check: the broadcast single-row BLOOM mask (the
+    // position-set map every corpus shingle probes map-side).
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
         "tfidf_keywords", "ts_resample", "ts_interpolate", "corpus_mix",
-        "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans")
+        "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans",
+        "contamination_check")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
