@@ -23,7 +23,8 @@ object Registry {
     CorpusOps,
     PipelineOps,
     Analytics,
-    GraphOps)
+    GraphOps,
+    SourceOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.engine.{QueryDef, QueryGroup}
+
+/** Declared demonstration of the DSv2 ingest path: the Transilien-style
+  * passage XML feed [P extract_api.py] read through
+  * [[graft.sources.dsv2.PassagesSource]] (TableProvider → Scan → one
+  * partition per document → executor-side DOM parse) and folded into
+  * the departure-board shape the domain layer serves
+  * (domain/Transit.scala stationBoard's ordering + cancellation rule,
+  * applied per station over the whole feed).
+  *
+  * The driver's tables cannot carry the XML feed, so the fixture is a
+  * CONSTANT three-document corpus (idempotently materialized under
+  * /tmp) and the DuckDB oracle restates the raw passage rows as a
+  * VALUES table — the hash therefore gates the ENTIRE Spark-side
+  * pipeline: file planning, XML parsing (timestamps, missing optional
+  * elements → NULL), and the board computation. A parse regression
+  * (dropped row, shifted timestamp, wrong null) flips the driver hash.
+  */
+object SourceOps extends QueryGroup {
+
+  val FixtureDir = "/tmp/graft_passages_fixture"
+
+  private def doc(gare: String, trains: Seq[String]): String =
+    s"""<?xml version="1.0" encoding="UTF-8"?><passages gare="$gare">""" +
+      trains.mkString + "</passages>"
+
+  private def train(num: String, miss: String, term: String, mode: String,
+      date: String, etat: Option[String]): String =
+    s"<train><date mode=\"$mode\">$date</date><num>$num</num>" +
+      s"<miss>$miss</miss><term>$term</term>" +
+      etat.map(e => s"<etat>$e</etat>").getOrElse("") + "</train>"
+
+  /** The constant fixture corpus: three stations, six trains, covering
+    * both date modes (R réel / T théorique), a missing optional etat
+    * (NULL path), and a cancelled train (board-exclusion path). */
+  val Documents: Seq[(String, String)] = Seq(
+    "87393009.xml" -> doc("87393009", Seq(
+      train("134657", "POPI", "87384008", "R", "23/08/2026 06:05",
+        Some("Retarde")),
+      train("134659", "POPI", "87384008", "T", "23/08/2026 06:20", None),
+      train("221004", "SEBU", "87758011", "R", "23/08/2026 06:12",
+        Some("Supprime")))),
+    "87758011.xml" -> doc("87758011", Seq(
+      train("221006", "SEBU", "87393009", "R", "23/08/2026 06:40",
+        Some("Retarde")),
+      train("165435", "PEBU", "87384008", "T", "23/08/2026 06:41", None))),
+    "87384008.xml" -> doc("87384008", Seq(
+      train("134657", "POPI", "87393009", "R", "23/08/2026 06:55", None))))
+
+  /** Idempotently materialize the fixture; returns the directory. */
+  def ensureFixture(): String = synchronized {
+    val d = new java.io.File(FixtureDir)
+    if (!d.exists()) d.mkdirs()
+    Documents.foreach { case (name, content) =>
+      val f = new java.io.File(d, name)
+      if (!f.exists())
+        java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+    }
+    FixtureDir
+  }
+
+  /** The same raw rows as a DuckDB VALUES table (the oracle's ground
+    * truth for what the XML parse must produce). */
+  private val OracleValues: String = Seq(
+    "('87393009','134657','POPI','87384008',TIMESTAMP '2026-08-23 06:05:00','R','Retarde')",
+    "('87393009','134659','POPI','87384008',TIMESTAMP '2026-08-23 06:20:00','T',NULL)",
+    "('87393009','221004','SEBU','87758011',TIMESTAMP '2026-08-23 06:12:00','R','Supprime')",
+    "('87758011','221006','SEBU','87393009',TIMESTAMP '2026-08-23 06:40:00','R','Retarde')",
+    "('87758011','165435','PEBU','87384008',TIMESTAMP '2026-08-23 06:41:00','T',NULL)",
+    "('87384008','134657','POPI','87393009',TIMESTAMP '2026-08-23 06:55:00','R',NULL)")
+    .mkString(", ")
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "source_passages_board",
+      (spark, _) => {
+        val dir = ensureFixture()
+        val p = spark.read
+          .format("graft.sources.dsv2.PassagesSource").load(dir)
+        // the domain board rule (Transit.stationBoard) across every
+        // station: cancelled trains excluded (NULL etat boards),
+        // ordered by (expected_ts, num), ranked per station
+        val w = Window.partitionBy("station_id")
+          .orderBy(col("expected_ts").asc, col("num").asc)
+        p.filter(col("etat").isNull || col("etat") =!= "Supprime")
+          .withColumn("rank", row_number().over(w))
+          .select(col("station_id"), col("rank"), col("num"), col("miss"),
+            col("term"), col("expected_ts"), col("mode"), col("etat"))
+          .orderBy("station_id", "rank")
+      },
+      Some("SELECT station_id, rank, num, miss, term, expected_ts, mode, etat FROM (SELECT *, row_number() OVER (PARTITION BY station_id ORDER BY expected_ts, num) AS rank FROM (VALUES " + OracleValues + ") AS t(station_id, num, miss, term, expected_ts, mode, etat) WHERE etat IS NULL OR etat <> 'Supprime') ORDER BY station_id, rank"),
+      scaleNote = "The connector plans ONE InputPartition per feed document driver-side and parses in executors — ingest parallelism = document count (a real deployment shards by station × polling slice, the same planInputPartitions hook). The board is win_topk_group's shape: one shuffle on station_id, rank inside the window; the fleet-wide board at any feed size is |stations|-bounded output. Pushdown hooks (SupportsPushDownFilters) are where a station filter would prune documents before parse."))
+}
