@@ -131,7 +131,7 @@ object CorpusOps extends QueryGroup {
           .orderBy("doc_id")
       },
       Some(s"WITH ${NearDup.TruthPairCtes}, f AS (SELECT g, count(*) AS n_docs FROM s GROUP BY g) SELECT doc_id, count(*) AS n_shingles, CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique, round(CAST(sum(CASE WHEN n_docs = 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS novelty FROM s JOIN f USING (g) GROUP BY doc_id ORDER BY doc_id"),
-      scaleNote = "One shuffle on the shingle key serves the document-frequency window; the per-doc rollup then shuffles |docs| partials, not shingles. The integer ratio is exact, so the score is bit-identical on any layout. At 100 TB hash the shingle to 8 bytes first (the ngram_jaccard trick) so the wide shuffle carries fixed-width keys, and pre-filter df=1 shingles map-side with a bloom filter built from the frequency pass."),
+      scaleNote = "One shuffle on the shingle key serves the document-frequency window; the per-doc rollup then shuffles |docs| partials, not shingles. The integer ratio is exact, so the score is bit-identical on any layout. At 100 TB hash the shingle to 8 bytes first (the ngram_jaccard trick) so the wide shuffle carries fixed-width keys. A bloom stage here — unlike contamination_check's (evalOverlap), where false positives only waste an exact-probe row — would be APPROXIMATE by construction: a df≥2 bloom's false positive flips a uniqueness bit directly into the score. The exact operator is this one-shuffle df pass; a bloom-pruned variant is the documented approximation when a novelty ESTIMATE suffices, with FPR bounding the score bias."),
 
     // Sequence packing: assign documents (in stable doc_id order) to
     // fixed-token-budget training sequences — the batch-assembly step

@@ -228,6 +228,64 @@ object NearDup extends QueryGroup {
       (col("v") === col("lab")).as("is_canonical"))
   }
 
+  /** Connected components via alternating LARGE-STAR / SMALL-STAR
+    * (the MapReduce-CC construction with an O(log n) round bound,
+    * skew-safe on high-degree hubs) — the 100 TB alternative
+    * [[clusters]]' scaleNote names, implemented and oracled against
+    * the SAME recursive-CTE fixpoint. Where min-label propagation
+    * needs diameter+1 rounds (a 1M-long dup-chain = 1M rounds),
+    * star contraction needs O(log n): each round rewires every node
+    * toward its neighborhood minimum, halving component height.
+    *
+    *   large-star(u): m = min(N(u) ∪ u); emit {v, m} for v ∈ N(u), v > u
+    *   small-star(u): m = min(N<(u) ∪ u); emit {v, m} ∪ {u, m}
+    *
+    * Both emit edges whose smaller endpoint is m, so pairs stay
+    * normalized (u < v) by construction. Convergence = the edge SET
+    * reaches its fixpoint (count + xor-of-hashes fingerprint on the
+    * checkpointed set, one action per round); at the fixpoint the set
+    * is exactly the star forest {(component-min, member)}. */
+  def clustersStar(docs: DataFrame, tau: Double): DataFrame = {
+    var e = nearDupPairs(docs, tau)
+      .select(col("id1").as("u"), col("id2").as("v"))
+      .localCheckpoint(false)
+    var fp: (Long, Long) = null
+    var converged = false
+    var rounds = 0
+    while (!converged) {
+      rounds += 1
+      require(rounds <= 48,
+        "dedup_clusters_star: star contraction did not converge in 48 rounds")
+      val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      val mLarge = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = sym.join(mLarge, "u").filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      val symS = ls.select(col("v").as("u"), col("u").as("v")) // v < u side
+      val mSmall = symS.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = symS.join(mSmall, "u")
+        .select(col("m").as("u"), col("v"))
+        .unionAll(mSmall.select(col("m").as("u"), col("u").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint(true)
+      val f = ss.agg(count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("u"), col("v"))), lit(0L))).head()
+      val nf = (f.getLong(0), f.getLong(1))
+      if (fp != null && fp == nf) converged = true
+      fp = nf
+      e = ss
+    }
+    val members = e.select(col("v").as("doc_id"), col("u").as("cluster_id"),
+      lit(false).as("is_canonical"))
+    val roots = e.select(col("u").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("cluster_id"),
+        lit(true).as("is_canonical"))
+    members.unionByName(roots)
+  }
+
   /** Per-document nearest neighbor by PREFIX edit distance via the
     * Sorted Neighborhood Method: docs sorted within their
     * (lang, source) block by (length, doc_id), each doc compared to
@@ -315,5 +373,18 @@ object NearDup extends QueryGroup {
       (spark, sf) =>
         clusters(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
       Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
-      scaleNote = "Convergence-checked: rounds run until the label sum goes stable (monotone min-label ⇒ stable sum = true fixpoint), so iterations = component diameter + 1 with NO assumed diameter bound; the convergence probe is one DECIMAL(38,0) sum over the checkpointed label table per round. Each round is equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch the propagation to alternating small-star/large-star (O(log n) rounds, skew-safe on high-degree hubs) and checkpoint every round — exactly what this implementation does in miniature. The canonical-min rule is deterministic, so re-runs pick identical survivors."))
+      scaleNote = "Convergence-checked: rounds run until the label sum goes stable (monotone min-label ⇒ stable sum = true fixpoint), so iterations = component diameter + 1 with NO assumed diameter bound; the convergence probe is one DECIMAL(38,0) sum over the checkpointed label table per round. Each round is equi-join + min-agg on the PAIR graph (≪ corpus: only docs with a near-dup partner appear). At 100 TB switch to dedup_clusters_star — the alternating small-star/large-star contraction (O(log n) rounds, skew-safe on high-degree hubs), implemented and oracled against the same fixpoint. The canonical-min rule is deterministic, so re-runs pick identical survivors."),
+
+    // The O(log n) cluster resolution: same output contract as
+    // dedup_clusters, same recursive-CTE oracle, different round
+    // complexity class — propagation rounds scale with component
+    // DIAMETER, star contraction with log |component|. Declared
+    // side-by-side so the driver hash proves both resolve the same
+    // clusters at every scale factor.
+    QueryDef(
+      "dedup_clusters_star",
+      (spark, sf) =>
+        clustersStar(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
+      scaleNote = "Each round is two groupBy-min passes + normalizing distincts over the PAIR graph, all equi on node keys — a hot hub's edges split across tasks like any groupBy (no window, no per-component serialization). Round count is O(log n) in the largest component REGARDLESS of diameter (the 1M-long dup-chain that would cost min-label 1M rounds costs ~20 star rounds); convergence is detected by a count+xor fingerprint of the checkpointed edge set, one tiny action per round. At the fixpoint the edge set IS the answer: {(component-min, member)} pairs."))
 }

@@ -73,12 +73,26 @@ class NearDupSpec extends SparkSpec {
     val docs = mkDocs((0 until 11).map { i =>
       ((i + 1).toLong, (i * 4 until i * 4 + 20).map(t => s"w$t").mkString(" "))
     })
-    val rows = NearDup.clusters(docs, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
-    assert(rows.length == 11, s"expected all 11 chain docs, got ${rows.length}")
-    assert(rows.forall(_._2 == 1L),
-      s"all labels must reach the chain min 1: ${rows.toSeq.sortBy(_._1)}")
-    assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == 1L)
+    for ((label, impl) <- Seq(
+        "min-label" -> NearDup.clusters _,
+        "star" -> NearDup.clustersStar _)) {
+      val rows = impl(docs, 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      assert(rows.length == 11,
+        s"$label: expected all 11 chain docs, got ${rows.length}")
+      assert(rows.forall(_._2 == 1L),
+        s"$label: all labels must reach the chain min 1: ${rows.toSeq.sortBy(_._1)}")
+      assert(rows.count(_._3) == 1 && rows.find(_._3).get._1 == 1L, label)
+    }
+  }
+
+  test("star contraction equals min-label propagation on the real corpus") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val a = NearDup.clusters(docs, 0.5)
+    val b = NearDup.clustersStar(docs, 0.5)
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "clustersStar diverged from clusters")
+    assert(a.count() > 0, "vacuous: no clusters at this sf")
   }
 
   test("short docs (<3 tokens) are excluded, not crashed on") {
