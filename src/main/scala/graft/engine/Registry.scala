@@ -21,6 +21,7 @@ object Registry {
     AnnIvf,
     AnnKmeans,
     CorpusOps,
+    SpanOps,
     PipelineOps,
     Analytics,
     GraphOps,

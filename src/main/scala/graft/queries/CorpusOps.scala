@@ -174,6 +174,79 @@ object CorpusOps extends QueryGroup {
       Some("SELECT doc_id, ntok, CAST(cum AS BIGINT) AS cum, CAST(floor((cum - ntok) / 2048) AS BIGINT) AS seq_id FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) ORDER BY doc_id"),
       scaleNote = "A global running sum is the textbook distributed-prefix-sum: per-shard subtotals (map-side agg), a cumsum over the |shards|-row subtotal table (the ONLY single-partition step — KB-sized at any corpus scale), and shard-local windows shifted by the broadcast offsets. The naive formulation (one Window over ORDER BY doc_id with no partition key) funnels 100 TB through ONE task — this plan never does, pinned in PlanPropertiesSpec. Shards here are contiguous doc_id blocks; at scale they are the ingest partition ranges, so phase 3 reuses the storage partitioning with zero extra shuffle."),
 
+    // Repetition-aware training mixture (the data-constrained-scaling
+    // complement of corpus_mix's downsampling): under-represented
+    // languages are UPsampled by whole-epoch repetition, epochs =
+    // ceil(max_lang_count / lang_count) capped at 4 (beyond ~4 epochs
+    // repeated data stops helping — the published data-constrained
+    // scaling result). Emits one row per (doc, epoch): the expanded
+    // training manifest.
+    QueryDef(
+      "corpus_epochs",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val ln = docs.groupBy("lang").agg(count(lit(1)).as("n_docs"))
+        val t = ln.agg(max(col("n_docs")).as("max_n"))
+        val e = ln.crossJoin(broadcast(t))
+          .withColumn("epochs",
+            least(lit(4L), expr("(max_n + n_docs - 1) div n_docs")))
+          .select("lang", "epochs")
+        docs.join(broadcast(e), "lang")
+          .select(col("doc_id"), col("lang"), col("epochs"),
+            explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+          .orderBy("doc_id", "epoch")
+      },
+      Some("WITH ln AS (SELECT lang, count(*) AS n_docs FROM documents GROUP BY 1), " +
+        "t AS (SELECT max(n_docs) AS max_n FROM ln), " +
+        "e AS (SELECT lang, least(4, (max_n + n_docs - 1) // n_docs) AS epochs FROM ln CROSS JOIN t) " +
+        "SELECT d.doc_id, d.lang, e.epochs, CAST(ep.epoch AS BIGINT) AS epoch " +
+        "FROM documents d JOIN e USING (lang) " +
+        "JOIN (VALUES (1),(2),(3),(4)) AS ep(epoch) ON ep.epoch <= e.epochs " +
+        "ORDER BY doc_id, epoch"),
+      scaleNote = "The manifest math is two tiny aggregations " +
+        "(|langs| rows, then one row) and the expansion is a " +
+        "broadcast join + explode(sequence) — map-only on the corpus " +
+        "side, output exactly Σ n_docs·epochs rows with zero " +
+        "shuffle. Epoch math is integer-only (ceil-div as " +
+        "(a+b-1) div b), so the manifest is bit-identical on any " +
+        "layout. The epoch cap bounds write amplification at 4×; at " +
+        "100 TB the expansion happens at TRAINING-read time (an " +
+        "iterator over (doc, epoch) keys), never as a materialized " +
+        "4× copy — this query IS that iterator's definition."),
+
+    // Deterministic training-order shuffle: every epoch of training
+    // wants the corpus in a pseudorandom but REPRODUCIBLE order,
+    // sharded for parallel loaders. Order key = md5(text:doc_id)
+    // (content+id, so identical texts still get distinct positions),
+    // shard = top hash bits mod 8, position = rank within shard.
+    QueryDef(
+      "shuffle_shards",
+      (spark, sf) => {
+        val h = md5(concat(col("text"), lit(":"), col("doc_id").cast("string")))
+        Tables.documents(spark, sf)
+          .withColumn("h", h)
+          .withColumn("shard",
+            conv(substring(col("h"), 1, 8), 16, 10).cast("long") % 8)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("shard").orderBy("h", "doc_id")))
+          .select("doc_id", "shard", "pos")
+          .orderBy("shard", "pos")
+      },
+      Some("SELECT doc_id, shard, row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos " +
+        "FROM (SELECT doc_id, md5(text || ':' || CAST(doc_id AS VARCHAR)) AS h, " +
+        "('0x'||substr(md5(text || ':' || CAST(doc_id AS VARCHAR)),1,8))::BIGINT % 8 AS shard " +
+        "FROM documents) ORDER BY shard, pos"),
+      scaleNote = "One codegen'd hash per row, one shuffle on the " +
+        "shard key, and a PER-SHARD sort — never a global ORDER BY: " +
+        "with S shards the largest sort is corpus/S, and shards map " +
+        "1:1 to training loader workers so the output partitioning IS " +
+        "the serving layout (write bucketed by shard, read with zero " +
+        "further movement). Hash-derived order is reproducible on any " +
+        "cluster layout — rerunning on repartitioned input yields " +
+        "byte-identical shard files, which a rand()-based shuffle " +
+        "cannot promise. Epoch reshuffles reuse the plan with the " +
+        "epoch index folded into the hash salt."),
+
     // Symmetric int8 quantization per embedding vector (scale =
     // 127/max|x|) — the storage/serving compression step for an
     // embedding corpus; emits per-vector integer summaries.
