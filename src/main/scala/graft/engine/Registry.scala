@@ -20,6 +20,7 @@ object Registry {
     Multimodal,
     AnnIvf,
     AnnKmeans,
+    AnnPq,
     CorpusOps,
     SpanOps,
     PipelineOps,

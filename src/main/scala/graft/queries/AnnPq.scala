@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.engine.{QueryDef, QueryGroup}
+import graft.plans.LongArrayDot
+
+/** Product quantization ANN (the IVFADC codebook half): each 64-dim
+  * vector splits into M=8 contiguous 8-dim subvectors; a K=16-word
+  * codebook is Lloyd-trained PER SUBSPACE (same exact-integer k-means
+  * machinery as [[AnnKmeans]], keyed by subspace); a vector's code is
+  * its 8 nearest codeword ids — 8 small ints standing in for 64
+  * floats. Queries score candidates by Asymmetric Distance
+  * Computation: a per-query M×K lookup table of exact integer
+  * ‖q_m − c‖² distances, summed over the candidate's stored codes —
+  * the candidate's raw vector is never touched at query time.
+  *
+  * ADC is a SHORTLIST generator, not a ranker: on this corpus the
+  * exact neighbors sit inside tight label clusters whose intra-cluster
+  * distances are below PQ reconstruction error, so ADC-only top-3
+  * recall is ~0.17 at ANY code resolution tried (52/300 at M=8·K=16;
+  * 37/300 at M=4·K=16) — the standard remedy is the FAISS-style
+  * refine step: ADC selects R=50 candidates (recall@50 measured
+  * 219/300 sf0.001, 221/300 sf0.01), then an EXACT integer-L2 re-rank
+  * of just those 50 reads raw vectors for shortlist rows only and
+  * emits the final top-3. Final recall == shortlist recall: measured
+  * 219-221/300, so the 180 floor keeps ~18% headroom.
+  *
+  * Everything stays in the shared 2^20 quantization and BIGINT
+  * arithmetic (argmin ties to the lowest codeword id), so codebooks,
+  * codes, LUTs, ADC and re-ranks are bit-identical on any partition
+  * layout — the reproducibility property the whole vector family
+  * shares. Exact L2 top-k over the full corpus is the recall ground
+  * truth (embeddings are unit-norm, so L2 order = cosine order).
+  *
+  * Declared as a verdict row (SURVEY §2.0): k-means training is not
+  * DuckDB-expressible, so the query emits the oracle-recomputable
+  * corpus count plus layout-independent invariant booleans.
+  */
+object AnnPq extends QueryGroup {
+
+  val M = 8      // subspaces
+  val SubDim = 8 // 64 dims / M
+  val Kc = 16    // codewords per subspace
+  val Iters = 2
+  val TopK = 3
+  val Shortlist = 50     // ADC candidates fed to the exact re-rank
+  val RecallFloor = 180L // of 300 truth pairs; measured 219-221
+
+  /** Subvector rows (vec_id, m, sqv, snorm2) from quantized vectors. */
+  def subvecs(vecs: DataFrame): DataFrame =
+    vecs.select(col("vec_id"), col("qv"),
+        explode(sequence(lit(0), lit(M - 1))).as("m"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qv"), col("m") * SubDim + 1, lit(SubDim)).as("sqv"))
+      .withColumn("snorm2", LongArrayDot.dot(col("sqv"), col("sqv")))
+
+  /** Seed codebooks: subvectors of the first Kc vectors, cid = vec_id
+    * (per subspace — M×Kc rows total). */
+  def seed(sub: DataFrame): DataFrame =
+    sub.filter(col("vec_id") < Kc)
+      .select(col("m"), col("vec_id").cast("int").as("cid"),
+        col("sqv").as("cv"), col("snorm2").as("cnorm2"))
+
+  /** Encode: nearest codeword per (vector, subspace) — exact integer
+    * ‖x_m − c‖², ties to the lowest cid. The codebook side is M×Kc
+    * rows, broadcast by construction. Emits (vec_id, m, cid, dist). */
+  def encode(sub: DataFrame, books: DataFrame): DataFrame =
+    sub.join(broadcast(books), "m")
+      .withColumn("dist",
+        col("snorm2") - lit(2L) * LongArrayDot.dot(col("sqv"), col("cv")) +
+          col("cnorm2"))
+      .groupBy("vec_id", "m")
+      .agg(min(struct(col("dist"), col("cid"))).as("b"))
+      .select(col("vec_id"), col("m"), col("b.cid").as("cid"),
+        col("b.dist").as("dist"))
+
+  /** Lloyd update per subspace: exact integer component means over
+    * each (m, cid) cell — M×Kc×SubDim aggregate rows, constant-size
+    * model whatever the corpus. */
+  def update(sub: DataFrame, codes: DataFrame): DataFrame =
+    sub.join(codes.select("vec_id", "m", "cid"), Seq("vec_id", "m"))
+      .select(col("m"), col("cid"), posexplode(col("sqv")).as(Seq("i", "v")))
+      .groupBy("m", "cid", "i")
+      .agg(expr("sum(v) div count(*)").as("cv_i"))
+      .groupBy("m", "cid")
+      .agg(array_sort(collect_list(struct(col("i"), col("cv_i")))).as("l"))
+      .select(col("m"), col("cid"),
+        transform(col("l"), x => x.getField("cv_i")).as("cv"))
+      .withColumn("cnorm2", LongArrayDot.dot(col("cv"), col("cv")))
+
+  /** Train all M codebooks jointly (`iters` Lloyd rounds). */
+  def train(sub: DataFrame, iters: Int = Iters): DataFrame =
+    (1 to iters).foldLeft(seed(sub)) { (books, _) =>
+      update(sub, encode(sub, books))
+    }
+
+  /** ADC top-k: per-query LUT of exact ‖q_m − c‖² (M×Kc rows/query,
+    * broadcast), summed over each candidate's codes. Candidate raw
+    * vectors are never read. */
+  def topkAdc(codes: DataFrame, books: DataFrame, qsub: DataFrame,
+      k: Int): DataFrame = {
+    val lut = qsub
+      .select(col("vec_id").as("query_id"), col("m"),
+        col("sqv").as("qq"), col("snorm2").as("qn"))
+      .join(broadcast(books), "m")
+      .withColumn("d",
+        col("qn") - lit(2L) * LongArrayDot.dot(col("qq"), col("cv")) +
+          col("cnorm2"))
+      .select(col("query_id"), col("m"), col("cid"), col("d"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("vec_id").asc)
+    codes.select("vec_id", "m", "cid")
+      .join(broadcast(lut), Seq("m", "cid"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("d")).as("adist"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "rk")
+  }
+
+  /** Refine: exact integer-L2 re-rank of the ADC shortlist. Raw
+    * vectors are read for shortlist rows ONLY (R·|queries| lookups,
+    * never a corpus scan on the query path). */
+  def rerank(shortlist: DataFrame, vecs: DataFrame, queries: DataFrame,
+      k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("qv").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    shortlist.select("query_id", "vec_id")
+      .join(vecs, "vec_id")
+      .join(broadcast(q), "query_id")
+      .withColumn("dist",
+        col("qn") - lit(2L) * LongArrayDot.dot(col("qq"), col("qv")) +
+          col("norm2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id", "rk")
+  }
+
+  /** Exact integer-L2 top-k over full vectors — the recall truth. */
+  def topkExactL2(vecs: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("vec_id").as("query_id"),
+      col("qv").as("qq"), col("norm2").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("dist").asc, col("vec_id").asc)
+    broadcast(q).join(vecs, col("query_id") =!= col("vec_id"))
+      .withColumn("dist",
+        col("qn") - lit(2L) * LongArrayDot.dot(col("qq"), col("qv")) +
+          col("norm2"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("query_id", "vec_id")
+  }
+
+  def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "ann_pq",
+      (spark, sf) => {
+        // the subvector table feeds 3 training passes + the encode +
+        // the LUT build: materialize it once (ann_kmeans' pattern)
+        val vecs = AnnKmeans.quantized(spark, sf).localCheckpoint(false)
+        val sub = subvecs(vecs).localCheckpoint(false)
+        val books = train(sub).localCheckpoint(false)
+        val codes = encode(sub, books).localCheckpoint(false)
+        // determinism: exact arithmetic ⇒ a second encode of the same
+        // corpus against the same books is bit-identical
+        val det = codes.select("vec_id", "m", "cid")
+          .exceptAll(encode(sub, books).select("vec_id", "m", "cid"))
+          .agg(count(lit(1)).as("n_diff")).select(col("n_diff"))
+        // codebook health: distinct codewords actually used, summed
+        // over subspaces (M×Kc = 64 possible; collapse ⇒ dead cells)
+        val used = codes.select("m", "cid").distinct()
+          .agg(count(lit(1)).as("n_used")).select(col("n_used"))
+        val qsub = sub.filter(col("vec_id") < 100)
+        val queries = vecs.filter(col("vec_id") < 100)
+        val short = topkAdc(codes, books, qsub, Shortlist)
+        val pq = rerank(short, vecs, queries, TopK)
+        val exact = topkExactL2(vecs, queries, TopK)
+        val recall = exact.join(pq, Seq("query_id", "vec_id"), "left_semi")
+          .agg(count(lit(1)).as("hits")).select(col("hits"))
+        val n = vecs.agg(count(lit(1)).as("n_vectors"))
+        n.crossJoin(broadcast(det)).crossJoin(broadcast(used))
+          .crossJoin(broadcast(recall))
+          .select(col("n_vectors"),
+            (col("n_diff") === 0).as("encode_deterministic"),
+            // half the 128 cells alive is the collapse alarm; measured
+            // 128/128 used at both dev scales
+            (col("n_used") >= (M * Kc) / 2).as("codebooks_live"),
+            (col("hits") >= RecallFloor).as("recall_ge_floor"))
+      },
+      Some("SELECT count(*) AS n_vectors, TRUE AS encode_deterministic, TRUE AS codebooks_live, TRUE AS recall_ge_floor FROM embeddings"),
+      scaleNote = "PQ is the memory-side half of IVFADC: codes are M " +
+        "nibble-sized ints (8 bytes/vector here vs 256 for raw floats " +
+        "— 32×), so the candidate store that ann_ivf/ann_kmeans " +
+        "partition by bucket shrinks 32× and query-time I/O with it. " +
+        "Training is AnnKmeans' broadcast-K loop run per subspace " +
+        "(model state M×Kc rows — constant); encoding is one " +
+        "broadcast join over the corpus; ADC scoring joins the code " +
+        "table against a per-query M×Kc LUT that is O(queries). The " +
+        "refine stage is WHY the shape survives production: ADC " +
+        "selects R candidates from codes alone, and only those R rows " +
+        "per query fetch raw vectors for the exact re-rank — at " +
+        "100 TB that is R point lookups against the bucketed vector " +
+        "store, never a scan (FAISS's IVFADC+refine). Train books on " +
+        "a sample, encode in one map pass, store codes bucketed by " +
+        "the IVF coarse cell; a query ships its 128-entry LUT to one " +
+        "bucket. The full-corpus exact-L2 truth side here exists ONLY " +
+        "to oracle recall at test scale."))
+}

@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{AnnKmeans, AnnPq}
+
+/** Dev probe (not a test): measures ADC recall and codebook usage at
+  * the dev scale factors so the declared verdict floors are MEASURED
+  * numbers, not guesses. Run:
+  *   sbt "testOnly graft.AnnPqProbe" -- -z measure
+  */
+class AnnPqProbe extends SparkSpec {
+  test("measure: ADC recall + codebook usage at sf0.001/sf0.01") {
+    for (s <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val vecs = AnnKmeans.quantized(spark, s).localCheckpoint(false)
+      val sub = AnnPq.subvecs(vecs).localCheckpoint(false)
+      val books = AnnPq.train(sub).localCheckpoint(false)
+      val codes = AnnPq.encode(sub, books).localCheckpoint(false)
+      val used = codes.select("m", "cid").distinct().count()
+      val qsub = sub.filter(col("vec_id") < 100)
+      val queries = vecs.filter(col("vec_id") < 100)
+      val exact = AnnPq.topkExactL2(vecs, queries, AnnPq.TopK)
+      val truth = exact.count()
+      for (r <- Seq(AnnPq.TopK, 10, 25, 50)) {
+        val short = AnnPq.topkAdc(codes, books, qsub, r)
+        val hits = exact.join(short, Seq("query_id", "vec_id"), "left_semi").count()
+        println(s"[annpq] sf=$s used=$used/${AnnPq.M * AnnPq.Kc} " +
+          s"shortlist=$r recall=$hits/$truth")
+      }
+    }
+  }
+}

@@ -95,4 +95,30 @@ class GraphOpsSpec extends SparkSpec {
       .orderBy("l_returnflag", "l_linestatus").collect.toSeq
     assert(merged === full)
   }
+
+  test("triangleCounts: planted K4, K3+pendant, and triangle-free graphs") {
+    import spark.implicits._
+    def counts(edges: Seq[(Long, Long)]): Map[Long, Long] =
+      graft.queries.GraphOps.triangleCounts(edges.toDF("u", "v"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // K4: 4 triangles, every node in exactly 3
+    val k4 = counts(Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)))
+    assert(k4 == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // one triangle + a pendant edge: pendant node emits no row
+    val tr = counts(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 9L)))
+    assert(tr == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+    // bipartite square: triangle-free, empty output
+    assert(counts(Seq((1L, 10L), (10L, 2L), (2L, 20L), (1L, 20L))).isEmpty)
+  }
+
+  test("graph_triangles: corner-sum is 3x the triangle count; counts positive") {
+    val out = graft.engine.Registry.byName("graph_triangles")
+      .build(spark, sf).cache()
+    try {
+      assert(out.filter(col("n_tri") <= 0).count() == 0)
+      val cornerSum = out.agg(sum("n_tri")).head.getLong(0)
+      assert(cornerSum % 3 == 0, s"corner sum $cornerSum not divisible by 3")
+      assert(cornerSum > 0)
+    } finally out.unpersist()
+  }
 }
