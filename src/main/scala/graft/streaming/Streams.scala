@@ -288,6 +288,63 @@ object Streams {
       }
   }
 
+  case class AnomalyState(bucket: Long, n: Long, hist: Seq[(Long, Long)])
+  case class AnomalyRow(bucket: java.sql.Timestamp, n: Long,
+      z: Option[Double], is_anomaly: Boolean)
+
+  /** Real-time delay-spike monitor — the streaming twin of batch
+    * ts_anomaly: hourly event counts scored by a trailing-24-BUCKET
+    * z (rows, not wall hours — exactly the batch rowsBetween(-24,-1)
+    * frame, so gap hours are skipped in both engines). One global
+    * key holds O(24) state: the open hour's count plus the last 24
+    * finalized (bucket, n) pairs — timeline-sized state, not
+    * data-sized, mirroring the batch plan whose window input is
+    * |hours| rows. An hour finalizes when the ordered replay crosses
+    * its boundary (stream_funnel's ordered-ingest assumption); the
+    * final open hour emits only when a later event arrives — batch
+    * parity is over finalized hours (proven in StreamingSpec).
+    * Integer s/ss accumulate in the fold, so the float z is the
+    * IDENTICAL one-expression computation the batch engine runs. */
+  def anomaly(events: Dataset[Event]): Dataset[AnomalyRow] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600L * 1000
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, evs: Iterator[Event], state: GroupState[AnomalyState]) =>
+          var st = state.getOption.getOrElse(AnomalyState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[AnomalyRow]
+          def finalize(): Unit = if (st.bucket != Long.MinValue) {
+            if (st.hist.size == 24) {
+              val s = st.hist.map(_._2).sum
+              val ss = st.hist.map(h => h._2 * h._2).sum
+              val mean = s.toDouble / 24
+              val variance = (ss.toDouble - s.toDouble * s.toDouble / 24) / 24
+              val z = if (variance > 0)
+                Some(BigDecimal((st.n.toDouble - mean) / math.sqrt(variance))
+                  .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              else None
+              out += AnomalyRow(new java.sql.Timestamp(st.bucket), st.n, z,
+                variance > 0 &&
+                  math.abs(st.n.toDouble - mean) > 3 * math.sqrt(variance))
+            }
+            st = AnomalyState(Long.MinValue, 0L,
+              (st.hist :+ (st.bucket, st.n)).takeRight(24))
+          }
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val b = (e.ts.getTime / hourMs) * hourMs
+            if (b != st.bucket) {
+              finalize()
+              st = AnomalyState(b, 0L, st.hist)
+            }
+            st = AnomalyState(st.bucket, st.n + 1, st.hist)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */

@@ -152,11 +152,14 @@ class PlanPropertiesSpec extends SparkSpec {
     // the MG verdict's stream length) — a constant, not a scan.
     // contamination_check: the broadcast single-row BLOOM mask (the
     // position-set map every corpus shingle probes map-side).
+    // corpus_epochs: the |langs|-row rate table crossJoins ONE global
+    // max row. ann_pq: the verdict row assembly crossJoins four
+    // single-row aggregates (ann_kmeans' shape).
     val bnljByDesign =
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
         "tfidf_keywords", "ts_resample", "ts_interpolate", "corpus_mix",
         "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans",
-        "contamination_check")
+        "contamination_check", "corpus_epochs", "ann_pq")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
