@@ -20,7 +20,10 @@ object ScalingCurve {
       "funnel_steps", "retention_cohort", "peak_concurrency",
       "layout_zorder", "agg_cms_sketch", "dedup_edit_nn",
       "graph_pagerank", "agg_median_exact", "agg_bloom_filter",
-      "agg_incremental_merge")
+      "agg_incremental_merge",
+      "dedup_spans", "text_boilerplate", "corpus_epochs", "shuffle_shards",
+      "ann_pq", "graph_triangles", "join_asof_salted",
+      "retention_cohort_approx", "dedup_clusters_star")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)
