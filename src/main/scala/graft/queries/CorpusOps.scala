@@ -174,6 +174,82 @@ object CorpusOps extends QueryGroup {
       Some("SELECT doc_id, ntok, CAST(cum AS BIGINT) AS cum, CAST(floor((cum - ntok) / 2048) AS BIGINT) AS seq_id FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS ntok, sum(len(string_split(text, ' '))) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM documents) ORDER BY doc_id"),
       scaleNote = "A global running sum is the textbook distributed-prefix-sum: per-shard subtotals (map-side agg), a cumsum over the |shards|-row subtotal table (the ONLY single-partition step — KB-sized at any corpus scale), and shard-local windows shifted by the broadcast offsets. The naive formulation (one Window over ORDER BY doc_id with no partition key) funnels 100 TB through ONE task — this plan never does, pinned in PlanPropertiesSpec. Shards here are contiguous doc_id blocks; at scale they are the ingest partition ranges, so phase 3 reuses the storage partitioning with zero extra shuffle."),
 
+    // Tokenizer-vocabulary design: corpus word frequencies ranked,
+    // with cumulative coverage share and the 95%-coverage vocab cut —
+    // the analysis that sizes a BPE/unigram vocabulary before
+    // training one. Bounded output: top 100 words.
+    QueryDef(
+      "vocab_coverage",
+      (spark, sf) => {
+        val w = Tables.documents(spark, sf)
+          .select(explode(split(col("text"), " ")).as("w"))
+        val freq = w.groupBy("w").agg(count(lit(1)).as("n"))
+        val tot = freq.agg(sum(col("n")).as("total"))
+        val byRank = Window.orderBy(col("n").desc, col("w"))
+        freq.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(byRank))
+          .withColumn("cum", sum(col("n")).over(
+            byRank.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .filter(col("rk") <= 100)
+          .select(col("rk"), col("w"), col("n"),
+            round(col("cum").cast("double") / col("total"), 4).as("cum_share"),
+            (col("cum").cast("double") / col("total") <= 0.95).as("in_vocab95"))
+          .orderBy("rk")
+      },
+      Some("WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "f AS (SELECT w, count(*) AS n FROM w GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total FROM f), " +
+        "r AS (SELECT w, n, row_number() OVER (ORDER BY n DESC, w) AS rk, " +
+        "sum(n) OVER (ORDER BY n DESC, w ROWS UNBOUNDED PRECEDING) AS cum FROM f) " +
+        "SELECT rk, w, n, round(CAST(cum AS DOUBLE) / total, 4) AS cum_share, " +
+        "(CAST(cum AS DOUBLE) / total <= 0.95) AS in_vocab95 " +
+        "FROM r CROSS JOIN t WHERE rk <= 100 ORDER BY rk"),
+      scaleNote = "The heavy half is a 2-phase hash agg over tokens " +
+        "(map-side-combined partials: |vocab| rows cross the wire, " +
+        "not |tokens|). The ranked cumsum is a window over the VOCAB " +
+        "table — Zipf-bounded, millions of rows at web scale, not " +
+        "corpus-sized — and the top-100 cut rides WindowGroupLimit so " +
+        "partitions retain 100 rows during the sort. For a 100 TB " +
+        "corpus with an unbounded vocab (URLs, hashes), pre-prune the " +
+        "tail with agg_heavy_hitters' Misra-Gries pass: KB-sized " +
+        "partials decide the top-K candidates, the exact agg then " +
+        "runs on candidates only."),
+
+    // Class-balanced downsampling: every language cut to the minority
+    // language's count by deterministic hash order — the downsampling
+    // complement of corpus_epochs' upsampling (same md5(text:id)
+    // order key as shuffle_shards, so membership is reproducible on
+    // any layout and survives re-ingestion).
+    QueryDef(
+      "sample_balanced",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val minN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+          .agg(min(col("n")).as("min_n"))
+        val h = md5(concat(col("text"), lit(":"), col("doc_id").cast("string")))
+        docs.withColumn("h", h)
+          .withColumn("rk", row_number().over(
+            Window.partitionBy("lang").orderBy("h", "doc_id")))
+          .crossJoin(broadcast(minN))
+          .filter(col("rk") <= col("min_n"))
+          .select(col("doc_id"), col("lang"), col("rk"))
+          .orderBy("lang", "rk")
+      },
+      Some("WITH m AS (SELECT min(n) AS min_n FROM (SELECT lang, count(*) AS n FROM documents GROUP BY 1)), " +
+        "r AS (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(text || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rk FROM documents) " +
+        "SELECT doc_id, lang, rk FROM r CROSS JOIN m WHERE rk <= min_n ORDER BY lang, rk"),
+      scaleNote = "One |langs|-row manifest aggregate (broadcast) and " +
+        "one shuffle on lang for the per-class rank — the rank sort " +
+        "is class-sized, not corpus-sized, and a skewed majority " +
+        "class is exactly what the cut discards, so the expensive " +
+        "sort can first TRUNCATE per partition: any partition holding " +
+        "> min_n rows of one class can locally drop beyond-rank rows " +
+        "(WindowGroupLimit does this automatically once min_n is a " +
+        "literal). Hash-keyed order makes the kept set identical on " +
+        "any layout — rand()-based balancing is irreproducible and " +
+        "id-ordered balancing biases toward early ingest."),
+
     // Repetition-aware training mixture (the data-constrained-scaling
     // complement of corpus_mix's downsampling): under-represented
     // languages are UPsampled by whole-epoch repetition, epochs =

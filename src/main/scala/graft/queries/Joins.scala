@@ -344,5 +344,46 @@ object Joins extends QueryGroup {
           .orderBy("o_orderkey")
       },
       Some("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
-      scaleNote = "The explicit fallback for key skew beyond what AQE's skew-split handles: n× replication of the small side buys n-way parallelism on a single hot key. Salt is derived from row content (reproducible across runs/partitionings); the join stays equi on (key, salt) — shuffle-hash, never a loop. Use when one key exceeds a task's memory; otherwise prefer plain AQE."))
+      scaleNote = "The explicit fallback for key skew beyond what AQE's skew-split handles: n× replication of the small side buys n-way parallelism on a single hot key. Salt is derived from row content (reproducible across runs/partitionings); the join stays equi on (key, salt) — shuffle-hash, never a loop. Use when one key exceeds a task's memory; otherwise prefer plain AQE."),
+
+    // The DIAGNOSTIC that decides when the salted fallbacks above are
+    // worth their replication cost: per-key frequency profile of a
+    // join/aggregate key (events.user_id) — the top-5 hot keys with
+    // their corpus share and skew ratio vs the mean key load. Run
+    // this before picking plain AQE vs join_skew_salted /
+    // join_asof_salted; a ratio within ~10× means AQE's split
+    // handles it, beyond that the hot key serializes a task.
+    QueryDef(
+      "skew_diagnose",
+      (spark, sf) => {
+        val k = Tables.loadEvents(spark, sf)
+          .groupBy(col("user_id").as("key")).agg(count(lit(1)).as("n"))
+        val tot = k.agg(sum(col("n")).as("total"),
+          count(lit(1)).as("n_keys"))
+        k.crossJoin(broadcast(tot))
+          .withColumn("rk", row_number().over(
+            Window.orderBy(col("n").desc, col("key"))))
+          .filter(col("rk") <= 5)
+          .select(col("rk"), col("key"), col("n"),
+            round(col("n").cast("double") / col("total"), 4).as("share"),
+            round(col("n").cast("double") * col("n_keys") / col("total"), 4)
+              .as("skew_ratio"))
+          .orderBy("rk")
+      },
+      Some("WITH k AS (SELECT user_id AS key, count(*) AS n FROM events GROUP BY 1), " +
+        "t AS (SELECT sum(n) AS total, count(*) AS n_keys FROM k), " +
+        "r AS (SELECT key, n, row_number() OVER (ORDER BY n DESC, key) AS rk FROM k) " +
+        "SELECT rk, key, n, round(CAST(n AS DOUBLE) / total, 4) AS share, " +
+        "round(CAST(n AS DOUBLE) * n_keys / total, 4) AS skew_ratio " +
+        "FROM r CROSS JOIN t WHERE rk <= 5 ORDER BY rk"),
+      scaleNote = "One map-side-combined agg collapses the event log " +
+        "to |keys| rows; the top-5 rides WindowGroupLimit (each " +
+        "partition retains 5 rows through the rank sort, no global " +
+        "sort of the key table). The profile costs a fraction of the " +
+        "join it protects and is itself skew-immune — the hot key is " +
+        "just a large COUNT. At 100 TB sample the scan (hash-bucket " +
+        "the keyspace, profile 1/256 of keys exactly) or swap in " +
+        "agg_heavy_hitters' MG sketch when only the top handful " +
+        "matter; the exact profile here doubles as the salting " +
+        "factor's sizing input (ratio ≈ required salt fan-out)."))
 }

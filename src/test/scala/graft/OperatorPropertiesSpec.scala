@@ -283,4 +283,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
     assert(nInterp > 0, "fixture produced no gap days - vacuous test")
   }
+
+  test("sample_balanced: every language cut to exactly the minority count") {
+    val out = graft.engine.Registry.byName("sample_balanced")
+      .build(spark, sf).cache()
+    try {
+      val perLang = out.groupBy("lang").count()
+        .select("count").distinct().collect().map(_.getLong(0))
+      assert(perLang.length == 1, s"unequal class sizes: ${perLang.toSeq}")
+      val minN = graft.engine.Tables.documents(spark, sf)
+        .groupBy("lang").count().agg(min("count")).head.getLong(0)
+      assert(perLang.head == minN)
+      // reproducible: second evaluation keeps the identical doc set
+      val again = graft.engine.Registry.byName("sample_balanced")
+        .build(spark, sf)
+      assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+    } finally out.unpersist()
+  }
+
+  test("vocab_coverage: cumulative share is monotone and ends <= 1") {
+    val rows = graft.engine.Registry.byName("vocab_coverage")
+      .build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val shares = rows.map(_.getDouble(3))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a <= b })
+    assert(shares.last <= 1.0 + 1e-9)
+    // frequency ranking is non-increasing
+    val ns = rows.map(_.getLong(2))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("skew_diagnose: shares and ratios are consistent with the event log") {
+    val rows = graft.engine.Registry.byName("skew_diagnose")
+      .build(spark, sf).collect()
+    assert(rows.length == 5)
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val total = ev.count()
+    val top = ev.groupBy("user_id").count()
+      .agg(max("count")).head.getLong(0)
+    // rank 1 row matches the true hottest key's count
+    assert(rows.head.getLong(2) == top)
+    assert(math.abs(rows.head.getDouble(3) - top.toDouble / total) < 1e-3)
+  }
 }

@@ -82,6 +82,38 @@ class PlanPropertiesSpec extends SparkSpec {
     }.nonEmpty, "single-partition window is not over the subtotal aggregate")
   }
 
+  test("vocab_coverage + skew_diagnose: ranked windows sit above aggregates") {
+    // the global rank/cumsum windows in both profiles are bounded-
+    // table windows (|vocab| rows / |keys| rows — never raw scans),
+    // and the top-N cut must ride WindowGroupLimit
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("vocab_coverage", "skew_diagnose")) {
+      val p0 = Registry.byName(q).build(spark, sf)
+        .queryExecution.executedPlan
+      val p = p0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case x => x
+      }
+      val unpart = p.collect { case w: WindowExec => w }
+        .filter(_.partitionSpec.isEmpty)
+      assert(unpart.nonEmpty, s"$q: expected an unpartitioned rank window")
+      unpart.foreach { w =>
+        assert(w.collectFirst {
+          case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+        }.nonEmpty, s"$q: rank window is not over an aggregate")
+      }
+      // on an UNPARTITIONED window Catalyst compiles the rank filter
+      // to Local/GlobalLimit or TakeOrderedAndProject pushed below
+      // the window consumer (single-partition analogs of
+      // WindowGroupLimit) — accept any of the three
+      val ps = p.toString
+      assert(ps.contains("WindowGroupLimit") || ps.contains("LocalLimit") ||
+        ps.contains("TakeOrderedAndProject"),
+        s"$q: top-N cut not limit-pushed")
+    }
+  }
+
   test("peak_concurrency: the sweep-line window is sharded, not single-partition") {
     // same contract as pack_sequences: the only unpartitioned window
     // may touch the bounded per-hour subtotal table, never the edge
@@ -159,7 +191,9 @@ class PlanPropertiesSpec extends SparkSpec {
       Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
         "tfidf_keywords", "ts_resample", "ts_interpolate", "corpus_mix",
         "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans",
-        "contamination_check", "corpus_epochs", "ann_pq")
+        "contamination_check", "corpus_epochs", "ann_pq",
+        // single-row totals/min broadcast into the ranked profiles
+        "vocab_coverage", "sample_balanced", "skew_diagnose")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
