@@ -259,10 +259,13 @@ object NearDup extends QueryGroup {
       val sym = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
       val mLarge = sym.groupBy("u").agg(min(col("v")).as("mn"))
         .select(col("u"), least(col("mn"), col("u")).as("m"))
+      // no distinct on the large-star output: it feeds ONLY the
+      // small-star groupBy-min (duplicates cannot change a min) and
+      // the round's final edge set carries its own distinct — one
+      // fewer exchange per round
       val ls = sym.join(mLarge, "u").filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v"))
         .filter(col("u") =!= col("v"))
-        .distinct()
       val symS = ls.select(col("v").as("u"), col("u").as("v")) // v < u side
       val mSmall = symS.groupBy("u").agg(min(col("v")).as("m"))
       val ss = symS.join(mSmall, "u")

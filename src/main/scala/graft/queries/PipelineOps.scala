@@ -403,5 +403,60 @@ object PipelineOps extends QueryGroup {
           .orderBy("l_returnflag", "l_linestatus")
       },
       Some("SELECT l_returnflag, l_linestatus, CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty, CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_price, count(*) AS n_rows, round(CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) / count(*), 4) AS avg_qty FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
-      scaleNote = "The refresh reads ONLY the increment — history participates as its aggregate state (|groups| rows, not |rows|), so a daily refresh over a 100 TB log costs one pass over the new partition plus a groups-sized outer join, and the state table is itself partitionable by group key. This works because the aggregates are algebraic: SUM/COUNT states merge by addition, AVG derives from merged state at read time (never store avg — it does not merge). DECIMAL state keeps the merge bit-exact on any layout; MIN/MAX merge the same way, and the sketch family (HLL/CMS/MG) extends the pattern to distincts, frequencies and top-k — this query is the glue that turns those mergeable partials into an incrementally-maintained warehouse."))
+      scaleNote = "The refresh reads ONLY the increment — history participates as its aggregate state (|groups| rows, not |rows|), so a daily refresh over a 100 TB log costs one pass over the new partition plus a groups-sized outer join, and the state table is itself partitionable by group key. This works because the aggregates are algebraic: SUM/COUNT states merge by addition, AVG derives from merged state at read time (never store avg — it does not merge). DECIMAL state keeps the merge bit-exact on any layout; MIN/MAX merge the same way, and the sketch family (HLL/CMS/MG) extends the pattern to distincts, frequencies and top-k — this query is the glue that turns those mergeable partials into an incrementally-maintained warehouse."),
+
+    // Incremental view maintenance for JOINS — the delta-join algebra
+    // agg_incremental_merge's pattern needs once the maintained view
+    // contains a join: with both sides split into history ∪ increment
+    // (orders by o_orderdate, lineitem by l_shipdate, cutoff
+    // 1997-01-01), the refresh is
+    //   Δ(A⋈B) = A_hist⋈B_inc ∪ A_inc⋈B_hist ∪ A_inc⋈B_inc
+    // merged onto the A_hist⋈B_hist state. This query evaluates all
+    // four terms explicitly and merges their partial aggregates; the
+    // oracle is the monolithic join+agg over everything, so hash
+    // equality PROVES the distributivity the refresh relies on.
+    QueryDef(
+      "join_incremental",
+      (spark, sf) => {
+        val cut = lit("1997-01-01").cast("date")
+        val o = Tables.orders(spark, sf)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        val l = Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_quantity"), col("l_shipdate"))
+        val (oH, oI) = (o.filter(col("o_orderdate") < cut),
+          o.filter(col("o_orderdate") >= cut))
+        val (lH, lI) = (l.filter(col("l_shipdate") < cut),
+          l.filter(col("l_shipdate") >= cut))
+        def term(a: org.apache.spark.sql.DataFrame,
+            b: org.apache.spark.sql.DataFrame) =
+          a.join(b, col("o_orderkey") === col("l_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(count(lit(1)).as("n"), Dsl.sumDec2(col("l_quantity")).as("sq"))
+        // state ∪ three delta terms, merged by addition (per-group
+        // outer union: a group may exist in any subset of terms)
+        term(oH, lH).unionByName(term(oH, lI))
+          .unionByName(term(oI, lH)).unionByName(term(oI, lI))
+          .groupBy("o_orderpriority")
+          .agg(sum(col("n")).as("n_items"),
+            sum(col("sq")).cast(Dsl.D2).as("sqm"))
+          .select(col("o_orderpriority"), col("n_items"),
+            col("sqm").cast("double").as("sum_qty"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty " +
+        "FROM orders JOIN lineitem ON o_orderkey = l_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "The production refresh never runs the hist⋈hist " +
+        "term — it IS the stored view state — so a daily refresh " +
+        "costs |A_inc|⋈B plus A⋈|B_inc| with the increments " +
+        "partition-pruned by the cutoff date (both scans here show " +
+        "the date filter pushed to parquet). The delta terms shuffle " +
+        "on the same join key as the view, so at 100 TB the state, " +
+        "both histories, and both increments co-partition and the " +
+        "refresh is exchange-free except for increment-sized " +
+        "shuffles. Merging partial aggregates by addition is exact " +
+        "because the measures are algebraic DECIMAL sums/counts " +
+        "(agg_incremental_merge's rule); the monolithic oracle makes " +
+        "the distributivity proof a hash equality, not a claim."))
 }

@@ -254,4 +254,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("bounds_ok"))
     assert(row.getAs[Boolean]("capacity_ok"))
   }
+
+  test("join_incremental: delta terms partition the join, non-vacuously") {
+    val out = run("join_incremental").collect()
+    // Spark-side monolithic recompute equals the 4-term merge
+    val o = graft.engine.Tables.orders(spark, sf)
+    val l = graft.engine.Tables.lineitem(spark, sf)
+    val full = o.join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        graft.engine.Dsl.sumDec2(col("l_quantity")).cast("double").as("sum_qty"))
+      .orderBy("o_orderpriority").collect()
+    assert(out.toSeq == full.toSeq)
+    // non-vacuous: the cutoff actually splits BOTH sides
+    val cut = lit("1997-01-01").cast("date")
+    assert(o.filter(col("o_orderdate") < cut).count() > 0)
+    assert(o.filter(col("o_orderdate") >= cut).count() > 0)
+    assert(l.filter(col("l_shipdate") < cut).count() > 0)
+    assert(l.filter(col("l_shipdate") >= cut).count() > 0)
+  }
 }
