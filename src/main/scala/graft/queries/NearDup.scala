@@ -108,8 +108,14 @@ object NearDup extends QueryGroup {
     * (32 bands × minhash pairs rarely collide: 1.9 s vs 2.2 s at
     * sf0.1); collect+expand wins when the upstream aggregation
     * dominates (SimHash's 64-vote pass: 1.8 s vs 2.6 s). */
-  def nearDupPairs(docs: DataFrame, tau: Double): DataFrame = {
-    val shRows = shingleRows(docs)
+  def nearDupPairs(docs: DataFrame, tau: Double,
+      shPre: Option[DataFrame] = None): DataFrame = {
+    // a caller that already materialized the (doc_id, sh) table may
+    // inject it (corpus_pipeline shares ONE checkpointed shingle scan
+    // between the cluster pass and decontamination); minhash minima
+    // and collect_set are set-semantics, so a DISTINCT table is
+    // interchangeable with the raw one here
+    val shRows = shPre.getOrElse(shingleRows(docs))
     // separate aggregations on purpose: fusing collect_set with the 64
     // mins forces the whole pass into ObjectHashAggregate (no codegen)
     // — measured 11.8 s vs 9.2 s split. Verify sets carry 8-byte
@@ -182,11 +188,12 @@ object NearDup extends QueryGroup {
     * over the pair graph; see dedup_clusters' QueryDef for the
     * checkpointing rationale. Returns (doc_id, cluster_id,
     * is_canonical) for every doc that HAS a near-dup partner. */
-  def clusters(docs: DataFrame, tau: Double): DataFrame = {
+  def clusters(docs: DataFrame, tau: Double,
+      shPre: Option[DataFrame] = None): DataFrame = {
     // lazy checkpoints: identical lineage truncation, but building
     // the DataFrame (plan sweeps, schema checks) runs zero jobs —
     // materialization waits for the first real action
-    val pairs = nearDupPairs(docs, tau)
+    val pairs = nearDupPairs(docs, tau, shPre)
       .select(col("id1"), col("id2"))
       .localCheckpoint(false)
     val edges = pairs.select(col("id1").as("src"), col("id2").as("dst"))

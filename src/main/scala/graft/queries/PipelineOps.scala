@@ -52,8 +52,10 @@ object PipelineOps extends QueryGroup {
     * codegen'd xxhash64, not the md5 cross-engine trick the
     * oracle-visible sketches need. Measured at the 10× replica:
     * 9.5 s → 3.7 s for contamination_check. */
-  def evalOverlap(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    val sh = NearDup.shingleRows(docs).distinct().localCheckpoint(false)
+  def evalOverlap(docs: org.apache.spark.sql.DataFrame,
+      shPre: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    val sh = shPre.getOrElse(
+      NearDup.shingleRows(docs).distinct().localCheckpoint(false))
     val ev = sh.filter(col("doc_id") < EvalSetSize)
       .select(col("doc_id").as("eval_id"), col("sh"))
     val co = sh.filter(col("doc_id") >= EvalSetSize)
@@ -282,12 +284,17 @@ object PipelineOps extends QueryGroup {
       "corpus_pipeline",
       (spark, sf) => {
         val docs = Tables.documents(spark, sf)
-        val canon = NearDup.clusters(docs, 0.5)
+        // ONE shingle scan serves both heavy stages (cluster pass +
+        // decontamination): distinct is set-semantics-safe for the
+        // minhash/collect_set path and required by the containment
+        // counts, so the shared table is the distinct one
+        val sh = NearDup.shingleRows(docs).distinct().localCheckpoint(false)
+        val canon = NearDup.clusters(docs, 0.5, Some(sh))
           .select(col("doc_id"), col("is_canonical"))
         // decontamination gate: a pool doc with ≥ half its shingles
         // contained in ONE eval doc is an eval leak (shares the
         // bloom-pruned evalOverlap kernel with contamination_check)
-        val leak = evalOverlap(docs)
+        val leak = evalOverlap(docs, Some(sh))
           .filter(col("ni").cast("double") / col("n_sh").cast("double") >= 0.5)
           .select(col("doc_id")).distinct()
           .withColumn("leak", lit(true))
