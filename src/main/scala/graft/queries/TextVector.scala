@@ -190,6 +190,57 @@ object TextVector extends QueryGroup {
       Some("SELECT doc_id, n_chars, len(string_split(text, ' ')) AS n_tokens, len(list_distinct(string_split(text, ' '))) AS n_uniq, CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)/len(string_split(text, ' ')) AS uniq_ratio, CAST(len(list_filter(string_split(text, ' '), t -> list_contains(['a','key','value'], t))) AS DOUBLE)/len(string_split(text, ' ')) AS stop_ratio, CAST(n_chars - (len(string_split(text, ' ')) - 1) AS DOUBLE)/len(string_split(text, ' ')) AS avg_tok_len FROM documents ORDER BY doc_id"),
       scaleNote = "Pure per-row scalar pipeline in codegen — the corpus-filter pass that runs before any shuffle at 100 TB. Ratios are single divisions of exact integers: bit-identical across engines."),
 
+    // Bigram-LM fluency score in exact integer micro-units — the
+    // statistical-quality signal (how "corpus-typical" a document's
+    // word transitions are) that complements text_quality's surface
+    // ratios. The LM is the corpus itself: c2(prev,w) bigram counts /
+    // c1(prev) continuation counts; each bigram scores
+    // c2·10^6 div c1 (floor µ-probability) and a document scores the
+    // integer MEAN of its bigram scores. No log, no float sum —
+    // every step is integer, so the score is bit-identical on any
+    // layout (the ln-free trick tfidf_keywords uses, taken further).
+    QueryDef(
+      "text_lm_score",
+      (spark, sf) => {
+        val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+        val bg = Tables.documents(spark, sf)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+          .withColumn("prev", lag(col("w"), 1).over(byDoc))
+          .filter(col("prev").isNotNull)
+        val c2 = bg.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+        val c1 = bg.groupBy("prev").agg(count(lit(1)).as("c1"))
+        bg.join(c2, Seq("prev", "w")).join(c1, Seq("prev"))
+          .withColumn("mu", expr("(c2 * 1000000) div c1"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            expr("sum(mu) div count(*)").as("lm_micro"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, unnest(string_split(text,' ')) AS w, " +
+        "generate_subscripts(string_split(text,' '),1) AS idx FROM documents), " +
+        "bg AS (SELECT doc_id, lag(w) OVER (PARTITION BY doc_id ORDER BY idx) AS prev, w " +
+        "FROM t QUALIFY prev IS NOT NULL), " +
+        "c2 AS (SELECT prev, w, count(*) AS c2 FROM bg GROUP BY 1,2), " +
+        "c1 AS (SELECT prev, count(*) AS c1 FROM bg GROUP BY 1) " +
+        "SELECT doc_id, count(*) AS n_bigrams, " +
+        "CAST(sum((c2 * 1000000) // c1) // count(*) AS BIGINT) AS lm_micro " +
+        "FROM bg JOIN c2 USING (prev, w) JOIN c1 USING (prev) " +
+        "GROUP BY doc_id ORDER BY doc_id"),
+      scaleNote = "Two 2-phase hash aggs build the model (|bigram " +
+        "vocab| and |unigram vocab| rows — Zipf-bounded, both " +
+        "map-side-combined) and scoring is two equi joins back onto " +
+        "the bigram stream, shuffling on the same vocab keys. At " +
+        "100 TB the model tables are the broadcast/bucketed side and " +
+        "the stream never shuffles twice; hot function words (the " +
+        "head of the Zipf curve) are exactly the keys AQE's skew " +
+        "split handles, or pre-aggregate per-partition (prev,w) " +
+        "partials first. Integer µ-probabilities make the score " +
+        "reproducible — a float log-prob sum differs per partition " +
+        "order and masks regressions; train/score separation (model " +
+        "from a held-out corpus) is the same plan with the model " +
+        "CTEs reading a different table."),
+
     // Document fingerprint: polynomial rolling hash folded over the
     // token stream in order — integer arithmetic only.
     QueryDef(

@@ -73,9 +73,10 @@ class NearDupSpec extends SparkSpec {
     val docs = mkDocs((0 until 11).map { i =>
       ((i + 1).toLong, (i * 4 until i * 4 + 20).map(t => s"w$t").mkString(" "))
     })
-    for ((label, impl) <- Seq(
-        "min-label" -> NearDup.clusters _,
-        "star" -> NearDup.clustersStar _)) {
+    for ((label, impl) <- Seq[(String,
+        (org.apache.spark.sql.DataFrame, Double) => org.apache.spark.sql.DataFrame)](
+        "min-label" -> ((d, t) => NearDup.clusters(d, t)),
+        "star" -> ((d, t) => NearDup.clustersStar(d, t)))) {
       val rows = impl(docs, 0.5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
       assert(rows.length == 11,

@@ -313,6 +313,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("text_lm_score: micro-probabilities are bounded and self-transitions score full") {
+    val out = graft.engine.Registry.byName("text_lm_score")
+      .build(spark, sf).collect()
+    assert(out.nonEmpty)
+    // a mean of floor((c2/c1)*1e6) terms lies in [0, 1e6]
+    assert(out.forall(r => r.getLong(2) >= 0 && r.getLong(2) <= 1000000L))
+    // bigram conservation: sum of per-doc bigram counts = total tokens - docs
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val toks = docs.select(size(split(col("text"), " ")).as("n"))
+      .agg(sum("n")).head.getLong(0)
+    val nDocs = docs.count()
+    assert(out.map(_.getLong(1)).sum == toks - nDocs)
+  }
+
   test("skew_diagnose: shares and ratios are consistent with the event log") {
     val rows = graft.engine.Registry.byName("skew_diagnose")
       .build(spark, sf).collect()
