@@ -21,11 +21,13 @@ import graft.plans.LongArrayDot
   * distances are below PQ reconstruction error, so ADC-only top-3
   * recall is ~0.17 at ANY code resolution tried (52/300 at M=8·K=16;
   * 37/300 at M=4·K=16) — the standard remedy is the FAISS-style
-  * refine step: ADC selects R=50 candidates (recall@50 measured
-  * 219/300 sf0.001, 221/300 sf0.01), then an EXACT integer-L2 re-rank
-  * of just those 50 reads raw vectors for shortlist rows only and
-  * emits the final top-3. Final recall == shortlist recall: measured
-  * 219-221/300, so the 180 floor keeps ~18% headroom.
+  * refine step: ADC selects an R-candidate shortlist, then an EXACT
+  * integer-L2 re-rank of just those R rows emits the final top-3.
+  * R must scale with the candidate pool (a FIXED 50 measured 219/300
+  * at 500 vectors but only 157/300 at 2000 — fixed-R recall decays
+  * as the pool grows), so R = max(50, |corpus|/20): measured recall
+  * 219/300 (sf0.001, R=50), 221/300 (sf0.01, R=50), 207/300 (sf0.1,
+  * R=100) — the 180 floor keeps ≥ 15% headroom at every SF.
   *
   * Everything stays in the shared 2^20 quantization and BIGINT
   * arithmetic (argmin ties to the lowest codeword id), so codebooks,
@@ -45,8 +47,8 @@ object AnnPq extends QueryGroup {
   val Kc = 16    // codewords per subspace
   val Iters = 2
   val TopK = 3
-  val Shortlist = 50     // ADC candidates fed to the exact re-rank
-  val RecallFloor = 180L // of 300 truth pairs; measured 219-221
+  val Shortlist = 50     // shortlist FLOOR; R = max(this, |corpus|/20)
+  val RecallFloor = 180L // of 300 truth pairs; measured 207-221
 
   /** Subvector rows (vec_id, m, sqv, snorm2) from quantized vectors. */
   def subvecs(vecs: DataFrame): DataFrame =
@@ -177,7 +179,12 @@ object AnnPq extends QueryGroup {
           .agg(count(lit(1)).as("n_used")).select(col("n_used"))
         val qsub = sub.filter(col("vec_id") < 100)
         val queries = vecs.filter(col("vec_id") < 100)
-        val short = topkAdc(codes, books, qsub, Shortlist)
+        // refine k-factor: the shortlist must be a fixed FRACTION of
+        // the candidate pool (5%), not a fixed count — fixed-R recall
+        // decays as the pool grows (219/300 at 500 vectors, 157/300
+        // at 2000 for R=50). One tiny count() action sizes it.
+        val r = math.max(Shortlist, (vecs.count() / 20L).toInt)
+        val short = topkAdc(codes, books, qsub, r)
         val pq = rerank(short, vecs, queries, TopK)
         val exact = topkExactL2(vecs, queries, TopK)
         val recall = exact.join(pq, Seq("query_id", "vec_id"), "left_semi")
@@ -202,10 +209,13 @@ object AnnPq extends QueryGroup {
         "broadcast join over the corpus; ADC scoring joins the code " +
         "table against a per-query M×Kc LUT that is O(queries). The " +
         "refine stage is WHY the shape survives production: ADC " +
-        "selects R candidates from codes alone, and only those R rows " +
+        "selects R candidates from codes alone (R a fixed FRACTION — " +
+        "5% — of the candidate pool, since fixed-count shortlists " +
+        "decay in recall as the pool grows), and only those R rows " +
         "per query fetch raw vectors for the exact re-rank — at " +
-        "100 TB that is R point lookups against the bucketed vector " +
-        "store, never a scan (FAISS's IVFADC+refine). Train books on " +
+        "100 TB the pool is one IVF bucket, so R stays bounded and is " +
+        "R point lookups against the bucketed vector store, never a " +
+        "scan (FAISS's IVFADC+refine). Train books on " +
         "a sample, encode in one map pass, store codes bucketed by " +
         "the IVF coarse cell; a query ships its 128-entry LUT to one " +
         "bucket. The full-corpus exact-L2 truth side here exists ONLY " +

@@ -10,7 +10,8 @@ import graft.queries.{AnnKmeans, AnnPq}
   */
 class AnnPqProbe extends SparkSpec {
   test("measure: ADC recall + codebook usage at sf0.001/sf0.01") {
-    for (s <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    for (s <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")) {
       val vecs = AnnKmeans.quantized(spark, s).localCheckpoint(false)
       val sub = AnnPq.subvecs(vecs).localCheckpoint(false)
       val books = AnnPq.train(sub).localCheckpoint(false)
@@ -20,7 +21,7 @@ class AnnPqProbe extends SparkSpec {
       val queries = vecs.filter(col("vec_id") < 100)
       val exact = AnnPq.topkExactL2(vecs, queries, AnnPq.TopK)
       val truth = exact.count()
-      for (r <- Seq(AnnPq.TopK, 10, 25, 50)) {
+      for (r <- Seq(50, 100, 150, 200)) {
         val short = AnnPq.topkAdc(codes, books, qsub, r)
         val hits = exact.join(short, Seq("query_id", "vec_id"), "left_semi").count()
         println(s"[annpq] sf=$s used=$used/${AnnPq.M * AnnPq.Kc} " +
