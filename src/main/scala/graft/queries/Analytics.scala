@@ -182,6 +182,58 @@ object Analytics extends QueryGroup {
     // Rolling z-score anomaly detection over hourly event counts —
     // the monitoring pass a delay pipeline runs on its own output
     // (sudden spikes/droughts in observations). The trailing-24h
+    // Mean-shift changepoint detector over the hourly timeline: for
+    // each boundary hour, compare the trailing-24h window [-24,-1]
+    // against the leading-24h window [0,+23] — both bounded frames
+    // over the |hours| rollup. Complements ts_anomaly (a z-score
+    // flags one outlier hour; a LEVEL shift moves the mean and stays
+    // moved — regime change, schedule change, pipeline breakage).
+    // Pure integer: window sums are exact, the relative shift is a
+    // floor micro-ratio, detection is an integer cross-multiply.
+    QueryDef(
+      "ts_changepoint",
+      (spark, sf) => {
+        val h = Tables.loadEvents(spark, sf)
+          .groupBy(date_trunc("hour", col("ts")).as("bucket"))
+          .agg(count(lit(1)).as("n"))
+        val wl = Window.orderBy("bucket").rowsBetween(-24, -1)
+        val wr = Window.orderBy("bucket").rowsBetween(0, 23)
+        h.withColumn("s_left", sum(col("n")).over(wl))
+          .withColumn("k_left", count(lit(1)).over(wl))
+          .withColumn("s_right", sum(col("n")).over(wr))
+          .withColumn("k_right", count(lit(1)).over(wr))
+          .filter(col("k_left") === 24 && col("k_right") === 24)
+          .withColumn("shift_micro",
+            expr("((s_right - s_left) * 1000000) div greatest(s_left, 1)"))
+          // |s_r − s_l| · 4 > s_l  ⇔  relative shift > 25%
+          .withColumn("is_shift",
+            abs(col("s_right") - col("s_left")) * 4 > col("s_left"))
+          .select(col("bucket"), col("n"), col("s_left"), col("s_right"),
+            col("shift_micro"), col("is_shift"))
+          .orderBy("bucket")
+      },
+      Some("WITH h AS (SELECT date_trunc('hour', ts) AS bucket, count(*) AS n FROM events GROUP BY 1), " +
+        "w AS (SELECT bucket, n, sum(n) OVER (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS s_left, " +
+        "count(*) OVER (ORDER BY bucket ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS k_left, " +
+        "sum(n) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS s_right, " +
+        "count(*) OVER (ORDER BY bucket ROWS BETWEEN CURRENT ROW AND 23 FOLLOWING) AS k_right FROM h) " +
+        "SELECT CAST(bucket AS TIMESTAMP) AS bucket, n, CAST(s_left AS BIGINT) AS s_left, " +
+        "CAST(s_right AS BIGINT) AS s_right, " +
+        "CAST(((s_right - s_left) * 1000000) // greatest(s_left, 1) AS BIGINT) AS shift_micro, " +
+        "(abs(s_right - s_left) * 4 > s_left) AS is_shift " +
+        "FROM w WHERE k_left = 24 AND k_right = 24 ORDER BY bucket"),
+      scaleNote = "Same scale shape as ts_anomaly: the event stream " +
+        "collapses to |hours| rows before any window, both frames " +
+        "are bounded (24 rows), so at a long timeline the window " +
+        "shards by time range with a 24-hour halo on each side — " +
+        "bounded-frame windows partition with replication instead of " +
+        "a global sort. Integer sums and floor micro-ratios make the " +
+        "verdict bit-identical on any layout; the 25% threshold is " +
+        "an integer cross-multiply, never a float compare. CUSUM (the " +
+        "sequential-recursive detector) is the documented alternative " +
+        "when single-hour sensitivity matters — it needs a stateful " +
+        "scan (stream_anomaly's fold), not a window."),
+
     // mean/std come from exact INTEGER window sums (s, ss), so the
     // one float division and sqrt see identical inputs on both
     // engines; zero-variance windows emit NULL z instead of ±inf.

@@ -218,6 +218,60 @@ object GraphOps extends QueryGroup {
         "BOTH edges and adjacency by the join key instead (two " +
         "co-partitioned shuffles of |E| rows) or pack adjacency into " +
         "a bucketed table — the per-node rollup then ships " +
-        "|triangle-corner| partials, never raw wedges.")
+        "|triangle-corner| partials, never raw wedges."),
+
+    // K-hop reachability (BFS levels) from a seed set — the 'blast
+    // radius' query (which suppliers are within 3 trades of these
+    // customers). Level sets are computed non-iteratively as
+    // r_{i+1} = neighbors(r_i) and hops = min level per node, which
+    // the oracle mirrors as unrolled CTEs — identical structure, so
+    // the hash covers every level.
+    QueryDef(
+      "graph_reachability",
+      (spark, sf) => {
+        val e = edges(spark, sf).localCheckpoint(false)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
+        var levels = seeds.select(col("node"), lit(0L).as("h"))
+        var frontier = seeds
+        for (i <- 1 to 3) {
+          frontier = e.join(broadcast(frontier.select(col("node").as("src"))), "src")
+            .select(col("dst").as("node")).distinct()
+            .localCheckpoint(false)
+          levels = levels.unionAll(frontier.select(col("node"), lit(i.toLong).as("h")))
+        }
+        levels.groupBy("node").agg(min(col("h")).as("hops"))
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("key"), col("hops"))
+          .orderBy("node_type", "key")
+      },
+      Some {
+        val nbr = (prev: String, cur: String) =>
+          s"$cur AS (SELECT DISTINCT e.dst AS node FROM e JOIN $prev ON e.src = $prev.node)"
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "r0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 2 = 0 AND src < 20), " +
+          nbr("r0", "r1") + ", " + nbr("r1", "r2") + ", " + nbr("r2", "r3") + ", " +
+          "lv AS (SELECT node, 0 AS h FROM r0 UNION ALL SELECT node, 1 FROM r1 " +
+          "UNION ALL SELECT node, 2 FROM r2 UNION ALL SELECT node, 3 FROM r3) " +
+          "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
+          "node // 2 AS key, CAST(min(h) AS BIGINT) AS hops FROM lv " +
+          "GROUP BY node ORDER BY node_type, key"
+      },
+      scaleNote = "Each hop is one equi join of the checkpointed edge " +
+        "list against the frontier + a distinct — the frontier is " +
+        "|reached nodes| (≤ |V|), broadcast while it fits and a " +
+        "co-partitioned shuffle join once it does not (the edge list " +
+        "is partitioned once, like pagerank's build). The min-level " +
+        "rollup ships |levels|·|nodes| partials, bounded by k·|V|. " +
+        "The non-iterative level-set form trades re-visiting already-" +
+        "seen nodes (r_{i+1} may re-emit them; min() absorbs it) for " +
+        "ZERO driver-side state and an oracle-mirrorable structure — " +
+        "for deep BFS switch to the visited-set frontier loop " +
+        "(pagerank's checkpoint cadence) where each round " +
+        "anti-joins the reached set: same join shape, smaller " +
+        "frontiers, O(diameter) rounds.")
   )
 }

@@ -111,6 +111,24 @@ class GraphOpsSpec extends SparkSpec {
     assert(counts(Seq((1L, 10L), (10L, 2L), (2L, 20L), (1L, 20L))).isEmpty)
   }
 
+  test("graph_reachability: seeds at hop 0, bounded levels, bipartite parity") {
+    val out = graft.engine.Registry.byName("graph_reachability")
+      .build(spark, sf).cache()
+    try {
+      assert(out.filter(col("hops") < 0 || col("hops") > 3).count() == 0)
+      // the seed set (customers with key < 10) is exactly the hops=0 rows
+      val h0 = out.filter(col("hops") === 0)
+      assert(h0.filter(col("node_type") =!= "customer" ||
+        col("key") >= 10).count() == 0)
+      assert(h0.count() > 0 && out.count() > h0.count(), "vacuous BFS")
+      // bipartite graph: odd hops land on suppliers, even on customers
+      assert(out.filter(
+        (col("hops") % 2 === 0 && col("node_type") =!= "customer") ||
+        (col("hops") % 2 === 1 && col("node_type") =!= "supplier"))
+        .count() == 0)
+    } finally out.unpersist()
+  }
+
   test("graph_triangles: corner-sum is 3x the triangle count; counts positive") {
     val out = graft.engine.Registry.byName("graph_triangles")
       .build(spark, sf).cache()

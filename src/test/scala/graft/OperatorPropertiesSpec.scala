@@ -313,6 +313,20 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
 
+  test("ts_changepoint: full frames, and the shift flag matches its own columns") {
+    val out = graft.engine.Registry.byName("ts_changepoint")
+      .build(spark, sf).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (sl, sr) = (r.getLong(2), r.getLong(3))
+      assert(sl > 0 && sr > 0) // 24 populated hours each side
+      assert(r.getBoolean(5) == (math.abs(sr - sl) * 4 > sl))
+      // Spark div, DuckDB //, and Java / all truncate toward zero,
+      // so the micro-ratio is exactly reproducible here
+      assert(r.getLong(4) == (sr - sl) * 1000000L / math.max(sl, 1L))
+    }
+  }
+
   test("text_lm_score: micro-probabilities are bounded and self-transitions score full") {
     val out = graft.engine.Registry.byName("text_lm_score")
       .build(spark, sf).collect()
