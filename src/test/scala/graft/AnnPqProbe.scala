@@ -21,7 +21,10 @@ class AnnPqProbe extends SparkSpec {
       val queries = vecs.filter(col("vec_id") < 100)
       val exact = AnnPq.topkExactL2(vecs, queries, AnnPq.TopK)
       val truth = exact.count()
-      for (r <- Seq(50, 100, 150, 200)) {
+      // the declared query's R at this corpus plus the next two
+      // doublings — keeps the floor-headroom evidence fresh
+      for (r <- Seq(math.max(AnnPq.Shortlist, (vecs.count() / 20L).toInt),
+          100, 200).distinct) {
         val short = AnnPq.topkAdc(codes, books, qsub, r)
         val hits = exact.join(short, Seq("query_id", "vec_id"), "left_semi").count()
         println(s"[annpq] sf=$s used=$used/${AnnPq.M * AnnPq.Kc} " +
