@@ -18,6 +18,32 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   */
 object Analytics extends QueryGroup {
 
+  /** Per-minute net session-edge deltas (m, nd, hour) — the sweep
+    * line's input, shared by peak_concurrency and its densified
+    * variant. Minute-grid edges: +1 when a session starts, -1 the
+    * minute AFTER it ends (inclusive-end semantics; point sessions
+    * stay visible in their minute). Net deltas per minute make edge
+    * ordering within a minute irrelevant. */
+  private def sweepNet(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val sess = TimeSeriesDedup.sessionBounds(Tables.loadEvents(spark, sf))
+    val edges = sess
+      .select(date_trunc("minute", col("st")).as("m"), lit(1L).as("d"))
+      .unionAll(sess.select(
+        (date_trunc("minute", col("en")) + expr("INTERVAL 1 MINUTE")).as("m"),
+        lit(-1L).as("d")))
+    edges.groupBy("m").agg(sum(col("d")).as("nd"))
+      .withColumn("hour", date_trunc("hour", col("m")))
+  }
+
+  /** The shared sweep-line CTE prefix (sess/ed/net) in DuckDB. */
+  private val SweepNetSql: String =
+    "sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM (" +
+      TimeSeriesDedup.SessionIslandsSql + ") GROUP BY 1,2), " +
+      "ed AS (SELECT date_trunc('minute', st) AS m, 1 AS d FROM sess " +
+      "UNION ALL SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess), " +
+      "net AS (SELECT m, sum(d) AS nd FROM ed GROUP BY 1)"
+
   /** Z-order (Morton) interleave of two 8-bit dimensions into a 16-bit
     * key, expressed as pure integer arithmetic so the SAME formula runs
     * in Spark codegen and DuckDB. Bit b of x lands at position 2b, bit
@@ -141,18 +167,7 @@ object Analytics extends QueryGroup {
     QueryDef(
       "peak_concurrency",
       (spark, sf) => {
-        val sess = TimeSeriesDedup.sessionBounds(Tables.loadEvents(spark, sf))
-        // minute-grid edges: +1 when a session starts, -1 the minute
-        // AFTER it ends (inclusive-end semantics; point sessions stay
-        // visible in their minute). Net deltas per minute make edge
-        // ordering within a minute irrelevant.
-        val edges = sess
-          .select(date_trunc("minute", col("st")).as("m"), lit(1L).as("d"))
-          .unionAll(sess.select(
-            (date_trunc("minute", col("en")) + expr("INTERVAL 1 MINUTE")).as("m"),
-            lit(-1L).as("d")))
-        val net = edges.groupBy("m").agg(sum(col("d")).as("nd"))
-          .withColumn("hour", date_trunc("hour", col("m")))
+        val net = sweepNet(spark, sf)
         // two-phase distributed prefix sum (pack_sequences' shape):
         // per-hour subtotals, a cumsum over the tiny |hours| table,
         // then hour-local running sums shifted by the offsets — the
@@ -176,8 +191,57 @@ object Analytics extends QueryGroup {
             greatest(col("edge_peak"), col("carried")).as("peak"))
           .orderBy("hour")
       },
-      Some("WITH sess AS (SELECT user_id, session_id, min(ts) AS st, max(ts) AS en FROM (" + TimeSeriesDedup.SessionIslandsSql + ") GROUP BY 1,2), ed AS (SELECT date_trunc('minute', st) AS m, 1 AS d FROM sess UNION ALL SELECT date_trunc('minute', en) + INTERVAL 1 MINUTE, -1 FROM sess), net AS (SELECT m, sum(d) AS nd FROM ed GROUP BY 1), run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1) SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(edge_peak, coalesce(lag(final_conc) OVER (ORDER BY hour), 0)) AS BIGINT) AS peak FROM hr ORDER BY hour"),
-      scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences. Declared contract: rows exist only for hours WITH edges — an edge-free hour inside a long session is elided (its constant concurrency is the next emitted hour's carried offset); densify via the resample grid if a gapless timeline is needed."),
+      Some(s"WITH $SweepNetSql, run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1) SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(edge_peak, coalesce(lag(final_conc) OVER (ORDER BY hour), 0)) AS BIGINT) AS peak FROM hr ORDER BY hour"),
+      scaleNote = "The sweep line compresses sessions to ±1 edges, net-aggregated per minute — wire volume is |active minutes|, not |events| — and the global running sum is the two-phase distributed prefix sum (per-hour subtotals, a |hours|-row cumsum, hour-local windows + broadcast offsets), so no single task ever sees the corpus. The naive formulation (one ORDER BY window over all edges) funnels everything through one partition; this plan's only unpartitioned window is over the bounded hour table, same as pack_sequences. Declared contract: rows exist only for hours WITH edges — an edge-free hour inside a long session is elided (its constant concurrency is the next emitted hour's carried offset); peak_concurrency_dense is the implemented gapless variant."),
+
+    // The gapless timeline peak_concurrency's contract note promises:
+    // every hour from the first edge to the last emits a row; an
+    // edge-free hour inside a long session emits its carried (and
+    // constant) concurrency. Same sweep line + the ts_resample grid.
+    QueryDef(
+      "peak_concurrency_dense",
+      (spark, sf) => {
+        val net = sweepNet(spark, sf)
+        val subtot = net.groupBy("hour").agg(sum(col("nd")).as("h_nd"))
+        val hb = net.agg(min(col("hour")).as("h0"), max(col("hour")).as("h1"))
+        val grid = hb.select(explode(sequence(col("h0"), col("h1"),
+          expr("interval 1 hour"))).as("hour"))
+        // offset = concurrency at hour START for EVERY grid hour —
+        // the cumsum runs over the bounded |hours| grid (0-filled for
+        // edge-free hours), pack_sequences' single-partition class
+        val gridOff = grid.join(subtot, Seq("hour"), "left")
+          .withColumn("offset", coalesce(sum(coalesce(col("h_nd"), lit(0L)))
+            .over(Window.orderBy("hour")
+              .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select("hour", "offset")
+        val wHour = Window.partitionBy("hour").orderBy("m")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val edgePeak = net.join(broadcast(gridOff), "hour")
+          .withColumn("conc", col("offset") + sum(col("nd")).over(wHour))
+          .groupBy("hour").agg(max(col("conc")).as("edge_peak"))
+        gridOff.join(edgePeak, Seq("hour"), "left")
+          .select(col("hour"),
+            greatest(coalesce(col("edge_peak"), col("offset")), col("offset"))
+              .as("peak"))
+          .orderBy("hour")
+      },
+      Some(s"WITH $SweepNetSql, " +
+        "run AS (SELECT m, date_trunc('hour', m) AS hour, sum(nd) OVER (ORDER BY m ROWS UNBOUNDED PRECEDING) AS conc FROM net), " +
+        "hr AS (SELECT hour, max(conc) AS edge_peak, arg_max(conc, m) AS final_conc FROM run GROUP BY 1), " +
+        "hb AS (SELECT min(hour) AS h0, max(hour) AS h1 FROM hr), " +
+        "g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM hb), " +
+        "j AS (SELECT g.hour, hr.edge_peak, hr.final_conc FROM g LEFT JOIN hr USING (hour)), " +
+        "f AS (SELECT hour, edge_peak, coalesce(last_value(final_conc IGNORE NULLS) OVER (ORDER BY hour ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS carried FROM j) " +
+        "SELECT CAST(hour AS TIMESTAMP) AS hour, CAST(greatest(coalesce(edge_peak, carried), carried) AS BIGINT) AS peak FROM f ORDER BY hour"),
+      scaleNote = "Identical distributed shape to peak_concurrency " +
+        "plus the resample grid: grid size is |hours| — independent " +
+        "of event count — so the gap fill adds one bounded explode " +
+        "and one |hours|-row cumsum (the same single-partition class " +
+        "as pack_sequences' offsets, pinned there). Edge hours reuse " +
+        "the hour-local windows; edge-free hours are pure grid rows " +
+        "carrying the offset, zero per-event cost. The dense timeline " +
+        "is what a monitoring dashboard joins against — emitting it " +
+        "here keeps that join an equi merge instead of an as-of."),
 
     // Rolling z-score anomaly detection over hourly event counts —
     // the monitoring pass a delay pipeline runs on its own output

@@ -188,4 +188,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(two(1L) == ((20L, 2)), s"multi-pass missed the pair: ${two(1L)}")
     assert(two(20L) == ((1L, 2)), s"multi-pass not symmetric: ${two(20L)}")
   }
+
+  test("peak_concurrency_dense: gapless grid, agrees with the sparse variant") {
+    val dense = graft.engine.Registry.byName("peak_concurrency_dense")
+      .build(spark, sf).cache()
+    val sparse = graft.engine.Registry.byName("peak_concurrency")
+      .build(spark, sf)
+    try {
+      // gapless: exactly (h1-h0)/1h + 1 rows, no duplicate hours
+      val b = dense.agg(min("hour").as("h0"), max("hour").as("h1"),
+        count(lit(1)).as("k")).head
+      val hours = (b.getTimestamp(1).getTime - b.getTimestamp(0).getTime) /
+        3600000L + 1
+      assert(b.getLong(2) == hours, s"grid has holes: ${b.getLong(2)} vs $hours")
+      assert(dense.select("hour").distinct().count() == hours)
+      // on edge hours, dense == sparse exactly
+      val joined = dense.as("d").join(sparse.as("s"), Seq("hour"))
+      assert(joined.count() == sparse.count())
+      assert(joined.filter(col("d.peak") =!= col("s.peak")).count() == 0,
+        "dense disagrees with sparse on an edge hour")
+      // edge-free hours (if any at this sf) carry a non-negative level
+      assert(dense.filter(col("peak") < 0).count() == 0)
+    } finally dense.unpersist()
+  }
 }
