@@ -346,6 +346,50 @@ object Joins extends QueryGroup {
       Some("SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey"),
       scaleNote = "The explicit fallback for key skew beyond what AQE's skew-split handles: n× replication of the small side buys n-way parallelism on a single hot key. Salt is derived from row content (reproducible across runs/partitionings); the join stays equi on (key, salt) — shuffle-hash, never a loop. Use when one key exceeds a task's memory; otherwise prefer plain AQE."),
 
+    // Band (ε-distance) join executed as a BUCKETED EQUI join — the
+    // scale form of |a.x − b.x| ≤ ε: quantize x to ε-wide buckets,
+    // explode ONE side to its bucket ± 1, equi-join on the bucket id,
+    // post-filter the exact band. Every true match lands in exactly
+    // one bucket pairing (the probe's own bucket), so no dedup is
+    // needed; the oracle is the naive theta join, and hash equality
+    // PROVES the rewrite (join_skew_salted's proof pattern). Pairs
+    // suppliers with customers of near-equal account balance (ε=1.0).
+    QueryDef(
+      "join_band",
+      (spark, sf) => {
+        val eps = 1.0
+        val s = Tables.supplier(spark, sf)
+          .select(col("s_suppkey"), col("s_acctbal"))
+          .withColumn("b0", floor(col("s_acctbal") / eps).cast("long"))
+        val c = Tables.customer(spark, sf)
+          .select(col("c_custkey"), col("c_acctbal"))
+          .withColumn("b", floor(col("c_acctbal") / eps).cast("long"))
+        s.withColumn("b", explode(array(col("b0") - 1, col("b0"), col("b0") + 1)))
+          .join(c, "b")
+          .filter(abs(col("s_acctbal") - col("c_acctbal")) <= eps)
+          .select(col("s_suppkey"), col("c_custkey"),
+            round(dec2(col("s_acctbal")) - dec2(col("c_acctbal")), 2)
+              .cast("double").as("bal_diff"))
+          .orderBy("s_suppkey", "c_custkey")
+      },
+      Some("SELECT s_suppkey, c_custkey, CAST(round(CAST(s_acctbal AS DECIMAL(18,2)) - CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS bal_diff " +
+        "FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 1.0 " +
+        "ORDER BY s_suppkey, c_custkey"),
+      scaleNote = "The naive theta form is a cross product with a " +
+        "residual filter — |A|·|B| comparisons, the plan Catalyst is " +
+        "forced into for a pure inequality predicate. Bucketing turns " +
+        "it into ONE hash shuffle per side on the ε-quantized key " +
+        "with 3× replication of the exploded side: candidate pairs " +
+        "are only same-or-adjacent-bucket rows, so work tracks the " +
+        "band's true selectivity, not the cross product. The ε dial " +
+        "trades replication (always exactly 3 buckets) against " +
+        "per-bucket density — at 100 TB pick ε so buckets hold ~10^3 " +
+        "rows, and a hot bucket (value heaps at one balance) is an " +
+        "ordinary groupBy hot key: AQE skew split or salting " +
+        "composes, which the theta form cannot do (one task owns the " +
+        "whole cross product). Same rewrite carries as-of tolerance " +
+        "joins and spatial grid joins (2-D buckets, 9 neighbors)."),
+
     // The DIAGNOSTIC that decides when the salted fallbacks above are
     // worth their replication cost: per-key frequency profile of a
     // join/aggregate key (events.user_id) — the top-5 hot keys with
