@@ -353,11 +353,11 @@ object Joins extends QueryGroup {
     // one bucket pairing (the probe's own bucket), so no dedup is
     // needed; the oracle is the naive theta join, and hash equality
     // PROVES the rewrite (join_skew_salted's proof pattern). Pairs
-    // suppliers with customers of near-equal account balance (ε=1.0).
+    // suppliers with customers of near-equal account balance (ε=10.0 — ~3 pairs even at the sf0.001 dev scale, ~27k at sf0.1).
     QueryDef(
       "join_band",
       (spark, sf) => {
-        val eps = 1.0
+        val eps = 10.0
         val s = Tables.supplier(spark, sf)
           .select(col("s_suppkey"), col("s_acctbal"))
           .withColumn("b0", floor(col("s_acctbal") / eps).cast("long"))
@@ -373,7 +373,7 @@ object Joins extends QueryGroup {
           .orderBy("s_suppkey", "c_custkey")
       },
       Some("SELECT s_suppkey, c_custkey, CAST(round(CAST(s_acctbal AS DECIMAL(18,2)) - CAST(c_acctbal AS DECIMAL(18,2)), 2) AS DOUBLE) AS bal_diff " +
-        "FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 1.0 " +
+        "FROM supplier JOIN customer ON abs(s_acctbal - c_acctbal) <= 10.0 " +
         "ORDER BY s_suppkey, c_custkey"),
       scaleNote = "The naive theta form is a cross product with a " +
         "residual filter — |A|·|B| comparisons, the plan Catalyst is " +
