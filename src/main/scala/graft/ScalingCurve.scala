@@ -23,7 +23,10 @@ object ScalingCurve {
       "agg_incremental_merge",
       "dedup_spans", "text_boilerplate", "corpus_epochs", "shuffle_shards",
       "ann_pq", "graph_triangles", "join_asof_salted",
-      "retention_cohort_approx", "dedup_clusters_star")
+      "retention_cohort_approx", "dedup_clusters_star",
+      "vocab_coverage", "sample_balanced", "skew_diagnose", "text_lm_score",
+      "join_incremental", "graph_reachability", "ts_changepoint",
+      "peak_concurrency_dense", "join_band")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)
