@@ -158,15 +158,33 @@ object AnnPq extends QueryGroup {
       .select("query_id", "vec_id")
   }
 
+  /** Collect the constant-size (M×Kc = 128-row) codebook to the driver
+    * and re-emit it as a literal local relation: the whole Lloyd chain
+    * runs in ONE action, and every downstream consumer (corpus encode,
+    * LUT build, determinism re-encode) broadcasts a local table
+    * instead of replaying — or checkpoint-reading — the training DAG.
+    * The bounded-model exception to the no-driver-collect rule: model
+    * state is M×Kc rows at ANY corpus size (see scaleNote). */
+  private def localBooks(spark: SparkSession, books: DataFrame): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(books.collect().toList.asJava, books.schema)
+  }
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ann_pq",
       (spark, sf) => {
-        // the subvector table feeds 3 training passes + the encode +
-        // the LUT build: materialize it once (ann_kmeans' pattern)
+        // TWO lazy checkpoints, not four (the r5 verdict measured most
+        // of ann_pq's warm time as stage orchestration over tiny
+        // tables, not data): the quantized corpus (feeds the subvector
+        // explode, re-rank, exact truth, counts) and the code table
+        // (feeds ADC, the determinism diff, the usage probe). The
+        // subvector table is a NARROW explode over the checkpointed
+        // vecs — recomputing it per consumer reads cached blocks and
+        // shuffles nothing, cheaper than a third materialization.
         val vecs = AnnKmeans.quantized(spark, sf).localCheckpoint(false)
-        val sub = subvecs(vecs).localCheckpoint(false)
-        val books = train(sub).localCheckpoint(false)
+        val sub = subvecs(vecs)
+        val books = localBooks(spark, train(sub))
         val codes = encode(sub, books).localCheckpoint(false)
         // determinism: exact arithmetic ⇒ a second encode of the same
         // corpus against the same books is bit-identical

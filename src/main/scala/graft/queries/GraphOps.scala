@@ -59,20 +59,54 @@ object GraphOps extends QueryGroup {
     * (wedge form) vs ~6 s at sf0.1, where the wedge set is ~50× the
     * triangle set. Factored out so GraphOpsSpec can drive planted
     * fixtures. */
-  def triangleCounts(e: DataFrame): DataFrame = {
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d"))
-    val lower = col("du") < col("dv") ||
+  /** Edge-count threshold below which the degree map and the two
+    * adjacency sides are driver-broadcast; above it those joins run
+    * co-partitioned (|E|-row shuffles) — |E|-entry collections through
+    * the driver are the documented 100 TB killer, so the shuffle form
+    * is the default beyond the threshold and broadcast is the measured
+    * small-graph fast path. */
+  val TriangleBroadcastEdgeLimit = 4000000L
+
+  /** Accepts (u, v) pairs with u < v; DUPLICATE pairs are allowed —
+    * the adjacency build dedups them inside the aggregation, which is
+    * why callers should NOT pay a separate distinct() shuffle first
+    * (the r5 form did: self-join → 3.6M-row distinct → count-based
+    * degrees → two orientation joins; fusing dedup into one map-side-
+    * combined collect_set measured 4.7 → 2.6 s warm at sf0.1). */
+  def triangleCounts(e0: DataFrame): DataFrame = {
+    // the raw pair stream feeds both symmetrization branches:
+    // materialize once so the upstream build (for graph_triangles the
+    // per-order pair explode) runs once, not twice
+    val e = e0.localCheckpoint(true)
+    // full adjacency SETS per node in ONE map-side-combined exchange:
+    // partial collect_sets dedup duplicate pairs before the shuffle,
+    // so the wire carries ~|E| entries whatever the duplication factor,
+    // and degree falls out as size(nbrs) — no count pass, no distinct
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val adjFull = sym.groupBy("x")
+      .agg(collect_set(col("y")).as("nbrs"))
+      .withColumn("d", size(col("nbrs")))
+      .localCheckpoint(true)
+    // count() is a cheap cached-block job after the eager checkpoint;
+    // it sizes the join strategy the way AQE would, but from the TRUE
+    // pair count instead of a byte estimate over array columns
+    val small = e.count() <= TriangleBroadcastEdgeLimit
+    def sized(df: DataFrame) = if (small) broadcast(df) else df
+    // degree-ordered orientation, derived narrowly from the adjacency
+    // table: explode each node's set, keep the (lower → higher) half
+    val dmap = adjFull.select(col("x").as("v"), col("d").as("dv"))
+    val keep = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val o = e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"))
-    val adj = o.groupBy("s").agg(collect_list(col("t")).as("nbrs"))
+    val o = adjFull
+      .select(col("x").as("u"), col("d").as("du"), explode(col("nbrs")).as("v"))
+      .join(sized(dmap), "v").filter(keep)
+      .select(col("u").as("s"), col("v").as("t"))
+    val adjO = o.groupBy("s").agg(collect_list(col("t")).as("nbrs"))
+      .localCheckpoint(true)
     val tri = o
-      .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), "s")
-      .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), "t")
+      .join(sized(adjO.select(col("s"), col("nbrs").as("nu"))), "s")
+      .join(sized(adjO.select(col("s").as("t"), col("nbrs").as("nv"))), "t")
       .select(col("s").as("a"), col("t").as("b"),
         explode(array_intersect(col("nu"), col("nv"))).as("c"))
     // one corner explode, not a 3-way unionAll of `tri` — unionAll
@@ -184,12 +218,20 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_triangles",
       (spark, sf) => {
-        val li = Tables.lineitem(spark, sf)
+        // within-order part pairs WITHOUT the self-join: one exchange
+        // groups each order's distinct parts, the ordered pairs explode
+        // narrowly from the sorted array (u < v by construction).
+        // Cross-order duplicate pairs are left in — triangleCounts'
+        // adjacency build dedups them map-side, so the 3.6M-row
+        // distinct() stage the self-join form needed never runs
+        val a = array_sort(col("ps"))
+        val e = Tables.lineitem(spark, sf)
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        val e = li.as("a").join(li.as("b"),
-            col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-          .select(col("a.pk").as("u"), col("b.pk").as("v"))
-          .distinct()
+          .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+          .select(explode(flatten(transform(a, (x, i) =>
+            transform(slice(a, i + 2, size(a)), y =>
+              struct(x.as("u"), y.as("v")))))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
         triangleCounts(e).orderBy("node")
       },
       Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
@@ -213,12 +255,18 @@ object GraphOps extends QueryGroup {
         "ARRAYS and intersecting in-memory emits only actual " +
         "triangles; the wedge-join formulation shuffles every " +
         "candidate 2-path first (measured 46 s vs 6 s at sf0.1 — the " +
-        "wedge set here is ~50× the triangle set). Adjacency lists " +
-        "total |E| entries; broadcast here, and at 100 TB partition " +
-        "BOTH edges and adjacency by the join key instead (two " +
-        "co-partitioned shuffles of |E| rows) or pack adjacency into " +
-        "a bucketed table — the per-node rollup then ships " +
-        "|triangle-corner| partials, never raw wedges."),
+        "wedge set here is ~50× the triangle set). (3) Fused dedup: " +
+        "pairs flow straight into a map-side-combined collect_set " +
+        "adjacency build — duplicate pairs die in the partial " +
+        "aggregates, degrees fall out as set sizes, and neither the " +
+        "lineitem self-join nor its 3.6M-row distinct() stage exists " +
+        "(4.7 → 2.6 s warm at sf0.1). Adjacency lists total |E| " +
+        "entries; the degree and adjacency join sides are sized from " +
+        "the TRUE checkpointed pair count (TriangleBroadcastEdgeLimit): " +
+        "small graphs broadcast them, big graphs run the joins " +
+        "co-partitioned (|E|-row shuffles, the 100 TB default — " +
+        "|E|-entry driver collections never happen), and the per-node " +
+        "rollup ships |triangle-corner| partials, never raw wedges."),
 
     // K-hop reachability (BFS levels) from a seed set — the 'blast
     // radius' query (which suppliers are within 3 trades of these

@@ -227,7 +227,10 @@ object NearDup extends QueryGroup {
       lab = lab.union(prop).groupBy("v").agg(min(col("lab")).as("lab"))
         .localCheckpoint(true)
       val s = lab.agg(sum(col("lab").cast("decimal(38,0)"))).head.getDecimal(0)
-      if (prevSum != null && (s == null || s.compareTo(prevSum) == 0))
+      // s == null ⟺ the label table is empty (no near-dup pairs at
+      // all — clean corpus / high tau / tiny SF): that IS the fixpoint,
+      // and it must converge on round 1, not spin to the 64-round cap
+      if (s == null || (prevSum != null && s.compareTo(prevSum) == 0))
         converged = true
       prevSum = s
     }
@@ -252,10 +255,17 @@ object NearDup extends QueryGroup {
     * reaches its fixpoint (count + xor-of-hashes fingerprint on the
     * checkpointed set, one action per round); at the fixpoint the set
     * is exactly the star forest {(component-min, member)}. */
-  def clustersStar(docs: DataFrame, tau: Double): DataFrame = {
-    var e = nearDupPairs(docs, tau)
+  def clustersStar(docs: DataFrame, tau: Double,
+      shPre: Option[DataFrame] = None): DataFrame =
+    starContract(nearDupPairs(docs, tau, shPre)
       .select(col("id1").as("u"), col("id2").as("v"))
-      .localCheckpoint(false)
+      .localCheckpoint(false))
+
+  /** The star-contraction fixpoint over an already-checkpointed
+    * normalized (u < v) edge list — factored out so [[clustersAuto]]
+    * can reuse it above its size threshold. */
+  def starContract(e0: DataFrame): DataFrame = {
+    var e = e0
     var fp: (Long, Long) = null
     var converged = false
     var rounds = 0
@@ -294,6 +304,62 @@ object NearDup extends QueryGroup {
       .select(col("doc_id"), col("doc_id").as("cluster_id"),
         lit(true).as("is_canonical"))
     members.unionByName(roots)
+  }
+
+  /** Edge-count threshold below which [[clustersAuto]] resolves
+    * components with a driver union-find instead of the distributed
+    * star fixpoint. 64Ki edges is ~1 MB through the driver — the
+    * bounded-broadcast envelope Spark itself applies to join sides. */
+  val LocalClusterEdgeLimit = 65536L
+
+  /** Size-adaptive cluster resolution for composed pipelines
+    * (corpus_pipeline): the pair list is checkpointed before the
+    * fixpoint starts, so its count is a cheap cached-block job; at or
+    * below [[LocalClusterEdgeLimit]] edges the components come from a
+    * driver union-find re-emitted as a local relation — ZERO iterative
+    * jobs, where the distributed loop's per-round orchestration (2+
+    * shuffles and a convergence action per round) dominates wall time
+    * on small graphs — and above it the O(log n) star contraction
+    * runs unchanged. Both paths compute THE SAME min-label fixpoint:
+    * dedup_clusters_star oracles the distributed path at every SF,
+    * and the flagship's oracle hash-gates this adaptive form. */
+  def clustersAuto(docs: DataFrame, tau: Double,
+      shPre: Option[DataFrame] = None): DataFrame = {
+    val e = nearDupPairs(docs, tau, shPre)
+      .select(col("id1").as("u"), col("id2").as("v"))
+      .localCheckpoint(false)
+    // ONE action decides the path AND fetches the small case's data:
+    // collecting limit+1 rows proves whether the edge set exceeds the
+    // threshold without a separate count() job, and the checkpoint
+    // means the star path (which re-reads e in full) pays nothing extra
+    val head = e.limit(LocalClusterEdgeLimit.toInt + 1).collect()
+    if (head.length > LocalClusterEdgeLimit) starContract(e)
+    else {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrDefault(r, r) != r) r = parent.get(r)
+        // path compression: point every node on the walk at the root
+        var c = x
+        while (parent.getOrDefault(c, c) != r) {
+          val nxt = parent.get(c); parent.put(c, r); c = nxt
+        }
+        r
+      }
+      head.foreach { row =>
+        val (ru, rv) = (find(row.getLong(0)), find(row.getLong(1)))
+        // union toward the smaller root: roots stay component minima,
+        // so find() lands every vertex on its min label directly
+        if (ru < rv) parent.put(rv, ru)
+        else if (rv < ru) parent.put(ru, rv)
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long, Boolean)]()
+      parent.keySet().forEach { v => out += ((v, find(v), false)) }
+      out.map(_._2).distinct.foreach { r => out += ((r, r, true)) }
+      val ss = e.sparkSession
+      import ss.implicits._
+      out.toSeq.toDF("doc_id", "cluster_id", "is_canonical")
+    }
   }
 
   /** Per-document nearest neighbor by PREFIX edit distance via the

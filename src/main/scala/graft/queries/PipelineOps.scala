@@ -54,11 +54,26 @@ object PipelineOps extends QueryGroup {
     * 9.5 s → 3.7 s for contamination_check. */
   def evalOverlap(docs: org.apache.spark.sql.DataFrame,
       shPre: Option[org.apache.spark.sql.DataFrame] = None): org.apache.spark.sql.DataFrame = {
+    // repartition by doc_id AFTER the distinct: the (doc_id, sh)
+    // distinct exchange leaves the table partitioned on both columns,
+    // so every downstream doc_id aggregation (nSh here; the signature
+    // and token-set builds in the pair path) would re-shuffle all
+    // shingle rows — one extra narrow-width exchange at build time
+    // makes them all partition-local (checkpoint preserves the
+    // partitioning, pagerank's LogicalRDD note)
     val sh = shPre.getOrElse(
-      NearDup.shingleRows(docs).distinct().localCheckpoint(false))
+      NearDup.shingleRows(docs).distinct()
+        .repartition(col("doc_id")).localCheckpoint(false))
+    // the overlap join keys on the 8-byte xxhash64 of the shingle, not
+    // the raw string (ni is an equi-join count, so collisions — odds
+    // ~2^-64, the same accepted basis as the verify sets — are the
+    // only way counts could differ from the string join): the eval
+    // broadcast ships longs, the probe compares longs, and the bloom
+    // positions derive from one narrow hash projection
     val ev = sh.filter(col("doc_id") < EvalSetSize)
-      .select(col("doc_id").as("eval_id"), col("sh"))
+      .select(col("doc_id").as("eval_id"), xxhash64(col("sh")).as("h"))
     val co = sh.filter(col("doc_id") >= EvalSetSize)
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
     // denominator BEFORE the prune: containment is ni / ALL of the
     // doc's shingles, not ni / survivors
     val nSh = co.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
@@ -67,17 +82,17 @@ object PipelineOps extends QueryGroup {
       pmod(xxhash64(lit(i), s), lit(M))
     val bloom = ev
       .select(explode(array((0 until 3).map(i =>
-        bpos(col("sh"), i)): _*)).as("p"))
+        bpos(col("h"), i)): _*)).as("p"))
       .distinct()
       .agg(map_from_entries(
         collect_list(struct(col("p"), lit(true)))).as("bloom"))
     val pruned = co
       .crossJoin(broadcast(bloom))
       .filter((0 until 3).map(i =>
-        element_at(col("bloom"), bpos(col("sh"), i)).isNotNull)
+        element_at(col("bloom"), bpos(col("h"), i)).isNotNull)
         .reduce(_ && _))
-      .select(col("doc_id"), col("sh"))
-    pruned.join(broadcast(ev), "sh")
+      .select(col("doc_id"), col("h"))
+    pruned.join(broadcast(ev), "h")
       .groupBy("doc_id", "eval_id")
       .agg(count(lit(1)).as("ni"))
       .join(nSh, "doc_id")
@@ -288,8 +303,18 @@ object PipelineOps extends QueryGroup {
         // decontamination): distinct is set-semantics-safe for the
         // minhash/collect_set path and required by the containment
         // counts, so the shared table is the distinct one
-        val sh = NearDup.shingleRows(docs).distinct().localCheckpoint(false)
-        val canon = NearDup.clusters(docs, 0.5, Some(sh))
+        // doc_id-partitioned (see evalOverlap's note): the signature,
+        // token-set, and n_sh aggregations all become exchange-free
+        val sh = NearDup.shingleRows(docs).distinct()
+          .repartition(col("doc_id")).localCheckpoint(false)
+        // size-adaptive components, not the label-propagation loop:
+        // below NearDup.LocalClusterEdgeLimit pairs the fixpoint is a
+        // driver union-find over the checkpointed edge list (zero
+        // iterative jobs — the per-round orchestration dominated the
+        // flagship's wall time), above it the O(log n) star
+        // contraction (dedup_clusters_star's oracled path) runs
+        // unchanged; same min-label fixpoint either way
+        val canon = NearDup.clustersAuto(docs, 0.5, Some(sh))
           .select(col("doc_id"), col("is_canonical"))
         // decontamination gate: a pool doc with ≥ half its shingles
         // contained in ONE eval doc is an eval leak (shares the
@@ -312,6 +337,15 @@ object PipelineOps extends QueryGroup {
             when(col("leak"), "eval_leak")
               .when(col("is_canonical") === false, "dup")
               .when(col("ntok") < 25, "short"))
+          // s1 feeds THREE subtrees of the final job (the total/rate
+          // aggregates via pool, and the emit select): un-checkpointed,
+          // each re-runs the ENTIRE upstream DAG — including the
+          // bloom-probe decontamination join — once per reference
+          // (measured ~2 s of the flagship's 5.2 s warm). One lazy
+          // materialization of this |docs|-row, fixed-width table buys
+          // three cached-block reads; at 100 TB it is a shuffle-sized
+          // write, the price of not scanning the corpus three times
+          .localCheckpoint(false)
         val pool = s1.filter(col("early").isNull)
         val t = pool.agg(count(lit(1)).as("total"),
           countDistinct(col("lang")).as("nl"))

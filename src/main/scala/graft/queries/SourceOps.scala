@@ -57,8 +57,11 @@ object SourceOps extends QueryGroup {
     if (!d.exists()) d.mkdirs()
     Documents.foreach { case (name, content) =>
       val f = new java.io.File(d, name)
-      if (!f.exists())
-        java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
+      // unconditional write: a stale file from an older revision (or
+      // anything else squatting in /tmp) would otherwise silently feed
+      // wrong XML into the oracled query — the files are tiny
+      // constants, so the overwrite is free
+      java.nio.file.Files.write(f.toPath, content.getBytes("UTF-8"))
     }
     FixtureDir
   }

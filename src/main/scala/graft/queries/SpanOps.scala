@@ -123,9 +123,16 @@ object SpanOps extends QueryGroup {
       (spark, sf) => {
         val w = 6
         val sp = spanRows(Tables.documents(spark, sf), w)
-        val bySpan = Window.partitionBy("span")
-        sp.withColumn("span_df",
-            size(collect_set(col("doc_id")).over(bySpan)))
+        // df via groupBy + join-back, NOT a whole-partition window with
+        // collect_set: the window form buffers the full distinct-doc
+        // set per span ROW, and a pervasive template span (exactly the
+        // case this operator targets) makes that per-key state
+        // O(|docs containing span|). The distinct-agg is map-side
+        // combinable and carries no per-row set state — the same shape
+        // the DuckDB oracle uses.
+        val df = sp.groupBy("span")
+          .agg(countDistinct(col("doc_id")).as("span_df"))
+        sp.join(df, "span")
           .withColumn("kept", col("span_df") < 3)
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_spans"),

@@ -28,13 +28,21 @@ object TimeSeriesDedup extends QueryGroup {
       when(lang === l, f).otherwise(acc)
     }
 
+  /** THE per-row Bernoulli coin flip — the single predicate both
+    * [[sampleFraction]] and the sample_fraction determinism verdict
+    * instantiate, so the verdict always covers the shipped code path
+    * (a seed or threshold regression here fails the declared query,
+    * not just the spec). */
+  def samplePredicate(f: Double, seed: Long): org.apache.spark.sql.Column =
+    rand(seed) < f
+
   /** Scan-side seeded Bernoulli sample: a per-row coin flip, no
     * shuffle, no count pass — deterministic for a fixed seed and
     * partition layout. The raw sampling primitive behind the
     * sample_fraction verdict query. */
   def sampleFraction(df: org.apache.spark.sql.DataFrame, f: Double,
       seed: Long): org.apache.spark.sql.DataFrame =
-    df.filter(rand(seed) < f)
+    df.filter(samplePredicate(f, seed))
 
   /** Stratified Bernoulli sample: the rate is a CASE over the stratum
     * column inside the same scan-side filter. */
@@ -132,19 +140,21 @@ object TimeSeriesDedup extends QueryGroup {
       "sample_fraction",
       (spark, sf) => {
         // ONE scan, ONE aggregation carries all three verdicts. The
-        // determinism check instantiates the sampler's predicate TWICE
-        // in the same projection — rand is non-deterministic, so
-        // Catalyst does NOT common-subexpression them: each rand(Seed)
-        // gets its own RNG initialized from (seed, partitionId) and
-        // advanced per row, exactly like two separate sampleFraction
-        // runs over the same layout — and asserts the per-row flips
-        // agree (min over equality = AND). Row-aligned agreement is
-        // strictly stronger than the r4 set-equality check, which
-        // evaluated the sampler twice PLUS two exceptAll scans: four
-        // lineitem passes where one suffices (0.54 s → one-scan).
-        val li = Tables.lineitem(spark, sf)
+        // determinism check instantiates sampleFraction's OWN predicate
+        // builder (samplePredicate — the exact expression the shipped
+        // sampler filters on) TWICE in the same projection — rand is
+        // non-deterministic, so Catalyst does NOT common-subexpression
+        // them: each rand(Seed) gets its own RNG initialized from
+        // (seed, partitionId) and advanced per row, exactly like two
+        // separate sampleFraction runs over the same layout — and
+        // asserts the per-row flips agree (min over equality = AND).
+        // Row-aligned agreement is strictly stronger than the r4
+        // set-equality check, which evaluated the sampler twice PLUS
+        // two exceptAll scans: four lineitem passes where one
+        // suffices (0.54 s → one-scan).
         Tables.lineitem(spark, sf)
-          .select((rand(Seed) < 0.1).as("s1"), (rand(Seed) < 0.1).as("s2"))
+          .select(samplePredicate(0.1, Seed).as("s1"),
+            samplePredicate(0.1, Seed).as("s2"))
           .agg(count(lit(1)).as("n"), sum(col("s1").cast("long")).as("k"),
             min((col("s1") === col("s2")).cast("int")).as("same"))
           // both verdict rows unfold from the ONE aggregate row — a
