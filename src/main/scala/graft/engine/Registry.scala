@@ -26,7 +26,8 @@ object Registry {
     PipelineOps,
     Analytics,
     GraphOps,
-    SourceOps)
+    SourceOps,
+    TransitOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)
