@@ -27,7 +27,8 @@ object Registry {
     Analytics,
     GraphOps,
     SourceOps,
-    TransitOps)
+    TransitOps,
+    UrlOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

@@ -26,16 +26,26 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   */
 object UrlOps extends QueryGroup {
 
-  /** Deterministic raw URL per document (same expression in SQL). */
+  /** Deterministic raw URL per document (same expression in SQL).
+    *
+    * The path/id components use integer-DIVISION-derived digits, not
+    * plain moduli: the driver's `source` column is itself
+    * `src{doc_id % 20}`, so any modulus key would be CRT-unique per
+    * doc and the dedup would be vacuous. With `(d div 20) % 5` and
+    * `(d div 100) % 3` the canonical key collapses doc_ids that agree
+    * mod 20, in `(d div 20) mod 5`, and in `(d div 100) mod 3` — real
+    * duplicate groups at every SF. */
   def rawUrl(docId: Column, source: Column): Column =
     concat(
       lit("HTTPS://WWW."), upper(source), lit(".Example.COM:443/docs/"),
-      (docId % 13).cast("string"),
+      floor(docId / 20).cast("long").%(5).cast("string"),
       when(docId % 3 === 0, "/index.html").otherwise(""),
       when(docId % 2 === 0,
-        concat(lit("?utm_source=feed&id="), (docId % 7).cast("string"),
+        concat(lit("?utm_source=feed&id="),
+          floor(docId / 100).cast("long").%(3).cast("string"),
           lit("&ref=rss")))
-        .otherwise(concat(lit("?id="), (docId % 7).cast("string"))),
+        .otherwise(concat(lit("?id="),
+          floor(docId / 100).cast("long").%(3).cast("string"))),
       when(docId % 5 === 0, "#sec-2").otherwise(""))
 
   /** Canonical form: lowercase scheme+host, strip default port and
@@ -73,10 +83,10 @@ object UrlOps extends QueryGroup {
     * url) and `c` (doc_id, url, canon). */
   private val UrlCtes: String =
     "u AS (SELECT doc_id, 'HTTPS://WWW.' || upper(source) || '.Example.COM:443/docs/' || " +
-      "CAST(doc_id % 13 AS VARCHAR) || " +
+      "CAST((doc_id // 20) % 5 AS VARCHAR) || " +
       "(CASE WHEN doc_id % 3 = 0 THEN '/index.html' ELSE '' END) || " +
-      "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) || '&ref=rss' " +
-      "ELSE '?id=' || CAST(doc_id % 7 AS VARCHAR) END) || " +
+      "(CASE WHEN doc_id % 2 = 0 THEN '?utm_source=feed&id=' || CAST((doc_id // 100) % 3 AS VARCHAR) || '&ref=rss' " +
+      "ELSE '?id=' || CAST((doc_id // 100) % 3 AS VARCHAR) END) || " +
       "(CASE WHEN doc_id % 5 = 0 THEN '#sec-2' ELSE '' END) AS url FROM documents), " +
       "s1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS nofrag FROM u), " +
       "s2 AS (SELECT *, strpos(nofrag, '?') AS qpos FROM s1), " +
