@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
@@ -389,6 +390,70 @@ object Joins extends QueryGroup {
         "composes, which the theta form cannot do (one task owns the " +
         "whole cross product). Same rewrite carries as-of tolerance " +
         "joins and spatial grid joins (2-D buckets, 9 neighbors)."),
+
+    // Pure interval-OVERLAP join — NO equi key anywhere (join_range
+    // anchors its range on orderkey equality; join_band quantizes a
+    // scalar; this overlaps [start,end] × [start,end]). The naive
+    // plan is a nested loop over |A|·|B|. Rewrite: quantize time into
+    // week bins, replicate each interval to every bin it covers,
+    // equi-join on the bin, and count each true-overlap pair exactly
+    // once — in the FIRST bin both intervals share, which is
+    // max(binOf(a.start), binOf(b.start)) (the standard bin-join
+    // dedup, no distinct needed). A = urgent orders opened in
+    // 1997-03 (the probe set), B = all low-priority orders; an
+    // interval is [orderdate, orderdate + orderkey%30 + 1 days].
+    // Oracle = the naive overlap join, so hash equality proves the
+    // bin rewrite emits each overlapping pair exactly once.
+    QueryDef(
+      "join_interval_overlap",
+      (spark, sf) => {
+        val epoch = lit("1992-01-01").cast("date")
+        def binOf(d: Column): Column =
+          floor(datediff(d, epoch) / 7).cast("long")
+        val iv = Tables.orders(spark, sf).select(
+          col("o_orderkey").as("k"),
+          col("o_orderpriority").as("prio"),
+          col("o_orderdate").cast("date").as("s"),
+          date_add(col("o_orderdate").cast("date"),
+            (col("o_orderkey") % 30 + 1).cast("int")).as("e"))
+        val a = iv.filter(col("prio") === "1-URGENT"
+            && col("s").between("1997-03-01", "1997-03-31"))
+          .select(col("k").as("a_k"), col("s").as("a_s"), col("e").as("a_e"),
+            binOf(col("s")).as("a_bin0"))
+        val b = iv.filter(col("prio") === "5-LOW")
+          .select(col("k").as("b_k"), col("s").as("b_s"), col("e").as("b_e"),
+            binOf(col("s")).as("b_bin0"))
+        a.withColumn("bin", explode(sequence(col("a_bin0"), binOf(col("a_e")))))
+          .join(b.withColumn("bin",
+            explode(sequence(col("b_bin0"), binOf(col("b_e"))))), "bin")
+          .filter(col("a_s") <= col("b_e") && col("b_s") <= col("a_e"))
+          .filter(col("bin") === greatest(col("a_bin0"), col("b_bin0")))
+          .groupBy(col("a_k").as("a_orderkey"))
+          .agg(count(lit(1)).as("n_overlap"),
+            sum(datediff(least(col("a_e"), col("b_e")),
+              greatest(col("a_s"), col("b_s"))) + 1).as("overlap_days"))
+          .orderBy("a_orderkey")
+      },
+      Some("WITH iv AS (SELECT o_orderkey AS k, o_orderpriority AS prio, CAST(o_orderdate AS DATE) AS s, " +
+        "CAST(o_orderdate AS DATE) + CAST(o_orderkey % 30 + 1 AS INTEGER) AS e FROM orders), " +
+        "a AS (SELECT * FROM iv WHERE prio = '1-URGENT' AND s BETWEEN DATE '1997-03-01' AND DATE '1997-03-31'), " +
+        "b AS (SELECT * FROM iv WHERE prio = '5-LOW') " +
+        "SELECT a.k AS a_orderkey, count(*) AS n_overlap, " +
+        "CAST(sum(date_diff('day', greatest(a.s, b.s), least(a.e, b.e)) + 1) AS BIGINT) AS overlap_days " +
+        "FROM a JOIN b ON a.s <= b.e AND b.s <= a.e GROUP BY a.k ORDER BY a.k"),
+      scaleNote = "The bin rewrite turns a keyless nested loop into " +
+        "ONE hash shuffle per side on the week bin: candidates are " +
+        "only bin-cohabiting intervals, so work tracks temporal " +
+        "density, not |A|·|B|. Replication is interval_span/7 bins " +
+        "per row — bounded by the 31-day max span here (≤6 bins); " +
+        "pick the bin width ≈ median interval length so replication " +
+        "stays O(1) while bins stay selective. The first-shared-bin " +
+        "rule dedups pairs with ZERO extra state (no distinct, no " +
+        "post-shuffle) — each pair is emitted by exactly one bin " +
+        "task. A hot week (seasonal burst) is an ordinary hot " +
+        "groupBy key: AQE skew split composes. This is the DuckDB " +
+        "IEJoin / Spark range-join-hint problem expressed as a plain " +
+        "equi join — the form that survives 1000 executors."),
 
     // The DIAGNOSTIC that decides when the salted fallbacks above are
     // worth their replication cost: per-key frequency profile of a
