@@ -509,5 +509,40 @@ object Aggregates extends QueryGroup {
               (col("n_probe") - col("n_members")), 4).as("fpr"))
       },
       Some("WITH ks AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 495000), sl AS (SELECT unnest([0,1,2]) AS i), bits AS (SELECT DISTINCT ('0x'||substr(md5(CAST(o_custkey AS VARCHAR)),1+8*i,8))::BIGINT % 8192 AS pos FROM ks CROSS JOIN sl), pr AS (SELECT DISTINCT c_custkey, ('0x'||substr(md5(CAST(c_custkey AS VARCHAR)),1+8*i,8))::BIGINT % 8192 AS pos FROM customer CROSS JOIN sl), pk AS (SELECT pr.c_custkey, count(*) AS npos, count(bits.pos) AS nhit FROM pr LEFT JOIN bits ON pr.pos = bits.pos GROUP BY 1), fl AS (SELECT pk.c_custkey, pk.npos = pk.nhit AS bloom_pos, ks.o_custkey IS NOT NULL AS member FROM pk LEFT JOIN ks ON pk.c_custkey = ks.o_custkey) SELECT count(*) AS n_probe, count(*) FILTER (WHERE member) AS n_members, count(*) FILTER (WHERE bloom_pos) AS n_bloom_pos, count(*) FILTER (WHERE bloom_pos AND NOT member) AS n_false_pos, count(*) FILTER (WHERE member AND NOT bloom_pos) = 0 AS no_false_neg, round(CAST(count(*) FILTER (WHERE bloom_pos AND NOT member) AS DOUBLE) / (count(*) - count(*) FILTER (WHERE member)), 4) AS fpr FROM fl"),
-      scaleNote = "The filter is m bits REGARDLESS of corpus size — the set-bit table is capped at m rows (8 KB here) however many keys feed it, built by one map-side-combined distinct and broadcast to every probe task, so probing is map-only: no shuffle of the probe side ever. That is the point of a Bloom filter at 100 TB — ship the 8 KB, not the key set — and it is the same mechanism Spark's own runtime injection uses (bloom_filter_agg/might_contain, proven firing in ExtensionsSpec); this declared query exists to hash-prove the semantics cross-engine, FPR included. Size m ≈ 1.44·n·log2(1/p) and k ≈ 0.7·m/n for target FPR p; the md5 slices exist for oracling, production uses xxhash64."))
+      scaleNote = "The filter is m bits REGARDLESS of corpus size — the set-bit table is capped at m rows (8 KB here) however many keys feed it, built by one map-side-combined distinct and broadcast to every probe task, so probing is map-only: no shuffle of the probe side ever. That is the point of a Bloom filter at 100 TB — ship the 8 KB, not the key set — and it is the same mechanism Spark's own runtime injection uses (bloom_filter_agg/might_contain, proven firing in ExtensionsSpec); this declared query exists to hash-prove the semantics cross-engine, FPR included. Size m ≈ 1.44·n·log2(1/p) and k ≈ 0.7·m/n for target FPR p; the md5 slices exist for oracling, production uses xxhash64."),
+
+    // Shannon entropy of the per-source language distribution — the
+    // corpus-mix diagnostic (a source whose entropy collapses is
+    // mono-language; the corpus_mix rebalancer's input signal). The
+    // algebraic form H = ln(n) − Σ c·ln(c) / n keeps every term a
+    // product of an exact integer count and one ln() call — no
+    // per-row probability division — and the ≤|langs| float terms
+    // make the final round(4) engine-stable.
+    QueryDef(
+      "agg_entropy",
+      (spark, sf) => {
+        Tables.documents(spark, sf)
+          .groupBy("source", "lang").agg(count(lit(1)).as("c"))
+          .groupBy("source")
+          .agg(sum(col("c")).as("n_docs"),
+            count(lit(1)).as("n_langs"),
+            round(log(sum(col("c")))
+              - sum(col("c").cast("double") * log(col("c")))
+                / sum(col("c")), 4).as("lang_entropy"))
+          .orderBy("source")
+      },
+      Some("WITH c AS (SELECT source, lang, count(*) AS c FROM documents GROUP BY 1, 2) " +
+        "SELECT source, CAST(sum(c) AS BIGINT) AS n_docs, count(*) AS n_langs, " +
+        "round(ln(sum(c)) - sum(CAST(c AS DOUBLE) * ln(c)) / sum(c), 4) AS lang_entropy " +
+        "FROM c GROUP BY source ORDER BY source"),
+      scaleNote = "Two map-side-combinable aggs: the corpus collapses " +
+        "to |source|×|lang| counts in the first exchange (KB-sized " +
+        "however big the input), and the entropy reduction runs over " +
+        "that tiny table — the 100 TB cost is exactly one combined " +
+        "count shuffle. The log-sum form never materializes " +
+        "probabilities, so no per-row float division order matters; " +
+        "entropy over value distributions (not just lang) is the " +
+        "same plan with the group key swapped, and the per-key count " +
+        "table is reusable across diagnostics (skew_diagnose shares " +
+        "its first exchange shape)."))
 }

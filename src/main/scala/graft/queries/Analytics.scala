@@ -342,5 +342,63 @@ object Analytics extends QueryGroup {
           .withColumn("zkey", ZOrder.zkey(col("x"), col("y")))
           .orderBy("l_orderkey", "l_linenumber"),
       Some(s"SELECT l_orderkey, l_linenumber, x, y, ${ZOrder.zkeySql("x", "y")} AS zkey FROM (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem) ORDER BY l_orderkey, l_linenumber"),
-      scaleNote = "The key itself is map-only codegen integer math — zero shuffle to compute. Its value is at WRITE time: repartitionByRange(zkey) + sortWithinPartitions(zkey) gives every file a small axis-aligned rectangle of (x,y) space, so min/max row-group stats prune scans on either dimension (a single-column sort leaves the other dimension's span at full width — measured 3-4× span contraction in AnalyticsSpec). At 100 TB this replaces one-dimension partition pruning with multi-dimension file skipping; widen to k dims by interleaving k bit streams."))
+      scaleNote = "The key itself is map-only codegen integer math — zero shuffle to compute. Its value is at WRITE time: repartitionByRange(zkey) + sortWithinPartitions(zkey) gives every file a small axis-aligned rectangle of (x,y) space, so min/max row-group stats prune scans on either dimension (a single-column sort leaves the other dimension's span at full width — measured 3-4× span contraction in AnalyticsSpec). At 100 TB this replaces one-dimension partition pruning with multi-dimension file skipping; widen to k dims by interleaving k bit streams."),
+
+    // Exponentially-weighted moving average over the daily event-count
+    // series, per event_type — the smoothing stage monitoring stacks
+    // run before thresholding (pairs with ts_anomaly's z-score: EWMA
+    // tracks level, z-score flags deviation). A true recursive EWMA is
+    // order-sequential; the distributed form truncates the tail to 8
+    // halving INTEGER weights (2^7 … 2^0, >99% of the mass), so the
+    // numerator/denominator are exact BIGINTs from window lags and the
+    // single final division is the only float op — deterministic on
+    // any partitioning, and the warm-up rows renormalize over the
+    // weights actually present instead of emitting NULL.
+    QueryDef(
+      "ts_ewma",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val terms = (0 to 7).map { k =>
+          val x = if (k == 0) col("n") else lag(col("n"), k).over(w)
+          val wgt = 1L << (7 - k)
+          (coalesce(x, lit(0L)) * wgt,
+            when(x.isNotNull, lit(wgt)).otherwise(lit(0L)))
+        }
+        val num = terms.map(_._1).reduce(_ + _)
+        val den = terms.map(_._2).reduce(_ + _)
+        daily
+          .withColumn("ewma", round(num.cast("double") / den, 4))
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"), col("ewma"))
+          .orderBy("event_type", "day")
+      },
+      Some {
+        val lagDefs = (1 to 7).map(k => s"lag(n,$k) OVER w AS l$k").mkString(", ")
+        val numSql = "n*128 + " +
+          (1 to 7).map(k => s"coalesce(l$k,0)*${1L << (7 - k)}").mkString(" + ")
+        val denSql = "128 + " +
+          (1 to 7).map(k => s"(CASE WHEN l$k IS NULL THEN 0 ELSE ${1L << (7 - k)} END)")
+            .mkString(" + ")
+        "WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n " +
+          "FROM events GROUP BY 1, 2), " +
+          s"l AS (SELECT event_type, day, n, $lagDefs FROM daily " +
+          "WINDOW w AS (PARTITION BY event_type ORDER BY day)) " +
+          s"SELECT event_type, CAST(day AS VARCHAR) AS day, n, round(CAST($numSql AS DOUBLE) / ($denSql), 4) AS ewma " +
+          "FROM l ORDER BY event_type, day"
+      },
+      scaleNote = "The raw log collapses to |types|×|days| rows in one " +
+        "map-side-combined agg; the lag window runs over that tiny " +
+        "grid on the same event_type exchange — at 100 TB the window " +
+        "input is calendar-bounded (years × types), never event-" +
+        "bounded. The halving-weight truncation is what makes the op " +
+        "distributable AND deterministic: the recursive form " +
+        "s_t = αx_t + (1−α)s_{t−1} has an unbounded data dependency " +
+        "chain (inherently serial per key), while the 8-term window " +
+        "needs only bounded lags, runs in one pass, and its integer " +
+        "arithmetic is partitioning-independent. Streaming twin: a " +
+        "trailing-8 ring buffer per key in mapGroupsWithState " +
+        "(stream_anomaly's O(constant) state pattern)."))
 }

@@ -192,5 +192,47 @@ object Windows extends QueryGroup {
           .orderBy("o_orderkey")
       },
       Some("SELECT o_orderkey, o_orderpriority, o_totalprice, cume_dist() OVER w AS cdist, nth_value(o_orderkey, 3) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS third_key FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice ASC, o_orderkey ASC) ORDER BY o_orderkey"),
-      scaleNote = "Both functions ride the same one-shuffle-one-sort window pass as win_rank; cume_dist needs the partition row count (computed in the same pass), nth_value a bounded running frame. No extra exchange over the rest of the window family."))
+      scaleNote = "Both functions ride the same one-shuffle-one-sort window pass as win_rank; cume_dist needs the partition row count (computed in the same pass), nth_value a bounded running frame. No extra exchange over the rest of the window family."),
+
+    // Gaps-and-islands: per user, the longest run of CONSECUTIVE
+    // active days (and the streak inventory). The classic rewrite —
+    // day_number minus row_number is constant within a consecutive
+    // run — turns "find maximal runs" into a plain two-level groupBy
+    // with no self-join and no iteration. The engagement-streak /
+    // uninterrupted-service-days query class.
+    QueryDef(
+      "win_streak",
+      (spark, sf) => {
+        val days = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("ts").cast("date").as("day"))
+          .distinct()
+        val w = Window.partitionBy("user_id").orderBy("day")
+        days
+          .withColumn("grp",
+            datediff(col("day"), lit("1992-01-01").cast("date"))
+              - row_number().over(w))
+          .groupBy("user_id", "grp")
+          .agg(count(lit(1)).as("len"))
+          .groupBy("user_id")
+          .agg(sum(col("len")).as("n_active_days"),
+            max(col("len")).as("max_streak"),
+            count(lit(1)).as("n_streaks"))
+          .orderBy("user_id")
+      },
+      Some("WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events), " +
+        "g AS (SELECT user_id, day, date_diff('day', DATE '1992-01-01', day) " +
+        "- row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp FROM days), " +
+        "runs AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2) " +
+        "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, max(len) AS max_streak, " +
+        "count(*) AS n_streaks FROM runs GROUP BY user_id ORDER BY user_id"),
+      scaleNote = "One shuffle on user_id serves the distinct, the " +
+        "window, and both groupBys — Catalyst reuses the exchange, so " +
+        "the whole operator is a single hash partition pass plus a " +
+        "per-user sort that AQE sizes. State per row is one integer " +
+        "subtraction; no self-join, no sequence materialization. A " +
+        "pathologically hot user is bounded by |distinct days| " +
+        "(≤ a few thousand rows per user after the distinct), so the " +
+        "window partition can never exceed the calendar — " +
+        "gaps-and-islands is naturally skew-capped, unlike raw-event " +
+        "windows which need join_asof_salted's chunking."))
 }
