@@ -122,5 +122,43 @@ object Multimodal extends QueryGroup {
           .orderBy("media_id")
       },
       Some("WITH b AS (SELECT doc_id AS media_id, ord(substr(text, CAST(i AS INTEGER), 1)) AS byte FROM (SELECT doc_id, text, unnest(range(1, length(text)+1)) AS i FROM documents)) SELECT d.doc_id AS media_id, CASE WHEN d.doc_id%3=0 THEN 'png' WHEN d.doc_id%3=1 THEN 'jpeg' ELSE 'webp' END AS format, CAST(length(d.text) AS INTEGER) AS n_bytes, round(CAST(sum(b.byte) AS DOUBLE)/count(*), 4) AS mean_byte, count(*) FILTER (WHERE b.byte < 64) AS h0, count(*) FILTER (WHERE b.byte >= 64 AND b.byte < 128) AS h1, count(*) FILTER (WHERE b.byte >= 128 AND b.byte < 192) AS h2, count(*) FILTER (WHERE b.byte >= 192) AS h3 FROM documents d JOIN b ON d.doc_id = b.media_id GROUP BY d.doc_id, d.text ORDER BY media_id"),
-      scaleNote = "Payload bytes never shuffle: decode + featurize run inside the scan partition (mapPartitions amortizes codec init, the Pandas-UDF batch analog), and only the small feature rows move. At 100 TB keep payloads in a separate parquet column (or object-store refs) so metadata/feature queries prune the byte column entirely."))
+      scaleNote = "Payload bytes never shuffle: decode + featurize run inside the scan partition (mapPartitions amortizes codec init, the Pandas-UDF batch analog), and only the small feature rows move. At 100 TB keep payloads in a separate parquet column (or object-store refs) so metadata/feature queries prune the byte column entirely."),
+
+    // Frame sampling as a declared operator: every 4th 16-byte block
+    // of the binary payload (the per-row slice shape of real video
+    // frame extraction — stride sampling over an opaque byte stream),
+    // each sampled frame fingerprinted. Oracled the multimodal_features
+    // way: the payload is the UTF-8 bytes of a pure-ASCII corpus, so
+    // DuckDB mirrors byte slicing with character substr and the md5s
+    // agree byte-for-byte. With a real container format the slicer
+    // becomes the codec's keyframe index; the Spark-side shape
+    // (flatMap over typed Dataset, frame rows with ordinal + bytes +
+    // fingerprint) is exactly what a GOP sampler emits.
+    QueryDef(
+      "multimodal_frames",
+      (spark, sf) => {
+        import spark.implicits._
+        frameSample(mediaTable(spark, sf), 16, 4)
+          .select(col("media_id"), col("frame_idx"),
+            length(col("frame_bytes")).as("n_bytes"),
+            md5(col("frame_bytes")).as("frame_md5"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("WITH f AS (SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx, " +
+        "substr(text, CAST(i*16+1 AS INTEGER), 16) AS fr " +
+        "FROM (SELECT doc_id, text, unnest(range(0, (length(text)+15)//16)) AS i FROM documents) " +
+        "WHERE i % 4 = 0) " +
+        "SELECT media_id, frame_idx, CAST(length(fr) AS INTEGER) AS n_bytes, md5(fr) AS frame_md5 " +
+        "FROM f ORDER BY media_id, frame_idx"),
+      scaleNote = "Slicing happens inside the scan partition on the " +
+        "typed Dataset — payload bytes never shuffle; only the " +
+        "(id, ordinal, 16-byte frame, md5) rows move, and with " +
+        "stride-4 sampling that is 1/4 of 1 block-width of the " +
+        "payload column. At 100 TB the frame table is written " +
+        "bucketed by media_id so every downstream per-video op " +
+        "(dedup by frame fingerprint, ANN over frame embeddings) " +
+        "joins co-partitioned; the stride/block dials trade recall " +
+        "for byte traffic exactly like PQ's M/nbits trade storage " +
+        "for recall. The md5 fingerprint doubles as the exact-dup " +
+        "key for frame-level dedup (dedup_url's shape on binary)."))
 }
