@@ -345,6 +345,49 @@ object Streams {
       }
   }
 
+  case class RetentionState(cohortDay: Long, mask: Long)
+  case class RetentionDelta(cohort: java.sql.Timestamp, day_offset: Long,
+      delta: Long)
+
+  /** Streaming cohort retention — the stateful twin of batch
+    * retention_cohort. Keyed by user; per-user state is EXACTLY two
+    * longs however long the stream runs: the cohort day (epoch days
+    * of the first event seen) and a 64-day seen-offset bitmask. A
+    * (user, day_offset) pair emits a +1 delta row the FIRST time it
+    * appears and never again — so `sum(delta)` per (cohort, offset)
+    * downstream equals the batch matrix's `countDistinct(user_id)`
+    * exactly (each user contributes at most one to each cell, proven
+    * in StreamingSpec under ordered replay). Offsets ≥ 64 are outside
+    * the tracked horizon and dropped — the horizon is the state-size
+    * dial (2 longs ↔ 64 days; widen the mask array for more), the
+    * same bounded-state trade stream_anomaly makes with its 24-bucket
+    * history. Ordered replay gives the within-batch sort the same
+    * first-event semantics as batch min(ts). */
+  def retention(events: Dataset[Event]): Dataset[RetentionDelta] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400L * 1000
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, evs: Iterator[Event], state: GroupState[RetentionState]) =>
+          val out = Seq.newBuilder[RetentionDelta]
+          var st = state.getOption.orNull
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val day = e.ts.getTime / dayMs
+            if (st == null) st = RetentionState(day, 0L)
+            val off = day - st.cohortDay
+            if (off >= 0 && off < 64 && ((st.mask >> off) & 1L) == 0L) {
+              st = RetentionState(st.cohortDay, st.mask | (1L << off))
+              out += RetentionDelta(
+                new java.sql.Timestamp(st.cohortDay * dayMs), off, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */
