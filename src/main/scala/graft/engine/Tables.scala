@@ -27,23 +27,30 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  /** `events` carries a parquet TIMESTAMP(NANOS) column that Spark 4.1
-    * refuses to read by default (PARQUET_TYPE_ILLEGAL). We read it as
-    * nanos-since-epoch Long and truncate to microseconds with integer
-    * division — exactly DuckDB's ns→µs truncation, so the oracle's view
-    * of `ts` matches bit-for-bit. Integer `div` (not `/1000` via double)
-    * is deliberate: epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
-    * mantissa, so float division can land on the wrong microsecond.
-    * Result column is timestamp_ntz to match DuckDB's naive TIMESTAMP.
+  /** `events.ts` has shipped in two physical encodings across driver
+    * testdata generations: parquet TIMESTAMP(NANOS) — which Spark 4.1
+    * refuses to read by default (PARQUET_TYPE_ILLEGAL), so we read it
+    * as nanos-since-epoch Long and truncate to microseconds with
+    * integer `div` (epoch-nanos ≈ 1.7e18 exceeds a double's 53-bit
+    * mantissa, so float division can land on the wrong microsecond) —
+    * and plain TIMESTAMP(MICROS), which needs no conversion. Dispatch
+    * on the scanned type so either generation loads; both normalize to
+    * timestamp_ntz, matching DuckDB's naive TIMESTAMP view of the same
+    * file (DuckDB truncates ns→µs on read, so the engines agree
+    * bit-for-bit in both cases).
     */
   def loadEvents(spark: SparkSession, sfDir: String): DataFrame = {
     // Idempotent constant-set safety net for sessions not built by our
     // mains (which set it at builder time — Verify/Bench/tests); always
     // the same value, so no order dependence.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, sfDir, "events")
-      .withColumn("ts",
-        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz"))
+    val raw = load(spark, sfDir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        timestamp_micros(expr("ts div 1000")).cast("timestamp_ntz")
+      case _ => col("ts").cast("timestamp_ntz")
+    }
+    raw.withColumn("ts", ts)
   }
 
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "lineitem")
