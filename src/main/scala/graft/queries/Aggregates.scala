@@ -544,5 +544,31 @@ object Aggregates extends QueryGroup {
         "entropy over value distributions (not just lang) is the " +
         "same plan with the group key swapped, and the per-key count " +
         "table is reusable across diagnostics (skew_diagnose shares " +
-        "its first exchange shape)."))
+        "its first exchange shape)."),
+
+    // Equi-width histogram per group — the numeric-profile diagnostic
+    // behind data-quality dashboards and join-size estimation. The
+    // bucket id is floor(price / width): floor of one IEEE double
+    // division is bit-identical on both engines, and everything after
+    // it is integer counting plus one exact decimal sum.
+    QueryDef(
+      "agg_histogram",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .groupBy(col("o_orderpriority"),
+            floor(col("o_totalprice") / 20000).cast("long").as("bucket"))
+          .agg(count(lit(1)).as("cnt"),
+            sumDec2(col("o_totalprice")).cast("double").as("sum_price"))
+          .orderBy("o_orderpriority", "bucket"),
+      Some("SELECT o_orderpriority, CAST(floor(o_totalprice / 20000) AS BIGINT) AS bucket, " +
+        "count(*) AS cnt, CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price " +
+        "FROM orders GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "A plain map-side-combined hash agg on a COMPUTED " +
+        "key: the wire carries |groups|×|buckets| partials however " +
+        "large the input, and the bucket function is codegen'd scalar " +
+        "math inside the scan stage. Equi-width needs no pre-pass; " +
+        "equi-depth buckets come from agg_approx_quantile's sketch " +
+        "feeding the same plan as boundary literals. This is the " +
+        "histogram a CBO ingests for selectivity, produced by the " +
+        "engine it serves."))
 }

@@ -400,5 +400,88 @@ object Analytics extends QueryGroup {
         "needs only bounded lags, runs in one pass, and its integer " +
         "arithmetic is partitioning-independent. Streaming twin: a " +
         "trailing-8 ring buffer per key in mapGroupsWithState " +
-        "(stream_anomaly's O(constant) state pattern)."))
+        "(stream_anomaly's O(constant) state pattern)."),
+
+    // Lag-1 autocorrelation of the daily event-count series per type
+    // — the monitoring primitive that separates trending/periodic
+    // load from white noise (r ≈ 0) before an anomaly detector is
+    // tuned against it. Pearson r over (n_t, n_{t-1}) pairs with
+    // every moment sum kept in exact BIGINT; the float sees only the
+    // final (num, var_a, var_b) triple, so the result is identical
+    // on any partitioning. Zero-variance series (constant counts)
+    // emit NULL instead of ±inf/NaN.
+    QueryDef(
+      "ts_autocorr",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val g = daily
+          .withColumn("prev", lag(col("n"), 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy("event_type")
+          .agg(
+            count(lit(1)).as("k"),
+            sum(col("n")).as("sx"),
+            sum(col("prev")).as("sy"),
+            sum(col("n") * col("prev")).as("sxy"),
+            sum(col("n") * col("n")).as("sxx"),
+            sum(col("prev") * col("prev")).as("syy"))
+        val va = (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val vb = (col("k") * col("syy") - col("sy") * col("sy")).cast("double")
+        val num = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+        g.select(col("event_type"), col("k"),
+            when(va > 0 && vb > 0, round(num / sqrt(va * vb), 4)).as("r1"))
+          .orderBy("event_type")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "p AS (SELECT event_type, n, lag(n, 1) OVER (PARTITION BY event_type ORDER BY day) AS prev FROM daily), " +
+        "g AS (SELECT event_type, count(*) AS k, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy, " +
+        "CAST(sum(n*prev) AS BIGINT) AS sxy, CAST(sum(n*n) AS BIGINT) AS sxx, CAST(sum(prev*prev) AS BIGINT) AS syy " +
+        "FROM p WHERE prev IS NOT NULL GROUP BY 1) " +
+        "SELECT event_type, k, CASE WHEN k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0 " +
+        "THEN round(CAST(k*sxy - sx*sy AS DOUBLE) / sqrt(CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)), 4) END AS r1 " +
+        "FROM g ORDER BY event_type"),
+      scaleNote = "The raw log collapses to |types|×|days| rows in one " +
+        "map-side-combined agg; the lag window and the moment sums " +
+        "ride the SAME event_type exchange (one shuffle total), and " +
+        "the window input is calendar-bounded, never event-bounded. " +
+        "BIGINT moment sums are associative — at a decade × 1M-events/" +
+        "day timeline switch sx/sxx to DECIMAL(38,0) partials (same " +
+        "plan, wider cells). Lag-k generalizes by adding lag columns " +
+        "over the same window pass; the seasonal twin at lag 7 is " +
+        "what ts_seasonal_dow reads directly off the calendar."),
+
+    // Day-of-week seasonal index per event type: observed dow count ×
+    // 7 / type total — 1.0 means flat, the transit-domain shape
+    // (weekday peaks, weekend troughs) reads directly off the index.
+    // The profile every schedule-aware monitor normalizes by before
+    // comparing a Monday to a Sunday.
+    QueryDef(
+      "ts_seasonal_dow",
+      (spark, sf) => {
+        val d = Tables.loadEvents(spark, sf)
+          // Spark's DOW extract is 1-based (Sunday=1); DuckDB's
+          // dayofweek is 0-based (Sunday=0) — normalize to 0-based.
+          .groupBy(col("event_type"),
+            (expr("extract(DOW FROM ts)") - 1).cast("long").as("dow"))
+          .agg(count(lit(1)).as("n"))
+        val byType = Window.partitionBy("event_type")
+        d.withColumn("total", sum(col("n")).over(byType))
+          .select(col("event_type"), col("dow"), col("n"),
+            round(col("n").cast("double") * 7 / col("total"), 4)
+              .as("seasonal_idx"))
+          .orderBy("event_type", "dow")
+      },
+      Some("WITH d AS (SELECT event_type, CAST(dayofweek(ts) AS BIGINT) AS dow, count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, dow, n, round(CAST(n AS DOUBLE) * 7 / sum(n) OVER (PARTITION BY event_type), 4) AS seasonal_idx " +
+        "FROM d ORDER BY event_type, dow"),
+      scaleNote = "One combined-count shuffle collapses the log to " +
+        "|types|×7 rows; the whole-partition window runs over ≤7 rows " +
+        "per type on the same exchange — free at any input scale. " +
+        "Integer counts make the index's one division deterministic. " +
+        "Hour-of-week (|types|×168) is the same plan; the index table " +
+        "broadcast back against live counts is the seasonally-" +
+        "adjusted anomaly feed (ts_anomaly's z over n/idx)."))
 }

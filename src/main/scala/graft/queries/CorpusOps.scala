@@ -2,7 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.engine.{QueryDef, QueryGroup, Tables}
+import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
 
 /** Corpus-preparation operators for an LLM training-data pipeline —
   * the steps between raw deduplicated text/embeddings and a training
@@ -343,5 +343,104 @@ object CorpusOps extends QueryGroup {
           .orderBy("vec_id")
       },
       Some("WITH s AS (SELECT vec_id, unnest(embedding) AS x FROM embeddings), m AS (SELECT vec_id, max(abs(CAST(x AS DOUBLE))) AS max_abs FROM s GROUP BY 1), qt AS (SELECT s.vec_id, round(CAST(x AS DOUBLE) * (127.0 / max_abs)) AS q FROM s JOIN m ON s.vec_id = m.vec_id WHERE max_abs > 0) SELECT vec_id, CAST(sum(q) AS BIGINT) AS q_sum, CAST(min(q) AS BIGINT) AS q_min, CAST(max(q) AS BIGINT) AS q_max FROM qt GROUP BY 1 ORDER BY vec_id"),
-      scaleNote = "One shuffle on vec_id serves both the max|x| window and the final agg (same key); the window buffers exactly |dims| rows per key. The double sum of quantized values is exact (integers < 2^53), so partial-merge order cannot skew the hash. Quantized int8 payloads cut ANN-candidate shuffle volume 4× vs float32 — pair with ann_ivf's bucketed join."))
+      scaleNote = "One shuffle on vec_id serves both the max|x| window and the final agg (same key); the window buffers exactly |dims| rows per key. The double sum of quantized values is exact (integers < 2^53), so partial-merge order cannot skew the hash. Quantized int8 payloads cut ANN-candidate shuffle volume 4× vs float32 — pair with ann_ivf's bucketed join."),
+
+    // BM25 relevance scoring against a fixed query term set (k1=1.2,
+    // b=0.75, the +1 idf variant that stays positive at any df) — the
+    // lexical-retrieval ranker behind corpus search and RAG candidate
+    // generation, and tfidf_keywords' properly-normalized successor.
+    // Determinism: each per-term contribution is one double
+    // expression both engines evaluate identically (ln is the sole
+    // transcendental, same parity text_lm_score relies on), rounded
+    // and cast to DECIMAL(18,4) BEFORE the per-doc sum — so the
+    // cross-term summation order can never move the hash.
+    QueryDef(
+      "text_bm25",
+      (spark, sf) => {
+        val toks = Tables.documents(spark, sf)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        val tf = toks.filter(col("w").isin("join", "merge", "window"))
+          .groupBy(col("doc_id"), col("w").as("term"))
+          .agg(count(lit(1)).as("tf"))
+        val dft = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("tot"))
+        tf.join(broadcast(dft), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs").cast("double") - col("df") + lit(0.5)) /
+              (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+          .withColumn("norm",
+            lit(1.2) * (lit(0.25) + lit(0.75) *
+              (col("dl").cast("double") * col("n_docs")) / col("tot")))
+          .withColumn("contrib",
+            round(col("idf") * (col("tf").cast("double") * lit(2.2)) /
+              (col("tf") + col("norm")), 4).cast(Dsl.D4))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"),
+            sum(col("contrib")).cast("double").as("bm25"))
+          .orderBy("doc_id")
+      },
+      Some("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents), " +
+        "dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1), " +
+        "tf AS (SELECT doc_id, w AS term, count(*) AS tf FROM toks WHERE w IN ('join', 'merge', 'window') GROUP BY 1, 2), " +
+        "dft AS (SELECT term, count(*) AS df FROM tf GROUP BY 1), " +
+        "st AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS tot FROM dl), " +
+        "sc AS (SELECT tf.doc_id, CAST(round(" +
+        "ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0) " +
+        "* (CAST(tf AS DOUBLE) * 2.2) " +
+        "/ (tf + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) * n_docs) / tot)), 4) AS DECIMAL(18,4)) AS contrib " +
+        "FROM tf JOIN dft USING (term) JOIN dl USING (doc_id) CROSS JOIN st) " +
+        "SELECT doc_id, count(*) AS n_terms, CAST(sum(contrib) AS DOUBLE) AS bm25 FROM sc GROUP BY 1 ORDER BY doc_id"),
+      scaleNote = "The doc-sized tables (tf, dl) meet on a doc_id " +
+        "equi join the explode-side agg already partitioned; the " +
+        "query-sized tables (per-term df, the 1-row corpus stats) are " +
+        "explicit broadcasts — O(|query terms|) through the driver, " +
+        "never a shuffle. At 100 TB the plan is unchanged for any " +
+        "query size: tf rows are |docs|×|matched terms|, the decimal " +
+        "contributions partial-sum map-side, and a 100k-term lexicon " +
+        "just widens the broadcast (text_score's pattern). Re-ranking " +
+        "a retrieval shortlist instead of the full corpus is the same " +
+        "DAG with a semi-join prefilter on doc_id."),
+
+    // Inverted-index build: term → (document frequency, collection
+    // frequency, head of the sorted posting list) — the retrieval
+    // structure text_bm25 queries against, materialized AS data. The
+    // posting head is capped at 20 ids INSIDE the aggregation (rank
+    // window + conditional collect), so no group ever buffers more
+    // than 20 elements — the unbounded-collect trap agg_collect_list
+    // documents, solved at the operator level.
+    QueryDef(
+      "text_posting_lists",
+      (spark, sf) => {
+        val uc = Tables.documents(spark, sf)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .groupBy(col("w"), col("doc_id"))
+          .agg(count(lit(1)).as("c"))
+        val byTerm = Window.partitionBy("w").orderBy("doc_id")
+        uc.withColumn("rk", row_number().over(byTerm))
+          .groupBy("w")
+          .agg(count(lit(1)).as("df"),
+            sum(col("c")).as("cf"),
+            array_join(transform(
+              array_sort(collect_list(when(col("rk") <= 20, col("doc_id")))),
+              k => k.cast("string")), ",").as("postings_head"))
+          .filter(col("df") >= 2)
+          .orderBy("w")
+      },
+      Some("WITH uc AS (SELECT w, doc_id, count(*) AS c FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1, 2) " +
+        "SELECT w, count(*) AS df, CAST(sum(c) AS BIGINT) AS cf, " +
+        "array_to_string(list_slice(list(doc_id ORDER BY doc_id), 1, 20), ',') AS postings_head " +
+        "FROM uc GROUP BY w HAVING count(*) >= 2 ORDER BY w"),
+      scaleNote = "The (w, doc_id) pre-agg collapses token volume to " +
+        "distinct postings map-side; the rank window and the final " +
+        "agg both key on w, so they share one exchange. collect_list " +
+        "sees only rank≤20 rows (collect_list skips nulls), making " +
+        "per-group state O(20) — a full posting list at 100 TB is " +
+        "instead WRITTEN as the (w, doc_id, c) table itself, bucketed " +
+        "by term: the sorted-run layout IS the index, and head-K " +
+        "here is the dictionary/stats sidecar that query planning " +
+        "reads. Stop-word terms (df ≈ |docs|) are the skew hazard: " +
+        "cap df or route hot terms to agg_heavy_hitters' sketch."))
 }

@@ -75,8 +75,13 @@ object GraphOps extends QueryGroup {
     * combined collect_set measured 4.7 → 2.6 s warm at sf0.1). */
   def triangleCounts(e0: DataFrame): DataFrame = {
     // the raw pair stream feeds both symmetrization branches:
-    // materialize once so the upstream build (for graph_triangles the
-    // per-order pair explode) runs once, not twice
+    // materialize once so the upstream build (for graft_triangles the
+    // per-order pair explode) runs once, not twice. (r6 A/B note: a
+    // one-pass explode-of-2-structs symmetrization that drops this
+    // checkpoint, sizes from the adjacency sum, and derives the
+    // tri-join's left side from adjO's own explode measured ~1 s
+    // SLOWER warm at sf0.1 — 4.3-5.2 s vs 3.4 s — so the
+    // checkpoint+unionAll form stands on measurement, not aesthetics.)
     val e = e0.localCheckpoint(true)
     // full adjacency SETS per node in ONE map-side-combined exchange:
     // partial collect_sets dedup duplicate pairs before the shuffle,
@@ -337,11 +342,16 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_neighbor_jaccard",
       (spark, sf) => {
+        // the distinct pair table feeds FOUR consumers (degrees, the
+        // fan-out filter, and both sides of the wedge self-join):
+        // checkpoint it once so the lineitem⋈orders+distinct build
+        // runs once, not four times (pagerank's edge-build pattern)
         val cs = Tables.lineitem(spark, sf)
           .join(Tables.orders(spark, sf),
             col("l_orderkey") === col("o_orderkey"))
           .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
           .distinct()
+          .localCheckpoint(true)
         val deg = cs.groupBy("s").agg(count(lit(1)).as("d"))
         val fanOk = cs.groupBy("c").agg(count(lit(1)).as("f"))
           .filter(col("f") <= 100).select("c")

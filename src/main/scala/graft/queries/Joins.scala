@@ -494,5 +494,43 @@ object Joins extends QueryGroup {
         "the keyspace, profile 1/256 of keys exactly) or swap in " +
         "agg_heavy_hitters' MG sketch when only the top handful " +
         "matter; the exact profile here doubles as the salting " +
-        "factor's sizing input (ratio ≈ required salt fan-out)."))
+        "factor's sizing input (ratio ≈ required salt fan-out)."),
+
+    // Tolerance-bounded as-of: join_asof's carry, but a match older
+    // than 6 hours is discarded (the stale-quote / stale-schedule
+    // guard — an observation matched to a schedule row from last week
+    // is worse than no match). Same union+window rewrite, carrying
+    // (right ts, match id) as ONE struct through last(ignoreNulls) so
+    // staleness is decided per left row against the actual matched
+    // timestamp; interval arithmetic (never epoch floats) keeps the
+    // boundary exact on both engines. Oracle: DuckDB's native ASOF
+    // join with the same gap test applied to the matched row.
+    QueryDef(
+      "join_asof_tolerance",
+      (spark, sf) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("is_left").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        asofUnion(Tables.loadEvents(spark, sf))
+          .withColumn("carry",
+            last(when(col("is_left") === 0,
+              struct(col("ts").as("rts"), col("match_id").as("mid"))),
+              ignoreNulls = true).over(w))
+          .filter(col("is_left") === 1)
+          .select(col("event_id"), col("ts"),
+            when(col("carry.rts") + expr("INTERVAL 6 HOURS") >= col("ts"),
+              col("carry.mid")).as("asof_match_id"))
+          .orderBy("event_id")
+      },
+      Some("SELECT e.event_id, e.ts, CASE WHEN p.ts + INTERVAL 6 HOUR >= e.ts THEN p.match_id END AS asof_match_id " +
+        "FROM events e ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p " +
+        "ON e.user_id = p.user_id AND e.ts >= p.ts ORDER BY e.event_id"),
+      scaleNote = "Identical cost class to join_asof — one user_id " +
+        "shuffle, one in-partition sort, O(n) carry — because the " +
+        "tolerance is a per-row filter on the carried struct, not a " +
+        "join predicate change. The struct carry generalizes to any " +
+        "payload the match must surface (price, schedule version). " +
+        "Under 100× key skew compose with asofSalted's time-chunk " +
+        "salt: the tolerance test commutes with chunking since the " +
+        "carried struct is the same latest-right row either way."))
 }

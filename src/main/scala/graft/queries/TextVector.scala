@@ -329,5 +329,60 @@ object TextVector extends QueryGroup {
           .orderBy("id1", "id2")
       },
       Some("WITH t AS (SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS toks FROM documents) SELECT a.doc_id AS id1, b.doc_id AS id2, round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))), 4) AS jac FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id AND 2*least(len(a.toks), len(b.toks)) >= greatest(len(a.toks), len(b.toks)) WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)/len(list_distinct(list_concat(a.toks, b.toks))) >= 0.5 ORDER BY id1, id2"),
-      scaleNote = "Blocking on (lang, source) bounds candidate pairs to within-block quadratic; at 100 TB replace with MinHash-LSH banding (NearDup) which generates the same verified pairs without enumerating blocks — this operator doubles as LSH's exact-verify step."))
+      scaleNote = "Blocking on (lang, source) bounds candidate pairs to within-block quadratic; at 100 TB replace with MinHash-LSH banding (NearDup) which generates the same verified pairs without enumerating blocks — this operator doubles as LSH's exact-verify step."),
+
+    // Repetition profile per document — the Gopher-rule quality
+    // signals (duplicate-token and duplicate-bigram fractions) that
+    // catch degenerate boilerplate text_quality's length/ratio floors
+    // miss: a 10k-token page of one repeated phrase passes every
+    // length check and fails exactly here. All ratios are int/int
+    // with one rounded division; the repetition verdict is an integer
+    // cross-multiply (top token covers ≥ 20% of the doc), never a
+    // float compare.
+    QueryDef(
+      "text_repetition",
+      (spark, sf) => {
+        val base = Tables.documents(spark, sf)
+          .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        val uni = base
+          .select(col("doc_id"), explode(col("toks")).as("w"))
+          .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id")
+          .agg(sum(col("c")).as("n_tokens"),
+            count(lit(1)).as("n_distinct"),
+            max(col("c")).as("top_tok"))
+        val big = base
+          .select(col("doc_id"), explode(expr(
+            "transform(slice(toks, 1, size(toks) - 1), (x, i) -> concat(x, ' ', element_at(toks, i + 2)))")).as("bg"))
+          .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+          .groupBy("doc_id").agg(max(col("c")).as("top_bigram"))
+        uni.join(big, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+            round(col("n_distinct").cast("double") / col("n_tokens"), 4).as("distinct_ratio"),
+            round(col("top_tok").cast("double") / col("n_tokens"), 4).as("top_tok_frac"),
+            round(coalesce(col("top_bigram"), lit(0L)).cast("double") * 2 / col("n_tokens"), 4).as("top_bigram_frac"),
+            (col("top_tok") * 5 >= col("n_tokens")).as("is_repetitive"))
+          .orderBy("doc_id")
+      },
+      Some("WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents), " +
+        "uc AS (SELECT doc_id, w, count(*) AS c FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY 1, 2), " +
+        "us AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens, count(*) AS n_distinct, max(c) AS top_tok FROM uc GROUP BY 1), " +
+        "bx AS (SELECT doc_id, toks[gs] || ' ' || toks[gs + 1] AS bg FROM (SELECT doc_id, toks, generate_subscripts(toks, 1) AS gs FROM t) s WHERE gs < len(toks)), " +
+        "bc AS (SELECT doc_id, bg, count(*) AS c FROM bx GROUP BY 1, 2), " +
+        "bs AS (SELECT doc_id, max(c) AS top_bigram FROM bc GROUP BY 1) " +
+        "SELECT us.doc_id, n_tokens, n_distinct, " +
+        "round(CAST(n_distinct AS DOUBLE) / n_tokens, 4) AS distinct_ratio, " +
+        "round(CAST(top_tok AS DOUBLE) / n_tokens, 4) AS top_tok_frac, " +
+        "round(CAST(COALESCE(top_bigram, 0) AS DOUBLE) * 2 / n_tokens, 4) AS top_bigram_frac, " +
+        "(top_tok * 5 >= n_tokens) AS is_repetitive " +
+        "FROM us LEFT JOIN bs ON us.doc_id = bs.doc_id ORDER BY us.doc_id"),
+      scaleNote = "Both the unigram and bigram passes are explode → " +
+        "two-level hash agg keyed by doc_id — map-side combinable, " +
+        "and since a document's tokens live in one input split, the " +
+        "partial agg collapses each doc to its count vector BEFORE " +
+        "the shuffle: the wire carries per-doc summaries, not tokens. " +
+        "The bigram explode doubles tuple volume but nothing else; " +
+        "n-gram order k is a lambda change on the same plan. The " +
+        "doc_id⋈doc_id join is co-partitioned by the aggs' own " +
+        "output partitioning — no extra exchange."))
 }

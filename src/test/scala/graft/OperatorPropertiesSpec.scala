@@ -353,4 +353,110 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(rows.head.getLong(2) == top)
     assert(math.abs(rows.head.getDouble(3) - top.toDouble / total) < 1e-3)
   }
+
+  test("text_repetition: counts reconcile with the raw token stream; verdict is its own columns") {
+    val out = run("text_repetition")
+    // n_tokens matches size(split) per doc; ratios bounded; verdict
+    // is exactly the integer cross-multiply it claims to be
+    val raw = graft.engine.Tables.documents(spark, sf)
+    val docs = raw.select(col("doc_id"), size(split(col("text"), " ")).as("true_n"))
+    // exact top-token count recomputed independently, so the verdict
+    // check is the same integer cross-multiply the operator claims
+    // (comparing against the ROUNDED frac would wobble at the 0.2
+    // boundary)
+    val topTok = raw
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("doc_id", "w").count()
+      .groupBy("doc_id").agg(max("count").as("true_top"))
+    val bad = out.join(docs, "doc_id").join(topTok, "doc_id").filter(
+      col("n_tokens") =!= col("true_n") ||
+        col("n_distinct") > col("n_tokens") ||
+        col("distinct_ratio") <= 0 || col("distinct_ratio") > 1 ||
+        col("top_tok_frac") <= 0 || col("top_tok_frac") > 1 ||
+        col("top_bigram_frac") < 0 ||
+        (col("is_repetitive") =!=
+          (col("true_top") * 5 >= col("n_tokens"))))
+    assert(bad.count() == 0)
+    assert(out.count() == docs.count())
+  }
+
+  test("join_asof_tolerance equals join_asof with stale matches nulled") {
+    val tol = run("join_asof_tolerance")
+      .select(col("event_id"), col("asof_match_id").as("tol_match"))
+    val plain = run("join_asof")
+    val purchases = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
+      .select(col("match_id"), col("ts").as("p_ts"))
+    val expected = plain
+      .join(purchases, col("asof_match_id") === col("match_id"), "left")
+      .select(col("event_id"),
+        when(col("p_ts") + expr("INTERVAL 6 HOURS") >= col("ts"),
+          col("asof_match_id")).as("exp_match"))
+    val bad = tol.join(expected, "event_id")
+      .filter(!(col("tol_match") <=> col("exp_match")))
+    assert(bad.count() == 0)
+  }
+
+  test("text_bm25: scores positive, terms bounded by the query, docs actually match") {
+    val out = run("text_bm25").cache()
+    assert(out.filter(col("bm25") <= 0 || col("n_terms") < 1 || col("n_terms") > 3).count() == 0)
+    // every scored doc contains at least one query term; every doc
+    // containing a query term is scored
+    val matching = graft.engine.Tables.documents(spark, sf)
+      .filter(col("text").rlike("(^| )(join|merge|window)( |$)"))
+      .select("doc_id")
+    assert(out.join(matching, Seq("doc_id"), "left_anti").count() == 0)
+    assert(matching.join(out, Seq("doc_id"), "left_anti").count() == 0)
+    out.unpersist()
+  }
+
+  test("text_posting_lists: head size = min(df, 20), cf >= df, df within corpus") {
+    val out = run("text_posting_lists").cache()
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    val bad = out.filter(
+      col("df") < 2 || col("df") > nDocs || col("cf") < col("df") ||
+        size(split(col("postings_head"), ",")) =!= least(col("df"), lit(20)))
+    assert(bad.count() == 0)
+    out.unpersist()
+  }
+
+  test("ts_autocorr: |r| <= 1 and pair counts match the calendar") {
+    val out = run("ts_autocorr").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      if (!r.isNullAt(2)) assert(math.abs(r.getDouble(2)) <= 1.0 + 1e-9)
+    }
+    val days = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type")).agg(countDistinct(col("ts").cast("date")).as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.foreach(r => assert(r.getLong(1) == days(r.getString(0)) - 1))
+  }
+
+  test("ts_seasonal_dow: dow in [0,6]; per-type counts sum to the log; idx averages to 1") {
+    val out = run("ts_seasonal_dow").cache()
+    assert(out.filter(col("dow") < 0 || col("dow") > 6).count() == 0)
+    val sums = out.groupBy("event_type").agg(sum("n").as("s"))
+    val truth = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("t"))
+    assert(sums.join(truth, "event_type").filter(col("s") =!= col("t")).count() == 0)
+    // the UNWEIGHTED mean of the index over a full 7-dow week is
+    // exactly 1 (Σ n·7/total / 7 = 1), up to the 4-decimal rounding
+    val wm = out.groupBy("event_type")
+      .agg(avg("seasonal_idx").as("m"), count(lit(1)).as("k")).collect()
+    wm.foreach { r =>
+      if (r.getLong(2) == 7) assert(math.abs(r.getDouble(1) - 1.0) < 0.001)
+    }
+    out.unpersist()
+  }
+
+  test("agg_histogram: bucket counts roll up to the orders table") {
+    val out = run("agg_histogram")
+    val sums = out.groupBy("o_orderpriority").agg(sum("cnt").as("s"))
+    val truth = graft.engine.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("t"))
+    assert(sums.join(truth, "o_orderpriority")
+      .filter(col("s") =!= col("t")).count() == 0)
+    assert(out.filter(col("bucket") < 0).count() == 0)
+  }
 }

@@ -193,7 +193,10 @@ class PlanPropertiesSpec extends SparkSpec {
         "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans",
         "contamination_check", "corpus_epochs", "ann_pq",
         // single-row totals/min broadcast into the ranked profiles
-        "vocab_coverage", "sample_balanced", "skew_diagnose")
+        "vocab_coverage", "sample_balanced", "skew_diagnose",
+        // the 1-row (n_docs, total_len) corpus-stats broadcast every
+        // per-term BM25 contribution reads — a constant, not a scan
+        "text_bm25")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
