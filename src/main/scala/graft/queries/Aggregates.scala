@@ -570,5 +570,112 @@ object Aggregates extends QueryGroup {
         "equi-depth buckets come from agg_approx_quantile's sketch " +
         "feeding the same plan as boundary literals. This is the " +
         "histogram a CBO ingests for selectivity, produced by the " +
-        "engine it serves."))
+        "engine it serves."),
+
+    // Day-presence bitmap per user: 64-day activity window packed
+    // into ONE BIGINT via bit_or — the roaring-bitmap idea at its
+    // smallest useful size. bit_or is associative/commutative, so the
+    // mask builds map-side like any sum; popcount recovers distinct
+    // active days without a countDistinct, and mask intersection
+    // (a & b) answers co-activity questions no distinct-count
+    // rollup can.
+    QueryDef(
+      "agg_bitmap_presence",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .select(col("user_id"),
+            datediff(col("ts").cast("date"),
+              lit("2024-01-01").cast("date")).as("d"))
+          // the anchored 64-day window is the op's contract (one
+          // BIGINT); the filter is mirrored in the oracle
+          .filter(col("d") >= 0 && col("d") < 64)
+          .groupBy("user_id")
+          .agg(expr("bit_or(shiftleft(CAST(1 AS BIGINT), CAST(d AS INT)))")
+            .as("day_bits"))
+          .withColumn("n_days", expr("CAST(bit_count(day_bits) AS BIGINT)"))
+          .orderBy("user_id"),
+      Some("SELECT user_id, bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT) AS day_bits, " +
+        "CAST(bit_count(bit_or(1::BIGINT << date_diff('day', DATE '2024-01-01', CAST(ts AS DATE))::INT)) AS BIGINT) AS n_days " +
+        "FROM events WHERE date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) BETWEEN 0 AND 63 " +
+        "GROUP BY user_id ORDER BY user_id"),
+      scaleNote = "The event log collapses to 8 bytes per (user, " +
+        "64-day window) in the map-side partials — bit_or partials " +
+        "merge associatively like sums, so the wire carries masks, " +
+        "never day lists, and the agg is skew-immune (a hot user is " +
+        "still one mask). Longer horizons shard into an array of " +
+        "window masks (epoch div 64 as a second group key) — the " +
+        "fixed-width building block of every bitmap index. Retention/" +
+        "co-activity queries become popcounts of mask ANDs over the " +
+        "compacted table: retention_cohort_approx's question at 1/50th " +
+        "the state of its HLL sketches, exactly, when the horizon is " +
+        "bounded."),
+
+    // Winsorized (clipped-tail) robust aggregate per group: exact
+    // rank-selected p05/p95 thresholds (agg_median_exact's rank
+    // machinery — NO float interpolation, so no cross-engine quantile
+    // semantics in play), tails counted and clamped to the threshold
+    // value, midrange summed in exact decimal. The one float compose
+    // is the final 3-term sum, written identically on both engines.
+    QueryDef(
+      "agg_winsorize",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+          .orderBy("o_totalprice", "o_orderkey")
+        val ww = org.apache.spark.sql.expressions.Window
+          .partitionBy("o_orderpriority")
+        val th = Tables.orders(spark, sf)
+          .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+          .withColumn("rn", row_number().over(w))
+          .withColumn("n", count(lit(1)).over(ww))
+          .filter(col("rn") === expr("(n + 19) div 20") ||
+            col("rn") === expr("(19 * n + 19) div 20"))
+          .groupBy("o_orderpriority")
+          .agg(
+            min(when(col("rn") === expr("(n + 19) div 20"),
+              col("o_totalprice"))).as("lo"),
+            max(when(col("rn") === expr("(19 * n + 19) div 20"),
+              col("o_totalprice"))).as("hi"))
+        Tables.orders(spark, sf)
+          .join(broadcast(th), "o_orderpriority")
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(when(col("o_totalprice") < col("lo"), 1).otherwise(0)).as("n_low"),
+            sum(when(col("o_totalprice") > col("hi"), 1).otherwise(0)).as("n_high"),
+            sumDec2(when(col("o_totalprice") >= col("lo") &&
+                col("o_totalprice") <= col("hi"), col("o_totalprice"))
+              .otherwise(lit(0))).as("mid"),
+            min(col("lo")).as("lo"), min(col("hi")).as("hi"))
+          .select(col("o_orderpriority"), col("n"), col("n_low"), col("n_high"),
+            col("lo"), col("hi"),
+            round(col("n_low") * col("lo") + col("n_high") * col("hi") +
+              col("mid").cast("double"), 2).as("winsorized_sum"))
+          .orderBy("o_orderpriority")
+      },
+      Some("WITH t AS (SELECT o_orderpriority, o_totalprice, " +
+        "row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, " +
+        "count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders), " +
+        "th AS (SELECT o_orderpriority, min(CASE WHEN rn = (n+19)//20 THEN o_totalprice END) AS lo, " +
+        "max(CASE WHEN rn = (19*n+19)//20 THEN o_totalprice END) AS hi FROM t " +
+        "WHERE rn = (n+19)//20 OR rn = (19*n+19)//20 GROUP BY 1), " +
+        "g AS (SELECT o.o_orderpriority AS o_orderpriority, count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_totalprice < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low, " +
+        "CAST(sum(CASE WHEN o_totalprice > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high, " +
+        "CAST(sum(CASE WHEN o_totalprice >= lo AND o_totalprice <= hi THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DECIMAL(18,2)) AS mid, " +
+        "min(lo) AS lo, min(hi) AS hi FROM orders o JOIN th USING (o_orderpriority) GROUP BY 1) " +
+        "SELECT o_orderpriority, n, n_low, n_high, lo, hi, " +
+        "round(n_low * lo + n_high * hi + CAST(mid AS DOUBLE), 2) AS winsorized_sum " +
+        "FROM g ORDER BY 1"),
+      scaleNote = "Pass 1 (thresholds) carries agg_median_exact's " +
+        "known total-order cost and its documented scale path (sketch " +
+        "thresholds, or two-pass histogram narrowing — winsorizing is " +
+        "robust to approximate thresholds BY DESIGN, so the sketch " +
+        "swap is principled here, unlike exact-median). Pass 2 is a " +
+        "plain map-side-combined agg against the broadcast |groups|-" +
+        "row threshold table: tails collapse to counts × the " +
+        "threshold value, the midrange to one exact decimal sum — " +
+        "layout-independent at any scale. This is the outlier guard " +
+        "every per-source quality rollup wants before averaging " +
+        "(one pathological doc shouldn't move a source's mean)."))
 }

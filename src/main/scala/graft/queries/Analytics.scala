@@ -483,5 +483,39 @@ object Analytics extends QueryGroup {
         "Integer counts make the index's one division deterministic. " +
         "Hour-of-week (|types|×168) is the same plan; the index table " +
         "broadcast back against live counts is the seasonally-" +
-        "adjusted anomaly feed (ts_anomaly's z over n/idx)."))
+        "adjusted anomaly feed (ts_anomaly's z over n/idx)."),
+
+    // Calendar-gap detection: hours with zero events per (type, day)
+    // — the missed-poll monitor for an ingestion feed (the reference
+    // polls an API on a schedule; an hour with no rows IS the
+    // incident). Counting distinct observed hours against the 24-hour
+    // grid needs no generated calendar table and no anti-join: the
+    // absence count is 24 − |observed|, pure integers.
+    QueryDef(
+      "ts_calendar_gaps",
+      (spark, sf) =>
+        Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(countDistinct(date_trunc("hour", col("ts"))).as("hours_observed"),
+            count(lit(1)).as("n_events"))
+          .withColumn("hours_missing", lit(24) - col("hours_observed"))
+          .withColumn("has_gap", col("hours_observed") < 24)
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("hours_observed"), col("n_events"),
+            col("hours_missing"), col("has_gap"))
+          .orderBy("event_type", "day"),
+      Some("SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day, " +
+        "count(DISTINCT date_trunc('hour', ts)) AS hours_observed, count(*) AS n_events, " +
+        "24 - count(DISTINCT date_trunc('hour', ts)) AS hours_missing, " +
+        "count(DISTINCT date_trunc('hour', ts)) < 24 AS has_gap " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "countDistinct over a derived hour rewrites to a " +
+        "two-level exact agg — both levels map-side combinable, wire " +
+        "volume |types|×|days|×24 partials max, so the monitor costs " +
+        "the same however many events land per hour. Partial first/" +
+        "last days report as gaps by contract (a feed that starts at " +
+        "noon DID miss 12 hours of that day). Minute-grain gap " +
+        "hunting swaps the truncation unit; per-source feeds add the " +
+        "key. The streaming twin is a tumbling-window count with a " +
+        "zero-row alarm on watermark close (stream_tumbling's shape)."))
 }

@@ -388,6 +388,60 @@ object Streams {
       }
   }
 
+  case class EwmaState(day: Long, n: Long, hist: Seq[(Long, Long)])
+  case class EwmaRow(event_type: String, day: String, n: Long, ewma: Double)
+
+  /** Streaming EWMA of daily counts per type — the stateful twin of
+    * batch ts_ewma, and the ring-buffer pattern its scaleNote
+    * promises: per-type state is the open day's count plus the last
+    * ≤7 finalized (day, n) pairs — O(8) longs per key however long
+    * the stream runs. A day finalizes when a later day's event
+    * arrives for that type (ordered-replay contract, stream_anomaly's
+    * shape); the finalized day's EWMA uses the SAME halving integer
+    * weights over the same row-lag semantics as the batch window
+    * (only days present in the data occupy lag slots), with exact
+    * BIGINT numerator/denominator and one final rounded division —
+    * so finalized rows are bit-equal to batch (StreamingSpec). */
+  def ewma(events: Dataset[Event]): Dataset[EwmaRow] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400L * 1000
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[Event], state: GroupState[EwmaState]) =>
+          var st = state.getOption.getOrElse(EwmaState(Long.MinValue, 0L, Nil))
+          val out = Seq.newBuilder[EwmaRow]
+          def finalizeDay(): Unit = if (st.day != Long.MinValue) {
+            // lag k = k-th most recent finalized day, weight 2^(7-k);
+            // the open day itself carries 128 — exactly the batch terms
+            var num = st.n * 128L
+            var den = 128L
+            for (((_, nk), idx) <- st.hist.reverse.take(7).zipWithIndex) {
+              val wgt = 1L << (7 - (idx + 1))
+              num += nk * wgt
+              den += wgt
+            }
+            val e = BigDecimal(num.toDouble / den)
+              .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+            out += EwmaRow(typ,
+              java.time.LocalDate.ofEpochDay(st.day).toString, st.n, e)
+            st = EwmaState(Long.MinValue, 0L,
+              (st.hist :+ ((st.day, st.n))).takeRight(7))
+          }
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            if (d != st.day) {
+              finalizeDay()
+              st = EwmaState(d, 0L, st.hist)
+            }
+            st = EwmaState(st.day, st.n + 1, st.hist)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */

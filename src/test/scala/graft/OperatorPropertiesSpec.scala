@@ -450,6 +450,49 @@ class OperatorPropertiesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("agg_bitmap_presence: popcount equals countDistinct(day) per user") {
+    val out = run("agg_bitmap_presence")
+    val truth = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy("user_id")
+      .agg(countDistinct(col("ts").cast("date")).as("true_days"))
+    assert(out.join(truth, "user_id")
+      .filter(col("n_days") =!= col("true_days")).count() == 0)
+    assert(out.count() == truth.count())
+  }
+
+  test("agg_winsorize: tails bounded by 5% each; clipped sum between tail-floor and raw sum") {
+    val out = run("agg_winsorize").collect()
+    out.foreach { r =>
+      val (n, nLow, nHigh) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      val (lo, hi, wsum) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      // strictly-below-p05 (strictly-above-p95) rows are at most the
+      // rank cut itself
+      assert(nLow <= (n + 19) / 20 && nHigh <= n - (19 * n + 19) / 20 + 1)
+      assert(lo <= hi)
+      // clipping never raises the sum above raw, never below n·lo
+      assert(wsum >= n * lo - 0.01 && wsum <= n * hi + 0.01)
+    }
+    // clipped sum ≤ raw sum per group (clipping high tails can only
+    // lower; low-tail raising is bounded by the p05 value itself)
+    val raw = graft.engine.Tables.orders(spark, sf)
+      .groupBy("o_orderpriority")
+      .agg(sum(col("o_totalprice")).as("raw")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    out.foreach { r =>
+      assert(r.getDouble(6) <= raw(r.getString(0)) + r.getDouble(4) * r.getLong(1))
+    }
+  }
+
+  test("ts_calendar_gaps: observed hours within [1,24]; events roll up; gap flag consistent") {
+    val out = run("ts_calendar_gaps").cache()
+    assert(out.filter(col("hours_observed") < 1 || col("hours_observed") > 24).count() == 0)
+    assert(out.filter(col("hours_missing") =!= lit(24) - col("hours_observed")).count() == 0)
+    assert(out.filter(col("has_gap") =!= (col("hours_observed") < 24)).count() == 0)
+    val total = out.agg(sum("n_events")).head.getLong(0)
+    assert(total == graft.engine.Tables.loadEvents(spark, sf).count())
+    out.unpersist()
+  }
+
   test("agg_histogram: bucket counts roll up to the orders table") {
     val out = run("agg_histogram")
     val sums = out.groupBy("o_orderpriority").agg(sum("cnt").as("s"))

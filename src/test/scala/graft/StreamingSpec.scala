@@ -496,4 +496,43 @@ class StreamingSpec extends SparkSpec {
       assert(spark.table("t_retention").count() <= nUsers * 64)
     } finally q.stop()
   }
+
+  test("stream_ewma equals batch ts_ewma on finalized days under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(250), all.slice(250, 800), all.drop(800))
+    val mem = MemoryStream[Streams.Event](23, spark, None)
+    val q = Streams.ewma(mem.toDS()).writeStream.format("memory")
+      .queryName("t_ewma").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_ewma")
+        .select(col("event_type"), col("day"), col("n"), col("ewma"))
+      // batch truth restricted to days the stream has FINALIZED: for
+      // each type, every day strictly before that type's last seen day
+      // (ISO date strings compare correctly as strings)
+      val lastDay = all.groupBy(_.event_type).map { case (t, es) =>
+        t -> java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(es.map(_.ts.getTime).max, 86400000L)).toString
+      }.toSeq.toDF("event_type", "last_day")
+      val batch = graft.engine.Registry.byName("ts_ewma")
+        .build(spark, sf)
+        .join(lastDay, "event_type")
+        .filter(col("day") < col("last_day"))
+        .select(col("event_type"), col("day"), col("n"), col("ewma"))
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch ewma mismatch")
+      assert(streamed.count() > 0, "vacuous: nothing emitted")
+      // O(8)-per-type state bound: emitted rows ≤ |types|·|days|
+      val nTypes = all.map(_.event_type).distinct.length.toLong
+      val nDays = all.map(e => Math.floorDiv(e.ts.getTime, 86400000L))
+        .distinct.length.toLong
+      assert(streamed.count() <= nTypes * nDays)
+    } finally q.stop()
+  }
 }
