@@ -92,11 +92,74 @@ object AnnPq extends QueryGroup {
         transform(col("l"), x => x.getField("cv_i")).as("cv"))
       .withColumn("cnorm2", LongArrayDot.dot(col("cv"), col("cv")))
 
-  /** Train all M codebooks jointly (`iters` Lloyd rounds). */
+  /** Train all M codebooks jointly (`iters` Lloyd rounds) — the
+    * distributed form, kept as the reference implementation
+    * AnnPqSpec/AnnPqProbe compare [[trainLocalBooks]] against. */
   def train(sub: DataFrame, iters: Int = Iters): DataFrame =
     (1 to iters).foldLeft(seed(sub)) { (books, _) =>
       update(sub, encode(sub, books))
     }
+
+  /** Codebook training sample bound: Lloyd runs on the first
+    * `TrainSample` vectors by vec_id. 16× the 128 cells — ample for
+    * 16-way subspace k-means, and the FAISS-documented practice
+    * (codebooks are trained on a bounded sample at ANY index size;
+    * training on 100 TB would spend a cluster to move centroids by
+    * noise). At the dev SFs ≤ 0.01 the sample covers the whole
+    * corpus, so the result is bit-identical to [[train]]. */
+  val TrainSample = 2048L
+
+  /** Driver-local joint Lloyd over the bounded training sample: ONE
+    * tiny collect (≤ TrainSample×M rows of 8 longs) replaces the
+    * ~10 sequential sample-sized shuffles the distributed loop pays
+    * per training run — measured as the dominant ann_pq cost, pure
+    * stage orchestration over KB-sized tables. Semantics are
+    * replicated EXACTLY from [[encode]]/[[update]]: ties to the
+    * lowest cid via (dist, cid) ordering, component means in
+    * truncating integer division (Spark's `div`), empty cells
+    * dropped — AnnPqSpec pins bit-equality against [[train]] on the
+    * full-coverage corpus. */
+  def trainLocalBooks(spark: SparkSession, sub: DataFrame,
+      iters: Int = Iters): DataFrame = {
+    val sample = sub.filter(col("vec_id") < TrainSample)
+      .select(col("vec_id"), col("m"), col("sqv")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    def dot(a: Array[Long], b: Array[Long]): Long = {
+      var s = 0L; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }; s
+    }
+    // seed: subvectors of the first Kc vectors, cid = vec_id
+    var books: Map[(Int, Int), Array[Long]] = sample
+      .filter(_._1 < Kc)
+      .map { case (vid, m, sqv) => (m, vid.toInt) -> sqv }.toMap
+    for (_ <- 1 to iters) {
+      val assigned = sample.map { case (_, m, sqv) =>
+        val sn = dot(sqv, sqv)
+        var bestDist = Long.MaxValue; var bestCid = Int.MaxValue
+        for (((bm, cid), cv) <- books if bm == m) {
+          val d = sn - 2L * dot(sqv, cv) + dot(cv, cv)
+          if (d < bestDist || (d == bestDist && cid < bestCid)) {
+            bestDist = d; bestCid = cid
+          }
+        }
+        (m, bestCid, sqv)
+      }
+      books = assigned.groupBy(t => (t._1, t._2)).map {
+        case ((m, cid), members) =>
+          val cv = Array.tabulate(SubDim) { i =>
+            // Spark's `div` on LongType truncates toward zero — match
+            members.map(_._3(i)).sum / members.length
+          }
+          (m, cid) -> cv
+      }
+    }
+    val s = spark
+    import s.implicits._
+    books.toSeq
+      .map { case ((m, cid), cv) => (m, cid, cv.toSeq, dot(cv, cv)) }
+      .sortBy(t => (t._1, t._2))
+      .toDF("m", "cid", "cv", "cnorm2")
+  }
 
   /** ADC top-k: per-query LUT of exact ‖q_m − c‖² (M×Kc rows/query,
     * broadcast), summed over each candidate's codes. Candidate raw
@@ -158,18 +221,6 @@ object AnnPq extends QueryGroup {
       .select("query_id", "vec_id")
   }
 
-  /** Collect the constant-size (M×Kc = 128-row) codebook to the driver
-    * and re-emit it as a literal local relation: the whole Lloyd chain
-    * runs in ONE action, and every downstream consumer (corpus encode,
-    * LUT build, determinism re-encode) broadcasts a local table
-    * instead of replaying — or checkpoint-reading — the training DAG.
-    * The bounded-model exception to the no-driver-collect rule: model
-    * state is M×Kc rows at ANY corpus size (see scaleNote). */
-  private def localBooks(spark: SparkSession, books: DataFrame): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    spark.createDataFrame(books.collect().toList.asJava, books.schema)
-  }
-
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "ann_pq",
@@ -182,9 +233,13 @@ object AnnPq extends QueryGroup {
         // subvector table is a NARROW explode over the checkpointed
         // vecs — recomputing it per consumer reads cached blocks and
         // shuffles nothing, cheaper than a third materialization.
+        // Training runs driver-local on the bounded TrainSample (one
+        // tiny collect instead of ~10 sample-sized shuffles — the
+        // model is M×Kc rows at ANY corpus size, and every consumer
+        // broadcasts the resulting local relation).
         val vecs = AnnKmeans.quantized(spark, sf).localCheckpoint(false)
         val sub = subvecs(vecs)
-        val books = localBooks(spark, train(sub))
+        val books = trainLocalBooks(spark, sub)
         val codes = encode(sub, books).localCheckpoint(false)
         // determinism: exact arithmetic ⇒ a second encode of the same
         // corpus against the same books is bit-identical

@@ -14,7 +14,10 @@ class AnnPqProbe extends SparkSpec {
         "/root/testdata/sf0.1")) {
       val vecs = AnnKmeans.quantized(spark, s).localCheckpoint(false)
       val sub = AnnPq.subvecs(vecs).localCheckpoint(false)
-      val books = AnnPq.train(sub).localCheckpoint(false)
+      // the SHIPPED path: driver-local Lloyd over the bounded sample
+      // (bit-equal to the distributed train() wherever the corpus
+      // fits inside TrainSample — AnnPqSpec pins that)
+      val books = AnnPq.trainLocalBooks(spark, sub)
       val codes = AnnPq.encode(sub, books).localCheckpoint(false)
       val used = codes.select("m", "cid").distinct().count()
       val qsub = sub.filter(col("vec_id") < 100)

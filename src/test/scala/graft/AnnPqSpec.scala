@@ -84,4 +84,18 @@ class AnnPqSpec extends SparkSpec {
     val row = Registry.byName("ann_pq").build(spark, sf).head
     assert(row.getBoolean(1) && row.getBoolean(2) && row.getBoolean(3))
   }
+
+  test("driver-local sample training is bit-equal to the distributed Lloyd on a covered corpus") {
+    // sf0.001's corpus fits inside TrainSample, so the sample IS the
+    // corpus and trainLocalBooks must replicate train() exactly:
+    // same cells, same integer centroids, same norms
+    assert(vecs.filter(col("vec_id") >= AnnPq.TrainSample).count() == 0,
+      "fixture outgrew TrainSample; this equality test needs full coverage")
+    val local = AnnPq.trainLocalBooks(spark, sub)
+      .select("m", "cid", "cv", "cnorm2")
+    val dist = books.select("m", "cid", "cv", "cnorm2")
+    assert(local.exceptAll(dist).count() == 0 &&
+      dist.exceptAll(local).count() == 0,
+      "local sample-trained codebooks diverge from the distributed Lloyd")
+  }
 }
