@@ -26,7 +26,14 @@ object ScalingCurve {
       "retention_cohort_approx", "dedup_clusters_star",
       "vocab_coverage", "sample_balanced", "skew_diagnose", "text_lm_score",
       "join_incremental", "graph_reachability", "ts_changepoint",
-      "peak_concurrency_dense", "join_band")
+      "peak_concurrency_dense", "join_band",
+      "fn_gtfs_day", "text_url_normalize", "dedup_url",
+      "join_interval_overlap", "win_streak", "agg_entropy", "ts_ewma",
+      "graph_neighbor_jaccard", "multimodal_frames",
+      "text_bm25", "text_posting_lists", "text_repetition",
+      "agg_histogram", "ts_autocorr", "ts_seasonal_dow",
+      "join_asof_tolerance", "agg_bitmap_presence", "agg_winsorize",
+      "ts_calendar_gaps")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     queries.foreach { q =>
       val fn = SparkEntry.queries(q)

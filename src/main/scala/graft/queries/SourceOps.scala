@@ -77,6 +77,39 @@ object SourceOps extends QueryGroup {
     "('87384008','134657','POPI','87393009',TIMESTAMP '2026-08-23 06:55:00','R',NULL)")
     .mkString(", ")
 
+  val JsonlFixtureDir = "/tmp/graft_jsonl_fixture"
+
+  /** Two JSONL feed files (multi-file read proven), four pages; page 4
+    * is an EMPTY records array — the no-trains poll response a parser
+    * must survive (it contributes zero rows, not a failure). */
+  private val JsonlDocuments: Seq[(String, String)] = Seq(
+    "feed_a.jsonl" -> Seq(
+      """{"page":1,"station":"87393009","polled_at":"2026-08-23 06:00:00","records":[{"num":"134657","delay_min":12,"state":"late"},{"num":"134659","delay_min":0,"state":"ontime"}]}""",
+      """{"page":2,"station":"87393009","polled_at":"2026-08-23 06:10:00","records":[{"num":"134657","delay_min":15,"state":"late"}]}""").mkString("", "\n", "\n"),
+    "feed_b.jsonl" -> Seq(
+      """{"page":3,"station":"87758011","polled_at":"2026-08-23 06:00:00","records":[{"num":"221006","delay_min":0,"state":"ontime"},{"num":"165435","delay_min":3,"state":"late"}]}""",
+      """{"page":4,"station":"87384008","polled_at":"2026-08-23 06:20:00","records":[]}""").mkString("", "\n", "\n"))
+
+  /** Idempotently materialize the JSONL fixture (unconditional write —
+    * same staleness rationale as [[ensureFixture]]). */
+  def ensureJsonlFixture(): String = synchronized {
+    val d = new java.io.File(JsonlFixtureDir)
+    if (!d.exists()) d.mkdirs()
+    JsonlDocuments.foreach { case (name, content) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        content.getBytes("UTF-8"))
+    }
+    JsonlFixtureDir
+  }
+
+  private val JsonlOracleValues: String = Seq(
+    "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134657',12,'late')",
+    "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134659',0,'ontime')",
+    "(2,'87393009',TIMESTAMP '2026-08-23 06:10:00','134657',15,'late')",
+    "(3,'87758011',TIMESTAMP '2026-08-23 06:00:00','221006',0,'ontime')",
+    "(3,'87758011',TIMESTAMP '2026-08-23 06:00:00','165435',3,'late')")
+    .mkString(", ")
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "source_passages_board",
@@ -96,5 +129,43 @@ object SourceOps extends QueryGroup {
           .orderBy("station_id", "rank")
       },
       Some("SELECT station_id, rank, num, miss, term, expected_ts, mode, etat FROM (SELECT *, row_number() OVER (PARTITION BY station_id ORDER BY expected_ts, num) AS rank FROM (VALUES " + OracleValues + ") AS t(station_id, num, miss, term, expected_ts, mode, etat) WHERE etat IS NULL OR etat <> 'Supprime') ORDER BY station_id, rank"),
-      scaleNote = "The connector plans ONE InputPartition per feed document driver-side and parses in executors — ingest parallelism = document count (a real deployment shards by station × polling slice, the same planInputPartitions hook). The board is win_topk_group's shape: one shuffle on station_id, rank inside the window; the fleet-wide board at any feed size is |stations|-bounded output. Pushdown hooks (SupportsPushDownFilters) are where a station filter would prune documents before parse."))
+      scaleNote = "The connector plans ONE InputPartition per feed document driver-side and parses in executors — ingest parallelism = document count (a real deployment shards by station × polling slice, the same planInputPartitions hook). The board is win_topk_group's shape: one shuffle on station_id, rank inside the window; the fleet-wide board at any feed size is |stations|-bounded output. Pushdown hooks (SupportsPushDownFilters) are where a station filter would prune documents before parse."),
+
+    // JSON-lines API-page ingestion — the OTHER feed format a polled
+    // REST API returns (one JSON object per poll response, records
+    // nested in an array). Read with an EXPLICIT schema (never
+    // inferSchema on a production feed: inference is a full extra
+    // pass and a schema drift hazard), explode the page into records,
+    // flatten with page provenance kept. Oracle: the same rows as a
+    // VALUES table, ground truth for what the parse must produce.
+    QueryDef(
+      "source_api_jsonl",
+      (spark, _) => {
+        val dir = ensureJsonlFixture()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "page INT, station STRING, polled_at STRING, " +
+            "records ARRAY<STRUCT<num: STRING, delay_min: INT, state: STRING>>")
+        spark.read.schema(schema).json(dir)
+          .select(col("page"), col("station"),
+            col("polled_at").cast("timestamp_ntz").as("polled_at"),
+            explode(col("records")).as("r"))
+          .select(col("page"), col("station"), col("polled_at"),
+            col("r.num").as("num"), col("r.delay_min").as("delay_min"),
+            col("r.state").as("state"),
+            (col("r.delay_min") >= 10).as("is_severe"))
+          .orderBy("station", "num", "page")
+      },
+      Some("SELECT page, station, polled_at, num, delay_min, state, delay_min >= 10 AS is_severe " +
+        "FROM (VALUES " + JsonlOracleValues + ") AS t(page, station, polled_at, num, delay_min, state) " +
+        "ORDER BY station, num, page"),
+      scaleNote = "JSON-lines is splittable: Spark assigns line ranges " +
+        "of each feed file to input partitions, so ingest parallelism " +
+        "scales with bytes, not file count — the right landing format " +
+        "for a high-rate poller (one append-only JSONL per poll " +
+        "window). The explicit schema keeps parsing single-pass and " +
+        "codegen'd (from_json of a known struct); explode is a narrow " +
+        "map — the whole op is shuffle-free until a downstream agg. " +
+        "Schema drift lands as NULLs, not job failures: pair with " +
+        "agg_boolean's assertion rollup as the feed's quality gate, " +
+        "and ts_calendar_gaps as its liveness monitor."))
 }

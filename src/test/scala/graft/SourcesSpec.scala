@@ -125,4 +125,19 @@ class SourcesSpec extends SparkSpec {
     assert(back.count() > 0)
     assert(scanned.contains("PartitionFilters") || back.inputFiles.forall(_.contains("day=2024-01-02")))
   }
+
+  test("source_api_jsonl: multi-file read, empty-page tolerance, record-exact flatten") {
+    val out = graft.engine.Registry.byName("source_api_jsonl")
+      .build(spark, sf).collect()
+    // 5 records across pages 1-3; page 4 (empty records array) and its
+    // station contribute ZERO rows, not a parse failure
+    assert(out.length == 5)
+    assert(!out.exists(_.getString(1) == "87384008"))
+    assert(out.map(_.getInt(0)).distinct.sorted.toSeq == Seq(1, 2, 3))
+    // both feed files contributed (stations from feed_a AND feed_b)
+    assert(out.exists(_.getString(1) == "87393009") &&
+      out.exists(_.getString(1) == "87758011"))
+    // severity derivation matches its own delay column
+    out.foreach(r => assert(r.getBoolean(6) == (r.getInt(4) >= 10)))
+  }
 }
