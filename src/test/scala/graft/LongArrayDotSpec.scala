@@ -51,6 +51,26 @@ class LongArrayDotSpec extends SparkSpec {
     assert(badL.isEmpty, badL.mkString(","))
   }
 
+  test("sorted_intersect_elems matches array_sort(array_intersect) on sorted distinct longs") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 300).map { _ =>
+      ((0 until rnd.nextInt(60)).map(_ => rnd.nextInt(80).toLong).distinct.sorted,
+        (0 until rnd.nextInt(60)).map(_ => rnd.nextInt(80).toLong).distinct.sorted)
+    }
+    // includes empty-array and disjoint cases by construction
+    val bad = rows.toDF("a", "b").select(
+      graft.plans.SortedIntersectElems.elems(col("a"), col("b")).as("cg"),
+      array_sort(array_intersect(col("a"), col("b"))).as("ref"))
+      .filter(col("cg") =!= col("ref")).collect()
+    assert(bad.isEmpty, bad.take(3).mkString(","))
+    // null propagation
+    val r = Seq((Some(Seq(1L, 2L)), Option.empty[Seq[Long]])).toDF("a", "b")
+      .select(graft.plans.SortedIntersectElems.elems(col("a"), col("b"))).head()
+    assert(r.isNullAt(0))
+  }
+
   test("null input propagates null; type mismatch is rejected at analysis") {
     val s = spark
     import s.implicits._

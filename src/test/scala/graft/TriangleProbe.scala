@@ -3,7 +3,9 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.engine.Tables
 
-/** Dev probe: stage-by-stage timing of graph_triangles at sf0.1. */
+/** Dev probe: stage-by-stage timing of the CURRENT graph_triangles
+  * pipeline (order-array pair explode → fused-dedup adjacency →
+  * orientation → adjacency-intersect) at sf0.1. */
 class TriangleProbe extends SparkSpec {
   test("measure: triangle stage costs at sf0.1") {
     val s = "/root/testdata/sf0.1"
@@ -11,36 +13,53 @@ class TriangleProbe extends SparkSpec {
       val t0 = System.nanoTime(); val r = f
       println(f"[tri] $label ${(System.nanoTime() - t0) / 1e9}%.2f s"); r
     }
-    val li = Tables.lineitem(spark, s)
+    val a = array_sort(col("ps"))
+    val e0 = Tables.lineitem(spark, s)
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-    val e = li.as("a").join(li.as("b"),
-        col("a.ok") === col("b.ok") && col("a.pk") < col("b.pk"))
-      .select(col("a.pk").as("u"), col("b.pk").as("v"))
-      .distinct().localCheckpoint(true)
-    tick("pairs+distinct")(e.count())
-    val deg = e.select(col("u").as("x")).unionAll(e.select(col("v").as("x")))
-      .groupBy("x").agg(count(lit(1)).as("d")).localCheckpoint(true)
-    tick("deg")(deg.count())
-    val lower = col("du") < col("dv") ||
+      .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+      .select(explode(flatten(transform(a, (x, i) =>
+        transform(slice(a, i + 2, size(a)), y =>
+          struct(x.as("u"), y.as("v")))))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e = e0.localCheckpoint(true)
+    tick("pair-build+checkpoint")(e.count())
+    val sym = e.select(col("u").as("x"), col("v").as("y"))
+      .unionAll(e.select(col("v").as("x"), col("u").as("y")))
+    val adjFull = sym.groupBy("x")
+      .agg(collect_set(col("y")).as("nbrs"))
+      .withColumn("d", size(col("nbrs")))
+      .localCheckpoint(true)
+    tick("adjFull+checkpoint")(adjFull.count())
+    val dmap = adjFull.select(col("x").as("v"), col("d").as("dv"))
+    val keep = col("du") < col("dv") ||
       (col("du") === col("dv") && col("u") < col("v"))
-    val o = e
-      .join(deg.select(col("x").as("u"), col("d").as("du")), "u")
-      .join(deg.select(col("x").as("v"), col("d").as("dv")), "v")
-      .select(when(lower, col("u")).otherwise(col("v")).as("s"),
-        when(lower, col("v")).otherwise(col("u")).as("t"))
+    val o = adjFull
+      .select(col("x").as("u"), col("d").as("du"), explode(col("nbrs")).as("v"))
+      .join(broadcast(dmap), "v").filter(keep)
+      .select(col("u").as("s"), col("v").as("t"))
+    val adjO = o.groupBy("s").agg(array_sort(collect_list(col("t"))).as("nbrs"))
       .localCheckpoint(true)
-    tick("orient")(o.count())
-    val adj = o.groupBy("s").agg(collect_list(col("t")).as("nbrs"))
-      .localCheckpoint(true)
-    tick("adj")(adj.count())
-    val tri = o
-      .join(broadcast(adj.select(col("s"), col("nbrs").as("nu"))), "s")
-      .join(broadcast(adj.select(col("s").as("t"), col("nbrs").as("nv"))), "t")
+    tick("orient+adjO+checkpoint")(adjO.count())
+    def triStage(intersect: (org.apache.spark.sql.Column,
+        org.apache.spark.sql.Column) => org.apache.spark.sql.Column) = o
+      .join(broadcast(adjO.select(col("s"), col("nbrs").as("nu"))), "s")
+      .join(broadcast(adjO.select(col("s").as("t"), col("nbrs").as("nv"))), "t")
       .select(col("s").as("a"), col("t").as("b"),
-        explode(array_intersect(col("nu"), col("nv"))).as("c"))
-    val out = tick("intersect+explode+agg")(
-      tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
-        .groupBy("node").agg(count(lit(1)).as("n_tri")).count())
+        explode(intersect(col("nu"), col("nv"))).as("c"))
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val out = tick("hash array_intersect stage")(
+      triStage(array_intersect).count())
     println(s"[tri] nodes=$out")
+    tick("hash array_intersect stage WARM")(triStage(array_intersect).count())
+    // the shipped form: codegen'd sorted-merge walk, no per-row hash set
+    tick("sorted-merge intersect stage")(
+      triStage(graft.plans.SortedIntersectElems.elems).count())
+    tick("sorted-merge intersect stage WARM")(
+      triStage(graft.plans.SortedIntersectElems.elems).count())
+    val edges = e.count()
+    val wedges = o.groupBy("s").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d"))).head.getLong(0)
+    println(s"[tri] edges=$edges oriented-wedge-bound=$wedges")
   }
 }
