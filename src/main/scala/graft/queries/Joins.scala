@@ -532,5 +532,59 @@ object Joins extends QueryGroup {
         "payload the match must surface (price, schedule version). " +
         "Under 100× key skew compose with asofSalted's time-chunk " +
         "salt: the tolerance test commutes with chunking since the " +
-        "carried struct is the same latest-right row either way."))
+        "carried struct is the same latest-right row either way."),
+
+    // Bidirectional NEAREST join: each event matches the closest
+    // purchase in time (before OR after) per user, ties to the
+    // earlier side — the sensor-alignment semantics as-of's
+    // backward-only carry can't express. One window pass computes
+    // BOTH carries: last(right, ignoreNulls) over the preceding
+    // frame and first(right, ignoreNulls) over the following frame
+    // share the same (user_id, sort) exchange. Oracle: two DuckDB
+    // ASOF joins (the forward one on negated epoch — ASOF only
+    // matches backward) + the same closest/tie pick.
+    QueryDef(
+      "join_nearest",
+      (spark, sf) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy(col("ts").asc, col("is_left").asc)
+        val rstruct = when(col("is_left") === 0,
+          struct(col("ts").as("rts"), col("match_id").as("mid")))
+        // exact microsecond gaps: DuckDB's epoch() is a fractional
+        // DOUBLE and Spark's unix_timestamp truncates to seconds —
+        // either alone would tie-break sub-second gaps differently;
+        // epoch_us/unix_micros agree exactly (UTC session)
+        def micros(c: org.apache.spark.sql.Column) =
+          unix_micros(c.cast("timestamp"))
+        val gapPrev = micros(col("ts")) - micros(col("prev.rts"))
+        val gapNext = micros(col("next.rts")) - micros(col("ts"))
+        asofUnion(Tables.loadEvents(spark, sf))
+          .withColumn("prev", last(rstruct, ignoreNulls = true)
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          .withColumn("next", first(rstruct, ignoreNulls = true)
+            .over(w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+          .filter(col("is_left") === 1)
+          .select(col("event_id"), col("ts"),
+            when(col("prev").isNotNull &&
+                (col("next").isNull || gapPrev <= gapNext),
+              col("prev.mid")).otherwise(col("next.mid")).as("nearest_match_id"))
+          .orderBy("event_id")
+      },
+      Some("WITH p AS (SELECT user_id, ts, max(event_id) AS match_id FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts), " +
+        "prevm AS (SELECT e.event_id, e.ts, p.ts AS pts, p.match_id AS pmid FROM events e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts), " +
+        "en AS (SELECT event_id, user_id, -epoch_us(ts) AS nts FROM events), " +
+        "pn AS (SELECT user_id, ts, match_id, -epoch_us(ts) AS nts FROM p), " +
+        "nextm AS (SELECT en.event_id, pn.ts AS nts2, pn.match_id AS nmid FROM en ASOF LEFT JOIN pn ON en.user_id = pn.user_id AND en.nts >= pn.nts) " +
+        "SELECT prevm.event_id, prevm.ts, CASE WHEN pts IS NOT NULL AND (nts2 IS NULL OR epoch_us(prevm.ts) - epoch_us(pts) <= epoch_us(nts2) - epoch_us(prevm.ts)) " +
+        "THEN pmid ELSE nmid END AS nearest_match_id " +
+        "FROM prevm JOIN nextm ON prevm.event_id = nextm.event_id ORDER BY prevm.event_id"),
+      scaleNote = "Still ONE user_id exchange: both directional " +
+        "carries are frames over the same in-partition sort (Spark " +
+        "plans one Window operator with two frame specs), so nearest " +
+        "costs exactly what as-of costs — no second shuffle, no " +
+        "self-join. An event at a purchase's own timestamp matches it " +
+        "(tie inside prev via is_left ordering). The closest/tie pick " +
+        "is integer epoch arithmetic per row. Skew composes with the " +
+        "time-chunk salt as in join_asof_salted, carrying BOTH chunk " +
+        "boundary structs (last-right and first-right per chunk)."))
 }

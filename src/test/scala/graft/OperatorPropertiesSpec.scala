@@ -493,6 +493,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("join_nearest: never farther than the backward as-of match, and no lost matches") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy("user_id", "ts").agg(max("event_id").as("match_id"))
+      .select(col("match_id"), col("ts").as("p_ts"))
+    def withGap(df: org.apache.spark.sql.DataFrame, matchCol: String) =
+      df.join(purchases, col(matchCol) === col("match_id"), "left")
+        .select(col("event_id"),
+          abs(unix_micros(col("ts").cast("timestamp")) -
+            unix_micros(col("p_ts").cast("timestamp"))).as("gap"))
+    val near = withGap(run("join_nearest"), "nearest_match_id")
+      .withColumnRenamed("gap", "near_gap")
+    val asof = withGap(run("join_asof"), "asof_match_id")
+      .withColumnRenamed("gap", "asof_gap")
+    val j = near.join(asof, "event_id").cache()
+    // wherever backward as-of found a match, nearest must too, at
+    // most as far away
+    assert(j.filter(col("asof_gap").isNotNull &&
+      (col("near_gap").isNull || col("near_gap") > col("asof_gap"))).count() == 0)
+    // nearest can only add matches (events before the first purchase)
+    assert(j.filter(col("near_gap").isNotNull).count() >=
+      j.filter(col("asof_gap").isNotNull).count())
+    j.unpersist()
+  }
+
   test("agg_histogram: bucket counts roll up to the orders table") {
     val out = run("agg_histogram")
     val sums = out.groupBy("o_orderpriority").agg(sum("cnt").as("s"))
