@@ -462,5 +462,35 @@ object NearDup extends QueryGroup {
       (spark, sf) =>
         clustersStar(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
       Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
-      scaleNote = "Each round is two groupBy-min passes + normalizing distincts over the PAIR graph, all equi on node keys — a hot hub's edges split across tasks like any groupBy (no window, no per-component serialization). Round count is O(log n) in the largest component REGARDLESS of diameter (the 1M-long dup-chain that would cost min-label 1M rounds costs ~20 star rounds); convergence is detected by a count+xor fingerprint of the checkpointed edge set, one tiny action per round. At the fixpoint the edge set IS the answer: {(component-min, member)} pairs."))
+      scaleNote = "Each round is two groupBy-min passes + normalizing distincts over the PAIR graph, all equi on node keys — a hot hub's edges split across tasks like any groupBy (no window, no per-component serialization). Round count is O(log n) in the largest component REGARDLESS of diameter (the 1M-long dup-chain that would cost min-label 1M rounds costs ~20 star rounds); convergence is detected by a count+xor fingerprint of the checkpointed edge set, one tiny action per round. At the fixpoint the edge set IS the answer: {(component-min, member)} pairs."),
+
+    // Cluster-size histogram over the star-contracted components —
+    // the duplication profile every corpus report leads with (how
+    // many 2-member near-dup groups, how many 50-member template
+    // families, what fraction of the corpus is duplicated mass).
+    // Same recursive-CTE oracle as the cluster ops, rolled up.
+    QueryDef(
+      "dedup_cluster_sizes",
+      (spark, sf) =>
+        clustersStar(Tables.documents(spark, sf), 0.5)
+          .groupBy("cluster_id").agg(count(lit(1)).as("sz"))
+          .groupBy("sz")
+          .agg(count(lit(1)).as("n_clusters"))
+          .select(col("sz").as("cluster_size"), col("n_clusters"),
+            (col("sz") * col("n_clusters")).as("n_docs"))
+          .orderBy("cluster_size"),
+      Some(s"WITH RECURSIVE $ClusterCtes, cs AS (SELECT cluster_id, count(*) AS sz FROM canon GROUP BY 1) " +
+        "SELECT sz AS cluster_size, count(*) AS n_clusters, CAST(sz * count(*) AS BIGINT) AS n_docs " +
+        "FROM cs GROUP BY sz ORDER BY sz"),
+      scaleNote = "Two map-side-combined rollups over the cluster " +
+        "table (which is pair-graph-sized, ≪ corpus): the histogram " +
+        "is |distinct sizes| rows at any scale. Rides the SAME " +
+        "star-contraction fixpoint as dedup_clusters_star — in a real " +
+        "pipeline the cluster table is computed once and this profile, " +
+        "the canonical-keep filter, and the per-source dup-rate " +
+        "rollup all read it; the declared query recomputes it only " +
+        "because each driver key must be self-contained. The size " +
+        "histogram is also the skew report: a 10^6-member family " +
+        "showing up here is the hub that motivates the star (not " +
+        "label-propagation) algorithm."))
 }

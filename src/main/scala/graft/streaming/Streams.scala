@@ -442,6 +442,50 @@ object Streams {
       }
   }
 
+  case class GapState(day: Long, hourMask: Long, n: Long)
+  case class GapRow(event_type: String, day: String, hours_observed: Long,
+      n_events: Long, hours_missing: Long, has_gap: Boolean)
+
+  /** Streaming missed-poll monitor — the twin of batch
+    * ts_calendar_gaps its scaleNote promises. Per-type state is an
+    * open (day, 24-bit hour-presence mask, count) triple — O(1)
+    * however long the stream runs; a day finalizes when a later day's
+    * event arrives for that type (ordered-replay contract), emitting
+    * the SAME (observed, missing, alarm) row the batch rollup
+    * computes. The hour mask is the agg_bitmap_presence idea at
+    * stream granularity: presence is a bit_or, popcount is the
+    * distinct-hour count, and the gap alarm is mask ≠ full. */
+  def calendarGaps(events: Dataset[Event]): Dataset[GapRow] = {
+    import events.sparkSession.implicits._
+    val hourMs = 3600L * 1000
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[Event], state: GroupState[GapState]) =>
+          var st = state.getOption.getOrElse(GapState(Long.MinValue, 0L, 0L))
+          val out = Seq.newBuilder[GapRow]
+          def finalizeDay(): Unit = if (st.day != Long.MinValue) {
+            val observed = java.lang.Long.bitCount(st.hourMask).toLong
+            out += GapRow(typ,
+              java.time.LocalDate.ofEpochDay(st.day).toString,
+              observed, st.n, 24L - observed, observed < 24)
+            st = GapState(Long.MinValue, 0L, 0L)
+          }
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val hour = Math.floorDiv(e.ts.getTime, hourMs)
+            val day = Math.floorDiv(hour, 24L)
+            if (day != st.day) {
+              finalizeDay()
+              st = GapState(day, 0L, 0L)
+            }
+            st = GapState(st.day, st.hourMask | (1L << (hour - day * 24)), st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   /** Stream ⋈ static dimension — the schedule-enrichment join
     * [P match_ids.py]: each micro-batch joins against the broadcast
     * static side with no streaming state. */

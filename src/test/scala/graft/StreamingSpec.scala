@@ -497,6 +497,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_calendar_gaps equals batch ts_calendar_gaps on finalized days under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(400), all.drop(400))
+    val mem = MemoryStream[Streams.Event](24, spark, None)
+    val q = Streams.calendarGaps(mem.toDS()).writeStream.format("memory")
+      .queryName("t_gaps").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_gaps")
+      val lastDay = all.groupBy(_.event_type).map { case (t, es) =>
+        t -> java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(es.map(_.ts.getTime).max, 86400000L)).toString
+      }.toSeq.toDF("event_type", "last_day")
+      val batch = graft.engine.Registry.byName("ts_calendar_gaps")
+        .build(spark, sf)
+        .join(lastDay, "event_type")
+        .filter(col("day") < col("last_day"))
+        .select(col("event_type"), col("day"), col("hours_observed"),
+          col("n_events"), col("hours_missing"), col("has_gap"))
+      val st = streamed.select(col("event_type"), col("day"),
+        col("hours_observed"), col("n_events"), col("hours_missing"),
+        col("has_gap"))
+      assert(batch.exceptAll(st).isEmpty && st.exceptAll(batch).isEmpty,
+        "stream/batch calendar-gap mismatch")
+      assert(st.count() > 0, "vacuous: nothing emitted")
+    } finally q.stop()
+  }
+
   test("stream_ewma equals batch ts_ewma on finalized days under ordered replay") {
     val s = spark
     import s.implicits._
