@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.engine.{QueryDef, QueryGroup}
 import graft.functions.Gtfs
+import graft.domain.Transit
 
 /** The reference domain's one genuinely non-standard scalar family,
   * under the driver hash gate: GTFS past-midnight times (`"25:10:00"`
@@ -43,7 +44,255 @@ object TransitOps extends QueryGroup {
     Sched.map { case (t, d, dep, u) => s"($t, '$d', '$dep', '$u')" }
       .mkString(", ")
 
+  // ------------------------------------------------------------------
+  // delay_board fixture — the EP1 end-to-end corpus. One constant day
+  // of feed + schedule chosen so every branch of the pipeline carries
+  // at least one row: a late train across four polling cycles (incl. a
+  // re-poll with UNCHANGED expected time), a cancellation, a
+  // past-midnight trip on an exception-added service, an ambiguous
+  // train number (two candidate trips → unmatched), a loop trip (one
+  // trip, two calls at the station → still unique), an early train
+  // (negative delay), a train on a not-active-that-day service, one on
+  // a service REMOVED by exception that day, and a number matching no
+  // trip at all. 2017-05-20 is a Saturday.
+  // ------------------------------------------------------------------
+
+  private val BoardDay = "20170520"
+
+  /** (trip_id, service_id) — route/headsign omitted: the board never
+    * reads them, and the oracle restates only what flows through. */
+  private val BoardTrips: Seq[(String, String)] = Seq(
+    ("DUASN165109F01", "S_WEEK"), // late train, four polling cycles
+    ("DUASN134683F01", "S_WEEK"), // cancelled (Supprimé, flagged not dropped)
+    ("DUASN200100F01", "S_EXC"),  // past-midnight dep, exception-added service
+    ("DUASN555001F01", "S_WEEK"), // both contain "5550" → ambiguous
+    ("DUASN555002F01", "S_WEEK"),
+    ("DUASN777100F01", "S_WEEK"), // loop: one trip, two calls at one stop
+    ("DUASN888200F01", "S_SUN"),  // service not active on a Saturday
+    ("DUASN300400F01", "S_WEEK"), // runs ahead of schedule (negative delay)
+    ("DUASN400500F01", "S_XRM"))  // service removed by exception that day
+
+  /** (trip_id, departure_time, stop_id, stop_sequence). */
+  private val BoardStopTimes: Seq[(String, String, String, Int)] = Seq(
+    ("DUASN165109F01", "12:09:00", "StopPoint:DUA8738400", 1),
+    ("DUASN134683F01", "12:14:00", "StopPoint:DUA8738400", 1),
+    ("DUASN200100F01", "25:10:00", "StopPoint:DUA8738400", 5),
+    ("DUASN555001F01", "10:00:00", "StopPoint:DUA8739300", 1),
+    ("DUASN555002F01", "10:05:00", "StopPoint:DUA8739300", 1),
+    ("DUASN777100F01", "11:00:00", "StopPoint:DUA8739300", 1),
+    ("DUASN777100F01", "11:40:00", "StopPoint:DUA8739300", 4),
+    ("DUASN888200F01", "09:00:00", "StopPoint:DUA8739300", 1),
+    ("DUASN300400F01", "10:30:00", "StopPoint:DUA8738400", 2),
+    ("DUASN400500F01", "14:00:00", "StopPoint:DUA8738400", 1))
+
+  /** (service_id, mon..sun, start_date, end_date). */
+  private val BoardCalendar: Seq[(String, Int, Int, Int, Int, Int, Int, Int, String, String)] = Seq(
+    ("S_WEEK", 1, 1, 1, 1, 1, 1, 1, "20170101", "20171231"),
+    ("S_EXC", 0, 0, 0, 0, 0, 0, 0, "20170101", "20171231"),
+    ("S_SUN", 0, 0, 0, 0, 0, 0, 1, "20170101", "20171231"),
+    ("S_XRM", 1, 1, 1, 1, 1, 1, 1, "20170101", "20171231"))
+
+  /** (service_id, date, exception_type 1=added 2=removed). */
+  private val BoardCalendarDates: Seq[(String, String, Int)] = Seq(
+    ("S_EXC", "20170520", 1),
+    ("S_XRM", "20170520", 2),
+    ("S_WEEK", "20170521", 2)) // different day — must not affect BoardDay
+
+  /** (station_id, num, miss, term, expected wall-clock, mode R/T,
+    * etat, request_day, request_time, day_train_num). request_time is
+    * unique per (day_train_num, station) among mode-R rows, so the
+    * latest-cycle rule needs no tiebreak. All planted delays are
+    * multiples of 60 s so Spark's `div` and DuckDB's `//` agree on
+    * delay_min for negative values too. */
+  private val BoardPassages: Seq[(String, String, String, String, String, String, Option[String], String, String, String)] = Seq(
+    // four polling cycles of the late train: T forecast, then R at
+    // 12:12, then R at 12:14 Retardé, then an unchanged-expected re-poll
+    ("87384008", "165109", "POPI", "87384008", "2017-05-20 12:09:00", "T", None, "2017-05-20", "11:50", "20170520_165109"),
+    ("87384008", "165109", "POPI", "87384008", "2017-05-20 12:12:00", "R", None, "2017-05-20", "11:55", "20170520_165109"),
+    ("87384008", "165109", "POPI", "87384008", "2017-05-20 12:14:00", "R", Some("Retardé"), "2017-05-20", "12:00", "20170520_165109"),
+    ("87384008", "165109", "POPI", "87384008", "2017-05-20 12:14:00", "R", Some("Retardé"), "2017-05-20", "12:05", "20170520_165109"),
+    // cancellation: flagged on the board, not dropped
+    ("87384008", "134683", "PEBU", "87384008", "2017-05-20 12:14:00", "R", Some("Supprimé"), "2017-05-20", "12:00", "20170520_134683"),
+    // past-midnight: scheduled 25:10 on the 20th = 01:10 on the 21st
+    ("87384008", "200100", "NUIT", "87384008", "2017-05-21 01:15:00", "R", None, "2017-05-20", "23:55", "20170520_200100"),
+    // early runner: observed 2 min before schedule
+    ("87384008", "300400", "PEBU", "87384008", "2017-05-20 10:28:00", "R", None, "2017-05-20", "10:20", "20170520_300400"),
+    // no trip contains this number → unmatched → off the board
+    ("87384008", "999999", "XXXX", "87384008", "2017-05-20 13:00:00", "R", None, "2017-05-20", "12:30", "20170520_999999"),
+    // service removed by calendar_dates exception that day → unmatched
+    ("87384008", "400500", "REMV", "87384008", "2017-05-20 14:05:00", "R", None, "2017-05-20", "13:45", "20170520_400500"),
+    // ambiguous number (two candidate trips) → unmatched
+    ("87393009", "5550", "AMBI", "87393009", "2017-05-20 10:00:00", "R", None, "2017-05-20", "09:30", "20170520_5550"),
+    // loop trip: unique TRIP, two stop calls → matches first call
+    ("87393009", "777100", "LOOP", "87393009", "2017-05-20 11:05:00", "R", None, "2017-05-20", "10:30", "20170520_777100"),
+    // Sunday-only service on a Saturday → unmatched
+    ("87393009", "888200", "SUND", "87393009", "2017-05-20 09:10:00", "R", None, "2017-05-20", "08:45", "20170520_888200"))
+
+  /** Fixture passages as a DataFrame — shared by the declared query,
+    * the spec, and the streaming twin's parity test. */
+  private[graft] def boardPassagesDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    BoardPassages
+      .toDF("station_id", "num", "miss", "term", "expected", "mode",
+        "etat", "request_day", "request_time", "day_train_num")
+      .withColumn("expected_ts", to_timestamp(col("expected")))
+      .drop("expected")
+  }
+
+  /** Fixture GTFS tables: (trips, stopTimes, stops, calendar,
+    * calendarDates) in the exact shapes Transit.* consumes. */
+  private[graft] def boardGtfsDfs(spark: org.apache.spark.sql.SparkSession): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import spark.implicits._
+    val trips = BoardTrips.toDF("trip_id", "service_id")
+      .withColumn("route_id", lit("R1"))
+      .withColumn("trip_headsign", lit("HD"))
+    val stopTimes = BoardStopTimes
+      .toDF("trip_id", "departure_time", "stop_id", "stop_sequence")
+      .withColumn("arrival_time", col("departure_time"))
+    val stops = Seq(
+      ("StopPoint:DUA8738400", "Pont Cardinet"),
+      ("StopPoint:DUA8739300", "Saint-Lazare")).toDF("stop_id", "stop_name")
+    val cal = BoardCalendar.toDF("service_id", "monday", "tuesday",
+      "wednesday", "thursday", "friday", "saturday", "sunday",
+      "start_date", "end_date")
+    val cd = BoardCalendarDates.toDF("service_id", "date", "exception_type")
+    (trips, stopTimes, stops, cal, cd)
+  }
+
+  /** Fixture schedule, denormalized and calendar-filtered to BoardDay
+    * (trip_id, embedded UIC-7, stop_sequence, departure_secs) — the
+    * static dimension the streaming board joins each micro-batch. */
+  private[graft] def boardScheduleDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
+    val ext = Transit.stopTimesExt(trips, stopTimes, stops)
+    val active = Transit.activeServices(cal, cd, BoardDay)
+    ext.join(active, "service_id")
+      .select(col("trip_id"),
+        regexp_extract(col("stop_id"), "([0-9]{7})", 1).as("station7"),
+        col("stop_sequence"), col("departure_secs"))
+  }
+
+  private def boardOracle: String = {
+    val trips = BoardTrips
+      .map { case (t, s) => s"('$t','$s')" }.mkString(", ")
+    val st = BoardStopTimes
+      .map { case (t, dep, sid, seq) => s"('$t','$dep','$sid',$seq)" }
+      .mkString(", ")
+    // the oracle restates the calendar for the CONSTANT day: BoardDay
+    // is a Saturday, so only the saturday regime column participates
+    val cal = BoardCalendar
+      .map { case (s, _, _, _, _, _, sat, _, d0, d1) => s"('$s',$sat,'$d0','$d1')" }
+      .mkString(", ")
+    val cd = BoardCalendarDates
+      .map { case (s, d, e) => s"('$s','$d',$e)" }.mkString(", ")
+    val pas = BoardPassages
+      .map { case (sid, num, mi, te, ts, mode, etat, rd, rt, dtn) =>
+        val e = etat.map(v => s"'$v'").getOrElse("NULL")
+        s"('$sid','$num','$mi','$te',TIMESTAMP '$ts','$mode',$e,'$rd','$rt','$dtn')"
+      }.mkString(", ")
+    "WITH trips(trip_id, service_id) AS (VALUES " + trips + "), " +
+      "st(trip_id, departure_time, stop_id, stop_sequence) AS (VALUES " + st + "), " +
+      "cal(service_id, saturday, start_date, end_date) AS (VALUES " + cal + "), " +
+      "cd(service_id, dt, exception_type) AS (VALUES " + cd + "), " +
+      "pas(station_id, num, miss, term, expected_ts, mode, etat, request_day, request_time, day_train_num) AS (VALUES " + pas + "), " +
+      "active AS (" +
+      "SELECT service_id FROM cal WHERE saturday = 1 AND start_date <= '20170520' AND end_date >= '20170520' " +
+      "UNION SELECT service_id FROM cd WHERE dt = '20170520' AND exception_type = 1 " +
+      "EXCEPT SELECT service_id FROM cd WHERE dt = '20170520' AND exception_type = 2), " +
+      "sched AS (SELECT t.trip_id, s.stop_id, s.stop_sequence, " +
+      "CAST(split_part(s.departure_time,':',1) AS BIGINT)*3600 + " +
+      "CAST(split_part(s.departure_time,':',2) AS BIGINT)*60 + " +
+      "CAST(split_part(s.departure_time,':',3) AS BIGINT) AS dep_secs " +
+      "FROM trips t JOIN st s ON t.trip_id = s.trip_id " +
+      "JOIN active a ON t.service_id = a.service_id), " +
+      // fuzzy match: train number substring of trip_id, station UIC-7
+      // embedded in stop_id; unique-TRIP policy per passage ROW
+      // (min=max over the identity window ⇔ exactly one distinct trip),
+      // deterministic call = min (stop_sequence, dep_secs)
+      "cand AS (SELECT p.*, s.trip_id, s.stop_sequence, s.dep_secs " +
+      "FROM pas p JOIN sched s ON s.trip_id LIKE '%' || p.num || '%' " +
+      "AND substr(p.station_id, 1, 7) = regexp_extract(s.stop_id, '([0-9]{7})', 1)), " +
+      "uniq AS (SELECT * FROM (SELECT *, " +
+      "min(trip_id) OVER w = max(trip_id) OVER w AS one_trip, " +
+      "row_number() OVER (w ORDER BY stop_sequence, dep_secs) AS rn FROM cand " +
+      "WINDOW w AS (PARTITION BY station_id, num, miss, term, expected_ts, mode, etat, request_day, request_time, day_train_num)" +
+      ") WHERE one_trip AND rn = 1), " +
+      "delays AS (SELECT station_id, num, miss, term, trip_id, expected_ts, " +
+      "make_timestamp(epoch_us(TIMESTAMP '2017-05-20 00:00:00') + dep_secs*1000000) AS scheduled_ts, " +
+      "CAST((epoch_us(expected_ts) - epoch_us(TIMESTAMP '2017-05-20 00:00:00'))//1000000 - dep_secs AS BIGINT) AS delay_sec, " +
+      "coalesce(etat = 'Supprimé', FALSE) AS cancelled, request_time, day_train_num " +
+      "FROM uniq WHERE mode = 'R'), " +
+      "latest AS (SELECT * FROM (SELECT *, " +
+      "row_number() OVER (PARTITION BY day_train_num, station_id ORDER BY request_time DESC) AS cyc FROM delays) WHERE cyc = 1) " +
+      "SELECT station_id, num, miss, term, trip_id, expected_ts, scheduled_ts, delay_sec, " +
+      "CAST(delay_sec // 60 AS BIGINT) AS delay_min, cancelled " +
+      "FROM latest ORDER BY station_id, expected_ts, num"
+  }
+
   def defs: Seq[QueryDef] = Seq(
+
+    // The reference's core analytic composed END-TO-END under the hash
+    // gate — the EP1 flagship: one day's passage feed → fuzzy GTFS trip
+    // match (train-number-substring-of-trip_id + embedded-UIC-7 station
+    // + services active that day, unique-TRIP policy per passage row)
+    // → delay = observed − scheduled (GTFS past-midnight times resolved
+    // on the service day) → latest polling cycle per (day, station,
+    // train) → board-ordered output [P match_ids.py
+    // get_trip_ids_from_day_train_nums / compute_delay · query.py —
+    // SURVEY §1.1, §3.1-EP1]. Runs the SHIPPED domain transforms
+    // (Transit.stopTimesExt/activeServices/matchPassages/computeDelays
+    // — the exact code TransitSpec exercises); the oracle restates
+    // match, calendar, delay and latest-state independently in SQL, so
+    // hash equality gates the composition, not a transcription.
+    QueryDef(
+      "delay_board",
+      (spark, _) => {
+        val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
+        val passages = boardPassagesDf(spark)
+        val ext = Transit.stopTimesExt(trips, stopTimes, stops)
+        val active = Transit.activeServices(cal, cd, BoardDay)
+        val matched = Transit.matchPassages(passages, ext, active, BoardDay)
+        val delays = Transit.computeDelays(matched, BoardDay)
+        // latest polling cycle per (day_train_num, station): the
+        // associative struct-max upsert (last_state's shape) — first
+        // struct field request_time, unique per key by fixture
+        // contract, so no tiebreak field ever decides
+        delays
+          .groupBy("day_train_num", "station_id")
+          .agg(max(struct(
+            col("request_time").as("rt"),
+            col("expected_ts").as("ts"), col("scheduled_ts").as("sc"),
+            col("delay_sec").as("d"), col("cancelled").as("c"),
+            col("num").as("n"), col("miss").as("mi"), col("term").as("te"),
+            col("trip_id").as("tr"))).as("s"))
+          .select(col("station_id"),
+            col("s.n").as("num"), col("s.mi").as("miss"),
+            col("s.te").as("term"), col("s.tr").as("trip_id"),
+            col("s.ts").as("expected_ts"), col("s.sc").as("scheduled_ts"),
+            col("s.d").as("delay_sec"),
+            expr("s.d div 60").as("delay_min"),
+            col("s.c").as("cancelled"))
+          .orderBy("station_id", "expected_ts", "num")
+      },
+      Some(boardOracle),
+      scaleNote = "The per-day passage batch is the SMALL side " +
+        "(|stations|×|trains|×|polling cycles| — a few million rows " +
+        "for a national network) and is broadcast into the contains-" +
+        "join against the big denormalized schedule, which never " +
+        "moves; candidate fan-out is bounded by trips-per-(number, " +
+        "station), a physical constant. The unique-match window " +
+        "partitions by passage identity (pre-shuffled by the " +
+        "candidate join's key already), the latest-state fold is an " +
+        "associative struct-max groupBy that combines map-side across " +
+        "polling files, and the board output is |day×station×train|-" +
+        "bounded. At a year of history, service_day becomes the " +
+        "partition key end-to-end (fn_gtfs_day's cutover rule keeps " +
+        "past-midnight rows in their service day's partition) and the " +
+        "whole DAG runs per-day-partition-parallel with zero cross-" +
+        "day shuffle — the reference runs this incrementally per " +
+        "polling cycle; the streaming twin is stream_delay_board " +
+        "(Streams.delayBoard).",
+    ),
 
     // Per scheduled stop: seconds-since-service-day-start, the
     // round-tripped GTFS string (gtfsTime ∘ gtfsSeconds must be

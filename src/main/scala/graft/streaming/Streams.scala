@@ -431,6 +431,14 @@ object Streams {
           }
           for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
             val d = Math.floorDiv(e.ts.getTime, dayMs)
+            // ordered-replay contract is ENFORCED, not just documented:
+            // a micro-batch delivering a day older than the open day
+            // (i.e. at or before a finalized one) would silently append
+            // days to hist out of order and bit-corrupt every later
+            // finalized EWMA — fail loudly instead
+            if (st.day != Long.MinValue && d < st.day)
+              throw new IllegalStateException(
+                s"stream_ewma replay-order violation for '$typ': day $d after open day ${st.day}")
             if (d != st.day) {
               finalizeDay()
               st = EwmaState(d, 0L, st.hist)
@@ -475,6 +483,12 @@ object Streams {
           for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
             val hour = Math.floorDiv(e.ts.getTime, hourMs)
             val day = Math.floorDiv(hour, 24L)
+            // enforce the ordered-replay contract (see ewma): a day at
+            // or before the open one after finalization would re-emit
+            // that day with a fresh mask — a silent duplicate row
+            if (st.day != Long.MinValue && day < st.day)
+              throw new IllegalStateException(
+                s"stream_calendar_gaps replay-order violation for '$typ': day $day after open day ${st.day}")
             if (day != st.day) {
               finalizeDay()
               st = GapState(day, 0L, 0L)
@@ -491,6 +505,107 @@ object Streams {
     * static side with no streaming state. */
   def joinStatic(events: DataFrame, dim: DataFrame): DataFrame =
     events.join(broadcast(dim), Seq("user_id"), "left")
+
+  /** One polling-cycle passage record (batch delay_board's input row). */
+  case class Passage(station_id: String, num: String, miss: String,
+      term: String, expected_ts: java.sql.Timestamp, mode: String,
+      etat: String, request_day: String, request_time: String,
+      day_train_num: String)
+
+  /** A passage with its schedule match candidate attached. */
+  case class PassageCand(station_id: String, num: String, miss: String,
+      term: String, expected_ts: java.sql.Timestamp, mode: String,
+      etat: String, request_day: String, request_time: String,
+      day_train_num: String, trip_id: String, stop_sequence: Int,
+      departure_secs: Long)
+
+  /** One live board entry — the streaming twin of a batch delay_board
+    * output row, plus the request_time that versioned it. */
+  case class BoardRow(station_id: String, day_train_num: String,
+      num: String, miss: String, term: String, trip_id: String,
+      expected_ts: java.sql.Timestamp, scheduled_ts: java.sql.Timestamp,
+      delay_sec: Long, delay_min: Long, cancelled: Boolean,
+      request_time: String)
+
+  /** The LIVE departure board — streaming twin of the batch
+    * delay_board flagship, and the closest thing to what the reference
+    * actually runs in production (each polling cycle matched, delayed,
+    * and upserted into the keyed store [P extract_api.py
+    * operate_one_cycle · utils_dynamo.py]).
+    *
+    * Shape: stream ⋈ static fuzzy contains-join against the broadcast
+    * denormalized schedule (stateless per micro-batch — joinStatic's
+    * shape with the non-equi condition the trip match needs), then
+    * flatMapGroupsWithState keyed by (station, day_train_num) folds
+    * cycles into latest-state board rows (stream_last_state's shape).
+    * Inside the group fn, candidates regroup by FULL passage identity
+    * and apply the batch unique-TRIP policy: >1 distinct candidate
+    * trip → the cycle is discarded; the surviving match is the
+    * deterministic (stop_sequence, departure_secs) minimum; only
+    * observed (mode=R) cycles reach the board; delay arithmetic
+    * mirrors Transit.computeDelays exactly (UTC service-day start +
+    * departure_secs, truncating /60 for minutes — all delays are
+    * minute-multiples in the parity fixture). A board row is emitted
+    * only when the key's latest state CHANGES (Update mode), so
+    * re-polls with no news are silent — per-key state is ONE row
+    * however long the feed runs. */
+  def delayBoard(passages: Dataset[Passage], sched: DataFrame): Dataset[BoardRow] = {
+    import passages.sparkSession.implicits._
+    val cand = passages.toDF()
+      .join(broadcast(sched),
+        col("trip_id").contains(col("num")) &&
+          col("station7") === substring(col("station_id"), 1, 7),
+        "inner")
+      .select(col("station_id"), col("num"), col("miss"), col("term"),
+        col("expected_ts"), col("mode"), col("etat"), col("request_day"),
+        col("request_time"), col("day_train_num"), col("trip_id"),
+        col("stop_sequence").cast("int").as("stop_sequence"),
+        col("departure_secs").cast("long").as("departure_secs"))
+      .as[PassageCand]
+    cand
+      .groupByKey(c => (c.station_id, c.day_train_num))
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (key: (String, String), it: Iterator[PassageCand],
+            state: GroupState[BoardRow]) =>
+          val (station, dtn) = key
+          val resolved = it.toSeq
+            .groupBy(c => (c.request_time, c.expected_ts.getTime, c.mode,
+              Option(c.etat), c.num, c.miss, c.term, c.request_day))
+            .toSeq.flatMap { case (_, cs) =>
+              val trips = cs.map(_.trip_id).distinct
+              if (trips.size != 1) None // ambiguous → off the board
+              else {
+                val c = cs.minBy(x => (x.stop_sequence, x.departure_secs))
+                if (c.mode != "R") None // forecast cycles never board
+                else {
+                  val dayStart = java.time.LocalDate.parse(c.request_day)
+                    .atStartOfDay(java.time.ZoneOffset.UTC).toEpochSecond
+                  val schedSec = dayStart + c.departure_secs
+                  val delay = c.expected_ts.getTime / 1000L - schedSec
+                  Some(BoardRow(station, dtn, c.num, c.miss, c.term,
+                    c.trip_id, c.expected_ts,
+                    new java.sql.Timestamp(schedSec * 1000L),
+                    delay, delay / 60L, c.etat == "Supprimé",
+                    c.request_time))
+                }
+              }
+            }
+          val all = state.getOption.toSeq ++ resolved
+          if (all.isEmpty) Iterator.empty
+          else {
+            val latest = all.maxBy(_.request_time)
+            // content-based change detection: a re-poll that moved only
+            // the version stamp (request_time) is NOT news — the board
+            // stays silent, exactly like the keyed-store upsert whose
+            // write is a no-op. State still advances to the new stamp.
+            val changed = !state.getOption
+              .exists(_.copy(request_time = latest.request_time) == latest)
+            state.update(latest)
+            if (changed) Iterator.single(latest) else Iterator.empty
+          }
+      }
+  }
 
   /** Stream ⋈ stream interval join — observation↔observation
     * correlation (e.g. a click followed by a purchase within 30 min,

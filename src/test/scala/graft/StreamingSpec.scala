@@ -568,4 +568,53 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() <= nTypes * nDays)
     } finally q.stop()
   }
+
+  test("stream_delay_board equals batch delay_board under ordered replay") {
+    val s = spark
+    import s.implicits._
+    // the batch flagship's own fixture replayed as the polling feed,
+    // in request-time order (the reference polls chronologically)
+    val pas = graft.queries.TransitOps.boardPassagesDf(spark)
+      .collect().map(r => Streams.Passage(
+        r.getAs[String]("station_id"), r.getAs[String]("num"),
+        r.getAs[String]("miss"), r.getAs[String]("term"),
+        r.getAs[Timestamp]("expected_ts"), r.getAs[String]("mode"),
+        r.getAs[String]("etat"), r.getAs[String]("request_day"),
+        r.getAs[String]("request_time"), r.getAs[String]("day_train_num")))
+      .sortBy(p => (p.request_day, p.request_time))
+    val sched = graft.queries.TransitOps.boardScheduleDf(spark)
+      .localCheckpoint(true) // static dim: plan once, not per micro-batch
+    // slice boundaries chosen so the late train's cycles SPAN batches:
+    // [.., 11:50 T] | [11:55 R delay 180] | [12:00 R delay 300,
+    // 134683, 12:05 no-news re-poll] | [rest]
+    val slices = Seq(pas.take(5), pas.slice(5, 6), pas.slice(6, 9), pas.drop(9))
+    val mem = MemoryStream[Streams.Passage](25, spark, None)
+    val q = Streams.delayBoard(mem.toDS(), sched).writeStream
+      .format("memory").queryName("t_delay_board")
+      .outputMode("update").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      // final board = the latest update per (station, day_train_num)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("station_id", "day_train_num")
+        .orderBy(col("request_time").desc)
+      val boardCols = Seq("station_id", "num", "miss", "term", "trip_id",
+        "expected_ts", "scheduled_ts", "delay_sec", "delay_min", "cancelled")
+      val streamed = spark.table("t_delay_board")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(boardCols.map(col): _*)
+      val batch = graft.engine.Registry.byName("delay_board")
+        .build(spark, sf).select(boardCols.map(col): _*)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch delay-board mismatch")
+      assert(streamed.count() == 5, "the 5 matched R-trains must board")
+      // exactly 6 updates: the late train emitted twice (delay 180 at
+      // 11:55, then 300 at 12:00) and each other matched train once —
+      // the 12:05 no-news re-poll proven SILENT (7 would mean it leaked)
+      val emitted = spark.table("t_delay_board").count()
+      assert(emitted == 6,
+        s"expected 6 incremental updates (no-news re-poll silent), got $emitted")
+    } finally q.stop()
+  }
 }

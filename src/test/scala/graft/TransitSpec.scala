@@ -168,4 +168,45 @@ class TransitSpec extends SparkSpec {
     // 134683 is Supprimé → excluded; expect 165109 (12:14), 999999 (13:00), 200100 (01:15 next day)
     assert(board.map(_.getAs[String]("num")).toSeq == Seq("165109", "999999", "200100"))
   }
+
+  // --- the declared delay_board flagship over its planted fixture ---
+
+  test("delay_board: planted late/cancelled/past-midnight/early/loop rows land; unmatched stay off") {
+    val out = graft.engine.Registry.byName("delay_board")
+      .build(spark, "").collect()
+    val byNum = out.map(r => r.getAs[String]("num") -> r).toMap
+    assert(out.length == 5, s"board must carry exactly the 5 matched R-trains, got ${out.length}")
+    // late train: the LATEST polling cycle (12:05 re-poll, expected
+    // 12:14) wins; delay vs the 12:09 schedule is 300 s
+    val late = byNum("165109")
+    assert(late.getAs[Timestamp]("expected_ts") == ts("2017-05-20 12:14:00"))
+    assert(late.getAs[Long]("delay_sec") == 300L)
+    assert(late.getAs[Long]("delay_min") == 5L)
+    assert(!late.getAs[Boolean]("cancelled"))
+    assert(late.getAs[String]("trip_id") == "DUASN165109F01")
+    // cancellation: flagged, not dropped
+    val cancelled = byNum("134683")
+    assert(cancelled.getAs[Boolean]("cancelled"))
+    assert(cancelled.getAs[Long]("delay_sec") == 0L)
+    // past-midnight: scheduled 25:10 on the 20th = 01:10 on the 21st
+    val night = byNum("200100")
+    assert(night.getAs[Timestamp]("scheduled_ts") == ts("2017-05-21 01:10:00"))
+    assert(night.getAs[Long]("delay_sec") == 300L)
+    // early runner: negative delay, minute floor consistent
+    val early = byNum("300400")
+    assert(early.getAs[Long]("delay_sec") == -120L)
+    assert(early.getAs[Long]("delay_min") == -2L)
+    // loop trip: unique TRIP with two calls — matched on the first call
+    val loop = byNum("777100")
+    assert(loop.getAs[Timestamp]("scheduled_ts") == ts("2017-05-20 11:00:00"))
+    assert(loop.getAs[Long]("delay_sec") == 300L)
+    // unmatched / ambiguous / inactive-service / removed-service rows
+    // must never reach the board
+    assert(Set("999999", "5550", "888200", "400500")
+      .intersect(byNum.keySet).isEmpty)
+    // board order: per station, ascending expected time
+    val st84 = out.filter(_.getAs[String]("station_id") == "87384008")
+      .map(_.getAs[String]("num")).toSeq
+    assert(st84 == Seq("300400", "134683", "165109", "200100"))
+  }
 }
