@@ -11,6 +11,18 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver parses the LAST stdout line of `sbt runMain
+// graft.Bench` as JSON. Six rounds of BENCH_r0N recorded parsed:null
+// because (a) sbt logs forked output with an "[info] " prefix and
+// (b) prints its own "[success] Total time..." epilogue after the
+// child exits — so the last line was never the summary. StdoutOutput
+// passes child stdout through verbatim; showSuccess drops the
+// epilogue (the driver gates on exit code, which is unaffected).
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is read by sbt's command engine, not a task — exclude it
+// from the unused-key lint
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -90,11 +90,23 @@ object Bench {
     // slowest keys (~700 bytes, the ones the perf gate actually looks
     // at). The complete per-query detail survives in bench.json and
     // bench_queries.jsonl regardless.
+    //
+    // r7: the r6 tail finally showed WHY the last-line parse keeps
+    // failing — the compact line arrived as "[info] {...}" with sbt's
+    // own "[success] Total time..." epilogue AFTER it. Both are
+    // sbt-side artifacts (run is forked, so a System.exit here can't
+    // suppress them); the fix is in build.sbt — showSuccess := false
+    // drops the epilogue and run/outputStrategy := StdoutOutput passes
+    // child stdout through unprefixed. Order here: stop Spark FIRST,
+    // then print the compact line, flush, and exit — nothing can write
+    // to stdout after it.
     println(line)
+    spark.stop()
     val top = results.toSeq.sortBy(-_._2).take(20)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$top,"sf":"$sfDir","detail":"bench.json"}""")
-    spark.stop()
+    System.out.flush()
+    System.exit(0)
   }
 }

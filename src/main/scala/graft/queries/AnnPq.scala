@@ -100,13 +100,17 @@ object AnnPq extends QueryGroup {
       update(sub, encode(sub, books))
     }
 
-  /** Codebook training sample bound: Lloyd runs on the first
-    * `TrainSample` vectors by vec_id. 16× the 128 cells — ample for
-    * 16-way subspace k-means, and the FAISS-documented practice
-    * (codebooks are trained on a bounded sample at ANY index size;
-    * training on 100 TB would spend a cluster to move centroids by
-    * noise). At the dev SFs ≤ 0.01 the sample covers the whole
-    * corpus, so the result is bit-identical to [[train]]. */
+  /** Codebook training sample bound: Lloyd runs on `TrainSample`
+    * vectors — the Kc seed vectors (vec_id < Kc, matching [[seed]])
+    * plus a HASHED SPREAD of the rest (xxhash64 order, so the sample
+    * is uncorrelated with vec_id however ids cluster — a head-of-table
+    * sample would bias the codebooks wherever vec_id correlates with
+    * cluster structure, the r6 ADVICE case). 16× the 128 cells —
+    * ample for 16-way subspace k-means, and the FAISS-documented
+    * practice (codebooks are trained on a bounded sample at ANY index
+    * size; training on 100 TB would spend a cluster to move centroids
+    * by noise). Whenever the corpus fits inside the bound the sample
+    * IS the corpus, so the result is bit-identical to [[train]]. */
   val TrainSample = 2048L
 
   /** Driver-local joint Lloyd over the bounded training sample: ONE
@@ -121,8 +125,17 @@ object AnnPq extends QueryGroup {
     * full-coverage corpus. */
   def trainLocalBooks(spark: SparkSession, sub: DataFrame,
       iters: Int = Iters): DataFrame = {
-    val sample = sub.filter(col("vec_id") < TrainSample)
-      .select(col("vec_id"), col("m"), col("sqv")).collect()
+    // one TakeOrdered action fetches the sample: seed vectors first
+    // (so [[seed]]'s vec_id < Kc rule holds at ANY coverage), then the
+    // corpus in xxhash64(vec_id) order — a deterministic spread that
+    // cannot correlate with insertion order. Each vector carries
+    // exactly M subvector rows, so limit(TrainSample·M) cuts on a
+    // whole-vector boundary.
+    val sample = sub.select(col("vec_id"), col("m"), col("sqv"))
+      .orderBy((col("vec_id") >= Kc).asc,
+        xxhash64(col("vec_id")).asc, col("vec_id").asc, col("m").asc)
+      .limit((TrainSample * M).toInt)
+      .collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
     def dot(a: Array[Long], b: Array[Long]): Long = {
       var s = 0L; var i = 0

@@ -75,7 +75,7 @@ object GraphOps extends QueryGroup {
     * combined collect_set measured 4.7 → 2.6 s warm at sf0.1). */
   def triangleCounts(e0: DataFrame): DataFrame = {
     // the raw pair stream feeds both symmetrization branches:
-    // materialize once so the upstream build (for graft_triangles the
+    // materialize once so the upstream build (for graph_triangles the
     // per-order pair explode) runs once, not twice. (r6 A/B note: a
     // one-pass explode-of-2-structs symmetrization that drops this
     // checkpoint, sizes from the adjacency sum, and derives the

@@ -452,7 +452,13 @@ class OperatorPropertiesSpec extends SparkSpec {
 
   test("agg_bitmap_presence: popcount equals countDistinct(day) per user") {
     val out = run("agg_bitmap_presence")
+    // mirror the operator's anchored 64-day window on the truth side,
+    // so this pins the op's contract, not a fixture property (an event
+    // outside the window must not flip the test)
     val truth = graft.engine.Tables.loadEvents(spark, sf)
+      .withColumn("d", datediff(col("ts").cast("date"),
+        lit("2024-01-01").cast("date")))
+      .filter(col("d") >= 0 && col("d") < 64)
       .groupBy("user_id")
       .agg(countDistinct(col("ts").cast("date")).as("true_days"))
     assert(out.join(truth, "user_id")
