@@ -304,7 +304,15 @@ object PipelineOps extends QueryGroup {
         // minhash/collect_set path and required by the containment
         // counts, so the shared table is the distinct one
         // doc_id-partitioned (see evalOverlap's note): the signature,
-        // token-set, and n_sh aggregations all become exchange-free
+        // token-set, and n_sh aggregations all become exchange-free.
+        // (r7 plan audit: this whole build compiles to ONE Exchange —
+        // the shingle window's — because doc_id partitioning satisfies
+        // the (doc_id, sh) distinct's clustering requirement and the
+        // planner elides the then-redundant explicit repartition; a
+        // repartition+dropDuplicates rewrite and a persist-based
+        // clustersAuto variant were both A/B'd at sf0.1 and won
+        // nothing — remaining warm variance tracks box state, see
+        // NearDup.editNearestNeighbor's r7 drift adjudication.)
         val sh = NearDup.shingleRows(docs).distinct()
           .repartition(col("doc_id")).localCheckpoint(false)
         // size-adaptive components, not the label-propagation loop:
