@@ -172,7 +172,12 @@ object TransitOps extends QueryGroup {
         col("stop_sequence"), col("departure_secs"))
   }
 
-  private def boardOracle: String = {
+  /** The oracle CTE chain shared by every board-family key: VALUES
+    * restatements of the fixture, active-services set, denormalized
+    * schedule, fuzzy candidates, unique-trip resolution, delay rows,
+    * latest polling cycle. Ends after `latest` — each key appends its
+    * own final SELECT. */
+  private def boardOracleCtes: String = {
     val trips = BoardTrips
       .map { case (t, s) => s"('$t','$s')" }.mkString(", ")
     val st = BoardStopTimes
@@ -223,10 +228,42 @@ object TransitOps extends QueryGroup {
       "coalesce(etat = 'Supprimé', FALSE) AS cancelled, request_time, day_train_num " +
       "FROM uniq WHERE mode = 'R'), " +
       "latest AS (SELECT * FROM (SELECT *, " +
-      "row_number() OVER (PARTITION BY day_train_num, station_id ORDER BY request_time DESC) AS cyc FROM delays) WHERE cyc = 1) " +
-      "SELECT station_id, num, miss, term, trip_id, expected_ts, scheduled_ts, delay_sec, " +
+      "row_number() OVER (PARTITION BY day_train_num, station_id ORDER BY request_time DESC) AS cyc FROM delays) WHERE cyc = 1)"
+  }
+
+  private def boardOracle: String =
+    boardOracleCtes +
+      " SELECT station_id, num, miss, term, trip_id, expected_ts, scheduled_ts, delay_sec, " +
       "CAST(delay_sec // 60 AS BIGINT) AS delay_min, cancelled " +
       "FROM latest ORDER BY station_id, expected_ts, num"
+
+  /** Spark side of the shared board state: fixture → match → delays →
+    * latest polling cycle per (day_train_num, station) via the
+    * associative struct-max upsert (last_state's shape) — first
+    * struct field request_time, unique per key by fixture contract, so
+    * no tiebreak field ever decides. Unordered; each key orders. */
+  private def boardLatestDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
+    val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
+    val passages = boardPassagesDf(spark)
+    val ext = Transit.stopTimesExt(trips, stopTimes, stops)
+    val active = Transit.activeServices(cal, cd, BoardDay)
+    val matched = Transit.matchPassages(passages, ext, active, BoardDay)
+    val delays = Transit.computeDelays(matched, BoardDay)
+    delays
+      .groupBy("day_train_num", "station_id")
+      .agg(max(struct(
+        col("request_time").as("rt"),
+        col("expected_ts").as("ts"), col("scheduled_ts").as("sc"),
+        col("delay_sec").as("d"), col("cancelled").as("c"),
+        col("num").as("n"), col("miss").as("mi"), col("term").as("te"),
+        col("trip_id").as("tr"))).as("s"))
+      .select(col("station_id"),
+        col("s.n").as("num"), col("s.mi").as("miss"),
+        col("s.te").as("term"), col("s.tr").as("trip_id"),
+        col("s.ts").as("expected_ts"), col("s.sc").as("scheduled_ts"),
+        col("s.d").as("delay_sec"),
+        expr("s.d div 60").as("delay_min"),
+        col("s.c").as("cancelled"))
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -246,34 +283,8 @@ object TransitOps extends QueryGroup {
     // hash equality gates the composition, not a transcription.
     QueryDef(
       "delay_board",
-      (spark, _) => {
-        val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
-        val passages = boardPassagesDf(spark)
-        val ext = Transit.stopTimesExt(trips, stopTimes, stops)
-        val active = Transit.activeServices(cal, cd, BoardDay)
-        val matched = Transit.matchPassages(passages, ext, active, BoardDay)
-        val delays = Transit.computeDelays(matched, BoardDay)
-        // latest polling cycle per (day_train_num, station): the
-        // associative struct-max upsert (last_state's shape) — first
-        // struct field request_time, unique per key by fixture
-        // contract, so no tiebreak field ever decides
-        delays
-          .groupBy("day_train_num", "station_id")
-          .agg(max(struct(
-            col("request_time").as("rt"),
-            col("expected_ts").as("ts"), col("scheduled_ts").as("sc"),
-            col("delay_sec").as("d"), col("cancelled").as("c"),
-            col("num").as("n"), col("miss").as("mi"), col("term").as("te"),
-            col("trip_id").as("tr"))).as("s"))
-          .select(col("station_id"),
-            col("s.n").as("num"), col("s.mi").as("miss"),
-            col("s.te").as("term"), col("s.tr").as("trip_id"),
-            col("s.ts").as("expected_ts"), col("s.sc").as("scheduled_ts"),
-            col("s.d").as("delay_sec"),
-            expr("s.d div 60").as("delay_min"),
-            col("s.c").as("cancelled"))
-          .orderBy("station_id", "expected_ts", "num")
-      },
+      (spark, _) =>
+        boardLatestDf(spark).orderBy("station_id", "expected_ts", "num"),
       Some(boardOracle),
       scaleNote = "The per-day passage batch is the SMALL side " +
         "(|stations|×|trains|×|polling cycles| — a few million rows " +
@@ -293,6 +304,82 @@ object TransitOps extends QueryGroup {
         "polling cycle; the streaming twin is stream_delay_board " +
         "(Streams.delayBoard).",
     ),
+
+    // EP3 under the gate: the serving query behind the dashboard —
+    // next-N departures for one station at/after a time, from the
+    // latest polling state [P query.py station_trips_stops — SURVEY
+    // §3.1-EP3]. Runs the SHIPPED Transit.lastPassageState (the
+    // associative Dynamo-upsert analog) and Transit.stationBoard (the
+    // filter/order/limit serving shape) over the flagship's passage
+    // fixture; the oracle restates last-cycle-wins and the board rule
+    // independently. Cancelled trains are EXCLUDED here (a rider-
+    // facing board) where delay_board keeps them flagged (an
+    // analytics manifest) — both policies of the reference.
+    QueryDef(
+      "station_board_next",
+      (spark, _) =>
+        Transit.stationBoard(
+          Transit.lastPassageState(boardPassagesDf(spark)),
+          "87384008",
+          java.sql.Timestamp.from(java.time.Instant.parse("2017-05-20T12:00:00Z")),
+          5),
+      Some(boardOracleCtes +
+        ", last AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY day_train_num, station_id " +
+        "ORDER BY request_day DESC, request_time DESC) AS rn FROM pas) WHERE rn = 1) " +
+        "SELECT day_train_num, station_id, expected_ts, mode, etat, num, miss, term FROM last " +
+        "WHERE station_id = '87384008' AND expected_ts >= TIMESTAMP '2017-05-20 12:00:00' " +
+        "AND (etat IS NULL OR etat <> 'Supprimé') " +
+        "ORDER BY expected_ts, num LIMIT 5"),
+      scaleNote = "The serving path: latest-state is one associative " +
+        "struct-max groupBy (map-side-combined, skew-immune — a hot " +
+        "station is still one row per train), and the board query " +
+        "compiles to TakeOrderedAndProject over a station-pruned " +
+        "scan. In production the state table is written partitioned " +
+        "by station_id (or served from the keyed store the streaming " +
+        "twin maintains), so a board read touches one partition and " +
+        "returns N rows — O(1) whatever the network size. The " +
+        "time-and-cancellation predicate is codegen'd scalar logic " +
+        "pushed to the scan."),
+
+    // The per-line delay dashboard [P query.py + notebooks]: mission-
+    // level reliability stats over the latest board state — train
+    // count, cancellations, mean/max delay over running trains, and
+    // the ≤60 s on-time rate. The one float op per stat is a single
+    // division/avg on exact integer sums, rounded to 4 decimals on
+    // both engines (the avgDec4 discipline).
+    QueryDef(
+      "delay_line_stats",
+      (spark, _) => {
+        val b = boardLatestDf(spark)
+        val run = when(!col("cancelled"), col("delay_sec"))
+        b.groupBy("miss").agg(
+          count(lit(1)).as("n_trains"),
+          sum(col("cancelled").cast("long")).as("n_cancelled"),
+          round(avg(run), 4).as("avg_delay_sec"),
+          max(run).as("max_delay_sec"),
+          round(
+            sum(when(!col("cancelled") && col("delay_sec") <= 60, 1L)
+              .otherwise(0L)).cast("double") /
+              sum(when(!col("cancelled"), 1L).otherwise(0L)).cast("double"),
+            4).as("on_time_rate"))
+          .orderBy("miss")
+      },
+      Some(boardOracleCtes +
+        " SELECT miss, count(*) AS n_trains, " +
+        "CAST(sum(CASE WHEN cancelled THEN 1 ELSE 0 END) AS BIGINT) AS n_cancelled, " +
+        "round(avg(CASE WHEN NOT cancelled THEN delay_sec END), 4) AS avg_delay_sec, " +
+        "max(CASE WHEN NOT cancelled THEN delay_sec END) AS max_delay_sec, " +
+        "round(CAST(sum(CASE WHEN NOT cancelled AND delay_sec <= 60 THEN 1 ELSE 0 END) AS DOUBLE) / " +
+        "sum(CASE WHEN NOT cancelled THEN 1 ELSE 0 END), 4) AS on_time_rate " +
+        "FROM latest GROUP BY miss ORDER BY miss"),
+      scaleNote = "One map-side-combined hash agg over the board state " +
+        "(itself |day×station×train|-bounded, ≪ the raw polling " +
+        "volume): the wire carries |missions| partial rows. Every " +
+        "stat is integer arithmetic until one final division/avg per " +
+        "group, so re-partitioning cannot move a value. A year-long " +
+        "dashboard is the same agg over the service_day-partitioned " +
+        "state table with day pruning — the reference's per-day " +
+        "Dynamo scans, replaced by one columnar rollup."),
 
     // Per scheduled stop: seconds-since-service-day-start, the
     // round-tripped GTFS string (gtfsTime ∘ gtfsSeconds must be
