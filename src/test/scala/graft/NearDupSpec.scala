@@ -43,6 +43,29 @@ class NearDupSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("jac") == 1.0)
   }
 
+  test("containment finds a doc embedded in a 4x-longer one that Jaccard misses") {
+    // doc 2 = doc 1 quoted whole inside 3 unrelated parts: C(1,2) ≈ 1
+    // while J = |A|/|B| ≈ 0.25 — below any useful Jaccard threshold
+    val short = synthDoc(42)
+    val long = Seq(synthDoc(500), short, synthDoc(600), synthDoc(700))
+      .mkString(" ")
+    val docs = mkDocs(Seq(
+      (1L, short), (2L, long), (3L, synthDoc(800)), (4L, synthDoc(900))))
+    val cont = NearDup.containmentPairs(docs)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        r.getAs[Double]("containment"))).toMap
+    assert(cont.contains((1L, 2L)), s"embedded doc missed: $cont")
+    assert(cont((1L, 2L)) >= 0.9, s"containment too low: ${cont((1L, 2L))}")
+    // the same pair is invisible to symmetric Jaccard at tau=0.5
+    val jac = NearDup.nearDupPairs(docs, 0.5)
+      .select("id1", "id2").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jac.contains((1L, 2L)),
+      "fixture defect: pair visible to Jaccard, containment adds nothing")
+    // no false positives among the unrelated docs
+    assert(cont.keySet.forall(_ == ((1L, 2L))), s"false positives: $cont")
+  }
+
   test("100% recall vs exact blocked Jaccard ground truth at sf0.001") {
     val docs = graft.engine.Tables.documents(spark, sf)
     // exact ground truth: all-pairs 3-gram-shingle jaccard ≥ 0.5
