@@ -43,6 +43,37 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(plan("tfidf_keywords").contains("WindowGroupLimit"))
   }
 
+  test("delay_board's fuzzy match is an equi-anchored broadcast join (no cartesian, no loop join)") {
+    val p = plan("delay_board")
+    // Catalyst extracts the UIC-7 station equality out of the
+    // (contains ∧ station-match) condition and anchors a
+    // BroadcastHashJoin on it, leaving the train-number contains as a
+    // post-join filter — strictly better than the nested loop the
+    // non-equi condition naively implies, and the passage batch is
+    // the broadcast side
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1200))
+    // the latest-cycle fold is the associative struct-max, not a
+    // window sort over polling history
+    assert(p.contains("partial_max"), p.take(1200))
+  }
+
+  test("station_board_next compiles to TakeOrderedAndProject over the state (no global sort)") {
+    val p = plan("station_board_next")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    // last-cycle-wins is the struct-max agg, not a ranking window
+    assert(p.contains("partial_max"), p.take(1200))
+    assert(!p.contains("WindowExec"), p.take(1200))
+  }
+
+  test("dedup_containment joins on the shingle hash only (no cartesian, 2-phase counts)") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p.take(1200))
+    assert(p.contains("partial_count"), p.take(1200))
+  }
+
   test("merge_scd2 shares ONE hash exchange across both windows and the agg") {
     // hashpartitioning(user_id) from the first window must satisfy the
     // (user_id, version, event_type) groupBy AND the byVersion window —
