@@ -140,4 +140,50 @@ class StreamingRobustnessSpec extends SparkSpec {
       assert(ids.head == 0 && ids.last == 499)
     } finally q2.stop()
   }
+
+  test("stream_delay_board converges to the batch board under SHUFFLED replay (disorder-tolerant fold)") {
+    // unlike the day-bucketed monitors (ewma/calendar_gaps), the board
+    // fold is latest-by-request_time over FULL state — an old cycle
+    // arriving after a newer one is simply outvoted, so the final
+    // state must equal batch under ANY arrival order, not just the
+    // ordered-replay contract
+    val s = spark
+    import s.implicits._
+    val pas0 = graft.queries.TransitOps.boardPassagesDf(spark)
+      .collect().map(r => graft.streaming.Streams.Passage(
+        r.getAs[String]("station_id"), r.getAs[String]("num"),
+        r.getAs[String]("miss"), r.getAs[String]("term"),
+        r.getAs[java.sql.Timestamp]("expected_ts"), r.getAs[String]("mode"),
+        r.getAs[String]("etat"), r.getAs[String]("request_day"),
+        r.getAs[String]("request_time"), r.getAs[String]("day_train_num")))
+    // deterministic shuffle: hash order scrambles request-time order
+    // (the 12:05 re-poll can land before the 11:55 cycle)
+    val pas = pas0.sortBy(p => (p.request_time.hashCode * 2654435761L
+      + p.num.hashCode).abs)
+    val sched = graft.queries.TransitOps.boardScheduleDf(spark)
+      .localCheckpoint(true)
+    val slices = Seq(pas.take(3), pas.slice(3, 7), pas.drop(7))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streams.Passage](26, spark, None)
+    val q = graft.streaming.Streams.delayBoard(mem.toDS(), sched)
+      .writeStream.format("memory").queryName("t_board_shuffled")
+      .outputMode("update").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("station_id", "day_train_num")
+        .orderBy(col("request_time").desc)
+      val cols = Seq("station_id", "num", "miss", "term", "trip_id",
+        "expected_ts", "scheduled_ts", "delay_sec", "delay_min", "cancelled")
+      val streamed = spark.table("t_board_shuffled")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(cols.map(col): _*)
+      val batch = graft.engine.Registry.byName("delay_board")
+        .build(spark, sf).select(cols.map(col): _*)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "shuffled-replay board diverged from batch")
+      assert(streamed.count() == 5)
+    } finally q.stop()
+  }
 }
