@@ -172,6 +172,20 @@ object Transit {
         col("s.e").as("etat"), col("s.n").as("num"),
         col("s.mi").as("miss"), col("s.te").as("term"))
 
+  /** EP3 — the ordered stop calls of one trip on a service day
+    * [P query.py `trip_stops`]: the dashboard's per-train detail view.
+    * Only trips whose service is active that day serve rows (a
+    * trip_id query on an off-day returns empty, like the reference's
+    * services-of-day filter). */
+  def tripStops(ext: DataFrame, active: DataFrame, tripId: String,
+      day: String): DataFrame =
+    ext.join(active, "service_id")
+      .filter(col("trip_id") === tripId)
+      .select(col("stop_sequence"), col("stop_id"), col("stop_name"),
+        col("departure_time"),
+        scheduledTs(day, col("departure_secs")).as("scheduled_ts"))
+      .orderBy("stop_sequence")
+
   /** EP3 — next-N departures from a station at/after `t`, soonest
     * first: the serving query behind the dashboard. */
   def stationBoard(state: DataFrame, stationId: String,

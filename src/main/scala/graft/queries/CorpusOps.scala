@@ -442,5 +442,96 @@ object CorpusOps extends QueryGroup {
         "by term: the sorted-run layout IS the index, and head-K " +
         "here is the dictionary/stats sidecar that query planning " +
         "reads. Stop-word terms (df ≈ |docs|) are the skew hazard: " +
-        "cap df or route hot terms to agg_heavy_hitters' sketch."))
+        "cap df or route hot terms to agg_heavy_hitters' sketch."),
+
+    // One BPE-training iteration over the corpus: the weighted
+    // adjacent-symbol pair counts whose argmax is the next merge —
+    // tokenizer training's inner loop, run where the data lives
+    // instead of streaming 100 TB to a single trainer. Computed over
+    // the DISTINCT-word frequency table (the standard BPE trick:
+    // pair occurrences per word × word frequency), so the heavy
+    // explode touches |vocab| rows, not the corpus. Top-50 by
+    // (count, pair) — a total order, so the cut is deterministic.
+    QueryDef(
+      "tokenizer_pair_counts",
+      (spark, sf) => {
+        val wf = Tables.documents(spark, sf)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("f"))
+        // sequence(1, n) DECREASES when n < 1 (Spark semantics) — the
+        // length≥2 filter above is what makes the bound safe
+        wf.select(explode(expr(
+            "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+            .as("pair"), col("f"))
+          .groupBy("pair").agg(sum(col("f")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair").asc)
+          .limit(50)
+      },
+      Some("WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+        "wf AS (SELECT word, count(*) AS f FROM w WHERE length(word) >= 2 GROUP BY word), " +
+        "p AS (SELECT substr(word, CAST(i AS INT), 2) AS pair, f FROM " +
+        "(SELECT word, f, unnest(generate_series(1, length(word)-1)) AS i FROM wf)) " +
+        "SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM p GROUP BY pair " +
+        "ORDER BY cnt DESC, pair LIMIT 50"),
+      scaleNote = "The corpus-size work is one map-side-combined " +
+        "(word, count) agg — the same Zipf-bounded vocab table " +
+        "tfidf/vocab_coverage ride; the pair explode and re-agg then " +
+        "touch |vocab|·avg_len rows, independent of corpus size. " +
+        "Top-50 compiles to TakeOrderedAndProject (no global sort). " +
+        "Full BPE training iterates: apply the won merge to the vocab " +
+        "table (a map-only regex per word) and re-run — each round " +
+        "costs a vocab-sized job, the corpus is scanned exactly once, " +
+        "which is why distributed BPE counts pairs on the word-" +
+        "frequency table and never on raw text."),
+
+    // Temperature-based multilingual rebalancing (the mC4/XLM-R rule):
+    // p_i ∝ n_i^(1/T), here T = 2 — upsamples tail languages, damps
+    // the head, the standard compromise between natural (T=1) and
+    // uniform (T=∞) mixing. Unlike corpus_mix's uniform target this
+    // preserves ordering while compressing ratios. T = 2 is chosen so
+    // the exponent is sqrt — IEEE-correctly-rounded on every engine
+    // (pow's libm ulp skew would break the hash gate); the rate
+    // denominator Σ√n is summed in DECIMAL(18,6) (exact, order-free)
+    // after rounding each √n to 6 dp, and the one float division per
+    // language happens on those pinned values.
+    QueryDef(
+      "sample_temperature",
+      (spark, sf) => {
+        val dec6 = org.apache.spark.sql.types.DecimalType(18, 6)
+        val c = Tables.documents(spark, sf)
+          .groupBy("lang").agg(count(lit(1)).as("n_docs"))
+          .withColumn("w",
+            round(sqrt(col("n_docs").cast("double")), 6).cast(dec6))
+        val t = c.agg(sum(col("w")).as("tot"),
+          sum(col("n_docs")).as("total"))
+        val p = col("w").cast("double") / col("tot").cast("double")
+        c.crossJoin(broadcast(t))
+          .withColumn("p_temp", round(p, 6))
+          .withColumn("target_n",
+            floor(col("total").cast("double") * p).cast("long"))
+          .withColumn("boost",
+            round(col("target_n").cast("double") /
+              col("n_docs").cast("double"), 4))
+          .select("lang", "n_docs", "p_temp", "target_n", "boost")
+          .orderBy("lang")
+      },
+      Some("WITH c AS (SELECT lang, count(*) AS n_docs, " +
+        "CAST(round(sqrt(CAST(count(*) AS DOUBLE)), 6) AS DECIMAL(18,6)) AS w " +
+        "FROM documents GROUP BY lang), " +
+        "t AS (SELECT sum(w) AS tot, sum(n_docs) AS total FROM c) " +
+        "SELECT lang, n_docs, " +
+        "round(CAST(w AS DOUBLE)/CAST(tot AS DOUBLE), 6) AS p_temp, " +
+        "CAST(floor(CAST(total AS DOUBLE) * (CAST(w AS DOUBLE)/CAST(tot AS DOUBLE))) AS BIGINT) AS target_n, " +
+        "round(CAST(floor(CAST(total AS DOUBLE) * (CAST(w AS DOUBLE)/CAST(tot AS DOUBLE))) AS DOUBLE)/n_docs, 4) AS boost " +
+        "FROM c CROSS JOIN t ORDER BY lang"),
+      scaleNote = "Two tiny aggregations over one scan (|langs| rows, " +
+        "then one totals row broadcast back) — the manifest costs " +
+        "corpus_mix's shape exactly, whatever the corpus size. The " +
+        "rates then drive scan-side execution: boost < 1 is a " +
+        "Bernoulli keep rate (sample_fraction), boost > 1 is " +
+        "corpus_epochs' capped integer upsampling — both map-only. " +
+        "Other temperatures swap sqrt for pow(n, 1/T) with the rate " +
+        "table pinned via the same DECIMAL rounding; the plan is " +
+        "unchanged (T is data, not structure)."))
 }

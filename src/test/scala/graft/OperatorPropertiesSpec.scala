@@ -524,6 +524,44 @@ class OperatorPropertiesSpec extends SparkSpec {
     j.unpersist()
   }
 
+  test("tokenizer_pair_counts: pairs are adjacent-char bigrams whose weighted counts roll up to the corpus") {
+    val out = run("tokenizer_pair_counts").collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getAs[String]("pair").length == 2))
+    // ranked: counts non-increasing, ties broken by pair text
+    val cnts = out.map(_.getAs[Long]("cnt"))
+    assert(cnts.zip(cnts.tail).forall { case (a, b) => a >= b })
+    // ground truth for the single top pair, computed the direct way
+    // (over raw token occurrences, not the word-frequency table)
+    val top = out.head
+    val direct = graft.engine.Tables.documents(spark, sf)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(w)-1), i -> substring(w, i, 2))")).as("p"))
+      .filter(col("p") === top.getAs[String]("pair"))
+      .count()
+    assert(direct == top.getAs[Long]("cnt"),
+      "word-frequency-weighted count must equal the raw-occurrence count")
+  }
+
+  test("sample_temperature: a probability vector that damps the head and boosts the tail") {
+    val out = run("sample_temperature").collect()
+    val p = out.map(_.getAs[Double]("p_temp"))
+    assert(math.abs(p.sum - 1.0) < 1e-3, s"rates must sum to ~1, got ${p.sum}")
+    // T=2 damping: the most-represented language is downsampled, and
+    // boosts are monotone DECREASING in corpus share
+    val byN = out.sortBy(-_.getAs[Long]("n_docs"))
+    val boosts = byN.map(_.getAs[Double]("boost"))
+    assert(boosts.head < 1.0, "head language must be damped below 1x")
+    assert(boosts.zip(boosts.tail).forall { case (a, b) => a <= b },
+      "boost must be monotone non-increasing in n_docs")
+    // targets conserve the corpus size up to flooring
+    val total = out.map(_.getAs[Long]("n_docs")).sum
+    val targets = out.map(_.getAs[Long]("target_n")).sum
+    assert(targets <= total && targets >= total - out.length)
+  }
+
   test("agg_histogram: bucket counts roll up to the orders table") {
     val out = run("agg_histogram")
     val sums = out.groupBy("o_orderpriority").agg(sum("cnt").as("s"))

@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.functions._
 import graft.domain.Transit
+import graft.queries.TransitOps
 
 /** End-to-end domain semantics over the FIXTURES.md §2 fixtures: GTFS
   * denormalization, calendar exceptions, fuzzy passage matching
@@ -208,5 +209,60 @@ class TransitSpec extends SparkSpec {
     val st84 = out.filter(_.getAs[String]("station_id") == "87384008")
       .map(_.getAs[String]("num")).toSeq
     assert(st84 == Seq("300400", "134683", "165109", "200100"))
+  }
+
+  test("trip_stops: loop trip serves both calls in stop_sequence order; timestamps resolve on the service day") {
+    val out = graft.engine.Registry.byName("trip_stops")
+      .build(spark, "").collect()
+    assert(out.length == 2, "the loop trip calls twice")
+    assert(out.map(_.getAs[Int]("stop_sequence")).toSeq == Seq(1, 4))
+    assert(out.forall(_.getAs[String]("stop_name") == "Saint-Lazare"))
+    assert(out.map(_.getAs[Timestamp]("scheduled_ts")).toSeq ==
+      Seq(ts("2017-05-20 11:00:00"), ts("2017-05-20 11:40:00")))
+    // the off-day path: a Sunday-only trip on the Saturday fixture day
+    // is filtered by activeServices, like the reference's
+    // services-of-day restriction
+    val (trips0, st0, stops0, cal0, cd0) = TransitOps.boardGtfsDfs(spark)
+    val off = Transit.tripStops(stopTimesExt(trips0, st0, stops0),
+      activeServices(cal0, cd0, "20170520"), "DUASN888200F01", "20170520")
+    assert(off.count() == 0)
+  }
+
+  test("delay_trajectory: the late train's delta sequence is (null, worsening, settled)") {
+    val out = graft.engine.Registry.byName("delay_trajectory")
+      .build(spark, "").collect()
+    // every matched R-cycle appears: 3 late-train cycles + 4 single-
+    // cycle trains (incl. cancelled + past-midnight + early + loop)
+    assert(out.length == 7)
+    val late = out.filter(_.getAs[String]("day_train_num") == "20170520_165109")
+      .sortBy(_.getAs[String]("request_time"))
+    assert(late.map(_.getAs[Long]("delay_sec")).toSeq == Seq(180L, 300L, 300L))
+    // first cycle has no predecessor; then +120 worsening; then stable
+    assert(late(0).isNullAt(late(0).fieldIndex("delay_delta")))
+    assert(late(1).getAs[Long]("delay_delta") == 120L)
+    assert(late(2).getAs[Long]("delay_delta") == 0L)
+    // single-cycle trains carry exactly one row with a null delta
+    val singles = out.filter(_.getAs[String]("day_train_num") != "20170520_165109")
+    assert(singles.forall(r => r.isNullAt(r.fieldIndex("delay_delta"))))
+  }
+
+  test("station_headway: gaps reflect only ACTIVE services; min/mean/max pinned") {
+    val out = graft.engine.Registry.byName("station_headway")
+      .build(spark, "").collect()
+    val byStation = out.map(r => r.getAs[String]("station7") -> r).toMap
+    // 8738400: active deps 10:30, 12:09, 12:14, 25:10 (the removed-
+    // service 14:00 trip must NOT shrink the 46560 s night gap)
+    val a = byStation("8738400")
+    assert(a.getAs[Long]("n_departures") == 4)
+    assert(a.getAs[Long]("min_headway_sec") == 300L)
+    assert(a.getAs[Long]("max_headway_sec") == 46560L)
+    assert(a.getAs[Double]("avg_headway_sec") == 17600.0)
+    // 8739300: Sunday-only 09:00 excluded; loop trip contributes both
+    // calls → deps 10:00, 10:05, 11:00, 11:40
+    val b = byStation("8739300")
+    assert(b.getAs[Long]("n_departures") == 4)
+    assert(b.getAs[Long]("min_headway_sec") == 300L)
+    assert(b.getAs[Long]("max_headway_sec") == 3300L)
+    assert(b.getAs[Double]("avg_headway_sec") == 2000.0)
   }
 }
