@@ -335,6 +335,14 @@ object NearDup extends QueryGroup {
     val e = nearDupPairs(docs, tau, shPre)
       .select(col("id1").as("u"), col("id2").as("v"))
       .localCheckpoint(false)
+    resolveEdges(e)
+  }
+
+  /** The size-adaptive component resolution over an already-
+    * checkpointed normalized (u < v) edge list — [[clustersAuto]]'s
+    * switch, factored so [[clustersIncremental]] can apply it to a
+    * composed (label-star ∪ delta-pair) edge set. */
+  def resolveEdges(e: DataFrame): DataFrame = {
     // ONE action decides the path AND fetches the small case's data:
     // collecting limit+1 rows proves whether the edge set exceeds the
     // threshold without a separate count() job, and the checkpoint
@@ -342,6 +350,33 @@ object NearDup extends QueryGroup {
     val head = e.limit(LocalClusterEdgeLimit.toInt + 1).collect()
     if (head.length > LocalClusterEdgeLimit) starContract(e)
     else localUnionFind(e.sparkSession, head)
+  }
+
+  /** Rolling dedup — the production shape: yesterday's corpus is
+    * already resolved into cluster labels; today only the DELTA pairs
+    * (those touching a newly arrived doc) plus yesterday's label
+    * table enter the fixpoint. Yesterday's intra-component pair edges
+    * are replaced by their star forest {(cluster_id, member)}, which
+    * has the same components by construction — so the incremental
+    * resolution equals the full recompute EXACTLY (same min-label
+    * fixpoint; the recursive-CTE oracle and NearDupSpec both pin it).
+    * The arrived-today split here is deterministic (doc_id ≡ 0 mod 8
+    * ≈ 12.5% of the corpus) so the declared query is self-contained. */
+  def clustersIncremental(docs: DataFrame, tau: Double): DataFrame = {
+    val newPred = pmod(col("doc_id"), lit(8)) === 0
+    // yesterday's resolution over the old 7/8 — in production this is
+    // a TABLE READ, not a recompute; the declared key recomputes it
+    // only to stay self-contained
+    val oldLab = clustersAuto(docs.filter(!newPred), tau)
+    val labelEdges = oldLab.filter(!col("is_canonical"))
+      .select(col("cluster_id").as("u"), col("doc_id").as("v"))
+    // today's delta: only pairs with a new doc on at least one side.
+    // cluster_id = component min < member doc_id, and id1 < id2 from
+    // the pair generator, so the composed edge list stays normalized.
+    val deltaPairs = nearDupPairs(docs, tau)
+      .filter(pmod(col("id1"), lit(8)) === 0 || pmod(col("id2"), lit(8)) === 0)
+      .select(col("id1").as("u"), col("id2").as("v"))
+    resolveEdges(labelEdges.unionAll(deltaPairs).localCheckpoint(false))
   }
 
   /** Driver union-find over a bounded collected edge list — the
@@ -600,5 +635,38 @@ object NearDup extends QueryGroup {
         "because each driver key must be self-contained. The size " +
         "histogram is also the skew report: a 10^6-member family " +
         "showing up here is the hub that motivates the star (not " +
-        "label-propagation) algorithm."))
+        "label-propagation) algorithm."),
+
+    // Rolling dedup — view maintenance for the cluster table. A
+    // production corpus is deduplicated DAILY, not from scratch:
+    // yesterday's resolved labels + only today's delta pairs enter the
+    // fixpoint (yesterday's intra-component edges ride in contracted,
+    // as their {(cluster_id, member)} star forest, which spans the
+    // same components). The declared key splits the corpus
+    // deterministically (doc_id ≡ 0 mod 8 = "arrived today"), resolves
+    // the old 7/8, folds the delta in — and must hash-match the SAME
+    // full-recompute recursive-CTE oracle as dedup_clusters: the
+    // incremental path provably loses nothing.
+    QueryDef(
+      "dedup_clusters_incremental",
+      (spark, sf) =>
+        clustersIncremental(Tables.documents(spark, sf), 0.5).orderBy("doc_id"),
+      Some(s"WITH RECURSIVE $ClusterCtes SELECT doc_id, cluster_id, is_canonical FROM canon ORDER BY doc_id"),
+      scaleNote = "THE dedup cost model changer at 100 TB: a daily " +
+        "increment touches |delta| docs, and banded LSH is naturally " +
+        "incremental — the band buckets are an inverted index, so " +
+        "delta pairs come from probing new docs' 32 band keys against " +
+        "the PERSISTED bucket index (|delta|·32 lookups), never from " +
+        "re-banding the corpus. The fixpoint then runs on label-stars " +
+        "∪ delta-pairs: |resolved components| + |delta| edges, ≪ the " +
+        "full pair graph, and component merges triggered by a " +
+        "bridging new doc still resolve to the global min label, so " +
+        "incremental ≡ full recompute (the oracle pins it). The " +
+        "declared key recomputes yesterday's labels only to stay " +
+        "self-contained; production reads them as a table. Caveat at " +
+        "scale: the bucket-size densification cap makes the pair " +
+        "stream corpus-dependent — an incremental deployment pins " +
+        "cap decisions per bucket epoch (re-evaluating caps on the " +
+        "grown index, the same policy choice any streaming LSH " +
+        "index makes)."))
 }

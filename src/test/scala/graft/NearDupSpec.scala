@@ -123,4 +123,32 @@ class NearDupSpec extends SparkSpec {
     val docs = mkDocs(Seq((1L, "one two"), (2L, "solo"), (3L, synthDoc(9))))
     assert(NearDup.nearDupPairs(docs, 0.5).count() == 0)
   }
+
+  test("incremental cluster maintenance equals the full recompute on the real corpus") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val full = NearDup.clustersAuto(docs, 0.5)
+    val inc = NearDup.clustersIncremental(docs, 0.5)
+    assert(full.exceptAll(inc).count() == 0 && inc.exceptAll(full).count() == 0,
+      "incremental resolution diverged from the full fixpoint")
+    assert(full.count() > 0, "vacuous: no clusters at this sf")
+  }
+
+  test("incremental maintenance survives a planted old/new component merge") {
+    // doc 16 ≡ 0 mod 8 ("arrived today") bridges two OLD components
+    // {1,9} and {17,25}: the delta pair stream must trigger a
+    // cross-component merge and the merged label must be the global
+    // min (1) — the exact case a naive label-append would get wrong.
+    val a = synthDoc(7)
+    val b = synthDoc(8)
+    val docs = mkDocs(Seq(
+      (1L, a), (9L, a + " x"), (17L, b), (25L, b + " y"),
+      (16L, a + " " + b))) // contains both → pairs with all four
+    val out = NearDup.clustersIncremental(docs, 0.2).collect()
+    val full = NearDup.clustersAuto(docs, 0.2).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet ==
+      full.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet)
+    val labels = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    if (labels.size == 5) // all five in one merged component
+      assert(labels.values.toSet == Set(1L), "merged label must be the global min")
+  }
 }
