@@ -28,7 +28,8 @@ object Registry {
     GraphOps,
     SourceOps,
     TransitOps,
-    UrlOps)
+    UrlOps,
+    PathOps)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

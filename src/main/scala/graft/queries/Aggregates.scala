@@ -677,5 +677,81 @@ object Aggregates extends QueryGroup {
         "threshold value, the midrange to one exact decimal sum — " +
         "layout-independent at any scale. This is the outlier guard " +
         "every per-source quality rollup wants before averaging " +
-        "(one pathological doc shouldn't move a source's mean)."))
+        "(one pathological doc shouldn't move a source's mean)."),
+
+    // Exact INTERPOLATED percentiles (percentile_cont semantics) per
+    // group — the continuous counterpart of agg_median_exact's
+    // rank-select and agg_approx_quantile's sketch. Cross-engine float
+    // interpolation is normally a hash hazard; it is exact here BY
+    // CONSTRUCTION: inputs are integer cents (≤ 2^27, exactly
+    // representable), quartile positions have dyadic fractions
+    // {0, ¼, ½, ¾}, so lower + (upper−lower)·frac is computed without
+    // a single rounding on either engine and the result (an integer
+    // plus a quarter) is itself exactly representable. Output stays
+    // in cents — dividing by 100 would reintroduce rounding.
+    QueryDef(
+      "agg_percentile_cont",
+      (spark, sf) =>
+        Tables.orders(spark, sf)
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"))
+          .groupBy("o_orderpriority")
+          .agg(
+            count(lit(1)).as("n"),
+            expr("percentile(cents, 0.25)").as("p25_cents"),
+            expr("percentile(cents, 0.5)").as("p50_cents"),
+            expr("percentile(cents, 0.75)").as("p75_cents"))
+          .orderBy("o_orderpriority"),
+      Some("SELECT o_orderpriority, count(*) AS n, quantile_cont(cents, 0.25) AS p25_cents, quantile_cont(cents, 0.5) AS p50_cents, quantile_cont(cents, 0.75) AS p75_cents FROM (SELECT o_orderpriority, CAST(round(o_totalprice * 100) AS BIGINT) AS cents FROM orders) GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Spark's exact percentile() aggregates a per-group " +
+        "value→count map (map-side combinable; state is |distinct " +
+        "values| per group, not |rows|) and rank-walks it once at " +
+        "merge — fine while distinct cents per group fit an executor, " +
+        "which money-grained data eventually breaks. The 100 TB path " +
+        "is agg_approx_quantile's KLL/GK sketch for dashboards, or " +
+        "agg_median_exact's two-pass histogram narrowing when the " +
+        "exact value is contractual. The interpolation itself adds " +
+        "nothing to the plan — it runs on the driver-side walk."),
+
+    // Pearson correlation per group, hash-stable: built-in corr() is
+    // a float-accumulation order lottery across engines, so the five
+    // moments are summed EXACTLY instead — integer cents, products in
+    // int64/int128 range, sums in DECIMAL(38,0)/HUGEINT — and the
+    // classic (n·Σxy − ΣxΣy) / √(n·Σxx − Σx²) / √(n·Σyy − Σy²)
+    // compose is the only float code, identical IEEE ops on identical
+    // exact inputs on both engines.
+    QueryDef(
+      "agg_corr",
+      (spark, sf) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = DecimalType(24, 0)
+        val li = Tables.lineitem(spark, sf)
+          .select(col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("xc"),
+            round(col("l_extendedprice") * 100).cast("long").as("yc"))
+        li.groupBy("l_returnflag")
+          .agg(
+            count(lit(1)).as("n"),
+            sum(col("xc").cast(d)).as("sx"),
+            sum(col("yc").cast(d)).as("sy"),
+            sum((col("xc") * col("yc")).cast(d)).as("sxy"),
+            sum((col("xc") * col("xc")).cast(d)).as("sxx"),
+            sum((col("yc") * col("yc")).cast(d)).as("syy"))
+          .select(col("l_returnflag"), col("n"),
+            round(
+              (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+                (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+                  sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast("double"))),
+              4).as("corr_qty_price"))
+          .orderBy("l_returnflag")
+      },
+      Some("SELECT l_returnflag, n, round(CAST(n*sxy - sx*sy AS DOUBLE) / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) AS corr_qty_price FROM (SELECT l_returnflag, count(*) AS n, sum(xc) AS sx, sum(yc) AS sy, sum(xc*yc) AS sxy, sum(xc*xc) AS sxx, sum(yc*yc) AS syy FROM (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS xc, CAST(round(l_extendedprice * 100) AS BIGINT) AS yc FROM lineitem) GROUP BY 1) ORDER BY 1"),
+      scaleNote = "One map-side-combined hash agg carrying six exact " +
+        "integer partials — the same wire cost as a sum, skew-immune, " +
+        "associative, and mergeable across days (store the six moments " +
+        "per partition and corr over ANY row subset is a constant-time " +
+        "compose — agg_incremental_merge's pattern). Decimal(24) " +
+        "partials give ~10^24 headroom: at 100 TB the per-group sums " +
+        "reach ~10^21, still exact; the final compose is driver-side " +
+        "arithmetic on |groups| rows."))
 }

@@ -169,6 +169,45 @@ object Joins extends QueryGroup {
       Some("SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT') ORDER BY c_custkey"),
       scaleNote = "NOT EXISTS as left_anti — the 'scheduled trips never observed' (missed trains) pattern. Filter on the right side is applied before the join, shrinking the build side."),
 
+    // NOT IN with a NULLABLE probe key — a DIFFERENT operator from
+    // join_anti: three-valued logic means a NULL probe key can never
+    // satisfy NOT IN, and a NULL on the build side would empty the
+    // result. Catalyst recognizes the Or(EqualTo, IsNull(EqualTo))
+    // anti-join condition as single-column null-aware and plans the
+    // specialized NullAwareAntiJoin (hash build keeps a null flag)
+    // instead of the nested-loop fallback naive NOT IN would force.
+    // The probe key is nullified on a deterministic slice so the
+    // NULL-excluded branch carries real rows at every SF.
+    QueryDef(
+      "join_anti_null_aware",
+      (spark, sf) => {
+        val o = Tables.orders(spark, sf)
+        val probe = o.withColumn("k",
+          when(col("o_custkey") % 97 === 13, lit(null).cast("long"))
+            .otherwise(col("o_custkey") % 97))
+        // build covers residues [0, 40) ONLY — probe keys 40..96
+        // survive, so all three branches carry rows: matched
+        // (excluded), unmatched (kept), NULL probe (excluded by
+        // three-valued logic, NOT by a match)
+        val build = Tables.customer(spark, sf)
+          .filter(col("c_custkey") % 97 < 40)
+          .select((col("c_custkey") % 97).as("bk"))
+        probe.join(build,
+            probe("k") === build("bk") || (probe("k") === build("bk")).isNull,
+            "left_anti")
+          .select("o_orderkey", "o_custkey", "k")
+          .orderBy("o_orderkey")
+      },
+      Some("SELECT o_orderkey, o_custkey, nullif(o_custkey % 97, 13) AS k FROM orders WHERE nullif(o_custkey % 97, 13) NOT IN (SELECT c_custkey % 97 FROM customer WHERE c_custkey % 97 < 40) ORDER BY o_orderkey"),
+      scaleNote = "Plans as BroadcastHashJoin(LeftAnti, isNullAwareAntiJoin=true): " +
+        "the build side ships once with an any-null flag, the probe " +
+        "streams — the ONLY scalable physical shape for NOT IN over a " +
+        "nullable key (the generic fallback is a nested-loop join that " +
+        "dies at scale). At 100 TB keep the NOT IN subquery " +
+        "broadcast-sized or rewrite to NOT EXISTS (join_anti's shape) " +
+        "after explicitly null-filtering both sides — same answer once " +
+        "nulls are impossible, shuffle-joinable."),
+
     QueryDef(
       "join_cross",
       (spark, sf) =>

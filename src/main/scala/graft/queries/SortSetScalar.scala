@@ -100,6 +100,50 @@ object SortSetScalar extends QueryGroup {
       Some("SELECT c_custkey AS k FROM customer EXCEPT SELECT o_custkey AS k FROM orders WHERE o_orderpriority = '1-URGENT' ORDER BY k"),
       scaleNote = "EXCEPT rewrites to left-anti join over distinct keys — the 'customers with no orders' shape, one shuffle per side."),
 
+    // #39b — EXCEPT ALL: MULTISET difference — each key survives
+    // max(n_left − n_right, 0) times. Distinct from set_except in both
+    // semantics and physical plan: Catalyst rewrites it to a count
+    // aggregate per side + Generate(ReplicateRows) — no anti join.
+    // The era-reconciliation shape: "which rows of the new load are
+    // NOT yet accounted for, counting multiplicity".
+    QueryDef(
+      "set_except_all",
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        li.select(col("l_orderkey").as("k"))
+          .exceptAll(li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("k")))
+          .orderBy("k")
+        // surviving duplicates of k are bit-identical rows — their
+        // relative order cannot affect the hash
+      },
+      Some("SELECT l_orderkey AS k FROM lineitem EXCEPT ALL SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R' ORDER BY k"),
+      scaleNote = "EXCEPT ALL rewrites to one hash agg per side keyed on " +
+        "the row (computing multiplicities), a join of the two count " +
+        "tables, and Generate(ReplicateRows) to re-expand survivors — " +
+        "so the wire carries one row per DISTINCT key, not per " +
+        "duplicate. At 100 TB that pre-aggregation is exactly what " +
+        "you'd hand-write; the re-expansion is map-side and codegen'd."),
+
+    // #39c — INTERSECT ALL: multiset intersection, min(n_left,
+    // n_right) copies per key. Left/right draw different returnflag
+    // slices of lineitem so per-key multiplicities genuinely differ
+    // from both sides' (vacuous-query trap, SURVEY §2.0).
+    QueryDef(
+      "set_intersect_all",
+      (spark, sf) => {
+        val li = Tables.lineitem(spark, sf)
+        li.filter(col("l_returnflag") === "A").select(col("l_orderkey").as("k"))
+          .intersectAll(li.filter(col("l_returnflag") === "R")
+            .select(col("l_orderkey").as("k")))
+          .orderBy("k")
+      },
+      Some("SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'A' INTERSECT ALL SELECT l_orderkey AS k FROM lineitem WHERE l_returnflag = 'R' ORDER BY k"),
+      scaleNote = "Same rewrite family as set_except_all: per-side " +
+        "multiplicity aggs + min() + ReplicateRows — distinct-key wire " +
+        "volume, duplicate expansion deferred to after the shuffle. " +
+        "The 'orders returned in BOTH eras, with multiplicity' shape."),
+
     // #43 — string surgery: mission-code & UIC normalization analog
     // [P match_ids.py].
     QueryDef(

@@ -155,9 +155,66 @@ object SourceOps extends QueryGroup {
   /** DuckDB re-read of one bundle file with the same all-VARCHAR
     * discipline the Spark reader declares (GTFS is all-text by spec;
     * typing happens in the query, on both engines). */
-  private def gtfsCsvRead(table: String, cols: Seq[String]): String =
-    s"SELECT * FROM read_csv('$GtfsFixtureDir/$table.txt', header=true, " +
+  private def gtfsCsvReadIn(dir: String, table: String, cols: Seq[String]): String =
+    s"SELECT * FROM read_csv('$dir/$table.txt', header=true, " +
       "columns={" + cols.map(c => s"'$c':'VARCHAR'").mkString(",") + "})"
+
+  private def gtfsCsvRead(table: String, cols: Seq[String]): String =
+    gtfsCsvReadIn(GtfsFixtureDir, table, cols)
+
+  val GtfsDirtyDir = "/tmp/graft_gtfs_dirty_fixture"
+
+  /** A DELIBERATELY BROKEN bundle for the feed validator: every
+    * integrity rule it checks is violated exactly once, and every
+    * clean row passes every rule — so each check's count pins both
+    * its positive and its negative branch. Violations planted:
+    * a stop_time whose trip doesn't exist (TX), one whose stop
+    * doesn't exist (SX), a trip on a service defined NOWHERE
+    * (TGHOST/S_GHOST — note T3/SVC_CD is defined ONLY via
+    * calendar_dates and must NOT be flagged), a duplicated
+    * (trip_id, stop_sequence) call, an inverted calendar date range
+    * (SVC_BAD), and a malformed departure time (25:99:00 — hour ≥ 24
+    * is LEGAL GTFS, minute 99 is not). */
+  private val GtfsDirtyFiles: Seq[(String, String)] = Seq(
+    "trips.txt" -> Seq(
+      "trip_id,route_id,service_id,trip_headsign",
+      "T1,R1,SVC_OK,PARIS",
+      "T2,R1,SVC_OK,VERSAILLES",
+      "T3,R2,SVC_CD,NUIT",
+      "TGHOST,R2,S_GHOST,NOWHERE").mkString("", "\n", "\n"),
+    "stop_times.txt" -> Seq(
+      "trip_id,arrival_time,departure_time,stop_id,stop_sequence",
+      "T1,08:00:00,08:00:00,S1,1",
+      "T1,08:10:00,08:10:00,S2,2",
+      "T1,08:10:00,08:10:00,S2,2",
+      "T2,09:00:00,09:00:00,S1,1",
+      "T2,25:99:00,25:99:00,S2,2",
+      "T3,22:00:00,22:00:00,S1,1",
+      "TX,10:00:00,10:00:00,S1,1",
+      "T2,10:30:00,10:30:00,SX,3").mkString("", "\n", "\n"),
+    "stops.txt" -> Seq(
+      "stop_id,stop_name,stop_lat,stop_lon,parent_station",
+      "S1,Gare A,48.887,2.316,SA1",
+      "S2,Gare B,48.876,2.325,SA2").mkString("", "\n", "\n"),
+    "calendar.txt" -> Seq(
+      "service_id,monday,tuesday,wednesday,thursday,friday,saturday,sunday,start_date,end_date",
+      "SVC_OK,1,1,1,1,1,0,0,20170101,20171231",
+      "SVC_BAD,0,0,0,0,0,1,1,20171231,20170101").mkString("", "\n", "\n"),
+    "calendar_dates.txt" -> Seq(
+      "service_id,date,exception_type",
+      "SVC_CD,20170520,1").mkString("", "\n", "\n"))
+
+  /** Idempotently materialize the dirty bundle (unconditional write —
+    * same staleness rationale as [[ensureFixture]]). */
+  def ensureGtfsDirtyFixture(): String = synchronized {
+    val d = new java.io.File(GtfsDirtyDir)
+    if (!d.exists()) d.mkdirs()
+    GtfsDirtyFiles.foreach { case (name, content) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        content.getBytes("UTF-8"))
+    }
+    GtfsDirtyDir
+  }
 
   private val JsonlOracleValues: String = Seq(
     "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134657',12,'late')",
@@ -287,5 +344,72 @@ object SourceOps extends QueryGroup {
         "bucket-joins downstream (Transit.stopTimesExt). The r7 " +
         "composition here deliberately crosses all five tables so a " +
         "regression in ANY reader (quoting, header skip, a cast) " +
-        "flips the one hash."))
+        "flips the one hash."),
+
+    // Feed-quality gate for the GTFS bundle — the validation pass a
+    // production ingest runs BEFORE trusting a publisher's drop
+    // [P extract_schedule.py ingests blind; this is the guard it
+    // lacks]. Six referential/shape rules, each emitted as one
+    // (check_name, n_bad) row over a deliberately broken bundle in
+    // which every rule fires exactly once (and, as importantly, every
+    // clean row passes — the calendar_dates-only service T3/SVC_CD is
+    // the planted false-positive trap for the service check).
+    QueryDef(
+      "gtfs_feed_validate",
+      (spark, _) => {
+        val dir = ensureGtfsDirtyFixture()
+        val b = graft.sources.GtfsCsv.readBundle(spark, dir)
+        val trips = b("trips")
+        val st = b("stop_times")
+        def one(name: String, df: org.apache.spark.sql.DataFrame) =
+          df.agg(count(lit(1)).as("n_bad"))
+            .select(lit(name).as("check_name"), col("n_bad"))
+        val svc = b("calendar").select("service_id")
+          .union(b("calendar_dates").select("service_id")).distinct()
+        one("orphan_stop_time_trip",
+            st.join(trips, Seq("trip_id"), "left_anti"))
+          .unionByName(one("orphan_stop_time_stop",
+            st.join(b("stops"), Seq("stop_id"), "left_anti")))
+          .unionByName(one("orphan_trip_service",
+            trips.join(svc, Seq("service_id"), "left_anti")))
+          .unionByName(one("dup_trip_stop_sequence",
+            st.groupBy("trip_id", "stop_sequence")
+              .agg(count(lit(1)).as("c")).filter(col("c") > 1)))
+          .unionByName(one("calendar_date_range_inverted",
+            b("calendar").filter(col("start_date") > col("end_date"))))
+          .unionByName(one("bad_departure_time",
+            st.filter(!col("departure_time")
+              .rlike("^[0-9]{1,2}:[0-5][0-9]:[0-5][0-9]$"))))
+          .orderBy("check_name")
+      },
+      Some("WITH trips AS (" +
+        gtfsCsvReadIn(GtfsDirtyDir, "trips",
+          Seq("trip_id", "route_id", "service_id", "trip_headsign")) + "), " +
+        "st AS (" + gtfsCsvReadIn(GtfsDirtyDir, "stop_times",
+          Seq("trip_id", "arrival_time", "departure_time", "stop_id", "stop_sequence")) + "), " +
+        "stops AS (" + gtfsCsvReadIn(GtfsDirtyDir, "stops",
+          Seq("stop_id", "stop_name", "stop_lat", "stop_lon", "parent_station")) + "), " +
+        "cal AS (" + gtfsCsvReadIn(GtfsDirtyDir, "calendar",
+          Seq("service_id", "monday", "tuesday", "wednesday", "thursday",
+            "friday", "saturday", "sunday", "start_date", "end_date")) + "), " +
+        "cd AS (" + gtfsCsvReadIn(GtfsDirtyDir, "calendar_dates",
+          Seq("service_id", "date", "exception_type")) + ") " +
+        "SELECT * FROM (" +
+        "SELECT 'orphan_stop_time_trip' AS check_name, count(*) AS n_bad FROM st WHERE trip_id NOT IN (SELECT trip_id FROM trips) " +
+        "UNION ALL SELECT 'orphan_stop_time_stop', count(*) FROM st WHERE stop_id NOT IN (SELECT stop_id FROM stops) " +
+        "UNION ALL SELECT 'orphan_trip_service', count(*) FROM trips WHERE service_id NOT IN (SELECT service_id FROM cal UNION SELECT service_id FROM cd) " +
+        "UNION ALL SELECT 'dup_trip_stop_sequence', count(*) FROM (SELECT trip_id, stop_sequence FROM st GROUP BY 1, 2 HAVING count(*) > 1) " +
+        "UNION ALL SELECT 'calendar_date_range_inverted', count(*) FROM cal WHERE start_date > end_date " +
+        "UNION ALL SELECT 'bad_departure_time', count(*) FROM st WHERE NOT regexp_matches(departure_time, '^[0-9]{1,2}:[0-5][0-9]:[0-5][0-9]$')" +
+        ") ORDER BY check_name"),
+      scaleNote = "Each rule is an anti-join or agg that reduces to a " +
+        "COUNT — six independent scans of broadcast-sized dimension " +
+        "tables plus two of the stop_times fact, all map-side-" +
+        "combined; on a national bundle the whole gate is seconds. " +
+        "The anti-join sides (trips, stops, service ids) are the " +
+        "small dimensions, so every check broadcasts — no shuffle " +
+        "touches stop_times. The pattern generalizes to any 100 TB " +
+        "lake ingest: run the rule set per drop, alert on n_bad > 0, " +
+        "quarantine the drop before it joins the serving tables " +
+        "(agg_boolean's assertion rollup is the generic form)."))
 }

@@ -571,4 +571,129 @@ class OperatorPropertiesSpec extends SparkSpec {
       .filter(col("s") =!= col("t")).count() == 0)
     assert(out.filter(col("bucket") < 0).count() == 0)
   }
+
+  test("join_anti_null_aware: NOT IN three-valued logic, and the NAAJ physical plan") {
+    // 1) semantics: result ∪ matched ∪ null-key rows partition orders
+    val out = run("join_anti_null_aware")
+    val o = graft.engine.Tables.orders(spark, sf)
+    val nNullKey = o.filter(col("o_custkey") % 97 === 13).count()
+    val c = graft.engine.Tables.customer(spark, sf)
+    val buildKeys = c.filter(col("c_custkey") % 97 < 40)
+      .select((col("c_custkey") % 97).as("bk")).distinct()
+    val nMatched = o.filter(col("o_custkey") % 97 =!= 13)
+      .join(buildKeys, col("o_custkey") % 97 === col("bk"), "left_semi").count()
+    assert(out.count() == o.count() - nNullKey - nMatched,
+      "NOT IN must exclude exactly the matched and the NULL-key rows")
+    assert(out.filter(col("k").isNull).count() == 0,
+      "a NULL probe key can never satisfy NOT IN")
+    // 2) physical plan: the specialized null-aware anti join fired
+    // (the generic fallback is a BroadcastNestedLoopJoin — the scale
+    // killer the scaleNote warns about). The plan sits inside an
+    // AdaptiveSparkPlan wrapper (opaque to collect()), so match the
+    // printed form: BHJ's last flag is isNullAwareAntiJoin.
+    val planStr = out.queryExecution.executedPlan.toString
+    assert(planStr.contains("LeftAnti, BuildRight, true"),
+      s"expected BroadcastHashJoin(..., isNullAwareAntiJoin=true):\n${planStr.take(800)}")
+    assert(!planStr.contains("BroadcastNestedLoop"),
+      "NOT IN must not fall back to a nested-loop join")
+    // 3) a NULL on the build side empties the result (3VL branch the
+    // declared data never exercises)
+    val probe = o.withColumn("k",
+      when(col("o_custkey") % 97 === 13, lit(null).cast("long"))
+        .otherwise(col("o_custkey") % 97))
+    val buildWithNull = buildKeys.unionByName(
+      spark.range(1).select(lit(null).cast("long").as("bk")))
+    val empty = probe.join(buildWithNull,
+      probe("k") === buildWithNull("bk") ||
+        (probe("k") === buildWithNull("bk")).isNull, "left_anti")
+    assert(empty.count() == 0, "one build-side NULL must empty a NOT IN")
+  }
+
+  test("set_except_all / set_intersect_all: multiset arithmetic per key") {
+    val li = graft.engine.Tables.lineitem(spark, sf)
+    val totals = li.groupBy("l_orderkey").agg(count(lit(1)).as("n_all"))
+    val rOnly = li.filter(col("l_returnflag") === "R")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_r"))
+    val aOnly = li.filter(col("l_returnflag") === "A")
+      .groupBy("l_orderkey").agg(count(lit(1)).as("n_a"))
+    // EXCEPT ALL: max(n_all - n_r, 0) copies per key
+    val exceptCounts = run("set_except_all").groupBy("k").agg(count(lit(1)).as("n"))
+    val badE = exceptCounts.join(totals, col("k") === col("l_orderkey"))
+      .join(rOnly, Seq("l_orderkey"), "left")
+      .filter(col("n") =!= col("n_all") - coalesce(col("n_r"), lit(0L)))
+    assert(badE.count() == 0, "EXCEPT ALL multiplicity must be n_left - n_right")
+    // INTERSECT ALL: min(n_a, n_r) copies per key
+    val interCounts = run("set_intersect_all").groupBy("k").agg(count(lit(1)).as("n"))
+    val badI = interCounts.join(aOnly, col("k") === col("l_orderkey"))
+      .join(rOnly, Seq("l_orderkey"))
+      .filter(col("n") =!= least(col("n_a"), col("n_r")))
+    assert(badI.count() == 0, "INTERSECT ALL multiplicity must be min(n_left, n_right)")
+  }
+
+  test("agg_corr agrees with Spark's built-in corr up to the declared rounding") {
+    // the exact-moment compose must equal the float-accumulated
+    // built-in up to the operator's round(4) (≤5e-5) plus float noise
+    // — a formula error would be O(1) off
+    val out = run("agg_corr")
+    val builtin = graft.engine.Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(corr(col("l_quantity"), col("l_extendedprice")).as("c"))
+    val joined = out.join(builtin, "l_returnflag")
+      .select(abs(col("corr_qty_price") - col("c")).as("d")).collect()
+    assert(joined.forall(_.getAs[Double]("d") < 1e-4))
+    assert(out.filter(abs(col("corr_qty_price")) > 1).count() == 0)
+  }
+
+  test("agg_percentile_cont: ordered quartiles bracketed by group min/max") {
+    val out = run("agg_percentile_cont")
+    assert(out.filter(col("p25_cents") > col("p50_cents") ||
+      col("p50_cents") > col("p75_cents")).count() == 0)
+    val bounds = graft.engine.Tables.orders(spark, sf)
+      .select(col("o_orderpriority"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .groupBy("o_orderpriority")
+      .agg(min("cents").as("lo"), max("cents").as("hi"))
+    val bad = out.join(bounds, "o_orderpriority")
+      .filter(col("p25_cents") < col("lo") || col("p75_cents") > col("hi"))
+    assert(bad.count() == 0)
+  }
+
+  test("markov_transitions: P(dst | src) sums to 1 per src") {
+    val sums = run("markov_transitions").groupBy("src")
+      .agg(sum("p").as("tot"), count(lit(1)).as("k")).collect()
+    // each p is rounded to 6dp, so the sum is off by at most k·5e-7
+    sums.foreach { r =>
+      val tol = r.getAs[Long]("k") * 5e-7 + 1e-9
+      assert(math.abs(r.getAs[Double]("tot") - 1.0) <= tol,
+        s"src ${r.get(0)}: P sums to ${r.getAs[Double]("tot")}")
+    }
+  }
+
+  test("path_patterns: session conservation and path shape") {
+    val out = run("path_patterns").collect()
+    assert(out.length <= 20)
+    // every path is non-empty, ≤ 8 steps, steps drawn from event_type
+    val types = graft.engine.Tables.loadEvents(spark, sf)
+      .select("event_type").distinct().collect().map(_.getString(0)).toSet
+    out.foreach { r =>
+      val steps = r.getAs[String]("path").split(">")
+      assert(steps.nonEmpty && steps.length <= 8)
+      assert(steps.forall(types), s"unknown step in ${r.getAs[String]("path")}")
+    }
+    // top-20 session mass cannot exceed the total session count
+    val nSessions = run("ts_session").count()
+    assert(out.map(_.getAs[Long]("n_sessions")).sum <= nSessions)
+  }
+
+  test("gtfs_feed_validate: every planted violation fires exactly once") {
+    val out = run("gtfs_feed_validate").collect()
+      .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap
+    val expected = Map(
+      "orphan_stop_time_trip" -> 1L, "orphan_stop_time_stop" -> 1L,
+      "orphan_trip_service" -> 1L, "dup_trip_stop_sequence" -> 1L,
+      "calendar_date_range_inverted" -> 1L, "bad_departure_time" -> 1L)
+    assert(out == expected,
+      s"each rule must fire exactly once (and T3/SVC_CD must NOT trip " +
+        s"the service check): $out")
+  }
 }

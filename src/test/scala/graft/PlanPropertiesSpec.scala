@@ -227,7 +227,10 @@ class PlanPropertiesSpec extends SparkSpec {
         "vocab_coverage", "sample_balanced", "skew_diagnose",
         // the 1-row (n_docs, total_len) corpus-stats broadcast every
         // per-term BM25 contribution reads — a constant, not a scan
-        "text_bm25")
+        "text_bm25",
+        // the 1-row (Σ√n, Σn) normalization broadcast the per-lang
+        // temperature rates divide by — a constant, not a scan
+        "sample_temperature")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
