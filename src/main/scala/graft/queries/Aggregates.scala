@@ -753,5 +753,63 @@ object Aggregates extends QueryGroup {
         "compose — agg_incremental_merge's pattern). Decimal(24) " +
         "partials give ~10^24 headroom: at 100 TB the per-group sums " +
         "reach ~10^21, still exact; the final compose is driver-side " +
-        "arithmetic on |groups| rows."))
+        "arithmetic on |groups| rows."),
+
+    // Skewness + excess kurtosis per group — agg_corr's exact-moment
+    // discipline extended to the 3rd/4th powers: built-in skewness()/
+    // kurtosis() float-accumulate in partition order (a hash lottery
+    // across engines AND across partitionings), so the four raw
+    // moments are summed exactly as integers (quantity cents ≤ 5000
+    // ⇒ x⁴ ≤ 6.25e14 fits a LONG product; DECIMAL(38,0)/HUGEINT
+    // sums) and the population-moment compose is the only float
+    // code — written with IDENTICAL association order in both
+    // engines, rounded to 4.
+    QueryDef(
+      "agg_skew_kurtosis",
+      (spark, sf) => {
+        import org.apache.spark.sql.types.DecimalType
+        val d = DecimalType(28, 0)
+        val x = col("x")
+        val a = Tables.lineitem(spark, sf)
+          .select(col("l_returnflag"),
+            round(col("l_quantity") * 100).cast("long").as("x"))
+          .groupBy("l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum(x.cast(d)).as("s1"),
+            sum((x * x).cast(d)).as("s2"),
+            sum((x * x * x).cast(d)).as("s3"),
+            sum((x * x * x * x).cast(d)).as("s4"))
+        val m = col("s1").cast("double") / col("n")
+        val q2 = col("s2").cast("double") / col("n")
+        val q3 = col("s3").cast("double") / col("n")
+        val q4 = col("s4").cast("double") / col("n")
+        a.select(col("l_returnflag"), col("n"),
+            m.as("m"), q2.as("q2"), q3.as("q3"), q4.as("q4"))
+          .withColumn("v", col("q2") - col("m") * col("m"))
+          .select(col("l_returnflag"), col("n"),
+            round((col("q3") - lit(3) * col("m") * col("q2") +
+              lit(2) * col("m") * col("m") * col("m")) /
+              (col("v") * sqrt(col("v"))), 4).as("skewness"),
+            round((col("q4") - lit(4) * col("m") * col("q3") +
+              lit(6) * col("m") * col("m") * col("q2") -
+              lit(3) * col("m") * col("m") * col("m") * col("m")) /
+              (col("v") * col("v")) - lit(3), 4).as("kurtosis_excess"))
+          .orderBy("l_returnflag")
+      },
+      Some("WITH b AS (SELECT l_returnflag, CAST(round(l_quantity * 100) AS BIGINT) AS x FROM lineitem), " +
+        "a AS (SELECT l_returnflag, count(*) AS n, sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3, sum(x*x*x*x) AS s4 FROM b GROUP BY 1), " +
+        "d AS (SELECT l_returnflag, n, CAST(s1 AS DOUBLE)/n AS m, CAST(s2 AS DOUBLE)/n AS q2, CAST(s3 AS DOUBLE)/n AS q3, CAST(s4 AS DOUBLE)/n AS q4 FROM a), " +
+        "v AS (SELECT *, q2 - m*m AS v FROM d) " +
+        "SELECT l_returnflag, n, round((q3 - 3*m*q2 + 2*m*m*m) / (v * sqrt(v)), 4) AS skewness, " +
+        "round((q4 - 4*m*q3 + 6*m*m*q2 - 3*m*m*m*m) / (v*v) - 3, 4) AS kurtosis_excess " +
+        "FROM v ORDER BY 1"),
+      scaleNote = "Identical wire shape to agg_corr: one map-side-" +
+        "combined agg carrying five exact integer partials per group " +
+        "— associative, skew-immune, and MERGEABLE (store the raw " +
+        "moments per day-partition; any date-range's skew/kurtosis " +
+        "is a constant-time re-compose, no rescan — the moment-" +
+        "sketch pattern). Headroom: DECIMAL(38) holds Σx⁴ up to " +
+        "~10^23 rows of 4-digit cents; wider values first clamp " +
+        "through agg_winsorize's thresholds, which a 4th moment " +
+        "needs anyway (kurtosis is the statistic outliers destroy)."))
 }

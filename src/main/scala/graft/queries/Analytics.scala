@@ -517,5 +517,57 @@ object Analytics extends QueryGroup {
         "noon DID miss 12 hours of that day). Minute-grain gap " +
         "hunting swaps the truncation unit; per-source feeds add the " +
         "key. The streaming twin is a tumbling-window count with a " +
-        "zero-row alarm on watermark close (stream_tumbling's shape)."))
+        "zero-row alarm on watermark close (stream_tumbling's shape)."),
+
+    // Interval-union length per key (the sweep-line "covered time"
+    // computation): how many distinct seconds of each user's timeline
+    // are covered by at least one of their (possibly overlapping)
+    // activity intervals — the complement of peak_concurrency, which
+    // counts HOW MANY overlap while this measures the union's
+    // measure. The classic exact rewrite: order intervals by start,
+    // clamp each start to the running max of all PRIOR ends, sum the
+    // clamped positive lengths — one window pass, integer seconds
+    // throughout, no per-second expansion. Durations are synthesized
+    // deterministically from event_id (the events table carries no
+    // end column).
+    QueryDef(
+      "interval_coverage",
+      (spark, sf) => {
+        val iv = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 1000000").as("s"))
+          .withColumn("e", col("s") + (col("event_id") % 1800) + 60)
+        val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        iv.withColumn("pm", max(col("e")).over(w))
+          .withColumn("contrib",
+            greatest(col("e") - greatest(col("s"), coalesce(col("pm"), col("s"))),
+              lit(0L)))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n_intervals"),
+            sum(col("contrib")).as("covered_sec"),
+            (max(col("e")) - min(col("s"))).as("span_sec"))
+          .select(col("user_id"), col("n_intervals"), col("covered_sec"),
+            col("span_sec"),
+            round(col("covered_sec").cast("double") * 100 / col("span_sec"), 2)
+              .as("coverage_pct"))
+          .orderBy("user_id")
+      },
+      Some("WITH i AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS s, epoch_us(ts)//1000000 + (event_id % 1800) + 60 AS e FROM events), " +
+        "m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM i), " +
+        "c AS (SELECT user_id, greatest(e - greatest(s, coalesce(pm, s)), 0) AS contrib, s, e FROM m) " +
+        "SELECT user_id, count(*) AS n_intervals, CAST(sum(contrib) AS BIGINT) AS covered_sec, CAST(max(e) - min(s) AS BIGINT) AS span_sec, " +
+        "round(CAST(sum(contrib) AS DOUBLE) * 100 / (max(e) - min(s)), 2) AS coverage_pct " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
+      scaleNote = "One user_id exchange serves the window AND the " +
+        "final agg (same key — AQE reuses it); per-row state in the " +
+        "window is one running max, so a hot user costs a sort, never " +
+        "memory. The integer sweep replaces the naive per-second " +
+        "explode (×86400 row amplification) and the self-join " +
+        "formulation (quadratic per key) — this shape is why " +
+        "billing/uptime systems can compute covered time over years " +
+        "of 100 TB logs. Cross-key union (fleet-wide covered time) " +
+        "reruns the same sweep keyless over the pre-merged per-user " +
+        "islands; calendar bucketing (covered seconds per day) splits " +
+        "intervals at day boundaries map-side first."))
 }

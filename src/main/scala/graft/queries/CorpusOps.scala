@@ -533,5 +533,111 @@ object CorpusOps extends QueryGroup {
         "corpus_epochs' capped integer upsampling — both map-only. " +
         "Other temperatures swap sqrt for pow(n, 1/T) with the rate " +
         "table pinned via the same DECIMAL rounding; the plan is " +
-        "unchanged (T is data, not structure)."))
+        "unchanged (T is data, not structure)."),
+
+    // Collocation mining: top-50 PMI-scored adjacent bigrams with
+    // min-support 5 — the corpus-linguistics primitive behind
+    // tokenizer merge candidates, stopword-phrase detection, and MWE
+    // lexicons (tokenizer_pair_counts operates on characters inside
+    // words; this is its word-level sibling over the SAME one-scan
+    // discipline). Bigrams are generated map-side with zip_with over
+    // the split array — no posexplode self-join, no shuffle until the
+    // count aggs. PMI's log runs on one deterministically-composed
+    // double (integer counts, identical association order in both
+    // engines — text_bm25's precedent) and is rounded to 4.
+    QueryDef(
+      "text_collocations",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+          .select(split(col("text"), " ").as("ws"))
+        val bg = docs.select(explode(
+          zip_with(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1),
+            (x, y) => concat_ws(" ", x, y))).as("bigram"))
+        val cxy = bg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+        val uni = docs.select(explode(col("ws")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val tot = uni.agg(sum(col("c")).as("nu"))
+          .crossJoin(cxy.agg(sum(col("c_xy")).as("np")))
+        val cx = uni.select(col("w").as("x"), col("c").as("c_x"))
+        val cy = uni.select(col("w").as("y"), col("c").as("c_y"))
+        cxy.filter(col("c_xy") >= 5)
+          .withColumn("x", substring_index(col("bigram"), " ", 1))
+          .withColumn("y", substring_index(col("bigram"), " ", -1))
+          .join(broadcast(cx), "x").join(broadcast(cy), "y")
+          .crossJoin(broadcast(tot))
+          .select(col("bigram"), col("c_xy"),
+            round(log(
+              (col("c_xy").cast("double") * col("nu") * col("nu")) /
+                (col("np").cast("double") * col("c_x") * col("c_y"))),
+              4).as("pmi"))
+          .orderBy(col("pmi").desc, col("bigram").asc)
+          .limit(50)
+      },
+      Some("WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents), " +
+        "bg AS (SELECT ws[i] || ' ' || ws[i+1] AS bigram FROM (SELECT ws, unnest(generate_series(1, len(ws)-1)) AS i FROM d)), " +
+        "cxy AS (SELECT bigram, count(*) AS c_xy FROM bg GROUP BY 1), " +
+        "uni AS (SELECT w, count(*) AS c FROM (SELECT unnest(ws) AS w FROM d) GROUP BY 1), " +
+        "tot AS (SELECT (SELECT CAST(sum(c) AS BIGINT) FROM uni) AS nu, (SELECT CAST(sum(c_xy) AS BIGINT) FROM cxy) AS np) " +
+        "SELECT bigram, c_xy, round(ln((CAST(c_xy AS DOUBLE) * nu * nu) / (CAST(np AS DOUBLE) * cx.c * cy.c)), 4) AS pmi " +
+        "FROM cxy CROSS JOIN tot JOIN uni cx ON string_split(bigram, ' ')[1] = cx.w JOIN uni cy ON string_split(bigram, ' ')[2] = cy.w " +
+        "WHERE c_xy >= 5 ORDER BY pmi DESC, bigram ASC LIMIT 50"),
+      scaleNote = "One scan feeds both count tables; bigram generation " +
+        "is a narrow map (zip_with fuses into codegen — no join, no " +
+        "extra pass), so the cost is two map-side-combined aggs whose " +
+        "outputs are vocabulary-sized, not corpus-sized. The unigram " +
+        "table broadcasts into the scoring join twice; the totals row " +
+        "is a 1-row broadcast constant. At 100 TB the only watch item " +
+        "is bigram-vocabulary cardinality — the min-support filter is " +
+        "pushed before the scoring join, and a production variant " +
+        "pre-prunes with agg_cms_sketch's counting sketch so the " +
+        "exact agg only sees candidates above support."),
+
+    // The corpus quality funnel: how many documents survive each
+    // stage of a cleaning pipeline — the per-drop observability
+    // rollup every training-data run reports (the attrition table in
+    // every dataset paper). Stages compose cumulatively: language
+    // gate → length floor → word-count floor → prefix-key exact
+    // dedup (keep-first on the first-5-words key, which genuinely
+    // collapses near-identical openings in this corpus where full-
+    // text md5 collapses nothing). One pass computes all flags; the
+    // funnel is one aggregate row unpivoted to (stage_id, stage, n).
+    QueryDef(
+      "corpus_quality_funnel",
+      (spark, sf) => {
+        val w = Window
+          .partitionBy(array_join(slice(split(col("text"), " "), 1, 5), " "))
+          .orderBy("doc_id")
+        val flagged = Tables.documents(spark, sf)
+          .withColumn("f_lang", col("lang") === "en")
+          .withColumn("f_len", col("n_chars") >= 250)
+          .withColumn("f_words", size(split(col("text"), " ")) >= 50)
+          .withColumn("f_first", row_number().over(w) === 1)
+        val agg = flagged.agg(
+          count(lit(1)).as("n0"),
+          sum(when(col("f_lang"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("f_lang") && col("f_len"), 1L).otherwise(0L)).as("n2"),
+          sum(when(col("f_lang") && col("f_len") && col("f_words"), 1L)
+            .otherwise(0L)).as("n3"),
+          sum(when(col("f_lang") && col("f_len") && col("f_words") &&
+            col("f_first"), 1L).otherwise(0L)).as("n4"))
+        agg.selectExpr(
+          "stack(5, 0, 'all', n0, 1, 'lang_en', n1, 2, 'min_chars_250', n2, " +
+            "3, 'min_words_50', n3, 4, 'prefix_dedup', n4) " +
+            "AS (stage_id, stage, n)")
+          .orderBy("stage_id")
+      },
+      Some("WITH f AS (SELECT lang = 'en' AS f_lang, n_chars >= 250 AS f_len, len(string_split(text, ' ')) >= 50 AS f_words, row_number() OVER (PARTITION BY array_to_string(string_split(text, ' ')[1:5], ' ') ORDER BY doc_id) = 1 AS f_first FROM documents), " +
+        "a AS (SELECT count(*) AS n0, CAST(sum(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN f_lang AND f_len THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN f_lang AND f_len AND f_words THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN f_lang AND f_len AND f_words AND f_first THEN 1 ELSE 0 END) AS BIGINT) AS n4 FROM f) " +
+        "SELECT stage_id, stage, n FROM (SELECT unnest([0,1,2,3,4]) AS stage_id, unnest(['all','lang_en','min_chars_250','min_words_50','prefix_dedup']) AS stage, unnest([n0,n1,n2,n3,n4]) AS n FROM a) ORDER BY stage_id"),
+      scaleNote = "All scalar flags compute in the scan projection; " +
+        "the only shuffle is the prefix-key window (row_number over " +
+        "a short hash key — the same exchange dedup_keep_first pays), " +
+        "and the funnel itself is ONE map-side-combined aggregate row " +
+        "unpivoted driver-side. At 100 TB this is the cheapest query " +
+        "in the pipeline — it rides the same scan as the cleaning " +
+        "pass it instruments and adds one 5-value stack. The stage " +
+        "set is config, not structure: each added filter is one more " +
+        "conjunctive sum column, still one row on the wire."))
 }

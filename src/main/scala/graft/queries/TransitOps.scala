@@ -585,5 +585,63 @@ object TransitOps extends QueryGroup {
         "— the cutover rule is what keeps a past-midnight train's rows " +
         "in the same partition as its service day, which is exactly " +
         "what makes downstream per-day compaction and retention " +
-        "single-partition operations."))
+        "single-partition operations."),
+
+    // Schedule coverage — the feed-health KPI the reference's ops
+    // view needs first: of the trips SCHEDULED to call at each
+    // station on the service day (calendar-filtered, exceptions
+    // applied), how many did the real-time feed actually report (a
+    // uniquely-matched passage in ANY mode — a T forecast still
+    // proves the feed knows the train)? The fixture pins every
+    // branch: the removed-service trip is neither scheduled nor
+    // counted missing, the Sunday-only trip is not scheduled on the
+    // Saturday, the ambiguous 5550 pair is scheduled-but-unobserved
+    // (match policy refuses a guess), and the loop trip counts ONCE.
+    // Keyed by UIC-7 so the oracle needs no Luhn restatement.
+    QueryDef(
+      "schedule_coverage",
+      (spark, _) => {
+        val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
+        val ext = Transit.stopTimesExt(trips, stopTimes, stops)
+        val active = Transit.activeServices(cal, cd, BoardDay)
+        val matched = Transit.matchPassages(
+          boardPassagesDf(spark), ext, active, BoardDay)
+        val sch = ext.join(active, "service_id")
+          .select(regexp_extract(col("stop_id"), "([0-9]{7})", 1)
+            .as("station7"), col("trip_id")).distinct()
+        val obs = matched.filter(col("trip_id").isNotNull)
+          .select(Transit.uic7(col("station_id")).as("station7"),
+            col("trip_id")).distinct()
+          .withColumn("seen", lit(1L))
+        sch.join(obs, Seq("station7", "trip_id"), "left")
+          .groupBy("station7")
+          .agg(count(lit(1)).as("n_scheduled"),
+            sum(coalesce(col("seen"), lit(0L))).as("n_observed"))
+          .select(col("station7"), col("n_scheduled"), col("n_observed"),
+            (col("n_scheduled") - col("n_observed")).as("n_missed"),
+            round(col("n_observed").cast("double") * 100 /
+              col("n_scheduled"), 2).as("coverage_pct"))
+          .orderBy("station7")
+      },
+      Some(boardOracleCtes +
+        ", sch AS (SELECT DISTINCT regexp_extract(stop_id, '([0-9]{7})', 1) AS station7, trip_id FROM sched), " +
+        "obs AS (SELECT DISTINCT substr(station_id, 1, 7) AS station7, trip_id FROM uniq) " +
+        "SELECT s.station7, count(*) AS n_scheduled, " +
+        "CAST(sum(CASE WHEN o.trip_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_observed, " +
+        "CAST(sum(CASE WHEN o.trip_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missed, " +
+        "round(CAST(sum(CASE WHEN o.trip_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) * 100 / count(*), 2) AS coverage_pct " +
+        "FROM sch s LEFT JOIN obs o ON s.station7 = o.station7 AND s.trip_id = o.trip_id " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Both sides pre-shrink to DISTINCT (station, trip) " +
+        "pairs — |stations|×|trips-per-station| rows, bounded by the " +
+        "physical network, never by polling volume — so the coverage " +
+        "join is dimension-sized whatever the feed rate; the matched " +
+        "side reuses delay_board's broadcast contains-join (the " +
+        "expensive part is shared, not repeated, when both run in one " +
+        "DAG). At a year of history the group key becomes (service_" +
+        "day, station7) and the rollup stays one map-side-combined " +
+        "agg; alert on coverage_pct dropping below a floor per " +
+        "station — the reference's silent-station failure mode " +
+        "(ts_calendar_gaps catches dead polling; this catches a " +
+        "polling loop that runs but matches nothing)."))
 }

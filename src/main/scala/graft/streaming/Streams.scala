@@ -651,6 +651,41 @@ object Streams {
       }
     }
   }
+
+  case class HHState(summary: Map[String, Long], nSeen: Long)
+  case class HHRow(n_seen: Long, term: String, est: Long)
+
+  /** Streaming Misra–Gries heavy hitters — the stateful twin of batch
+    * agg_heavy_hitters, and the real-time "which event types dominate
+    * the feed RIGHT NOW" monitor. State is one ≤ k-entry (term, count)
+    * map (bytes, forever, whatever the stream rate); each micro-batch
+    * folds its rows through the SAME [[graft.functions.MisraGries]]
+    * reduce step the batch aggregate runs, in (ts, event_id) order, so
+    * under ordered replay the state after batch B is BIT-EQUAL to a
+    * sequential MG fold of every event seen so far (StreamingSpec
+    * pins this against a driver-side fold, plus the undercount /
+    * N/(k+1) error-bound / heavy-all-present invariants vs exact
+    * counts). Each batch emits the full ≤ k-row summary stamped with
+    * n_seen, so the sink's latest stamp IS the current summary —
+    * an O(k) emission, not a per-event one. */
+  def heavyHitters(events: Dataset[Event], k: Int): Dataset[HHRow] = {
+    import events.sparkSession.implicits._
+    val mg = new graft.functions.MisraGries(k)
+    events
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (_: Int, evs: Iterator[Event], state: GroupState[HHState]) =>
+          val st = state.getOption.getOrElse(HHState(Map.empty, 0L))
+          val ordered = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val summary = ordered.foldLeft(st.summary)(
+            (m, e) => mg.reduce(m, e.event_type))
+          val next = HHState(summary, st.nSeen + ordered.size)
+          state.update(next)
+          summary.toSeq.sortBy(_._1)
+            .map { case (t, c) => HHRow(next.nSeen, t, c) }.iterator
+      }
+  }
 }
 
 /** Durable keyed upsert sink over parquet — the Dynamo table analog

@@ -685,6 +685,116 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("n_sessions")).sum <= nSessions)
   }
 
+  test("corpus_quality_funnel: monotone attrition from the full corpus") {
+    val stages = run("corpus_quality_funnel").orderBy("stage_id")
+      .collect().map(_.getAs[Long]("n"))
+    assert(stages.head ==
+      graft.engine.Tables.documents(spark, sf).count())
+    assert(stages.zip(stages.tail).forall { case (a, b) => b <= a },
+      s"funnel must be non-increasing: ${stages.mkString(",")}")
+    assert(stages.last > 0, "the funnel must not empty the corpus")
+  }
+
+  test("win_distinct_running: final row per user equals the user's distinct-type count") {
+    val out = run("win_distinct_running")
+    val finals = out.groupBy("user_id")
+      .agg(max("n_distinct_types").as("running_final"))
+    val truth = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy("user_id").agg(countDistinct("event_type").as("exact"))
+    assert(finals.join(truth, "user_id")
+      .filter(col("running_final") =!= col("exact")).count() == 0)
+    // running counts never decrease along each user's timeline
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    assert(out.withColumn("prev", lag("n_distinct_types", 1).over(w))
+      .filter(col("prev").isNotNull && col("n_distinct_types") < col("prev"))
+      .count() == 0)
+  }
+
+  test("text_collocations: counts consistent with a direct bigram count") {
+    val out = run("text_collocations").collect()
+    assert(out.length == 50)
+    assert(out.forall(_.getAs[Long]("c_xy") >= 5), "min-support violated")
+    // spot-check the top bigram's count against a direct recount
+    val top = out.head
+    val bg = top.getAs[String]("bigram")
+    val Array(x, y) = bg.split(" ", 2)
+    val recount = graft.engine.Tables.documents(spark, sf)
+      .select(split(col("text"), " ").as("ws"))
+      .select(explode(expr(
+        "zip_with(slice(ws, 1, size(ws)-1), slice(ws, 2, size(ws)-1), (a, b) -> a || ' ' || b)")).as("b"))
+      .filter(col("b") === bg).count()
+    assert(recount == top.getAs[Long]("c_xy"))
+    assert(x.nonEmpty && y.nonEmpty)
+  }
+
+  test("schedule_coverage: fixture branches pin scheduled/observed/missed") {
+    val rows = run("schedule_coverage").collect()
+      .map(r => r.getAs[String]("station7") ->
+        (r.getAs[Long]("n_scheduled"), r.getAs[Long]("n_observed"),
+          r.getAs[Long]("n_missed"))).toMap
+    // 8738400: scheduled = {165109, 134683, 200100(S_EXC added),
+    // 300400}; S_XRM's 400500 removed that day → NOT scheduled (and
+    // so not "missed" — the feed can't miss a train that isn't due)
+    val (s1, o1, m1) = rows("8738400")
+    assert(s1 == 4, s"8738400 scheduled: $s1")
+    assert(o1 + m1 == s1)
+    // 8739300: {555001, 555002, 777100} scheduled (S_SUN's 888200
+    // inactive on the Saturday); the ambiguous 5550 pair is
+    // scheduled-but-unobserved; the loop trip counts once
+    val (s2, o2, m2) = rows("8739300")
+    assert(s2 == 3, s"8739300 scheduled: $s2")
+    assert(m2 >= 2, "both ambiguous-pair trips must count as missed")
+    assert(o2 + m2 == s2)
+  }
+
+  test("cdc_apply: every MERGE branch lands (update, delete, insert, untouched)") {
+    val out = run("cdc_apply")
+    val snap = graft.engine.Tables.customer(spark, sf)
+    val nSnap = snap.count()
+    val nDel = snap.filter(col("c_custkey") % 10 === 1).count()
+    val nIns = snap.filter(col("c_custkey") % 10 === 2).count()
+    assert(out.count() == nSnap - nDel + nIns)
+    assert(out.filter(col("k") % 10 === 1 && col("k") < 10000000L).count() == 0,
+      "deleted keys must be gone")
+    val nUpd = snap.filter(col("c_custkey") % 10 === 0).count()
+    assert(out.filter(col("name").startsWith("upd_")).count() == nUpd)
+    assert(out.filter(col("k") >= 10000000L).count() == nIns)
+    // untouched rows keep their original name verbatim
+    val untouched = out.filter(col("k") % 10 =!= 0 && col("k") < 10000000L)
+      .join(snap, col("k") === col("c_custkey"))
+      .filter(col("name") =!= col("c_name"))
+    assert(untouched.count() == 0)
+  }
+
+  test("interval_coverage equals a brute-force per-second expansion") {
+    val out = run("interval_coverage")
+    // independent recount: explode every interval into its seconds,
+    // count distinct — feasible only at spec scale, which is the point
+    val brute = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) div 1000000").as("s"))
+      .withColumn("e", col("s") + (col("event_id") % 1800) + 60)
+      .select(col("user_id"), explode(expr("sequence(s, e - 1)")).as("sec"))
+      .groupBy("user_id").agg(countDistinct("sec").as("brute_covered"))
+    assert(out.join(brute, "user_id")
+      .filter(col("covered_sec") =!= col("brute_covered")).count() == 0)
+    assert(out.filter(col("covered_sec") > col("span_sec")).count() == 0)
+  }
+
+  test("agg_skew_kurtosis agrees with Spark's built-ins up to the declared rounding") {
+    val out = run("agg_skew_kurtosis")
+    val builtin = graft.engine.Tables.lineitem(spark, sf)
+      .select(col("l_returnflag"),
+        round(col("l_quantity") * 100).cast("long").as("x"))
+      .groupBy("l_returnflag")
+      .agg(skewness(col("x")).as("sk"), kurtosis(col("x")).as("ku"))
+    val bad = out.join(builtin, "l_returnflag")
+      .filter(abs(col("skewness") - col("sk")) > 1e-3 ||
+        abs(col("kurtosis_excess") - col("ku")) > 1e-3)
+    assert(bad.count() == 0)
+  }
+
   test("gtfs_feed_validate: every planted violation fires exactly once") {
     val out = run("gtfs_feed_validate").collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap

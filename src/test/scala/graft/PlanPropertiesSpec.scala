@@ -230,7 +230,9 @@ class PlanPropertiesSpec extends SparkSpec {
         "text_bm25",
         // the 1-row (Σ√n, Σn) normalization broadcast the per-lang
         // temperature rates divide by — a constant, not a scan
-        "sample_temperature")
+        "sample_temperature",
+        // the 1-row (Nu, Np) PMI normalization constant
+        "text_collocations")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),

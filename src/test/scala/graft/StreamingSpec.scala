@@ -617,4 +617,48 @@ class StreamingSpec extends SparkSpec {
         s"expected 6 incremental updates (no-news re-poll silent), got $emitted")
     } finally q.stop()
   }
+
+  test("stream_heavy_hitters: state equals a sequential MG fold; MG invariants hold") {
+    val s = spark
+    import s.implicits._
+    val k = 3 // < |event_types|, so the decrement branch genuinely runs
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(200), all.slice(200, 700), all.drop(700))
+    val mem = MemoryStream[Streams.Event](26, spark, None)
+    val q = Streams.heavyHitters(mem.toDS(), k).writeStream.format("memory")
+      .queryName("t_hh").outputMode("update").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val rows = spark.table("t_hh").collect()
+      val latestSeen = rows.map(_.getAs[Long]("n_seen")).max
+      assert(latestSeen == all.length.toLong, "every event must be folded")
+      val streamed = rows.filter(_.getAs[Long]("n_seen") == latestSeen)
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+      // 1) BIT-EQUAL to the sequential fold of the batch aggregator's
+      // own reduce step over the same ordered stream — micro-batch
+      // slicing must not change the fold
+      val mg = new graft.functions.MisraGries(k)
+      val expected = all.foldLeft(Map.empty[String, Long])(
+        (m, e) => mg.reduce(m, e.event_type))
+      assert(streamed == expected,
+        s"stream state $streamed != sequential fold $expected")
+      // 2) the mergeable-summaries invariants vs exact counts
+      val exact = all.groupBy(_.event_type).view.mapValues(_.length.toLong).toMap
+      val n = all.length.toLong
+      assert(streamed.size <= k, "capacity exceeded")
+      streamed.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$t overcounted")
+        assert((exact(t) - est) * (k + 1) <= n, s"$t error bound broken")
+      }
+      exact.foreach { case (t, freq) =>
+        if (freq * (k + 1) > n)
+          assert(streamed.contains(t), s"heavy hitter $t missing")
+      }
+      // 3) per-batch emission is the O(k) summary, not per-event
+      assert(rows.length <= slices.length * k)
+    } finally q.stop()
+  }
 }
