@@ -33,9 +33,22 @@ object ScalingCurve {
       "text_bm25", "text_posting_lists", "text_repetition",
       "agg_histogram", "ts_autocorr", "ts_seasonal_dow",
       "join_asof_tolerance", "agg_bitmap_presence", "agg_winsorize",
-      "ts_calendar_gaps")
+      "ts_calendar_gaps",
+      // r7 wave (data-dependent keys only — the transit/GTFS fixture
+      // ops run on constant verification data and have no SF curve)
+      "tokenizer_pair_counts", "sample_temperature", "dedup_containment",
+      "dedup_clusters_incremental", "set_except_all", "set_intersect_all",
+      "join_anti_null_aware", "agg_percentile_cont", "agg_corr",
+      "agg_skew_kurtosis", "path_patterns", "markov_transitions",
+      "text_collocations", "corpus_quality_funnel", "win_distinct_running",
+      "interval_coverage", "cdc_apply")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
-    queries.foreach { q =>
+    // optional dev filter: trailing args restrict the run to named
+    // queries (Verify's pattern — unknown names fail loudly)
+    val only = args.toSet
+    val unknown = only.diff(SparkEntry.queries.keySet)
+    require(unknown.isEmpty, s"unknown query name(s): ${unknown.mkString(", ")}")
+    queries.filter(q => only.isEmpty || only(q)).foreach { q =>
       val fn = SparkEntry.queries(q)
       val times = sfs.map { sf =>
         val dir = s"/root/testdata/$sf"
