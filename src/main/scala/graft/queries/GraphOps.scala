@@ -398,5 +398,65 @@ object GraphOps extends QueryGroup {
         "exact wedge count for MinHash signatures per supplier " +
         "(dedup_near's machinery) when |S| pairs exceed memory-" +
         "bounded shuffles; the Jaccard definition stays identical, " +
-        "which is exactly why this exact form is the oracle anchor."))
+        "which is exactly why this exact form is the oracle anchor."),
+
+    // Weighted single/multi-source shortest paths — graph_reachability
+    // measures HOW FAR (hops), this measures HOW COSTLY: 4 rounds of
+    // distributed Bellman-Ford relaxation over the bipartite graph
+    // with a deterministic symmetric edge weight (1 + (src+dst) % 5 —
+    // identical in both directions by construction, so the undirected
+    // semantics survive the directed union). Each round relaxes EVERY
+    // settled node, not just a frontier, trading re-relaxation for an
+    // oracle-mirrorable non-iterative structure (reachability's
+    // trade, with min-of-costs instead of min-of-levels).
+    QueryDef(
+      "graph_shortest_path",
+      (spark, sf) => {
+        val e = edges(spark, sf)
+          .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+          .localCheckpoint(false)
+        val seeds = e.select(col("src").as("node")).distinct()
+          .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
+        var dist = seeds.select(col("node"), lit(0L).as("d"))
+        for (_ <- 1 to 4) {
+          val relax = e
+            .join(broadcast(dist.select(col("node").as("src"), col("d"))), "src")
+            .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+          dist = dist.unionAll(relax)
+            .groupBy("node").agg(min(col("d")).as("d"))
+            .localCheckpoint(false)
+        }
+        dist.select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("key"), col("d").as("dist"))
+          .orderBy("node_type", "key")
+      },
+      Some {
+        val rel = (prev: String, cur: String) =>
+          s"$cur AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (" +
+            s"SELECT node, d FROM $prev UNION ALL " +
+            s"SELECT e.dst AS node, $prev.d + 1 + (e.src + e.dst) % 5 AS d " +
+            s"FROM e JOIN $prev ON e.src = $prev.node) GROUP BY node)"
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d FROM e WHERE src % 2 = 0 AND src < 20), " +
+          rel("d0", "d1") + ", " + rel("d1", "d2") + ", " +
+          rel("d2", "d3") + ", " + rel("d3", "d4") + " " +
+          "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
+          "node // 2 AS key, d AS dist FROM d4 ORDER BY node_type, key"
+      },
+      scaleNote = "Per round: one equi join of the once-checkpointed " +
+        "weighted edge list against the |settled|-row distance table " +
+        "(broadcast while it fits, co-partitioned shuffle join after) " +
+        "+ a map-side-combined min agg — reachability's cost model " +
+        "with an integer add. Four rounds bound path length by " +
+        "contract (a polling-network query wants bounded radius); " +
+        "full SSSP iterates to fixpoint with a convergence check on " +
+        "changed-row count (dedup_clusters' loop discipline: " +
+        "checkpoint each round, O(diameter) rounds). Weights are " +
+        "data in production (travel seconds on the stop graph — " +
+        "station_headway's gaps feed exactly this); the integer " +
+        "min-plus algebra is what keeps every round's state exact " +
+        "and partition-order-free at any scale."))
 }

@@ -561,5 +561,61 @@ object PipelineOps extends QueryGroup {
         "a table format performs, expressed as the engine plan. " +
         "Type-2 history instead of overwrite is merge_scd2's path; " +
         "a conflicting multi-change-per-key feed first collapses to " +
-        "last-wins via last_state's struct-max."))
+        "last-wins via last_state's struct-max."),
+
+    // Dual-store reconciliation — the reference writes every cycle to
+    // TWO stores (Mongo for history, Dynamo for serving [P
+    // utils_mongo.py / utils_dynamo.py]) and silently trusts them to
+    // agree; this is the nightly audit that checks. Two synthetic
+    // store views of the event log with deterministic planted drift
+    // (A misses event_id ≡ 13 mod 97 — dropped writes; B misses
+    // ≡ 7 mod 89 AND corrupts value by +0.01 on ≡ 5 mod 101 —
+    // partial-failure typo), full-outer-joined on the key, classified
+    // per day: present-in-one-only each way, value mismatch, clean.
+    QueryDef(
+      "store_reconcile",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+          .select(col("event_id"), col("ts").cast("date").as("day"),
+            Dsl.dec2(col("value")).as("v"))
+        val a = ev.filter(col("event_id") % 97 =!= 13)
+          .select(col("event_id"), col("day").as("day_a"), col("v").as("va"))
+        val b = ev.filter(col("event_id") % 89 =!= 7)
+          .select(col("event_id"), col("day").as("day_b"),
+            when(col("event_id") % 101 === 5, Dsl.dec2(col("v") + lit(0.01)))
+              .otherwise(col("v")).as("vb"))
+        a.join(b, Seq("event_id"), "full")
+          .select(coalesce(col("day_a"), col("day_b")).as("day"),
+            col("va"), col("vb"))
+          .groupBy("day")
+          .agg(
+            sum(when(col("vb").isNull, 1L).otherwise(0L)).as("n_only_a"),
+            sum(when(col("va").isNull, 1L).otherwise(0L)).as("n_only_b"),
+            sum(when(col("va").isNotNull && col("vb").isNotNull &&
+              col("va") =!= col("vb"), 1L).otherwise(0L)).as("n_mismatch"),
+            sum(when(col("va") === col("vb"), 1L).otherwise(0L)).as("n_clean"))
+          .select(col("day").cast("string").as("day"), col("n_only_a"),
+            col("n_only_b"), col("n_mismatch"), col("n_clean"))
+          .orderBy("day")
+      },
+      Some("WITH ev AS (SELECT event_id, CAST(ts AS DATE) AS day, CAST(value AS DECIMAL(18,2)) AS v FROM events), " +
+        "a AS (SELECT event_id, day AS day_a, v AS va FROM ev WHERE event_id % 97 <> 13), " +
+        "b AS (SELECT event_id, day AS day_b, CASE WHEN event_id % 101 = 5 THEN CAST(v + 0.01 AS DECIMAL(18,2)) ELSE v END AS vb FROM ev WHERE event_id % 89 <> 7) " +
+        "SELECT CAST(coalesce(day_a, day_b) AS VARCHAR) AS day, " +
+        "CAST(sum(CASE WHEN vb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a, " +
+        "CAST(sum(CASE WHEN va IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b, " +
+        "CAST(sum(CASE WHEN va IS NOT NULL AND vb IS NOT NULL AND va <> vb THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch, " +
+        "CAST(sum(CASE WHEN va = vb THEN 1 ELSE 0 END) AS BIGINT) AS n_clean " +
+        "FROM a FULL JOIN b USING (event_id) GROUP BY 1 ORDER BY 1"),
+      scaleNote = "ONE full outer equi join on the primary key + a " +
+        "map-side-combined day rollup — the canonical audit shape. " +
+        "At 100 TB both store exports are date-partitioned, so the " +
+        "join runs per-day-partition-parallel with zero cross-day " +
+        "shuffle (the day is IN the key path via coalesce, and " +
+        "mismatched-day same-id rows cannot exist when the key " +
+        "embeds the day, as the reference's day_train_num does). " +
+        "Value comparison in DECIMAL, never float equality. The " +
+        "output is |days| rows of four counters — alert thresholds, " +
+        "then drill into the mismatching keys with the same join " +
+        "un-aggregated (filter pushdown makes the drill cheap)."))
 }

@@ -249,7 +249,13 @@ object Windows extends QueryGroup {
     QueryDef(
       "win_distinct_running",
       (spark, sf) => {
-        val ev = Tables.loadEvents(spark, sf)
+        // repartition on the COARSER key first: hashpartitioning(
+        // user_id) satisfies the (user_id, event_type) window's
+        // clustering requirement (partition exprs ⊆ clustering keys),
+        // so BOTH windows run on this one exchange — without it Spark
+        // plans the flag window on (user, type) and must re-shuffle
+        // to user_id for the running sum (pinned in PlanPropertiesSpec)
+        val ev = Tables.loadEvents(spark, sf).repartition(col("user_id"))
         val wFirst = Window.partitionBy("user_id", "event_type")
           .orderBy("ts", "event_id")
         val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")

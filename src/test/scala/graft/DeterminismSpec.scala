@@ -18,7 +18,11 @@ class DeterminismSpec extends SparkSpec {
   private val names = Seq(
     "agg_stats", "vec_cosine_pairs", "tfidf_keywords", "ts_anomaly",
     "agg_cms_sketch", "pack_sequences", "merge_scd2", "corpus_mix",
-    "dedup_near", "peak_concurrency", "join_lateral", "emb_quantize")
+    "dedup_near", "peak_concurrency", "join_lateral", "emb_quantize",
+    // r7: exact-moment float composes (summation order must not leak),
+    // collect_list-ordered paths, PMI logs over count broadcasts
+    "agg_corr", "agg_skew_kurtosis", "agg_percentile_cont",
+    "path_patterns", "text_collocations", "interval_coverage")
 
   private def rows(s: org.apache.spark.sql.SparkSession, name: String) =
     Registry.byName(name).build(s, sf).collect().map(_.toSeq).toSeq

@@ -795,6 +795,49 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("graph_shortest_path: seeds at 0, weighted dist bracketed by hop count") {
+    val sp = run("graph_shortest_path")
+    assert(sp.filter(col("node_type") === "customer" && col("key") < 10 &&
+      col("dist") =!= 0).count() == 0, "seed distance must be 0")
+    // weights are 1..5 per edge, so hops ≤ dist ≤ 5·hops for every
+    // node reachability also reaches (its 3 rounds ⊆ our 4)
+    val hops = run("graph_reachability")
+    val joined = sp.join(hops, Seq("node_type", "key"))
+    assert(joined.filter(col("dist") < col("hops") ||
+      col("dist") > col("hops") * 5).count() == 0,
+      "dist must lie in [hops, 5*hops]")
+    assert(joined.count() > 0)
+  }
+
+  test("ts_cross_correlation: lag-0 symmetry and r in [-1, 1]") {
+    val x = run("ts_cross_correlation")
+    assert(x.filter(abs(col("r")) > 1.0001).count() == 0)
+    val l0 = x.filter(col("lag") === 0)
+    val flipped = l0.select(col("type_a").as("type_b"),
+      col("type_b").as("type_a"), col("r").as("r2"))
+    val asym = l0.join(flipped, Seq("type_a", "type_b"))
+      .filter(abs(col("r") - col("r2")) > 1e-9)
+    assert(asym.count() == 0, "corr(a,b) must equal corr(b,a) at lag 0")
+  }
+
+  test("store_reconcile: counters partition the key universe") {
+    val out = run("store_reconcile")
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val total = ev.count()
+    val missA = ev.filter(col("event_id") % 97 === 13).count()
+    val missB = ev.filter(col("event_id") % 89 === 7).count()
+    val missBoth = ev.filter(col("event_id") % 97 === 13 &&
+      col("event_id") % 89 === 7).count()
+    val sums = out.agg(sum("n_only_a").as("a"), sum("n_only_b").as("b"),
+      sum("n_mismatch").as("m"), sum("n_clean").as("c")).head()
+    assert(sums.getAs[Long]("a") == missB - missBoth)
+    assert(sums.getAs[Long]("b") == missA - missBoth)
+    // every key in A∪B lands in exactly one bucket
+    assert(sums.getAs[Long]("a") + sums.getAs[Long]("b") +
+      sums.getAs[Long]("m") + sums.getAs[Long]("c") == total - missBoth)
+    assert(sums.getAs[Long]("m") > 0, "planted value drift must surface")
+  }
+
   test("gtfs_feed_validate: every planted violation fires exactly once") {
     val out = run("gtfs_feed_validate").collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap

@@ -232,7 +232,11 @@ class PlanPropertiesSpec extends SparkSpec {
         // temperature rates divide by — a constant, not a scan
         "sample_temperature",
         // the 1-row (Nu, Np) PMI normalization constant
-        "text_collocations")
+        "text_collocations",
+        // the broadcast 8-row lag table crossJoined onto the
+        // |types|×|days| daily GRID (not the corpus) — a bounded
+        // constant expansion, ts_sliding's slide-offset pattern
+        "ts_cross_correlation")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
@@ -279,5 +283,46 @@ class PlanPropertiesSpec extends SparkSpec {
       s"range join degenerated to a loop join:\n${p.take(800)}")
     val read = p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")
     assert(!read.contains("l_extendedprice"), s"column pruning lost: $read")
+  }
+
+  test("set_except_all / set_intersect_all rewrite to ReplicateRows, not a join of duplicates") {
+    // the scaleNote's claim: multiset set-ops ship one row per
+    // DISTINCT key (count aggregates) and re-expand survivors with
+    // Generate(ReplicateRows) — if a refactor degraded this to raw
+    // row-level processing the Generate disappears
+    for (q <- Seq("set_except_all", "set_intersect_all")) {
+      val p = plan(q)
+      assert(p.contains("replicaterows".toLowerCase) ||
+        p.toLowerCase.contains("replicaterows"),
+        s"$q lost the ReplicateRows rewrite:\n${p.take(800)}")
+    }
+  }
+
+  test("win_distinct_running runs both windows on ONE user_id exchange") {
+    val p = plan("win_distinct_running")
+    // flag window keys (user_id, event_type); running window keys
+    // (user_id) — Spark satisfies the second from the first exchange,
+    // so exactly one hash exchange appears (plus the output range sort)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected 1 hash exchange (shared by both windows), got $hashEx:\n${p.take(1200)}")
+  }
+
+  test("interval_coverage: window and aggregate share the user_id exchange") {
+    val p = plan("interval_coverage")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(hashEx == 1,
+      s"expected 1 hash exchange (window + agg on user_id), got $hashEx:\n${p.take(1200)}")
+  }
+
+  test("path_patterns tops out in TakeOrderedAndProject (no global sort of paths)") {
+    val p = plan("path_patterns")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+  }
+
+  test("cdc_apply broadcasts the change feed (snapshot never shuffles)") {
+    val p = plan("cdc_apply")
+    assert(p.contains("BroadcastHashJoin"),
+      s"update/delete feed must broadcast against the snapshot:\n${p.take(1200)}")
   }
 }
