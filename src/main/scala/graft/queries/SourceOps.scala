@@ -216,6 +216,28 @@ object SourceOps extends QueryGroup {
     GtfsDirtyDir
   }
 
+  val FixedWidthDir = "/tmp/graft_fixedwidth_fixture"
+
+  /** Fixed-width legacy export — layout station(8) · train(6,
+    * left-aligned space-padded) · delay(4, RIGHT-aligned, signed) ·
+    * status(10, left-aligned). Rows plant every parse edge: negative
+    * delay, zero, a short train number with pad spaces, max padding. */
+  private val FixedWidthLines: String = Seq(
+    "87384008165109  12Retarde   ",
+    "87393009134657   0OnTime    ",
+    "87393009221004  -3Early     ",
+    "877580119241   105Retarde   ",
+    "87384008777100   7Supprime  ").mkString("", "\n", "\n")
+
+  /** Idempotently materialize the fixed-width fixture. */
+  def ensureFixedWidthFixture(): String = synchronized {
+    val d = new java.io.File(FixedWidthDir)
+    if (!d.exists()) d.mkdirs()
+    java.nio.file.Files.write(new java.io.File(d, "export.dat").toPath,
+      FixedWidthLines.getBytes("UTF-8"))
+    FixedWidthDir
+  }
+
   private val JsonlOracleValues: String = Seq(
     "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134657',12,'late')",
     "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134659',0,'ontime')",
@@ -411,5 +433,43 @@ object SourceOps extends QueryGroup {
         "touches stop_times. The pattern generalizes to any 100 TB " +
         "lake ingest: run the rule set per drop, alert on n_bad > 0, " +
         "quarantine the drop before it joins the serving tables " +
-        "(agg_boolean's assertion rollup is the generic form)."))
+        "(agg_boolean's assertion rollup is the generic form)."),
+
+    // Fixed-width text — the FOURTH ingest format (legacy mainframe/
+    // SI export, still how several European rail systems publish
+    // archival feeds): no delimiters, columns live at byte offsets.
+    // spark.read.text streams raw lines; the layout is applied as
+    // codegen'd substring/trim/cast projections. The oracle re-reads
+    // the SAME file (DuckDB read_csv with delim='' = raw lines) and
+    // applies the same layout — hash equality gates offsets, padding
+    // trim, and the signed right-aligned integer parse end-to-end.
+    QueryDef(
+      "source_fixed_width",
+      (spark, _) => {
+        val dir = ensureFixedWidthFixture()
+        spark.read.text(dir)
+          .select(
+            substring(col("value"), 1, 8).as("station_id"),
+            trim(substring(col("value"), 9, 6)).as("num"),
+            trim(substring(col("value"), 15, 4)).cast("int").as("delay_min"),
+            trim(substring(col("value"), 19, 10)).as("status"))
+          .withColumn("is_late", col("delay_min") > 0)
+          .orderBy("station_id", "num")
+      },
+      Some("SELECT station_id, num, delay_min, status, delay_min > 0 AS is_late FROM (" +
+        s"SELECT substr(line, 1, 8) AS station_id, trim(substr(line, 9, 6)) AS num, " +
+        "CAST(trim(substr(line, 15, 4)) AS INTEGER) AS delay_min, " +
+        "trim(substr(line, 19, 10)) AS status " +
+        s"FROM read_csv('$FixedWidthDir/export.dat', header=false, delim='', columns={'line':'VARCHAR'})) " +
+        "ORDER BY station_id, num"),
+      scaleNote = "Fixed-width is the BEST-splitting text format — " +
+        "constant row length means byte-range splits never tear a " +
+        "record, so a 100 TB export parallelizes perfectly with zero " +
+        "quote/newline scanning; the whole parse is substring/trim/" +
+        "cast inside WholeStageCodegen on the scan, no shuffle, no " +
+        "regex. Schema drift is positional (an offset change breaks " +
+        "loudly as cast failures → NULLs), so pair with agg_boolean's " +
+        "assertion rollup per drop like every other feed. " +
+        "spark.read.text carries no layout DSL — the projection IS " +
+        "the layout declaration, versioned with the code."))
 }

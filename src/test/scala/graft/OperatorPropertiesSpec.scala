@@ -838,6 +838,48 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(sums.getAs[Long]("m") > 0, "planted value drift must surface")
   }
 
+  test("join_spatial_grid: matches are neighborhood-local and no same-cell station is missed") {
+    val out = run("join_spatial_grid")
+    val cust = graft.engine.Tables.customer(spark, sf)
+      .select(col("c_custkey"), (col("c_custkey") % 1000).as("clat"),
+        ((col("c_custkey") / 7).cast("long") % 1000).as("clon"))
+    val stat = graft.engine.Tables.supplier(spark, sf)
+      .select(col("s_suppkey"), (col("s_suppkey") % 1000).as("slat"),
+        ((col("s_suppkey") / 3).cast("long") % 1000).as("slon"))
+    // 1) every reported (customer, station, d2) is self-consistent
+    // and the station lies within one cell of the customer
+    val joined = out
+      .join(cust, "c_custkey")
+      .join(stat, out("nearest_supp") === stat("s_suppkey"))
+    assert(joined.filter(
+      (col("clat") - col("slat")) * (col("clat") - col("slat")) +
+        (col("clon") - col("slon")) * (col("clon") - col("slon")) =!= col("d2"))
+      .count() == 0, "reported d2 must match the coordinates")
+    assert(joined.filter(
+      abs(expr("clat div 10") - expr("slat div 10")) > 1 ||
+        abs(expr("clon div 10") - expr("slon div 10")) > 1).count() == 0,
+      "match outside the 3x3 neighborhood")
+    // 2) completeness: any customer sharing a CELL with a station
+    // must appear in the output
+    val sameCell = cust.join(stat,
+      expr("clat div 10") === expr("slat div 10") &&
+        expr("clon div 10") === expr("slon div 10"), "left_semi")
+    assert(sameCell.join(out, Seq("c_custkey"), "left_anti").count() == 0,
+      "customer with a same-cell station missing from output")
+  }
+
+  test("source_fixed_width: layout parse pins every planted edge") {
+    val out = run("source_fixed_width").collect()
+    assert(out.length == 5)
+    val byNum = out.map(r => r.getAs[String]("num") -> r).toMap
+    assert(byNum("221004").getAs[Int]("delay_min") == -3, "signed parse")
+    assert(byNum("9241").getAs[String]("station_id") == "87758011",
+      "short train number must trim its pad spaces")
+    assert(byNum("9241").getAs[Int]("delay_min") == 105)
+    assert(byNum("134657").getAs[Boolean]("is_late") == false)
+    assert(byNum("165109").getAs[String]("status") == "Retarde", "status pad trim")
+  }
+
   test("gtfs_feed_validate: every planted violation fires exactly once") {
     val out = run("gtfs_feed_validate").collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap
