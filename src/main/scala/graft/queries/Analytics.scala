@@ -628,5 +628,54 @@ object Analytics extends QueryGroup {
         "it hash-joins; at years×hundreds-of-types scale the grid is " +
         "still MBs — cross-correlation of a trillion events is " +
         "arithmetic on a broadcast table. Moments are exact BIGINT " +
-        "sums (agg_corr's rule), so r is partitioning-independent."))
+        "sums (agg_corr's rule), so r is partitioning-independent."),
+
+    // Market-basket co-occurrence with lift — the set-valued sibling
+    // of text_collocations' sequence bigrams: which part PAIRS appear
+    // in the same order more often than independence predicts
+    // (affinity analysis / complementary-products; the corpus analog
+    // is doc-level tag co-occurrence). Pair generation is the classic
+    // within-group self-join with x < y — bounded by items-per-order
+    // (≤ 13 here, a physical constant in retail), NOT by catalog
+    // size. lift = P(xy)/(P(x)·P(y)) composed from exact integer
+    // counts in one identically-associated float expression.
+    QueryDef(
+      "basket_pairs",
+      (spark, sf) => {
+        val i = Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_partkey")).distinct()
+        val tot = i.agg(countDistinct(col("l_orderkey")).as("n_orders"))
+        val freq = i.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+        val a = i.select(col("l_orderkey"), col("l_partkey").as("x"))
+        val b = i.select(col("l_orderkey"), col("l_partkey").as("y"))
+        val fx = freq.select(col("l_partkey").as("x"), col("n").as("n_x"))
+        val fy = freq.select(col("l_partkey").as("y"), col("n").as("n_y"))
+        a.join(b, Seq("l_orderkey")).filter(col("x") < col("y"))
+          .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+          .filter(col("n_xy") >= 2)
+          .join(broadcast(fx), "x").join(broadcast(fy), "y")
+          .crossJoin(broadcast(tot))
+          .select(col("x"), col("y"), col("n_xy"),
+            round((col("n_xy").cast("double") * col("n_orders")) /
+              (col("n_x").cast("double") * col("n_y")), 4).as("lift"))
+          .orderBy(col("lift").desc, col("x"), col("y"))
+          .limit(100)
+      },
+      Some("WITH i AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), " +
+        "tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM i), " +
+        "freq AS (SELECT l_partkey, count(*) AS n FROM i GROUP BY 1), " +
+        "p AS (SELECT a.l_partkey AS x, b.l_partkey AS y, count(*) AS n_xy FROM i a JOIN i b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey GROUP BY 1, 2 HAVING count(*) >= 2) " +
+        "SELECT x, y, n_xy, round((CAST(n_xy AS DOUBLE) * n_orders) / (CAST(fx.n AS DOUBLE) * fy.n), 4) AS lift " +
+        "FROM p CROSS JOIN tot JOIN freq fx ON p.x = fx.l_partkey JOIN freq fy ON p.y = fy.l_partkey " +
+        "ORDER BY lift DESC, x, y LIMIT 100"),
+      scaleNote = "The self-join shuffles on l_orderkey ONCE and " +
+        "expands n·(n−1)/2 pairs per order map-side — with basket " +
+        "size a physical constant, pair volume is linear in orders, " +
+        "never quadratic in catalog. The min-support filter runs " +
+        "BEFORE the scoring joins (pair vocabulary collapses first), " +
+        "item frequencies broadcast, top-100 compiles to " +
+        "TakeOrderedAndProject. At real-retail scale the standard " +
+        "escalation applies: hash-prune candidate pairs with " +
+        "agg_cms_sketch (A-Priori's counting pass) so the exact agg " +
+        "sees only above-support survivors — same plan, pre-filtered."))
 }

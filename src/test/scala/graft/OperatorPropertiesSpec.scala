@@ -880,6 +880,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(byNum("165109").getAs[String]("status") == "Retarde", "status pad trim")
   }
 
+  test("basket_pairs: support bounded by item frequencies, lift consistent") {
+    val out = run("basket_pairs")
+    assert(out.filter(col("x") >= col("y")).count() == 0, "pairs must be x < y")
+    val i = graft.engine.Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_partkey").distinct()
+    val freq = i.groupBy("l_partkey").agg(count(lit(1)).as("n"))
+    val bad = out
+      .join(freq.select(col("l_partkey").as("x"), col("n").as("nx")), "x")
+      .join(freq.select(col("l_partkey").as("y"), col("n").as("ny")), "y")
+      .filter(col("n_xy") > least(col("nx"), col("ny")))
+    assert(bad.count() == 0, "pair support cannot exceed either item's support")
+    assert(out.filter(col("lift") <= 0).count() == 0)
+  }
+
+  test("graph_k_core: pruning bites and surviving degrees respect k") {
+    val core = run("graph_k_core")
+    val pr = run("graph_pagerank") // all nodes, same typed keys
+    assert(core.count() < pr.count(), "k=10 must prune some nodes")
+    assert(core.filter(col("deg") < 10).count() == 0,
+      "every surviving node needs >= k edges into the surviving set")
+    // survivors are a subset of the node universe
+    assert(core.join(pr, Seq("node_type", "key"), "left_anti").count() == 0)
+  }
+
   test("gtfs_feed_validate: every planted violation fires exactly once") {
     val out = run("gtfs_feed_validate").collect()
       .map(r => r.getAs[String]("check_name") -> r.getAs[Long]("n_bad")).toMap

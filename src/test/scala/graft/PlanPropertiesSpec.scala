@@ -236,7 +236,9 @@ class PlanPropertiesSpec extends SparkSpec {
         // the broadcast 8-row lag table crossJoined onto the
         // |types|×|days| daily GRID (not the corpus) — a bounded
         // constant expansion, ts_sliding's slide-offset pattern
-        "ts_cross_correlation")
+        "ts_cross_correlation",
+        // the 1-row n_orders lift-normalization constant
+        "basket_pairs")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),

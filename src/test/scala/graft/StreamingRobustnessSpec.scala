@@ -186,4 +186,45 @@ class StreamingRobustnessSpec extends SparkSpec {
       assert(streamed.count() == 5)
     } finally q.stop()
   }
+
+  test("stream_heavy_hitters keeps the MG guarantees under SHUFFLED replay") {
+    // the kept SET of a Misra-Gries instance is order-dependent (like
+    // any MG), but the mergeable-summaries bounds are not — replay the
+    // events in a deliberately non-chronological order (event_id mod 3,
+    // then id) and assert the undercount / N/(k+1) / heavy-all-present
+    // invariants still hold on the final state
+    val s = spark
+    import s.implicits._
+    val k = 3
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[graft.streaming.Streams.Event].collect()
+      .sortBy(e => (e.event_id % 3, e.event_id)) // shuffled vs event time
+    val slices = Seq(all.take(137), all.slice(137, 611), all.drop(611))
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[graft.streaming.Streams.Event](91, spark, None)
+    val q = graft.streaming.Streams.heavyHitters(mem.toDS(), k)
+      .writeStream.format("memory").queryName("r_hh")
+      .outputMode("update").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val rows = spark.table("r_hh").collect()
+      val latest = rows.map(_.getAs[Long]("n_seen")).max
+      assert(latest == all.length.toLong)
+      val streamed = rows.filter(_.getAs[Long]("n_seen") == latest)
+        .map(r => r.getAs[String]("term") -> r.getAs[Long]("est")).toMap
+      val exact = all.groupBy(_.event_type).view.mapValues(_.length.toLong).toMap
+      val n = all.length.toLong
+      assert(streamed.size <= k)
+      streamed.foreach { case (t, est) =>
+        assert(est <= exact(t), s"$t overcounted under disorder")
+        assert((exact(t) - est) * (k + 1) <= n, s"$t error bound broken under disorder")
+      }
+      exact.foreach { case (t, freq) =>
+        if (freq * (k + 1) > n)
+          assert(streamed.contains(t), s"heavy hitter $t missing under disorder")
+      }
+    } finally q.stop()
+  }
 }
