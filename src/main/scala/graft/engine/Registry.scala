@@ -29,7 +29,9 @@ object Registry {
     SourceOps,
     TransitOps,
     UrlOps,
-    PathOps)
+    PathOps,
+    VecStats,
+    SqlSurface)
 
   lazy val all: Seq[QueryDef] = {
     val ds = groups.flatMap(_.defs)

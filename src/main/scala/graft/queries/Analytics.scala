@@ -677,5 +677,98 @@ object Analytics extends QueryGroup {
         "TakeOrderedAndProject. At real-retail scale the standard " +
         "escalation applies: hash-prune candidate pairs with " +
         "agg_cms_sketch (A-Priori's counting pass) so the exact agg " +
-        "sees only above-support survivors — same plan, pre-filtered."))
+        "sees only above-support survivors — same plan, pre-filtered."),
+
+    // Last-touch attribution — the marketing question every event log
+    // answers first: which channel gets credit for each purchase? Per
+    // purchase, the LATEST view/click by the same user in the 7 days
+    // up to (and including) the purchase instant wins; purchases with
+    // no touch in the window land in 'unattributed'. The per-purchase
+    // argmax is the associative struct-max (join_asof's fold), never a
+    // per-user sort; (t_ts, touch) in the struct makes a same-instant
+    // view/click tie break deterministically on the type string.
+    QueryDef(
+      "attribution_last_touch",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"), col("value"))
+        val t = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_type").as("touch"))
+        val m = p.join(t, col("p_user") === col("t_user") &&
+            col("t_ts") <= col("p_ts") &&
+            col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAY"))
+          .groupBy("p_id")
+          .agg(max(struct(col("t_ts").as("ts"), col("touch").as("ch"))).as("s"))
+          .select(col("p_id"), col("s.ch").as("channel"))
+        p.join(m, Seq("p_id"), "left")
+          .groupBy(coalesce(col("channel"), lit("unattributed")).as("channel"))
+          .agg(count(lit(1)).as("n_purchases"),
+            graft.engine.Dsl.sumDec2(col("value")).cast("double").as("revenue"))
+          .orderBy("channel")
+      },
+      Some("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, value FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts AS t_ts, event_type AS touch FROM events WHERE event_type IN ('view', 'click')), " +
+        "m AS (SELECT p_id, touch FROM (SELECT p.p_id, t.touch, row_number() OVER (PARTITION BY p.p_id ORDER BY t.t_ts DESC, t.touch DESC) AS rn " +
+        "FROM p JOIN t ON p.user_id = t.user_id AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY) WHERE rn = 1) " +
+        "SELECT coalesce(m.touch, 'unattributed') AS channel, count(*) AS n_purchases, " +
+        "CAST(sum(CAST(p.value AS DECIMAL(18,2))) AS DOUBLE) AS revenue " +
+        "FROM p LEFT JOIN m ON p.p_id = m.p_id GROUP BY 1 ORDER BY 1"),
+      scaleNote = "One equi join on user_id (the same partitioning " +
+        "funnel_steps and sessionization already pay — exchange " +
+        "reuse applies when they share a DAG), with the 7-day bound " +
+        "a residual predicate, never a join key; candidate fan-out " +
+        "per purchase is touches-per-user-week, bounded by human " +
+        "behavior. The argmax folds map-side (struct-max is " +
+        "associative — no per-user window sort), the final rollup is " +
+        "|channels| rows, and revenue rides the exact-DECIMAL money " +
+        "discipline. At 100 TB the event log is date-partitioned, so " +
+        "the touch scan prunes to the attribution horizon; multi-" +
+        "touch models (linear/time-decay) reuse the same join and " +
+        "replace the argmax with a weighted agg."),
+
+    // Time-to-convert — the funnel's latency dimension: for each user
+    // who converted (first view → first purchase at/after it), the
+    // conversion lag bucketed into whole hours, as a distribution.
+    // funnel_steps counts WHO converts; this measures HOW FAST —
+    // together they are the product-analytics pair. Integer epoch
+    // subtraction and `div` bucketing keep every cell exact.
+    QueryDef(
+      "funnel_time_to_convert",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val v = ev.filter(col("event_type") === "view")
+          .groupBy("user_id").agg(min(col("ts")).as("ts_v"))
+        val c = ev.filter(col("event_type") === "purchase")
+          .join(v, Seq("user_id"))
+          .filter(col("ts") >= col("ts_v"))
+          .groupBy("user_id", "ts_v").agg(min(col("ts")).as("ts_p"))
+        // microsecond integers end-to-end: unix_timestamp would drop
+        // sub-second precision and shift boundary rows by one bucket.
+        // unix_micros takes TIMESTAMP (not NTZ) — the cast is identity
+        // in the UTC sessions every main/test pins, and the DIFFERENCE
+        // is zone-independent regardless
+        c.select((unix_micros(col("ts_p").cast("timestamp")) -
+            unix_micros(col("ts_v").cast("timestamp"))).as("lag_us"))
+          .select(expr("lag_us div 3600000000").as("lag_hours"))
+          .groupBy("lag_hours").agg(count(lit(1)).as("n_users"))
+          .orderBy("lag_hours")
+      },
+      Some("WITH v AS (SELECT user_id, min(ts) AS ts_v FROM events WHERE event_type = 'view' GROUP BY 1), " +
+        "c AS (SELECT e.user_id, min(e.ts) AS ts_p, any_value(v.ts_v) AS ts_v FROM events e JOIN v ON e.user_id = v.user_id " +
+        "AND e.ts >= v.ts_v WHERE e.event_type = 'purchase' GROUP BY e.user_id) " +
+        "SELECT (epoch_us(ts_p) - epoch_us(ts_v)) // 3600000000 AS lag_hours, count(*) AS n_users " +
+        "FROM c GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Two min-aggregates and one equi join, all keyed on " +
+        "user_id — one partitioning serves the chain (funnel_steps' " +
+        "shape), and both aggs combine map-side so the shuffle " +
+        "carries |users| partials, not events. The histogram rollup " +
+        "is |buckets|-bounded output from integer-exact cells — " +
+        "re-partitioning cannot move a count. At 100 TB, date-prune " +
+        "the view scan to the cohort window and the purchase scan to " +
+        "window + max-horizon; the same DAG with avg/percentile over " +
+        "lag_sec (agg_percentile_cont's exact-interpolation " +
+        "discipline) yields the latency summary stats."))
 }

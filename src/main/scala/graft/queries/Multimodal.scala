@@ -160,5 +160,38 @@ object Multimodal extends QueryGroup {
         "joins co-partitioned; the stride/block dials trade recall " +
         "for byte traffic exactly like PQ's M/nbits trade storage " +
         "for recall. The md5 fingerprint doubles as the exact-dup " +
-        "key for frame-level dedup (dedup_url's shape on binary)."))
+        "key for frame-level dedup (dedup_url's shape on binary)."),
+
+    // Asset-level duplicate detection over the BINARY payload column —
+    // the media-side sibling of the text dedup family: fingerprint =
+    // md5 of the leading 64 payload bytes (the container-header
+    // window; in production the perceptual hash of the decoded
+    // thumbnail — Codec.decode is the stub boundary), groups with >1
+    // copy are duplicate assets, min media_id is the canonical keeper.
+    // The oracle restates the same fingerprint from the documents
+    // table the payloads derive from; byte-slice ≡ char-slice because
+    // the corpus is pure ASCII (asserted in MultimodalSpec's sibling
+    // checks — octet_length = length at every SF).
+    QueryDef(
+      "multimodal_dedup",
+      (spark, sf) =>
+        mediaTable(spark, sf).toDF()
+          .groupBy(md5(expr("substring(payload, 1, 64)")).as("fingerprint"))
+          .agg(count(lit(1)).as("n_copies"),
+            min(col("media_id")).as("keeper_id"))
+          .filter(col("n_copies") > 1)
+          .orderBy("fingerprint"),
+      Some("SELECT md5(substr(text, 1, 64)) AS fingerprint, " +
+        "count(*) AS n_copies, min(doc_id) AS keeper_id " +
+        "FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY 1"),
+      scaleNote = "The fingerprint is computed INSIDE the scan from a " +
+        "64-byte slice — full payloads never shuffle; the wire " +
+        "carries (16-byte hash, count, id) partials that combine " +
+        "map-side, so a 100 TB asset lake dedups with |distinct " +
+        "fingerprints|-bounded exchange. Collisions are resolved the " +
+        "usual two-tier way: fingerprint groups are candidate " +
+        "buckets, a full-payload hash (or byte compare) inside each " +
+        "bucket confirms — dedup_near's band→verify shape on binary. " +
+        "Keeper = min(id) is associative, so the canonical choice is " +
+        "partition-order-free."))
 }

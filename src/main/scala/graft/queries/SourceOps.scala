@@ -471,5 +471,48 @@ object SourceOps extends QueryGroup {
         "loudly as cast failures → NULLs), so pair with agg_boolean's " +
         "assertion rollup per drop like every other feed. " +
         "spark.read.text carries no layout DSL — the projection IS " +
-        "the layout declaration, versioned with the code."))
+        "the layout declaration, versioned with the code."),
+
+    // The batch SINK side of the lake, under the gate: write events
+    // Hive-partitioned by event_type (the layout every downstream
+    // type-filtered consumer wants), read the tree BACK through the
+    // partition-discovery scan, and answer a type-filtered daily
+    // rollup from it. The hash gates the full round trip — writer
+    // layout, partition-column reconstruction from directory names
+    // (event_type leaves the files and comes back from the path), and
+    // partition pruning feeding the same rows the original table
+    // would. The oracle computes the rollup from the ORIGINAL
+    // events.parquet, so any row lost/duplicated/mistyped by the
+    // write→discover→read cycle flips the hash.
+    QueryDef(
+      "sink_partitioned",
+      (spark, sf) => {
+        val out = "/tmp/graft_sink_partitioned_" + new java.io.File(sf).getName
+        graft.engine.Tables.loadEvents(spark, sf)
+          .write.mode("overwrite").partitionBy("event_type").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("event_type") === "purchase")
+          .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("event_date"))
+          .agg(count(lit(1)).as("n"),
+            graft.engine.Dsl.sumDec2(col("value")).cast("double").as("sum_value"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy("event_date")
+      },
+      Some("SELECT strftime(ts, '%Y-%m-%d') AS event_date, count(*) AS n, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "count(DISTINCT user_id) AS n_users " +
+        "FROM events WHERE event_type = 'purchase' GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Hive partitioning by a low-cardinality column is " +
+        "the lake's coarsest and cheapest index: the purchase filter " +
+        "prunes to ONE directory subtree at planning time (pinned as " +
+        "PartitionFilters in PlanPropertiesSpec), so the scan reads " +
+        "|purchase| bytes however many types the table holds. At " +
+        "100 TB the real key is (event_type, event_date) — pruning " +
+        "then cuts both dimensions and retention/compaction become " +
+        "per-partition file moves. Never partition by a " +
+        "high-cardinality key (user_id would mint a directory per " +
+        "user — small-files death); that axis belongs to bucketing " +
+        "or Z-order (layout_zorder) INSIDE partitions. The rollup " +
+        "itself is one map-side-combined agg with the exact-DECIMAL " +
+        "money discipline."))
 }

@@ -134,6 +134,34 @@ object TransitOps extends QueryGroup {
     // Sunday-only service on a Saturday → unmatched
     ("87393009", "888200", "SUND", "87393009", "2017-05-20 09:10:00", "R", None, "2017-05-20", "08:45", "20170520_888200"))
 
+  // ------------------------------------------------------------------
+  // delay_propagation fixture — per-cycle delay observations ALONG each
+  // train's route (the rows the reference's per-cycle Dynamo store
+  // holds after match+delay; boardDelaysDf produces exactly this shape
+  // in production). Kept as its own constant corpus so the board-family
+  // fixture stays frozen: propagation needs multiple OBSERVED stations
+  // per trip, which the one-station board day deliberately doesn't
+  // have. Branches pinned: a delay that builds then partially recovers
+  // (165109), a single-station train (null delta), an early runner
+  // staying early, and a train that departs clean then slips (200100).
+  // ------------------------------------------------------------------
+
+  /** (train num, UIC-7 station, stop_sequence, request_time,
+    * delay_sec at that polling cycle). request_time unique per
+    * (num, station) so latest-cycle needs no tiebreak. */
+  private val PropObs: Seq[(String, String, Int, String, Long)] = Seq(
+    ("165109", "8738400", 1, "11:50", 0L),
+    ("165109", "8738400", 1, "12:00", 300L), // latest at seq 1 → 300
+    ("165109", "8739300", 3, "12:10", 420L), // builds +120
+    ("165109", "8775801", 5, "12:25", 360L), // recovers −60
+    ("300400", "8738400", 2, "10:20", -120L), // early, single station
+    ("200100", "8738400", 1, "23:40", 0L),
+    ("200100", "8739300", 2, "23:55", 60L)) // clean dep, then slips
+
+  private def propObsValues: String = PropObs
+    .map { case (n, s7, seq, rt, d) => s"('$n','$s7',$seq,'$rt',$d)" }
+    .mkString(", ")
+
   /** Fixture passages as a DataFrame — shared by the declared query,
     * the spec, and the streaming twin's parity test. */
   private[graft] def boardPassagesDf(spark: org.apache.spark.sql.SparkSession): org.apache.spark.sql.DataFrame = {
@@ -643,5 +671,99 @@ object TransitOps extends QueryGroup {
         "agg; alert on coverage_pct dropping below a floor per " +
         "station — the reference's silent-station failure mode " +
         "(ts_calendar_gaps catches dead polling; this catches a " +
-        "polling loop that runs but matches nothing)."))
+        "polling loop that runs but matches nothing)."),
+
+    // Transfer-feasibility pairs — the connection-scan primitive every
+    // journey planner builds on [P sibling of query.py's station
+    // views]: at each station on the service day, ordered pairs of
+    // DIFFERENT trips whose departure gap falls in the rider-feasible
+    // [180 s, 3600 s] window (the fixture's stop_times carry
+    // arrival = departure, so departure_secs stands in for the arrival
+    // leg). The loop trip pins the self-transfer exclusion: its two
+    // calls at Saint-Lazare are 2400 s apart — inside the window, but
+    // the same trip_id, so no row. Removed/Sunday-only services are
+    // absent from both legs via the shared active-services filter.
+    QueryDef(
+      "gtfs_transfers",
+      (spark, _) => {
+        val s = boardScheduleDf(spark)
+        val a = s.select(col("station7"), col("trip_id").as("from_trip"),
+          col("departure_secs").as("arr_secs"))
+        val d = s.select(col("station7").as("st2"),
+          col("trip_id").as("to_trip"), col("departure_secs").as("dep_secs"))
+        a.join(d, col("station7") === col("st2") &&
+            col("from_trip") =!= col("to_trip") &&
+            col("dep_secs") >= col("arr_secs") + 180 &&
+            col("dep_secs") <= col("arr_secs") + 3600)
+          .select(col("station7"), col("from_trip"), col("to_trip"),
+            col("arr_secs"), col("dep_secs"),
+            (col("dep_secs") - col("arr_secs")).as("gap_sec"))
+          .orderBy("station7", "arr_secs", "dep_secs", "from_trip", "to_trip")
+      },
+      Some(boardOracleCtes +
+        ", sch2 AS (SELECT trip_id, regexp_extract(stop_id, '([0-9]{7})', 1) AS station7, dep_secs FROM sched) " +
+        "SELECT a.station7, a.trip_id AS from_trip, b.trip_id AS to_trip, " +
+        "a.dep_secs AS arr_secs, b.dep_secs AS dep_secs, b.dep_secs - a.dep_secs AS gap_sec " +
+        "FROM sch2 a JOIN sch2 b ON a.station7 = b.station7 AND a.trip_id <> b.trip_id " +
+        "AND b.dep_secs >= a.dep_secs + 180 AND b.dep_secs <= a.dep_secs + 3600 " +
+        "ORDER BY 1, 4, 5, 2, 3"),
+      scaleNote = "A band self-join BLOCKED BY STATION — the station " +
+        "key is the equi component, so the shuffle partitions by " +
+        "station and the quadratic term is bounded by departures-per-" +
+        "station-per-hour, a physical constant (a saturated trunk " +
+        "station runs ~30/h — ~900 comparisons per station-hour, " +
+        "never |network|²). At 100 TB (a continent, a year) the join " +
+        "key becomes (service_day, station) and the pairs stay " +
+        "per-partition; the time-window predicate is codegen'd scalar " +
+        "math evaluated inside the per-station sort-merge, the " +
+        "join_band pattern with a domain contract on top. Feeding " +
+        "OBSERVED times instead of scheduled ones (boardDelaysDf's " +
+        "output) turns the same plan into a missed-connection monitor."),
+
+    // Delay propagation along the route — does a delay grow, hold, or
+    // recover between successive OBSERVED stations of one train? The
+    // lag dimension is stop_sequence (space), where delay_trajectory's
+    // is request_time (time): together they are the reference's two
+    // notebook questions over the per-cycle Dynamo rows. Input is the
+    // per-cycle delay-observation corpus (PropObs — the exact shape
+    // boardDelaysDf emits in production); each (train, station) folds
+    // to its latest polling cycle first (associative struct-max, the
+    // last_state shape), then the per-train route lag computes the
+    // station-to-station delta.
+    QueryDef(
+      "delay_propagation",
+      (spark, _) => {
+        val session = spark
+        import session.implicits._
+        val obs = PropObs.toDF(
+          "num", "station7", "stop_sequence", "request_time", "delay_sec")
+        val latest = obs
+          .groupBy("num", "station7", "stop_sequence")
+          .agg(max(struct(col("request_time").as("rt"),
+            col("delay_sec").as("d"))).as("s"))
+          .select(col("num"), col("station7"), col("stop_sequence"),
+            col("s.d").as("delay_sec"))
+        val w = Window.partitionBy("num").orderBy("stop_sequence")
+        latest
+          .withColumn("delta_prev_stop",
+            col("delay_sec") - lag(col("delay_sec"), 1).over(w))
+          .orderBy("num", "stop_sequence")
+      },
+      Some("WITH obs(num, station7, stop_sequence, request_time, delay_sec) AS (VALUES " +
+        propObsValues + "), " +
+        "latest AS (SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY num, station7, stop_sequence ORDER BY request_time DESC) AS rn FROM obs) WHERE rn = 1) " +
+        "SELECT num, station7, stop_sequence, delay_sec, " +
+        "delay_sec - lag(delay_sec) OVER (PARTITION BY num ORDER BY stop_sequence) AS delta_prev_stop " +
+        "FROM latest ORDER BY num, stop_sequence"),
+      scaleNote = "Both stages key on the train: the latest-cycle fold " +
+        "is a map-side-combined struct-max groupBy and the route lag " +
+        "partitions by train number — stations-per-trip is bounded " +
+        "(≤ ~40), so no partition can skew and the window never sees " +
+        "an unbounded order-by. The fold's (num, station) hash is a " +
+        "refinement of the lag's num hash, so AQE/exchange reuse " +
+        "keeps it to one effective shuffle. Over a year the " +
+        "day_train_num prefix partitions the whole analysis per " +
+        "service day — embarrassingly parallel, and the deltas feed " +
+        "straight into a per-line congestion attribution (which " +
+        "STATION injects the delay vs merely inheriting it upstream)."))
 }

@@ -915,4 +915,113 @@ class OperatorPropertiesSpec extends SparkSpec {
       s"each rule must fire exactly once (and T3/SVC_CD must NOT trip " +
         s"the service check): $out")
   }
+
+  test("gtfs_transfers: feasible pairs exact; loop trip pins self-transfer exclusion") {
+    val out = run("gtfs_transfers").collect()
+      .map(r => (r.getAs[String]("station7"), r.getAs[String]("from_trip"),
+        r.getAs[String]("to_trip"), r.getAs[Long]("gap_sec"))).toSet
+    val expected = Set(
+      ("8738400", "DUASN165109F01", "DUASN134683F01", 300L),
+      ("8739300", "DUASN555001F01", "DUASN555002F01", 300L),
+      ("8739300", "DUASN555001F01", "DUASN777100F01", 3600L), // inclusive edge
+      ("8739300", "DUASN555002F01", "DUASN777100F01", 3300L))
+    assert(out == expected, s"got $out")
+    // the loop trip's two calls are 2400 s apart — inside the window,
+    // but the same trip, so the self-pair must be excluded
+    assert(!out.exists(p => p._2 == p._3))
+  }
+
+  test("delay_propagation: latest cycle wins; route deltas and null first delta") {
+    val rows = run("delay_propagation").collect()
+      .map(r => (r.getAs[String]("num"), r.getAs[Int]("stop_sequence")) ->
+        (r.getAs[Long]("delay_sec"),
+          Option(r.getAs[java.lang.Long]("delta_prev_stop")))).toMap
+    // seq 1 of 165109 had cycles 0 then 300 — latest (300) must win
+    assert(rows(("165109", 1)) == (300L, None))
+    assert(rows(("165109", 3)) == (420L, Some(120L))) // builds
+    assert(rows(("165109", 5)) == (360L, Some(-60L))) // recovers
+    assert(rows(("300400", 2)) == (-120L, None)) // single station
+    assert(rows(("200100", 2)) == (60L, Some(60L)))
+  }
+
+  test("emb_gram: aggregator equals the posexplode² formulation and is partition-order-free") {
+    val out = run("emb_gram")
+    // independent derivation of the same sum: explode each quantized
+    // vector into (i, j, qi*qj) cells and hash-aggregate — the shape
+    // the Aggregator exists to avoid, used here as the referee
+    val cells = graft.engine.Tables.embeddings(spark, sf)
+      .select(monotonically_increasing_id().as("rid"),
+        graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .select(col("rid"), posexplode(col("qv")).as(Seq("i0", "vi")))
+    val pairs = cells.as("a").join(cells.as("b"),
+        col("a.rid") === col("b.rid") && col("a.i0") <= col("b.i0"))
+      .groupBy((col("a.i0") + 1).as("i"), (col("b.i0") + 1).as("j"))
+      .agg(sum(col("a.vi") * col("b.vi")).as("dot2"))
+    assert(out.join(pairs, Seq("i", "j"))
+      .filter(col("dot") =!= col("dot2")).count() == 0)
+    assert(out.count() == 64L * 65 / 2)
+    // partition-order invariance: a 7-way repartition of the input
+    // must produce the identical triangle (merge is associative)
+    val gram = udaf(new graft.functions.GramAggregator(64))
+    val re = graft.engine.Tables.embeddings(spark, sf).repartition(7)
+      .select(graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .agg(gram(col("qv")).as("g"))
+      .select(posexplode(col("g")).as(Seq("k", "dot_re")))
+    val base = out.orderBy("i", "j").collect().map(_.getAs[Long]("dot"))
+    val rearr = re.orderBy("k").collect().map(_.getAs[Long]("dot_re"))
+    assert(base.sameElements(rearr))
+  }
+
+  test("attribution_last_touch: channels partition the purchase universe") {
+    val out = run("attribution_last_touch").collect()
+    val chans = out.map(_.getAs[String]("channel")).toSet
+    assert(chans.subsetOf(Set("view", "click", "unattributed")))
+    val total = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    assert(out.map(_.getAs[Long]("n_purchases")).sum == total,
+      "every purchase lands in exactly one channel")
+  }
+
+  test("funnel_time_to_convert: buckets non-negative, users sum to converters") {
+    val out = run("funnel_time_to_convert").cache()
+    assert(out.filter(col("lag_hours") < 0).count() == 0)
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(col("ts")).as("ts_v"))
+    val converters = ev.filter(col("event_type") === "purchase")
+      .join(v, Seq("user_id")).filter(col("ts") >= col("ts_v"))
+      .select("user_id").distinct().count()
+    assert(out.agg(sum("n_users")).collect()(0).getLong(0) == converters)
+    out.unpersist()
+  }
+
+  test("multimodal_dedup: every reported group is a real multi-copy fingerprint") {
+    val out = run("multimodal_dedup").cache()
+    assert(out.filter(col("n_copies") < 2).count() == 0)
+    // referee: recompute from the documents table's 64-char prefix
+    val truth = graft.engine.Tables.documents(spark, sf)
+      .groupBy(md5(substring(col("text"), 1, 64)).as("fingerprint"))
+      .agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+    assert(out.join(truth, "fingerprint")
+      .filter(col("n_copies") =!= col("t")).count() == 0)
+    assert(out.count() == truth.count())
+    out.unpersist()
+  }
+
+  test("graph_label_spread: seeds clamp, labels stay in the seed class set, spread reaches both sides") {
+    val out = run("graph_label_spread").cache()
+    // every seed keeps exactly its seeded class
+    val seedRows = out.filter(col("node_type") === "customer" &&
+      col("key") % 10 === 0)
+    assert(seedRows.filter(col("lbl") =!= col("key") % 3).count() == 0)
+    // no label outside the seeded class universe
+    assert(out.filter(!col("lbl").isin(0L, 1L, 2L)).count() == 0)
+    // three rounds cross the bipartite hop: some suppliers classified
+    assert(out.filter(col("node_type") === "supplier").count() > 0)
+    // clamping: a node appears at most once
+    assert(out.groupBy("node_type", "key").count()
+      .filter(col("count") > 1).count() == 0)
+    out.unpersist()
+  }
 }

@@ -196,6 +196,25 @@ class PlanPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("sink_partitioned: the type filter prunes partitions at the scan") {
+    // build() round-trips the write; the read side's scan must carry
+    // the event_type predicate as a PartitionFilter (directory prune),
+    // NOT as a data filter over all partitions
+    val p = plan("sink_partitioned")
+    assert(p.contains("PartitionFilters: [isnotnull(event_type"), p.take(1200))
+    assert(p.contains("purchase"), p.take(1200))
+  }
+
+  test("sql_tpch_q3: SQL-text path plans pushdown + broadcast + TakeOrdered like the DSL would") {
+    val p = plan("sql_tpch_q3")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1200))
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+    // both date predicates must reach their parquet scans
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      p.contains("LessThan(o_orderdate"), p.take(2000))
+    assert(p.contains("GreaterThan(l_shipdate"), p.take(2000))
+  }
+
   test("plan sweep: no declared query plans a cartesian or unexpected loop join") {
     // The 100 TB kill-switch, applied to the WHOLE surface: a
     // CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
