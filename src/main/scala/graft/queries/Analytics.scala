@@ -770,5 +770,119 @@ object Analytics extends QueryGroup {
         "the view scan to the cohort window and the purchase scan to " +
         "window + max-horizon; the same DAG with avg/percentile over " +
         "lag_sec (agg_percentile_cont's exact-interpolation " +
-        "discipline) yields the latency summary stats."))
+        "discipline) yields the latency summary stats."),
+
+    // The complement of interval_coverage: the HOLES — per key, the
+    // uncovered stretches inside the activity span (the downtime /
+    // silence / idle-capacity metric; coverage asks "how much ran",
+    // gaps ask "where did nothing run, and for how long at worst").
+    // Same intervals, same sweep: a gap opens where an interval's
+    // start exceeds the running max end of everything before it.
+    // Spec-pinned invariant: covered_sec + gap_sec = span_sec exactly,
+    // per key, against interval_coverage's own output.
+    QueryDef(
+      "interval_gaps",
+      (spark, sf) => {
+        val iv = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 1000000").as("s"))
+          .withColumn("e", col("s") + (col("event_id") % 1800) + 60)
+        val w = Window.partitionBy("user_id").orderBy("s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        iv.withColumn("pm", max(col("e")).over(w))
+          .withColumn("gap",
+            greatest(col("s") - coalesce(col("pm"), col("s")), lit(0L)))
+          .groupBy("user_id")
+          .agg(sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+            sum(col("gap")).as("gap_sec"),
+            max(col("gap")).as("max_gap_sec"),
+            (max(col("e")) - min(col("s"))).as("span_sec"))
+          .select(col("user_id"), col("n_gaps"), col("gap_sec"),
+            col("max_gap_sec"), col("span_sec"),
+            round(col("gap_sec").cast("double") * 100 / col("span_sec"), 2)
+              .as("idle_pct"))
+          .orderBy("user_id")
+      },
+      Some("WITH i AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS s, epoch_us(ts)//1000000 + (event_id % 1800) + 60 AS e FROM events), " +
+        "m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM i), " +
+        "g AS (SELECT user_id, greatest(s - coalesce(pm, s), 0) AS gap, s, e FROM m) " +
+        "SELECT user_id, CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps, " +
+        "CAST(sum(gap) AS BIGINT) AS gap_sec, CAST(max(gap) AS BIGINT) AS max_gap_sec, " +
+        "CAST(max(e) - min(s) AS BIGINT) AS span_sec, " +
+        "round(CAST(sum(gap) AS DOUBLE) * 100 / (max(e) - min(s)), 2) AS idle_pct " +
+        "FROM g GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Identical cost profile to interval_coverage — one " +
+        "user_id exchange feeds both the sweep window (O(1) running-" +
+        "max state) and the rollup, and when both run in one DAG the " +
+        "sweep itself is shared (same window, two derived columns). " +
+        "The covered+gaps=span identity is the free end-to-end audit: " +
+        "compute both, assert the sum, and any interval mangled " +
+        "upstream surfaces as an identity violation rather than a " +
+        "silently-wrong SLA number. Fleet-wide downtime re-runs the " +
+        "sweep over per-key merged islands; a 'longest gap per day' " +
+        "variant splits at day boundaries map-side first."),
+
+    // Per-series linear trend + short-horizon forecast from EXACT
+    // integer moments — the monitoring question after ts_ewma
+    // smooths and ts_anomaly flags: where is each series HEADED?
+    // OLS slope/intercept over (day-index, daily count) computed from
+    // five integer sums (n, Σx, Σy, Σxy, Σx²) — associative,
+    // mergeable, skew-immune, the agg_corr discipline — with the only
+    // float ops two divisions and the h-step extrapolation, composed
+    // identically on both engines and rounded to 4.
+    QueryDef(
+      "ts_linear_forecast",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val d0 = daily.groupBy("event_type")
+          .agg(min(col("day")).as("d0"))
+        val pts = daily.join(d0, "event_type")
+          .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+        val s = pts.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), max(col("x")).as("mx"))
+        val den = (col("n") * col("sxx") - col("sx") * col("sx"))
+        val fit = s
+          .withColumn("slope",
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              nullif(den, lit(0L)).cast("double"))
+          .withColumn("intercept",
+            (col("sy").cast("double") - col("slope") * col("sx").cast("double")) /
+              col("n").cast("double"))
+        val h = Seq(1, 2, 3).toDF("h")
+        fit.crossJoin(broadcast(h))
+          .select(col("event_type"), col("h"),
+            round(col("slope"), 4).as("slope"),
+            round(col("intercept"), 4).as("intercept"),
+            round(col("intercept") +
+              col("slope") * (col("mx") + col("h")).cast("double"), 4)
+              .as("forecast"))
+          .orderBy("event_type", "h")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1), " +
+        "pts AS (SELECT d.event_type, CAST(date_diff('day', x.d0, d.day) AS BIGINT) AS x, y FROM daily d JOIN d0 x ON d.event_type = x.event_type), " +
+        "s AS (SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx, max(x) AS mx FROM pts GROUP BY 1), " +
+        "fit AS (SELECT *, CAST(n*sxy - sx*sy AS DOUBLE) / nullif(CAST(n*sxx - sx*sx AS DOUBLE), 0) AS slope FROM s), " +
+        "fi AS (SELECT *, (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept FROM fit) " +
+        "SELECT event_type, h, round(slope, 4) AS slope, round(intercept, 4) AS intercept, " +
+        "round(intercept + slope * CAST(mx + h AS DOUBLE), 4) AS forecast " +
+        "FROM fi CROSS JOIN (VALUES (1), (2), (3)) AS hz(h) ORDER BY event_type, h"),
+      scaleNote = "The five moments are one map-side-combined integer " +
+        "agg over the daily rollup (itself map-side-combined over the " +
+        "raw log) — the shuffle carries |types|×|days| then |types| " +
+        "rows; the fit and extrapolation are per-group scalar math on " +
+        "a dimension-sized table. Because raw moments are mergeable " +
+        "partials, any date-range's fit recomposes in constant time " +
+        "from pre-aggregated per-day moment tables (the agg_skew_" +
+        "kurtosis property) — a year of trend dashboards never " +
+        "rescans the log. Per-key trends (user, station, shard) scale " +
+        "the same way: the group key changes, the plan does not; " +
+        "seasonal-adjust first via ts_seasonal_dow's index when the " +
+        "residual trend is the question."))
 }

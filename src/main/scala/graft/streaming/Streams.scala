@@ -686,6 +686,51 @@ object Streams {
             .map { case (t, c) => HHRow(next.nSeen, t, c) }.iterator
       }
   }
+
+  case class TouchState(t_ts: java.sql.Timestamp, touch: String)
+  case class Attribution(p_id: Long, user_id: Long,
+      p_ts: java.sql.Timestamp, channel: String, value: Double)
+
+  /** Streaming last-touch attribution — the twin of batch
+    * attribution_last_touch: per user the state is ONE (latest touch
+    * ts, type) pair; a purchase arrival emits its attribution row
+    * immediately (the real-time "which channel just converted"
+    * signal the batch rollup only answers at day close). Events fold
+    * in (ts, event_id) order per micro-batch; per-user timestamps are
+    * unique in the corpus (asserted in spec), so ordered replay makes
+    * the emitted rows EQUAL to the batch argmax — the same-instant
+    * view/click tie keeps the batch's max-on-type rule. State is
+    * O(1)/user with no timeout; the production variant sets an
+    * event-time TTL of the attribution window (7 d) — evicting older
+    * state is semantics-free because an expired touch can never win. */
+  def attribution(events: Dataset[Event]): Dataset[Attribution] = {
+    import events.sparkSession.implicits._
+    val windowMs = 7L * 24 * 3600 * 1000
+    events
+      .filter(e => e.event_type == "purchase" || e.event_type == "view" ||
+        e.event_type == "click")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[TouchState]) =>
+          val out = Seq.newBuilder[Attribution]
+          var cur = state.getOption.orNull
+          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+            if (e.event_type == "purchase") {
+              val ch =
+                if (cur != null && cur.t_ts.getTime <= e.ts.getTime &&
+                  cur.t_ts.getTime >= e.ts.getTime - windowMs) cur.touch
+                else "unattributed"
+              out += Attribution(e.event_id, uid, e.ts, ch, e.value)
+            } else if (cur == null || e.ts.getTime > cur.t_ts.getTime ||
+              (e.ts.getTime == cur.t_ts.getTime && e.event_type > cur.touch)) {
+              cur = TouchState(e.ts, e.event_type)
+            }
+          }
+          if (cur != null) state.update(cur)
+          out.result().iterator
+      }
+  }
 }
 
 /** Durable keyed upsert sink over parquet — the Dynamo table analog

@@ -1009,6 +1009,81 @@ class OperatorPropertiesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("interval_gaps + interval_coverage: covered + gaps = span, per key") {
+    val gaps = run("interval_gaps").select("user_id", "gap_sec", "span_sec")
+    val cov = run("interval_coverage").select(col("user_id"),
+      col("covered_sec"), col("span_sec").as("span2"))
+    val j = gaps.join(cov, "user_id")
+    assert(j.count() > 0)
+    assert(j.filter(col("span_sec") =!= col("span2")).count() == 0)
+    assert(j.filter(col("covered_sec") + col("gap_sec") =!= col("span_sec"))
+      .count() == 0, "the sweep identity covered+gaps=span must hold exactly")
+  }
+
+  test("ts_linear_forecast: fit matches regr_slope and steps by the slope") {
+    val out = run("ts_linear_forecast").cache()
+    // independent fit: Spark's built-in OLS aggregate on the same points
+    val daily = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+    val d0 = daily.groupBy("event_type").agg(min(col("day")).as("d0"))
+    val ref = daily.join(d0, "event_type")
+      .withColumn("x", datediff(col("day"), col("d0")).cast("double"))
+      .groupBy("event_type")
+      .agg(expr("regr_slope(y, x)").as("ref_slope"))
+    val cmp = out.filter(col("h") === 1).join(ref, "event_type")
+    assert(cmp.filter(abs(col("slope") - col("ref_slope")) > 0.001).count() == 0)
+    // consecutive horizons step by the slope (up to the 4-dp rounding)
+    val byType = out.collect().groupBy(_.getAs[String]("event_type"))
+    byType.values.foreach { rows =>
+      val s = rows.sortBy(_.getAs[Int]("h"))
+      val slope = s.head.getAs[Double]("slope")
+      s.sliding(2).foreach { w =>
+        if (w.size == 2) assert(math.abs(
+          w(1).getAs[Double]("forecast") - w(0).getAs[Double]("forecast")
+            - slope) < 2e-4)
+      }
+    }
+    out.unpersist()
+  }
+
+  test("tokenizer_bpe_merges: round 1 crowns tokenizer_pair_counts' top pair") {
+    val bpe = run("tokenizer_bpe_merges").orderBy("round").collect()
+    assert(bpe.length == 3)
+    val top = run("tokenizer_pair_counts").limit(1).collect()(0)
+    assert(bpe(0).getAs[String]("merged") == top.getAs[String]("pair"),
+      "round-1 merge must equal the standalone pair count's winner")
+    assert(bpe(0).getAs[Long]("cnt") == top.getAs[Long]("cnt"))
+    // merges are distinct symbols
+    assert(bpe.map(_.getAs[String]("merged")).distinct.length == 3)
+  }
+
+  test("text_classifier_perceptron: epoch-1 update is the exact class-difference vector") {
+    val out = run("text_classifier_perceptron").orderBy("epoch").collect()
+    val e1 = out(0)
+    // independent recomputation of w1 = sum(y*x) over all docs
+    val fw = Seq("scan", "join", "merge", "sort", "query", "key")
+    val tok = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val cnts = fw.map(w =>
+      sum(when(col("w") === w, 1L).otherwise(0L)).as(s"x_$w"))
+    val f = tok.groupBy("doc_id", "lang").agg(cnts.head, cnts.tail: _*)
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+    val refAggs = fw.map(w => sum(col("y") * col(s"x_$w")).as(s"r_$w")) :+
+      sum(col("y")).as("r_bias") :+ count(lit(1)).as("n")
+    val ref = f.agg(refAggs.head, refAggs.tail: _*).collect()(0)
+    fw.foreach { w =>
+      assert(e1.getAs[Long](s"w_$w") == ref.getAs[Long](s"r_$w"), w)
+    }
+    assert(e1.getAs[Long]("w_bias") == ref.getAs[Long]("r_bias"))
+    // entering weights are zero → everything misclassified, accuracy 0
+    assert(e1.getAs[Long]("n_mis") == ref.getAs[Long]("n"))
+    assert(e1.getAs[Double]("accuracy") == 0.0)
+    // epoch 2 must improve on the zero-weight baseline
+    assert(out(1).getAs[Double]("accuracy") > 0.0)
+  }
+
   test("graph_label_spread: seeds clamp, labels stay in the seed class set, spread reaches both sides") {
     val out = run("graph_label_spread").cache()
     // every seed keeps exactly its seeded class

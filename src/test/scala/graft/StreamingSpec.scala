@@ -661,4 +661,39 @@ class StreamingSpec extends SparkSpec {
       assert(rows.length <= slices.length * k)
     } finally q.stop()
   }
+
+  test("stream_attribution equals batch attribution_last_touch under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // the fold's order contract: per-user timestamps are unique, so
+    // (ts, event_id) order is ts order and the batch t_ts <= p_ts
+    // boundary cannot straddle a tie
+    assert(all.groupBy(e => (e.user_id, e.ts.getTime))
+      .forall(_._2.size == 1), "fixture assumption: unique per-user ts")
+    val slices = Seq(all.take(350), all.slice(350, 700), all.drop(700))
+    val mem = MemoryStream[Streams.Event](27, spark, None)
+    val q = Streams.attribution(mem.toDS()).writeStream.format("memory")
+      .queryName("t_attr").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      // every purchase emits exactly once; the channel rollup must
+      // equal the batch operator's output bit-for-bit
+      val streamed = spark.table("t_attr")
+        .groupBy("channel")
+        .agg(count(lit(1)).as("n_purchases"),
+          graft.engine.Dsl.sumDec2(col("value")).cast("double").as("revenue"))
+      val batch = graft.engine.Registry.byName("attribution_last_touch")
+        .build(spark, sf)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch attribution mismatch")
+      val nPurchases = all.count(_.event_type == "purchase").toLong
+      assert(spark.table("t_attr").count() == nPurchases,
+        "each purchase must emit exactly one attribution row")
+    } finally q.stop()
+  }
 }
