@@ -41,7 +41,16 @@ object ScalingCurve {
       "join_anti_null_aware", "agg_percentile_cont", "agg_corr",
       "agg_skew_kurtosis", "path_patterns", "markov_transitions",
       "text_collocations", "corpus_quality_funnel", "win_distinct_running",
-      "interval_coverage", "cdc_apply")
+      "interval_coverage", "cdc_apply",
+      // r7 third wave (schedule_coverage / gtfs_feed_validate /
+      // source_fixed_width / gtfs_transfers / delay_propagation are
+      // constant-fixture — no curve by construction)
+      "ts_cross_correlation", "store_reconcile", "join_spatial_grid",
+      "basket_pairs", "graph_k_core", "graph_shortest_path",
+      "emb_gram", "sink_partitioned", "graph_label_spread", "sql_tpch_q3",
+      "attribution_last_touch", "funnel_time_to_convert",
+      "multimodal_dedup", "interval_gaps", "ts_linear_forecast",
+      "tokenizer_bpe_merges", "text_classifier_perceptron")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)
