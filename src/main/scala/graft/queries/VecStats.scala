@@ -69,5 +69,99 @@ object VecStats extends QueryGroup {
         "shards in DECIMAL(38,0) — the row-side loop is unchanged. " +
         "G feeds driver-side eigen work (d×d is microscopic) for " +
         "PCA/whitening, the AnnPq codebook geometry, and linear " +
-        "probes."))
+        "probes."),
+
+    // PCA in the engine, hash-gated end-to-end: the dominant
+    // principal axis (uncentered — the top spectral direction of the
+    // second moment XᵀX) by EIGHT INTEGER power iterations. The whole
+    // computation is exact integer arithmetic — G is the aggregator's
+    // exact triangle, scaled by a fixed truncating division by 2^26,
+    // and each iteration is an integer mat-vec followed by an integer
+    // renormalization (divide by max|u| div 2^20, truncating — JVM /
+    // and DuckDB // share toward-zero semantics) — so the
+    // trajectory is bit-identical whatever the partitioning, and the
+    // DuckDB oracle replays the identical eight iterations
+    // relationally. The only float is the final Rayleigh quotient:
+    // one correctly-rounded division of two exact integers (num in
+    // 128-bit — BigInt here, HUGEINT there). The corpus-scale work is
+    // the distributed Gram (a bounded 16 KB collect — AnnPq's
+    // documented driver-sample class); the d×d eigen loop is driver
+    // arithmetic, exactly how production PCA at scale splits the work.
+    QueryDef(
+      "emb_pca_power",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val gram = udaf(new GramAggregator(Dim))
+        val tri = Tables.embeddings(spark, sf)
+          .select(Vec.quantize(col("embedding")).as("qv"))
+          .agg(gram(col("qv")).as("g"))
+          .collect()(0).getSeq[Long](0).toArray
+        val g = Array.ofDim[Long](Dim, Dim)
+        var k = 0
+        for (i <- 0 until Dim; j <- i until Dim) {
+          // JVM / truncates toward zero — the SAME semantics as
+          // DuckDB's integer // (verified: -5 // 2 = -2 there), so
+          // negative cells divide identically on both engines
+          val v = tri(k) / 67108864L // 2^26
+          g(i)(j) = v; g(j)(i) = v; k += 1
+        }
+        def matvec(v: Array[Long]): Array[Long] =
+          Array.tabulate(Dim)(i => {
+            var s = 0L; var j = 0
+            while (j < Dim) { s += g(i)(j) * v(j); j += 1 }; s
+          })
+        var v = Array.fill(Dim)(1048576L) // 2^20 · ones
+        for (_ <- 1 to 8) {
+          val u = matvec(v)
+          val d = math.max(u.map(math.abs).max / 1048576L, 1L)
+          v = u.map(_ / d) // truncating division, = DuckDB //
+        }
+        val u9 = matvec(v)
+        val num = v.zip(u9).map { case (a, b) => BigInt(a) * BigInt(b) }.sum
+        val den = v.map(x => x * x).sum
+        val ray = BigDecimal(num.toDouble / den.toDouble)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        v.zipWithIndex.map { case (x, i) => (i + 1, x) }.toSeq
+          .toDF("i", "axis_q")
+          .withColumn("rayleigh", lit(ray))
+          .orderBy("i")
+      },
+      Some {
+        // every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and
+        // with ~3 references fanning out per iteration the 8-deep
+        // chain would re-evaluate the corpus-sized Gram join
+        // exponentially many times (observed: >300 s vs ~2 s)
+        val iter = (p: String, u: String, d: String, n: String) =>
+          s"$u AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.g * $p.v) AS BIGINT) AS u FROM gm m JOIN $p ON m.j = $p.i GROUP BY 1), " +
+            s"$d AS MATERIALIZED (SELECT greatest(max(abs(u)) // 1048576, 1) AS d FROM $u), " +
+            s"$n AS MATERIALIZED (SELECT i, u // (SELECT d FROM $d) AS v FROM $u)"
+        "WITH q AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv, vec_id FROM embeddings), " +
+          "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+          "tri AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.v*b.v) AS BIGINT) AS g FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx GROUP BY 1, 2), " +
+          "gm AS MATERIALIZED (SELECT i, j, g // 67108864 AS g FROM tri UNION ALL SELECT j, i, g // 67108864 FROM tri WHERE i < j), " +
+          "v0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
+          (1 to 8).map(r => iter(s"v${r - 1}", s"u$r", s"d$r", s"v$r")).mkString(", ") + ", " +
+          "u9 AS (SELECT m.i AS i, CAST(sum(m.g * v8.v) AS BIGINT) AS u FROM gm m JOIN v8 ON m.j = v8.i GROUP BY 1), " +
+          "nm AS (SELECT sum(CAST(v8.v AS HUGEINT) * u9.u) AS num FROM v8 JOIN u9 ON v8.i = u9.i), " +
+          "dn AS (SELECT sum(v*v) AS den FROM v8) " +
+          "SELECT CAST(i AS INT) AS i, v AS axis_q, " +
+          "round(CAST((SELECT num FROM nm) AS DOUBLE) / CAST((SELECT den FROM dn) AS DOUBLE), 4) AS rayleigh " +
+          "FROM v8 ORDER BY i"
+      },
+      scaleNote = "The split IS the scale design: the only corpus-" +
+        "sized computation is the mergeable Gram aggregate (per-" +
+        "partition 16 KB buffers, one row per partition on the wire), " +
+        "and everything after it is arithmetic on a d×d matrix that " +
+        "fits in a register file — the same decomposition every " +
+        "large-scale PCA uses (compute XᵀX distributed, eigen-solve " +
+        "driver-side). Eight iterations on 64×64 is microseconds; " +
+        "d=1024 would still be sub-millisecond per iteration. Integer " +
+        "renormalization (truncating div by max div 2^20) replaces the " +
+        "usual float norm so the iteration is EXACT — no cross-" +
+        "engine drift, no partition-order sensitivity — and the " +
+        "deflate-and-repeat extension (top-k axes) subtracts the " +
+        "rank-1 term in the same integer arithmetic. The axis feeds " +
+        "dimension-reduced ANN (project, then AnnIvf's buckets) and " +
+        "whitened similarity."))
 }

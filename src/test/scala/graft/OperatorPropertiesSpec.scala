@@ -1084,6 +1084,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("accuracy") > 0.0)
   }
 
+  test("emb_pca_power: the found axis spectrally dominates every basis direction") {
+    val out = run("emb_pca_power").orderBy("i").collect()
+    assert(out.length == 64)
+    val ray = out(0).getAs[Double]("rayleigh")
+    assert(out.forall(_.getAs[Double]("rayleigh") == ray))
+    // rebuild the scaled matrix the op iterates on and check that the
+    // axis's Rayleigh quotient beats every coordinate direction's —
+    // the dominance property 8 power iterations must deliver
+    val gram = udaf(new graft.functions.GramAggregator(64))
+    val tri = graft.engine.Tables.embeddings(spark, sf)
+      .select(graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .agg(gram(col("qv")).as("g")).collect()(0).getSeq[Long](0).toArray
+    val g = Array.ofDim[Long](64, 64)
+    var k = 0
+    for (i <- 0 until 64; j <- i until 64) {
+      val v = tri(k) / 67108864L; g(i)(j) = v; g(j)(i) = v; k += 1
+    }
+    (0 until 64).foreach { d =>
+      assert(ray >= g(d)(d).toDouble,
+        s"axis must dominate basis direction $d (${g(d)(d)})")
+    }
+    // renormalization keeps the axis at the 2^20 scale
+    val mx = out.map(r => math.abs(r.getAs[Long]("axis_q"))).max
+    assert(mx >= (1L << 19) && mx <= (1L << 22))
+  }
+
   test("graph_label_spread: seeds clamp, labels stay in the seed class set, spread reaches both sides") {
     val out = run("graph_label_spread").cache()
     // every seed keeps exactly its seeded class
