@@ -884,5 +884,78 @@ object Analytics extends QueryGroup {
         "rescans the log. Per-key trends (user, station, shard) scale " +
         "the same way: the group key changes, the plan does not; " +
         "seasonal-adjust first via ts_seasonal_dow's index when the " +
-        "residual trend is the question."))
+        "residual trend is the question."),
+
+    // Robust anomaly detection: the MAD (median-absolute-deviation)
+    // sibling of ts_anomaly's z-score — medians don't move when the
+    // anomaly itself inflates the baseline, which is exactly when a
+    // mean/stddev monitor goes blind (one 10× spike day drags the
+    // mean toward itself; the median ignores it). All medians are
+    // EXACT and kept in scaled integers: med2 = 2·median(y) and
+    // mad4 = 4·MAD are integers by construction (rank-sum middle
+    // pairs — agg_median_exact's device, applied twice), so the only
+    // floats are the final ×0.6745 modified-z compose and two display
+    // divisions, all correctly rounded.
+    QueryDef(
+      "ts_anomaly_mad",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"),
+            date_format(col("ts"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("y"))
+        val w1 = Window.partitionBy("event_type").orderBy("y", "day")
+        val ww = Window.partitionBy("event_type")
+        val med = daily
+          .withColumn("rn", row_number().over(w1))
+          .withColumn("n", count(lit(1)).over(ww))
+          .groupBy("event_type")
+          .agg(max(col("n")).as("n_days"),
+            (sum(when(col("rn") === expr("(n + 1) div 2") ||
+                col("rn") === expr("(n + 2) div 2"), col("y"))) *
+              when(max(col("n")) % 2 === 1, 2).otherwise(1)).as("med2"))
+        val dev = daily.join(med, "event_type")
+          .withColumn("dev2s", col("y") * 2 - col("med2"))
+          .withColumn("dev2", abs(col("dev2s")))
+        val w2 = Window.partitionBy("event_type").orderBy("dev2", "day")
+        val mad = dev
+          .withColumn("rn2", row_number().over(w2))
+          .groupBy("event_type")
+          .agg((sum(when(col("rn2") === expr("(n_days + 1) div 2") ||
+              col("rn2") === expr("(n_days + 2) div 2"), col("dev2"))) *
+            when(max(col("n_days")) % 2 === 1, 2).otherwise(1)).as("mad4"))
+        dev.join(mad, "event_type")
+          .withColumn("robust_z",
+            when(col("mad4") > 0,
+              round(lit(0.6745) * (col("dev2s") * 2).cast("double") /
+                col("mad4").cast("double"), 4)))
+          .select(col("event_type"), col("day"), col("y"),
+            (col("med2").cast("double") / 2).as("median_y"),
+            (col("mad4").cast("double") / 4).as("mad_y"),
+            col("robust_z"),
+            coalesce(abs(col("robust_z")) > 3.5, lit(false)).as("is_outlier"))
+          .orderBy("event_type", "day")
+      },
+      Some("WITH daily AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "r AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY y, day) AS rn, count(*) OVER (PARTITION BY event_type) AS n FROM daily), " +
+        "med AS (SELECT event_type, max(n) AS n_days, CAST(sum(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN y END) * (CASE WHEN max(n) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS med2 FROM r GROUP BY 1), " +
+        "dev AS (SELECT d.event_type, d.day, d.y, m.n_days, m.med2, d.y * 2 - m.med2 AS dev2s, abs(d.y * 2 - m.med2) AS dev2 FROM daily d JOIN med m ON d.event_type = m.event_type), " +
+        "r2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY dev2, day) AS rn2 FROM dev), " +
+        "mad AS (SELECT event_type, CAST(sum(CASE WHEN rn2 = (n_days + 1) // 2 OR rn2 = (n_days + 2) // 2 THEN dev2 END) * (CASE WHEN max(n_days) % 2 = 1 THEN 2 ELSE 1 END) AS BIGINT) AS mad4 FROM r2 GROUP BY 1) " +
+        "SELECT d.event_type, d.day, d.y, CAST(d.med2 AS DOUBLE) / 2 AS median_y, CAST(a.mad4 AS DOUBLE) / 4 AS mad_y, " +
+        "CASE WHEN a.mad4 > 0 THEN round(0.6745 * CAST(d.dev2s * 2 AS DOUBLE) / CAST(a.mad4 AS DOUBLE), 4) END AS robust_z, " +
+        "coalesce(abs(CASE WHEN a.mad4 > 0 THEN round(0.6745 * CAST(d.dev2s * 2 AS DOUBLE) / CAST(a.mad4 AS DOUBLE), 4) END) > 3.5, FALSE) AS is_outlier " +
+        "FROM dev d JOIN mad a ON d.event_type = a.event_type ORDER BY d.event_type, d.day"),
+      scaleNote = "Everything shuffles on event_type once: both " +
+        "rank windows and both rollups reuse the same hash " +
+        "partitioning (AQE exchange reuse), and partitions are " +
+        "|days|-sized — bounded by the calendar, never by event " +
+        "volume, since the raw log collapsed to daily counts in the " +
+        "first map-side-combined agg. Exact medians at 100 TB: over " +
+        "a bounded day count the rank window IS the scalable form " +
+        "(a year = 365 rows per key); for unbounded-cardinality " +
+        "medians switch to approx_percentile partials " +
+        "(agg_approx_quantile's verdict pattern). MAD's robustness " +
+        "is the operational point — the spike that pages you is the " +
+        "spike a mean-based monitor just absorbed into its own " +
+        "baseline."))
 }

@@ -238,6 +238,27 @@ object SourceOps extends QueryGroup {
     FixedWidthDir
   }
 
+  val SchemaEvoDir = "/tmp/graft_schema_evo_fixture"
+
+  /** Two parquet drops of the same feed with an evolved schema: drop=1
+    * predates the `status` column, drop=2 carries it. Written through
+    * the real writer every run (mode=overwrite — the stale-file
+    * rationale of [[ensureFixture]]), partition-style dirnames so
+    * discovery reconstructs `drop`. */
+  def ensureSchemaEvoFixture(spark: org.apache.spark.sql.SparkSession): String = synchronized {
+    val session = spark
+    import session.implicits._
+    Seq(("87384008", "165109", 12), ("87384008", "134683", 0),
+      ("87393009", "221004", -2))
+      .toDF("station_id", "num", "delay_min")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SchemaEvoDir/drop=1")
+    Seq(("87384008", "300400", 5, "late"), ("87393009", "777100", 0, "ontime"),
+      ("87393009", "888200", 25, "late"))
+      .toDF("station_id", "num", "delay_min", "status")
+      .coalesce(1).write.mode("overwrite").parquet(s"$SchemaEvoDir/drop=2")
+    SchemaEvoDir
+  }
+
   private val JsonlOracleValues: String = Seq(
     "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134657',12,'late')",
     "(1,'87393009',TIMESTAMP '2026-08-23 06:00:00','134659',0,'ontime')",
@@ -514,5 +535,52 @@ object SourceOps extends QueryGroup {
         "user — small-files death); that axis belongs to bucketing " +
         "or Z-order (layout_zorder) INSIDE partitions. The rollup " +
         "itself is one map-side-combined agg with the exact-DECIMAL " +
-        "money discipline."))
+        "money discipline."),
+
+    // Schema evolution across parquet drops — the lake-ingest reality
+    // every long-lived feed hits: the publisher adds a column, and
+    // historical files don't have it. Two runtime-written drops (v1:
+    // 3 columns; v2: + status) land as Hive partitions drop=1/drop=2;
+    // the read side uses mergeSchema + partition discovery, so v1
+    // rows surface the new column as NULL instead of failing the
+    // scan. The rollup counts exactly which rows are pre-evolution
+    // (status IS NULL ⇔ drop=1 — pinned per station), and the oracle
+    // re-reads the SAME files via DuckDB read_parquet
+    // union_by_name + hive_partitioning: writer output, merge
+    // semantics, NULL-filling and partition-column reconstruction all
+    // under one hash.
+    QueryDef(
+      "source_schema_evolution",
+      (spark, _) => {
+        val dir = ensureSchemaEvoFixture(spark)
+        spark.read.option("mergeSchema", "true").parquet(dir)
+          .groupBy("station_id")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("status").isNull, 1L).otherwise(0L)).as("n_v1_rows"),
+            sum(when(col("drop") === 2, 1L).otherwise(0L)).as("n_v2_rows"),
+            sum(when(col("delay_min") > 0, 1L).otherwise(0L)).as("n_late"),
+            countDistinct(col("status")).as("n_statuses"))
+          .orderBy("station_id")
+      },
+      Some("SELECT station_id, count(*) AS n_rows, " +
+        "CAST(sum(CASE WHEN status IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_v1_rows, " +
+        "CAST(sum(CASE WHEN CAST(drop AS INT) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2_rows, " +
+        "CAST(sum(CASE WHEN delay_min > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late, " +
+        "count(DISTINCT status) AS n_statuses " +
+        s"FROM read_parquet('$SchemaEvoDir/*/*.parquet', union_by_name = true, hive_partitioning = 1) " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "mergeSchema costs one footer read per FILE at " +
+        "planning time — fine per drop, a driver-side stall at a " +
+        "million files; the production form pins the merged schema " +
+        "in a table format / metastore and passes it explicitly " +
+        "(spark.read.schema(...)), which this op's read degrades to " +
+        "with zero query changes. Missing columns materialize as " +
+        "NULL vectors inside the scan (no rewrite of old files — " +
+        "that's the point: 100 TB of history is never touched by an " +
+        "additive evolution), and the partition column rides the " +
+        "directory name, not the bytes. Breaking evolutions (type " +
+        "changes, renames) are the complement: they REQUIRE the " +
+        "table-format indirection, which is why additive-only is the " +
+        "lake contract worth enforcing at ingest (gtfs_feed_validate's " +
+        "gate pattern, pointed at the schema diff)."))
 }

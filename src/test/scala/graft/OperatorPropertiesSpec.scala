@@ -1084,6 +1084,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out(1).getAs[Double]("accuracy") > 0.0)
   }
 
+  test("ts_anomaly_mad: exact medians match percentile(0.5); outliers respect the 3.5 threshold") {
+    val out = run("ts_anomaly_mad").cache()
+    val daily = graft.engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val ref = daily.groupBy("event_type")
+      .agg(expr("percentile(y, 0.5)").as("ref_med"))
+    assert(out.select("event_type", "median_y").distinct()
+      .join(ref, "event_type")
+      .filter(col("median_y") =!= col("ref_med")).count() == 0,
+      "rank-sum median must equal the builtin exact percentile")
+    assert(out.filter(col("mad_y") < 0).count() == 0)
+    assert(out.filter(col("is_outlier") &&
+      abs(col("robust_z")) <= 3.5).count() == 0)
+    assert(out.filter(!col("is_outlier") &&
+      abs(col("robust_z")) > 3.5).count() == 0)
+    out.unpersist()
+  }
+
+  test("source_schema_evolution: v1 rows NULL-fill the evolved column, partition column reconstructs") {
+    val out = run("source_schema_evolution").collect()
+      .map(r => r.getAs[String]("station_id") ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("n_v1_rows"),
+          r.getAs[Long]("n_v2_rows"), r.getAs[Long]("n_late"),
+          r.getAs[Long]("n_statuses"))).toMap
+    // fixture: station 87384008 = 2 v1 rows + 1 v2 ("late");
+    //          station 87393009 = 1 v1 row + 2 v2 ("ontime","late")
+    assert(out("87384008") == (3L, 2L, 1L, 2L, 1L), out("87384008").toString)
+    assert(out("87393009") == (3L, 1L, 2L, 1L, 2L), out("87393009").toString)
+  }
+
   test("emb_pca_power: the found axis spectrally dominates every basis direction") {
     val out = run("emb_pca_power").orderBy("i").collect()
     assert(out.length == 64)

@@ -257,7 +257,12 @@ class PlanPropertiesSpec extends SparkSpec {
         // constant expansion, ts_sliding's slide-offset pattern
         "ts_cross_correlation",
         // the 1-row n_orders lift-normalization constant
-        "basket_pairs")
+        "basket_pairs",
+        // each epoch crossJoins the 1-ROW weight-vector aggregate into
+        // the feature table (the batch-perceptron broadcast state) —
+        // a constant, not a scan; ts_linear_forecast crossJoins the
+        // 3-row horizon constant into the |types|-row fit table
+        "text_classifier_perceptron", "ts_linear_forecast")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
