@@ -957,5 +957,73 @@ object Analytics extends QueryGroup {
         "(agg_approx_quantile's verdict pattern). MAD's robustness " +
         "is the operational point — the spike that pages you is the " +
         "spike a mean-based monitor just absorbed into its own " +
-        "baseline."))
+        "baseline."),
+
+    // A/B test readout with the two-proportion z-test — the decision
+    // statistic behind every experiment dashboard: variant by hash
+    // (user_id parity — the deterministic assignment an experiment
+    // platform derives from hash(user, experiment)), exposure =
+    // viewed, conversion = purchased among exposed. Counts are exact
+    // integers; the z compose (pooled rate, standard error, ratio)
+    // is one fixed float expression mirrored verbatim in the oracle.
+    QueryDef(
+      "ab_test_zscore",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        // exposure anchor = first view; conversion = a purchase within
+        // 24 h of it (the windowed contract funnel_steps uses — an
+        // unwindowed "ever purchased" saturates to rate 1.0 on any
+        // long-lived user base and degenerates the test: se = 0)
+        val exposed = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .withColumn("variant", col("user_id") % 2)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(exposed.select("user_id", "t0"), Seq("user_id"))
+          .filter(col("ts") >= col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 24 HOUR"))
+          .select(col("user_id")).distinct().withColumn("c", lit(1L))
+        val per = exposed.join(conv, Seq("user_id"), "left")
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("c"), lit(0L))).as("x"))
+        val one = per.agg(
+          sum(when(col("variant") === 0, col("n"))).as("n_a"),
+          sum(when(col("variant") === 0, col("x"))).as("x_a"),
+          sum(when(col("variant") === 1, col("n"))).as("n_b"),
+          sum(when(col("variant") === 1, col("x"))).as("x_b"))
+        val ra = col("x_a").cast("double") / col("n_a").cast("double")
+        val rb = col("x_b").cast("double") / col("n_b").cast("double")
+        val p = (col("x_a") + col("x_b")).cast("double") /
+          (col("n_a") + col("n_b")).cast("double")
+        val se = sqrt(p * (lit(1.0) - p) *
+          (lit(1.0) / col("n_a").cast("double") +
+            lit(1.0) / col("n_b").cast("double")))
+        one.select(col("n_a"), col("x_a"), round(ra, 4).as("rate_a"),
+          col("n_b"), col("x_b"), round(rb, 4).as("rate_b"),
+          round((ra - rb) / se, 4).as("z_score"),
+          (abs(round((ra - rb) / se, 4)) > 1.96).as("significant"))
+      },
+      Some("WITH exposed AS (SELECT user_id, min(ts) AS t0, user_id % 2 AS variant FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "conv AS (SELECT DISTINCT p.user_id FROM events p JOIN exposed e ON p.user_id = e.user_id AND p.ts >= e.t0 AND p.ts <= e.t0 + INTERVAL 24 HOUR WHERE p.event_type = 'purchase'), " +
+        "per AS (SELECT e.variant, count(*) AS n, CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS x FROM exposed e LEFT JOIN conv c ON e.user_id = c.user_id GROUP BY 1), " +
+        "o AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x_a, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x_b FROM per) " +
+        "SELECT n_a, x_a, round(CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE), 4) AS rate_a, " +
+        "n_b, x_b, round(CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE), 4) AS rate_b, " +
+        "round((CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) / " +
+        "sqrt((CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))), 4) AS z_score, " +
+        "abs(round((CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) / " +
+        "sqrt((CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))), 4)) > 1.96 AS significant " +
+        "FROM o"),
+      scaleNote = "Exposure and conversion collapse to distinct-user " +
+        "sets in one map-side-combined pass each (the wire carries " +
+        "users, not events), the variant rollup is 2 rows, and the " +
+        "test statistic is driver-scale arithmetic — a billion-user " +
+        "experiment reads as one pruned scan + two tiny aggs. Real " +
+        "platforms swap the parity for murmur(user, experiment_id) % " +
+        "buckets (same plan), run MANY experiments in one pass by " +
+        "adding experiment_id to the group keys, and correct for " +
+        "peeking with sequential bounds — all reshapes of the same " +
+        "exact-count substrate. CUPED/stratification = the same agg " +
+        "with covariate moments added (agg_corr's partials)."))
 }

@@ -724,5 +724,55 @@ object CorpusOps extends QueryGroup {
         "the round-over-round lineage like every iterative op here. " +
         "At 100 TB the only change is sharding the word table by " +
         "hash(word) and merging per-shard pair counts — associative " +
-        "integer sums, same argmax."))
+        "integer sums, same argmax."),
+
+    // Token-budget allocation by largest remainder — the planner step
+    // between "measured per-language token counts" and "build the
+    // mix": split a fixed budget (100k tokens here; 1T in production)
+    // proportionally so that the allocations are integers and sum to
+    // the budget EXACTLY. Hamilton's method in pure integer
+    // arithmetic: base_i = ⌊B·n_i/N⌋, then the B−Σbase leftover units
+    // go to the largest remainders (ties on lang — total order).
+    // Floor-divide-and-rank beats round-each-share because rounding
+    // errors don't cancel: a 1T-token budget misallocated by one part
+    // in 10⁴ is a 100M-token drift.
+    QueryDef(
+      "corpus_token_allocation",
+      (spark, sf) => {
+        val Budget = 100000L
+        val toks = Tables.documents(spark, sf)
+          .groupBy("lang")
+          .agg(sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"))
+        val tot = toks.agg(sum(col("n_tokens")).as("total"))
+        val a = toks.crossJoin(broadcast(tot))
+          .withColumn("base", expr(s"($Budget * n_tokens) div total"))
+          .withColumn("rem", expr(s"($Budget * n_tokens) % total"))
+        val lo = a.agg((lit(Budget) - sum(col("base"))).as("leftover"))
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("rem").desc, col("lang").asc)
+        a.crossJoin(broadcast(lo))
+          .withColumn("rk", row_number().over(w))
+          .withColumn("extra", when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+          .select(col("lang"), col("n_tokens"), col("base"), col("extra"),
+            (col("base") + col("extra")).as("alloc"))
+          .orderBy("lang")
+      },
+      Some("WITH t AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens FROM documents GROUP BY 1), " +
+        "s AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM t), " +
+        "a AS (SELECT lang, n_tokens, (100000 * n_tokens) // total AS base, (100000 * n_tokens) % total AS rem FROM t CROSS JOIN s), " +
+        "lo AS (SELECT 100000 - CAST(sum(base) AS BIGINT) AS leftover FROM a), " +
+        "r AS (SELECT *, row_number() OVER (ORDER BY rem DESC, lang) AS rk FROM a CROSS JOIN lo) " +
+        "SELECT lang, n_tokens, CAST(base AS BIGINT) AS base, CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS extra, " +
+        "CAST(base + (CASE WHEN rk <= leftover THEN 1 ELSE 0 END) AS BIGINT) AS alloc FROM r ORDER BY lang"),
+      scaleNote = "The corpus-scale work is ONE map-side-combined " +
+        "token-count agg; everything after runs on the |langs|-row " +
+        "table (the keyless remainder-rank window sorts ≤ a few " +
+        "hundred rows — bounded by the language inventory, never the " +
+        "corpus). The exact-sum guarantee is what downstream " +
+        "consumes: per-lang allocations feed sample_temperature-" +
+        "style rates or corpus_mix caps knowing Σ = budget to the " +
+        "token, so shard manifests never over- or under-fill. The " +
+        "same Hamilton allocator reapplies per (lang, source) cell " +
+        "grid — add the key to both aggs, rank within budget rows — " +
+        "and to GPU-hour or storage budgeting unchanged."))
 }

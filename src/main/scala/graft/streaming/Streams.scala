@@ -731,6 +731,65 @@ object Streams {
           out.result().iterator
       }
   }
+
+  case class TrendState(d0: Long, openDay: Long, openCount: Long,
+      n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
+  case class TrendRow(event_type: String, day_closed: String,
+      n_days: Long, slope: Double, intercept: Double)
+
+  /** Streaming trend fit — the twin of batch ts_linear_forecast: per
+    * type the state is the OPEN day's count plus the five exact
+    * integer OLS moments over closed days (n, Σx, Σy, Σxy, Σx²) —
+    * O(1) whatever the stream length, and the moments are the same
+    * mergeable partials the batch op aggregates, so each day close
+    * updates the fit in constant time and the emitted (slope,
+    * intercept) after day D is bit-equal to the batch fit over days
+    * ≤ D (StreamingSpec pins this against a batch recomputation).
+    * Replay-order violations throw (the ewma/calendarGaps rule) —
+    * a finalized day can never silently reopen. */
+  def trend(events: Dataset[Event]): Dataset[TrendRow] = {
+    import events.sparkSession.implicits._
+    def fit(st: TrendState): (Double, Double) = {
+      val den = st.n * st.sxx - st.sx * st.sx
+      if (den == 0) (Double.NaN, Double.NaN)
+      else {
+        val slope = (st.n * st.sxy - st.sx * st.sy).toDouble / den.toDouble
+        val icept = (st.sy.toDouble - slope * st.sx.toDouble) / st.n.toDouble
+        (slope, icept)
+      }
+    }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (t: String, evs: Iterator[Event], state: GroupState[TrendState]) =>
+          val out = Seq.newBuilder[TrendRow]
+          var st = state.getOption.orNull
+          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+            val day = Math.floorDiv(e.ts.getTime, 86400000L)
+            if (st == null)
+              st = TrendState(day, day, 1L, 0L, 0L, 0L, 0L, 0L)
+            else if (day == st.openDay)
+              st = st.copy(openCount = st.openCount + 1)
+            else if (day > st.openDay) {
+              val closedDay = st.openDay
+              val x = closedDay - st.d0
+              val y = st.openCount
+              st = TrendState(st.d0, day, 1L, st.n + 1, st.sx + x,
+                st.sy + y, st.sxy + x * y, st.sxx + x * x)
+              val (slope, icept) = fit(st)
+              if (!slope.isNaN)
+                out += TrendRow(t,
+                  java.time.LocalDate.ofEpochDay(closedDay).toString,
+                  st.n, slope, icept)
+            } else
+              throw new IllegalStateException(
+                s"replay-order violation for $t: day $day < open ${st.openDay}")
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
 }
 
 /** Durable keyed upsert sink over parquet — the Dynamo table analog

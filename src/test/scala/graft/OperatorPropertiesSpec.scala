@@ -1115,6 +1115,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out("87393009") == (3L, 1L, 2L, 1L, 2L), out("87393009").toString)
   }
 
+  test("corpus_token_allocation: allocations are exact-sum and proportionality-bounded") {
+    val out = run("corpus_token_allocation").collect()
+    assert(out.map(_.getAs[Long]("alloc")).sum == 100000L,
+      "Hamilton allocations must sum to the budget EXACTLY")
+    assert(out.forall(r => r.getAs[Long]("extra") == 0L ||
+      r.getAs[Long]("extra") == 1L))
+    // quota property: base = floor(share) ≤ alloc ≤ ceil(share)
+    val total = out.map(_.getAs[Long]("n_tokens")).sum
+    out.foreach { r =>
+      val share = BigInt(100000) * BigInt(r.getAs[Long]("n_tokens"))
+      val floor = (share / total).toLong
+      assert(r.getAs[Long]("base") == floor)
+      assert(r.getAs[Long]("alloc") >= floor &&
+        r.getAs[Long]("alloc") <= floor + 1)
+    }
+  }
+
+  test("ab_test_zscore: counts partition the exposed universe, rates bounded") {
+    val r = run("ab_test_zscore").collect()(0)
+    val exposed = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "view")
+      .select("user_id").distinct().count()
+    assert(r.getAs[Long]("n_a") + r.getAs[Long]("n_b") == exposed)
+    assert(r.getAs[Long]("x_a") <= r.getAs[Long]("n_a"))
+    assert(r.getAs[Long]("x_b") <= r.getAs[Long]("n_b"))
+    val (ra, rb) = (r.getAs[Double]("rate_a"), r.getAs[Double]("rate_b"))
+    assert(ra >= 0 && ra <= 1 && rb >= 0 && rb <= 1)
+    // windowed conversion must not be saturated (the se=0 trap)
+    assert(ra < 1.0 || rb < 1.0)
+  }
+
   test("emb_pca_power: the found axis spectrally dominates every basis direction") {
     val out = run("emb_pca_power").orderBy("i").collect()
     assert(out.length == 64)

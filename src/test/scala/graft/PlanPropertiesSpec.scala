@@ -262,7 +262,10 @@ class PlanPropertiesSpec extends SparkSpec {
         // the feature table (the batch-perceptron broadcast state) —
         // a constant, not a scan; ts_linear_forecast crossJoins the
         // 3-row horizon constant into the |types|-row fit table
-        "text_classifier_perceptron", "ts_linear_forecast")
+        "text_classifier_perceptron", "ts_linear_forecast",
+        // the 1-row total and leftover constants the |langs|-row
+        // Hamilton allocator broadcasts
+        "corpus_token_allocation")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),

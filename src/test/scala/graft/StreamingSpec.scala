@@ -696,4 +696,58 @@ class StreamingSpec extends SparkSpec {
         "each purchase must emit exactly one attribution row")
     } finally q.stop()
   }
+
+  test("stream_trend equals the batch OLS fit over closed days under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(300), all.slice(300, 800), all.drop(800))
+    val mem = MemoryStream[Streams.Event](28, spark, None)
+    val q = Streams.trend(mem.toDS()).writeStream.format("memory")
+      .queryName("t_trend").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      // last emission per type = fit after its final CLOSED day; the
+      // batch referee recomputes the same exact integer moments over
+      // every day but the still-open last one and composes the same
+      // two divisions
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("day_closed").desc)
+      val streamed = spark.table("t_trend")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("event_type", "n_days", "slope", "intercept").collect()
+        .map(r => r.getAs[String]("event_type") ->
+          (r.getAs[Long]("n_days"), r.getAs[Double]("slope"),
+            r.getAs[Double]("intercept"))).toMap
+      val daily = graft.engine.Tables.loadEvents(spark, sf)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      val last = daily.groupBy("event_type").agg(max(col("day")).as("lastd"))
+      val closed = daily.join(last, "event_type").filter(col("day") < col("lastd"))
+      val d0 = closed.groupBy("event_type").agg(min(col("day")).as("d0"))
+      val m = closed.join(d0, "event_type")
+        .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx")).collect()
+      m.foreach { r =>
+        val (n, sx, sy, sxy, sxx) = (r.getAs[Long]("n"), r.getAs[Long]("sx"),
+          r.getAs[Long]("sy"), r.getAs[Long]("sxy"), r.getAs[Long]("sxx"))
+        val den = n * sxx - sx * sx
+        if (den != 0) {
+          val slope = (n * sxy - sx * sy).toDouble / den.toDouble
+          val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+          val (sn, ss, si) = streamed(r.getAs[String]("event_type"))
+          assert(sn == n, s"n_days mismatch for ${r.get(0)}")
+          assert(ss == slope && si == icept,
+            s"stream/batch fit mismatch for ${r.get(0)}: $ss/$si vs $slope/$icept")
+        }
+      }
+      assert(streamed.nonEmpty, "vacuous: nothing emitted")
+    } finally q.stop()
+  }
 }
