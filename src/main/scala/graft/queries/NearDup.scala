@@ -668,5 +668,68 @@ object NearDup extends QueryGroup {
         "stream corpus-dependent — an incremental deployment pins " +
         "cap decisions per bucket epoch (re-evaluating caps on the " +
         "grown index, the same policy choice any streaming LSH " +
-        "index makes)."))
+        "index makes)."),
+
+    // Golden-record survivorship — the step AFTER clustering that an
+    // MDM / corpus-curation pipeline actually ships: collapse each
+    // near-dup cluster to ONE record with field-level survivorship
+    // rules (longest text wins — the usual "most complete content"
+    // rule, tiebreak min doc_id; lang/source by mode with min
+    // tiebreak; max n_chars), all deterministic total orders. The
+    // longest-text pick rides an associative struct-max (no per-
+    // cluster sort); the two mode fields are count + window-rank over
+    // cluster-local key spaces. Text itself is emitted as md5 + length
+    // (driver-hash cells stay scalar and small).
+    QueryDef(
+      "dedup_golden_record",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val cl = clusters(docs, 0.5)
+        val m = cl.join(docs, "doc_id")
+        val base = m.groupBy("cluster_id").agg(
+          count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("max_chars"),
+          max(struct(length(col("text")).as("l"), (-col("doc_id")).as("nid"),
+            col("text").as("t"), col("doc_id").as("id"))).as("s"))
+          .select(col("cluster_id"), col("n_members"), col("max_chars"),
+            col("s.id").as("golden_doc_id"), col("s.l").as("golden_len"),
+            md5(col("s.t")).as("golden_text_md5"))
+        def modeOf(field: String, out: String) = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy("cluster_id")
+            .orderBy(col("c").desc, col(field).asc)
+          m.groupBy("cluster_id", field).agg(count(lit(1)).as("c"))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("cluster_id"), col(field).as(out))
+        }
+        base
+          .join(modeOf("lang", "golden_lang"), "cluster_id")
+          .join(modeOf("source", "golden_source"), "cluster_id")
+          .orderBy("cluster_id")
+      },
+      Some(s"WITH RECURSIVE $ClusterCtes, " +
+        "md AS (SELECT c.cluster_id, d.doc_id, d.text, d.lang, d.source, d.n_chars FROM canon c JOIN documents d ON c.doc_id = d.doc_id), " +
+        "lt AS (SELECT cluster_id, doc_id AS golden_doc_id, CAST(length(text) AS INT) AS golden_len, md5(text) AS golden_text_md5 FROM (SELECT *, row_number() OVER (PARTITION BY cluster_id ORDER BY length(text) DESC, doc_id) AS rn FROM md) WHERE rn = 1), " +
+        "lm AS (SELECT cluster_id, lang AS golden_lang FROM (SELECT cluster_id, lang, row_number() OVER (PARTITION BY cluster_id ORDER BY count(*) DESC, lang) AS rn FROM md GROUP BY cluster_id, lang) WHERE rn = 1), " +
+        "ls AS (SELECT cluster_id, source AS golden_source FROM (SELECT cluster_id, source, row_number() OVER (PARTITION BY cluster_id ORDER BY count(*) DESC, source) AS rn FROM md GROUP BY cluster_id, source) WHERE rn = 1), " +
+        "ag AS (SELECT cluster_id, count(*) AS n_members, max(n_chars) AS max_chars FROM md GROUP BY 1) " +
+        "SELECT ag.cluster_id, ag.n_members, ag.max_chars, lt.golden_doc_id, lt.golden_len, lt.golden_text_md5, lm.golden_lang, ls.golden_source " +
+        "FROM ag JOIN lt ON ag.cluster_id = lt.cluster_id JOIN lm ON ag.cluster_id = lm.cluster_id JOIN ls ON ag.cluster_id = ls.cluster_id " +
+        "ORDER BY ag.cluster_id"),
+      scaleNote = "Everything downstream of clustering is keyed by " +
+        "cluster_id and sized by the CLUSTERED subset (docs with a " +
+        "near-dup partner — a small fraction of any real corpus), so " +
+        "survivorship adds one struct-max agg plus two count-rank " +
+        "passes over cluster-local key spaces; the windows partition " +
+        "by cluster (bounded by cluster size — the size-cap valve " +
+        "dedup_cluster_sizes profiles), never globally. The struct-" +
+        "max longest-text rule is associative and skew-immune where " +
+        "a sort-based pick would serialize a mega-cluster. Rules are " +
+        "config, not structure: latest-timestamp, trusted-source-" +
+        "first, or field-wise coalesce chains are the same aggregate " +
+        "with a different struct prefix — exactly how MDM survivor " +
+        "policies deploy. Pair with dedup_clusters_incremental and " +
+        "golden records maintain as a view over the rolling cluster " +
+        "table."))
 }

@@ -1146,6 +1146,31 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(ra < 1.0 || rb < 1.0)
   }
 
+  test("dedup_golden_record: golden doc is the longest member of its own cluster") {
+    val gold = run("dedup_golden_record").cache()
+    val cl = run("dedup_clusters")
+    val docs = graft.engine.Tables.documents(spark, sf)
+    // one golden record per cluster; membership counts agree
+    val sizes = cl.groupBy("cluster_id").agg(count(lit(1)).as("t"))
+    assert(gold.join(sizes, "cluster_id")
+      .filter(col("n_members") =!= col("t")).count() == 0)
+    assert(gold.count() == sizes.count())
+    // the golden doc belongs to the cluster it represents, and no
+    // member of that cluster has longer text (min-id on ties)
+    val members = cl.join(docs, "doc_id")
+      .select(col("cluster_id"), col("doc_id"), length(col("text")).as("l"))
+    val gsel = gold.select(col("cluster_id").as("gcid"),
+      col("golden_doc_id"), col("golden_len"))
+    val own = gsel.join(members, col("gcid") === members("cluster_id") &&
+      col("golden_doc_id") === members("doc_id"))
+    assert(own.count() == gold.count(), "golden doc must be a member")
+    val longer = gold.join(members, "cluster_id")
+      .filter(col("l") > col("golden_len") ||
+        (col("l") === col("golden_len") && col("doc_id") < col("golden_doc_id")))
+    assert(longer.count() == 0, "survivorship rule: longest text, min-id tie")
+    gold.unpersist()
+  }
+
   test("emb_pca_power: the found axis spectrally dominates every basis direction") {
     val out = run("emb_pca_power").orderBy("i").collect()
     assert(out.length == 64)
