@@ -50,7 +50,10 @@ object ScalingCurve {
       "emb_gram", "sink_partitioned", "graph_label_spread", "sql_tpch_q3",
       "attribution_last_touch", "funnel_time_to_convert",
       "multimodal_dedup", "interval_gaps", "ts_linear_forecast",
-      "tokenizer_bpe_merges", "text_classifier_perceptron")
+      "tokenizer_bpe_merges", "text_classifier_perceptron",
+      // r7 fourth wave (source_schema_evolution is constant-fixture)
+      "emb_pca_power", "ts_anomaly_mad", "ab_test_zscore",
+      "corpus_token_allocation", "dedup_golden_record")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)
