@@ -184,5 +184,58 @@ SELECT query_id, bucket, rank, vec_id, cos FROM (SELECT query_id, bucket, vec_id
 pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
 b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr)
 SELECT id1, id2, cos FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25 ORDER BY id1, id2""".replaceAll("\\n", " ")),
-      scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). Plane count is THE scale dial — grow it with the corpus so |bucket| ≈ corpus/2^planes stays constant and the pair space stays LINEAR: measured on the 10× replica, 4 planes = 16.4 s / 562k pairs vs 8 planes = 1.7 s / 67k pairs (SCALING.md). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."))
+      scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). Plane count is THE scale dial — grow it with the corpus so |bucket| ≈ corpus/2^planes stays constant and the pair space stays LINEAR: measured on the 10× replica, 4 planes = 16.4 s / 562k pairs vs 8 planes = 1.7 s / 67k pairs (SCALING.md). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."),
+
+    // Embedding-space decontamination — the semantic sibling of the
+    // n-gram contamination_check: for every EVAL vector (the mod-29
+    // holdout standing in for a benchmark set), its most-similar
+    // corpus vector among same-bucket candidates, flagged when cosine
+    // clears the contamination bar. Emits one row PER EVAL ITEM
+    // (nearest + flag — the report a decontam pass files), so the
+    // result is |eval|-bounded and never vacuous; the deterministic
+    // argmax is the associative struct-max on (cos, −corpus_id). The
+    // 0.4 bar is tuned to the synthetic corpus's similarity range
+    // (max cross-split cosine ≈ 0.45); a real deployment sets it from
+    // a labeled contamination audit.
+    QueryDef(
+      "contamination_emb",
+      (spark, sf) => {
+        val b = bucketed(spark, sf, planes = 4)
+        val ev = b.filter(col("vec_id") % 29 === 0)
+          .select(col("vec_id").as("eval_id"), col("qv").as("qe"),
+            col("norm2").as("ne"), col("bucket"))
+        val co = b.filter(col("vec_id") % 29 =!= 0)
+          .select(col("vec_id").as("corpus_id"), col("qv").as("qc"),
+            col("norm2").as("nc"), col("bucket").as("bk2"))
+        val cand = ev.join(co, col("bucket") === col("bk2"), "left")
+          .withColumn("cos",
+            graft.engine.Vec.cosine(
+              graft.plans.LongArrayDot.dot(col("qe"), col("qc")),
+              col("ne"), col("nc")))
+        cand.groupBy("eval_id")
+          .agg(max(struct(col("cos").as("c"), (-col("corpus_id")).as("nid"),
+            col("corpus_id").as("id"))).as("s"))
+          .select(col("eval_id"), col("s.id").as("nearest_corpus_id"),
+            col("s.c").as("nearest_cos"),
+            coalesce(col("s.c") >= 0.4, lit(false)).as("contaminated"))
+          .orderBy("eval_id")
+      },
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr),
+e AS (SELECT * FROM b WHERE vec_id % 29 = 0), c AS (SELECT * FROM b WHERE vec_id % 29 <> 0),
+cand AS (SELECT e.vec_id AS eval_id, c.vec_id AS corpus_id, round(CAST(list_sum(list_transform(range(1,65), i -> e.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(e.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM e LEFT JOIN c ON e.bucket = c.bucket),
+r AS (SELECT *, row_number() OVER (PARTITION BY eval_id ORDER BY cos DESC NULLS LAST, corpus_id ASC) AS rn FROM cand)
+SELECT eval_id, corpus_id AS nearest_corpus_id, cos AS nearest_cos, coalesce(cos >= 0.4, FALSE) AS contaminated FROM r WHERE rn = 1 ORDER BY eval_id""".replaceAll("\\n", " ")),
+      scaleNote = "The eval set is benchmark-sized (thousands) — " +
+        "broadcast it bucketed and the scan side streams: candidates " +
+        "are same-bucket only, so per-corpus-vector work is |eval ∩ " +
+        "bucket| dot products inside the codegen'd LongArrayDot, and " +
+        "the per-eval argmax folds map-side (struct-max, no window " +
+        "over the corpus). Raise planes with corpus size (emb_near_" +
+        "dup's dial) and add the weak-plane multi-probe for recall; " +
+        "at 100 TB this is exactly the decontam pass the n-gram " +
+        "contamination_check runs lexically, and production runs " +
+        "BOTH — surface overlap and paraphrase overlap are different " +
+        "leaks. Flagged ids feed split_train_val's exclusion list."))
 }

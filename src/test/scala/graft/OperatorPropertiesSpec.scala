@@ -1146,6 +1146,18 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(ra < 1.0 || rb < 1.0)
   }
 
+  test("contamination_emb: one row per eval vector; nearest is bucket-local and never the eval item") {
+    val out = run("contamination_emb").cache()
+    val nEval = graft.engine.Tables.embeddings(spark, sf)
+      .filter(col("vec_id") % 29 === 0).count()
+    assert(out.count() == nEval, "exactly one report row per eval item")
+    // the nearest neighbor is drawn from the corpus side only
+    assert(out.filter(col("nearest_corpus_id") % 29 === 0).count() == 0)
+    assert(out.filter(col("contaminated") &&
+      col("nearest_cos") < 0.4).count() == 0)
+    out.unpersist()
+  }
+
   test("dedup_golden_record: golden doc is the longest member of its own cluster") {
     val gold = run("dedup_golden_record").cache()
     val cl = run("dedup_clusters")
