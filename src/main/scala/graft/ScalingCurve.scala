@@ -53,7 +53,7 @@ object ScalingCurve {
       "tokenizer_bpe_merges", "text_classifier_perceptron",
       // r7 fourth wave (source_schema_evolution is constant-fixture)
       "emb_pca_power", "ts_anomaly_mad", "ab_test_zscore",
-      "corpus_token_allocation", "dedup_golden_record")
+      "corpus_token_allocation", "dedup_golden_record", "contamination_emb")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)
