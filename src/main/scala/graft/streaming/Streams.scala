@@ -732,6 +732,38 @@ object Streams {
       }
   }
 
+  case class CoverState(maxEnd: Long, covered: Long, n: Long)
+  case class CoverRow(user_id: Long, n_intervals: Long, covered_sec: Long)
+
+  /** Streaming covered-time — the twin of batch interval_coverage's
+    * sweep: per user the state is (running max end, covered seconds,
+    * interval count) — THREE longs forever. The batch sweep's
+    * window-max trick is exactly an ordered fold, so a stream
+    * processes each interval in (start, event_id) order and adds
+    * max(0, e − max(s, maxEnd)): after any prefix the state equals
+    * the batch aggregate over that prefix (StreamingSpec pins final
+    * equality). Each micro-batch emits the updated running totals
+    * per touched user (Update mode — the live uptime/SLA counter). */
+  def coverage(events: Dataset[Event]): Dataset[CoverRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[CoverState]) =>
+          var st = state.getOption.getOrElse(CoverState(Long.MinValue, 0L, 0L))
+          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+            val s = Math.floorDiv(e.ts.getTime, 1000L)
+            val en = s + (e.event_id % 1800) + 60
+            val contrib = math.max(0L, en - math.max(s, st.maxEnd))
+            st = CoverState(math.max(st.maxEnd, en),
+              st.covered + contrib, st.n + 1)
+          }
+          state.update(st)
+          Iterator(CoverRow(uid, st.n, st.covered))
+      }
+  }
+
   case class TrendState(d0: Long, openDay: Long, openCount: Long,
       n: Long, sx: Long, sy: Long, sxy: Long, sxx: Long)
   case class TrendRow(event_type: String, day_closed: String,

@@ -750,4 +750,34 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.nonEmpty, "vacuous: nothing emitted")
     } finally q.stop()
   }
+
+  test("stream_coverage equals batch interval_coverage totals under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(400), all.slice(400, 900), all.drop(900))
+    val mem = MemoryStream[Streams.Event](29, spark, None)
+    val q = Streams.coverage(mem.toDS()).writeStream.format("memory")
+      .queryName("t_cover").outputMode("update").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      // memory sink in update mode appends each emission — keep the
+      // final state per user (max n_intervals is monotone)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_intervals").desc)
+      val streamed = spark.table("t_cover")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_intervals", "covered_sec")
+      val batch = graft.engine.Registry.byName("interval_coverage")
+        .build(spark, sf)
+        .select("user_id", "n_intervals", "covered_sec")
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch covered-time mismatch")
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
 }
