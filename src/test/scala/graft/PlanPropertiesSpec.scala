@@ -215,6 +215,17 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("GreaterThan(l_shipdate"), p.take(2000))
   }
 
+  test("emb_gram: two-phase object-hash aggregate over a pruned single-column scan") {
+    val p = plan("emb_gram")
+    // partial buffers per partition, ONE exchange, final merge — the
+    // mergeable-Gram shape; a regression to single-phase would ship
+    // rows instead of 16 KB buffers
+    assert("ObjectHashAggregate".r.findAllIn(p).length >= 2, p.take(1200))
+    assert(p.contains("ReadSchema: struct<embedding:array<float>>"),
+      "scan must read ONLY the embedding column")
+    assert(p.contains("BroadcastHashJoin"), p.take(1200))
+  }
+
   test("plan sweep: no declared query plans a cartesian or unexpected loop join") {
     // The 100 TB kill-switch, applied to the WHOLE surface: a
     // CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
