@@ -811,5 +811,44 @@ object Aggregates extends QueryGroup {
         "sketch pattern). Headroom: DECIMAL(38) holds Σx⁴ up to " +
         "~10^23 rows of 4-digit cents; wider values first clamp " +
         "through agg_winsorize's thresholds, which a 4th moment " +
-        "needs anyway (kurtosis is the statistic outliers destroy)."))
+        "needs anyway (kurtosis is the statistic outliers destroy)."),
+
+    // Weighted mean — the unit-price statistic avg() silently gets
+    // wrong (the mean of per-line prices is not the mean price PAID;
+    // big orders must weigh more): Σ(price·qty)/Σqty with the
+    // numerator an exact DECIMAL product-sum (order-free) and ONE
+    // correctly-rounded division per group at the edge. The same
+    // shape serves revenue-weighted delay, token-weighted loss, and
+    // every other "per-unit" KPI.
+    QueryDef(
+      "agg_weighted_avg",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .groupBy("l_returnflag")
+          .agg(
+            sum(col("l_quantity").cast("long")).as("total_qty"),
+            sum(Dsl.dec2(col("l_extendedprice")) *
+              col("l_quantity").cast("long")).cast(Dsl.D2).as("wsum"),
+            round(avg(Dsl.dec2(col("l_extendedprice"))), 4).as("naive_avg_price"))
+          .select(col("l_returnflag"), col("total_qty"),
+            col("wsum").cast("double").as("weighted_sum"),
+            round(col("wsum").cast("double") / col("total_qty"), 4)
+              .as("weighted_avg_price"),
+            col("naive_avg_price").cast("double").as("naive_avg_price"))
+          .orderBy("l_returnflag"),
+      Some("SELECT l_returnflag, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty, " +
+        "CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS BIGINT)) AS DECIMAL(18,2)) AS DOUBLE) AS weighted_sum, " +
+        "round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_quantity AS BIGINT)) AS DECIMAL(18,2)) AS DOUBLE) / sum(CAST(l_quantity AS BIGINT)), 4) AS weighted_avg_price, " +
+        "CAST(round(avg(CAST(l_extendedprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS naive_avg_price " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+      scaleNote = "One map-side-combined hash agg: the weighted sum " +
+        "is a DECIMAL product-sum (associative, exact — integer " +
+        "weights times 2-dp money never rounds), so partials merge " +
+        "across any partitioning and the only float is the final " +
+        "division per group. Emitting the naive average beside the " +
+        "weighted one is deliberate: the gap between them IS the " +
+        "mix-shift signal dashboards mislabel as a price change " +
+        "(Simpson's inversion); at 100 TB both ride the same " +
+        "exchange for free. Weighted percentiles escalate to " +
+        "agg_approx_quantile's sketch with weight-expanded updates."))
 }
