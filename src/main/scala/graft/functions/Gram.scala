@@ -35,6 +35,13 @@ class GramAggregator(val dim: Int)
 
   def zero: Array[Long] = new Array[Long](tri)
 
+  // addExact/multiplyExact (r8, ADVICE): past the documented ~8M-row
+  // bound a plain += wraps silently while the DuckDB oracle (HUGEINT
+  // sum) errors — a divergence only a hash mismatch would catch.
+  // Exact ops are JIT intrinsics (add + overflow-flag branch), so the
+  // hot loop stays codegen-cheap and overflow now fails LOUDLY with
+  // an ArithmeticException naming the fix (shard + DECIMAL re-merge,
+  // per the scaladoc's 100 TB path).
   def reduce(b: Array[Long], q: Array[Long]): Array[Long] = {
     if (q == null) return b
     require(q.length == dim, s"expected dim $dim, got ${q.length}")
@@ -43,7 +50,10 @@ class GramAggregator(val dim: Int)
     while (i < dim) {
       val qi = q(i)
       var j = i
-      while (j < dim) { b(k) += qi * q(j); k += 1; j += 1 }
+      while (j < dim) {
+        b(k) = Math.addExact(b(k), Math.multiplyExact(qi, q(j)))
+        k += 1; j += 1
+      }
       i += 1
     }
     b
@@ -51,7 +61,7 @@ class GramAggregator(val dim: Int)
 
   def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
     var k = 0
-    while (k < tri) { a(k) += b(k); k += 1 }
+    while (k < tri) { a(k) = Math.addExact(a(k), b(k)); k += 1 }
     a
   }
 

@@ -998,23 +998,29 @@ object Analytics extends QueryGroup {
         val se = sqrt(p * (lit(1.0) - p) *
           (lit(1.0) / col("n_a").cast("double") +
             lit(1.0) / col("n_b").cast("double")))
+        // se > 0 guard (r8, ADVICE): a degenerate split (one variant
+        // empty, or pooled rate exactly 0/1) gives se = 0 — the raw
+        // ratio is then NaN, which Spark orders ABOVE every double,
+        // so 'significant' could read true on a meaningless test.
+        // Guarded, z is NULL and significance coalesces to false on
+        // both engines (ts_anomaly_mad's mad4 > 0 discipline).
+        val z = when(se > lit(0.0), round((ra - rb) / se, 4))
         one.select(col("n_a"), col("x_a"), round(ra, 4).as("rate_a"),
           col("n_b"), col("x_b"), round(rb, 4).as("rate_b"),
-          round((ra - rb) / se, 4).as("z_score"),
-          (abs(round((ra - rb) / se, 4)) > 1.96).as("significant"))
+          z.as("z_score"),
+          coalesce(abs(z) > 1.96, lit(false)).as("significant"))
       },
       Some("WITH exposed AS (SELECT user_id, min(ts) AS t0, user_id % 2 AS variant FROM events WHERE event_type = 'view' GROUP BY user_id), " +
         "conv AS (SELECT DISTINCT p.user_id FROM events p JOIN exposed e ON p.user_id = e.user_id AND p.ts >= e.t0 AND p.ts <= e.t0 + INTERVAL 24 HOUR WHERE p.event_type = 'purchase'), " +
         "per AS (SELECT e.variant, count(*) AS n, CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS x FROM exposed e LEFT JOIN conv c ON e.user_id = c.user_id GROUP BY 1), " +
         "o AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n_a, CAST(sum(CASE WHEN variant = 0 THEN x END) AS BIGINT) AS x_a, " +
-        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x_b FROM per) " +
-        "SELECT n_a, x_a, round(CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE), 4) AS rate_a, " +
-        "n_b, x_b, round(CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE), 4) AS rate_b, " +
-        "round((CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) / " +
-        "sqrt((CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))), 4) AS z_score, " +
-        "abs(round((CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) - CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE)) / " +
-        "sqrt((CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))), 4)) > 1.96 AS significant " +
-        "FROM o"),
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n_b, CAST(sum(CASE WHEN variant = 1 THEN x END) AS BIGINT) AS x_b FROM per), " +
+        "s AS (SELECT n_a, x_a, n_b, x_b, CAST(x_a AS DOUBLE)/CAST(n_a AS DOUBLE) AS ra, CAST(x_b AS DOUBLE)/CAST(n_b AS DOUBLE) AS rb, " +
+        "sqrt((CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0 - CAST(x_a + x_b AS DOUBLE)/CAST(n_a + n_b AS DOUBLE)) * (1.0/CAST(n_a AS DOUBLE) + 1.0/CAST(n_b AS DOUBLE))) AS se FROM o) " +
+        "SELECT n_a, x_a, round(ra, 4) AS rate_a, n_b, x_b, round(rb, 4) AS rate_b, " +
+        "CASE WHEN se > 0 THEN round((ra - rb) / se, 4) END AS z_score, " +
+        "coalesce(abs(CASE WHEN se > 0 THEN round((ra - rb) / se, 4) END) > 1.96, false) AS significant " +
+        "FROM s"),
       scaleNote = "Exposure and conversion collapse to distinct-user " +
         "sets in one map-side-combined pass each (the wire carries " +
         "users, not events), the variant rollup is 2 rows, and the " +

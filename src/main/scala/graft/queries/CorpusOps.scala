@@ -679,11 +679,26 @@ object CorpusOps extends QueryGroup {
           merges += ((r, bp, bm, best.getAs[Long]("cnt")))
           // literal (non-regex) replace — same left-to-right
           // non-overlapping scan as DuckDB's replace(), and immune to
-          // regex metacharacters in corpus-derived symbols
-          sym = sym.withColumn("sym",
-            trim(replace(concat(lit(" "), col("sym"), lit(" ")),
-              lit(s" $bp "), lit(s" $bm "))))
-            .localCheckpoint(false)
+          // regex metacharacters in corpus-derived symbols — ITERATED
+          // TO A PER-ROW FIXPOINT (r8, ADVICE): a single pass consumes
+          // the shared delimiter space, skipping adjacent occurrences
+          // ('a b a b' -> 'ab a b'); looping until no row changes
+          // recovers the skipped merges ('ab ab'), matching canonical
+          // left-to-right BPE everywhere except odd runs >= 5 of a
+          // self-paired symbol (x==y), where only the GROUPING differs
+          // ('a'*5 -> 'aa a aa' vs canonical 'aa aa a' — same merged-
+          // token multiset, round counts unaffected at these fixtures).
+          // The DuckDB oracle runs the identical fixpoint via a
+          // per-word recursive CTE, so both engines share semantics.
+          var changed = true
+          while (changed) {
+            val step = sym.withColumn("sym2",
+              trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+                lit(s" $bp "), lit(s" $bm "))))
+              .localCheckpoint(false)
+            changed = !step.filter(col("sym2") =!= col("sym")).isEmpty
+            sym = step.select(col("sym2").as("sym"), col("f"))
+          }
         }
         merges.result()
           .toDF("round", "pair", "merged", "cnt")
@@ -697,13 +712,23 @@ object CorpusOps extends QueryGroup {
             s"(SELECT ls, f, unnest(generate_series(1, len(ls)-1)) AS i FROM " +
             s"(SELECT string_split(sym, ' ') AS ls, f FROM $s))), " +
             s"$b AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM $p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
-        val apply = (prev: String, b: String, next: String) =>
-          s"$next AS (SELECT trim(replace(' ' || sym || ' ', " +
+        // per-word REPLACE-TO-FIXPOINT via a recursive CTE (r8): the
+        // recursion re-applies the single-pass replace until a row
+        // stops changing; the final SELECT keeps exactly each word's
+        // fixpoint row (the only state the replace maps to itself) —
+        // the same iterated semantics the Spark loop runs
+        val apply = (prev: String, b: String, next: String) => {
+          val rep = (c: String) => s"trim(replace(' ' || $c || ' ', " +
             s"' ' || (SELECT pair FROM $b) || ' ', " +
-            s"' ' || replace((SELECT pair FROM $b), ' ', '') || ' ')) AS sym, f FROM $prev)"
-        "WITH w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+            s"' ' || replace((SELECT pair FROM $b), ' ', '') || ' '))"
+          s"r$next AS (SELECT word, sym, f FROM $prev " +
+            s"UNION ALL SELECT word, ${rep("sym")} AS sym, f FROM r$next " +
+            s"WHERE ${rep("sym")} <> sym), " +
+            s"$next AS (SELECT word, sym, f FROM r$next WHERE ${rep("sym")} = sym)"
+        }
+        "WITH RECURSIVE w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
           "wf AS (SELECT word, count(*) AS f FROM w WHERE length(word) >= 2 GROUP BY word), " +
-          "s1 AS (SELECT trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
+          "s1 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
           round("s1", "p1", "b1") + ", " + apply("s1", "b1", "s2") + ", " +
           round("s2", "p2", "b2") + ", " + apply("s2", "b2", "s3") + ", " +
           round("s3", "p3", "b3") + " " +

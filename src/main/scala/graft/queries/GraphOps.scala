@@ -173,6 +173,71 @@ object GraphOps extends QueryGroup {
     r
   }
 
+  /** True k-core: peel degree-<k nodes to the FIXPOINT (r8, VERDICT
+    * r7 #4 — a fixed round count silently truncates on deeper
+    * graphs; GraphOpsSpec's planted chain proves 3 rounds is wrong).
+    * dedup_clusters' loop discipline: per-round checkpoint, cheap
+    * convergence probe. Pruning only removes edges, so an unchanged
+    * COUNT certifies an unchanged SET — one count() action per round
+    * over the checkpointed, monotonically shrinking edge table.
+    * Returns (surviving edges, rounds-that-removed-something). */
+  def kCoreEdges(e0: DataFrame, k: Int): (DataFrame, Int) = {
+    var e = e0.localCheckpoint(false)
+    var cnt = e.count()
+    var rounds = 0
+    var done = cnt == 0
+    while (!done) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select(col("src").as("node"))
+        .localCheckpoint(false)
+      val ne = e
+        .join(broadcast(keep.select(col("node").as("src"))),
+          Seq("src"), "left_semi")
+        .join(broadcast(keep.select(col("node").as("dst"))),
+          Seq("dst"), "left_semi")
+        .localCheckpoint(false)
+      val c = ne.count()
+      if (c == cnt) done = true
+      else { rounds += 1; cnt = c; e = ne; if (c == 0) done = true }
+    }
+    (e, rounds)
+  }
+
+  /** Bellman-Ford to STABILITY (r8, same verdict item): relax-all +
+    * min-agg rounds until the distance table stops changing. The
+    * convergence certificate is the (row count, Σd) pair — nodes are
+    * only ever ADDED and per-node d only ever DECREASES (min-fold),
+    * so an unchanged pair proves an unchanged table: one tiny agg
+    * action per round, no join-based diff. Returns (dist(node, d),
+    * rounds-that-changed-something). Edge df carries (src, dst, w);
+    * seeds carries (node). The settled table is broadcast while it
+    * fits — at social-graph scale swap to a co-partitioned join on
+    * src, zero structural change. */
+  def bellmanFord(e: DataFrame, seeds: DataFrame): (DataFrame, Int) = {
+    var dist = seeds.select(col("node"), lit(0L).as("d"))
+      .localCheckpoint(false)
+    def stat(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)).cast("long"),
+        coalesce(sum(col("d")), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    var cur = stat(dist)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val relax = e
+        .join(broadcast(dist.select(col("node").as("src"), col("d"))), "src")
+        .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
+      val next = dist.unionAll(relax)
+        .groupBy("node").agg(min(col("d")).as("d"))
+        .localCheckpoint(false)
+      val ns = stat(next)
+      if (ns == cur) done = true
+      else { rounds += 1; cur = ns; dist = next }
+    }
+    (dist, rounds)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -417,19 +482,18 @@ object GraphOps extends QueryGroup {
           .localCheckpoint(false)
         val seeds = e.select(col("src").as("node")).distinct()
           .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
-        var dist = seeds.select(col("node"), lit(0L).as("d"))
-        for (_ <- 1 to 4) {
-          val relax = e
-            .join(broadcast(dist.select(col("node").as("src"), col("d"))), "src")
-            .select(col("dst").as("node"), (col("d") + col("w")).as("d"))
-          dist = dist.unionAll(relax)
-            .groupBy("node").agg(min(col("d")).as("d"))
-            .localCheckpoint(false)
-        }
+        // to STABILITY since r8 (VERDICT r7 #4) — the fixed 4-round
+        // form silently truncated deeper graphs (GraphOpsSpec's
+        // planted chain proves it); the emitted rounds column gates
+        // the convergence depth against the oracle's pinned literal,
+        // so a data change that needs more rounds than the oracle
+        // unrolls fails the hash LOUDLY instead of silently
+        val (dist, rounds) = bellmanFord(e, seeds)
         dist.select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
             expr("node div 2").as("key"), col("d").as("dist"))
+          .withColumn("rounds", lit(rounds))
           .orderBy("node_type", "key")
       },
       Some {
@@ -443,52 +507,53 @@ object GraphOps extends QueryGroup {
           "d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d FROM e WHERE src % 2 = 0 AND src < 20), " +
           rel("d0", "d1") + ", " + rel("d1", "d2") + ", " +
           rel("d2", "d3") + ", " + rel("d3", "d4") + " " +
+          // 4 unrolled rounds ≥ the measured sf0.01 convergence depth
+          // (3 changing rounds — GraphFixpointProbe), so d4 IS the
+          // fixpoint; the literal 3 gates the Spark loop's depth
           "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
-          "node // 2 AS key, d AS dist FROM d4 ORDER BY node_type, key"
+          "node // 2 AS key, d AS dist, 3 AS rounds FROM d4 ORDER BY node_type, key"
       },
       scaleNote = "Per round: one equi join of the once-checkpointed " +
         "weighted edge list against the |settled|-row distance table " +
         "(broadcast while it fits, co-partitioned shuffle join after) " +
         "+ a map-side-combined min agg — reachability's cost model " +
-        "with an integer add. Four rounds bound path length by " +
-        "contract (a polling-network query wants bounded radius); " +
-        "full SSSP iterates to fixpoint with a convergence check on " +
-        "changed-row count (dedup_clusters' loop discipline: " +
-        "checkpoint each round, O(diameter) rounds). Weights are " +
+        "with an integer add. Runs to STABILITY (r8): the (count, " +
+        "Σd) pair is a monotone convergence certificate — nodes only " +
+        "appear, d only decreases — so one tiny agg action per round " +
+        "detects the fixpoint (dedup_clusters' loop discipline: " +
+        "checkpoint each round, O(weighted diameter) rounds), and " +
+        "the emitted rounds column pins the depth under the hash " +
+        "gate. Weights are " +
         "data in production (travel seconds on the stop graph — " +
         "station_headway's gaps feed exactly this); the integer " +
         "min-plus algebra is what keeps every round's state exact " +
         "and partition-order-free at any scale."),
 
-    // k-core decomposition (k=10), three pruning rounds: repeatedly
-    // drop nodes of degree < k and the edges they carry — the
-    // standard dense-subgraph pre-filter before community/cohesion
-    // analysis (and the graph-side analog of dedup's cluster-size
-    // floor: strip the long tail before the expensive pass). Each
-    // round is degree-count + two semi joins; after three rounds the
-    // surviving subgraph and its degrees are emitted. The bounded
-    // round count is the oracle-mirrorable contract (reachability's
-    // trade); the true core is the fixpoint, reached when a round
-    // removes nothing.
+    // k-core decomposition (k=10), peeled TO THE FIXPOINT (r8):
+    // repeatedly drop nodes of degree < k and the edges they carry
+    // until a round removes nothing — the standard dense-subgraph
+    // pre-filter before community/cohesion analysis (and the
+    // graph-side analog of dedup's cluster-size floor: strip the
+    // long tail before the expensive pass). Each round is one
+    // degree-count + two semi joins; the oracle unrolls more rounds
+    // than the measured peel depth and the gated rounds column pins
+    // that depth.
     QueryDef(
       "graph_k_core",
       (spark, sf) => {
-        var e = edges(spark, sf).localCheckpoint(false)
-        for (_ <- 1 to 3) {
-          val keep = e.groupBy("src").agg(count(lit(1)).as("deg"))
-            .filter(col("deg") >= 10).select(col("src").as("node"))
-            .localCheckpoint(false)
-          e = e.join(broadcast(keep.select(col("node").as("src"))),
-              Seq("src"), "left_semi")
-            .join(broadcast(keep.select(col("node").as("dst"))),
-              Seq("dst"), "left_semi")
-            .localCheckpoint(false)
-        }
-        e.groupBy("src").agg(count(lit(1)).as("deg"))
+        // TRUE k-core since r8 (VERDICT r7 #4): peel to the fixpoint,
+        // not 3 rounds — the planted chain in GraphOpsSpec shows the
+        // fixed form leaves a partially-peeled middle standing. The
+        // rounds column (changed rounds until stability) is gated
+        // against the oracle's pinned literal: data needing a deeper
+        // peel than the oracle unrolls fails the hash loudly.
+        val (core, rounds) = kCoreEdges(edges(spark, sf), 10)
+        core.groupBy("src").agg(count(lit(1)).as("deg"))
           .select(
             when(col("src") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
             expr("src div 2").as("key"), col("deg"))
+          .withColumn("rounds", lit(rounds))
           .orderBy("node_type", "key")
       },
       Some {
@@ -500,17 +565,22 @@ object GraphOps extends QueryGroup {
           "e0 AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
           prune("e0", "e1") + ", " + prune("e1", "e2") + ", " +
           prune("e2", "e3") + " " +
+          // 3 unrolled prune rounds ≥ the measured sf0.01 peel depth
+          // (1 changing round — GraphFixpointProbe), so e3 IS the
+          // fixpoint; the literal 1 gates the Spark loop's depth
           "SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
-          "src // 2 AS key, count(*) AS deg FROM e3 GROUP BY src ORDER BY node_type, key"
+          "src // 2 AS key, count(*) AS deg, 1 AS rounds FROM e3 GROUP BY src ORDER BY node_type, key"
       },
       scaleNote = "Per round: one map-side-combined degree agg " +
         "(|V| rows out) + two semi joins of the edge list against " +
         "the broadcast survivor set — the edge table shrinks " +
         "monotonically, so later rounds are cheaper, and " +
         "checkpointing per round caps lineage (dedup_clusters' loop " +
-        "discipline). Full decomposition iterates to fixpoint with a " +
-        "removed-count convergence check, O(peeling depth) rounds; " +
-        "degree counts are exact integers, so membership is " +
+        "discipline). Runs to the fixpoint with an edge-count " +
+        "convergence probe (pruning only removes, so count equality " +
+        "certifies set equality — one count() per round), O(peeling " +
+        "depth) rounds; degree counts are exact integers, so " +
+        "membership is " +
         "partition-order-free. The |V|-row survivor set outgrows " +
         "broadcast at social-graph scale — swap to a co-partitioned " +
         "semi join on the same keys, zero structural change."),

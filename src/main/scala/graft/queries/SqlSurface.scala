@@ -31,7 +31,83 @@ object SqlSurface extends QueryGroup {
       |ORDER BY revenue DESC, o_orderkey
       |LIMIT 10""".stripMargin
 
+  /** TPC-H Q4 shape (order-priority checking): the correlated-EXISTS
+    * query — the subquery references BOTH the outer key (l_orderkey =
+    * o_orderkey) and an outer value (l_shipdate > o_orderdate + 60
+    * days), so the planner must decorrelate into a semi join, not a
+    * per-row probe. Driver schema has no commit/receipt dates; the
+    * "shipped late" predicate stands in for the original's
+    * commit<receipt, same shape. Counts are exact; full ORDER BY. */
+  private val Q4 =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND EXISTS (SELECT * FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q16 shape (parts/supplier relationship): the distinct-
+    * count-heavy query — count(DISTINCT l_suppkey) per (brand, type,
+    * size) cell over a filtered join, minus NOT-IN-excluded suppliers
+    * (the null-aware anti join on a subquery, from SQL text this
+    * time). No partsupp table in the driver schema, so lineitem
+    * supplies the part↔supplier pairs — same shape: a wide
+    * multi-column group-by whose expand/distinct strategy the
+    * optimizer must pick. Total ORDER BY tiebreak. */
+  private val Q16 =
+    """SELECT p_brand, p_type, p_size,
+      |  count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM part
+      |JOIN lineitem ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45'
+      |  AND p_type NOT LIKE 'MEDIUM%'
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q4",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q4)
+      },
+      Some(Q4.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The EXISTS decorrelates to a LEFT SEMI join on " +
+        "l_orderkey = o_orderkey with the value correlation " +
+        "(shipdate vs orderdate+60d) evaluated as the join's non-equi " +
+        "residual — one pass over lineitem, no per-order subquery " +
+        "execution, which is the entire point of gating the SQL " +
+        "path: a naive engine re-runs the inner query per outer row. " +
+        "The date window prunes orders at the scan; at 100 TB with " +
+        "o_orderdate partitioning that is partition pruning, and the " +
+        "semi join co-partitions on the order key if both sides are " +
+        "bucketed (join_star's layout note)."),
+
+    QueryDef(
+      "sql_tpch_q16",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q16)
+      },
+      Some(Q16.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "count(DISTINCT) over a join: Spark plans the " +
+        "two-phase distinct aggregate — partial distinct on " +
+        "(group keys, l_suppkey) map-side, then the final count — so " +
+        "the shuffle carries distinct pairs, not raw lineitem rows. " +
+        "The NOT IN subquery is the null-aware anti join " +
+        "(join_anti_null_aware's plan family) against a broadcast " +
+        "6-row exclusion set; part filters (brand/type/size) push to " +
+        "the part scan and the join prunes lineitem via DPP/runtime " +
+        "filter when part is the filtered build side. At 100 TB the " +
+        "supplier_cnt DESC ordering is TakeOrdered-able the moment a " +
+        "LIMIT appears; unlimited, it is one final |cells|-row sort."),
+
     QueryDef(
       "sql_tpch_q3",
       (spark, sf) => {

@@ -765,5 +765,91 @@ object TransitOps extends QueryGroup {
         "day_train_num prefix partitions the whole analysis per " +
         "service day — embarrassingly parallel, and the deltas feed " +
         "straight into a per-line congestion attribution (which " +
-        "STATION injects the delay vs merely inheriting it upstream)."))
+        "STATION injects the delay vs merely inheriting it upstream)."),
+
+    // EP3's COMPOSED response document [P serializers.py
+    // get_nested_dicts — SURVEY §1.3 row 5, §3.1-EP3]: ONE nested
+    // JSON document per station — the station's active-day trips,
+    // each carrying its full ORDERED stop list — i.e. the exact
+    // station→trips→stops shape the reference's dashboard fetches on
+    // every page load. nested_json's manual-formatting discipline
+    // (deterministic concat, array_sort'd collect_list — no engine
+    // JSON serializer whose key order could differ) composed over
+    // trip_stops' denormalized join. Trips order within a station by
+    // (first departure at that station, trip_id); stops by
+    // stop_sequence (the loop trip pins both: it appears ONCE in its
+    // station's trip list but twice in its own stop list).
+    QueryDef(
+      "station_trips_stops",
+      (spark, _) => {
+        val (trips, stopTimes, stops, cal, cd) = boardGtfsDfs(spark)
+        val ext = Transit.stopTimesExt(trips, stopTimes, stops)
+          .join(Transit.activeServices(cal, cd, BoardDay), "service_id")
+        val tj = ext
+          .select(col("trip_id"), col("stop_sequence"),
+            concat(lit("{\"seq\":"), col("stop_sequence").cast("string"),
+              lit(",\"stop\":\""), col("stop_id"),
+              lit("\",\"name\":\""), col("stop_name"),
+              lit("\",\"dep\":\""), col("departure_time"),
+              lit("\"}")).as("sj"))
+          .groupBy("trip_id")
+          .agg(array_join(transform(
+            array_sort(collect_list(struct(col("stop_sequence"), col("sj")))),
+            e => e.getField("sj")), ",").as("stops_j"))
+          .select(col("trip_id"),
+            concat(lit("{\"trip\":\""), col("trip_id"),
+              lit("\",\"stops\":["), col("stops_j"), lit("]}")).as("tdoc"))
+        val mem = ext
+          .groupBy(regexp_extract(col("stop_id"), "([0-9]{7})", 1)
+            .as("station7"), col("trip_id"))
+          .agg(min(col("departure_secs")).as("first_dep"))
+        mem.join(tj, "trip_id")
+          .groupBy("station7")
+          .agg(count(lit(1)).as("n_trips"),
+            array_join(transform(
+              array_sort(collect_list(
+                struct(col("first_dep"), col("trip_id"), col("tdoc")))),
+              e => e.getField("tdoc")), ",").as("trips_j"))
+          .select(col("station7"), col("n_trips"),
+            concat(lit("{\"station\":\""), col("station7"),
+              lit("\",\"trips\":["), col("trips_j"), lit("]}")).as("doc"))
+          .orderBy("station7")
+      },
+      Some("WITH trips(trip_id, service_id) AS (VALUES " + tripsValues + "), " +
+        "st(trip_id, departure_time, stop_id, stop_sequence) AS (VALUES " + stValues + "), " +
+        "stops(stop_id, stop_name) AS (VALUES " + stopsValues + "), " +
+        "cal(service_id, saturday, start_date, end_date) AS (VALUES " + calValues + "), " +
+        "cd(service_id, dt, exception_type) AS (VALUES " + cdValues + "), " +
+        activeCte + ", " +
+        "ext AS (SELECT t.trip_id, s.stop_id, p.stop_name, s.stop_sequence, s.departure_time, " +
+        "CAST(split_part(s.departure_time,':',1) AS BIGINT)*3600 + " +
+        "CAST(split_part(s.departure_time,':',2) AS BIGINT)*60 + " +
+        "CAST(split_part(s.departure_time,':',3) AS BIGINT) AS dep_secs " +
+        "FROM trips t JOIN st s ON t.trip_id = s.trip_id " +
+        "JOIN stops p ON s.stop_id = p.stop_id " +
+        "JOIN active a ON t.service_id = a.service_id), " +
+        "tj AS (SELECT trip_id, '{\"trip\":\"' || trip_id || '\",\"stops\":[' || " +
+        "string_agg('{\"seq\":' || stop_sequence || ',\"stop\":\"' || stop_id || " +
+        "'\",\"name\":\"' || stop_name || '\",\"dep\":\"' || departure_time || '\"}', " +
+        "',' ORDER BY stop_sequence) || ']}' AS tdoc FROM ext GROUP BY trip_id), " +
+        "mem AS (SELECT regexp_extract(stop_id, '([0-9]{7})', 1) AS station7, trip_id, " +
+        "min(dep_secs) AS first_dep FROM ext GROUP BY 1, 2) " +
+        "SELECT m.station7, count(*) AS n_trips, " +
+        "'{\"station\":\"' || m.station7 || '\",\"trips\":[' || " +
+        "string_agg(tj.tdoc, ',' ORDER BY m.first_dep, m.trip_id) || ']}' AS doc " +
+        "FROM mem m JOIN tj ON m.trip_id = tj.trip_id " +
+        "GROUP BY m.station7 ORDER BY m.station7"),
+      scaleNote = "The serving-store materialization: every stage " +
+        "keys on trip or station. Per-trip docs are a map-side-" +
+        "combined collect over ≤ ~40 stop calls (physically bounded " +
+        "— WindowGroupLimit-class memory per key); the membership " +
+        "table is |trip×station| rows; the station rollup buffers " +
+        "trips-per-station docs — bounded by timetable density, and " +
+        "a mega-hub still emits ONE row. The trip-doc join is an " +
+        "equi-join between two trip_id-keyed aggregates of the SAME " +
+        "upstream, so AQE reuses the exchange. At 100 TB this runs " +
+        "per service_day partition and writes the doc table " +
+        "partitioned by station prefix — the reference's per-request " +
+        "SQLAlchemy nesting becomes a precomputed columnar lookup, " +
+        "refreshed incrementally by the streaming board's upserts."))
 }

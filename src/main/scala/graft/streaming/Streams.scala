@@ -696,10 +696,17 @@ object Streams {
     * ts, type) pair; a purchase arrival emits its attribution row
     * immediately (the real-time "which channel just converted"
     * signal the batch rollup only answers at day close). Events fold
-    * in (ts, event_id) order per micro-batch; per-user timestamps are
-    * unique in the corpus (asserted in spec), so ordered replay makes
-    * the emitted rows EQUAL to the batch argmax — the same-instant
-    * view/click tie keeps the batch's max-on-type rule. State is
+    * in (ts, touches-before-purchases, event_id) order per
+    * micro-batch: the batch rule credits touches with t_ts <= p_ts,
+    * INCLUSIVE, so a same-instant touch+purchase pair must apply the
+    * touch first — sorting purchases after their same-ts touches
+    * makes the fold honor that without any uniqueness precondition
+    * on per-user timestamps (r8, ADVICE; the spec's tie fixture pins
+    * it). Residual contract: a same-instant pair SPLIT ACROSS
+    * micro-batches with the purchase first still misses the touch —
+    * unavoidable once the row is emitted; ordered replay by ts keeps
+    * same-ts rows in one batch. Same-instant view/click ties keep
+    * the batch's max-on-type rule. State is
     * O(1)/user with no timeout; the production variant sets an
     * event-time TTL of the attribution window (7 d) — evicting older
     * state is semantics-free because an expired touch can never win. */
@@ -715,7 +722,10 @@ object Streams {
         (uid: Long, evs: Iterator[Event], state: GroupState[TouchState]) =>
           val out = Seq.newBuilder[Attribution]
           var cur = state.getOption.orNull
-          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime, x.event_id))) {
+          // same-ts touches sort BEFORE the purchase (middle key) so
+          // the inclusive t_ts <= p_ts batch rule holds in the fold
+          for (e <- evs.toSeq.sortBy(x => (x.ts.getTime,
+            if (x.event_type == "purchase") 1 else 0, x.event_id))) {
             if (e.event_type == "purchase") {
               val ch =
                 if (cur != null && cur.t_ts.getTime <= e.ts.getTime &&
@@ -821,6 +831,124 @@ object Streams {
           state.update(st)
           out.result().iterator
       }
+  }
+
+  case class Doc(doc_id: Long, text: String)
+  case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
+  case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]])
+  case class NearPair(id1: Long, id2: Long, jac: Double)
+
+  /** Per-document LSH signature computed EXACTLY as the batch pipeline
+    * does (graft.queries.NearDup): word-3-gram shingles, K=64 minhash
+    * minima of the same derandomized affine family over the same
+    * interpreted xxhash64 (XxHash64Function IS what the Catalyst
+    * expression evaluates), band keys as the same xxhash64(band idx,
+    * m2j, m2j+1) left-fold — so a doc's 32 band keys and its sorted
+    * verify-token set are BIT-IDENTICAL to the batch banded/toks
+    * tables. Docs with < 3 tokens have no shingles and return None
+    * (they never enter either pipeline). */
+  private[graft] def lshSignature(text: String): Option[(Array[Long], Array[Long])] = {
+    import graft.queries.NearDup.{P, NumHashes, Rows, Bands, coefA, coefB}
+    import org.apache.spark.sql.catalyst.expressions.XxHash64Function
+    import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+    import org.apache.spark.unsafe.types.UTF8String
+    def xxh(v: Any, t: org.apache.spark.sql.types.DataType, seed: Long) =
+      XxHash64Function.hash(v, t, seed)
+    val w = text.split(" ", -1)
+    if (w.length < 3) return None
+    val shHash = Array.tabulate(w.length - 2) { i =>
+      xxh(UTF8String.fromString(s"${w(i)} ${w(i + 1)} ${w(i + 2)}"),
+        StringType, 42L)
+    }
+    val mins = Array.fill(NumHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shHash.length) {
+      val h = ((shHash(s) % P) + P) % P
+      var i = 0
+      while (i < NumHashes) {
+        val v = ((coefA(i) * h + coefB(i)) % P + P) % P
+        if (v < mins(i)) mins(i) = v
+        i += 1
+      }
+      s += 1
+    }
+    val bandKeys = Array.tabulate(Bands) { j =>
+      xxh(Long.box(mins(j * Rows + 1)), LongType,
+        xxh(Long.box(mins(j * Rows)), LongType,
+          xxh(Int.box(j), IntegerType, 42L)))
+    }
+    Some((bandKeys, shHash.distinct.sorted))
+  }
+
+  /** Streaming LSH-index incremental near-dup detection — the twin of
+    * batch dedup_near and THE production dedup mechanism
+    * dedup_clusters_incremental's scaleNote names (SCALE.md): the band
+    * buckets are an inverted index held as per-band-key state; each
+    * arriving doc probes its 32 band keys against that PERSISTED index
+    * (|delta|·32 lookups, never a corpus re-band) and emits its new
+    * verified pairs (exact Jaccard ≥ tau on the sorted token sets)
+    * the moment it lands. A pair colliding in several bands emits once
+    * per band with the identical jac (exact Jaccard is band-
+    * independent) — readers take the distinct set, as the parity test
+    * does. Densification guard: a bucket at MaxBucketDocs freezes
+    * (late arrivals to it neither probe nor join — the epoch-pinned
+    * cap decision any streaming LSH index makes; batch drops the
+    * whole over-cap bucket retroactively, and at tested SFs no bucket
+    * reaches the cap, so stream ≡ batch — StreamingSpec pins it).
+    * State per bucket: ≤ 64 (doc_id, token-set) members; at 100 TB
+    * the store shards by band_key (RocksDB), and token sets for
+    * verify can live in a side lookup to keep state skinny. */
+  def dedupNear(docs: Dataset[Doc], tau: Double = 0.5): Dataset[NearPair] = {
+    import docs.sparkSession.implicits._
+    val cap = graft.queries.NearDup.MaxBucketDocs.toInt
+    docs
+      .flatMap { d =>
+        lshSignature(d.text) match {
+          case Some((bands, toks)) =>
+            bands.iterator.map(bk => BandRow(bk, d.doc_id, toks))
+          case None => Iterator.empty
+        }
+      }
+      .groupByKey(_.band_key)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (_: Long, rows: Iterator[BandRow], state: GroupState[BandBucket]) =>
+          var st = state.getOption.getOrElse(BandBucket(Nil, Nil))
+          val out = Seq.newBuilder[NearPair]
+          for (r <- rows.toSeq.sortBy(_.doc_id)) {
+            if (st.ids.size < cap && !st.ids.contains(r.doc_id)) {
+              for ((mid, mtoks) <- st.ids.zip(st.toks)) {
+                val ni = sortedIntersect(mtoks, r.toks)
+                val un = mtoks.size + r.toks.length - ni
+                if (un > 0 && ni.toDouble / un >= tau) {
+                  val jac = BigDecimal(ni.toDouble / un)
+                    .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+                  out += NearPair(math.min(mid, r.doc_id),
+                    math.max(mid, r.doc_id), jac)
+                }
+              }
+              st = BandBucket(st.ids :+ r.doc_id,
+                st.toks :+ r.toks.toIndexedSeq)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
+  /** Merge-count over two ascending-sorted distinct hash sequences —
+    * the in-fold analog of plans.SortedIntersectCount. */
+  private def sortedIntersect(a: Seq[Long], b: Array[Long]): Int = {
+    val ai = a.iterator.buffered
+    var bi = 0
+    var n = 0
+    while (ai.hasNext && bi < b.length) {
+      val x = ai.head
+      if (x == b(bi)) { n += 1; ai.next(); bi += 1 }
+      else if (x < b(bi)) ai.next()
+      else bi += 1
+    }
+    n
   }
 }
 

@@ -139,4 +139,34 @@ class GraphOpsSpec extends SparkSpec {
       assert(cornerSum > 0)
     } finally out.unpersist()
   }
+
+  /** Undirected chain 0-1-...-(n-1), both directions as rows. */
+  private def chain(n: Int) = {
+    val s = spark
+    import s.implicits._
+    val p = (0L until n - 1).map(i => (i, i + 1))
+    (p ++ p.map(_.swap)).toDF("src", "dst")
+  }
+
+  test("kCoreEdges peels a planted chain to the EMPTY fixpoint — a 3-round peel would not") {
+    // 2-core of a path is empty, reached by peeling one node off each
+    // end per round: a 12-node chain needs 6 removing rounds. The
+    // r7 fixed-3-round form stops with a 6-node chain still standing —
+    // the silent truncation VERDICT r7 #4 names.
+    val (core, rounds) = graft.queries.GraphOps.kCoreEdges(chain(12), 2)
+    assert(core.count() == 0, "fixpoint 2-core of a path must be empty")
+    assert(rounds > 3, s"chain needs > 3 peel rounds, got $rounds")
+  }
+
+  test("bellmanFord runs a planted chain to stability — 4 rounds would truncate it") {
+    val s = spark
+    import s.implicits._
+    val we = chain(12).withColumn("w", lit(1L))
+    val seeds = Seq(0L).toDF("node")
+    val (dist, rounds) = graft.queries.GraphOps.bellmanFord(we, seeds)
+    val d = dist.as[(Long, Long)].collect().toMap
+    assert(d.size == 12, s"all 12 chain nodes must settle, got ${d.size}")
+    assert(d(11L) == 11L, s"far end must carry the exact distance, got ${d.get(11L)}")
+    assert(rounds > 4, s"chain needs > 4 relax rounds, got $rounds")
+  }
 }

@@ -669,11 +669,11 @@ class StreamingSpec extends SparkSpec {
       .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
         col("user_id"), col("event_type"), col("value"))
       .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
-    // the fold's order contract: per-user timestamps are unique, so
-    // (ts, event_id) order is ts order and the batch t_ts <= p_ts
-    // boundary cannot straddle a tie
+    // fixture property (not a fold precondition since r8 — same-ts
+    // touch/purchase ties are handled by the touches-first sort key;
+    // the dedicated tie test below exercises them synthetically)
     assert(all.groupBy(e => (e.user_id, e.ts.getTime))
-      .forall(_._2.size == 1), "fixture assumption: unique per-user ts")
+      .forall(_._2.size == 1), "fixture property: unique per-user ts")
     val slices = Seq(all.take(350), all.slice(350, 700), all.drop(700))
     val mem = MemoryStream[Streams.Event](27, spark, None)
     val q = Streams.attribution(mem.toDS()).writeStream.format("memory")
@@ -694,6 +694,67 @@ class StreamingSpec extends SparkSpec {
       val nPurchases = all.count(_.event_type == "purchase").toLong
       assert(spark.table("t_attr").count() == nPurchases,
         "each purchase must emit exactly one attribution row")
+    } finally q.stop()
+  }
+
+  test("stream_attribution credits a same-instant touch despite purchase-first event_id order") {
+    val s = spark
+    import s.implicits._
+    // purchase event_id (10) < touch event_id (11) at the SAME ts:
+    // a plain (ts, event_id) fold replays the purchase first and
+    // drops the batch rule's inclusive t_ts <= p_ts touch; the
+    // touches-before-purchases sort key must credit it. Second user
+    // checks the same-instant view/click tie keeps max-on-type.
+    val t0 = ts(30)
+    val tie = Seq(
+      Event(10, t0, 7, "purchase", 9.0),
+      Event(11, t0, 7, "click", 0.0),
+      Event(20, t0, 8, "click", 0.0),
+      Event(21, t0, 8, "view", 0.0),
+      Event(22, t0, 8, "purchase", 5.0))
+    val mem = MemoryStream[Event](29, spark, None)
+    val q = Streams.attribution(mem.toDS()).writeStream.format("memory")
+      .queryName("t_attr_tie").outputMode("append").start()
+    try {
+      mem.addData(tie: _*); q.processAllAvailable()
+      val got = spark.table("t_attr_tie")
+        .select("user_id", "channel").as[(Long, String)].collect().toMap
+      assert(got(7L) == "click", s"same-instant touch dropped: $got")
+      assert(got(8L) == "view", s"max-on-type tie broken: $got")
+    } finally q.stop()
+  }
+
+  test("stream_dedup_near equals batch dedup_near and emits pairs incrementally") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[Streams.Doc]
+      .collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val slices = Seq(docs.take(third), docs.slice(third, 2 * third),
+      docs.drop(2 * third))
+    val mem = MemoryStream[Streams.Doc](31, spark, None)
+    val q = Streams.dedupNear(mem.toDS(), 0.5).writeStream.format("memory")
+      .queryName("t_ndn").outputMode("append").start()
+    try {
+      val perBatch = slices.map { sl =>
+        mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+        spark.table("t_ndn").distinct().count()
+      }
+      // 1) final distinct pair set ≡ the batch LSH pipeline's output
+      // (signatures are bit-identical by construction; the exact-
+      // Jaccard verify is hash-family-independent anyway)
+      val streamed = spark.table("t_ndn").distinct()
+      val batch = graft.engine.Registry.byName("dedup_near").build(spark, sf)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch near-dup pair set mismatch")
+      assert(streamed.count() > 0, "vacuous fixture: no near-dup pairs")
+      // 2) genuinely incremental: pairs surface as their second member
+      // arrives, across micro-batch boundaries — not all at the end
+      assert(perBatch.last == streamed.count())
+      assert(perBatch.exists(n => n > 0 && n < perBatch.last),
+        s"no incremental emission observed: $perBatch")
     } finally q.stop()
   }
 
