@@ -186,6 +186,49 @@ b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr)
 SELECT id1, id2, cos FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25 ORDER BY id1, id2""".replaceAll("\\n", " ")),
       scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). Plane count is THE scale dial — grow it with the corpus so |bucket| ≈ corpus/2^planes stays constant and the pair space stays LINEAR: measured on the 10× replica, 4 planes = 16.4 s / 562k pairs vs 8 planes = 1.7 s / 67k pairs (SCALING.md). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."),
 
+    // Semantic dedup (the SemDeDup step): embedding-cosine near-dup
+    // PAIRS are only half the operation — a release pipeline needs
+    // the transitive CLUSTERS and one canonical keeper per cluster,
+    // exactly as lexical dedup_clusters does for MinHash pairs. Same
+    // component semantics (min-label fixpoint, min-id canonical), so
+    // the resolution REUSES NearDup.resolveEdges — the size-adaptive
+    // engine (driver union-find under 64Ki edges, O(log n) star
+    // contraction above) — over the SRP-bucketed cosine pairs. One
+    // dedup algebra, two similarity spaces: the oracle restates the
+    // closure with the same recursive-CTE pattern as dedup_clusters.
+    QueryDef(
+      "dedup_semantic",
+      (spark, sf) => {
+        val pairs = cosineNearDup(bucketed(spark, sf, planes = 4), 0.25)
+          .select(col("id1").as("u"), col("id2").as("v"))
+          .localCheckpoint(false)
+        graft.queries.NearDup.resolveEdges(pairs)
+          .select(col("doc_id").as("vec_id"), col("cluster_id"),
+            col("is_canonical"))
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH RECURSIVE q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr),
+p AS (SELECT id1, id2 FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25),
+e AS (SELECT id1 AS src, id2 AS dst FROM p UNION ALL SELECT id2, id1 FROM p),
+vs AS (SELECT DISTINCT src AS v FROM e),
+reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v),
+canon AS (SELECT v AS vec_id, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v)
+SELECT vec_id, cluster_id, is_canonical FROM canon ORDER BY vec_id""".replaceAll("\\n", " ")),
+      scaleNote = "Pair generation is bucket-local (emb_near_dup's " +
+        "linearity argument: planes grow with the corpus so " +
+        "|bucket| stays constant); resolution inherits every scale " +
+        "property already proven for the lexical path — " +
+        "resolveEdges' adaptive switch, the star contraction's " +
+        "O(log n) rounds, dedup_clusters_incremental's delta " +
+        "maintenance applies verbatim with band keys swapped for " +
+        "bucket ids. At 100 TB SemDeDup runs per k-means cell " +
+        "(ann_kmeans' centroids) instead of per SRP bucket — same " +
+        "join, learned partitions; keeper policy upgrades from " +
+        "min-id to dedup_golden_record's survivorship aggregate " +
+        "unchanged."),
+
     // Embedding-space decontamination — the semantic sibling of the
     // n-gram contamination_check: for every EVAL vector (the mod-29
     // holdout standing in for a benchmark set), its most-similar

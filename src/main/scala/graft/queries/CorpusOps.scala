@@ -250,6 +250,41 @@ object CorpusOps extends QueryGroup {
         "any layout — rand()-based balancing is irreproducible and " +
         "id-ordered balancing biases toward early ingest."),
 
+    // Consistent (content-key-hash) sampling — the subset selector
+    // every corpus release uses for ablations: membership depends
+    // ONLY on a salted md5 of the stable key, so the same doc lands
+    // in the sample on every rerun, on any engine, after any
+    // re-ingestion or re-partition — where rand()-based sampling
+    // gives a different subset per run and per layout, making A/B
+    // ablations incomparable. Keep iff the first two hex chars of
+    // md5('graft8:' || doc_id) ≤ '28' (41/256 ≈ 16.0% — hex prefix
+    // compare IS a uniform threshold because md5 nibbles are
+    // uniform). Complements compose: the '29'..'ff' band is exactly
+    // the held-out rest, disjoint by construction.
+    QueryDef(
+      "sample_consistent",
+      (spark, sf) =>
+        Tables.documents(spark, sf)
+          .select(col("doc_id"), col("lang"),
+            substring(md5(concat(lit("graft8:"),
+              col("doc_id").cast("string"))), 1, 2).as("h2"))
+          .filter(col("h2") <= "28")
+          .orderBy("doc_id"),
+      Some("SELECT doc_id, lang, substr(md5('graft8:' || CAST(doc_id AS VARCHAR)), 1, 2) AS h2 " +
+        "FROM documents WHERE substr(md5('graft8:' || CAST(doc_id AS VARCHAR)), 1, 2) <= '28' " +
+        "ORDER BY doc_id"),
+      scaleNote = "Map-only: the predicate is codegen'd scalar hashing " +
+        "inside the scan — no shuffle, no state, embarrassingly " +
+        "parallel at any corpus size, and the SAME predicate pushed " +
+        "into two different engines selects the SAME subset (the " +
+        "oracle literally proves this property — it is the operator's " +
+        "contract, not just its test). Rate tuning is the threshold " +
+        "byte; finer rates take more prefix hex chars (65536 bands at " +
+        "4). Salting the key re-draws an independent sample; keying " +
+        "on a CONTENT hash instead of doc_id keeps membership stable " +
+        "across id reassignment. This is how a 100 TB release ships " +
+        "a 1% eval slice everyone can reproduce byte-for-byte."),
+
     // Repetition-aware training mixture (the data-constrained-scaling
     // complement of corpus_mix's downsampling): under-represented
     // languages are UPsampled by whole-epoch repetition, epochs =

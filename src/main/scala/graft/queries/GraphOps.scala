@@ -649,5 +649,58 @@ object GraphOps extends QueryGroup {
         "rounds at graph diameter and makes the fixpoint " +
         "deterministic regardless of partitioning; labels are " +
         "integers, counts exact, tiebreak total — bit-stable under " +
-        "any execution order."))
+        "any execution order."),
+
+    // Connected components of the AFFINITY graph — the generic CC
+    // operator on a non-document domain: the 500 STRONGEST
+    // co-purchase edges (by multiplicity, total (m desc, c, s)
+    // tiebreak — a fixed-threshold cut is not SF-robust, a top-N cut
+    // is) decompose into market segments (7 components at the oracle
+    // SF). Resolution REUSES NearDup.resolveEdges — the same
+    // size-adaptive min-label fixpoint that serves lexical and
+    // semantic dedup now serves graph segmentation: one component
+    // algebra, three domains. Oracle restates the closure with the
+    // dedup_clusters recursive-CTE pattern.
+    QueryDef(
+      "graph_components",
+      (spark, sf) => {
+        val strong = Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("s"))
+          .agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("c").asc, col("s").asc)
+          .limit(500)
+          .select(col("c").as("u"), col("s").as("v"))
+          .localCheckpoint(false)
+        graft.queries.NearDup.resolveEdges(strong)
+          .select(
+            when(col("doc_id") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("doc_id div 2").as("key"),
+            col("cluster_id"), col("is_canonical"))
+          .orderBy("node_type", "key")
+      },
+      Some("WITH RECURSIVE bp0 AS (SELECT o_custkey*2 AS c, l_suppkey*2+1 AS s, count(*) AS m " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+        "bp AS (SELECT c, s FROM bp0 ORDER BY m DESC, c, s LIMIT 500), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+        "vs AS (SELECT DISTINCT src AS v FROM e), " +
+        "reach(v, r) AS (SELECT v, v FROM vs UNION SELECT e.dst, reach.r FROM e JOIN reach ON e.src = reach.v), " +
+        "canon AS (SELECT v, min(r) AS cluster_id, (v = min(r)) AS is_canonical FROM reach GROUP BY v) " +
+        "SELECT CASE WHEN v % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
+        "v // 2 AS key, cluster_id, is_canonical FROM canon ORDER BY node_type, key"),
+      scaleNote = "Edge selection is one map-side-combined pair count " +
+        "+ TakeOrderedAndProject (top-500 never sorts globally); the " +
+        "component fixpoint inherits resolveEdges' guarantees — " +
+        "driver union-find below 64Ki edges (zero iterative jobs: " +
+        "this op at test scale), O(log n) small-/large-star " +
+        "contraction above it, per-round checkpoints. The top-N cut " +
+        "is itself the scale valve: segmentation quality wants the " +
+        "strongest edges anyway, and N bounds the fixpoint input " +
+        "regardless of corpus size. For ALL-edges components at " +
+        "social-graph scale the star path runs unchanged — that " +
+        "configuration is exactly dedup_clusters_star's, already " +
+        "measured."))
 }

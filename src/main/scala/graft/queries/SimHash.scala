@@ -99,6 +99,14 @@ object SimHash extends QueryGroup {
   }
 
   def defs: Seq[QueryDef] = Seq(
+    // Ledger-drift adjudication (r8, the 014b6a3 house procedure):
+    // the r7 in-ledger move 2.11 -> 2.40 s A/B'd against the r6 tree
+    // in one session, interleaved BenchOne warm runs at sf0.1 —
+    // r6 tree {2.51, 2.36, 2.67, 2.65} vs current {2.65, 2.49}:
+    // identical within noise, both above the r6-verdict reading on a
+    // box running ~15-25% slow across unchanged siblings that
+    // session. SimHash.scala is byte-unchanged since r6 (git diff).
+    // Verdict: box drift, not a regression; no fix warranted.
     QueryDef(
       "simhash_near",
       (spark, sf) => {

@@ -102,6 +102,32 @@ object SourceOps extends QueryGroup {
     JsonlFixtureDir
   }
 
+  val QuarantineFixtureDir = "/tmp/graft_quarantine_fixture"
+
+  /** Two JSONL files with three malformed lines planted among four
+    * good ones — good lines AFTER bad ones prove per-line recovery.
+    * The raw bad lines are restated verbatim in the oracle. */
+  private val QuarantineDocuments: Seq[(String, String)] = Seq(
+    "q_a.jsonl" -> Seq(
+      """{"page":1,"station":"87393009","num":"134657","delay_min":12}""",
+      """{"page":2,"station":"87393009","num":"134659","delay_min":0}""",
+      """{"page":3,"station":"87758011","num":"221006"""",
+      """{"page":4,"station":"87758011","num":"165435","delay_min":3}""").mkString("", "\n", "\n"),
+    "q_b.jsonl" -> Seq(
+      "garbage line not json",
+      """{"page":5,"station":"87384008","num":"134683","delay_min":7}""",
+      """{"page":6,"statio""").mkString("", "\n", "\n"))
+
+  def ensureQuarantineFixture(): String = synchronized {
+    val d = new java.io.File(QuarantineFixtureDir)
+    if (!d.exists()) d.mkdirs()
+    QuarantineDocuments.foreach { case (name, content) =>
+      java.nio.file.Files.write(new java.io.File(d, name).toPath,
+        content.getBytes("UTF-8"))
+    }
+    QuarantineFixtureDir
+  }
+
   val GtfsFixtureDir = "/tmp/graft_gtfs_fixture"
 
   /** A complete 5-table GTFS bundle as the spec ships it: all-text
@@ -582,5 +608,63 @@ object SourceOps extends QueryGroup {
         "changes, renames) are the complement: they REQUIRE the " +
         "table-format indirection, which is why additive-only is the " +
         "lake contract worth enforcing at ingest (gtfs_feed_validate's " +
-        "gate pattern, pointed at the schema diff)."))
+        "gate pattern, pointed at the schema diff)."),
+
+    // Malformed-feed quarantine — the ingest posture the reference's
+    // polling loop needs on every cycle (a feed API mid-deploy emits
+    // truncated JSON; one bad line must not kill the batch, and must
+    // not VANISH either): PERMISSIVE parse with a corrupt-record
+    // column, good rows flow on, bad lines land in quarantine WITH
+    // their raw bytes for the postmortem. The fixture plants three
+    // malformed shapes (truncated object, non-JSON garbage, cut
+    // mid-key) interleaved with good lines — a parser that stops at
+    // the first bad line, or silently drops it, fails the count; a
+    // good line AFTER a bad one proves the reader resynchronizes on
+    // line boundaries.
+    QueryDef(
+      "source_quarantine",
+      (spark, _) => {
+        val dir = ensureQuarantineFixture()
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          "page INT, station STRING, num STRING, delay_min INT, " +
+            "_corrupt_record STRING")
+        spark.read.schema(schema)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", "_corrupt_record")
+          .json(dir)
+          .select(
+            when(col("_corrupt_record").isNull, lit("ok"))
+              .otherwise(lit("quarantine")).as("kind"),
+            col("page"), col("station"), col("num"), col("delay_min"),
+            col("_corrupt_record").as("bad_raw"))
+          .orderBy("kind", "page", "bad_raw")
+      },
+      // VALUES restatement (source_api_jsonl's precedent for the
+      // JSONL family): the fixture is builder-authored, so the oracle
+      // states the expected ok rows AND the expected quarantined raw
+      // lines verbatim — a reader that drops, merges, or mangles a
+      // bad line hash-fails
+      Some("SELECT kind, page, station, num, delay_min, bad_raw FROM (VALUES " +
+        "('ok', 1, '87393009', '134657', 12, CAST(NULL AS VARCHAR)), " +
+        "('ok', 2, '87393009', '134659', 0, NULL), " +
+        "('ok', 4, '87758011', '165435', 3, NULL), " +
+        "('ok', 5, '87384008', '134683', 7, NULL), " +
+        "('quarantine', NULL, NULL, NULL, NULL, '{\"page\":3,\"station\":\"87758011\",\"num\":\"221006\"'), " +
+        "('quarantine', NULL, NULL, NULL, NULL, 'garbage line not json'), " +
+        "('quarantine', NULL, NULL, NULL, NULL, '{\"page\":6,\"statio') " +
+        ") AS t(kind, page, station, num, delay_min, bad_raw) " +
+        "ORDER BY kind, page, bad_raw"),
+      scaleNote = "The corrupt-record column is populated INSIDE the " +
+        "scan — no second pass, no driver involvement, and JSONL " +
+        "stays splittable (a bad line is local to its split). " +
+        "Quarantine routing is one partitioned write keyed on the " +
+        "kind flag (sink_partitioned's layout), giving the ops team " +
+        "a replayable bad-bytes table while the good path ships — " +
+        "the alternative postures both lose at scale: FAILFAST " +
+        "turns one flaky publisher line into a dead 100 TB batch, " +
+        "DROPMALFORMED silently shrinks the corpus with no audit " +
+        "trail (the quality-funnel counters would drift with no " +
+        "cause in sight). Alert threshold = quarantine rate per " +
+        "file, the same day-over-day monitor ts_calendar_gaps runs " +
+        "for missing polls."))
 }

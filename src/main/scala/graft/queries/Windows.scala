@@ -275,5 +275,49 @@ object Windows extends QueryGroup {
         "This is the standard rewrite for every 'unique items seen so " +
         "far' product metric; for merely-approximate needs at 100 TB, " +
         "swap the flag sum for an HLL sketch per bucket " +
-        "(agg_hll_sketch) and merge along time instead."))
+        "(agg_hll_sketch) and merge along time instead."),
+
+    // Moving MEDIAN over a 7-row trailing window — the robust
+    // smoother monitors want where ts_ewma's mean-based smoothing
+    // chases every spike (the ts_anomaly_mad argument, applied to
+    // smoothing): Spark's window engine has no median, so the frame
+    // is materialized per row (collect_list over ROWS BETWEEN 6
+    // PRECEDING — bounded, ≤ 7 longs) and the median read off the
+    // sorted array exactly. Emitted as med2 = lower middle + upper
+    // middle (= 2·median) so even-width frames stay in INTEGER
+    // arithmetic — the agg_median_exact discipline; DuckDB's native
+    // interpolating median×2 restates it independently.
+    QueryDef(
+      "win_moving_median",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-6, Window.currentRow)
+        daily
+          .withColumn("sa", array_sort(collect_list(col("n")).over(w)))
+          .withColumn("k", size(col("sa")))
+          .withColumn("med2",
+            element_at(col("sa"), expr("CAST((k + 1) div 2 AS INT)")) +
+              element_at(col("sa"), expr("CAST(k div 2 + 1 AS INT)")))
+          .select(col("event_type"), col("day").cast("string").as("day"),
+            col("n"), col("med2").as("med2_7d"))
+          .orderBy("event_type", "day")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2) " +
+        "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+        "CAST(2 * median(n) OVER (PARTITION BY event_type ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS med2_7d " +
+        "FROM daily ORDER BY event_type, day"),
+      scaleNote = "The window runs on the DAILY rollup (|types|×" +
+        "|days| rows — KBs at any corpus size), not raw events: the " +
+        "one corpus-sized stage is the map-side-combined count " +
+        "upstream. Frame materialization is O(7) per row by the ROWS " +
+        "bound, so there is no quadratic frame blowup — the trap is " +
+        "an UNBOUNDED frame with collect_list, which this op never " +
+        "does. 2·median keeps both engines in exact integers (an " +
+        "interpolated .5 would be a float-compare lottery). Wider " +
+        "frames stay O(frame); a true streaming percentile at 100 TB " +
+        "swaps to a t-digest/CMS sketch per bucket, merged along " +
+        "time — agg_cms_sketch's machinery on the time axis."))
 }

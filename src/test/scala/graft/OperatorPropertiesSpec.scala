@@ -1224,4 +1224,89 @@ class OperatorPropertiesSpec extends SparkSpec {
       .filter(col("count") > 1).count() == 0)
     out.unpersist()
   }
+
+  test("sample_consistent: rerun-identical, rate in the binomial band, complement disjoint") {
+    val s1 = run("sample_consistent").cache()
+    val s2 = run("sample_consistent")
+    // the operator's contract: membership is a pure function of the
+    // key — two independent builds select the identical subset
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val total = graft.engine.Tables.documents(spark, sf).count()
+    val k = s1.count().toDouble
+    val p = 41.0 / 256
+    // 4-sigma binomial band around the 41/256 threshold rate
+    val sd = math.sqrt(total * p * (1 - p))
+    assert(math.abs(k - total * p) <= 4 * sd + 1,
+      s"sample rate off: $k of $total vs p=$p")
+    // the held-out band is exactly the complement
+    assert(s1.filter(col("h2") > "28").count() == 0)
+    s1.unpersist()
+  }
+
+  test("dedup_semantic: clusters are consistent with the emb_near_dup pair graph") {
+    val cl = run("dedup_semantic").cache()
+    val pairs = run("emb_near_dup").select("id1", "id2").cache()
+    // membership: exactly the vertices of the pair graph
+    val verts = pairs.select(col("id1").as("vec_id"))
+      .union(pairs.select(col("id2"))).distinct()
+    assert(cl.select("vec_id").exceptAll(verts).isEmpty &&
+      verts.exceptAll(cl.select("vec_id")).isEmpty)
+    // every edge is intra-cluster (components are closed over edges)
+    val lbl = cl.select(col("vec_id"), col("cluster_id"))
+    val cross = pairs
+      .join(lbl.withColumnRenamed("vec_id", "id1")
+        .withColumnRenamed("cluster_id", "c1"), "id1")
+      .join(lbl.withColumnRenamed("vec_id", "id2")
+        .withColumnRenamed("cluster_id", "c2"), "id2")
+      .filter(col("c1") =!= col("c2"))
+    assert(cross.count() == 0, "an edge crosses two clusters")
+    // canonical = min member of its cluster, exactly one per cluster
+    assert(cl.filter(col("is_canonical") && col("vec_id") =!= col("cluster_id"))
+      .count() == 0)
+    assert(cl.groupBy("cluster_id")
+      .agg(sum(col("is_canonical").cast("long")).as("nc"), min("vec_id").as("mn"))
+      .filter(col("nc") =!= 1 || col("mn") =!= col("cluster_id")).count() == 0)
+    cl.unpersist(); pairs.unpersist()
+  }
+
+  test("source_quarantine: reader resynchronizes after a bad line, nothing vanishes") {
+    val out = run("source_quarantine").cache()
+    assert(out.count() == 7, "4 ok + 3 quarantined lines, none dropped")
+    assert(out.filter(col("kind") === "quarantine").count() == 3)
+    // the good line AFTER the garbage line in q_b parsed fine
+    assert(out.filter(col("kind") === "ok" && col("page") === 5).count() == 1)
+    // quarantine rows carry the raw bytes; ok rows carry none
+    assert(out.filter(col("kind") === "quarantine" && col("bad_raw").isNull)
+      .count() == 0)
+    assert(out.filter(col("kind") === "ok" && col("bad_raw").isNotNull)
+      .count() == 0)
+    out.unpersist()
+  }
+
+  test("win_moving_median: med2 parity-exact and inside the frame's min/max envelope") {
+    val out = run("win_moving_median").cache()
+    // med2 = sum of the two (possibly equal) middles of a ≤7-row
+    // frame of counts: always between 2·min(n in frame) and 2·max —
+    // weak-but-data-independent envelope via the global extremes
+    val mm = out.agg(min("n"), max("n")).head
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    assert(out.filter(col("med2_7d") < 2 * lo || col("med2_7d") > 2 * hi)
+      .count() == 0)
+    // a frame of width 1 (first day per type) has med2 = 2·n exactly
+    val first = out.withColumn("rn",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("day")))
+      .filter(col("rn") === 1)
+    assert(first.filter(col("med2_7d") =!= col("n") * 2).count() == 0)
+    out.unpersist()
+  }
+
+  test("graph_components: bounded input, closed over its edges, canonical-per-cluster") {
+    val out = run("graph_components").cache()
+    // ≤ 1000 nodes can touch 500 edges
+    assert(out.count() <= 1000 && out.count() > 0)
+    assert(out.filter(col("is_canonical")).count() ==
+      out.select("cluster_id").distinct().count())
+    out.unpersist()
+  }
 }
