@@ -238,6 +238,35 @@ object GraphOps extends QueryGroup {
     (dist, rounds)
   }
 
+  /** Clamped label spreading to the FIXPOINT (r8 — completes the
+    * convergence trio with kCoreEdges/bellmanFord): rounds run until
+    * no unlabeled node adopts a label. Labels are only ever ADDED
+    * (clamping), so an unchanged labeled-count certifies the
+    * fixpoint — one count() per round. Returns (labeled(node, lbl),
+    * rounds-that-labeled-something). */
+  def labelSpread(e: DataFrame, seeds: DataFrame): (DataFrame, Int) = {
+    var labeled = seeds.localCheckpoint(false)
+    var cnt = labeled.count()
+    var rounds = 0
+    var done = false
+    while (!done) {
+      val cand = e
+        .join(broadcast(labeled.select(col("node").as("src"), col("lbl"))), "src")
+        .select(col("dst").as("node"), col("lbl"))
+        .join(broadcast(labeled.select("node")), Seq("node"), "left_anti")
+        .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
+      val newly = cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select("node", "lbl")
+      val next = labeled.unionAll(newly).localCheckpoint(false)
+      val c = next.count()
+      if (c == cnt) done = true
+      else { rounds += 1; cnt = c; labeled = next }
+    }
+    (labeled, rounds)
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     QueryDef(
@@ -602,23 +631,17 @@ object GraphOps extends QueryGroup {
         val seeds = e.select(col("src").as("node")).distinct()
           .filter(col("node") % 2 === 0 && expr("(node div 2) % 10") === 0)
           .withColumn("lbl", expr("(node div 2) % 3"))
-        var labeled = seeds.localCheckpoint(false)
-        for (_ <- 1 to 3) {
-          val cand = e
-            .join(broadcast(labeled.select(col("node").as("src"), col("lbl"))), "src")
-            .select(col("dst").as("node"), col("lbl"))
-            .join(broadcast(labeled.select("node")), Seq("node"), "left_anti")
-            .groupBy("node", "lbl").agg(count(lit(1)).as("c"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy("node").orderBy(col("c").desc, col("lbl").asc)
-          val newly = cand.withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1).select("node", "lbl")
-          labeled = labeled.unionAll(newly).localCheckpoint(false)
-        }
+        // to the FIXPOINT since r8 (VERDICT r7 #3's third op): rounds
+        // run until no unlabeled node has a labeled neighbor — a node
+        // >3 hops from every seed silently stayed unlabeled under the
+        // fixed-round form (GraphOpsSpec's chain proves it); gated
+        // rounds column pins the depth against the oracle's literal
+        val (labeled, rounds) = labelSpread(e, seeds)
         labeled.select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
             expr("node div 2").as("key"), col("lbl"))
+          .withColumn("rounds", lit(rounds))
           .orderBy("node_type", "key")
       },
       Some {
@@ -634,7 +657,10 @@ object GraphOps extends QueryGroup {
           round("l1", "c2", "n2", "l2") + ", " +
           round("l2", "c3", "n3", "l3") + " " +
           "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
-          "node // 2 AS key, lbl FROM l3 ORDER BY node_type, key"
+          // 3 unrolled rounds ≥ the measured sf0.01 spread depth
+          // (2 changing rounds — GraphFixpointProbe), so l3 IS the
+          // fixpoint; the literal 2 gates the Spark loop's depth
+          "node // 2 AS key, lbl, 2 AS rounds FROM l3 ORDER BY node_type, key"
       },
       scaleNote = "Per round: one equi join of the checkpointed edge " +
         "list against the labeled set, one anti join, one map-side-" +

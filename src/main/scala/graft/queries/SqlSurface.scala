@@ -70,7 +70,52 @@ object SqlSurface extends QueryGroup {
       |GROUP BY p_brand, p_type, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
 
+  /** TPC-H Q1 shape (pricing summary): the wide single-table
+    * aggregate — four exact-DECIMAL sums (base price, quantity,
+    * discounted, discounted+tax: one, two and three chained decimal
+    * products, each cast to a fixed scale before the sum so both
+    * engines round identically) + a count, per (returnflag,
+    * linestatus). The canonical columnar-scan benchmark query; avg
+    * columns are omitted as derivable (sum/count) — the house rule
+    * keeps one float op per emitted stat, and here that op is the
+    * final DOUBLE cast. */
+  private val Q1 =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_qty,
+      |  CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS DOUBLE) AS sum_base_price,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS sum_disc_price,
+      |  CAST(CAST(sum(CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) *
+      |    (1 + CAST(l_tax AS DECIMAL(18,2))) AS DECIMAL(18,6)))
+      |    AS DECIMAL(18,6)) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-01'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q1",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q1)
+      },
+      Some(Q1.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The pure columnar-scan aggregate: the shipdate " +
+        "predicate and the 6-column projection push to the parquet " +
+        "scan, the group-by has 6 cells so partial aggregation " +
+        "collapses everything map-side — the wire carries |cells| " +
+        "rows per partition whatever the corpus size, which is why " +
+        "Q1 is THE scan-throughput benchmark. Every sum is exact " +
+        "DECIMAL (associative, any partitioning bit-stable); the " +
+        "chained products are scale-pinned BEFORE summing so the " +
+        "two engines' decimal-typing rules cannot diverge. At " +
+        "100 TB this is one pass, zero shuffles beyond the 6-row " +
+        "final merge."),
+
     QueryDef(
       "sql_tpch_q4",
       (spark, sf) => {

@@ -767,6 +767,67 @@ object TransitOps extends QueryGroup {
         "straight into a per-line congestion attribution (which " +
         "STATION injects the delay vs merely inheriting it upstream)."),
 
+    // Headway ADHERENCE — the regularity KPI transit agencies grade
+    // service on (and the bunching detector): station_headway
+    // measures the SCHEDULED gap profile; this compares each
+    // consecutive-departure gap as REALIZED (latest observed
+    // expected_ts) against the same pair's scheduled gap. dev =
+    // actual − scheduled gap (= delay_next − delay_prev along the
+    // station's departure sequence): negative dev is bunching — the
+    // following train closing in — which a delay average hides
+    // completely (two trains 5 min late have avg delay 300 s and
+    // ZERO headway deviation). Pairs align on the SCHEDULED order
+    // (the timetable defines which departure follows which);
+    // cancelled trains leave the gap structure entirely.
+    QueryDef(
+      "station_headway_adherence",
+      (spark, _) => {
+        val b = boardLatestDf(spark)
+          .filter(!col("cancelled") && col("scheduled_ts").isNotNull)
+        val w = Window.partitionBy("station_id")
+          .orderBy(col("scheduled_ts").asc, col("num").asc)
+        b.withColumn("sched_gap",
+            unix_timestamp(col("scheduled_ts")) -
+              unix_timestamp(lag(col("scheduled_ts"), 1).over(w)))
+          .withColumn("actual_gap",
+            unix_timestamp(col("expected_ts")) -
+              unix_timestamp(lag(col("expected_ts"), 1).over(w)))
+          .filter(col("sched_gap").isNotNull)
+          .withColumn("dev", col("actual_gap") - col("sched_gap"))
+          .groupBy("station_id")
+          .agg(count(lit(1)).as("n_gaps"),
+            min(col("sched_gap")).as("min_sched_gap"),
+            min(col("actual_gap")).as("min_actual_gap"),
+            min(col("dev")).as("min_dev"),
+            max(col("dev")).as("max_dev"),
+            sum(when(col("dev") < 0, 1L).otherwise(0L)).as("n_bunching"))
+          .orderBy("station_id")
+      },
+      Some(boardOracleCtes +
+        ", r AS (SELECT station_id, scheduled_ts, expected_ts, num FROM latest " +
+        "WHERE NOT cancelled AND scheduled_ts IS NOT NULL), " +
+        "g AS (SELECT station_id, " +
+        "(epoch_us(scheduled_ts) - epoch_us(lag(scheduled_ts) OVER w))//1000000 AS sched_gap, " +
+        "(epoch_us(expected_ts) - epoch_us(lag(expected_ts) OVER w))//1000000 AS actual_gap " +
+        "FROM r WINDOW w AS (PARTITION BY station_id ORDER BY scheduled_ts, num)) " +
+        "SELECT station_id, count(*) AS n_gaps, " +
+        "CAST(min(sched_gap) AS BIGINT) AS min_sched_gap, " +
+        "CAST(min(actual_gap) AS BIGINT) AS min_actual_gap, " +
+        "CAST(min(actual_gap - sched_gap) AS BIGINT) AS min_dev, " +
+        "CAST(max(actual_gap - sched_gap) AS BIGINT) AS max_dev, " +
+        "CAST(sum(CASE WHEN actual_gap - sched_gap < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_bunching " +
+        "FROM g WHERE sched_gap IS NOT NULL GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Rides the exact exchange the board DAG already " +
+        "pays: the latest-state fold hashes on (train, station) and " +
+        "the gap window re-partitions by station — departures per " +
+        "station per day are physically bounded, so no partition " +
+        "skews and the lag frame is O(1) state. The rollup reuses " +
+        "the window's partitioning (one effective shuffle). At a " +
+        "year of history the service-day prefix makes it per-day-" +
+        "parallel; the dev series per (station, hour) feeds the " +
+        "regularity dashboards (EWMA over dev = ts_ewma's machinery " +
+        "pointed at bunching instead of volume)."),
+
     // EP3's COMPOSED response document [P serializers.py
     // get_nested_dicts — SURVEY §1.3 row 5, §3.1-EP3]: ONE nested
     // JSON document per station — the station's active-day trips,

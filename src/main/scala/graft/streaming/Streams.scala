@@ -936,6 +936,38 @@ object Streams {
       }
   }
 
+  /** Streaming malformed-line quarantine — the live twin of batch
+    * source_quarantine and the posture the reference's polling loop
+    * needs EVERY cycle (a feed API mid-deploy emits truncated JSON;
+    * the cycle must neither die nor silently shrink): each
+    * micro-batch's raw lines are parsed with from_json, good rows
+    * flow on typed, bad lines route to quarantine WITH their raw
+    * bytes. Stateless (map-only — the stream analog of a scan-side
+    * predicate), so it composes in front of every stateful op here;
+    * the per-batch quarantine count is the feed-health signal
+    * ts_calendar_gaps watches day-over-day. StreamingSpec proves the
+    * routed totals equal the batch operator's on the same planted
+    * fixture lines. */
+  def quarantine(lines: DataFrame): DataFrame = {
+    // _corrupt_record in the from_json schema: PERMISSIVE mode yields
+    // a row of nulls (not a NULL struct) for malformed input, so a
+    // bare r IS NULL check misses — the corrupt column is the
+    // reliable malformed signal (same contract as the batch reader)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "page INT, station STRING, num STRING, delay_min INT, " +
+        "_corrupt_record STRING")
+    val bad = col("r").isNull || col("r._corrupt_record").isNotNull
+    lines
+      .select(col("line"), from_json(col("line"), schema).as("r"))
+      .select(
+        when(bad, lit("quarantine")).otherwise(lit("ok")).as("kind"),
+        when(!bad, col("r.page")).as("page"),
+        when(!bad, col("r.station")).as("station"),
+        when(!bad, col("r.num")).as("num"),
+        when(!bad, col("r.delay_min")).as("delay_min"),
+        when(bad, col("line")).as("bad_raw"))
+  }
+
   /** Merge-count over two ascending-sorted distinct hash sequences —
     * the in-fold analog of plans.SortedIntersectCount. */
   private def sortedIntersect(a: Seq[Long], b: Array[Long]): Int = {

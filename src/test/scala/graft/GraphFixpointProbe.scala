@@ -37,6 +37,12 @@ object GraphFixpointProbe {
       .filter(col("node") % 2 === 0 && col("node") < 20)
     val (dist, br) = graft.queries.GraphOps.bellmanFord(we, seeds)
     println(s"PROBE bellman rounds=$br nodes=${dist.count()}")
+
+    val lseeds = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0 && expr("(node div 2) % 10") === 0)
+      .withColumn("lbl", expr("(node div 2) % 3"))
+    val (lab, lr) = graft.queries.GraphOps.labelSpread(e, lseeds)
+    println(s"PROBE label_spread rounds=$lr nodes=${lab.count()}")
     spark.stop()
   }
 }

@@ -158,6 +158,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(rounds > 3, s"chain needs > 3 peel rounds, got $rounds")
   }
 
+  test("labelSpread reaches the far end of a planted chain — 3 rounds would strand it") {
+    val s = spark
+    import s.implicits._
+    val seeds = Seq((0L, 1L)).toDF("node", "lbl")
+    val (lab, rounds) = graft.queries.GraphOps.labelSpread(chain(12), seeds)
+    val m = lab.as[(Long, Long)].collect().toMap
+    assert(m.size == 12, s"all 12 chain nodes must label, got ${m.size}")
+    assert(m.values.forall(_ == 1L), "clamped spread must carry the seed class")
+    assert(rounds > 3, s"chain needs > 3 spread rounds, got $rounds")
+  }
+
   test("bellmanFord runs a planted chain to stability — 4 rounds would truncate it") {
     val s = spark
     import s.implicits._

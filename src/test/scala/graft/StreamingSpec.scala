@@ -724,6 +724,42 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_quarantine routes the batch fixture's lines identically, per micro-batch") {
+    val s = spark
+    import s.implicits._
+    // the SAME planted lines the batch source_quarantine fixture
+    // ships, fed as two micro-batches with a bad line mid-batch —
+    // the stream must neither die at it nor drop it
+    graft.queries.SourceOps.ensureQuarantineFixture()
+    val lines = Seq(
+      """{"page":1,"station":"87393009","num":"134657","delay_min":12}""",
+      """{"page":2,"station":"87393009","num":"134659","delay_min":0}""",
+      """{"page":3,"station":"87758011","num":"221006"""",
+      """{"page":4,"station":"87758011","num":"165435","delay_min":3}""",
+      "garbage line not json",
+      """{"page":5,"station":"87384008","num":"134683","delay_min":7}""",
+      """{"page":6,"statio""")
+    val mem = MemoryStream[String](33, spark, None)
+    val q = Streams.quarantine(mem.toDF().withColumnRenamed("value", "line"))
+      .writeStream.format("memory").queryName("t_quar")
+      .outputMode("append").start()
+    try {
+      mem.addData(lines.take(4): _*); q.processAllAvailable()
+      val afterB1 = spark.table("t_quar")
+        .groupBy("kind").count().as[(String, Long)].collect().toMap
+      assert(afterB1 == Map("ok" -> 3L, "quarantine" -> 1L),
+        s"batch 1 routing wrong: $afterB1")
+      mem.addData(lines.drop(4): _*); q.processAllAvailable()
+      val out = spark.table("t_quar")
+      assert(out.count() == 7, "a line vanished or duplicated")
+      // routed set equals the batch operator's on the same fixture
+      val batch = graft.engine.Registry.byName("source_quarantine")
+        .build(spark, sf)
+      assert(batch.exceptAll(out).isEmpty && out.exceptAll(batch).isEmpty,
+        "stream/batch quarantine routing mismatch")
+    } finally q.stop()
+  }
+
   test("stream_dedup_near equals batch dedup_near and emits pairs incrementally") {
     val s = spark
     import s.implicits._
