@@ -1031,5 +1031,67 @@ object Analytics extends QueryGroup {
         "adding experiment_id to the group keys, and correct for " +
         "peeking with sequential bounds — all reshapes of the same " +
         "exact-count substrate. CUPED/stratification = the same agg " +
-        "with covariate moments added (agg_corr's partials)."))
+        "with covariate moments added (agg_corr's partials)."),
+
+    // Two-sample Kolmogorov–Smirnov — the DISTRIBUTIONAL readout
+    // ab_test_zscore's rate compare cannot give (same conversion
+    // rate, shifted spend distribution = invisible to z): D =
+    // max |F1 − F2| over the pooled purchase-value ECDF, computed
+    // ENTIRELY in integers — values floor-quantized to whole units,
+    // per-value variant counts, cumulative sums, and the statistic
+    // as max|cum1·n2 − cum2·n1| (≤ n1·n2 ≈ 9e8, Long-safe; its
+    // square ≤ 8e17, still Long-safe for the significance compare).
+    // The only floats are the two emitted compositions, identical
+    // text on both engines. Rejection at α=0.05 via the asymptotic
+    // c=1.358 bound: D² > 1.358²·(n1+n2)·n1·n2 / (n1·n2)² — cleared
+    // of division so the compare runs on exact products.
+    QueryDef(
+      "ab_test_ks",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("variant"),
+            floor(col("value")).cast("long").as("v"))
+        val per = ev.groupBy("v").agg(
+          sum(when(col("variant") === 0, 1L).otherwise(0L)).as("c1"),
+          sum(when(col("variant") === 1, 1L).otherwise(0L)).as("c2"))
+        val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val cum = per
+          .withColumn("cum1", sum(col("c1")).over(w))
+          .withColumn("cum2", sum(col("c2")).over(w))
+        val tot = per.agg(sum(col("c1")).as("n1"), sum(col("c2")).as("n2"))
+        cum.crossJoin(broadcast(tot))
+          .agg(max(col("n1")).as("n1"), max(col("n2")).as("n2"),
+            max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
+              .as("d_num"))
+          .select(col("n1"), col("n2"), col("d_num"),
+            round(col("d_num").cast("double") /
+              (col("n1") * col("n2")).cast("double"), 4).as("ks"),
+            (col("d_num").cast("double") * col("d_num") >
+              lit(1.8442) * (col("n1") + col("n2")) * col("n1") * col("n2"))
+              .as("significant"))
+      },
+      Some("WITH ev AS (SELECT user_id % 2 AS variant, CAST(floor(value) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), " +
+        "per AS (SELECT v, CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c2 FROM ev GROUP BY v), " +
+        "cum AS (SELECT v, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2 FROM per WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM per) " +
+        "SELECT n1, n2, CAST(max(abs(cum1*n2 - cum2*n1)) AS BIGINT) AS d_num, " +
+        "round(CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) / (n1*n2), 4) AS ks, " +
+        "CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) * max(abs(cum1*n2 - cum2*n1)) > 1.8442 * (n1+n2) * n1 * n2 AS significant " +
+        "FROM cum CROSS JOIN t GROUP BY n1, n2"),
+      scaleNote = "The corpus collapses to the per-value count table " +
+        "in one map-side-combined agg (|distinct quantized values| " +
+        "rows — the floor-to-units quantization IS the scale lever: " +
+        "a bounded price domain keeps the ECDF table KBs at any " +
+        "event volume; finer grids trade table size for resolution " +
+        "exactly like histogram binning). The global cumulative " +
+        "window runs on that bounded table, never on events — the " +
+        "same aggregate-collapse-then-window discipline every global " +
+        "window here follows. Statistic and rejection are integer " +
+        "products Long-bounds-checked by construction; many " +
+        "experiments run in one pass by adding experiment_id to " +
+        "every group key, turning the window into a per-experiment " +
+        "partition."))
 }

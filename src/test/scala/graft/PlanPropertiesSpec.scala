@@ -276,7 +276,10 @@ class PlanPropertiesSpec extends SparkSpec {
         "text_classifier_perceptron", "ts_linear_forecast",
         // the 1-row total and leftover constants the |langs|-row
         // Hamilton allocator broadcasts
-        "corpus_token_allocation")
+        "corpus_token_allocation",
+        // the 1-row (n1, n2) sample-size aggregate broadcast into the
+        // bounded per-value ECDF table — a constant, not a scan
+        "ab_test_ks")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
@@ -364,5 +367,31 @@ class PlanPropertiesSpec extends SparkSpec {
     val p = plan("cdc_apply")
     assert(p.contains("BroadcastHashJoin"),
       s"update/delete feed must broadcast against the snapshot:\n${p.take(1200)}")
+  }
+
+  test("sample_consistent is map-only: the hash predicate runs inside the scan stage") {
+    val p = plan("sample_consistent")
+    // the operator's whole point: a pure per-row predicate — no hash
+    // shuffle anywhere (the only exchange is the presentation sort's
+    // range partitioning from the declared orderBy)
+    assert(!p.contains("hashpartitioning"),
+      s"sampling must not hash-shuffle:\n${p.take(1200)}")
+    assert(p.contains("md5"), p.take(1200))
+  }
+
+  test("sql_tpch_q4's correlated EXISTS decorrelates to ONE semi join (no per-row subquery)") {
+    val p = plan("sql_tpch_q4")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n${p.take(1200)}")
+    // the value correlation (shipdate vs orderdate+60d) must ride the
+    // join, not a nested-loop: no BroadcastNestedLoopJoin anywhere
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1200))
+  }
+
+  test("sql_tpch_q16's NOT IN plans the null-aware single-column anti join") {
+    val p = plan("sql_tpch_q16")
+    assert(p.contains("LeftAnti"), p.take(1200))
+    assert(p.contains("expand") || p.contains("Expand") || p.contains("partial"),
+      s"distinct-count must run two-phase:\n${p.take(1200)}")
   }
 }

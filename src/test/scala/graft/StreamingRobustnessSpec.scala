@@ -227,4 +227,34 @@ class StreamingRobustnessSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("stream_dedup_near pair set is ARRIVAL-ORDER-INDEPENDENT (reversed replay)") {
+    // pairs emit symmetric (min, max) when the SECOND member of a
+    // bucket pair arrives — so any replay order yields the same final
+    // set as long as no bucket freezes at the cap. Reversed doc_id
+    // order is the adversarial case for an index built "newest
+    // probes oldest": it must still equal batch dedup_near.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.Streams.Doc]
+      .collect().sortBy(-_.doc_id) // REVERSED
+    val third = docs.length / 3
+    val slices = Seq(docs.take(third), docs.slice(third, 2 * third),
+      docs.drop(2 * third))
+    val mem = MemoryStream[graft.streaming.Streams.Doc](41, spark, None)
+    val q = graft.streaming.Streams.dedupNear(mem.toDS(), 0.5)
+      .writeStream.format("memory").queryName("t_ndn_rev")
+      .outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_ndn_rev").distinct()
+      val batch = graft.engine.Registry.byName("dedup_near").build(spark, sf)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "reversed replay changed the near-dup pair set")
+    } finally q.stop()
+  }
 }
