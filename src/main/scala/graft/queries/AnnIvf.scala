@@ -186,6 +186,69 @@ b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr)
 SELECT id1, id2, cos FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25 ORDER BY id1, id2""".replaceAll("\\n", " ")),
       scaleNote = "Near-dup mining uses the coarse 4-plane bucketing (16 buckets): candidate pairs are same-bucket only, so the pair space is Σ|bucket|²/2 ≈ |corpus|²/32 instead of |corpus|²/2, and truly-similar vectors co-bucket with high probability ((1−θ/π)⁴). Plane count is THE scale dial — grow it with the corpus so |bucket| ≈ corpus/2^planes stays constant and the pair space stays LINEAR: measured on the 10× replica, 4 planes = 16.4 s / 562k pairs vs 8 planes = 1.7 s / 67k pairs (SCALING.md). At 100 TB add band-style multi-probe or a second independent plane set for recall; exact duplicates always share every bucket."),
 
+    // The recall CURVE — "measure, don't guess" materialized as an
+    // operator: recall@3 of the 6-plane IVF at 1 probe (home bucket)
+    // and 2 probes (home + weakest-plane flip) against the exact
+    // brute-force top-3, computed IN the engine over the full fixed
+    // query set. This is the table an ANN deployment actually tunes
+    // from (probe count vs recall vs candidate work); AnnIvfSpec
+    // asserts the monotonicity (2-probe ⊇ 1-probe hits), the gate
+    // hashes the exact numbers.
+    QueryDef(
+      "ann_recall_curve",
+      (spark, sf) => {
+        val b = bucketed(spark, sf, planes = 6)
+        val queries = b.filter(col("vec_id") < 100)
+          .select(col("vec_id").as("query_id"), col("qv").as("qq"),
+            col("norm2").as("qn"))
+        val w = Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id").asc)
+        val ex = broadcast(queries)
+          .join(b.select("vec_id", "qv", "norm2"),
+            col("query_id") =!= col("vec_id"))
+          .withColumn("cos", graft.engine.Vec.cosine(
+            LongArrayDot.dot(col("qq"), col("qv")), col("qn"), col("norm2")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("query_id", "vec_id")
+        def arm(multiProbe: Boolean, probes: Int) = {
+          val p = topkInBucket(b, 3, multiProbe)
+            .select("query_id", "vec_id").distinct()
+          ex.join(p.withColumn("hit", lit(1L)),
+              Seq("query_id", "vec_id"), "left")
+            .agg(count(lit(1)).as("possible"),
+              sum(coalesce(col("hit"), lit(0L))).as("hits"))
+            .select(lit(probes).as("probes"), col("possible"), col("hits"),
+              round(col("hits").cast("double") /
+                col("possible").cast("double"), 4).as("recall"))
+        }
+        arm(multiProbe = false, 1).unionByName(arm(multiProbe = true, 2))
+          .orderBy("probes")
+      },
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(6)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(6)} AS bucket, list_position(list_transform(ps, x -> abs(x)), list_min(list_transform(ps, x -> abs(x)))) - 1 AS weak FROM pr),
+ex0 AS (SELECT a.vec_id AS query_id, c.vec_id AS vec_id, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.vec_id < 100 AND a.vec_id <> c.vec_id),
+ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rk FROM ex0) WHERE rk <= 3),
+q1 AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn, bucket AS qbucket FROM b WHERE vec_id < 100),
+q2 AS (SELECT vec_id AS query_id, qv AS qq, n2 AS qn, unnest([bucket, xor(bucket, (1 << weak))]) AS qbucket FROM b WHERE vec_id < 100),
+c1 AS (SELECT DISTINCT query_id, vec_id FROM (SELECT qs.query_id, b.vec_id, row_number() OVER (PARTITION BY qs.query_id ORDER BY round(CAST(list_sum(list_transform(range(1,65), i -> qs.qq[i]*b.qv[i])) AS DOUBLE)/(sqrt(CAST(qs.qn AS DOUBLE))*sqrt(CAST(b.n2 AS DOUBLE))),4) DESC, b.vec_id ASC) AS rk FROM q1 qs JOIN b ON qs.qbucket = b.bucket AND qs.query_id <> b.vec_id) WHERE rk <= 3),
+c2 AS (SELECT DISTINCT query_id, vec_id FROM (SELECT qs.query_id, b.vec_id, row_number() OVER (PARTITION BY qs.query_id ORDER BY round(CAST(list_sum(list_transform(range(1,65), i -> qs.qq[i]*b.qv[i])) AS DOUBLE)/(sqrt(CAST(qs.qn AS DOUBLE))*sqrt(CAST(b.n2 AS DOUBLE))),4) DESC, b.vec_id ASC) AS rk FROM q2 qs JOIN b ON qs.qbucket = b.bucket AND qs.query_id <> b.vec_id) WHERE rk <= 3)
+SELECT 1 AS probes, count(*) AS possible, CAST(sum(CASE WHEN c1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits, round(CAST(sum(CASE WHEN c1.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) AS recall FROM ex LEFT JOIN c1 ON ex.query_id = c1.query_id AND ex.vec_id = c1.vec_id
+UNION ALL SELECT 2, count(*), CAST(sum(CASE WHEN c2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), round(CAST(sum(CASE WHEN c2.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)/count(*), 4) FROM ex LEFT JOIN c2 ON ex.query_id = c2.query_id AND ex.vec_id = c2.vec_id ORDER BY probes""".replaceAll("\\n", " ")),
+      scaleNote = "The exact arm is ann_topk's bounded baseline " +
+        "(fixed 100-query broadcast — 100·|corpus| scoring, linear); " +
+        "the probe arms are ann_ivf's bucket-local equi joins; the " +
+        "recall join runs on 300-row pair sets. At 100 TB the exact " +
+        "arm runs on a SAMPLED query set against a sampled corpus " +
+        "slice (recall estimation, the standard practice) while the " +
+        "probe arms stay full-scale — same operator, sampling " +
+        "pushed into the two scans. The emitted curve is the " +
+        "probe-count dial's tuning table: more probes buy recall " +
+        "with bucket-sized candidate increments, and a regression " +
+        "in bucketing quality (a bad plane set after a re-train) " +
+        "shows up as a recall drop the driver hash catches."),
+
     // Semantic dedup (the SemDeDup step): embedding-cosine near-dup
     // PAIRS are only half the operation — a release pipeline needs
     // the transitive CLUSTERS and one canonical keeper per cluster,

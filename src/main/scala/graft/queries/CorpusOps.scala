@@ -22,6 +22,83 @@ import graft.engine.{Dsl, QueryDef, QueryGroup, Tables}
   */
 object CorpusOps extends QueryGroup {
 
+  /** One unrolled BPE training round in DuckDB SQL: sN (symbol table,
+    * carrying `word` as the row key) → pN (weighted adjacent pairs) →
+    * bN (the crowned merge). Shared by tokenizer_bpe_merges (training
+    * output) and tokenizer_apply (the encode side). */
+  private def bpeRoundSql(s: String, p: String, b: String): String =
+    s"$p AS (SELECT ls[i] || ' ' || ls[i+1] AS pair, f FROM " +
+      s"(SELECT ls, f, unnest(generate_series(1, len(ls)-1)) AS i FROM " +
+      s"(SELECT string_split(sym, ' ') AS ls, f FROM $s))), " +
+      s"$b AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM $p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
+
+  /** BPE training on the distinct-word frequency table `wf(word, f)`:
+    * nRounds of count-weighted-pairs → crown the (count, pair)-max
+    * merge → apply it. Returns (the ordered merge table, the final
+    * per-word symbol table (word, sym, f) with ALL merges applied —
+    * the encode side tokenizer_apply rolls up).
+    *
+    * The merge apply is a literal (non-regex) replace — same
+    * left-to-right non-overlapping scan as DuckDB's replace(), and
+    * immune to regex metacharacters in corpus-derived symbols —
+    * ITERATED TO A PER-ROW FIXPOINT (r8, ADVICE): a single pass
+    * consumes the shared delimiter space, skipping adjacent
+    * occurrences ('a b a b' -> 'ab a b'); looping until no row
+    * changes recovers the skipped merges ('ab ab'), matching
+    * canonical left-to-right BPE everywhere except odd runs >= 5 of
+    * a self-paired symbol (x==y), where only the GROUPING differs
+    * ('a'*5 -> 'aa a aa' vs canonical 'aa aa a' — same merged-token
+    * multiset, round counts unaffected at these fixtures). The
+    * DuckDB oracle runs the identical fixpoint via [[bpeApplySql]]'s
+    * per-word recursive CTE, so both engines share semantics. The
+    * 1-row best-pair collect per round is the documented
+    * bounded-collect class (AnnPq's codebook precedent). */
+  private def bpeTrain(wf: org.apache.spark.sql.DataFrame, nRounds: Int)
+      : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
+    var sym = wf.select(col("word"),
+      trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("f"))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to nRounds) {
+      val ws = split(col("sym"), " ")
+      val best = sym
+        .select(explode(zip_with(
+          slice(ws, lit(1), size(ws) - 1),
+          slice(ws, lit(2), size(ws) - 1),
+          (x, y) => concat_ws(" ", x, y))).as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1).collect()(0)
+      val bp = best.getAs[String]("pair")
+      val bm = bp.replace(" ", "")
+      merges += ((r, bp, bm, best.getAs[Long]("cnt")))
+      var changed = true
+      while (changed) {
+        val step = sym.withColumn("sym2",
+          trim(replace(concat(lit(" "), col("sym"), lit(" ")),
+            lit(s" $bp "), lit(s" $bm "))))
+          .localCheckpoint(false)
+        changed = !step.filter(col("sym2") =!= col("sym")).isEmpty
+        sym = step.select(col("word"), col("sym2").as("sym"), col("f"))
+      }
+    }
+    (merges.result(), sym)
+  }
+
+  /** Per-word REPLACE-TO-FIXPOINT via a recursive CTE (r8): the
+    * recursion re-applies the single-pass replace until a row stops
+    * changing; the final SELECT keeps exactly each word's fixpoint
+    * row (the only state the replace maps to itself) — the same
+    * iterated semantics the Spark loop runs. */
+  private def bpeApplySql(prev: String, b: String, next: String): String = {
+    val rep = (c: String) => s"trim(replace(' ' || $c || ' ', " +
+      s"' ' || (SELECT pair FROM $b) || ' ', " +
+      s"' ' || replace((SELECT pair FROM $b), ' ', '') || ' '))"
+    s"r$next AS (SELECT word, sym, f FROM $prev " +
+      s"UNION ALL SELECT word, ${rep("sym")} AS sym, f FROM r$next " +
+      s"WHERE ${rep("sym")} <> sym), " +
+      s"$next AS (SELECT word, sym, f FROM r$next WHERE ${rep("sym")} = sym)"
+  }
+
   /** THE train/val membership key: md5-prefix content-hash bucket in
     * [0, 100). One definition (Scala + SQL fragment) shared by
     * split_train_val and corpus_pipeline so the standalone split and
@@ -696,77 +773,17 @@ object CorpusOps extends QueryGroup {
           .select(explode(split(col("text"), " ")).as("word"))
           .filter(length(col("word")) >= 2)
           .groupBy("word").agg(count(lit(1)).as("f"))
-        var sym = wf.select(
-          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("f"))
-        val merges = Seq.newBuilder[(Int, String, String, Long)]
-        for (r <- 1 to 3) {
-          val ws = split(col("sym"), " ")
-          val best = sym
-            .select(explode(zip_with(
-              slice(ws, lit(1), size(ws) - 1),
-              slice(ws, lit(2), size(ws) - 1),
-              (x, y) => concat_ws(" ", x, y))).as("pair"), col("f"))
-            .groupBy("pair").agg(sum(col("f")).as("cnt"))
-            .orderBy(col("cnt").desc, col("pair").asc)
-            .limit(1).collect()(0)
-          val bp = best.getAs[String]("pair")
-          val bm = bp.replace(" ", "")
-          merges += ((r, bp, bm, best.getAs[Long]("cnt")))
-          // literal (non-regex) replace — same left-to-right
-          // non-overlapping scan as DuckDB's replace(), and immune to
-          // regex metacharacters in corpus-derived symbols — ITERATED
-          // TO A PER-ROW FIXPOINT (r8, ADVICE): a single pass consumes
-          // the shared delimiter space, skipping adjacent occurrences
-          // ('a b a b' -> 'ab a b'); looping until no row changes
-          // recovers the skipped merges ('ab ab'), matching canonical
-          // left-to-right BPE everywhere except odd runs >= 5 of a
-          // self-paired symbol (x==y), where only the GROUPING differs
-          // ('a'*5 -> 'aa a aa' vs canonical 'aa aa a' — same merged-
-          // token multiset, round counts unaffected at these fixtures).
-          // The DuckDB oracle runs the identical fixpoint via a
-          // per-word recursive CTE, so both engines share semantics.
-          var changed = true
-          while (changed) {
-            val step = sym.withColumn("sym2",
-              trim(replace(concat(lit(" "), col("sym"), lit(" ")),
-                lit(s" $bp "), lit(s" $bm "))))
-              .localCheckpoint(false)
-            changed = !step.filter(col("sym2") =!= col("sym")).isEmpty
-            sym = step.select(col("sym2").as("sym"), col("f"))
-          }
-        }
-        merges.result()
+        bpeTrain(wf, 3)._1
           .toDF("round", "pair", "merged", "cnt")
           .orderBy("round")
       },
       Some {
-        // one unrolled round: sN (symbol table) → pN (weighted pairs)
-        // → bN (the crowned merge); sN+1 applies bN to sN
-        val round = (s: String, p: String, b: String) =>
-          s"$p AS (SELECT ls[i] || ' ' || ls[i+1] AS pair, f FROM " +
-            s"(SELECT ls, f, unnest(generate_series(1, len(ls)-1)) AS i FROM " +
-            s"(SELECT string_split(sym, ' ') AS ls, f FROM $s))), " +
-            s"$b AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM $p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
-        // per-word REPLACE-TO-FIXPOINT via a recursive CTE (r8): the
-        // recursion re-applies the single-pass replace until a row
-        // stops changing; the final SELECT keeps exactly each word's
-        // fixpoint row (the only state the replace maps to itself) —
-        // the same iterated semantics the Spark loop runs
-        val apply = (prev: String, b: String, next: String) => {
-          val rep = (c: String) => s"trim(replace(' ' || $c || ' ', " +
-            s"' ' || (SELECT pair FROM $b) || ' ', " +
-            s"' ' || replace((SELECT pair FROM $b), ' ', '') || ' '))"
-          s"r$next AS (SELECT word, sym, f FROM $prev " +
-            s"UNION ALL SELECT word, ${rep("sym")} AS sym, f FROM r$next " +
-            s"WHERE ${rep("sym")} <> sym), " +
-            s"$next AS (SELECT word, sym, f FROM r$next WHERE ${rep("sym")} = sym)"
-        }
         "WITH RECURSIVE w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
           "wf AS (SELECT word, count(*) AS f FROM w WHERE length(word) >= 2 GROUP BY word), " +
           "s1 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
-          round("s1", "p1", "b1") + ", " + apply("s1", "b1", "s2") + ", " +
-          round("s2", "p2", "b2") + ", " + apply("s2", "b2", "s3") + ", " +
-          round("s3", "p3", "b3") + " " +
+          bpeRoundSql("s1", "p1", "b1") + ", " + bpeApplySql("s1", "b1", "s2") + ", " +
+          bpeRoundSql("s2", "p2", "b2") + ", " + bpeApplySql("s2", "b2", "s3") + ", " +
+          bpeRoundSql("s3", "p3", "b3") + " " +
           "SELECT 1 AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM b1 " +
           "UNION ALL SELECT 2, pair, replace(pair, ' ', ''), cnt FROM b2 " +
           "UNION ALL SELECT 3, pair, replace(pair, ' ', ''), cnt FROM b3 ORDER BY round"
@@ -785,6 +802,63 @@ object CorpusOps extends QueryGroup {
         "At 100 TB the only change is sharding the word table by " +
         "hash(word) and merging per-shard pair counts — associative " +
         "integer sums, same argmax."),
+
+    // The ENCODE side of BPE — train-then-apply under one gate: the
+    // 3 learned merges applied to the whole (trainable) vocabulary,
+    // rolled up per language as char-tokens vs BPE-tokens and the
+    // compression ratio. This is the table a tokenizer change is
+    // judged by (fertility / compression per language — the
+    // multilingual-fairness metric: a tokenizer trained on the
+    // majority language compresses it best, and this op puts the
+    // per-lang gap under the hash). Apply runs on the DISTINCT-word
+    // table then joins weights back — the same vocab-sized trick as
+    // training, never an encode pass over raw text.
+    QueryDef(
+      "tokenizer_apply",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val wl = docs
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("lang", "word").agg(count(lit(1)).as("fl"))
+        val wf = wl.groupBy("word").agg(sum(col("fl")).as("f"))
+        val (_, sym) = bpeTrain(wf, 3)
+        wl.join(sym.select("word", "sym"), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_word_types"),
+            sum(col("fl") * length(col("word"))).as("n_tokens_char"),
+            sum(col("fl") * size(split(col("sym"), " "))).as("n_tokens_bpe"))
+          .withColumn("compression",
+            round(col("n_tokens_char").cast("double") /
+              col("n_tokens_bpe").cast("double"), 4))
+          .orderBy("lang")
+      },
+      Some {
+        "WITH RECURSIVE w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "wl AS (SELECT lang, word, count(*) AS fl FROM w WHERE length(word) >= 2 GROUP BY 1, 2), " +
+          "wf AS (SELECT word, CAST(sum(fl) AS BIGINT) AS f FROM wl GROUP BY 1), " +
+          "s1 AS (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
+          bpeRoundSql("s1", "p1", "b1") + ", " + bpeApplySql("s1", "b1", "s2") + ", " +
+          bpeRoundSql("s2", "p2", "b2") + ", " + bpeApplySql("s2", "b2", "s3") + ", " +
+          bpeRoundSql("s3", "p3", "b3") + ", " + bpeApplySql("s3", "b3", "s4") + " " +
+          "SELECT wl.lang, count(*) AS n_word_types, " +
+          "CAST(sum(wl.fl * length(wl.word)) AS BIGINT) AS n_tokens_char, " +
+          "CAST(sum(wl.fl * len(string_split(s4.sym, ' '))) AS BIGINT) AS n_tokens_bpe, " +
+          "round(CAST(sum(wl.fl * length(wl.word)) AS DOUBLE) / sum(wl.fl * len(string_split(s4.sym, ' '))), 4) AS compression " +
+          "FROM wl JOIN s4 ON wl.word = s4.word GROUP BY 1 ORDER BY 1"
+      },
+      scaleNote = "Encoding rides the vocabulary, not the corpus: " +
+        "the one corpus-sized stage is the (lang, word) count (map-" +
+        "side-combined — |vocab| rows per lang on the wire), the " +
+        "merge application runs on DISTINCT words (vocab-sized, " +
+        "shared across languages via the global wf roll-up), and the " +
+        "weighted rollup is one broadcast-joinable vocab join. This " +
+        "is exactly how production tokenizer audits run at corpus " +
+        "scale — encode the vocab once, weight by frequency — vs the " +
+        "naive encode-every-document pass that costs a full corpus " +
+        "scan per tokenizer candidate. A 50k-merge vocab swaps the " +
+        "3-round trainer for the shipped merge table; the apply loop " +
+        "is the same fixpoint replace per merge, still vocab-sized."),
 
     // Token-budget allocation by largest remainder — the planner step
     // between "measured per-language token counts" and "build the

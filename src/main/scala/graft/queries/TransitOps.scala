@@ -767,6 +767,43 @@ object TransitOps extends QueryGroup {
         "straight into a per-line congestion attribution (which " +
         "STATION injects the delay vs merely inheriting it upstream)."),
 
+    // Per-line delay QUARTILES — the SLA view delay_line_stats' mean
+    // hides (one 30-min incident drags a line's average while its
+    // median stays honest; agencies report p50/p75, not means): exact
+    // interpolated quartiles of the latest-state delay per mission,
+    // running trains only. Quartile fractions are DYADIC (k/4), so
+    // the interpolation (lo + frac·(hi−lo) on integer seconds) is
+    // exact in binary floating point on both engines — the
+    // agg_percentile_cont discipline pointed at the board.
+    QueryDef(
+      "delay_line_percentiles",
+      (spark, _) =>
+        boardLatestDf(spark).filter(!col("cancelled"))
+          .groupBy("miss")
+          .agg(count(lit(1)).as("n"),
+            expr("percentile(delay_sec, 0.25)").as("p25_delay"),
+            expr("percentile(delay_sec, 0.5)").as("p50_delay"),
+            expr("percentile(delay_sec, 0.75)").as("p75_delay"),
+            max(col("delay_sec")).as("max_delay"))
+          .orderBy("miss"),
+      Some(boardOracleCtes +
+        " SELECT miss, count(*) AS n, " +
+        "quantile_cont(delay_sec, 0.25) AS p25_delay, " +
+        "quantile_cont(delay_sec, 0.5) AS p50_delay, " +
+        "quantile_cont(delay_sec, 0.75) AS p75_delay, " +
+        "CAST(max(delay_sec) AS BIGINT) AS max_delay " +
+        "FROM latest WHERE NOT cancelled GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Exact per-group percentiles buffer the group's " +
+        "values — bounded here by trains-per-mission-per-day (a " +
+        "physical constant), which is what makes the exact form " +
+        "viable at any history length once service_day partitions " +
+        "the input; the rollup reuses the board DAG's (train, " +
+        "station) exchange. For unbounded groups (delay per STATION " +
+        "over a year) the approx sketch (agg_approx_quantile's " +
+        "QuantileSummaries — mergeable, fixed-size) replaces the " +
+        "buffer with the same query shape; the exact dyadic form " +
+        "stays as its oracle at test scale."),
+
     // Headway ADHERENCE — the regularity KPI transit agencies grade
     // service on (and the bunching detector): station_headway
     // measures the SCHEDULED gap profile; this compares each

@@ -101,4 +101,18 @@ class AnnIvfSpec extends SparkSpec {
     assert(res.exists(r => r.getLong(3) == 900000L && r.getDouble(4) == 1.0),
       s"duplicate not retrieved: ${res.mkString(";")}")
   }
+
+  test("ann_recall_curve: probe-monotone, bounded, over the full fixed query set") {
+    val rows = graft.engine.Registry.byName("ann_recall_curve")
+      .build(spark, sf).collect()
+    assert(rows.length == 2)
+    val byProbe = rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val (pos1, hits1, r1) = byProbe(1)
+    val (pos2, hits2, r2) = byProbe(2)
+    assert(pos1 == pos2 && pos1 > 0, "both arms grade the same exact set")
+    assert(hits1 <= hits2, "2-probe candidates contain 1-probe's")
+    assert(r1 <= r2 && r2 <= 1.0 && r1 >= 0.0)
+    assert(hits2 <= pos2)
+  }
 }

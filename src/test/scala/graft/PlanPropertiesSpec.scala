@@ -279,7 +279,11 @@ class PlanPropertiesSpec extends SparkSpec {
         "corpus_token_allocation",
         // the 1-row (n1, n2) sample-size aggregate broadcast into the
         // bounded per-value ECDF table — a constant, not a scan
-        "ab_test_ks")
+        "ab_test_ks",
+        // the exact arm IS ann_topk's brute-force baseline (bounded
+        // 100-query broadcast) — the defining semantics of a recall
+        // measurement; the probe arms are bucket-local equi joins
+        "ann_recall_curve")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
