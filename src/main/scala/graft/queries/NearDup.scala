@@ -670,6 +670,48 @@ object NearDup extends QueryGroup {
         "grown index, the same policy choice any streaming LSH " +
         "index makes)."),
 
+    // Dedup OBSERVABILITY — the per-source duplication report a
+    // corpus release publishes next to its quality funnel: how much
+    // of each source is near-duplicated, and how much dedup would
+    // drop. A source whose drop rate jumps release-over-release is
+    // either a scraper gone circular or an upstream republisher —
+    // THE dedup dashboard's first-order alarm. Rates are one rounded
+    // division over exact counts; membership comes from the same
+    // size-adaptive fixpoint every dedup key shares.
+    QueryDef(
+      "dedup_rate_by_source",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val cl = clustersAuto(docs, 0.5)
+        docs.join(cl, Seq("doc_id"), "left")
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("cluster_id").isNotNull, 1L).otherwise(0L))
+              .as("n_clustered"),
+            sum(when(col("is_canonical") === true, 1L).otherwise(0L))
+              .as("n_canonical"))
+          .withColumn("drop_rate",
+            round((col("n_clustered") - col("n_canonical")).cast("double") /
+              col("n_docs").cast("double"), 4))
+          .orderBy("source")
+      },
+      Some(s"WITH RECURSIVE $ClusterCtes " +
+        "SELECT d.source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clustered, " +
+        "CAST(sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS BIGINT) AS n_canonical, " +
+        "round(CAST(sum(CASE WHEN c.cluster_id IS NOT NULL THEN 1 ELSE 0 END) - sum(CASE WHEN c.is_canonical THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS drop_rate " +
+        "FROM documents d LEFT JOIN canon c ON d.doc_id = c.doc_id " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "One left join of the corpus against the (clustered " +
+        "docs only — a small fraction) label table plus a map-side-" +
+        "combined per-source rollup: the report costs one join more " +
+        "than the clustering it observes, and in the incremental " +
+        "deployment (dedup_clusters_incremental) the label table is " +
+        "yesterday's, so the daily report is |delta|+|labels|-sized. " +
+        "Add release_id to the group key and the release-over-" +
+        "release drop-rate diff — the actual alarm — is one lag over " +
+        "the |sources×releases| cell table."),
+
     // Golden-record survivorship — the step AFTER clustering that an
     // MDM / corpus-curation pipeline actually ships: collapse each
     // near-dup cluster to ONE record with field-level survivorship

@@ -204,6 +204,38 @@ object SortSetScalar extends QueryGroup {
       Some("SELECT l_orderkey, l_linenumber, l_quantity, abs(l_quantity - 25.0) AS qty_dev, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, round(ln(l_quantity), 4) AS qty_ln, sqrt(l_quantity) AS qty_sqrt, pow(CAST(l_linenumber AS DOUBLE), 2.0) AS line_sq, l_orderkey % 7 AS key_mod FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, price_ceil, price_floor"),
       scaleNote = "Scalar math in the scan projection, fully codegen'd. (l_orderkey,l_linenumber) is not unique; every output column is a function of the five sort keys, so any remaining ties are bit-identical rows."),
 
+    // Bitwise function surface — the hash/mask/flag toolkit every
+    // bucketing scheme here leans on (band keys, bitmap presence,
+    // SimHash votes), exposed as first-class scalar ops: and-mask,
+    // xor mix, shifts, popcount. Integer-exact by construction; the
+    // popcount cast pins INT on both engines (DuckDB's bit_count
+    // otherwise returns a narrower type).
+    QueryDef(
+      "fn_bitwise",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .select(
+            col("l_orderkey"), col("l_linenumber"),
+            expr("l_orderkey & 255").as("low_band"),
+            expr("l_orderkey ^ l_partkey").as("key_mix"),
+            expr("shiftleft(l_suppkey, 3)").as("supp_shl3"),
+            expr("shiftright(l_orderkey, 2)").as("key_shr2"),
+            expr("CAST(bit_count(l_partkey) AS INT)").as("part_pop"))
+          .orderBy("l_orderkey", "l_linenumber", "key_mix"),
+      Some("SELECT l_orderkey, l_linenumber, l_orderkey & 255 AS low_band, " +
+        "xor(l_orderkey, l_partkey) AS key_mix, l_suppkey << 3 AS supp_shl3, " +
+        "l_orderkey >> 2 AS key_shr2, CAST(bit_count(l_partkey) AS INT) AS part_pop " +
+        "FROM lineitem ORDER BY l_orderkey, l_linenumber, key_mix"),
+      scaleNote = "Pure scan-projection scalars, codegen'd — the " +
+        "same class as fn_math. These are the primitives the " +
+        "engine's own scale machinery composes: & for band masks, " +
+        "^ for key mixing/salting, shifts for bucket-id packing, " +
+        "popcount for SimHash Hamming votes and bitmap-presence " +
+        "rollups — gating them as declared ops pins their " +
+        "cross-engine integer semantics (arithmetic vs logical " +
+        "shift, sign behavior) that the composed operators silently " +
+        "rely on."),
+
     // #46 — conditional logic: the Retardé/Supprimé status classifier
     // analog [P extract_api.py].
     QueryDef(

@@ -96,7 +96,40 @@ object SqlSurface extends QueryGroup {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Window functions through the PARSER path: top-2 orders per
+    * customer via ROW_NUMBER in SQL text — the DataFrame window
+    * surface (win_*) is fully gated, but an analyst writes this in
+    * SQL, and the WindowGroupLimit pushdown must fire from the
+    * parsed form too (pinned in PlanPropertiesSpec via the DSL twin;
+    * the plan is identical). Decimal cast pins the price ordering;
+    * orderkey breaks ties totally. */
+  private val QWin =
+    """SELECT o_custkey, o_orderkey, rn FROM (
+      |  SELECT o_custkey, o_orderkey,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey) AS rn
+      |  FROM orders) AS t
+      |WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_window_topk",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QWin)
+      },
+      Some(QWin.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Parses to the identical plan as the DSL form: one " +
+        "hash exchange on the customer key, per-partition sort, and " +
+        "WindowGroupLimit keeping 2 rows per key DURING the sort — " +
+        "so partitions never hold more than 2k rows whatever the " +
+        "order history. The rank filter folds into the window " +
+        "operator (no post-filter pass). This is the query shape " +
+        "behind every 'latest N per entity' API listing; at 100 TB " +
+        "it reads one bucketed exchange if orders are bucketed by " +
+        "customer (join_star's layout)."),
+
     QueryDef(
       "sql_tpch_q1",
       (spark, sf) => {

@@ -20,6 +20,36 @@ import Dsl._
   */
 object TextVector extends QueryGroup {
 
+  /** Marker-vote language ID per doc: (doc_id, lang, pred_lang) —
+    * shared by text_lang_id (the predictions) and text_lang_id_eval
+    * (the confusion matrix over them). */
+  private def langPredictions(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val session = spark
+    import session.implicits._
+    val markers = Seq(
+      ("scan", "en"), ("join", "en"), ("merge", "fr"), ("window", "fr"),
+      ("sort", "de"), ("group", "de"), ("query", "es"), ("value", "es"),
+      ("key", "zh"), ("line", "zh")).toDF("w", "lang_guess")
+    val scored = Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .join(broadcast(markers), Seq("w"))
+      .groupBy("doc_id", "lang_guess")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("cnt").as("c"), col("lang_guess").as("l")))
+        .getField("l").as("pred"))
+    Tables.documents(spark, sf)
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("pred"), lit("und")).as("pred_lang"))
+  }
+
+  /** The lang-ID pipeline as a DuckDB CTE body ending in
+    * `p(doc_id, lang, pred_lang)`. */
+  private val LangPredSql: String =
+    "p AS (SELECT d.doc_id, d.lang, COALESCE(s.pred, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, (max(struct_pack(c := cnt, l := lang_guess))).l AS pred FROM (SELECT doc_id, lang_guess, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t JOIN (VALUES ('scan','en'),('join','en'),('merge','fr'),('window','fr'),('sort','de'),('group','de'),('query','es'),('value','es'),('key','zh'),('line','zh')) m(w, lang_guess) ON t.w = m.w GROUP BY doc_id, lang_guess) GROUP BY doc_id) s ON d.doc_id = s.doc_id)"
+
   def defs: Seq[QueryDef] = Seq(
 
     // #52 — tokenize + explode + count: the word-frequency core of
@@ -125,29 +155,46 @@ object TextVector extends QueryGroup {
     // per-language marker counts (n-gram-profile heuristic shape).
     QueryDef(
       "text_lang_id",
-      (spark, sf) => {
-        val session = spark
-        import session.implicits._
-        val markers = Seq(
-          ("scan", "en"), ("join", "en"), ("merge", "fr"), ("window", "fr"),
-          ("sort", "de"), ("group", "de"), ("query", "es"), ("value", "es"),
-          ("key", "zh"), ("line", "zh")).toDF("w", "lang_guess")
-        val scored = Tables.documents(spark, sf)
-          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-          .join(broadcast(markers), Seq("w"))
-          .groupBy("doc_id", "lang_guess")
-          .agg(count(lit(1)).as("cnt"))
-          .groupBy("doc_id")
-          .agg(max(struct(col("cnt").as("c"), col("lang_guess").as("l")))
-            .getField("l").as("pred"))
-        Tables.documents(spark, sf)
-          .join(scored, Seq("doc_id"), "left")
-          .select(col("doc_id"), col("lang"),
-            coalesce(col("pred"), lit("und")).as("pred_lang"))
-          .orderBy("doc_id")
-      },
-      Some("SELECT d.doc_id, d.lang, COALESCE(s.pred, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, (max(struct_pack(c := cnt, l := lang_guess))).l AS pred FROM (SELECT doc_id, lang_guess, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t JOIN (VALUES ('scan','en'),('join','en'),('merge','fr'),('window','fr'),('sort','de'),('group','de'),('query','es'),('value','es'),('key','zh'),('line','zh')) m(w, lang_guess) ON t.w = m.w GROUP BY doc_id, lang_guess) GROUP BY doc_id) s ON d.doc_id = s.doc_id ORDER BY d.doc_id"),
+      (spark, sf) => langPredictions(spark, sf).orderBy("doc_id"),
+      Some(s"WITH $LangPredSql SELECT doc_id, lang, pred_lang FROM p ORDER BY doc_id"),
       scaleNote = "Marker lexicon broadcasts; voting is a 2-phase count + associative struct-max argmax. A real n-gram LM profile is the same plan with a bigger lexicon and log-probability weights."),
+
+    // The classifier-eval primitive IN the engine: the confusion
+    // matrix of the lang-ID heuristic against the labeled lang — the
+    // table every model-quality review reads before trusting a
+    // filter. Cells are exact counts; row_frac (per-true-lang recall
+    // share) is one rounded division per cell over the window sum.
+    // In production this is how a lang-ID (or quality/toxicity)
+    // model upgrade is judged over the whole corpus: the matrix of
+    // old-vs-new disposition shifts, same plan with the model
+    // columns swapped.
+    QueryDef(
+      "text_lang_id_eval",
+      (spark, sf) => {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+        langPredictions(spark, sf)
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .withColumn("row_frac",
+            round(col("n").cast("double") /
+              sum(col("n")).over(w).cast("double"), 4))
+          .withColumn("correct", col("lang") === col("pred_lang"))
+          .orderBy("lang", "pred_lang")
+      },
+      Some(s"WITH $LangPredSql " +
+        "SELECT lang, pred_lang, count(*) AS n, " +
+        "round(CAST(count(*) AS DOUBLE) / sum(count(*)) OVER (PARTITION BY lang), 4) AS row_frac, " +
+        "lang = pred_lang AS correct " +
+        "FROM p GROUP BY lang, pred_lang ORDER BY lang, pred_lang"),
+      scaleNote = "The matrix is |langs|² cells built by one " +
+        "map-side-combined count over the prediction table (itself " +
+        "one broadcast-lexicon pass over the corpus — no new " +
+        "corpus-sized stage); the row-fraction window runs on the " +
+        "cell table, KBs at any scale. The same two-line rollup " +
+        "audits ANY per-doc classifier against any label column — " +
+        "prediction drift between model versions is this exact " +
+        "query with (old_pred, new_pred) as the keys, which is the " +
+        "canary every corpus-filter upgrade ships with."),
 
     // Token counting with a BPE-ish regex (word / number / punctuation
     // classes, ASCII form identical under Java regex and RE2) next to
