@@ -54,13 +54,13 @@ object AnnIvf extends QueryGroup {
 
   /** DuckDB SQL fragments mirroring `bucketed` over the quantized
     * vector column `qv` (64 components, 1-indexed in SQL). */
-  private def planeSumSql(j: Int): String =
+  private[queries] def planeSumSql(j: Int): String =
     s"CAST(list_sum(list_transform(range(1,65), i -> qv[i] * ([${Signs(j).mkString(",")}])[i])) AS BIGINT)"
-  private def psSql(planes: Int): String =
+  private[queries] def psSql(planes: Int): String =
     (0 until planes).map(planeSumSql).mkString("[", ",", "]")
-  private def bucketSql(planes: Int): String =
+  private[queries] def bucketSql(planes: Int): String =
     (0 until planes).map(j => s"${1 << j}*(CASE WHEN ps[${j + 1}]>0 THEN 1 ELSE 0 END)").mkString(" + ")
-  private val QuantSql =
+  private[queries] val QuantSql =
     "SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv FROM embeddings"
 
   /** (vec_id, qv, norm2, bucket) for every embedding. `planes` is the

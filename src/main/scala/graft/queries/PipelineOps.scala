@@ -617,5 +617,82 @@ object PipelineOps extends QueryGroup {
         "Value comparison in DECIMAL, never float equality. The " +
         "output is |days| rows of four counters — alert thresholds, " +
         "then drill into the mismatching keys with the same join " +
-        "un-aggregated (filter pushdown makes the drill cheap)."))
+        "un-aggregated (filter pushdown makes the drill cheap)."),
+
+    // The SECOND composed release DAG — dedup in BOTH similarity
+    // spaces plus the reproducible holdout, under one hash:
+    // corpus_pipeline gates the lexical release (LSH dedup +
+    // decontamination + mix-rate sampling); this one gates the
+    // r8-completed surfaces composed the way a modern pipeline
+    // (SemDeDup + consistent eval slicing) actually chains them.
+    // Disposition priority: lexical near-dup loser → semantic
+    // (embedding-cluster) loser among survivors → too-short →
+    // consistent heldout slice (the sample_consistent rule at a
+    // '0a' band ≈ 4.3% — the eval set everyone can reproduce
+    // byte-for-byte) → train. Each stage is an already-gated
+    // operator; what THIS key gates is the composition and the
+    // priority order.
+    QueryDef(
+      "corpus_release",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val lex = NearDup.clustersAuto(docs, 0.5)
+          .select(col("doc_id"), col("is_canonical").as("lex_canon"))
+        val sem = NearDup.resolveEdges(
+          AnnIvf.cosineNearDup(AnnIvf.bucketed(spark, sf, planes = 4), 0.25)
+            .select(col("id1").as("u"), col("id2").as("v"))
+            .localCheckpoint(false))
+          .select(col("doc_id"), col("is_canonical").as("sem_canon"))
+        docs
+          .join(lex, Seq("doc_id"), "left")
+          .join(sem, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("lang"),
+            when(col("lex_canon") === false, "dup_lexical")
+              .when(col("sem_canon") === false, "dup_semantic")
+              .when(size(split(col("text"), " ")) < 25, "short")
+              .when(substring(md5(concat(lit("graft8:"),
+                col("doc_id").cast("string"))), 1, 2) <= "0a", "heldout")
+              .otherwise("train").as("status"))
+          .orderBy("doc_id")
+      },
+      Some {
+        val cos = "round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/" +
+          "(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4)"
+        s"WITH RECURSIVE ${NearDup.ClusterCtes}, " +
+          s"qv0 AS (${AnnIvf.QuantSql}), " +
+          s"prv AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${AnnIvf.psSql(4)} AS ps FROM qv0), " +
+          s"bv AS (SELECT vec_id, qv, n2, ${AnnIvf.bucketSql(4)} AS bucket FROM prv), " +
+          s"pv AS (SELECT id1, id2 FROM (SELECT a.vec_id AS id1, c.vec_id AS id2, $cos AS cos " +
+          "FROM bv a JOIN bv c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25), " +
+          "ev AS (SELECT id1 AS src, id2 AS dst FROM pv UNION ALL SELECT id2, id1 FROM pv), " +
+          "vsv AS (SELECT DISTINCT src AS v FROM ev), " +
+          "reachv(v, r) AS (SELECT v, v FROM vsv UNION SELECT ev.dst, reachv.r FROM ev JOIN reachv ON ev.src = reachv.v), " +
+          "canonv AS (SELECT v AS doc_id, (v = min(r)) AS sem_canon FROM reachv GROUP BY v) " +
+          "SELECT d.doc_id, d.lang, CASE " +
+          "WHEN cl.is_canonical = FALSE THEN 'dup_lexical' " +
+          "WHEN cv.sem_canon = FALSE THEN 'dup_semantic' " +
+          "WHEN len(string_split(d.text, ' ')) < 25 THEN 'short' " +
+          "WHEN substr(md5('graft8:' || CAST(d.doc_id AS VARCHAR)), 1, 2) <= '0a' THEN 'heldout' " +
+          "ELSE 'train' END AS status " +
+          "FROM documents d " +
+          "LEFT JOIN canon cl ON d.doc_id = cl.doc_id " +
+          "LEFT JOIN canonv cv ON d.doc_id = cv.doc_id " +
+          "ORDER BY d.doc_id"
+      },
+      scaleNote = "Two bounded-candidate dedup passes (banded LSH " +
+        "equi-joins; SRP-bucket-local cosine pairs) feed two runs of " +
+        "the SAME size-adaptive component fixpoint, then ONE scan of " +
+        "the doc table with two left joins against cluster-label " +
+        "tables (each sized by docs-with-a-partner, ≪ corpus) and " +
+        "codegen'd hash bucketing decides every disposition — no " +
+        "stage is corpus-quadratic and the statuses are pure content " +
+        "functions, so a re-partitioned 100 TB rerun reproduces the " +
+        "manifest byte-identically. Priority order is load-bearing " +
+        "and gated: lexical before semantic keeps the cheaper " +
+        "evidence class authoritative (and the semantic pass in " +
+        "production runs on the lexical survivors only — here both " +
+        "label tables are full-corpus because each is independently " +
+        "oracled). The heldout band composes with " +
+        "sample_consistent's: disjoint hex bands = disjoint, " +
+        "independently reproducible slices of one corpus."))
 }

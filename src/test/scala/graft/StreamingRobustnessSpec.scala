@@ -228,6 +228,55 @@ class StreamingRobustnessSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dedup_near recovers its LSH bucket index from checkpoint across restart") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("ndn-src").toString
+    val ckpt = Files.createTempDirectory("ndn-ckpt").toString
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[graft.streaming.Streams.Doc].collect().sortBy(_.doc_id)
+    val half = docs.length / 2
+    docs.take(half).toSeq.toDS().write.parquet(s"$src/slice0")
+    val schema = implicitly[org.apache.spark.sql.Encoder[graft.streaming.Streams.Doc]].schema
+    // memory sinks cannot recover a checkpoint; foreachBatch can (the
+    // last_state recovery test's pattern)
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+    def start() = graft.streaming.Streams.dedupNear(
+        spark.readStream.schema(schema).parquet(s"$src/slice*")
+          .as[graft.streaming.Streams.Doc], 0.5)
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[graft.streaming.Streams.NearPair], _: Long) =>
+        batch.collect().foreach(p => emitted.add((p.id1, p.id2, p.jac))))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+
+    // the second half arrives while the query is down: pairs whose
+    // FIRST member landed before the restart can only emit if the
+    // band-bucket index (the flatMapGroupsWithState state) survived
+    // the checkpoint — a state-less restart would find empty buckets
+    // and emit only second-half-internal pairs
+    docs.drop(half).toSeq.toDS().write.parquet(s"$src/slice1")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      val streamed = emitted.asScala.toSeq.distinct
+        .toDF("id1", "id2", "jac")
+      val batch = graft.engine.Registry.byName("dedup_near").build(spark, sf)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "bucket index lost across restart: pair set != batch")
+      val boundary = docs(half).doc_id
+      assert(streamed.filter(col("id1") < boundary && col("id2") >= boundary)
+        .count() > 0,
+        "fixture too weak: no pair crosses the restart boundary")
+    } finally q2.stop()
+  }
+
   test("stream_dedup_near pair set is ARRIVAL-ORDER-INDEPENDENT (reversed replay)") {
     // pairs emit symmetric (min, max) when the SECOND member of a
     // bucket pair arrives — so any replay order yields the same final
