@@ -53,7 +53,16 @@ object ScalingCurve {
       "tokenizer_bpe_merges", "text_classifier_perceptron",
       // r7 fourth wave (source_schema_evolution is constant-fixture)
       "emb_pca_power", "ts_anomaly_mad", "ab_test_zscore",
-      "corpus_token_allocation", "dedup_golden_record", "contamination_emb")
+      "corpus_token_allocation", "dedup_golden_record", "contamination_emb",
+      // r8 wave (station_trips_stops / source_quarantine /
+      // delay_line_percentiles / station_headway_adherence are
+      // constant-fixture — no curve by construction)
+      "sql_tpch_q1", "sql_tpch_q4", "sql_tpch_q5", "sql_tpch_q16",
+      "sql_window_topk",
+      "sample_consistent", "dedup_semantic", "win_moving_median",
+      "graph_components", "ab_test_ks", "ann_recall_curve",
+      "tokenizer_apply", "text_lang_id_eval", "dedup_rate_by_source",
+      "fn_bitwise", "corpus_release")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

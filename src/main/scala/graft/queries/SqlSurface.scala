@@ -112,7 +112,50 @@ object SqlSurface extends QueryGroup {
       |WHERE rn <= 2
       |ORDER BY o_custkey, rn""".stripMargin
 
+  /** TPC-H Q5 shape (local supplier volume): the 6-table star-with-
+    * a-cycle — customer⋈orders⋈lineitem⋈supplier⋈nation⋈region with
+    * the NON-TREE edge c_nationkey = s_nationkey (customer and
+    * supplier must share a nation), which is what separates Q5 from
+    * a plain star: the optimizer must place that cross-dimension
+    * predicate as a join residual, not a post-filter over the full
+    * star. Exact-DECIMAL revenue, total ORDER BY. */
+  private val Q5 =
+    """SELECT n_name,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q5",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q5)
+      },
+      Some(Q5.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The join-ORDER stress test: six relations, one " +
+        "cycle, and a region filter whose selectivity must propagate " +
+        "through nation → supplier before the planner commits the " +
+        "big orders⋈lineitem join — with Catalog.analyzed feeding " +
+        "CBO, the dimension chain collapses to broadcasts and the " +
+        "fact join shuffles once on the order key. The cycle edge " +
+        "(c_nationkey = s_nationkey) rides the lineitem⋈supplier " +
+        "join as a residual — evaluated per candidate row, never as " +
+        "a nation×nation expansion. At 100 TB this is the query " +
+        "class where join reorder pays or kills: the gate pins its " +
+        "RESULT, PlanAudit its shape."),
+
     QueryDef(
       "sql_window_topk",
       (spark, sf) => {
