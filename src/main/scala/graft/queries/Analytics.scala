@@ -1033,6 +1033,47 @@ object Analytics extends QueryGroup {
         "exact-count substrate. CUPED/stratification = the same agg " +
         "with covariate moments added (agg_corr's partials)."),
 
+    // Hilbert-curve layout key — ZOrder's sibling with strictly
+    // adjacent steps (no axis-crossing jumps), as a NATIVE codegen'd
+    // Expression (plans.HilbertIndex — the fourth custom expression
+    // beside LongArrayDot / SortedIntersectCount / QuantizeVec). The
+    // oracle replays the 8-iteration xy2d bit walk relationally: a
+    // recursive CTE carries (s, x, y, d) per row and halves s each
+    // step — the same reflect/transpose rotation in SQL CASEs.
+    // AnalyticsSpec pins the space-filling BIJECTION on the full
+    // 256×256 grid and the locality win over Z-order.
+    QueryDef(
+      "layout_hilbert",
+      (spark, sf) =>
+        Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
+          .withColumn("hkey",
+            graft.plans.HilbertIndex.key(col("x"), col("y")))
+          .orderBy("l_orderkey", "l_linenumber"),
+      Some("WITH RECURSIVE base AS (SELECT l_orderkey, l_linenumber, l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem), " +
+        "h(l_orderkey, l_linenumber, x0, y0, s, x, y, d) AS (" +
+        "SELECT l_orderkey, l_linenumber, x, y, CAST(128 AS BIGINT), x, y, CAST(0 AS BIGINT) FROM base " +
+        "UNION ALL SELECT l_orderkey, l_linenumber, x0, y0, s // 2, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END, " +
+        "d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END), CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) " +
+        "FROM h WHERE s > 0) " +
+        "SELECT l_orderkey, l_linenumber, x0 AS x, y0 AS y, d AS hkey " +
+        "FROM h WHERE s = 0 ORDER BY l_orderkey, l_linenumber"),
+      scaleNote = "Key computation is branch-light integer codegen " +
+        "inside the scan — zero shuffle, same cost class as ZOrder's " +
+        "interleave. The payoff is at write time: repartitionByRange" +
+        "(hkey) + sortWithinPartitions gives every file ONE " +
+        "contiguous curve segment, and because consecutive Hilbert " +
+        "cells are always grid-adjacent, that segment is one compact " +
+        "blob — no Z-jump means no file whose min/max box spans two " +
+        "distant rectangles, so range predicates prune strictly " +
+        "fewer row groups (AnalyticsSpec measures the span " +
+        "contraction vs Z-order). Wider grids grow the loop " +
+        "logarithmically (16 bits = 16 iterations); k dims use the " +
+        "Butz generalization, same fixed-iteration codegen shape."),
+
     // Two-sample Kolmogorov–Smirnov — the DISTRIBUTIONAL readout
     // ab_test_zscore's rate compare cannot give (same conversion
     // rate, shifted spend distribution = invisible to z): D =

@@ -107,6 +107,38 @@ class AnalyticsSpec extends SparkSpec {
     assert(zy < xy * 0.75, s"z-order y-span $zy not better than x-sort $xy")
   }
 
+  test("layout_hilbert: space-filling bijection on the full grid; adjacent steps; tighter than z-order") {
+    // (a) BIJECTION: every (x, y) in 256x256 maps to a distinct key
+    // in [0, 65535] — the defining property of a space-filling curve
+    val grid = spark.range(65536)
+      .select((col("id") % 256).as("x"), expr("id div 256").as("y"))
+      .withColumn("hk", graft.plans.HilbertIndex.key(col("x"), col("y")))
+    val st = grid.agg(countDistinct("hk"), min("hk"), max("hk")).head
+    assert(st.getLong(0) == 65536L && st.getLong(1) == 0L &&
+      st.getLong(2) == 65535L, s"not a bijection: $st")
+    // (b) ADJACENCY: consecutive curve positions are grid neighbors
+    // (|dx| + |dy| = 1) — the no-jump property z-order lacks
+    val w = org.apache.spark.sql.expressions.Window.orderBy("hk")
+    val steps = grid
+      .withColumn("dx", abs(col("x") - lag("x", 1).over(w)))
+      .withColumn("dy", abs(col("y") - lag("y", 1).over(w)))
+      .filter(col("dx").isNotNull)
+    assert(steps.filter(col("dx") + col("dy") =!= 1).count() == 0,
+      "a hilbert step is not grid-adjacent")
+    // (c) the layout claim on real data: hilbert-range files bound
+    // both dims at least as tightly as the z-order layout
+    def meanYSpan(df: org.apache.spark.sql.DataFrame, k: String): Double = {
+      val parts = df.repartitionByRange(8, col(k))
+        .groupBy(spark_partition_id().as("p"))
+        .agg((max(col("y")) - min(col("y"))).as("sy")).collect()
+      parts.map(_.getLong(1)).sum.toDouble / parts.length
+    }
+    val hy = meanYSpan(run("layout_hilbert"), "hkey")
+    val zy = meanYSpan(run("layout_zorder"), "zkey")
+    assert(hy <= zy * 1.1, s"hilbert y-span $hy should not exceed z-order $zy")
+    assert(hy < 160, s"hilbert mean y-span $hy should be bounded")
+  }
+
   test("CMS: pigeonhole overcount appears, never an undercount (40 keys, w=32)") {
     import spark.implicits._
     // planted skew: key k appears k+1 times, 40 keys into 32 buckets
