@@ -16,6 +16,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.longArrayDotDescriptor)
     ext.injectFunction(GraftExtensions.sortedIntersectCountDescriptor)
     ext.injectFunction(GraftExtensions.quantizeVecDescriptor)
+    ext.injectFunction(GraftExtensions.hilbertIndexDescriptor)
   }
 }
 
@@ -51,11 +52,21 @@ object GraftExtensions {
       graft.plans.QuantizeVec(children.head)
     })
 
+  private[engine] val hilbertIndexDescriptor
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("hilbert_index"),
+    new ExpressionInfo(classOf[graft.plans.HilbertIndex].getName,
+      "hilbert_index"),
+    (children: Seq[Expression]) => {
+      require(children.length == 2, "hilbert_index(x, y) takes two arguments")
+      graft.plans.HilbertIndex(children.head, children(1))
+    })
+
   /** Register on an already-built session (the driver owns session
     * construction, so injection at build time isn't always available). */
   def install(spark: org.apache.spark.sql.SparkSession): Unit =
     Seq(longArrayDotDescriptor, sortedIntersectCountDescriptor,
-      quantizeVecDescriptor).foreach { d =>
+      quantizeVecDescriptor, hilbertIndexDescriptor).foreach { d =>
       spark.sessionState.functionRegistry.registerFunction(d._1, d._2, d._3)
     }
 }

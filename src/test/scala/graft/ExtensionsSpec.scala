@@ -20,6 +20,11 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT quantize_vec(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT))) AS q")
       .head().getSeq[Long](0)
     assert(qv == Seq(524288L, -524288L))
+    // hilbert_index: (0,0) is curve start; (255,0) is curve end on
+    // the 256x256 grid (the standard U orientation)
+    val h0 = spark.sql("SELECT hilbert_index(0L, 0L) AS h").head().getLong(0)
+    val h1 = spark.sql("SELECT hilbert_index(255L, 0L) AS h").head().getLong(0)
+    assert(h0 == 0L && h1 == 65535L, s"hilbert endpoints wrong: $h0, $h1")
     GraftExtensions.install(spark) // idempotent
   }
 
