@@ -62,7 +62,7 @@ object ScalingCurve {
       "sample_consistent", "dedup_semantic", "win_moving_median",
       "graph_components", "ab_test_ks", "ann_recall_curve",
       "tokenizer_apply", "text_lang_id_eval", "dedup_rate_by_source",
-      "fn_bitwise", "corpus_release", "layout_hilbert")
+      "fn_bitwise", "corpus_release", "layout_hilbert", "agg_gini")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

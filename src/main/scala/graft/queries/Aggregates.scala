@@ -850,5 +850,52 @@ object Aggregates extends QueryGroup {
         "mix-shift signal dashboards mislabel as a price change " +
         "(Simpson's inversion); at 100 TB both ride the same " +
         "exchange for free. Weighted percentiles escalate to " +
-        "agg_approx_quantile's sketch with weight-expanded updates."))
+        "agg_approx_quantile's sketch with weight-expanded updates."),
+
+    // Gini coefficient per group — the CONCENTRATION statistic that
+    // completes the distributional family (dispersion: stats/winsor;
+    // shape: skew/kurtosis; position: percentiles; compare: KS;
+    // inequality: this). G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over the
+    // ascending-sorted values: revenue concentration per priority
+    // class here; source concentration of a training corpus in
+    // production (one scraper dominating a slice is a Gini spike).
+    // Σ(i·xᵢ) is TIE-IMMUNE (equal values commute under any tie
+    // order), so row_number with the orderkey tiebreak is exact, not
+    // a convention; sums are integer cents, the two divisions are
+    // the only floats and compose identically on both engines.
+    QueryDef(
+      "agg_gini",
+      (spark, sf) => {
+        val o = Tables.orders(spark, sf)
+          .select(col("o_orderpriority").as("prio"),
+            round(col("o_totalprice") * 100).cast("long").as("cents"),
+            col("o_orderkey"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("prio").orderBy(col("cents").asc, col("o_orderkey").asc)
+        o.withColumn("rn", row_number().over(w).cast("long"))
+          .groupBy("prio")
+          .agg(count(lit(1)).as("n"), sum(col("cents")).as("t"),
+            sum(col("rn") * col("cents")).as("s"))
+          .select(col("prio"), col("n"),
+            round(lit(2.0) * col("s").cast("double") /
+              (col("n") * col("t")).cast("double") -
+              (col("n") + 1).cast("double") / col("n").cast("double"),
+              4).as("gini"))
+          .orderBy("prio")
+      },
+      Some("WITH o AS (SELECT o_orderpriority AS prio, CAST(round(o_totalprice*100) AS BIGINT) AS cents, o_orderkey FROM orders), " +
+        "r AS (SELECT prio, cents, row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS rn FROM o), " +
+        "a AS (SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS t, CAST(sum(rn*cents) AS BIGINT) AS s FROM r GROUP BY 1) " +
+        "SELECT prio, n, round(2.0 * s / (n * t) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini FROM a ORDER BY prio"),
+      scaleNote = "One hash exchange on the group key serves both the " +
+        "rank window (per-group sort, bounded by group size) and the " +
+        "rollup; the weighted-rank sum is a plain integer aggregate " +
+        "with map-side partials over the ranked rows. Long bounds: " +
+        "rn·cents ≤ n·max_cents ≈ 2^38 per row and the group sum " +
+        "stays < 2^52 up to ~10M rows/group at these magnitudes — " +
+        "past that, the same aggregate in DECIMAL(38,0) (agg_corr's " +
+        "partial discipline). For groups too large to sort, the " +
+        "binned approximation (Gini over agg_histogram's fixed " +
+        "buckets) is the standard trade — same formula over bucket " +
+        "midpoints, error bounded by bin width."))
 }
