@@ -877,8 +877,16 @@ object Aggregates extends QueryGroup {
           .agg(count(lit(1)).as("n"), sum(col("cents")).as("t"),
             sum(col("rn") * col("cents")).as("s"))
           .select(col("prio"), col("n"),
+            // n and t are cast to double BEFORE multiplying (r9,
+            // ADVICE): the n·t Long product overflows silently in
+            // Spark (wraps) while DuckDB errors — the silent-vs-loud
+            // divergence class Gram.scala's addExact guards exist
+            // for. The product feeds float division anyway, and both
+            // factors are < 2^53 individually wherever the s-sum
+            // bound below holds, so the double product is exact at
+            // every group size the s bound already admits.
             round(lit(2.0) * col("s").cast("double") /
-              (col("n") * col("t")).cast("double") -
+              (col("n").cast("double") * col("t").cast("double")) -
               (col("n") + 1).cast("double") / col("n").cast("double"),
               4).as("gini"))
           .orderBy("prio")
@@ -886,7 +894,7 @@ object Aggregates extends QueryGroup {
       Some("WITH o AS (SELECT o_orderpriority AS prio, CAST(round(o_totalprice*100) AS BIGINT) AS cents, o_orderkey FROM orders), " +
         "r AS (SELECT prio, cents, row_number() OVER (PARTITION BY prio ORDER BY cents, o_orderkey) AS rn FROM o), " +
         "a AS (SELECT prio, count(*) AS n, CAST(sum(cents) AS BIGINT) AS t, CAST(sum(rn*cents) AS BIGINT) AS s FROM r GROUP BY 1) " +
-        "SELECT prio, n, round(2.0 * s / (n * t) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini FROM a ORDER BY prio"),
+        "SELECT prio, n, round(2.0 * s / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE)) - CAST(n + 1 AS DOUBLE) / n, 4) AS gini FROM a ORDER BY prio"),
       scaleNote = "One hash exchange on the group key serves both the " +
         "rank window (per-group sort, bounded by group size) and the " +
         "rollup; the weighted-rank sum is a plain integer aggregate " +
@@ -894,7 +902,9 @@ object Aggregates extends QueryGroup {
         "rn·cents ≤ n·max_cents ≈ 2^38 per row and the group sum " +
         "stays < 2^52 up to ~10M rows/group at these magnitudes — " +
         "past that, the same aggregate in DECIMAL(38,0) (agg_corr's " +
-        "partial discipline). For groups too large to sort, the " +
+        "partial discipline). The n·t divisor multiplies as DOUBLE, " +
+        "never as a Long product, so it cannot wrap at group sizes " +
+        "the s bound already excludes. For groups too large to sort, the " +
         "binned approximation (Gini over agg_histogram's fixed " +
         "buckets) is the standard trade — same formula over bucket " +
         "midpoints, error bounded by bin width."))

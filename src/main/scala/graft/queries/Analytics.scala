@@ -1107,9 +1107,17 @@ object Analytics extends QueryGroup {
             max(abs(col("cum1") * col("n2") - col("cum2") * col("n1")))
               .as("d_num"))
           .select(col("n1"), col("n2"), col("d_num"),
-            round(col("d_num").cast("double") /
-              (col("n1") * col("n2")).cast("double"), 4).as("ks"),
-            (col("d_num").cast("double") * col("d_num") >
+            // n1 > 0 AND n2 > 0 guard (r9, ADVICE): a one-sided
+            // purchase split gives n1·n2 = 0 — Spark's double
+            // division then emits NaN where DuckDB emits NULL, a
+            // cross-engine hash divergence (ab_test_zscore's se > 0
+            // discipline). Guarded, ks is NULL and significance is
+            // false identically on both engines.
+            when(col("n1") > 0 && col("n2") > 0,
+              round(col("d_num").cast("double") /
+                (col("n1") * col("n2")).cast("double"), 4)).as("ks"),
+            (col("n1") > 0 && col("n2") > 0 &&
+              col("d_num").cast("double") * col("d_num") >
               lit(1.8442) * (col("n1") + col("n2")) * col("n1") * col("n2"))
               .as("significant"))
       },
@@ -1119,8 +1127,8 @@ object Analytics extends QueryGroup {
         "cum AS (SELECT v, sum(c1) OVER w AS cum1, sum(c2) OVER w AS cum2 FROM per WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
         "t AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM per) " +
         "SELECT n1, n2, CAST(max(abs(cum1*n2 - cum2*n1)) AS BIGINT) AS d_num, " +
-        "round(CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) / (n1*n2), 4) AS ks, " +
-        "CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) * max(abs(cum1*n2 - cum2*n1)) > 1.8442 * (n1+n2) * n1 * n2 AS significant " +
+        "CASE WHEN n1 > 0 AND n2 > 0 THEN round(CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) / (n1*n2), 4) END AS ks, " +
+        "n1 > 0 AND n2 > 0 AND CAST(max(abs(cum1*n2 - cum2*n1)) AS DOUBLE) * max(abs(cum1*n2 - cum2*n1)) > 1.8442 * (n1+n2) * n1 * n2 AS significant " +
         "FROM cum CROSS JOIN t GROUP BY n1, n2"),
       scaleNote = "The corpus collapses to the per-value count table " +
         "in one map-side-combined agg (|distinct quantized values| " +

@@ -666,5 +666,73 @@ object SourceOps extends QueryGroup {
         "trail (the quality-funnel counters would drift with no " +
         "cause in sight). Alert threshold = quarantine rate per " +
         "file, the same day-over-day monitor ts_calendar_gaps runs " +
-        "for missing polls."))
+        "for missing polls."),
+
+    // The layout WRITE-PATH proof (r9, VERDICT r8 #3): layout_hilbert
+    // computes curve keys and AnalyticsSpec measures span contraction
+    // in memory — this key makes the storage half real. Lineitem is
+    // written curve-ORDERED (repartitionByRange(hkey) +
+    // sortWithinPartitions — each parquet file holds ONE contiguous
+    // Hilbert segment, i.e. one compact grid region), read BACK, and
+    // probed with the range predicate the layout exists for: a
+    // 16×16 grid-ALIGNED square, which on a Hilbert curve is a single
+    // contiguous 256-cell key range — so exactly one file's key span
+    // (and its row groups' x/y stats) can intersect it. The hash
+    // gates the full write→read→prune cycle against the ORIGINAL
+    // table (any row lost/duplicated by the layout flips it) AND the
+    // persisted hkey column against the oracle's independent
+    // recursive-CTE replay of the curve walk (min/max/sum over the
+    // square — max−min < 256 IS the contiguity property, pinned
+    // numerically under the hash and as a file-skip measurement in
+    // LayoutSinkSpec).
+    QueryDef(
+      "sink_layout_hilbert",
+      (spark, sf) => {
+        val out = "/tmp/graft_sink_layout_hilbert_" + new java.io.File(sf).getName
+        graft.engine.Tables.lineitem(spark, sf)
+          .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+            (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
+          .withColumn("hkey",
+            graft.plans.HilbertIndex.key(col("x"), col("y")))
+          .repartitionByRange(16, col("hkey"))
+          .sortWithinPartitions("hkey")
+          .write.mode("overwrite").parquet(out)
+        spark.read.parquet(out)
+          .filter(col("x").between(32, 47) && col("y").between(64, 79))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("l_quantity").cast("long")).as("sum_qty"),
+            min(col("hkey")).as("min_hkey"),
+            max(col("hkey")).as("max_hkey"),
+            sum(col("hkey")).as("sum_hkey"))
+      },
+      Some("WITH RECURSIVE base AS (SELECT CAST(l_quantity AS BIGINT) AS qty, " +
+        "l_partkey % 256 AS x, l_orderkey % 256 AS y FROM lineitem " +
+        "WHERE l_partkey % 256 BETWEEN 32 AND 47 AND l_orderkey % 256 BETWEEN 64 AND 79), " +
+        "h(qty, s, x, y, d) AS (" +
+        "SELECT qty, CAST(128 AS BIGINT), x, y, CAST(0 AS BIGINT) FROM base " +
+        "UNION ALL SELECT qty, s // 2, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - y ELSE y END) ELSE x END, " +
+        "CASE WHEN (y & s) = 0 THEN (CASE WHEN (x & s) > 0 THEN s - 1 - x ELSE x END) ELSE y END, " +
+        "d + s * s * xor(3 * (CASE WHEN (x & s) > 0 THEN 1 ELSE 0 END), CASE WHEN (y & s) > 0 THEN 1 ELSE 0 END) " +
+        "FROM h WHERE s > 0) " +
+        "SELECT count(*) AS n_rows, CAST(sum(qty) AS BIGINT) AS sum_qty, " +
+        "CAST(min(d) AS BIGINT) AS min_hkey, CAST(max(d) AS BIGINT) AS max_hkey, " +
+        "CAST(sum(d) AS BIGINT) AS sum_hkey FROM h WHERE s = 0"),
+      scaleNote = "THE storage payoff the two layout keys promise: " +
+        "range-partitioning on the curve key gives every file one " +
+        "contiguous Hilbert segment — a compact grid region whose " +
+        "x/y column stats are tight boxes — so a spatial range " +
+        "predicate prunes to the few files whose segment crosses " +
+        "the query box (an aligned dyadic square is ONE segment: " +
+        "exactly one file plus boundary spill can match; " +
+        "LayoutSinkSpec measures ≥ 14 of 16 files stats-excluded " +
+        "and the scan's numOutputRows collapsing vs an unsorted " +
+        "write of the same rows). Z-order gives the same mechanics with " +
+        "jumpier boxes (AnalyticsSpec's span comparison); at 100 TB " +
+        "this layout turns point-region queries from full scans " +
+        "into row-group-count reads, compaction preserves it " +
+        "(sort-merge within key ranges), and the write cost is one " +
+        "range exchange — the cheapest index a lake can buy. The " +
+        "range sampling pass is one extra scan at write time; AQE " +
+        "balances the per-file row counts."))
 }

@@ -136,7 +136,182 @@ object SqlSurface extends QueryGroup {
       |GROUP BY n_name
       |ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q17 shape (small-quantity-order revenue): the correlated
+    * SCALAR subquery — the analyst's `x < (SELECT 0.2*avg(...) WHERE
+    * key = outer.key)` — which the planner must decorrelate into ONE
+    * per-partkey aggregate joined back, never a per-row subquery
+    * re-execution (pinned in PlanPropertiesSpec). No p_container in
+    * the driver schema; brand + size floor stand in, same shape.
+    * Determinism: l_quantity is integer-valued (1..50), so the inner
+    * avg's double sum is exact at any partitioning, its division and
+    * the 0.2 product are single IEEE ops, and the boundary compare
+    * is bit-identical cross-engine; revenue is exact-DECIMAL summed
+    * with one rounded division at the edge. */
+  private val Q17 =
+    """SELECT
+      |  round(CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,2)) AS DOUBLE) / 7.0, 4) AS avg_yearly,
+      |  count(*) AS n_small
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#23'
+      |  AND p_size <= 5
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |                    FROM lineitem l2
+      |                    WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q22 shape (global sales opportunity): WITH-CTE text + an
+    * UNCORRELATED scalar subquery (the avg-balance threshold computed
+    * once, broadcast as a literal-like single row) + NOT EXISTS
+    * decorrelating to an anti join — three planner features in one
+    * text. No c_phone in the driver schema; the nation-key subset
+    * stands in for country codes, and because every sf0.01 customer
+    * has SOME order, the anti join keys on "never placed an URGENT
+    * order" (203/1500 customers) to stay non-vacuous. The threshold is an exact DECIMAL
+    * sum divided once in DOUBLE (avg() on DECIMAL types diverges
+    * between engines — Spark widens to DECIMAL(22,6), DuckDB goes
+    * DOUBLE — so the house rule composes it from sum/count). */
+  private val Q22 =
+    """WITH pos AS (
+      |  SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |      / count(*) AS thr
+      |  FROM customer
+      |  WHERE c_acctbal > 0.0 AND c_nationkey IN (1, 3, 5, 7, 9))
+      |SELECT c_nationkey, count(*) AS numcust,
+      |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2))
+      |    AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9)
+      |  AND CAST(c_acctbal AS DECIMAL(18,2)) > (SELECT thr FROM pos)
+      |  AND NOT EXISTS (SELECT * FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+    * the OR-of-conjunctions JOIN condition — each branch repeats the
+    * p_partkey = l_partkey equality plus branch-local brand/size/
+    * quantity bounds, and the planner must extract the common equi
+    * key out of the disjunction (one hash join with the OR as a
+    * residual) instead of degenerating to a nested-loop join
+    * (pinned in PlanPropertiesSpec). No p_container/l_shipmode in
+    * the driver schema; brand × size × quantity bands keep the
+    * three-branch shape. */
+  private val Q19 =
+    """SELECT
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey AND (
+      |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |  OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 20 AND l_quantity <= 30))""".stripMargin
+
+  /** WITH + EXCEPT + INTERSECT through the parser: churned-then-
+    * retained analysis — customers active in 1996 but not 1997
+    * (EXCEPT), restricted to one segment (INTERSECT). The DSL twins
+    * (set_except / set_intersect) are gated; this text proves the
+    * parse→set-op-planning path, where both set ops must plan as
+    * aggregates/joins over DISTINCT keys, not row-level scans. */
+  private val QCte =
+    """WITH y96 AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'),
+      |y97 AS (
+      |  SELECT DISTINCT o_custkey AS k FROM orders
+      |  WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01'),
+      |bld AS (SELECT c_custkey AS k FROM customer
+      |        WHERE c_mktsegment = 'BUILDING')
+      |SELECT k AS c_custkey FROM (
+      |  (SELECT k FROM y96 EXCEPT SELECT k FROM y97)
+      |  INTERSECT
+      |  SELECT k FROM bld) t
+      |ORDER BY c_custkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q17",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q17)
+      },
+      Some(Q17.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The decorrelation that matters at scale: " +
+        "RewriteCorrelatedScalarSubquery turns the per-part average " +
+        "into ONE aggregate over lineitem grouped by l_partkey, " +
+        "joined back on the equi key — lineitem is read twice " +
+        "(filtered probe + aggregate build), never |parts| times; a " +
+        "naive engine re-executes the inner query per outer row. " +
+        "The brand/size filter prunes part at the scan and the " +
+        "part⋈lineitem join runs filtered-dim-broadcast; at 100 TB " +
+        "the aggregate side co-partitions with the probe on " +
+        "l_partkey if lineitem is bucketed by part (join_star_parts' " +
+        "layout), collapsing both reads onto one exchange. " +
+        "PlanPropertiesSpec pins the single-aggregate shape."),
+
+    QueryDef(
+      "sql_tpch_q22",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q22)
+      },
+      Some(Q22.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Three planner paths in one text: the uncorrelated " +
+        "scalar threshold computes ONCE (a 1-row subquery reused " +
+        "across every row's compare — Spark executes it as a " +
+        "subquery stage and folds the result in), NOT EXISTS plans " +
+        "as an anti join on c_custkey (broadcast while the customer " +
+        "slice fits, shuffle-anti at scale), and the CTE is inlined " +
+        "so the nation-key filter pushes into both customer scans. " +
+        "The threshold is sum/count composed — avg() on DECIMAL " +
+        "types diverges between engines' widening rules, the one " +
+        "cross-engine trap a SQL text can't paper over with casts " +
+        "after the fact."),
+
+    QueryDef(
+      "sql_tpch_q19",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q19)
+      },
+      Some(Q19.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The disjunctive-join stress: the common p_partkey " +
+        "= l_partkey equality must be EXTRACTED from the OR before " +
+        "join planning — with it, one hash join with the three-" +
+        "branch disjunction as a residual filter; without it, a " +
+        "nested-loop join over lineitem×part (the difference between " +
+        "minutes and never at 100 TB; PlanPropertiesSpec pins no-" +
+        "loop-join). Branch-local part predicates additionally " +
+        "prefilter the build side: only the three brands' parts " +
+        "enter the hash table. The quantity bounds ride the probe " +
+        "scan as pushed range filters."),
+
+    QueryDef(
+      "sql_cte_setop",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QCte)
+      },
+      Some(QCte.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "EXCEPT and INTERSECT both plan as DISTINCT-key " +
+        "operations (left-anti / left-semi joins over aggregated " +
+        "keys), so the wire carries |distinct customers| per year " +
+        "slice, never raw orders — the same two-phase discipline the " +
+        "DSL set-op keys pin. The year filters push to the orders " +
+        "scan (partition pruning at 100 TB with date-partitioned " +
+        "orders); all three CTE legs are key-only projections, so " +
+        "every scan is single-column after pruning. The set-op " +
+        "chain shares the custkey hash partitioning end-to-end — " +
+        "one exchange, three operators."),
+
     QueryDef(
       "sql_tpch_q5",
       (spark, sf) => {

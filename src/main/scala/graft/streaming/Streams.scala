@@ -835,7 +835,21 @@ object Streams {
 
   case class Doc(doc_id: Long, text: String)
   case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
-  case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]])
+  case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]],
+      drops: Long = 0L)
+
+  /** Arrivals rejected by a frozen (at-cap) band bucket in the most
+    * recent dedupNear stream — the observable counter for the
+    * stream-vs-batch contract divergence (r9, ADVICE): batch drops an
+    * over-cap bucket RETROACTIVELY while the stream freezes it and
+    * keeps its earlier pairs, so any nonzero value here means the
+    * parity claim no longer holds and the bucket cap needs retuning.
+    * Zero at every tested SF (StreamingSpec pins parity). Backed by a
+    * named LongAccumulator so it also surfaces in the Spark UI. */
+  @transient @volatile private var frozenAcc:
+      org.apache.spark.util.LongAccumulator = _
+  def frozenBucketDrops: Long =
+    Option(frozenAcc).map(_.value: Long).getOrElse(0L)
   case class NearPair(id1: Long, id2: Long, jac: Double)
 
   /** Per-document LSH signature computed EXACTLY as the batch pipeline
@@ -895,12 +909,24 @@ object Streams {
     * cap decision any streaming LSH index makes; batch drops the
     * whole over-cap bucket retroactively, and at tested SFs no bucket
     * reaches the cap, so stream ≡ batch — StreamingSpec pins it).
+    * Every frozen-bucket rejection is COUNTED (r9, ADVICE): the
+    * `frozen_bucket_drops` accumulator / [[frozenBucketDrops]] and the
+    * bucket's persisted `drops` field make the stream≠batch contract
+    * break observable the moment real data reaches the cap.
     * State per bucket: ≤ 64 (doc_id, token-set) members; at 100 TB
     * the store shards by band_key (RocksDB), and token sets for
     * verify can live in a side lookup to keep state skinny. */
   def dedupNear(docs: Dataset[Doc], tau: Double = 0.5): Dataset[NearPair] = {
     import docs.sparkSession.implicits._
     val cap = graft.queries.NearDup.MaxBucketDocs.toInt
+    // the freeze counter (r9, ADVICE): every arrival a frozen bucket
+    // turns away bumps this accumulator AND the bucket's own drops
+    // field, so the silent stream≠batch divergence has a runtime
+    // signal (UI metric + frozenBucketDrops) and a persisted trace
+    // (state survives restarts with the bucket)
+    val frozen = docs.sparkSession.sparkContext
+      .longAccumulator("graft.stream_dedup_near.frozen_bucket_drops")
+    frozenAcc = frozen
     docs
       .flatMap { d =>
         lshSignature(d.text) match {
@@ -916,7 +942,12 @@ object Streams {
           var st = state.getOption.getOrElse(BandBucket(Nil, Nil))
           val out = Seq.newBuilder[NearPair]
           for (r <- rows.toSeq.sortBy(_.doc_id)) {
-            if (st.ids.size < cap && !st.ids.contains(r.doc_id)) {
+            if (st.ids.size >= cap && !st.ids.contains(r.doc_id)) {
+              // frozen bucket turning away a new doc: count it — the
+              // contract violation must be observable, not silent
+              frozen.add(1L)
+              st = st.copy(drops = st.drops + 1L)
+            } else if (st.ids.size < cap && !st.ids.contains(r.doc_id)) {
               for ((mid, mtoks) <- st.ids.zip(st.toks)) {
                 val ni = sortedIntersect(mtoks, r.toks)
                 val un = mtoks.size + r.toks.length - ni
@@ -928,7 +959,7 @@ object Streams {
                 }
               }
               st = BandBucket(st.ids :+ r.doc_id,
-                st.toks :+ r.toks.toIndexedSeq)
+                st.toks :+ r.toks.toIndexedSeq, st.drops)
             }
           }
           state.update(st)

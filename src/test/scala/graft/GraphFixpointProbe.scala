@@ -43,6 +43,13 @@ object GraphFixpointProbe {
       .withColumn("lbl", expr("(node div 2) % 3"))
     val (lab, lr) = graft.queries.GraphOps.labelSpread(e, lseeds)
     println(s"PROBE label_spread rounds=$lr nodes=${lab.count()}")
+
+    val (lv, rr) = graft.queries.GraphOps.bfsLevels(e, seeds.select("node"))
+    println(s"PROBE reachability rounds=$rr nodes=${lv.count()}")
+
+    val (_, pd) = graft.queries.GraphOps.pagerankDelta(
+      e, graft.queries.GraphOps.Iters)
+    println(s"PROBE pagerank_delta l1=$pd")
     spark.stop()
   }
 }

@@ -111,11 +111,17 @@ class GraphOpsSpec extends SparkSpec {
     assert(counts(Seq((1L, 10L), (10L, 2L), (2L, 20L), (1L, 20L))).isEmpty)
   }
 
-  test("graph_reachability: seeds at hop 0, bounded levels, bipartite parity") {
+  test("graph_reachability: seeds at hop 0, hops ≤ rounds certificate, bipartite parity") {
     val out = graft.engine.Registry.byName("graph_reachability")
       .build(spark, sf).cache()
     try {
-      assert(out.filter(col("hops") < 0 || col("hops") > 3).count() == 0)
+      // every level is within the emitted exhaustion certificate,
+      // and the deepest level REACHES it (rounds = max hops by
+      // construction of the frontier loop)
+      assert(out.filter(col("hops") < 0 || col("hops") > col("rounds")).count() == 0)
+      val maxHops = out.agg(max("hops")).head.getLong(0)
+      val rounds = out.select("rounds").head.getInt(0)
+      assert(maxHops === rounds.toLong, "certificate must equal max level")
       // the seed set (customers with key < 10) is exactly the hops=0 rows
       val h0 = out.filter(col("hops") === 0)
       assert(h0.filter(col("node_type") =!= "customer" ||
@@ -167,6 +173,34 @@ class GraphOpsSpec extends SparkSpec {
     assert(m.size == 12, s"all 12 chain nodes must label, got ${m.size}")
     assert(m.values.forall(_ == 1L), "clamped spread must carry the seed class")
     assert(rounds > 3, s"chain needs > 3 spread rounds, got $rounds")
+  }
+
+  test("bfsLevels exhausts a planted chain — the 3-hop level-set form would truncate it") {
+    val s = spark
+    import s.implicits._
+    val seeds = Seq(0L).toDF("node")
+    val (lv, rounds) = graft.queries.GraphOps.bfsLevels(chain(12), seeds)
+    val m = lv.as[(Long, Long)].collect().toMap
+    assert(m.size == 12, s"all 12 chain nodes must be reached, got ${m.size}")
+    assert(m(11L) == 11L, s"far end is 11 hops out, got ${m.get(11L)}")
+    assert(rounds == 11, s"chain exhausts in exactly 11 rounds, got $rounds")
+    // levels are exact BFS distances, not just bounded
+    assert((0L to 11L).forall(i => m(i) == i), "each chain node's level = its index")
+  }
+
+  test("pagerankDelta: exact L1 movement on the path fixture; zero at a regular fixpoint") {
+    val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
+      .toDF("src", "dst")
+    // iteration 1 moves (1e6,1e6,1e6) → (575000,1850000,575000):
+    // L1 = 425000 + 850000 + 425000 = 1700000
+    val (_, d1) = GraphOps.pagerankDelta(e, 1)
+    assert(d1 === 1700000L)
+    // 4-cycle: uniform ranks are the exact fixpoint from r0 on —
+    // every round moves nothing
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L),
+      (2L, 1L), (3L, 2L), (4L, 3L), (1L, 4L)).toDF("src", "dst")
+    val (_, dc) = GraphOps.pagerankDelta(cyc, 3)
+    assert(dc === 0L)
   }
 
   test("bellmanFord runs a planted chain to stability — 4 rounds would truncate it") {

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions._
+
+/** The storage half of the layout story (r9, VERDICT r8 #3):
+  * sink_layout_hilbert's hash gates WHAT comes back; this spec proves
+  * files and row groups are actually SKIPPED — the entire payoff the
+  * layout keys' scaleNotes promise. Two measurements:
+  *
+  *  1. stats-level file exclusion: every file of the curve-ordered
+  *     write holds one contiguous hkey segment, so at most 1–2 of the
+  *     16 files can intersect the aligned query square's 256-key range
+  *     (boundary spill accounts for the second);
+  *  2. scan-level row skipping: the parquet scan's numOutputRows over
+  *     the x/y range predicate collapses on the Hilbert layout vs an
+  *     unsorted write of the IDENTICAL rows — row-group stats exclude
+  *     the files whose region cannot match.
+  */
+class LayoutSinkSpec extends SparkSpec {
+
+  private val hilbertDir =
+    "/tmp/graft_sink_layout_hilbert_" + new java.io.File(sf).getName
+  private val unsortedDir = hilbertDir + "_unsorted_baseline"
+
+  /** The gated build (side effect: writes the curve-ordered tree). */
+  private def buildGate(): DataFrame =
+    engine.Registry.byName("sink_layout_hilbert").build(spark, sf)
+
+  private def scanOutputRows(df: DataFrame): Long = {
+    df.collect()
+    val plan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scans = plan.collect { case s: FileSourceScanExec => s }
+    assert(scans.nonEmpty, s"no file scan found:\n$plan")
+    scans.map(_.metrics("numOutputRows").value).sum
+  }
+
+  private val squareFilter =
+    col("x").between(32, 47) && col("y").between(64, 79)
+
+  test("aligned square is one contiguous hkey segment; ≥ 14 of 16 files stats-excluded") {
+    val gate = buildGate().collect()(0)
+    assert(gate.getLong(0) > 0, "vacuous square — no rows match at this SF")
+    val (qMin, qMax) = (gate.getLong(2), gate.getLong(3))
+    // the locality property z-order lacks: a grid-aligned 16×16
+    // square is ONE contiguous 256-cell Hilbert range
+    assert(qMax - qMin <= 255L, s"square spans [$qMin, $qMax] — not contiguous")
+
+    val files = new java.io.File(hilbertDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(files.length == 16, s"expected 16 range partitions, got ${files.length}")
+    // per-file hkey spans (what parquet footer min/max stats hold):
+    // only files whose contiguous segment crosses the query range
+    // can contain matches — everything else is skippable from stats
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f.getAbsolutePath)
+        .agg(min("hkey"), max("hkey")).collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    // files hold contiguous, pairwise-disjoint segments (range
+    // partitioning by hkey): sorted spans must not interleave
+    val sorted = spans.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(hi <= lo2, "file segments interleave")
+      case _ =>
+    }
+    val intersecting = spans.count { case (lo, hi) => hi >= qMin && lo <= qMax }
+    assert(intersecting <= 2,
+      s"query range [$qMin,$qMax] intersects $intersecting files — layout not clustering")
+    assert(files.length - intersecting >= 14)
+  }
+
+  test("range predicate scan reads a fraction of the rows an unsorted layout reads") {
+    buildGate().collect() // ensure the ordered tree exists
+    // identical rows, no curve ordering — the control layout
+    spark.read.parquet(hilbertDir).repartition(16)
+      .write.mode("overwrite").parquet(unsortedDir)
+
+    val hilbertRows = scanOutputRows(
+      spark.read.parquet(hilbertDir).filter(squareFilter))
+    val unsortedRows = scanOutputRows(
+      spark.read.parquet(unsortedDir).filter(squareFilter))
+    val total = spark.read.parquet(hilbertDir).count()
+
+    // unsorted: every file's x/y stats span the whole grid — nothing
+    // skips, the scan emits (about) every row. Hilbert: only the 1-2
+    // intersecting files' row groups are read.
+    assert(unsortedRows >= total / 2,
+      s"control layout unexpectedly skipped: $unsortedRows of $total")
+    assert(hilbertRows * 4 <= unsortedRows,
+      s"Hilbert scan read $hilbertRows rows vs unsorted $unsortedRows — no skipping")
+    // both layouts agree on the answer, obviously
+    assert(spark.read.parquet(hilbertDir).filter(squareFilter).count() ===
+      spark.read.parquet(unsortedDir).filter(squareFilter).count())
+  }
+}

@@ -398,4 +398,43 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(p.contains("expand") || p.contains("Expand") || p.contains("partial"),
       s"distinct-count must run two-phase:\n${p.take(1200)}")
   }
+
+  test("sql_tpch_q17's correlated scalar subquery decorrelates to ONE aggregate-join") {
+    val p = plan("sql_tpch_q17")
+    // RewriteCorrelatedScalarSubquery: the per-part average is one
+    // partial_avg aggregate over lineitem grouped by l_partkey,
+    // joined back on the equi key — never a per-row inner query
+    assert(p.contains("partial_avg") || p.contains("avg("),
+      s"expected the decorrelated per-part aggregate:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"scalar subquery degenerated to a loop join:\n${p.take(1500)}")
+    // no in-expression scalar-subquery execution survives optimization
+    assert(!p.contains("scalar-subquery"),
+      s"per-row scalar subquery survived decorrelation:\n${p.take(1500)}")
+  }
+
+  test("sql_tpch_q19 extracts the equi key from the OR join condition (hash join, no loop)") {
+    val p = plan("sql_tpch_q19")
+    assert(p.contains("HashJoin"),
+      s"expected a hash join on the extracted p_partkey = l_partkey:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"disjunctive join degenerated to a loop join:\n${p.take(1500)}")
+  }
+
+  test("sql_cte_setop plans both set ops as distinct-key joins/aggregates") {
+    val p = plan("sql_cte_setop")
+    // EXCEPT → left-anti, INTERSECT → left-semi, each over
+    // aggregated (distinct) keys — never row-level scans
+    assert(p.contains("LeftAnti"), s"EXCEPT must plan anti:\n${p.take(1500)}")
+    assert(p.contains("LeftSemi"), s"INTERSECT must plan semi:\n${p.take(1500)}")
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("sql_tpch_q22: one-shot scalar threshold + anti join (no per-row subqueries)") {
+    val p = plan("sql_tpch_q22")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
 }
