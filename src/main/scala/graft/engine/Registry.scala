@@ -31,6 +31,7 @@ object Registry {
     UrlOps,
     PathOps,
     VecStats,
+    QualityOps,
     SqlSurface)
 
   lazy val all: Seq[QueryDef] = {

@@ -833,5 +833,43 @@ object GraphOps extends QueryGroup {
         "regardless of corpus size. For ALL-edges components at " +
         "social-graph scale the star path runs unchanged — that " +
         "configuration is exactly dedup_clusters_star's, already " +
-        "measured."))
+        "measured."),
+
+    // Degree-distribution histogram (r9) — the first diagnostic run
+    // on ANY new graph, because degree skew is what every valve in
+    // this file is sized against (pagerank's hot-dst salting, the
+    // jaccard fan-out cap, triangle orientation, k-core's peel): for
+    // each node type, how many nodes have degree k. Exact integers
+    // end to end; output is |distinct degrees| rows.
+    QueryDef(
+      "graph_degree_dist",
+      (spark, sf) =>
+        edges(spark, sf)
+          .groupBy("src").agg(count(lit(1)).as("deg"))
+          .groupBy(
+            when(col("src") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            col("deg"))
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy("node_type", "deg"),
+      Some(s"WITH bp AS ($EdgesSql), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+        "d AS (SELECT src, count(*) AS deg FROM e GROUP BY 1) " +
+        "SELECT CASE WHEN src % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
+        "CAST(deg AS BIGINT) AS deg, count(*) AS n_nodes FROM d " +
+        "GROUP BY 1, 2 ORDER BY node_type, deg"),
+      scaleNote = "Two map-side-combined aggregates, nothing else: " +
+        "the degree count shuffles |V| partials, the histogram " +
+        "shuffles |distinct degrees| — output is bounded by max " +
+        "degree however many edges exist. This is the measurement " +
+        "that DECIDES the scale strategy for every other graph op: " +
+        "a power-law tail here means pagerank's dst aggregate and " +
+        "the wedge generators need their skew valves (AQE skew " +
+        "split, fan-out caps, orientation), while a bounded-degree " +
+        "graph can skip them — the same measure-then-size discipline " +
+        "as skew_diagnose for join keys. At web scale the histogram " +
+        "is also the sanity gate on ingest: a degree spike at one " +
+        "value usually means a crawler artifact (a template page " +
+        "linking everything), the graph-side analog of the shingle " +
+        "df tail."))
 }

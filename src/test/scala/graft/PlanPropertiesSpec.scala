@@ -283,7 +283,15 @@ class PlanPropertiesSpec extends SparkSpec {
         // the exact arm IS ann_topk's brute-force baseline (bounded
         // 100-query broadcast) — the defining semantics of a recall
         // measurement; the probe arms are bucket-local equi joins
-        "ann_recall_curve")
+        "ann_recall_curve",
+        // r9 additions, all the 1-row-broadcast constant pattern:
+        // the m-position Bloom bit array every probe row checks
+        // map-side (the operator's entire point), the 1-row max
+        // doc_id decile scaler, the 1-row corpus count the ECDF
+        // stage assignment divides by, and the ONE query vector the
+        // semantic arm scores against
+        "join_bloom_prefilter", "text_heaps_curve", "corpus_curriculum",
+        "rank_fusion_rrf")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
