@@ -62,7 +62,15 @@ object ScalingCurve {
       "sample_consistent", "dedup_semantic", "win_moving_median",
       "graph_components", "ab_test_ks", "ann_recall_curve",
       "tokenizer_apply", "text_lang_id_eval", "dedup_rate_by_source",
-      "fn_bitwise", "corpus_release", "layout_hilbert", "agg_gini")
+      "fn_bitwise", "corpus_release", "layout_hilbert", "agg_gini",
+      // r9 wave (station_trips_stops-class constant-fixture keys
+      // excluded by construction; sink_layout_hilbert includes its
+      // write pass in the timing — it IS a write-path operator)
+      "sql_tpch_q17", "sql_tpch_q19", "sql_tpch_q22", "sql_cte_setop",
+      "sink_layout_hilbert", "quality_gopher_rules", "text_heaps_curve",
+      "dedup_shingle_stats", "corpus_curriculum", "rank_fusion_rrf",
+      "ab_test_mannwhitney", "join_bloom_prefilter", "graph_degree_dist",
+      "sql_tpch_q10", "sql_tpch_q14", "ts_holt_linear")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

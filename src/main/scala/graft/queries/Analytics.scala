@@ -1211,5 +1211,75 @@ object Analytics extends QueryGroup {
         "(the textbook route) is a global sort the histogram makes " +
         "unnecessary. Tie correction, when the value domain is " +
         "coarse enough to matter, subtracts Σt³−t from the variance " +
-        "— one more integer sum over the same table."))
+        "— one more integer sum over the same table."),
+
+    // Holt's linear (level + trend) exponential smoothing — the TRUE
+    // recursive smoother ts_ewma's truncated-window form cannot be
+    // (ewma's 8-lag window forgets; Holt's state carries the whole
+    // history and extrapolates): α = β = 1/5 in exact integer
+    // micro-units, l_t = (x_t·1e6 + 4(l+b)) /₅ and b_t =
+    // ((l_t−l) + 4b) /₅ where /₅ is FLOOR division spelled as
+    // (v − pmod(v,5)) div 5 on both engines — trend goes negative,
+    // and Spark's div truncates toward zero while DuckDB's //
+    // floors, so the explicit pmod form is the only spelling whose
+    // negative-operand semantics agree (the CAST-truncates-vs-rounds
+    // gotcha's division cousin). Spark folds per type with one
+    // aggregate() HOF over the day-sorted series; the oracle replays
+    // the identical recursion as a per-type recursive CTE.
+    QueryDef(
+      "ts_holt_linear",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val A = "x.n * 1000000 + 4 * (element_at(out, -1).l + element_at(out, -1).b)"
+        val LP = s"CASE WHEN size(out) = 0 THEN x.n * 1000000 " +
+          s"ELSE (($A) - pmod($A, 5)) div 5 END"
+        val B = s"($LP) - element_at(out, -1).l + 4 * element_at(out, -1).b"
+        val BP = s"CASE WHEN size(out) = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (($B) - pmod($B, 5)) div 5 END"
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("xs"))
+          .select(col("event_type"), explode(expr(
+            "aggregate(xs, " +
+              "CAST(array() AS ARRAY<STRUCT<day: DATE, n: BIGINT, l: BIGINT, b: BIGINT>>), " +
+              s"(out, x) -> array_append(out, named_struct(" +
+              s"'day', x.day, 'n', x.n, 'l', $LP, 'b', $BP)))")).as("h"))
+          .select(col("event_type"),
+            col("h.day").cast("string").as("day"), col("h.n").as("n"),
+            col("h.l").as("level_micro"), col("h.b").as("trend_micro"),
+            (col("h.l") + col("h.b")).as("forecast_micro"))
+          .orderBy("event_type", "day")
+      },
+      Some {
+        val An = "s.n * 1000000 + 4 * (h.l + h.b)"
+        val LPd = s"(($An) - ((($An) % 5) + 5) % 5) // 5"
+        val Bd = s"($LPd) - h.l + 4 * h.b"
+        val BPd = s"(($Bd) - ((($Bd) % 5) + 5) % 5) // 5"
+        "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+          "s AS (SELECT event_type, day, n, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i FROM daily), " +
+          "h(event_type, i, day, n, l, b) AS (" +
+          "SELECT event_type, i, day, n, n * 1000000, CAST(0 AS BIGINT) FROM s WHERE i = 1 " +
+          s"UNION ALL SELECT s.event_type, s.i, s.day, s.n, $LPd, $BPd " +
+          "FROM h JOIN s ON s.event_type = h.event_type AND s.i = h.i + 1) " +
+          "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+          "CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro, " +
+          "CAST(l + b AS BIGINT) AS forecast_micro " +
+          "FROM h ORDER BY event_type, day"
+      },
+      scaleNote = "The log collapses to |types|×|days| rows in one " +
+        "map-side-combined agg BEFORE any sequential work, so the " +
+        "recursion folds a bounded per-type array (a year = 365 " +
+        "elements) — the same collapse-then-fold shape as ts_ewma, " +
+        "but carrying true recursive state. Sequential smoothers " +
+        "are inherently order-dependent: the scalable forms are (a) " +
+        "this one — state over an aggregate-collapsed bounded " +
+        "series, sharded by the group key across executors, or (b) " +
+        "the streaming fold (stream_ewma's mapGroupsWithState) when " +
+        "the series is unbounded — both carry O(1) state per key. " +
+        "Integer micro-units with the explicit floor-division " +
+        "spelling make every step exact and engine-identical even " +
+        "through negative trends; α, β as rational 1/5 keep the " +
+        "recursion in integers forever (no drift, no " +
+        "representation-dependent tails)."))
 }

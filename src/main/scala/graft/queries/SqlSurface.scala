@@ -236,7 +236,89 @@ object SqlSurface extends QueryGroup {
       |  SELECT k FROM bld) t
       |ORDER BY c_custkey""".stripMargin
 
+  /** TPC-H Q10 shape (returned-item report): the 4-table join with a
+    * top-N over a computed aggregate — the "who should we call"
+    * operational report. Group keys include the customer's raw
+    * acctbal column (a grouped passthrough, the shape that trips
+    * engines which refuse non-aggregated selects); revenue is
+    * exact-DECIMAL, the top-20 rides TakeOrderedAndProject. */
+  private val Q10 =
+    """SELECT c_custkey, c_name, n_name, c_acctbal,
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name, c_acctbal
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q14 shape (promotion effect): the conditional-aggregate
+    * RATIO — promo revenue share of one ship month, both numerator
+    * and denominator from the same pass (a CASE inside one sum, not
+    * two scans). Driver schema's p_type is single-word; 'PROMO'
+    * equality stands in for the LIKE prefix, same shape. The only
+    * float is the final percentage composition. */
+  private val Q14 =
+    """SELECT
+      |  round(100.0 * CAST(CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) END)
+      |      AS DECIMAL(18,4)) AS DOUBLE)
+      |    / CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |        (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS DOUBLE), 4) AS promo_revenue_pct,
+      |  count(*) AS n_rows,
+      |  count(CASE WHEN p_type = 'PROMO' THEN 1 END) AS n_promo_rows
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q10",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q10)
+      },
+      Some(Q10.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The operational-report shape: both date bounds " +
+        "prune orders at the scan (partition pruning on a " +
+        "date-partitioned lake), the returnflag filter prunes " +
+        "lineitem, nation broadcasts, and the orders⋈lineitem join " +
+        "shuffles once on the order key (bucketing removes it — " +
+        "join_star's layout). The top-20 over the computed revenue " +
+        "is TakeOrderedAndProject: |groups| partials reduce to 20 " +
+        "rows per partition before the single final merge, no " +
+        "global sort of customers ever. Grouping by the passthrough " +
+        "columns (name, nation, acctbal) is free — they are " +
+        "functionally dependent on the customer key and ride the " +
+        "same exchange."),
+
+    QueryDef(
+      "sql_tpch_q14",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q14)
+      },
+      Some(Q14.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Numerator and denominator from ONE pass — the " +
+        "CASE-inside-sum form every share/ratio metric should take " +
+        "(two filtered scans would double the read and still need a " +
+        "join). The ship-month predicate prunes lineitem at the " +
+        "scan; part joins broadcast (or rides DPP when part is " +
+        "filtered). Both sums are exact DECIMAL so the partials " +
+        "merge bit-stable across any partitioning, and the single " +
+        "percentage division happens once on the driver-scale " +
+        "1-row result. At 100 TB this is a one-pass scan + one " +
+        "broadcast join + a 1-row final aggregate."),
+
     QueryDef(
       "sql_tpch_q17",
       (spark, sf) => {

@@ -243,4 +243,34 @@ class AnalyticsSpec extends SparkSpec {
       assert(dense.filter(col("peak") < 0).count() == 0)
     } finally dense.unpersist()
   }
+
+  test("ts_holt_linear: the HOF fold equals a driver-side replay of the recursion") {
+    // the distributed fold's every (level, trend) pair re-derived by a
+    // plain Scala replay of Holt's recursion over the same daily
+    // series — exact integer equality, including floor division
+    // through negative trends
+    def d5(v: Long): Long = { val r = ((v % 5) + 5) % 5; (v - r) / 5 }
+    val out = graft.engine.Registry.byName("ts_holt_linear")
+      .build(spark, sf).collect()
+    assert(out.nonEmpty)
+    val byType = out.groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getString(1))
+      var l = 0L; var b = 0L
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2) * 1000000L
+        if (i == 0) { l = x; b = 0L }
+        else {
+          val lp = d5(x + 4 * (l + b))
+          b = d5(lp - l + 4 * b)
+          l = lp
+        }
+        assert(r.getLong(3) == l && r.getLong(4) == b,
+          s"$t day ${r.getString(1)}: got (${r.getLong(3)}, ${r.getLong(4)}), want ($l, $b)")
+        assert(r.getLong(5) == l + b)
+      }
+    }
+    // the floor-division-through-negatives path is actually exercised
+    assert(out.exists(_.getLong(4) < 0), "fixture never produces a negative trend")
+  }
 }
