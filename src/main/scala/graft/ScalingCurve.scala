@@ -70,7 +70,8 @@ object ScalingCurve {
       "sink_layout_hilbert", "quality_gopher_rules", "text_heaps_curve",
       "dedup_shingle_stats", "corpus_curriculum", "rank_fusion_rrf",
       "ab_test_mannwhitney", "join_bloom_prefilter", "graph_degree_dist",
-      "sql_tpch_q10", "sql_tpch_q14", "ts_holt_linear")
+      "sql_tpch_q10", "sql_tpch_q14", "ts_holt_linear",
+      "sql_tpch_q18", "emb_norm_stats", "graph_assortativity", "sql_tpch_q15")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

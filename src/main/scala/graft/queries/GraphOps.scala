@@ -158,6 +158,35 @@ object GraphOps extends QueryGroup {
     * Cost: one |V|-row join + a 1-row agg after the loop (the same
     * bounded certificate-probe class as the fixpoint counters). */
   def pagerankDelta(e0: DataFrame, iters: Int): (DataFrame, Long) = {
+    val (r, prev) = pagerankCore(e0, iters)
+    // the certificate: both sides are |V|-row checkpointed tables
+    // with the same node set (every node of the undirected graph is
+    // a dst), the diff is one exact integer agg
+    val delta = deltaAgg(r, prev).collect()(0).getLong(0)
+    (r, delta)
+  }
+
+  /** The QueryDef path: same certificate, but embedded as a COLUMN
+    * via a 1-row broadcast cross join instead of a driver collect
+    * (the agg_hll_sketch 1-row-constant pattern) — one emitted job,
+    * no separate probe action. A/B against the collect form
+    * (interleaved BenchOne, sf0.1): 2.62/2.71 vs 2.61 s warm —
+    * equal within noise, because both probe jobs re-read the
+    * checkpointed |V|-row tables; the certificate's real ledger
+    * cost (~+0.9 s vs the cert-less r8 form) is the delta JOIN
+    * itself, the price VERDICT r8 #6 deliberately buys for an
+    * observable convergence depth. The Long-returning variant above
+    * stays for probes and fixture specs. */
+  def pagerankDeltaCol(e0: DataFrame, iters: Int): DataFrame = {
+    val (r, prev) = pagerankCore(e0, iters)
+    r.crossJoin(broadcast(deltaAgg(r, prev).toDF("delta_micro")))
+  }
+
+  private def deltaAgg(r: DataFrame, prev: DataFrame): DataFrame =
+    r.join(prev.select(col("node"), col("r").as("rp")), "node")
+      .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)))
+
+  private def pagerankCore(e0: DataFrame, iters: Int): (DataFrame, DataFrame) = {
     // the edge list feeds every iteration (plus the degree build): lazy
     // localCheckpoint materializes it once instead of re-running the
     // upstream join+distinct per round (ann_kmeans' pattern; measured
@@ -200,14 +229,7 @@ object GraphOps extends QueryGroup {
         // overlapping runs interleave materialization)
         .localCheckpoint(true)
     }
-    // the certificate: both sides are |V|-row checkpointed tables
-    // with the same node set (every node of the undirected graph is
-    // a dst), the diff is one exact integer agg
-    val delta = r
-      .join(prev.select(col("node"), col("r").as("rp")), "node")
-      .agg(coalesce(sum(abs(col("r") - col("rp"))), lit(0L)))
-      .collect()(0).getLong(0)
-    (r, delta)
+    (r, prev)
   }
 
   /** BFS to FRONTIER EXHAUSTION (r9, VERDICT r8 #1 — the last
@@ -363,14 +385,15 @@ object GraphOps extends QueryGroup {
         // converges slower than the pinned depth fails the hash
         // loudly instead of silently under-converging (the fixpoint
         // trio's rounds-column discipline, applied to the one
-        // fixed-iteration loop left)
-        val (r, delta) = pagerankDelta(edges(spark, sf), Iters)
-        r.select(
+        // fixed-iteration loop left). Cross-join form: the
+        // certificate rides the emitted job, no second execution.
+        pagerankDeltaCol(edges(spark, sf), Iters)
+          .select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
             expr("node div 2").as("key"),
-            col("r").as("rank_micro"))
-          .withColumn("delta_micro", lit(delta))
+            col("r").as("rank_micro"),
+            col("delta_micro"))
           .orderBy("node_type", "key")
       },
       Some {
@@ -871,5 +894,62 @@ object GraphOps extends QueryGroup {
         "is also the sanity gate on ingest: a degree spike at one " +
         "value usually means a crawler artifact (a template page " +
         "linking everything), the graph-side analog of the shingle " +
-        "df tail."))
+        "df tail."),
+
+    // Degree assortativity (r9) — Pearson correlation of endpoint
+    // degrees over the directed edge list, the single number that
+    // says whether hubs attach to hubs (assortative, r > 0: social
+    // graphs) or to leaves (disassortative, r < 0: bipartite
+    // trade/web graphs — this one, by construction). Six exact
+    // integer moments (agg_corr's discipline), one float composition
+    // at the edge. graph_degree_dist shows the degree SHAPE; this
+    // says how degrees MIX — together they are the two-line summary
+    // every new graph gets before any iterative op is tuned.
+    QueryDef(
+      "graph_assortativity",
+      (spark, sf) => {
+        val e = edges(spark, sf).localCheckpoint(true)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("d"))
+        val xy = e
+          .join(broadcast(deg.select(col("src"), col("d").as("dx"))), "src")
+          .join(broadcast(deg.select(col("src").as("dst"), col("d").as("dy"))), "dst")
+        val n = col("n").cast("double")
+        val num = n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val den = sqrt(n * col("sxx").cast("double") -
+            col("sx").cast("double") * col("sx").cast("double")) *
+          sqrt(n * col("syy").cast("double") -
+            col("sy").cast("double") * col("sy").cast("double"))
+        xy.agg(count(lit(1)).as("n"),
+            sum(col("dx")).as("sx"), sum(col("dy")).as("sy"),
+            sum(col("dx") * col("dy")).as("sxy"),
+            sum(col("dx") * col("dx")).as("sxx"),
+            sum(col("dy") * col("dy")).as("syy"))
+          .select(col("n"), col("sx"), col("sy"), col("sxy"),
+            when(den > 0, round(num / den, 4)).as("assortativity"))
+      },
+      Some(s"WITH bp AS ($EdgesSql), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+        "deg AS (SELECT src, count(*) AS d FROM e GROUP BY 1), " +
+        "xy AS (SELECT dx.d AS dx, dy.d AS dy FROM e " +
+        "JOIN deg dx ON e.src = dx.src JOIN deg dy ON e.dst = dy.src), " +
+        "m AS (SELECT count(*) AS n, CAST(sum(dx) AS BIGINT) AS sx, CAST(sum(dy) AS BIGINT) AS sy, " +
+        "CAST(sum(dx*dy) AS BIGINT) AS sxy, CAST(sum(dx*dx) AS BIGINT) AS sxx, CAST(sum(dy*dy) AS BIGINT) AS syy FROM xy) " +
+        "SELECT n, sx, sy, sxy, " +
+        "CASE WHEN sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy) > 0 " +
+        "THEN round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*sy) / " +
+        "(sqrt(CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*sx) * sqrt(CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*sy)), 4) END AS assortativity " +
+        "FROM m"),
+      scaleNote = "Two broadcast degree joins onto the checkpointed " +
+        "edge list (|V|-row broadcast sides — co-partitioned joins " +
+        "at social-graph scale, the standard valve) feed one " +
+        "map-side-combined six-moment aggregate: the wire carries " +
+        "six longs per partition however many edges exist, and the " +
+        "Pearson composition runs once on the 1-row result " +
+        "(agg_corr's exact-moment discipline — mergeable across " +
+        "days/shards for free). Long bounds: deg ≤ |V|, so Σdx·dy ≤ " +
+        "|E|·deg_max² — DECIMAL(38,0) partials past ~10^18, same " +
+        "escalation as agg_corr. The degenerate-variance guard " +
+        "(regular graphs: den = 0) emits NULL identically on both " +
+        "engines rather than a NaN ordering hazard."))
 }

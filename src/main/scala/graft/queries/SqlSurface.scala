@@ -280,7 +280,96 @@ object SqlSurface extends QueryGroup {
       |WHERE l_shipdate >= TIMESTAMP '1997-03-01'
       |  AND l_shipdate < TIMESTAMP '1997-04-01'""".stripMargin
 
+  /** TPC-H Q18 shape (large-volume customers): IN over an AGGREGATED
+    * subquery — the qualifying set is itself a GROUP BY ... HAVING
+    * over the fact table, so the planner must build the aggregate
+    * once and semi-join it, never re-evaluate the grouped subquery
+    * per outer row; lineitem is read twice BY DESIGN (once to
+    * qualify orders, once to total them). Exact-DECIMAL sums both
+    * places, total ORDER BY tiebreak under the LIMIT. */
+  private val Q18 =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+      |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,2)))
+      |    AS DECIMAL(18,2)) AS DOUBLE) AS total_qty
+      |FROM customer
+      |JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE o_orderkey IN (
+      |  SELECT l_orderkey FROM lineitem
+      |  GROUP BY l_orderkey
+      |  HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 300)
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate
+      |ORDER BY total_qty DESC, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q15 shape (top supplier): a CTE referenced TWICE — once as
+    * the join input, once inside the scalar max subquery — so the
+    * planner must either reuse or re-derive the aggregate
+    * consistently; the 'argmax via self-referencing aggregate' idiom
+    * analysts reach for before window functions. The revenue compare
+    * runs on the scale-pinned DECIMAL (exact equality — a DOUBLE
+    * compare here would be the classic float-equality bug), cast
+    * DOUBLE only at the emit edge. */
+  private val Q15 =
+    """WITH revenue AS (
+      |  SELECT l_suppkey AS supplier_no,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)))
+      |      AS DECIMAL(18,4)) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+      |FROM supplier
+      |JOIN revenue ON s_suppkey = supplier_no
+      |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q15",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q15)
+      },
+      Some(Q15.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The twice-referenced CTE is the planning stress: " +
+        "Spark inlines both references (two aggregate builds over " +
+        "the pruned ship-quarter slice — map-side-combined, " +
+        "|suppliers| partials each) while the scalar max collapses " +
+        "one of them to a 1-row subquery result folded into the " +
+        "filter; a CACHE/materialize hint collapses the double read " +
+        "when the CTE is expensive (the documented trade — " +
+        "re-evaluate cheap and pruned, or materialize once and pay " +
+        "the write). The equality filter on the exact DECIMAL is " +
+        "what makes the argmax deterministic — the window-function " +
+        "form (sql_window_topk) is the single-pass alternative, " +
+        "same answer by construction. At 100 TB both CTE scans " +
+        "prune to one quarter at the parquet level."),
+
+    QueryDef(
+      "sql_tpch_q18",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q18)
+      },
+      Some(Q18.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The IN-over-aggregate decorrelates to one " +
+        "LEFT SEMI join against the grouped qualifying set — the " +
+        "aggregate runs ONCE (map-side-combined per-order quantity " +
+        "sums, |orders| partials on the wire) and, because the " +
+        "HAVING cut is brutally selective (46 of 15 000 orders " +
+        "here), the semi join's build side is tiny and broadcasts: " +
+        "orders and lineitem prune to the qualifying keys BEFORE " +
+        "the 3-table join does any work. At 100 TB this is the " +
+        "standard 'find the whales, then expand them' two-pass — " +
+        "the alternative single-pass (window-sum + filter) shuffles " +
+        "the full fact table once instead of twice but loses the " +
+        "broadcast prune; with lineitem bucketed on the order key " +
+        "both passes are exchange-free. TakeOrderedAndProject caps " +
+        "the result at 100 rows, no global sort."),
+
     QueryDef(
       "sql_tpch_q10",
       (spark, sf) => {

@@ -163,5 +163,52 @@ object VecStats extends QueryGroup {
         "deflate-and-repeat extension (top-k axes) subtracts the " +
         "rank-1 term in the same integer arithmetic. The axis feeds " +
         "dimension-reduced ANN (project, then AnnIvf's buckets) and " +
-        "whitened similarity."))
+        "whitened similarity."),
+
+    // Embedding-corpus hygiene stats (r9) — the validation pass every
+    // cosine-based operator in this engine silently assumes: per
+    // label, the quantized-norm² distribution (min/max/sum) plus the
+    // two poison counts — zero vectors (cosine undefined: division by
+    // zero downstream) and wrong-dimension rows (a model-version mixup
+    // in the corpus; every dot product would silently misalign). The
+    // norms are the SAME integer quantized norm² the similarity
+    // family computes, so a vector this pass admits is exactly a
+    // vector ann_topk/vec_cosine_pairs can score.
+    QueryDef(
+      "emb_norm_stats",
+      (spark, sf) => {
+        val q = Tables.embeddings(spark, sf)
+          .select(col("label"), col("embedding"),
+            Vec.norm2(Vec.quantize(col("embedding"))).as("n2"))
+        q.groupBy("label").agg(
+            count(lit(1)).as("n_vecs"),
+            min(col("n2")).as("min_norm2"),
+            max(col("n2")).as("max_norm2"),
+            sum(col("n2")).as("sum_norm2"),
+            sum(when(col("n2") === 0, 1L).otherwise(0L)).as("n_zero"),
+            sum(when(size(col("embedding")) =!= Dim, 1L).otherwise(0L))
+              .as("n_bad_dim"))
+          .orderBy("label")
+      },
+      Some("SELECT label, count(*) AS n_vecs, " +
+        "CAST(min(n2) AS BIGINT) AS min_norm2, CAST(max(n2) AS BIGINT) AS max_norm2, " +
+        "CAST(sum(n2) AS BIGINT) AS sum_norm2, " +
+        "CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero, " +
+        s"CAST(sum(CASE WHEN len(embedding) <> $Dim THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim " +
+        "FROM (SELECT label, embedding, CAST(list_sum(list_transform(" +
+        "list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)), " +
+        "x -> x*x)) AS BIGINT) AS n2 FROM embeddings) GROUP BY label ORDER BY label"),
+      scaleNote = "One map-side-combined aggregate over a single " +
+        "scan — the norm² is the codegen'd LongArrayDot self-dot " +
+        "inside the scan stage, so the hygiene pass costs one read " +
+        "however large the corpus, and the wire carries |labels| " +
+        "partials. This is the cheap gate that belongs BEFORE every " +
+        "expensive similarity stage at 100 TB: a zero vector or a " +
+        "dimension mismatch caught here is a NaN cosine, a skewed " +
+        "IVF bucket, or a silently-wrong dot product prevented " +
+        "downstream (the same fail-loud posture as the Gram " +
+        "aggregator's addExact). Norm OUTLIER fences (min/max per " +
+        "label) are the embedding-side analog of quality_gopher_" +
+        "rules' length bounds — production adds a percentile fence " +
+        "from agg_approx_quantile's sketch on the same pass."))
 }

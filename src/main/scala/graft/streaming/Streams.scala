@@ -450,6 +450,63 @@ object Streams {
       }
   }
 
+  case class HoltState(day: Long, n: Long, l: Long, b: Long,
+      started: Boolean)
+  case class HoltRow(event_type: String, day: String, n: Long,
+      level_micro: Long, trend_micro: Long, forecast_micro: Long)
+
+  /** Streaming Holt linear smoothing — the twin of batch
+    * ts_holt_linear and the form its scaleNote names for unbounded
+    * series: per-type state is the open day's count plus the (level,
+    * trend) pair — O(1) FOREVER, where ewma's ring buffer is O(8)
+    * and a windowed recompute would be O(history). Each day close
+    * advances the recursion one step in the identical integer
+    * micro-unit arithmetic (the same explicit floor division, so
+    * stream and batch agree bit-for-bit through negative trends) and
+    * emits the finalized (level, trend, forecast) row. Ordered-replay
+    * contract enforced like stream_ewma: a day older than the open
+    * day throws instead of silently corrupting every later step. */
+  def holt(events: Dataset[Event]): Dataset[HoltRow] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400L * 1000
+    def d5(v: Long): Long = { val r = ((v % 5) + 5) % 5; (v - r) / 5 }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[Event], state: GroupState[HoltState]) =>
+          var st = state.getOption
+            .getOrElse(HoltState(Long.MinValue, 0L, 0L, 0L, started = false))
+          val out = Seq.newBuilder[HoltRow]
+          def finalizeDay(): Unit = if (st.day != Long.MinValue) {
+            val x = st.n * 1000000L
+            val (l, b) =
+              if (!st.started) (x, 0L)
+              else {
+                val lp = d5(x + 4 * (st.l + st.b))
+                (lp, d5(lp - st.l + 4 * st.b))
+              }
+            out += HoltRow(typ,
+              java.time.LocalDate.ofEpochDay(st.day).toString, st.n,
+              l, b, l + b)
+            st = HoltState(Long.MinValue, 0L, l, b, started = true)
+          }
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            if (st.day != Long.MinValue && d < st.day)
+              throw new IllegalStateException(
+                s"stream_holt replay-order violation for '$typ': day $d after open day ${st.day}")
+            if (d != st.day) {
+              finalizeDay()
+              st = st.copy(day = d, n = 0L)
+            }
+            st = st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class GapState(day: Long, hourMask: Long, n: Long)
   case class GapRow(event_type: String, day: String, hours_observed: Long,
       n_events: Long, hours_missing: Long, has_gap: Boolean)

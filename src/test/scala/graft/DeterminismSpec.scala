@@ -22,7 +22,15 @@ class DeterminismSpec extends SparkSpec {
     // r7: exact-moment float composes (summation order must not leak),
     // collect_list-ordered paths, PMI logs over count broadcasts
     "agg_corr", "agg_skew_kurtosis", "agg_percentile_cont",
-    "path_patterns", "text_collocations", "interval_coverage")
+    "path_patterns", "text_collocations", "interval_coverage",
+    // r9: the HOF recursion (fold order must come from array_sort,
+    // never partition order), the ECDF-staged curriculum (value-
+    // grouped boundaries are the whole reproducibility claim), RRF's
+    // rank composition, the six-moment float compose, and the write-
+    // path round trip (range-partitioner sampling must not leak into
+    // the gated aggregate)
+    "ts_holt_linear", "corpus_curriculum", "rank_fusion_rrf",
+    "graph_assortativity", "sink_layout_hilbert")
 
   private def rows(s: org.apache.spark.sql.SparkSession, name: String) =
     Registry.byName(name).build(s, sf).collect().map(_.toSeq).toSeq

@@ -291,7 +291,10 @@ class PlanPropertiesSpec extends SparkSpec {
         // stage assignment divides by, and the ONE query vector the
         // semantic arm scores against
         "join_bloom_prefilter", "text_heaps_curve", "corpus_curriculum",
-        "rank_fusion_rrf")
+        "rank_fusion_rrf",
+        // the 1-row L1-delta certificate aggregate cross-joined onto
+        // the rank table (pagerankDeltaCol — a constant, not a scan)
+        "graph_pagerank")
     Registry.all.foreach { d =>
       val p = plan(d.name)
       assert(!p.contains("CartesianProduct"),
