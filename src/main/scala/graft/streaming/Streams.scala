@@ -891,6 +891,45 @@ object Streams {
   }
 
   case class Doc(doc_id: Long, text: String)
+
+  /** Streaming Gopher-style quality gate — the stateless live twin of
+    * batch quality_gopher_rules, and the posture an ingest stream
+    * needs: every arriving document is gated IN the micro-batch, with
+    * the identical per-rule flags, before anything stateful (dedup
+    * indexes, upsert stores) sees it. Map-only: the per-doc counts
+    * come from HOF folds over the split array (the batch op's
+    * explode+groupBy computes the same values through a shuffle —
+    * fine for a corpus pass, wrong for a per-batch gate), so this
+    * composes in front of every stateful op like stream_quarantine.
+    * The repetition max is a run-length fold over the SORTED token
+    * array — array_sort makes the fold order a property of the data,
+    * never of arrival or partition order. */
+  def qualityGate(docs: Dataset[Doc]): DataFrame = {
+    val ws = split(col("text"), " ")
+    docs.toDF()
+      .select(col("doc_id"), ws.as("ws"))
+      .withColumn("n_words", size(col("ws")).cast("long"))
+      .withColumn("n_word_chars",
+        expr("aggregate(ws, 0L, (a, w) -> a + length(w))"))
+      .withColumn("n_stop", expr(
+        "size(filter(ws, w -> w IN ('the','a','of','in','to')))").cast("long"))
+      .withColumn("max_word_cnt", expr(
+        "aggregate(array_sort(ws), " +
+          "named_struct('prev', CAST(NULL AS STRING), 'run', 0L, 'best', 0L), " +
+          "(acc, w) -> named_struct(" +
+          "'prev', w, " +
+          "'run', IF(acc.prev <=> w, acc.run + 1L, 1L), " +
+          "'best', greatest(acc.best, IF(acc.prev <=> w, acc.run + 1L, 1L))), " +
+          "acc -> acc.best)"))
+      .withColumn("r_len", col("n_words").between(50, 100000))
+      .withColumn("r_mwl", lit(3) * col("n_words") <= col("n_word_chars") &&
+        col("n_word_chars") <= lit(10) * col("n_words"))
+      .withColumn("r_stop", col("n_stop") >= 2)
+      .withColumn("r_rep", lit(5) * col("max_word_cnt") <= col("n_words"))
+      .withColumn("keep",
+        col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
+      .drop("ws")
+  }
   case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
   case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]],
       drops: Long = 0L)

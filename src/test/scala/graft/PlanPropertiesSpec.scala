@@ -410,6 +410,20 @@ class PlanPropertiesSpec extends SparkSpec {
       s"distinct-count must run two-phase:\n${p.take(1200)}")
   }
 
+  test("sink_layout_hilbert: the square predicate pushes to the read-back scan") {
+    // the write side's whole purpose is that these pushed range
+    // filters can skip row groups via the curve-tightened x/y stats
+    // (LayoutSinkSpec measures the skip; this pins the pushdown that
+    // enables it)
+    val p = plan("sink_layout_hilbert")
+    assert(p.contains("PushedFilters: [IsNotNull"), p.take(1200))
+    // the toString truncates the pushed list; the x bounds are visible
+    // there, the y bounds in the DataFilters — both must reach the scan
+    assert(p.contains("GreaterThanOrEqual(x,32"), p.take(1600))
+    assert(p.contains("LessThanOrEqual(x,47"), p.take(1600))
+    assert(p.contains("DataFilters: [") && p.contains("<= 79)"), p.take(1600))
+  }
+
   test("sql_tpch_q17's correlated scalar subquery decorrelates to ONE aggregate-join") {
     val p = plan("sql_tpch_q17")
     // RewriteCorrelatedScalarSubquery: the per-part average is one

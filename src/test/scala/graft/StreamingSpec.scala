@@ -569,6 +569,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_quality_gate equals batch quality_gopher_rules per doc (stateless map)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text"))
+      .as[Streams.Doc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val mem = MemoryStream[Streams.Doc](31, spark, None)
+    val q = Streams.qualityGate(mem.toDS()).writeStream.format("memory")
+      .queryName("t_qgate").outputMode("append").start()
+    try {
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val cols = Seq("doc_id", "n_words", "n_word_chars", "n_stop",
+        "max_word_cnt", "r_len", "r_mwl", "r_stop", "r_rep", "keep")
+      val streamed = spark.table("t_qgate").select(cols.map(col): _*)
+      // the batch op derives the same numbers through explode+groupBy;
+      // the HOF-fold gate must agree on every doc and every rule
+      val batch = graft.engine.Registry.byName("quality_gopher_rules")
+        .build(spark, sf).select(cols.map(col): _*)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch quality-gate mismatch")
+      assert(streamed.count() === docs.length.toLong)
+    } finally q.stop()
+  }
+
   test("stream_holt equals batch ts_holt_linear on finalized days under ordered replay") {
     val s = spark
     import s.implicits._
