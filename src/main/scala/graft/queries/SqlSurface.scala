@@ -326,7 +326,270 @@ object SqlSurface extends QueryGroup {
       |WHERE total_rev = (SELECT max(total_rev) FROM revenue)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** TPC-H Q6 (forecasting revenue change): the pure scan-filter
+    * aggregate — three pushed predicates, no join, no group-by; the
+    * query every pushdown regression shows up in first. The discount
+    * band compares on DECIMAL(18,2) BOTH sides (a raw double BETWEEN
+    * 0.05 AND 0.07 would hinge on each engine's literal typing; the
+    * cast pins one rounding of the stored double on both). */
+  private val Q6 =
+    """SELECT
+      |  CAST(CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |    CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(18,4)))
+      |    AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(l_discount AS DECIMAL(18,2))
+      |    BETWEEN CAST(0.05 AS DECIMAL(18,2)) AND CAST(0.07 AS DECIMAL(18,2))
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q7 (volume shipping): the SYMMETRIC-PAIR join — nation
+    * joined twice under different roles (supplier side, customer
+    * side) with an OR of the two direction tuples, grouped by the
+    * direction + ship year. The planner must keep both nation
+    * probes as separate broadcasts and evaluate the pair disjunction
+    * as a residual. year() is cast INT on both engines (Spark emits
+    * INT, DuckDB BIGINT). */
+  private val Q7 =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(CAST(sum(vol) AS DECIMAL(18,4)) AS DOUBLE) AS revenue,
+      |  count(*) AS n_rows
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS INT) AS l_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS vol
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q8 shape (national market share): the deepest join in the
+    * suite — EIGHT relations (nation twice: customer's region gate,
+    * supplier's share key) feeding a share-of-total ratio per order
+    * year, numerator and denominator from ONE pass via CASE-inside-
+    * sum (Q14's discipline over a 8-way star). Driver schema's
+    * single-word p_type stands in for the original's three-word type
+    * equality. */
+  private val Q8 =
+    """SELECT o_year,
+      |  round(CAST(CAST(sum(CASE WHEN nat = 'NATION_3' THEN vol END)
+      |      AS DECIMAL(18,4)) AS DOUBLE)
+      |    / CAST(CAST(sum(vol) AS DECIMAL(18,4)) AS DOUBLE), 4) AS mkt_share,
+      |  count(*) AS n_rows
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4)) AS vol,
+      |    n2.n_name AS nat
+      |  FROM part
+      |  JOIN lineitem ON p_partkey = l_partkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region ON n1.n_regionkey = r_regionkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  WHERE r_name = 'EUROPE' AND p_type = 'PROMO'
+      |    AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |    AND o_orderdate < TIMESTAMP '1998-01-01') allnations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q12 shape (shipping modes / critical orders): the CASE-
+    * priority split over a fact⋈fact join with a cross-table
+    * inequality (shipped > 90 days after ordering — the driver
+    * schema's stand-in for commit/receipt lateness; no l_shipmode
+    * column, so returnflag carries the group role). Both counters
+    * come from one pass; BIGINT-pinned (DuckDB sums INT32 into
+    * INT128). */
+  private val Q12 =
+    """SELECT l_returnflag,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q13 (customer distribution): the DOUBLE aggregate — count
+    * orders per customer, then count customers per order-count — over
+    * a LEFT OUTER join whose filter lives in the ON clause (filtering
+    * the right side WITHOUT dropping order-less customers; a WHERE
+    * would silently turn the join inner, the classic outer-join bug
+    * this text gates). Zero-order customers must survive into the
+    * c_count = 0 bucket. */
+  private val Q13 =
+    """SELECT c_count, count(*) AS custdist
+      |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+      |      FROM customer
+      |      LEFT OUTER JOIN orders ON c_custkey = o_custkey
+      |        AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q21 shape (suppliers who kept orders waiting): the DOUBLE
+    * correlation — one EXISTS (some OTHER supplier on the same order)
+    * and one NOT EXISTS (no OTHER supplier was ALSO late) against the
+    * same fact table, both correlated on the outer line's order key
+    * and the NOT EXISTS additionally on the outer ORDER's date (a
+    * two-table outer reference). Plans as one semi + one anti join
+    * over lineitem — a naive engine re-runs two subqueries per row.
+    * "Late" = shipped > 60 days after ordering (no commit/receipt
+    * dates in the driver schema). */
+  private val Q21 =
+    """SELECT s_name, count(*) AS numwait
+      |FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND n_name IN ('NATION_3', 'NATION_8', 'NATION_13')
+      |  AND EXISTS (SELECT * FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT * FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q6",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q6)
+      },
+      Some(Q6.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The pushdown benchmark: all three predicates (ship " +
+        "year, discount band, quantity cap) reach the parquet scan as " +
+        "pushed filters, the projection is 4 columns, and the " +
+        "aggregate is global — one partial row per partition on the " +
+        "wire, a single final merge. At 100 TB with shipdate " +
+        "partitioning the year bounds become partition pruning and " +
+        "the query reads one year's files; row-group stats on " +
+        "discount/quantity skip within them. The revenue product is " +
+        "scale-pinned DECIMAL before the sum, so partials merge " +
+        "bit-stable; the discount band compares DECIMAL-to-DECIMAL " +
+        "on both engines (raw double literals would ride each " +
+        "engine's typing rules)."),
+
+    QueryDef(
+      "sql_tpch_q7",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q7)
+      },
+      Some(Q7.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Nation broadcasts TWICE under different aliases — " +
+        "the planner must not conflate the two probes (supplier role " +
+        "vs customer role), and the direction disjunction evaluates " +
+        "as a residual after both dimension joins, never as a " +
+        "nation×nation expansion. The pair filter is brutally " +
+        "selective (2 of 625 direction pairs), so at 100 TB the win " +
+        "is pushing the nation-key IN-sets down into the supplier " +
+        "and customer scans (runtime filters / DPP do exactly this " +
+        "from the broadcast sides), shrinking the fact joins before " +
+        "they shuffle. Group-by is |directions × years| cells — " +
+        "map-side-collapsed."),
+
+    QueryDef(
+      "sql_tpch_q8",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q8)
+      },
+      Some(Q8.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Eight relations, one fact: every dimension " +
+        "(part filtered to one type, supplier, customer, nation ×2, " +
+        "region) broadcasts, so the only shuffles are the " +
+        "orders⋈lineitem key exchange and the 2-row final aggregate " +
+        "— join ORDER is the whole game, and the region/type filters " +
+        "must propagate through the dimension chain before the fact " +
+        "join commits (CBO territory; Catalog.analyzed feeds it). " +
+        "The share ratio is Q14's CASE-inside-sum over exact " +
+        "DECIMAL partials — numerator and denominator from one " +
+        "pass, one float division per year row at the edge. At " +
+        "100 TB the orderdate window is partition pruning on the " +
+        "orders scan and DPP prunes lineitem through the join."),
+
+    QueryDef(
+      "sql_tpch_q12",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q12)
+      },
+      Some(Q12.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The cross-table inequality (shipdate vs " +
+        "orderdate + 90d) cannot push to either scan — it rides the " +
+        "o_orderkey = l_orderkey hash join as a residual, evaluated " +
+        "per matched row; the ship-year bounds DO push to the " +
+        "lineitem scan and prune it first. Both priority counters " +
+        "come from one CASE pass over the join output (two filtered " +
+        "scans would read lineitem twice and still need a join). " +
+        "3-row output: partial aggregation collapses everything " +
+        "map-side. At 100 TB bucket both facts on the order key " +
+        "(join_star's layout) and the join is exchange-free; " +
+        "BIGINT-pinned sums keep DuckDB's INT128 widening out of " +
+        "the schema compare."),
+
+    QueryDef(
+      "sql_tpch_q13",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q13)
+      },
+      Some(Q13.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The ON-clause filter is the correctness heart: it " +
+        "prunes orders BEFORE the outer join (pushed to the orders " +
+        "scan — filters on the PRESERVED side can't push, filters on " +
+        "the null-producing side can), while every customer survives " +
+        "into the count, zero-order ones counting 0. Double " +
+        "aggregate = two exchanges: per-customer counts (map-side " +
+        "combinable on the join's own customer-key partitioning — " +
+        "free if the join output is already keyed), then the tiny " +
+        "|distinct counts| histogram. At 100 TB this is the " +
+        "engagement-distribution query every funnel dashboard runs; " +
+        "the histogram never exceeds max-orders-per-customer rows."),
+
+    QueryDef(
+      "sql_tpch_q21",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q21)
+      },
+      Some(Q21.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The double correlation decorrelates to one LEFT " +
+        "SEMI and one LEFT ANTI join against lineitem, both keyed on " +
+        "the order key — lineitem is read three times (probe + two " +
+        "correlation sides), never |rows| times; the anti join " +
+        "additionally carries the outer order-date through the " +
+        "lateness residual (a two-table outer reference, the " +
+        "deepest decorrelation in the suite — plan-pinned no-loop-" +
+        "join). The status/nation filters prune the probe side " +
+        "before either correlation joins; at 100 TB all three " +
+        "lineitem passes co-partition on l_orderkey if the fact is " +
+        "bucketed (join_star's layout), collapsing the query to one " +
+        "exchange + broadcasts. TakeOrdered caps the 20-row report."),
+
     QueryDef(
       "sql_tpch_q15",
       (spark, sf) => {

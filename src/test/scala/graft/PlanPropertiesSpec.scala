@@ -438,6 +438,30 @@ class PlanPropertiesSpec extends SparkSpec {
       s"per-row scalar subquery survived decorrelation:\n${p.take(1500)}")
   }
 
+  test("sql_tpch_q21's double correlation decorrelates to one semi + one anti join") {
+    val p = plan("sql_tpch_q21")
+    assert(p.contains("LeftSemi"),
+      s"EXISTS must plan as a semi join:\n${p.take(1500)}")
+    assert(p.contains("LeftAnti"),
+      s"NOT EXISTS must plan as an anti join:\n${p.take(1500)}")
+    // the two-table outer reference (l1.l_orderkey + o_orderdate)
+    // must ride the anti join's condition, never a loop join
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"correlation degenerated to a loop join:\n${p.take(1500)}")
+  }
+
+  test("sql_tpch_q13 keeps the outer join outer and pushes the ON filter to orders") {
+    val p = plan("sql_tpch_q13")
+    // the ON-clause predicate filters the null-producing side only,
+    // so it pushes to the orders scan while the join stays LeftOuter
+    // (a WHERE would have collapsed it to Inner and dropped
+    // zero-order customers)
+    assert(p.contains("LeftOuter"),
+      s"outer join must survive planning:\n${p.take(1500)}")
+    assert(p.contains("1-URGENT"),
+      s"ON filter must prune orders before the join:\n${p.take(1500)}")
+  }
+
   test("sql_tpch_q19 extracts the equi key from the OR join condition (hash join, no loop)") {
     val p = plan("sql_tpch_q19")
     assert(p.contains("HashJoin"),
