@@ -343,5 +343,46 @@ SELECT eval_id, corpus_id AS nearest_corpus_id, cos AS nearest_cos, coalesce(cos
         "at 100 TB this is exactly the decontam pass the n-gram " +
         "contamination_check runs lexically, and production runs " +
         "BOTH — surface overlap and paraphrase overlap are different " +
-        "leaks. Flagged ids feed split_train_val's exclusion list."))
+        "leaks. Flagged ids feed split_train_val's exclusion list."),
+
+    // The dedup-threshold tuning curve: how many candidate pairs
+    // survive at each cosine cutoff — THE measurement a semantic-dedup
+    // threshold is chosen from (too low merges distinct docs, too high
+    // misses paraphrases; the knee of this curve is where τ goes).
+    // Rides the SAME 4-plane bucketed pair generator as emb_near_dup /
+    // dedup_semantic, so the curve measures exactly the pair space
+    // those operators would act on — not a different estimator.
+    QueryDef(
+      "emb_threshold_curve",
+      (spark, sf) => {
+        val pairs = cosineNearDup(bucketed(spark, sf, planes = 4), 0.25)
+        val thr = spark.range(1).select(explode(array(
+          Seq(2500, 5000, 7500, 9000, 9500).map(lit): _*)).as("thr_bp"))
+        // cos and thr_bp/10000.0 are bit-identical on both engines
+        // (round-4 double vs exact int division), so the >= is stable
+        broadcast(thr)
+          .join(pairs, col("cos") >= col("thr_bp").cast("double") / 10000.0,
+            "left")
+          .groupBy("thr_bp")
+          .agg(count(col("id1")).as("n_pairs"))
+          .orderBy("thr_bp")
+      },
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(4)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(4)} AS bucket FROM pr),
+p AS (SELECT cos FROM (SELECT round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id) WHERE cos >= 0.25),
+t AS (SELECT unnest([2500, 5000, 7500, 9000, 9500]) AS thr_bp)
+SELECT thr_bp, count(cos) AS n_pairs FROM t LEFT JOIN p ON p.cos >= CAST(thr_bp AS DOUBLE)/10000.0 GROUP BY thr_bp ORDER BY thr_bp""".replaceAll("\\n", " ")),
+      scaleNote = "The expensive half (bucketed pair generation + " +
+        "exact quantized cosines) is emb_near_dup's — linear in the " +
+        "corpus with the plane-count dial; the curve itself is a " +
+        "5-row broadcast theta-join + one map-side-combined count " +
+        "per threshold over pairs that already exist, so measuring " +
+        "the curve costs the SAME pass the dedup would run anyway " +
+        "(run it first, pick τ, then cluster — no second scan: " +
+        "dedup_semantic consumes the identical pair table). At " +
+        "100 TB the pair floor (0.25) bounds what the counts " +
+        "traverse; thresholds are exact int basis points so the " +
+        "curve is bit-reproducible release-over-release — the " +
+        "property that makes threshold drift a diffable signal."))
 }

@@ -366,8 +366,8 @@ object SqlSurface extends QueryGroup {
       |  JOIN customer ON c_custkey = o_custkey
       |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
       |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
-      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  WHERE ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+      |      OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
       |    AND l_shipdate >= TIMESTAMP '1996-01-01'
       |    AND l_shipdate < TIMESTAMP '1998-01-01') shipping
       |GROUP BY supp_nation, cust_nation, l_year

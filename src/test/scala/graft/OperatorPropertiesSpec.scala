@@ -1309,4 +1309,44 @@ class OperatorPropertiesSpec extends SparkSpec {
       out.select("cluster_id").distinct().count())
     out.unpersist()
   }
+
+  test("pareto_front: no result row is dominated, every dropped row is (quadratic check)") {
+    val front = run("pareto_front").cache()
+    val parts = graft.engine.Tables.part(spark, sf)
+      .select(col("p_brand"), col("p_partkey"), col("p_size"),
+        col("p_retailprice").cast("decimal(18,2)").as("pd")).cache()
+    // (a) soundness: no skyline row has a same-brand dominator
+    val a = front.select(col("p_brand"), col("p_partkey").as("k"),
+      col("p_size").as("s"), col("price").cast("decimal(18,2)").as("p"))
+    val dominated = a.join(parts, Seq("p_brand"))
+      .filter(col("pd") >= col("p") && col("p_size") <= col("s") &&
+        (col("pd") > col("p") || col("p_size") < col("s")))
+    assert(dominated.count() == 0, "a skyline row is dominated")
+    // (b) completeness: every non-skyline part has a dominator
+    val nonFront = parts.join(
+      front.select(col("p_partkey")), Seq("p_partkey"), "left_anti")
+    val q = parts.select(col("p_brand"), col("pd").as("qp"),
+      col("p_size").as("qs"))
+    val undominated = nonFront.join(q, Seq("p_brand"))
+      .filter(col("qp") >= col("pd") && col("qs") <= col("p_size") &&
+        (col("qp") > col("pd") || col("qs") < col("p_size")))
+      .groupBy("p_partkey").count()
+    assert(undominated.count() == nonFront.count(),
+      "a dropped part has no dominator")
+    // duplicate (price, size) pairs must BOTH survive (neither
+    // dominates the other: nothing is strict)
+    front.unpersist(); parts.unpersist()
+  }
+
+  test("emb_threshold_curve is non-increasing in the threshold and anchors to emb_near_dup") {
+    val curve = run("emb_threshold_curve").orderBy("thr_bp")
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(curve.map(_._1).toSeq == Seq(2500, 5000, 7500, 9000, 9500))
+    curve.sliding(2).foreach { case Array((t1, n1), (t2, n2)) =>
+      assert(n1 >= n2, s"curve must be non-increasing: $t1=$n1 < $t2=$n2")
+    }
+    // the 0.25 point counts exactly emb_near_dup's pair table
+    assert(curve.head._2 == run("emb_near_dup").count(),
+      "curve(0.25) must equal the near-dup pair count (same generator)")
+  }
 }
