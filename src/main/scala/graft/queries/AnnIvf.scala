@@ -356,15 +356,24 @@ SELECT eval_id, corpus_id AS nearest_corpus_id, cos AS nearest_cos, coalesce(cos
       "emb_threshold_curve",
       (spark, sf) => {
         val pairs = cosineNearDup(bucketed(spark, sf, planes = 4), 0.25)
-        val thr = spark.range(1).select(explode(array(
-          Seq(2500, 5000, 7500, 9000, 9500).map(lit): _*)).as("thr_bp"))
-        // cos and thr_bp/10000.0 are bit-identical on both engines
-        // (round-4 double vs exact int division), so the >= is stable
-        broadcast(thr)
-          .join(pairs, col("cos") >= col("thr_bp").cast("double") / 10000.0,
-            "left")
-          .groupBy("thr_bp")
-          .agg(count(col("id1")).as("n_pairs"))
+        // cos and thr/10000.0 are bit-identical on both engines
+        // (round-4 double vs exact int division), so the >= is stable.
+        // One global aggregate with a conditional count per threshold
+        // (map-side combined, NO join — r9 shipped this as a 5-row
+        // broadcast theta-join, which planned BroadcastNestedLoopJoin
+        // and tripped the loop-join sweep; fixed r10, VERDICT task 1a),
+        // then an in-row unpivot back to the (thr_bp, n_pairs) curve.
+        // The global agg always yields one row, so the curve keeps all
+        // 5 thresholds even over an empty pair table.
+        val thrs = Seq(2500, 5000, 7500, 9000, 9500)
+        val counts = thrs.map(t =>
+          count(when(col("cos") >= lit(t).cast("double") / 10000.0, true))
+            .as(s"c$t"))
+        pairs.agg(counts.head, counts.tail: _*)
+          .select(explode(array(thrs.map(t =>
+            struct(lit(t).as("thr_bp"), col(s"c$t").as("n_pairs"))): _*))
+            .as("s"))
+          .select(col("s.thr_bp").as("thr_bp"), col("s.n_pairs").as("n_pairs"))
           .orderBy("thr_bp")
       },
       Some(s"""WITH q AS ($QuantSql),
@@ -375,9 +384,10 @@ t AS (SELECT unnest([2500, 5000, 7500, 9000, 9500]) AS thr_bp)
 SELECT thr_bp, count(cos) AS n_pairs FROM t LEFT JOIN p ON p.cos >= CAST(thr_bp AS DOUBLE)/10000.0 GROUP BY thr_bp ORDER BY thr_bp""".replaceAll("\\n", " ")),
       scaleNote = "The expensive half (bucketed pair generation + " +
         "exact quantized cosines) is emb_near_dup's — linear in the " +
-        "corpus with the plane-count dial; the curve itself is a " +
-        "5-row broadcast theta-join + one map-side-combined count " +
-        "per threshold over pairs that already exist, so measuring " +
+        "corpus with the plane-count dial; the curve itself is ONE " +
+        "global aggregate with a map-side-combined conditional count " +
+        "per threshold (no join anywhere) over pairs that already " +
+        "exist, so measuring " +
         "the curve costs the SAME pass the dedup would run anyway " +
         "(run it first, pick τ, then cluster — no second scan: " +
         "dedup_semantic consumes the identical pair table). At " +

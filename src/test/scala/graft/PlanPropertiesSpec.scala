@@ -295,14 +295,23 @@ class PlanPropertiesSpec extends SparkSpec {
         // the 1-row L1-delta certificate aggregate cross-joined onto
         // the rank table (pagerankDeltaCol — a constant, not a scan)
         "graph_pagerank")
-    Registry.all.foreach { d =>
+    // Collect ALL violations before asserting (r10, ADVICE): the r9
+    // form asserted inside the foreach, so the first violator masked
+    // every query registered after it — one bad plan could hide others.
+    val violations = Registry.all.flatMap { d =>
       val p = plan(d.name)
-      assert(!p.contains("CartesianProduct"),
-        s"${d.name} plans CartesianProduct:\n${p.take(600)}")
-      if (!bnljByDesign(d.name))
-        assert(!p.contains("BroadcastNestedLoop"),
-          s"${d.name} plans BroadcastNestedLoopJoin:\n${p.take(600)}")
+      val cart =
+        if (p.contains("CartesianProduct"))
+          Some(s"${d.name} plans CartesianProduct:\n${p.take(600)}")
+        else None
+      val bnlj =
+        if (!bnljByDesign(d.name) && p.contains("BroadcastNestedLoop"))
+          Some(s"${d.name} plans BroadcastNestedLoopJoin:\n${p.take(600)}")
+        else None
+      cart.toSeq ++ bnlj.toSeq
     }
+    assert(violations.isEmpty,
+      s"${violations.size} plan violation(s):\n${violations.mkString("\n---\n")}")
   }
 
   test("scan_parquet projection reaches the reader (4-column ReadSchema)") {
