@@ -22,6 +22,19 @@ import graft.engine.{QueryDef, QueryGroup}
   */
 object SourceOps extends QueryGroup {
 
+  /** Session-unique sink root (r10, ADVICE): the write-path operators
+    * previously used a fixed /tmp path derived only from the sf
+    * directory name, so two concurrent sessions at the same sf (Bench
+    * plus a test run) could interleave overwrite-mode writes and
+    * corrupt each other's read-back. The applicationId component makes
+    * each session a single writer by construction; specs that inspect
+    * the written tree (LayoutSinkSpec, CompactionSinkSpec) recompute
+    * the same path from their own session. */
+  def sinkDir(spark: org.apache.spark.sql.SparkSession, sf: String,
+      name: String): String =
+    s"/tmp/graft_${name}_" + new java.io.File(sf).getName +
+      "_" + spark.sparkContext.applicationId
+
   val FixtureDir = "/tmp/graft_passages_fixture"
 
   private def doc(gare: String, trains: Seq[String]): String =
@@ -293,7 +306,7 @@ object SourceOps extends QueryGroup {
     "(3,'87758011',TIMESTAMP '2026-08-23 06:00:00','165435',3,'late')")
     .mkString(", ")
 
-  def defs: Seq[QueryDef] = Seq(
+  private def defsBase: Seq[QueryDef] = Seq(
     QueryDef(
       "source_passages_board",
       (spark, _) => {
@@ -534,7 +547,7 @@ object SourceOps extends QueryGroup {
     QueryDef(
       "sink_partitioned",
       (spark, sf) => {
-        val out = "/tmp/graft_sink_partitioned_" + new java.io.File(sf).getName
+        val out = sinkDir(spark, sf, "sink_partitioned")
         graft.engine.Tables.loadEvents(spark, sf)
           .write.mode("overwrite").partitionBy("event_type").parquet(out)
         spark.read.parquet(out)
@@ -688,7 +701,7 @@ object SourceOps extends QueryGroup {
     QueryDef(
       "sink_layout_hilbert",
       (spark, sf) => {
-        val out = "/tmp/graft_sink_layout_hilbert_" + new java.io.File(sf).getName
+        val out = sinkDir(spark, sf, "sink_layout_hilbert")
         graft.engine.Tables.lineitem(spark, sf)
           .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
             (col("l_partkey") % 256).as("x"), (col("l_orderkey") % 256).as("y"))
@@ -735,4 +748,92 @@ object SourceOps extends QueryGroup {
         "range exchange — the cheapest index a lake can buy. The " +
         "range sampling pass is one extra scan at write time; AQE " +
         "balances the per-file row counts."))
+
+  /** The OPTIMIZE/compaction operator (r10, VERDICT task 3) — the
+    * other half of lake maintenance sink_partitioned/sink_layout_
+    * hilbert left open: every incremental sink (stream_upsert_sink's
+    * parquet store is the in-repo producer) accumulates small-file
+    * debris, and a 100 TB lake dies by a million 100 KB files long
+    * before it dies by volume (footer reads dominate planning, scan
+    * tasks under-fill, the NameNode/listing layer melts).
+    *
+    * The op writes events deliberately fragmented (64 tiny files —
+    * repartition(64) simulates 64 micro-batch appends), bin-packs the
+    * fragments to 4 target files (repartitionByRange on event_id +
+    * sortWithinPartitions, so compaction ALSO leaves the table
+    * range-clustered — the sort-merge-within-key-ranges discipline
+    * sink_layout_hilbert's scaleNote promises), and emits one audit
+    * row per stage: measured file count plus content fingerprints
+    * (row count, exact-DECIMAL value sum, distinct users, id sum).
+    * The oracle computes the fingerprints from the ORIGINAL events
+    * table and pins the file counts as literals, so a row lost,
+    * duplicated or mangled by EITHER write — and a compaction that
+    * didn't actually change the file count — flips the hash.
+    * CompactionSinkSpec adds the file-level assertions (exact counts,
+    * per-file row floor: packed files carry real row groups). */
+  def compactDirs(spark: org.apache.spark.sql.SparkSession,
+      sf: String): (String, String) = {
+    val base = sinkDir(spark, sf, "sink_compact")
+    (base + "/fragmented", base + "/compacted")
+  }
+
+  private def compactDef: QueryDef =
+    QueryDef(
+      "sink_compact",
+      (spark, sf) => {
+        val (fragDir, compDir) = compactDirs(spark, sf)
+        graft.engine.Tables.loadEvents(spark, sf)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .repartition(64)
+          .write.mode("overwrite").parquet(fragDir)
+        spark.read.parquet(fragDir)
+          .repartitionByRange(4, col("event_id"))
+          .sortWithinPartitions("event_id")
+          .write.mode("overwrite").parquet(compDir)
+        def roll(dir: String, stage: String) =
+          spark.read.parquet(dir)
+            // the hidden file-source metadata column: deterministic
+            // (input_file_name() is rejected inside aggregates)
+            .withColumn("fname", col("_metadata.file_path"))
+            .agg(
+              count(lit(1)).as("n_rows"),
+              countDistinct(col("fname")).as("n_files"),
+              graft.engine.Dsl.sumDec2(col("value")).cast("double")
+                .as("sum_value"),
+              countDistinct(col("user_id")).as("n_users"),
+              sum(col("event_id")).as("sum_id"))
+            .select(lit(stage).as("stage"), col("n_rows"), col("n_files"),
+              col("sum_value"), col("n_users"), col("sum_id"))
+        roll(fragDir, "before_compact")
+          .unionAll(roll(compDir, "after_compact"))
+          .orderBy("stage")
+      },
+      Some("SELECT 'after_compact' AS stage, count(*) AS n_rows, " +
+        "CAST(4 AS BIGINT) AS n_files, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id FROM events " +
+        "UNION ALL " +
+        "SELECT 'before_compact', count(*), CAST(64 AS BIGINT), " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), " +
+        "count(DISTINCT user_id), CAST(sum(event_id) AS BIGINT) FROM events " +
+        "ORDER BY stage"),
+      scaleNote = "Compaction is embarrassingly parallel and pure " +
+        "data movement: read fragments, one range exchange, write " +
+        "packed files — no logic touches row VALUES, which is why " +
+        "the content fingerprints must gate it (the failure mode is " +
+        "silent row loss/duplication from a partial overwrite, not " +
+        "wrong arithmetic). At 100 TB compaction runs per PARTITION " +
+        "(sink_partitioned's event_type/date subtrees) so it " +
+        "parallelizes across partitions and never rewrites cold " +
+        "data twice; target file size ≈ one parquet row group ≈ " +
+        "128 MB–1 GB keeps scan tasks full. Range-packing on the " +
+        "sort key preserves clustering (the hilbert/zorder layouts " +
+        "survive maintenance); a plain coalesce would destroy it. " +
+        "The audit-row pattern (measured n_files + fingerprints " +
+        "under the hash) is exactly what a production OPTIMIZE " +
+        "emits to its transaction log.")
+
+  def defs: Seq[QueryDef] = defsBase :+ compactDef
 }

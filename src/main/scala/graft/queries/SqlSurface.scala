@@ -471,7 +471,57 @@ object SqlSurface extends QueryGroup {
       |ORDER BY numwait DESC, s_name
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q9 (product-type profit measure): the canonical
+    * profitability report — per (nation, order-year) profit over the
+    * 5-table star lineitem⋈orders⋈part⋈supplier⋈nation with the
+    * p_name LIKE filter. The driver schema has no partsupp, so the
+    * supply-cost term is the p_retailprice·l_quantity proxy (the DSL
+    * twin `join_star_parts` uses the same proxy; Q2/Q11/Q20 are
+    * excluded entirely for the same reason — recorded in SURVEY §2).
+    * House rules: the amount is scale-pinned DECIMAL before the sum,
+    * year() cast INT on both engines, final DOUBLE emit, total
+    * ORDER BY (nation, o_year DESC per the spec, keyed totally). */
+  private val Q9 =
+    """SELECT nation, o_year,
+      |  CAST(CAST(sum(amount) AS DECIMAL(18,4)) AS DOUBLE) AS sum_profit
+      |FROM (SELECT n_name AS nation,
+      |        CAST(year(o_orderdate) AS INT) AS o_year,
+      |        CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |          (1 - CAST(l_discount AS DECIMAL(18,2))) -
+      |          CAST(p_retailprice AS DECIMAL(18,2)) *
+      |          CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) AS amount
+      |      FROM lineitem
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN part ON p_partkey = l_partkey
+      |      JOIN supplier ON s_suppkey = l_suppkey
+      |      JOIN nation ON n_nationkey = s_nationkey
+      |      WHERE p_name LIKE '%red%') AS profit
+      |GROUP BY nation, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_tpch_q9",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(Q9)
+      },
+      Some(Q9.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "Q9 from SQL text (DSL twin: join_star_parts). The " +
+        "LIKE filter pushes to the part scan (contains → parquet " +
+        "string predicate) and shrinks the probe side before any " +
+        "join; supplier/nation broadcast, and the two fact joins " +
+        "(orders on orderkey, part on partkey) are the only " +
+        "shuffles — at TPC-H scale part is too big to broadcast, so " +
+        "bucketing lineitem by partkey removes the biggest exchange. " +
+        "Group count is |nation|×|year| cells, map-side-collapsed; " +
+        "the amount is scale-pinned DECIMAL before summing so " +
+        "partials merge bit-stable on any partitioning. At 100 TB " +
+        "the orderdate year extraction rides the orders scan " +
+        "(no partsupp in the driver schema — supply cost proxied " +
+        "by retailprice·quantity, and Q2/Q11/Q20 are out of scope " +
+        "for the same reason)."),
+
     QueryDef(
       "sql_tpch_q6",
       (spark, sf) => {

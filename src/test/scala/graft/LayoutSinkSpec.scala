@@ -21,9 +21,12 @@ import org.apache.spark.sql.functions._
   */
 class LayoutSinkSpec extends SparkSpec {
 
-  private val hilbertDir =
-    "/tmp/graft_sink_layout_hilbert_" + new java.io.File(sf).getName
-  private val unsortedDir = hilbertDir + "_unsorted_baseline"
+  // session-unique paths (r10, ADVICE): recomputed from the shared
+  // session, so the spec inspects exactly the tree the gate wrote
+  private lazy val hilbertDir =
+    queries.SourceOps.sinkDir(spark, sf, "sink_layout_hilbert")
+  private lazy val unsortedDir = hilbertDir + "_unsorted_baseline"
+  private lazy val zorderDir = hilbertDir + "_zorder_twin"
 
   /** The gated build (side effect: writes the curve-ordered tree). */
   private def buildGate(): DataFrame =
@@ -97,5 +100,60 @@ class LayoutSinkSpec extends SparkSpec {
     // both layouts agree on the answer, obviously
     assert(spark.read.parquet(hilbertDir).filter(squareFilter).count() ===
       spark.read.parquet(unsortedDir).filter(squareFilter).count())
+  }
+
+  test("z-order write path skips too, and the measured curve ordering holds: hilbert ≤ zorder ≤ unsorted") {
+    // (r10, VERDICT task 4) — layout_zorder's span-contraction claim
+    // was in-memory only; this gives the weaker curve the same
+    // write→read→skip treatment as its Hilbert sibling, plus the
+    // MEASURED comparison the scaladoc ordering claim implies.
+    buildGate().collect() // ensure the hilbert tree + rows exist
+    spark.read.parquet(hilbertDir)
+      .withColumn("zkey", queries.Analytics.ZOrder.zkey(col("x"), col("y")))
+      .repartitionByRange(16, col("zkey"))
+      .sortWithinPartitions("zkey")
+      .write.mode("overwrite").parquet(zorderDir)
+    spark.read.parquet(hilbertDir).repartition(16)
+      .write.mode("overwrite").parquet(unsortedDir)
+
+    // scan-level skipping on the aligned square: a dyadic-aligned
+    // 16×16 box is one contiguous range on BOTH curves, so z-order
+    // must also collapse the scan vs the unsorted control
+    val zorderRows = scanOutputRows(
+      spark.read.parquet(zorderDir).filter(squareFilter))
+    val unsortedRows = scanOutputRows(
+      spark.read.parquet(unsortedDir).filter(squareFilter))
+    assert(zorderRows * 4 <= unsortedRows,
+      s"z-order scan read $zorderRows rows vs unsorted $unsortedRows — no skipping")
+    assert(spark.read.parquet(zorderDir).filter(squareFilter).count() ===
+      spark.read.parquet(unsortedDir).filter(squareFilter).count())
+
+    // curve-quality ordering, measured as key SPANS over a fixed sweep
+    // of UNALIGNED 16×16 boxes (aligned boxes are one segment on both
+    // curves — the curves only differ off the dyadic grid). The span
+    // of a box in key space is what file/row-group stats pruning pays
+    // for, and it is pure curve math over the full 256×256 grid —
+    // data-independent, deterministic forever. Per box the winner
+    // flips (that is WHY the sweep sums); the TOTAL is the locality
+    // claim: hilbert < zorder < unsorted (= full key space per box).
+    val grid = spark.range(256L * 256L)
+      .select((col("id") % 256).as("x"), (col("id") / 256).cast("long").as("y"))
+      .withColumn("hkey", plans.HilbertIndex.key(col("x"), col("y")))
+      .withColumn("zkey", queries.Analytics.ZOrder.zkey(col("x"), col("y")))
+    val boxes = Seq((8, 8), (24, 40), (56, 88), (100, 60), (120, 120),
+      (40, 120), (88, 24), (60, 100))
+    val spans = boxes.map { case (bx, by) =>
+      val r = grid.filter(col("x").between(bx, bx + 15) &&
+          col("y").between(by, by + 15))
+        .agg(max("hkey") - min("hkey"), max("zkey") - min("zkey"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val (hTotal, zTotal) = (spans.map(_._1).sum, spans.map(_._2).sum)
+    val unsortedTotal = 65535L * boxes.size // no clustering: full span per box
+    assert(hTotal < zTotal,
+      s"hilbert total span $hTotal not below zorder $zTotal over the sweep")
+    assert(zTotal < unsortedTotal / 4,
+      s"zorder total span $zTotal is not materially below unsorted $unsortedTotal")
   }
 }
