@@ -71,7 +71,15 @@ object ScalingCurve {
       "dedup_shingle_stats", "corpus_curriculum", "rank_fusion_rrf",
       "ab_test_mannwhitney", "join_bloom_prefilter", "graph_degree_dist",
       "sql_tpch_q10", "sql_tpch_q14", "ts_holt_linear",
-      "sql_tpch_q18", "emb_norm_stats", "graph_assortativity", "sql_tpch_q15")
+      "sql_tpch_q18", "emb_norm_stats", "graph_assortativity", "sql_tpch_q15",
+      // r9 snapshot-commit keys (r10, ADVICE — they scale with sf:
+      // part / embeddings tables, not constant fixtures) + r10 wave
+      // (sink_compact includes both its writes in the timing — it IS
+      // a write-path operator, sink_layout_hilbert's precedent)
+      "pareto_front", "emb_threshold_curve",
+      "sql_tpch_q9", "sink_compact",
+      "sql_tpch_q6", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q12",
+      "sql_tpch_q13", "sql_tpch_q21")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -34,12 +34,21 @@ object GraphOps extends QueryGroup {
 
   /** Measured final-round L1 rank movement of graph_pagerank at
     * sf0.01 (GraphFixpointProbe) — the literal the oracle pins the
-    * delta_micro certificate column against. */
+    * delta_micro certificate column against.
+    *
+    * sf0.01-ONLY CONTRACT (r10, ADVICE): this literal (and
+    * [[ReachRoundsSf001]]) is measured at the driver's correctness
+    * scale factor, so the hash gate for graph_pagerank /
+    * graph_reachability fails BY CONSTRUCTION at any other sf passed
+    * to check.py — that loud failure is the house pin-the-certificate
+    * discipline working, not a regression. A multi-SF oracle run must
+    * re-measure via GraphFixpointProbe and key the literals by sf. */
   val PagerankDeltaSf001 = 1719555218L
 
   /** Measured BFS rounds-to-exhaustion of graph_reachability's seed
     * set at sf0.01 (GraphFixpointProbe) — the oracle unrolls ≥ this
-    * many level CTEs and pins this literal in its rounds column. */
+    * many level CTEs and pins this literal in its rounds column.
+    * Same sf0.01-only contract as [[PagerankDeltaSf001]]. */
   val ReachRoundsSf001 = 3L
 
   /** Level CTEs the reachability oracle unrolls — must stay ≥
