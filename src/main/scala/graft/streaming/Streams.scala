@@ -1063,6 +1063,49 @@ object Streams {
       }
   }
 
+  case class CurveState(n: Long)
+  case class CurveRow(thr_bp: Int, n_pairs: Long)
+
+  /** Streaming threshold-tuning curve (r10, VERDICT task 7) — the live
+    * consumer of batch emb_threshold_curve's measurement, fed by
+    * [[dedupNear]]'s emitted pair stream: a RUNNING count of verified
+    * near-dup pairs at each similarity cutoff (exact int basis points,
+    * the batch grid), one CurveRow per (threshold, micro-batch with
+    * new pairs). The tuning table every production dedup watches live:
+    * a release-over-release knee shift in this curve is threshold
+    * drift arriving WITH the data instead of at the next batch audit.
+    *
+    * State is O(|thresholds|) — one counter per cutoff. Distinctness
+    * needs no pair memory: dedupNear creates a pair exactly once,
+    * in the micro-batch where its second member arrives (the index
+    * state prevents re-pairing), and its per-band duplicate emissions
+    * land in that SAME batch — so a within-batch distinct set in the
+    * fold is complete deduplication. Chained fMGWS stages run in
+    * Append mode (multi-stateful support); the running counts are
+    * monotone, so readers take max(n_pairs) per threshold — exactly
+    * the per-key last-emit. StreamingSpec parity-proves the final
+    * curve against the batch pair table on ordered replay. */
+  def thresholdCurve(pairs: Dataset[NearPair],
+      thresholds: Seq[Int] = Seq(2500, 5000, 7500, 9000, 9500)): Dataset[CurveRow] = {
+    import pairs.sparkSession.implicits._
+    val thr = thresholds.toArray
+    pairs
+      .flatMap(p => thr.iterator
+        .filter(t => p.jac >= t.toDouble / 10000.0)
+        .map(t => (t, p.id1, p.id2)))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (t: Int, rows: Iterator[(Int, Long, Long)],
+            state: GroupState[CurveState]) =>
+          // within-batch distinct set = complete dedup (see scaladoc)
+          val fresh = rows.map(r => (r._2, r._3)).toSet.size
+          val n = state.getOption.map(_.n).getOrElse(0L) + fresh
+          state.update(CurveState(n))
+          Iterator(CurveRow(t, n))
+      }
+  }
+
   /** Streaming malformed-line quarantine — the live twin of batch
     * source_quarantine and the posture the reference's polling loop
     * needs EVERY cycle (a feed API mid-deploy emits truncated JSON;

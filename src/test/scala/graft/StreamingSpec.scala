@@ -859,6 +859,51 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_threshold_curve equals the batch pair counts per cutoff on replay") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("text")).as[Streams.Doc]
+      .collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val slices = Seq(docs.take(third), docs.slice(third, 2 * third),
+      docs.drop(2 * third))
+    // thresholds ≥ the dedup tau: the curve measures the pair space
+    // the index actually emits (batch emb_threshold_curve's grid from
+    // its floor up)
+    val thresholds = Seq(5000, 7500, 9000, 9500)
+    val mem = MemoryStream[Streams.Doc](33, spark, None)
+    val q = Streams.thresholdCurve(Streams.dedupNear(mem.toDS(), 0.5), thresholds)
+      .writeStream.format("memory").queryName("t_curve")
+      .outputMode("append").start()
+    try {
+      val perBatch = slices.map { sl =>
+        mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+        spark.table("t_curve").count()
+      }
+      // running counts are monotone; the live curve is the last emit
+      // per threshold = max(n_pairs)
+      val streamed = spark.table("t_curve").groupBy("thr_bp")
+        .agg(max("n_pairs").as("n_pairs"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // batch truth: distinct verified pairs from the batch LSH
+      // pipeline (stream ≡ batch pair set is pinned by the
+      // stream_dedup_near test), counted at each cutoff
+      val batchPairs = graft.engine.Registry.byName("dedup_near")
+        .build(spark, sf).select("id1", "id2", "jac").distinct()
+        .collect().map(r => r.getDouble(2))
+      val expected = thresholds
+        .map(t => t -> batchPairs.count(_ >= t.toDouble / 10000.0).toLong)
+        .toMap
+      assert(streamed == expected,
+        s"stream curve $streamed != batch curve $expected")
+      assert(expected.values.max > 0, "vacuous fixture: empty curve")
+      // incrementally live: curve rows surfaced before the last batch
+      assert(perBatch.exists(n => n > 0 && n < perBatch.last),
+        s"no incremental curve emission: $perBatch")
+    } finally q.stop()
+  }
+
   test("stream_trend equals the batch OLS fit over closed days under ordered replay") {
     val s = spark
     import s.implicits._
