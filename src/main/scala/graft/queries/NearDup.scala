@@ -776,5 +776,120 @@ object NearDup extends QueryGroup {
         "with a different struct prefix — exactly how MDM survivor " +
         "policies deploy. Pair with dedup_clusters_incremental and " +
         "golden records maintain as a view over the rolling cluster " +
-        "table."))
+        "table."),
+
+    // MinHash ESTIMATOR accuracy (r10) — the measurement that sizes K:
+    // every LSH decision upstream (band count, rows-per-band, tau)
+    // assumes the K=64 min-wise estimate tracks true Jaccard; this
+    // operator MEASURES that error, per 1%-wide true-Jaccard band, in
+    // exact integer basis points. Estimate = (#agreeing components)·10000/64;
+    // truth = exact shingle-set Jaccard over the same sets. The base
+    // hash is the gate-portable rolling token encode (text_
+    // fingerprint's arithmetic — DuckDB cannot evaluate xxhash64, and
+    // estimator error is a property of K and the affine family, not of
+    // which 64-bit base feeds them; the affine family IS dedup_near's,
+    // coefA/coefB). Candidate pairs from the df-capped inverted
+    // shingle-hash index (dedup_containment's generator — Jaccard-
+    // unbiased, where LSH bands would oversample the high-agreement
+    // pairs the estimator is best on) — no jaccard floor: the low
+    // bands are the false-positive regime LSH must not fire on.
+    QueryDef(
+      "dedup_minhash_accuracy",
+      (spark, sf) => {
+        def enc(c: Column): Column =
+          length(c).cast("long") * 65536L + ascii(c).cast("long") * 256L +
+            ascii(substring(c, -1, 1)).cast("long")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val sh = Tables.documents(spark, sf)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+          .withColumn("t1", lead(col("tok"), 1).over(w))
+          .withColumn("t2", lead(col("tok"), 2).over(w))
+          .filter(col("t2").isNotNull)
+          .select(col("doc_id"),
+            pmod((enc(col("tok")) * 31 + enc(col("t1"))) * 31 + enc(col("t2")),
+              lit(P)).as("h"))
+          .distinct()
+          .localCheckpoint(false) // feeds sig, sets, df, and both join sides
+        val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxBucketDocs).select("h")
+        val rare = sh.join(okH, "h")
+        val cand = rare.as("a")
+          .join(rare.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+        val sig = sh.groupBy("doc_id").agg(
+          min(pmod(lit(coefA(0)) * col("h") + lit(coefB(0)), lit(P))).as("m0"),
+          (1 until NumHashes).map(i =>
+            min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i")): _*)
+        val toks = sh.groupBy("doc_id")
+          .agg(array_sort(collect_list(col("h"))).as("toks"))
+        val s1 = sig.select(col("doc_id").as("id1") +:
+          (0 until NumHashes).map(i => col(s"m$i").as(s"x$i")): _*)
+        val s2 = sig.select(col("doc_id").as("id2") +:
+          (0 until NumHashes).map(i => col(s"m$i").as(s"y$i")): _*)
+        cand
+          .join(toks.select(col("doc_id").as("id1"), col("toks").as("ta")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("toks").as("tb")), "id2")
+          .join(s1, "id1").join(s2, "id2")
+          .withColumn("k", (0 until NumHashes)
+            .map(i => (col(s"x$i") === col(s"y$i")).cast("long")).reduce(_ + _))
+          .withColumn("ni",
+            graft.plans.SortedIntersectCount.count(col("ta"), col("tb")))
+          .withColumn("un",
+            (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
+          // non-negative operands: div == floor division on both engines
+          .withColumn("exact_bp", expr("(ni * 10000) div un"))
+          .withColumn("est_bp", expr("(k * 10000) div 64"))
+          .withColumn("err", col("est_bp") - col("exact_bp"))
+          // 1%-wide true-jaccard bands: the low bands are where the
+          // estimator's FALSE-POSITIVE behavior lives (what LSH must
+          // not fire on), the high bands its recall regime
+          .groupBy(expr("exact_bp div 100").as("jac_band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(abs(col("err"))).as("sum_abs_err_bp"),
+            max(abs(col("err"))).as("max_abs_err_bp"),
+            sum(col("err")).as("sum_err_bp"))
+          .orderBy("jac_band")
+      },
+      Some {
+        val encSql = (t: String) =>
+          s"(length($t)*65536 + ascii($t)*256 + ascii(right($t,1)))"
+        val mins = (0 until NumHashes).map(i =>
+          s"min((${coefA(i)}*h + ${coefB(i)}) % $P) AS m$i").mkString(", ")
+        val agree = (0 until NumHashes).map(i =>
+          s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
+        s"WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+          "t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> " +
+          s"((${encSql("w[i]")}*31 + ${encSql("w[i+1]")})*31 + ${encSql("w[i+2]")}) % $P)) AS hs FROM w0), " +
+          "s AS (SELECT doc_id, unnest(hs) AS h FROM t), " +
+          s"okh AS (SELECT h FROM (SELECT h, count(*) AS df FROM s GROUP BY 1) WHERE df <= $MaxBucketDocs), " +
+          "rare AS (SELECT s.doc_id, s.h FROM s JOIN okh USING (h)), " +
+          "pc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+          "nsz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1), " +
+          "pi AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id JOIN pc ON pc.id1 = a.doc_id AND pc.id2 = b.doc_id GROUP BY 1, 2), " +
+          s"mh AS (SELECT doc_id, $mins FROM s GROUP BY doc_id), " +
+          s"pk AS (SELECT pc.id1, pc.id2, ($agree) AS k FROM pc JOIN mh x ON pc.id1 = x.doc_id JOIN mh y ON pc.id2 = y.doc_id), " +
+          "pp AS (SELECT (pi.ni*10000)//(n1.n + n2.n - pi.ni) AS exact_bp, (pk.k*10000)//64 AS est_bp " +
+          "FROM pi JOIN pk ON pi.id1 = pk.id1 AND pi.id2 = pk.id2 JOIN nsz n1 ON pi.id1 = n1.doc_id JOIN nsz n2 ON pi.id2 = n2.doc_id), " +
+          "e AS (SELECT exact_bp//100 AS jac_band, est_bp - exact_bp AS err FROM pp) " +
+          "SELECT jac_band, count(*) AS n_pairs, CAST(sum(abs(err)) AS BIGINT) AS sum_abs_err_bp, " +
+          "CAST(max(abs(err)) AS BIGINT) AS max_abs_err_bp, CAST(sum(err) AS BIGINT) AS sum_err_bp " +
+          "FROM e GROUP BY jac_band ORDER BY jac_band"
+      },
+      scaleNote = "Candidates ride the df-capped inverted index " +
+        "(dedup_containment's mechanism: per-hash pair expansion " +
+        "bounded at C(cap,2), hot boilerplate keys excised), the 64 " +
+        "component mins are one map-side-combined aggregate over the " +
+        "shingle rows, and the per-pair agreement count is a codegen'd " +
+        "64-term integer sum — no step exceeds the dedup pass the " +
+        "estimator serves. At 100 TB the error table is a CORPUS " +
+        "PROPERTY measurement, not a per-release pass: run it on a " +
+        "consistent hash sample (sample_consistent) — estimator error " +
+        "is a function of K and the hash family, so a bounded sample " +
+        "pins it; re-measure only when K, the family, or the shingle " +
+        "unit changes. The output feeds the B/R banding choice the " +
+        "same way ann_recall_curve feeds nprobe."))
 }

@@ -210,5 +210,69 @@ object VecStats extends QueryGroup {
         "aggregator's addExact). Norm OUTLIER fences (min/max per " +
         "label) are the embedding-side analog of quality_gopher_" +
         "rules' length bounds — production adds a percentile fence " +
-        "from agg_approx_quantile's sketch on the same pass."))
+        "from agg_approx_quantile's sketch on the same pass."),
+
+    // Embedding OOD/outlier report (r10): the 20 vectors FURTHEST from
+    // the corpus centroid by quantized cosine — the semantic-space
+    // twin of quality_gopher_rules (a text that passes every lexical
+    // rule can still be garbage the encoder maps nowhere near the
+    // corpus; those are the rows that poison kmeans seeds, inflate IVF
+    // tail buckets, and sneak past lexical dedup). Cosine is scale-
+    // invariant, so the centroid enters as the per-dim FLOOR-MEAN of
+    // the quantized components — exact integers on both engines (the
+    // explicit (s − pmod(s,n)) div n spelling: Spark div truncates,
+    // DuckDB // floors — ts_holt_linear's negative-operand lesson).
+    // The 64-row centroid aggregate is collected (bounded, emb_gram's
+    // 2080-buffer precedent) and re-enters the scan as a literal
+    // array, so scoring is one codegen'd LongArrayDot pass — no join.
+    QueryDef(
+      "emb_outlier",
+      (spark, sf) => {
+        val q = Tables.embeddings(spark, sf)
+          .select(col("vec_id"), Vec.quantize(col("embedding")).as("qv"))
+        val cent = q.select(posexplode(col("qv")).as(Seq("idx", "v")))
+          .groupBy("idx")
+          .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+          .select(col("idx"), expr("(s - pmod(s, n)) div n").as("m"))
+          .collect().sortBy(_.getInt(0)).map(_.getLong(1))
+        val m2 = cent.map(v => math.multiplyExact(v, v)).sum // exact long
+        val mLit = array(cent.map(lit(_)): _*)
+        val w = org.apache.spark.sql.expressions.Window
+          .orderBy(col("cos").asc, col("vec_id").asc)
+        q.withColumn("n2", Vec.norm2(col("qv")))
+          .filter(col("n2") > 0) // zero vectors: emb_norm_stats' gate
+          .withColumn("cos", Vec.cosine(
+            graft.plans.LongArrayDot.dot(col("qv"), mLit),
+            col("n2"), lit(m2)))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 20)
+          .select(col("rank"), col("vec_id"), col("cos"))
+          .orderBy("rank")
+      },
+      Some(s"WITH q AS (${AnnIvf.QuantSql}), " +
+        "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+        "c AS (SELECT idx, CAST(sum(v) AS BIGINT) AS s, count(*) AS n FROM e GROUP BY 1), " +
+        "m AS (SELECT idx, (s - (((s % n) + n) % n)) // n AS m FROM c), " +
+        "m2 AS (SELECT CAST(sum(m*m) AS BIGINT) AS m2 FROM m), " +
+        "n2 AS (SELECT vec_id, CAST(sum(v*v) AS BIGINT) AS n2 FROM e GROUP BY 1), " +
+        "d AS (SELECT e.vec_id, CAST(sum(e.v * m.m) AS BIGINT) AS dot FROM e JOIN m USING (idx) GROUP BY 1), " +
+        "sc AS (SELECT d.vec_id, round(CAST(dot AS DOUBLE)/(sqrt(CAST(n2.n2 AS DOUBLE))*sqrt(CAST(m2.m2 AS DOUBLE))), 4) AS cos " +
+        "FROM d JOIN n2 USING (vec_id), m2 WHERE n2.n2 > 0) " +
+        "SELECT rank, vec_id, cos FROM (SELECT vec_id, cos, " +
+        "row_number() OVER (ORDER BY cos ASC, vec_id ASC) AS rank FROM sc) " +
+        "WHERE rank <= 20 ORDER BY rank"),
+      scaleNote = "Two linear passes: the 64-cell centroid aggregate " +
+        "(map-side-combined, output O(dims)) and one scoring scan " +
+        "with the centroid as a broadcast-literal array — the dot is " +
+        "codegen'd LongArrayDot, the bottom-20 is TakeOrdered (no " +
+        "global sort materializes). Floor-mean keeps every value " +
+        "within Long at ANY corpus size (a raw sum-vector centroid " +
+        "overflows norm² beyond ~10⁴ rows — cosine's scale invariance " +
+        "is what makes the downscaled centroid exact). At 100 TB run " +
+        "per label/source shard (one centroid each — a global " +
+        "centroid of a multi-domain corpus flags domains, not " +
+        "outliers) and fence on the cos percentile from " +
+        "agg_approx_quantile rather than a fixed k; flagged ids join " +
+        "corpus_pipeline's exclusion list exactly like " +
+        "contamination_emb's."))
 }

@@ -151,4 +151,24 @@ class NearDupSpec extends SparkSpec {
     if (labels.size == 5) // all five in one merged component
       assert(labels.values.toSet == Set(1L), "merged label must be the global min")
   }
+
+  test("minhash estimator tracks true jaccard within the K=64 noise envelope") {
+    val rows = graft.engine.Registry.byName("dedup_minhash_accuracy")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty, "vacuous: no overlapping pairs at this sf")
+    // both regimes populated: incidental-overlap bands AND a high band
+    assert(rows.exists(_._1 <= 5) && rows.exists(_._1 >= 80),
+      s"bimodal corpus not covered: bands ${rows.map(_._1).toSeq}")
+    rows.foreach { case (band, n, sumAbs, maxAbs, sumErr) =>
+      assert(n > 0)
+      assert(math.abs(sumErr) <= sumAbs, s"band $band: |bias| > total error")
+      // K=64 ⇒ std error ≤ 10000·√(0.25/64) = 625 bp; mean |err| per
+      // band must sit well inside a few sigma (granularity alone is
+      // 156 bp). 2000 bp = ~3.2σ + granularity, safe at any SF.
+      assert(sumAbs / n <= 2000,
+        s"band $band: mean |err| ${sumAbs / n} bp — estimator broken")
+      assert(maxAbs <= 10000)
+    }
+  }
 }

