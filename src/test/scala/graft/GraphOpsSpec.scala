@@ -188,6 +188,29 @@ class GraphOpsSpec extends SparkSpec {
     assert((0L to 11L).forall(i => m(i) == i), "each chain node's level = its index")
   }
 
+  test("bfsLevelsPerSource: per-seed exact distances on a planted chain; middle node is closest") {
+    val s = spark
+    import s.implicits._
+    // seeds at both ends and the middle of a 9-node path: per-source
+    // distances must be exact per seed (not merged), and the MIDDLE
+    // node must win closeness — the defining property of the measure
+    val seeds = Seq(0L, 4L, 8L).toDF("node")
+    val (lv, rounds) = graft.queries.GraphOps.bfsLevelsPerSource(chain(9), seeds)
+    val m = lv.as[(Long, Long, Long)].collect()
+      .map { case (src, node, h) => (src, node) -> h }.toMap
+    assert(m.size == 27, s"3 seeds × 9 nodes, got ${m.size}")
+    (0L to 8L).foreach { v =>
+      assert(m((0L, v)) == v, s"dist(0,$v)")
+      assert(m((8L, v)) == 8L - v, s"dist(8,$v)")
+      assert(m((4L, v)) == math.abs(4L - v), s"dist(4,$v)")
+    }
+    assert(rounds == 8, s"end seeds exhaust in 8 rounds, got $rounds")
+    // closeness: middle Σd = 2·(1+2+3+4) = 20; ends Σd = 36
+    val sums = Seq(0L, 4L, 8L).map(src =>
+      src -> (0L to 8L).map(v => m((src, v))).sum).toMap
+    assert(sums(4L) == 20 && sums(0L) == 36 && sums(8L) == 36)
+  }
+
   test("pagerankDelta: exact L1 movement on the path fixture; zero at a regular fixpoint") {
     val e = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L))
       .toDF("src", "dst")

@@ -1,0 +1,37 @@
+package graft
+
+/** File-level proof for `sink_versioned` (r10): the hash gates each
+  * version's fingerprints; this spec measures the claim that makes
+  * manifests worth having — the contrast between manifest resolution
+  * and directory listing once two commits share a directory.
+  */
+class VersionedSinkSpec extends SparkSpec {
+
+  test("manifest read is snapshot-closed; directory read sees the append debris") {
+    val out = engine.Registry.byName("sink_versioned").build(spark, sf)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val (dataDir, manDir) = queries.SourceOps.versionedDirs(spark, sf)
+
+    val v1Rows = out("v1").getLong(1)
+    val v2Rows = out("v2").getLong(1)
+    assert(v1Rows > 0 && v2Rows > v1Rows, "append commit added no rows")
+    assert(out("v1").getLong(2) == 4L && out("v2").getLong(2) == 8L)
+
+    // physical layout: both commits share ONE directory (8 files),
+    // yet the v1 manifest closes over exactly its 4
+    val dirFiles = new java.io.File(dataDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+    assert(dirFiles.length == 8, s"expected 8 data files, got ${dirFiles.length}")
+    val v1Manifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(manDir, "v1.txt")), "UTF-8").split("\n")
+    assert(v1Manifest.length == 4)
+
+    // THE contrast: a directory-listing reader cannot time-travel —
+    // it sees v2's debris; the manifest reader gets v1 back exactly,
+    // read AFTER the v2 files landed beside it
+    assert(spark.read.parquet(dataDir).count() == v2Rows,
+      "directory listing should see both commits")
+    assert(spark.read.parquet(v1Manifest.toIndexedSeq: _*).count() == v1Rows,
+      "manifest read must be closed at commit time")
+  }
+}
