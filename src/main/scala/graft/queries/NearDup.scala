@@ -778,6 +778,91 @@ object NearDup extends QueryGroup {
         "golden records maintain as a view over the rolling cluster " +
         "table."),
 
+    // Exact-substring duplication measurement (r10) — the signal
+    // behind suffix-array exact-substring dedup ("Deduplicating
+    // Training Data Makes Language Models Better": long verbatim
+    // spans repeat ACROSS documents that whole-doc Jaccard scores as
+    // distinct): per doc, how many of its 8-token windows also occur
+    // verbatim in at least one OTHER document. Windows are positions
+    // (not sets — a doc-internal repeat counts every occurrence), the
+    // window key is the cross-engine rolling token encode folded over
+    // the 8 tokens, and cross-doc presence is a document-frequency
+    // join on the window hash — never a pair expansion. This is the
+    // detection half; the removal half is dedup_spans' span surgery,
+    // pointed at the flagged windows.
+    QueryDef(
+      "dedup_exact_substring",
+      (spark, sf) => {
+        val W = 8
+        def enc(c: Column): Column =
+          length(c).cast("long") * 65536L + ascii(c).cast("long") * 256L +
+            ascii(substring(c, -1, 1)).cast("long")
+        val win = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id").orderBy("pos")
+        val docs = Tables.documents(spark, sf)
+        val toks = docs
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "t0")))
+        val withLeads = (1 until W).foldLeft(toks) { (df, i) =>
+          df.withColumn(s"t$i", lead(col("t0"), i).over(win))
+        }
+        val windows = withLeads
+          .filter(col(s"t${W - 1}").isNotNull)
+          .select(col("doc_id"),
+            pmod((1 until W).foldLeft(enc(col("t0"))) { (acc, i) =>
+              acc * 31 + enc(col(s"t$i"))
+            }, lit(P)).as("wh"))
+          .localCheckpoint(false) // feeds the df table and the rollup
+        val docFreq = windows.select("doc_id", "wh").distinct()
+          .groupBy("wh").agg(count(lit(1)).as("ddf"))
+        val perDoc = windows.join(docFreq, "wh")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_windows"),
+            sum(when(col("ddf") >= 2, 1L).otherwise(0L)).as("n_dup_windows"))
+        docs.select(col("doc_id"))
+          .join(perDoc, Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"))
+          .withColumn("dup_ratio_bp",
+            when(col("n_windows") > 0,
+              expr("(n_dup_windows * 10000) div n_windows")).otherwise(0L))
+          .orderBy("doc_id")
+      },
+      Some {
+        val encSql = (t: String) =>
+          s"(length($t)*65536 + ascii($t)*256 + ascii(right($t,1)))"
+        val fold = (1 until 8).foldLeft(encSql("w[i]")) { (acc, k) =>
+          s"($acc*31 + ${encSql(s"w[i+$k]")})"
+        }
+        "WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+          s"wn AS (SELECT doc_id, unnest(list_transform(range(1, len(w)-6), i -> $fold % $P)) AS wh FROM w0), " +
+          "ddf AS (SELECT wh, count(*) AS ddf FROM (SELECT DISTINCT doc_id, wh FROM wn) GROUP BY 1), " +
+          "pd AS (SELECT doc_id, count(*) AS n_windows, " +
+          "CAST(sum(CASE WHEN ddf >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows " +
+          "FROM wn JOIN ddf USING (wh) GROUP BY 1) " +
+          "SELECT d.doc_id, coalesce(pd.n_windows, 0) AS n_windows, " +
+          "coalesce(pd.n_dup_windows, 0) AS n_dup_windows, " +
+          "CASE WHEN coalesce(pd.n_windows, 0) > 0 THEN (pd.n_dup_windows * 10000) // pd.n_windows ELSE 0 END AS dup_ratio_bp " +
+          "FROM documents d LEFT JOIN pd ON d.doc_id = pd.doc_id ORDER BY d.doc_id"
+      },
+      scaleNote = "Windowing is scan-local (leads inside one per-doc " +
+        "window sort — the shingleRows shuffle), the document-" +
+        "frequency table is two map-side-combined aggs on the 8-byte " +
+        "window hash, and the per-doc rollup joins positions to df " +
+        "on that same hash — work is linear in token count, and NO " +
+        "pair of documents is ever materialized (the suffix-array " +
+        "construction this stands in for is superlinear and " +
+        "single-machine; the window-df formulation is the " +
+        "MapReduce-able 99% of its value). At 100 TB the window-hash " +
+        "space is the shard key (text_posting_lists' layout), hot " +
+        "boilerplate windows are exactly the high-df keys — they " +
+        "need no cap here because df counting is a sum, not an " +
+        "expansion. Flagged docs (high dup_ratio_bp) feed " +
+        "dedup_spans for span-level removal; the window length dial " +
+        "(8 here, 50 in the paper) trades sensitivity for memory of " +
+        "verbatim quotes."),
+
     // MinHash ESTIMATOR accuracy (r10) — the measurement that sizes K:
     // every LSH decision upstream (band count, rows-per-band, tau)
     // assumes the K=64 min-wise estimate tracks true Jaccard; this

@@ -499,7 +499,53 @@ object SqlSurface extends QueryGroup {
       |GROUP BY nation, o_year
       |ORDER BY nation, o_year DESC""".stripMargin
 
+  /** WITH RECURSIVE through the parser path (r10) — Spark 4 ships
+    * recursive CTEs (ResolveWithCTE), and they are the SQL-text form
+    * of every DataFrame loop this engine runs (BFS, label spread,
+    * cluster fixpoints, the oracle's own unrolled CTEs): gating one
+    * proves the parser→analyzer→iterative-execution path end-to-end
+    * on BOTH engines with the IDENTICAL text. The query is the
+    * calendar-scaffold idiom (ts_calendar_gaps' batch shape from SQL):
+    * recursively generate every day of a window, LEFT JOIN the fact
+    * table, count per day — gap days surface as zero rows a plain
+    * GROUP BY could never produce. Bounded recursion (59 steps);
+    * CAST-normalized date arithmetic (date + interval widens to
+    * timestamp on both engines — the cast back to DATE keeps the
+    * anchor and step types identical, a recursive-union requirement). */
+  private val QRec =
+    """WITH RECURSIVE days(d) AS (
+      |  SELECT CAST('1995-01-01' AS DATE)
+      |  UNION ALL
+      |  SELECT CAST(d + INTERVAL 1 DAY AS DATE) FROM days
+      |  WHERE d < CAST('1995-02-28' AS DATE)
+      |)
+      |SELECT CAST(d AS TIMESTAMP) AS day, count(o_orderkey) AS n_orders
+      |FROM days LEFT JOIN orders ON CAST(o_orderdate AS DATE) = d
+      |GROUP BY d
+      |ORDER BY day""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_recursive_cte",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QRec)
+      },
+      Some(QRec.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The recursion generates the SCAFFOLD (59 rows — " +
+        "timeline-sized, never data-sized), so each step is a " +
+        "constant-cost union member and the single data-sized pass " +
+        "is the LEFT JOIN + count against the date-pruned fact scan; " +
+        "the group-by collapses map-side to |days| cells. This is " +
+        "the correct shape for recursive SQL at 100 TB: recurse over " +
+        "the SMALL dimension (dates, hierarchy levels, hop counts) " +
+        "and touch the fact table once per closure, never re-scan it " +
+        "per step — the same discipline every DataFrame loop in this " +
+        "engine follows (frontier joins against checkpointed edges). " +
+        "Unbounded-depth recursions over fact-sized state belong in " +
+        "the explicit loops (dedup_clusters, bfsLevels) where " +
+        "convergence is certificated per round."),
+
     QueryDef(
       "sql_tpch_q9",
       (spark, sf) => {

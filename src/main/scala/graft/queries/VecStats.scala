@@ -274,5 +274,53 @@ object VecStats extends QueryGroup {
         "outliers) and fence on the cos percentile from " +
         "agg_approx_quantile rather than a fixed k; flagged ids join " +
         "corpus_pipeline's exclusion list exactly like " +
-        "contamination_emb's."))
+        "contamination_emb's."),
+
+    // Per-DIMENSION variance profile (r10) — the third hygiene axis
+    // after per-vector norms (emb_norm_stats) and per-vector direction
+    // (emb_outlier): a dimension whose variance collapses is DEAD
+    // (encoder bug, truncated export — it silently wastes index bits
+    // in every product-quantizer subspace and every SRP hyperplane),
+    // and the variance RATIO across dimensions is the anisotropy
+    // signal that decides whether PCA/whitening (emb_pca_power's axis)
+    // must run before IVF bucketing. Exact integer moments per dim,
+    // one float composition at the edge (the house rule).
+    QueryDef(
+      "emb_dim_variance",
+      (spark, sf) =>
+        Tables.embeddings(spark, sf)
+          .select(Vec.quantize(col("embedding")).as("qv"))
+          .select(posexplode(col("qv")).as(Seq("idx0", "v")))
+          // 1-based BIGINT to match DuckDB generate_subscripts
+          .groupBy((col("idx0") + 1).cast("long").as("idx"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("v")).as("sum_v"),
+            sum(col("v") * col("v")).as("sum_v2"))
+          .select(col("idx"), col("n"), col("sum_v"), col("sum_v2"),
+            round((col("sum_v2").cast("double") -
+              col("sum_v").cast("double") * col("sum_v").cast("double") /
+                col("n").cast("double")) / col("n").cast("double"), 4)
+              .as("var_q"),
+            (col("sum_v2") === 0).as("is_dead"))
+          .orderBy("idx"),
+      Some(s"WITH q AS (${AnnIvf.QuantSql}), " +
+        "e AS (SELECT unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+        "a AS (SELECT idx, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v, " +
+        "CAST(sum(v*v) AS BIGINT) AS sum_v2 FROM e GROUP BY 1) " +
+        "SELECT idx, n, sum_v, sum_v2, " +
+        "round((CAST(sum_v2 AS DOUBLE) - CAST(sum_v AS DOUBLE)*CAST(sum_v AS DOUBLE)/CAST(n AS DOUBLE))/CAST(n AS DOUBLE), 4) AS var_q, " +
+        "sum_v2 = 0 AS is_dead FROM a ORDER BY idx"),
+      scaleNote = "One map-side-combined aggregate over the exploded " +
+        "components: the wire carries |dims| partials per partition " +
+        "(three longs each) whatever the corpus size, and the float " +
+        "variance composes once per output row from exact integer " +
+        "moments — bit-stable on any partitioning. The sum_v2 Long " +
+        "headroom is ~5·10⁸ rows at the 2²⁰ quantization scale; past " +
+        "that, pre-shift the quantization (variance RATIOS, the " +
+        "actionable signal, are scale-free) or sum into DECIMAL. At " +
+        "100 TB this is the pass that runs once per encoder version, " +
+        "not per release — its two consumers are PQ subspace " +
+        "allocation (dead dims waste codebook entropy) and the " +
+        "whiten-before-IVF decision emb_pca_power's dominant axis " +
+        "informs."))
 }
