@@ -926,5 +926,82 @@ object SourceOps extends QueryGroup {
         "proven by reading v1 exactly after v2's files landed " +
         "beside it.")
 
-  def defs: Seq[QueryDef] = defsBase ++ Seq(compactDef, versionedDef)
+  /** Idempotently write the co-bucketed lineitem/orders pair and
+    * return their catalog names. Bucket layout: 8 buckets on the JOIN
+    * key, sorted within buckets — the layout every fact⋈fact
+    * scaleNote in this repo names as the shuffle eliminator. Session-
+    * scoped names (in-memory catalog) + session-unique external paths. */
+  def bucketedTables(spark: org.apache.spark.sql.SparkSession,
+      sf: String): (String, String) = {
+    val sfx = (new java.io.File(sf).getName + "_" +
+      spark.sparkContext.applicationId).replaceAll("[^a-zA-Z0-9]", "_")
+    val (liT, oT) = (s"graft_bkt_li_$sfx", s"graft_bkt_o_$sfx")
+    if (!spark.catalog.tableExists(liT)) {
+      val dir = sinkDir(spark, sf, "sink_bucketed")
+      graft.engine.Tables.lineitem(spark, sf)
+        .select(col("l_orderkey"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"))
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", dir + "/lineitem").saveAsTable(liT)
+      graft.engine.Tables.orders(spark, sf)
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", dir + "/orders").saveAsTable(oT)
+    }
+    (liT, oT)
+  }
+
+  /** The BUCKETED write path (r10) — the layout claim behind a dozen
+    * scaleNotes ("bucket both facts on the order key and the join is
+    * exchange-free"), finally written, read back, and proven: both
+    * facts land bucketed(8) + sorted on the join key, the read-back
+    * join hash-gates against the original tables, and
+    * BucketedSinkSpec pins the plan property that is the entire
+    * point — the SortMergeJoin consumes both bucketed scans with
+    * ZERO shuffle exchange between scan and join. */
+  private def bucketedDef: QueryDef =
+    QueryDef(
+      "sink_bucketed",
+      (spark, sf) => {
+        val (liT, oT) = bucketedTables(spark, sf)
+        // merge hint: at small SFs the planner would broadcast the
+        // orders side and bypass the bucketed scans entirely — the
+        // bucket-wise merge IS this operator's point, and at the
+        // fact×fact scale the layout targets, merge is what the
+        // planner picks unhinted
+        spark.table(liT).hint("merge")
+          .join(spark.table(oT).hint("merge"),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n_items"),
+            graft.engine.Dsl.sumDec2(col("l_extendedprice")).cast("double")
+              .as("sum_price"),
+            countDistinct(col("o_orderkey")).as("n_orders"))
+          .orderBy("o_orderpriority")
+      },
+      Some("SELECT o_orderpriority, count(*) AS n_items, " +
+        "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price, " +
+        "count(DISTINCT o_orderkey) AS n_orders " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "THE join_star layout promise made real: bucketing " +
+        "both facts by the join key at WRITE time moves the shuffle " +
+        "from every query to one write — the read-back join is " +
+        "bucket-wise merge (8 tasks, each reading one bucket file " +
+        "pair, already sorted: no exchange, no sort), which at 100 TB " +
+        "is the difference between re-exchanging terabytes per query " +
+        "and zero network at all. Bucket count is the parallelism " +
+        "floor — size it to target-file-size × cluster width (1000s " +
+        "at real scale, 8 here), keep it EQUAL on both sides (Spark " +
+        "only elides the exchange on matching bucketing), and let " +
+        "sink_compact maintain files per bucket. The residual " +
+        "exchange in the plan is the |priorities|-row final rollup — " +
+        "unavoidable and irrelevant. Bucketed layout + manifest " +
+        "versioning (sink_versioned) + compaction (sink_compact) is " +
+        "the complete lake-table story.")
+
+  def defs: Seq[QueryDef] =
+    defsBase ++ Seq(compactDef, versionedDef, bucketedDef)
 }

@@ -524,7 +524,47 @@ object SqlSurface extends QueryGroup {
       |GROUP BY d
       |ORDER BY day""".stripMargin
 
+  /** PIVOT through the parser path (r10) — agg_pivot gates the DSL
+    * pivot; an analyst writes the SQL clause form, which has its own
+    * grammar (FOR ... IN with aliased literals) and its own analyzer
+    * rewrite into the same grouped conditional aggregation. Missing
+    * cells surface as NULL from SQL PIVOT where a CASE-sum yields 0 —
+    * the coalesce pins that seam. DuckDB's PIVOT grammar differs, so
+    * the oracle states the equivalent conditional aggregation (the
+    * hash compares semantics, not syntax — the one SQL-surface key
+    * where the texts must diverge). */
+  private val QPivot =
+    """SELECT yr, coalesce(urgent, 0) AS urgent, coalesce(high, 0) AS high,
+      |  coalesce(medium, 0) AS medium
+      |FROM (SELECT CAST(year(o_orderdate) AS INT) AS yr, o_orderpriority
+      |      FROM orders)
+      |PIVOT (count(1) FOR o_orderpriority IN
+      |  ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
+      |ORDER BY yr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_pivot",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QPivot)
+      },
+      Some("SELECT CAST(year(o_orderdate) AS INT) AS yr, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS high, " +
+        "CAST(sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS medium " +
+        "FROM orders GROUP BY 1 ORDER BY yr"),
+      scaleNote = "The analyzer rewrites PIVOT into exactly the " +
+        "grouped CASE-aggregation the oracle states — one pass, " +
+        "map-side-collapsed to |years| cells, no per-pivot-value " +
+        "scan (the naive reading of the syntax). The pivot column " +
+        "list is part of the QUERY, not discovered from data — the " +
+        "property that keeps the output schema static and the plan " +
+        "compile-time at any scale; dynamic pivot (values from a " +
+        "subquery) requires two passes by construction and belongs " +
+        "upstream as a generated-SQL step. agg_pivot is the DSL " +
+        "twin; reshape_unpivot is the inverse."),
+
     QueryDef(
       "sql_recursive_cte",
       (spark, sf) => {
