@@ -79,7 +79,10 @@ object ScalingCurve {
       "pareto_front", "emb_threshold_curve",
       "sql_tpch_q9", "sink_compact",
       "sql_tpch_q6", "sql_tpch_q7", "sql_tpch_q8", "sql_tpch_q12",
-      "sql_tpch_q13", "sql_tpch_q21")
+      "sql_tpch_q13", "sql_tpch_q21",
+      "dedup_minhash_accuracy", "emb_outlier", "emb_dim_variance",
+      "dedup_exact_substring", "graph_closeness", "sink_versioned",
+      "sink_bucketed", "sql_recursive_cte", "sql_pivot")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)
