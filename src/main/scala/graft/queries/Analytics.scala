@@ -492,6 +492,70 @@ object Analytics extends QueryGroup {
         "broadcast back against live counts is the seasonally-" +
         "adjusted anomaly feed (ts_anomaly's z over n/idx)."),
 
+    // Classical trend/seasonal/residual decomposition (r10) — the
+    // moving-average method STL descends from, on the daily series:
+    // trend = centered 7-row mean, seasonal = per-day-of-week mean
+    // deviation from trend, residual = the rest. ts_seasonal_dow
+    // gives the multiplicative INDEX; this is the additive SPLIT —
+    // the pair every monitoring stack wants (plot the trend, alarm on
+    // the residual). Integer discipline: dev7 = 7n − Σ7 keeps the
+    // deviation EXACT (no per-row division), the per-dow aggregate
+    // sums integers, and each output composes its float in one
+    // rounded expression — so partials merge bit-stable on any
+    // partitioning. Edge rows (incomplete 7-window) are excluded
+    // rather than padded: a centered MA is undefined there, and both
+    // engines agree on the exclusion by construction (cnt7 = 7).
+    QueryDef(
+      "ts_decompose",
+      (spark, sf) => {
+        val d = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"),
+            date_format(col("ts").cast("date"), "yyyy-MM-dd").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w7 = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(-3, 3)
+        val t = d
+          .withColumn("sum7", sum(col("n")).over(w7))
+          .withColumn("cnt7", count(lit(1)).over(w7))
+          .filter(col("cnt7") === 7)
+          .withColumn("dev7", col("n") * 7 - col("sum7"))
+          .withColumn("dow",
+            (expr("extract(DOW FROM CAST(day AS DATE))") - 1).cast("long"))
+        val s = t.groupBy("event_type", "dow")
+          .agg(sum(col("dev7")).as("sdev"), count(lit(1)).as("k"))
+        t.join(s, Seq("event_type", "dow"))
+          .select(col("event_type"), col("day"), col("n"),
+            round(col("sum7").cast("double") / 7, 4).as("trend"),
+            round(col("sdev").cast("double") / (col("k") * 7), 4)
+              .as("seasonal"),
+            round(col("n").cast("double") - col("sum7").cast("double") / 7 -
+              col("sdev").cast("double") / (col("k") * 7), 4).as("residual"))
+          .orderBy("event_type", "day")
+      },
+      Some("WITH daily AS (SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "w AS (SELECT event_type, day, n, CAST(sum(n) OVER win AS BIGINT) AS sum7, count(*) OVER win AS cnt7 FROM daily " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), " +
+        "t AS (SELECT *, n*7 - sum7 AS dev7, CAST(dayofweek(CAST(day AS DATE)) AS BIGINT) AS dow FROM w WHERE cnt7 = 7), " +
+        "s AS (SELECT event_type, dow, CAST(sum(dev7) AS BIGINT) AS sdev, count(*) AS k FROM t GROUP BY 1, 2) " +
+        "SELECT t.event_type, t.day, t.n, " +
+        "round(CAST(sum7 AS DOUBLE)/7, 4) AS trend, " +
+        "round(CAST(sdev AS DOUBLE)/(k*7), 4) AS seasonal, " +
+        "round(CAST(t.n AS DOUBLE) - CAST(sum7 AS DOUBLE)/7 - CAST(sdev AS DOUBLE)/(k*7), 4) AS residual " +
+        "FROM t JOIN s ON t.event_type = s.event_type AND t.dow = s.dow " +
+        "ORDER BY t.event_type, day"),
+      scaleNote = "The log collapses to |types|×|days| rows in one " +
+        "map-side-combined agg; the centered window, the dow " +
+        "aggregate, and the final join all run on that calendar-" +
+        "bounded table (the ts_autocorr economics — window input is " +
+        "|days|, never |events|, and the dow join is |types|×7 rows " +
+        "broadcast). Decades of daily data are still only ~3650 rows " +
+        "per type, so the decomposition itself is free at any event " +
+        "volume; hourly granularity multiplies the collapsed table " +
+        "by 24, nothing else. A true STL (loess, robustness weights) " +
+        "replaces the two means with weighted regressions over the " +
+        "SAME collapsed table — the plan shape, and the integer-" +
+        "deviation trick for its partials, carry over unchanged."),
+
     // Calendar-gap detection: hours with zero events per (type, day)
     // — the missed-poll monitor for an ingestion feed (the reference
     // polls an API on a schedule; an hour with no rows IS the
@@ -735,6 +799,81 @@ object Analytics extends QueryGroup {
         "the touch scan prunes to the attribution horizon; multi-" +
         "touch models (linear/time-decay) reuse the same join and " +
         "replace the argmax with a weighted agg."),
+
+    // Position-based multi-touch attribution (r10) — the weighted-agg
+    // sibling attribution_last_touch's scaleNote promises: the same
+    // user-key join and 7-day residual window, but credit SPLITS
+    // across every touch in the path (U-shaped: 40% first touch, 40%
+    // last, middles share 20% — the industry-standard position model;
+    // n=1 → 100%, n=2 → 50/50). Weights are integer MICRO-credits
+    // (200000 div (n−2) floors identically on both engines — positive
+    // operands, no ts_holt_linear hazard), so credit and revenue
+    // totals are exact integer sums composed to float once at the
+    // edge. Path order is total: (t_ts, touch, t_id) — event_id
+    // breaks same-instant same-type ties deterministically.
+    QueryDef(
+      "attribution_position",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val p = ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+            col("ts").as("p_ts"),
+            floor(col("value") * 100).cast("long").as("cents"))
+        val t = ev.filter(col("event_type").isin("view", "click"))
+          .select(col("user_id").as("t_user"), col("ts").as("t_ts"),
+            col("event_type").as("touch"), col("event_id").as("t_id"))
+        val cond = col("p_user") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") >= col("p_ts") - expr("INTERVAL 7 DAY")
+        val w = Window.partitionBy("p_id").orderBy("t_ts", "touch", "t_id")
+        val wAll = Window.partitionBy("p_id")
+        val attributed = p.join(t, cond)
+          .withColumn("rn", row_number().over(w))
+          .withColumn("nt", count(lit(1)).over(wAll))
+          .withColumn("w_micro",
+            when(col("nt") === 1, 1000000L)
+              .when(col("nt") === 2, 500000L)
+              .when(col("rn") === 1 || col("rn") === col("nt"), 400000L)
+              .otherwise(expr("200000 div (nt - 2)")))
+          .select(col("touch").as("channel"), col("cents"), col("w_micro"))
+        val unattributed = p.join(t, cond, "left_anti")
+          .select(lit("unattributed").as("channel"), col("cents"),
+            lit(1000000L).as("w_micro"))
+        attributed.unionAll(unattributed)
+          .groupBy("channel")
+          .agg(count(lit(1)).as("n_touches"),
+            round(sum(col("w_micro")).cast("double") / 1e6, 4).as("credit"),
+            round(sum(col("cents") * col("w_micro")).cast("double") / 1e8, 4)
+              .as("revenue_credit"))
+          .orderBy("channel")
+      },
+      Some("WITH p AS (SELECT event_id AS p_id, user_id, ts AS p_ts, " +
+        "CAST(floor(value*100) AS BIGINT) AS cents FROM events WHERE event_type = 'purchase'), " +
+        "t AS (SELECT user_id, ts AS t_ts, event_type AS touch, event_id AS t_id FROM events WHERE event_type IN ('view', 'click')), " +
+        "j AS (SELECT p.p_id, p.cents, t.touch, t.t_ts, t.t_id FROM p JOIN t ON p.user_id = t.user_id " +
+        "AND t.t_ts <= p.p_ts AND t.t_ts >= p.p_ts - INTERVAL 7 DAY), " +
+        "a AS (SELECT touch AS channel, cents, CASE WHEN nt = 1 THEN 1000000 WHEN nt = 2 THEN 500000 " +
+        "WHEN rn = 1 OR rn = nt THEN 400000 ELSE 200000 // (nt - 2) END AS w_micro " +
+        "FROM (SELECT *, row_number() OVER (PARTITION BY p_id ORDER BY t_ts, touch, t_id) AS rn, " +
+        "count(*) OVER (PARTITION BY p_id) AS nt FROM j)), " +
+        "u AS (SELECT 'unattributed' AS channel, cents, 1000000 AS w_micro " +
+        "FROM p WHERE p_id NOT IN (SELECT p_id FROM j)) " +
+        "SELECT channel, count(*) AS n_touches, " +
+        "round(CAST(sum(w_micro) AS DOUBLE)/1e6, 4) AS credit, " +
+        "round(CAST(sum(cents*w_micro) AS DOUBLE)/1e8, 4) AS revenue_credit " +
+        "FROM (SELECT * FROM a UNION ALL SELECT * FROM u) GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Same join economics as last-touch (ONE user_id " +
+        "equi join, 7-day residual bound, fan-out capped by touches-" +
+        "per-user-week), plus one p_id window pass whose partitions " +
+        "are path-sized (≤ dozens of rows) — WindowGroupLimit-free " +
+        "but trivially memory-safe. Credits are integer micro-units: " +
+        "the weighted rollup's partials merge exactly on any " +
+        "partitioning, and Σ(cents·w_micro) stays within Long past " +
+        "10¹⁰ purchase-touch rows (DECIMAL(38,0) partials beyond, " +
+        "agg_corr's escalation). Time-decay attribution is this plan " +
+        "with w_micro = f(p_ts − t_ts); the credit column summing to " +
+        "exactly |purchases| (×10⁶) is the model's built-in audit " +
+        "invariant, checkable per shard."),
 
     // Time-to-convert — the funnel's latency dimension: for each user
     // who converted (first view → first purchase at/after it), the
@@ -1282,6 +1421,99 @@ object Analytics extends QueryGroup {
         "through negative trends; α, β as rational 1/5 keep the " +
         "recursion in integers forever (no drift, no " +
         "representation-dependent tails)."),
+
+    // Holt-Winters additive triple smoothing (r10) — ts_holt_linear
+    // plus the SEASONAL state the daily series actually has (the dow
+    // cycle ts_seasonal_dow measures statically, here LEARNED
+    // recursively): l_t = (x̂_t + 4(l+b))/₅ over the deseasonalized
+    // x̂_t = x_t·1e6 − s_{t−7}, b_t as in Holt, and s_t = ((x_t·1e6 −
+    // l_t) + 4·s_{t−7})/₅ with α=β=γ=1/5 in exact integer micro-units
+    // and the explicit pmod floor-division spelling (negative trends
+    // AND negative seasonals — weekends dip below trend). The state
+    // is three scalars plus a rotating 7-slot seasonal window:
+    // Spark's fold reads s_{t−7} as element_at(out, -7).s; the
+    // oracle's recursive CTE cannot see 7 rows back, so it CARRIES
+    // the window — a 7-element list rotated per step
+    // (list_append(seas[2:], s_t)) — proving the identical recursion
+    // from completely different state mechanics. Forecast is the
+    // true one-step-ahead l + b + s_{t−6} (next day's seasonal),
+    // zero until a full period has been seen.
+    QueryDef(
+      "ts_holt_winters",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val SP = "CASE WHEN size(out) >= 7 THEN element_at(out, -7).s " +
+          "ELSE CAST(0 AS BIGINT) END"
+        val A = s"x.n * 1000000 - ($SP) + " +
+          "4 * (element_at(out, -1).l + element_at(out, -1).b)"
+        val LP = s"CASE WHEN size(out) = 0 THEN x.n * 1000000 " +
+          s"ELSE (($A) - pmod($A, 5)) div 5 END"
+        val B = s"($LP) - element_at(out, -1).l + 4 * element_at(out, -1).b"
+        val BP = s"CASE WHEN size(out) = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (($B) - pmod($B, 5)) div 5 END"
+        val S = s"x.n * 1000000 - ($LP) + 4 * ($SP)"
+        val SV = s"CASE WHEN size(out) = 0 THEN CAST(0 AS BIGINT) " +
+          s"ELSE (($S) - pmod($S, 5)) div 5 END"
+        val SN = "CASE WHEN size(out) >= 6 THEN element_at(out, -6).s " +
+          "ELSE CAST(0 AS BIGINT) END"
+        val F = s"($LP) + ($BP) + ($SN)"
+        daily.groupBy("event_type")
+          .agg(array_sort(collect_list(struct(col("day"), col("n")))).as("xs"))
+          .select(col("event_type"), explode(expr(
+            "aggregate(xs, " +
+              "CAST(array() AS ARRAY<STRUCT<day: DATE, n: BIGINT, " +
+              "l: BIGINT, b: BIGINT, s: BIGINT, f: BIGINT>>), " +
+              s"(out, x) -> array_append(out, named_struct(" +
+              s"'day', x.day, 'n', x.n, 'l', $LP, 'b', $BP, " +
+              s"'s', $SV, 'f', $F)))")).as("h"))
+          .select(col("event_type"),
+            col("h.day").cast("string").as("day"), col("h.n").as("n"),
+            col("h.l").as("level_micro"), col("h.b").as("trend_micro"),
+            col("h.s").as("seasonal_micro"),
+            col("h.f").as("forecast_micro"))
+          .orderBy("event_type", "day")
+      },
+      Some {
+        val SPd = "h.seas[1]"
+        val An = s"s.n * 1000000 - $SPd + 4 * (h.l + h.b)"
+        val LPd = s"(($An) - (((($An) % 5) + 5) % 5)) // 5"
+        val Bd = s"($LPd) - h.l + 4 * h.b"
+        val BPd = s"(($Bd) - (((($Bd) % 5) + 5) % 5)) // 5"
+        val Sn = s"s.n * 1000000 - ($LPd) + 4 * ($SPd)"
+        val SVd = s"(($Sn) - (((($Sn) % 5) + 5) % 5)) // 5"
+        val Fd = s"($LPd) + ($BPd) + h.seas[2]"
+        "WITH RECURSIVE daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+          "s AS (SELECT event_type, day, n, row_number() OVER (PARTITION BY event_type ORDER BY day) AS i FROM daily), " +
+          "h(event_type, i, day, n, l, b, sv, fv, seas) AS (" +
+          "SELECT event_type, i, day, n, n * 1000000, CAST(0 AS BIGINT), CAST(0 AS BIGINT), n * 1000000, " +
+          "[CAST(0 AS BIGINT), 0, 0, 0, 0, 0, 0] FROM s WHERE i = 1 " +
+          s"UNION ALL SELECT s.event_type, s.i, s.day, s.n, $LPd, $BPd, $SVd, $Fd, " +
+          s"list_append(h.seas[2:], $SVd) " +
+          "FROM h JOIN s ON s.event_type = h.event_type AND s.i = h.i + 1) " +
+          "SELECT event_type, CAST(day AS VARCHAR) AS day, n, " +
+          "CAST(l AS BIGINT) AS level_micro, CAST(b AS BIGINT) AS trend_micro, " +
+          "CAST(sv AS BIGINT) AS seasonal_micro, CAST(fv AS BIGINT) AS forecast_micro " +
+          "FROM h ORDER BY event_type, day"
+      },
+      scaleNote = "Identical economics to ts_holt_linear — the log " +
+        "collapses to |types|×|days| rows map-side BEFORE any " +
+        "sequential work, the fold walks a bounded per-type array, " +
+        "and types shard across executors — the seasonal component " +
+        "adds 7 longs of state per series, not a pass. This is the " +
+        "general recipe for periodic-state smoothers at scale: keep " +
+        "the period's slots as O(period) state inside the fold " +
+        "(streaming twin: the same slots in mapGroupsWithState), " +
+        "never as a self-join against the series 7 rows back — the " +
+        "window-lag formulation re-shuffles the series per " +
+        "component. Hourly data with weekly seasonality is period " +
+        "168: still O(period) state, same plan. All three " +
+        "recurrences stay in exact integers through negative trend " +
+        "AND seasonal excursions (the pmod floor spelling), so a " +
+        "1000-executor rerun is bit-identical and the forecast " +
+        "column is directly gateable against a re-run — the " +
+        "auditable-forecast property float smoothers never have."),
 
     // Group-wise SKYLINE (Pareto front): per brand, the parts no other
     // part of the brand dominates (higher-or-equal price AND

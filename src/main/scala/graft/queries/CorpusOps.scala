@@ -362,6 +362,50 @@ object CorpusOps extends QueryGroup {
         "across id reassignment. This is how a 100 TB release ships " +
         "a 1% eval slice everyone can reproduce byte-for-byte."),
 
+    // Weighted (importance) sampling (r10) — the third member of the
+    // sampling triad: sample_consistent draws uniformly over DOCS,
+    // sample_balanced equalizes classes, and this draws with
+    // probability ∝ SIZE (n_chars/max_chars), i.e. approximately
+    // uniformly over TOKENS — the draw a token-budgeted corpus audit
+    // or a length-unbiased eval slice actually wants (doc-uniform
+    // sampling over-represents short docs' tokens). Same consistent-
+    // hash mechanism: u16 = first 4 md5 hex chars of the salted key
+    // (a uniform 16-bit draw), kept iff u16 < (n_chars·65536) div
+    // max — reproducible on any engine, layout, and rerun, where a
+    // rand()-weighted draw is none of those. Any weight column
+    // (quality score, domain priority) substitutes for n_chars
+    // unchanged.
+    QueryDef(
+      "sample_weighted",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val mx = docs.agg(max(col("n_chars")).as("mx"))
+        docs.crossJoin(broadcast(mx))
+          .withColumn("u16", conv(substring(md5(concat(lit("graftw:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"))
+          .withColumn("thr", expr("(n_chars * 65536) div mx"))
+          .filter(col("u16") < col("thr"))
+          .select(col("doc_id"), col("n_chars"), col("thr"))
+          .orderBy("doc_id")
+      },
+      Some("WITH m AS (SELECT max(n_chars) AS mx FROM documents), " +
+        "s AS (SELECT doc_id, n_chars, " +
+        "('0x'||substr(md5('graftw:'||CAST(doc_id AS VARCHAR)),1,4))::BIGINT AS u16, " +
+        "(n_chars * 65536) // mx AS thr FROM documents CROSS JOIN m) " +
+        "SELECT doc_id, n_chars, thr FROM s WHERE u16 < thr ORDER BY doc_id"),
+      scaleNote = "Map-only after a 1-row max broadcast: the " +
+        "keep/drop predicate is codegen'd scalar hashing inside the " +
+        "scan — no shuffle, no per-group state, and the SAME " +
+        "predicate selects the SAME subset in any engine (the " +
+        "oracle's contract, as with sample_consistent). The scalar " +
+        "max is the only non-local input; at 100 TB pin it as a " +
+        "corpus constant (or a percentile fence from agg_approx_" +
+        "quantile — a single extreme doc otherwise flattens every " +
+        "other weight) and distribute it with the job config rather " +
+        "than an aggregate. 16-bit resolution bounds the rate error " +
+        "at 2⁻¹⁶ per doc; widen the hex prefix for finer weights, " +
+        "exactly as sample_consistent tunes its rate."),
+
     // Repetition-aware training mixture (the data-constrained-scaling
     // complement of corpus_mix's downsampling): under-represented
     // languages are UPsampled by whole-epoch repetition, epochs =

@@ -1075,5 +1075,75 @@ object GraphOps extends QueryGroup {
         "|E|·deg_max² — DECIMAL(38,0) partials past ~10^18, same " +
         "escalation as agg_corr. The degenerate-variance guard " +
         "(regular graphs: den = 0) emits NULL identically on both " +
-        "engines rather than a NaN ordering hazard."))
+        "engines rather than a NaN ordering hazard."),
+
+    // Modularity (r10) — the community-QUALITY metric that closes the
+    // community loop: graph_components finds structure, graph_label_
+    // spread assigns classes, and modularity is the number that says
+    // whether a partition is better than chance (Q = Σ_c [e_c/m −
+    // (d_c/2m)²], Newman-Girvan). The partition under test is the
+    // natural geographic one — nationkey, shared by both node types —
+    // so the oracle needs no fixpoint unroll and the metric reads as
+    // "do customers buy from their own nation's suppliers more than a
+    // degree-preserving random rewiring would predict". All counts
+    // exact integers off the directed edge list (e appears both ways,
+    // so e_c/m = internal_directed/total_directed and d_c/2m =
+    // deg_c/total_directed — the halves cancel); the two divisions
+    // compose once at the edge.
+    QueryDef(
+      "graph_modularity",
+      (spark, sf) => {
+        val e = edges(spark, sf)
+        val comm = Tables.customer(spark, sf)
+            .select((col("c_custkey") * 2).as("node"),
+              col("c_nationkey").as("comm"))
+          .unionAll(Tables.supplier(spark, sf)
+            .select((col("s_suppkey") * 2 + 1).as("node"),
+              col("s_nationkey").as("comm")))
+        val j = e
+          .join(broadcast(comm.withColumnRenamed("node", "src")
+            .withColumnRenamed("comm", "sc")), Seq("src"))
+          .join(broadcast(comm.withColumnRenamed("node", "dst")
+            .withColumnRenamed("comm", "dc")), Seq("dst"))
+        val tot = j.agg(count(lit(1)).as("t"))
+        j.groupBy(col("sc").as("nation"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("dc") === col("sc"), 1L).otherwise(0L))
+              .as("internal2"),
+            countDistinct(col("src")).as("n_nodes"))
+          .crossJoin(broadcast(tot))
+          .select(col("nation"), col("n_nodes"), col("deg_sum"),
+            expr("internal2 div 2").as("internal_edges"),
+            round(col("internal2").cast("double") / col("t") -
+              (col("deg_sum").cast("double") / col("t")) *
+              (col("deg_sum").cast("double") / col("t")), 6)
+              .as("mod_term"))
+          .orderBy("nation")
+      },
+      Some(s"WITH bp AS ($EdgesSql), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+        "comm AS (SELECT c_custkey*2 AS node, c_nationkey AS comm FROM customer " +
+        "UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), " +
+        "j AS (SELECT sc.comm AS sc, dc.comm AS dc, e.src FROM e " +
+        "JOIN comm sc ON e.src = sc.node JOIN comm dc ON e.dst = dc.node), " +
+        "t AS (SELECT count(*) AS t FROM j) " +
+        "SELECT sc AS nation, count(DISTINCT src) AS n_nodes, " +
+        "count(*) AS deg_sum, " +
+        "CAST(sum(CASE WHEN dc = sc THEN 1 ELSE 0 END) AS BIGINT) // 2 AS internal_edges, " +
+        "round(CAST(sum(CASE WHEN dc = sc THEN 1 ELSE 0 END) AS DOUBLE) / any_value(t.t) - " +
+        "(CAST(count(*) AS DOUBLE) / any_value(t.t)) * (CAST(count(*) AS DOUBLE) / any_value(t.t)), 6) AS mod_term " +
+        "FROM j CROSS JOIN t GROUP BY sc ORDER BY nation"),
+      scaleNote = "The node→community map derives from DIM tables " +
+        "(|customers|+|suppliers| rows), so both community joins " +
+        "broadcast — the edge list is read once and never shuffled " +
+        "on its own keys; past broadcast size the map co-partitions " +
+        "with the edge build on src/dst, the standard valve. The " +
+        "rollup is map-side-combined to |communities| rows, the " +
+        "1-row total broadcasts back, and every input to the two " +
+        "final divisions is an exact integer — so Q's terms are " +
+        "bit-stable on any partitioning. Evaluating a DIFFERENT " +
+        "partition (label_spread's output, components' labels) is " +
+        "the same plan with the comm map swapped for that result — " +
+        "modularity-guided iteration (Louvain's inner loop) reuses " +
+        "this exact aggregate shape per move round."))
 }

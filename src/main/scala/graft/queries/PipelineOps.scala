@@ -694,5 +694,91 @@ object PipelineOps extends QueryGroup {
         "label tables are full-corpus because each is independently " +
         "oracled). The heldout band composes with " +
         "sample_consistent's: disjoint hex bands = disjoint, " +
-        "independently reproducible slices of one corpus."))
+        "independently reproducible slices of one corpus."),
+
+    // Declarative data-quality expectation suite (r10) — the
+    // Deequ/Great-Expectations contract check every ingest boundary
+    // runs before data is allowed downstream: a set of NAMED rules
+    // (not-null, key uniqueness, accepted values, numeric range, date
+    // bounds, format regex, referential integrity) evaluated together
+    // and reported per rule — n_checked, n_failed, pass, fail_ppm —
+    // so the gate is auditable rule by rule, never one opaque
+    // boolean. The single-pass economics are the point: all six
+    // row-local rules + the row count + the key-distinct count
+    // compute in ONE aggregate over one scan (conditional integer
+    // sums — the Deequ trick), the RI rule is the only join, and the
+    // per-rule report is a constant-width stack of the 1-row result.
+    // The range rule is deliberately tight enough (< 300k) to FAIL on
+    // real rows, proving the counting path, not just the green path.
+    QueryDef(
+      "dq_expectations",
+      (spark, sf) => {
+        val o = Tables.orders(spark, sf)
+        val a = o.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("f_null"),
+          (count(lit(1)) - countDistinct(col("o_orderkey"))).as("f_uniq"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("f_vals"),
+          sum(when(!(col("o_totalprice") > 0 &&
+            col("o_totalprice") < 300000), 1L).otherwise(0L)).as("f_range"),
+          sum(when(col("o_orderdate") <
+              lit("1992-01-01").cast("timestamp") ||
+            col("o_orderdate") >= lit("1999-01-01").cast("timestamp"), 1L)
+            .otherwise(0L)).as("f_date"),
+          sum(when(!col("o_orderpriority").rlike("^[1-5]-"), 1L)
+            .otherwise(0L)).as("f_pat"))
+        val ri = o.join(Tables.customer(spark, sf).select(col("c_custkey")),
+            col("o_custkey") === col("c_custkey"), "left_anti")
+          .agg(count(lit(1)).as("f_ri"))
+        a.crossJoin(broadcast(ri))
+          .select(col("n"), expr("stack(7, " +
+            "'accepted_values:o_orderstatus', f_vals, " +
+            "'bounds:o_orderdate', f_date, " +
+            "'not_null:o_custkey', f_null, " +
+            "'pattern:o_orderpriority', f_pat, " +
+            "'range:o_totalprice', f_range, " +
+            "'ref:o_custkey_in_customer', f_ri, " +
+            "'unique:o_orderkey', f_uniq) AS (rule, n_failed)"))
+          .select(col("rule"), col("n").as("n_checked"), col("n_failed"),
+            (col("n_failed") === 0).as("pass"),
+            expr("(n_failed * 1000000) div n").as("fail_ppm"))
+          .orderBy("rule")
+      },
+      Some("WITH a AS (SELECT count(*) AS n, " +
+        "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS f_null, " +
+        "count(*) - count(DISTINCT o_orderkey) AS f_uniq, " +
+        "CAST(sum(CASE WHEN o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT) AS f_vals, " +
+        "CAST(sum(CASE WHEN NOT (o_totalprice > 0 AND o_totalprice < 300000) THEN 1 ELSE 0 END) AS BIGINT) AS f_range, " +
+        "CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '1992-01-01' OR o_orderdate >= TIMESTAMP '1999-01-01' THEN 1 ELSE 0 END) AS BIGINT) AS f_date, " +
+        "CAST(sum(CASE WHEN NOT regexp_matches(o_orderpriority, '^[1-5]-') THEN 1 ELSE 0 END) AS BIGINT) AS f_pat " +
+        "FROM orders), " +
+        "r AS (SELECT CAST(count(*) AS BIGINT) AS f_ri FROM orders " +
+        "WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)), " +
+        "u AS (SELECT 'accepted_values:o_orderstatus' AS rule, n, f_vals AS n_failed FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'bounds:o_orderdate', n, f_date FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'not_null:o_custkey', n, f_null FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'pattern:o_orderpriority', n, f_pat FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'range:o_totalprice', n, f_range FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'ref:o_custkey_in_customer', n, f_ri FROM a CROSS JOIN r " +
+        "UNION ALL SELECT 'unique:o_orderkey', n, f_uniq FROM a CROSS JOIN r) " +
+        "SELECT rule, n AS n_checked, n_failed, n_failed = 0 AS pass, " +
+        "(n_failed * 1000000) // n AS fail_ppm FROM u ORDER BY rule"),
+      scaleNote = "One scan computes six rules + the row count + the " +
+        "two-phase key-distinct in a single map-side-combined " +
+        "aggregate (conditional integer sums ride the same codegen " +
+        "stage — adding a rule adds an expression, never a pass: the " +
+        "Deequ economics), so the suite's cost is the scan it was " +
+        "going to pay anyway. Referential integrity is the only " +
+        "join — an anti join that broadcasts when the dimension " +
+        "fits and co-partitions on the key when it doesn't (the " +
+        "join_anti family's valve); at 100 TB run it against the " +
+        "dimension's BLOOM side first (join_bloom_prefilter) so " +
+        "only suspect rows shuffle. The per-rule stack is 7 rows " +
+        "from two 1-row locals — report size is |rules|, " +
+        "independent of data. fail_ppm is an integer floor " +
+        "division: bit-stable, and 1 ppm resolution is the right " +
+        "unit for gating a petabyte feed (a 0.01% bad-row budget " +
+        "is 100 ppm, directly comparable)."))
 }

@@ -531,8 +531,8 @@ object SqlSurface extends QueryGroup {
     * cells surface as NULL from SQL PIVOT where a CASE-sum yields 0 —
     * the coalesce pins that seam. DuckDB's PIVOT grammar differs, so
     * the oracle states the equivalent conditional aggregation (the
-    * hash compares semantics, not syntax — the one SQL-surface key
-    * where the texts must diverge). */
+    * hash compares semantics, not syntax — as for sql_unnest, the
+    * two keys whose clause grammar ANSI never standardized). */
   private val QPivot =
     """SELECT yr, coalesce(urgent, 0) AS urgent, coalesce(high, 0) AS high,
       |  coalesce(medium, 0) AS medium
@@ -542,7 +542,50 @@ object SqlSurface extends QueryGroup {
       |  ('1-URGENT' AS urgent, '2-HIGH' AS high, '3-MEDIUM' AS medium))
       |ORDER BY yr""".stripMargin
 
+  /** Row-generator (UNNEST/EXPLODE) through the parser path (r10) —
+    * the one relational move no prior sql_* key exercises: a FROM
+    * clause that EXPANDS rows (Generate in Catalyst) rather than
+    * filtering or joining them. The query is text_tokens' job stated
+    * as SQL — token frequency + document frequency over the corpus —
+    * via LATERAL VIEW explode(split(...)), the generator grammar
+    * Spark inherited from HiveQL; DuckDB spells the same generator
+    * unnest(string_split(...)), so as with sql_pivot the texts
+    * diverge and the hash gates the semantics (count + two-phase
+    * distinct over the exploded stream). */
+  private val QUnnest =
+    """SELECT tok, count(1) AS n, count(DISTINCT doc_id) AS df
+      |FROM documents LATERAL VIEW explode(split(text, ' ')) t AS tok
+      |GROUP BY tok
+      |HAVING count(1) >= 50
+      |ORDER BY tok""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_unnest",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QUnnest)
+      },
+      Some("SELECT tok, count(1) AS n, count(DISTINCT doc_id) AS df " +
+        "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok " +
+        "FROM documents) GROUP BY tok HAVING count(1) >= 50 " +
+        "ORDER BY tok"),
+      scaleNote = "Generate is a narrow (pipelined, shuffle-free) " +
+        "operator: tokens stream out of the scan partition-local " +
+        "and the partial aggregate collapses them map-side BEFORE " +
+        "the one shuffle, so the wire carries |vocab| partials, " +
+        "never |tokens| rows — the exact economics of text_tokens' " +
+        "DSL form, inherited automatically by the SQL text because " +
+        "both land in the same Catalyst plan (the point of gating " +
+        "the surface). The DISTINCT doc_id rides the two-phase " +
+        "distinct-aggregate path (partial distinct pairs map-side). " +
+        "At 100 TB the only care is generator fan-out × row width — " +
+        "explode AFTER projecting away every non-carried column " +
+        "(the text column dies at the split), which the column " +
+        "pruner does here and a reviewer should check in any " +
+        "hand-written variant; the HAVING floor prunes the " +
+        "singleton tail before the final sort."),
+
     QueryDef(
       "sql_pivot",
       (spark, sf) => {

@@ -237,4 +237,23 @@ class GraphOpsSpec extends SparkSpec {
     assert(d(11L) == 11L, s"far end must carry the exact distance, got ${d.get(11L)}")
     assert(rounds > 4, s"chain needs > 4 relax rounds, got $rounds")
   }
+
+  test("graph_modularity: terms obey the Newman-Girvan identities on real data") {
+    val rows = engine.Registry.byName("graph_modularity").build(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val degTotal = rows.map(_.getLong(2)).sum
+    val internal = rows.map(_.getLong(3)).sum
+    // Σ_c d_c = 2m (every directed edge counted once at its src) and
+    // internal edges can never exceed half the endpoint mass
+    assert(internal * 2 <= degTotal,
+      s"internal $internal vs directed total $degTotal")
+    val q = rows.map(_.getDouble(4)).sum
+    assert(q > -1.0 && q < 1.0, s"modularity out of range: $q")
+    // the bipartite c↔s graph has ZERO intra-nation edges only if no
+    // customer ever buys from a same-nation supplier — with 25 nations
+    // some do, so Q must differ from the degenerate all-zero value
+    assert(rows.map(_.getLong(3)).exists(_ > 0L),
+      "expected at least one intra-nation edge on the sf0.001 graph")
+  }
 }

@@ -1439,4 +1439,126 @@ class OperatorPropertiesSpec extends SparkSpec {
     // outliers — some vector must score clearly above the tail
     assert(worst < 0.999, "vacuous: whole corpus equidistant")
   }
+
+  test("attribution_position: credit sums to the purchase count exactly") {
+    val out = run("attribution_position").collect()
+    val total = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase").count()
+    // the model's audit invariant: micro-credits per purchase sum to
+    // ≤ 1e6 with floor-division dust only in the middle split, so the
+    // rounded credit total lands within |purchases| × 4 micro of N
+    val credit = out.map(_.getAs[Double]("credit")).sum
+    assert(math.abs(credit - total) < total * 4e-6 + 1e-3,
+      s"credit $credit vs purchases $total")
+    val chans = out.map(_.getAs[String]("channel")).toSet
+    assert(chans.subsetOf(Set("view", "click", "unattributed")))
+  }
+
+  test("ts_decompose: components re-add to the observation per row") {
+    val out = run("ts_decompose").cache()
+    val bad = out.filter(
+      abs(col("n") - (col("trend") + col("seasonal") + col("residual")))
+        > 0.001).count()
+    assert(bad == 0, s"$bad rows where trend+seasonal+residual != n")
+    // per (type, dow) the seasonal is a single value — and the
+    // centered-MA exclusion leaves a contiguous day range per type
+    assert(out.count() > 0)
+    out.unpersist()
+  }
+
+  test("sample_weighted: rerun-identical, max-weight doc always kept, rate tracks mass") {
+    val s1 = run("sample_weighted").cache()
+    val s2 = run("sample_weighted")
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    val docs = graft.engine.Tables.documents(spark, sf).cache()
+    val mx = docs.agg(max("n_chars")).collect()(0).getLong(0)
+    // thr = 65536 for the max doc → u16 < 65536 always → kept
+    val kept = s1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val maxIds = docs.filter(col("n_chars") === mx)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(maxIds.forall(kept), "max-weight doc must always be kept")
+    // expected keep count = Σ thr/65536; binomial 4-sigma band
+    val exp = docs.select(expr(s"(n_chars * 65536) div $mx"))
+      .collect().map(_.getLong(0)).map(_ / 65536.0).sum
+    val sd = math.sqrt(exp)
+    assert(math.abs(s1.count() - exp) <= 4 * sd + 1,
+      s"keep count ${s1.count()} vs expected $exp")
+    s1.unpersist(); docs.unpersist()
+  }
+
+  test("dq_expectations: ledger complete, consistent, and actually counting") {
+    val out = run("dq_expectations").collect()
+    assert(out.length == 7, s"expected 7 rules, got ${out.length}")
+    val total = graft.engine.Tables.orders(spark, sf).count()
+    assert(out.forall(_.getLong(1) == total),
+      "every rule must report the same n_checked")
+    val byRule = out.map(r => r.getString(0) -> r).toMap
+    // the fixture is clean on these — the green path
+    Seq("not_null:o_custkey", "unique:o_orderkey",
+        "ref:o_custkey_in_customer", "accepted_values:o_orderstatus")
+      .foreach { k =>
+        assert(byRule(k).getLong(2) == 0 && byRule(k).getBoolean(3),
+          s"$k should pass on the fixture")
+      }
+    // the deliberately tight range rule must FAIL real rows — and its
+    // count must equal an independent recount (the counting path)
+    val range = byRule("range:o_totalprice")
+    val expect = graft.engine.Tables.orders(spark, sf)
+      .filter(!(col("o_totalprice") > 0 && col("o_totalprice") < 300000))
+      .count()
+    assert(expect > 0 && range.getLong(2) == expect && !range.getBoolean(3),
+      s"range rule counted ${range.getLong(2)}, independent recount $expect")
+    out.foreach(r => assert(r.getLong(4) == r.getLong(2) * 1000000L / r.getLong(1),
+      s"${r.getString(0)}: fail_ppm is not the floor division"))
+  }
+
+  test("sql_unnest: the parser's generator path equals the DataFrame explode") {
+    val out = run("sql_unnest").cache()
+    val dsl = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy("tok")
+      .agg(count(lit(1)).as("n"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("n") >= 50)
+    assert(out.count() == dsl.count() && out.count() > 0)
+    assert(out.exceptAll(dsl.select(col("tok"), col("n"), col("df"))).isEmpty,
+      "SQL-text generator result diverges from the explode DSL")
+    assert(out.collect().forall(r => r.getLong(2) <= r.getLong(1)),
+      "df must never exceed n")
+    out.unpersist()
+  }
+
+  test("ts_holt_winters: the HOF fold equals a driver-side replay with rotating seasonal state") {
+    def d5(v: Long): Long = { val r = ((v % 5) + 5) % 5; (v - r) / 5 }
+    val out = run("ts_holt_winters").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getString(0)).foreach { case (t, rows) =>
+      val sorted = rows.sortBy(_.getString(1))
+      var l = 0L; var b = 0L
+      val seas = scala.collection.mutable.Queue.fill(7)(0L)
+      sorted.zipWithIndex.foreach { case (r, i) =>
+        val x = r.getLong(2) * 1000000L
+        val sp = seas.head // s_{t-7}
+        val sn = seas(1)   // s_{t-6}, next day's seasonal
+        var s = 0L
+        if (i == 0) { l = x; b = 0L; s = 0L }
+        else {
+          val lp = d5(x - sp + 4 * (l + b))
+          b = d5(lp - l + 4 * b)
+          s = d5(x - lp + 4 * sp)
+          l = lp
+        }
+        val f = l + b + sn
+        assert(r.getLong(3) == l && r.getLong(4) == b &&
+          r.getLong(5) == s && r.getLong(6) == f,
+          s"$t day ${r.getString(1)}: got (${r.getLong(3)}, ${r.getLong(4)}, " +
+            s"${r.getLong(5)}, ${r.getLong(6)}), want ($l, $b, $s, $f)")
+        seas.dequeue(); seas.enqueue(s)
+      }
+    }
+    // the seasonal state must actually develop (dow variation exists)
+    assert(out.exists(_.getLong(5) != 0L),
+      "fixture never produces a nonzero seasonal")
+    assert(out.exists(_.getLong(4) < 0L),
+      "fixture never exercises floor division through negatives")
+  }
 }

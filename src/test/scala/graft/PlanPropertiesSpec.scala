@@ -294,7 +294,16 @@ class PlanPropertiesSpec extends SparkSpec {
         "rank_fusion_rrf",
         // the 1-row L1-delta certificate aggregate cross-joined onto
         // the rank table (pagerankDeltaCol — a constant, not a scan)
-        "graph_pagerank")
+        "graph_pagerank",
+        // the 1-row directed-edge total the |nations|-row modularity
+        // rollup divides by — a constant, not a scan
+        "graph_modularity",
+        // the 1-row max-weight constant the weighted-sampling
+        // threshold divides by — sample_balanced's min-count pattern
+        "sample_weighted",
+        // the 1-row RI-failure count crossed onto the 1-row rule
+        // aggregate before the 7-row stack — two constants, no scan
+        "dq_expectations")
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.

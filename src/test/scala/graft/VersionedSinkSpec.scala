@@ -34,4 +34,24 @@ class VersionedSinkSpec extends SparkSpec {
     assert(spark.read.parquet(v1Manifest.toIndexedSeq: _*).count() == v1Rows,
       "manifest read must be closed at commit time")
   }
+
+  test("source_version_diff: the manifest diff is exactly the append increment") {
+    val (_, manDir) = queries.SourceOps.buildVersioned(spark, sf)
+    val v1 = queries.SourceOps.readManifest(manDir, "v1")
+    val v2 = queries.SourceOps.readManifest(manDir, "v2")
+    val diff = v2.filterNot(v1.toSet)
+    assert(v1.toSet.subsetOf(v2.toSet), "append must not drop v1 files")
+    assert(diff.length == 4, s"expected 4 diff files, got ${diff.length}")
+
+    // diff rows + v1 rows partition v2 exactly (no overlap, no loss)
+    val v1Rows = spark.read.parquet(v1: _*).count()
+    val diffRows = spark.read.parquet(diff: _*).count()
+    assert(v1Rows + diffRows == spark.read.parquet(v2: _*).count())
+
+    // and the diff IS the logical append: event_id multiples of 5
+    val ids = spark.read.parquet(diff: _*)
+      .select("event_id").collect().map(_.getLong(0))
+    assert(ids.nonEmpty && ids.forall(_ % 5 == 0),
+      "diff read must contain exactly the commit-2 rows")
+  }
 }
