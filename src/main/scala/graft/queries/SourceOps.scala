@@ -991,6 +991,78 @@ object SourceOps extends QueryGroup {
         "consumer relies on — gated here by fingerprint, with the " +
         "diff-file count measured, not assumed.")
 
+  /** VACUUM (r10) — the retention half of lake maintenance, closing
+    * the manifest-table loop: sink_versioned proves commits are
+    * closed manifests, source_version_diff proves increments are
+    * manifest subtractions, and vacuum is the garbage collector both
+    * imply — ORPHAN files (a failed/uncommitted job's debris, planted
+    * here as 3 parquet files appended to the data directory that no
+    * manifest references) are found by LISTING MINUS LIVE-MANIFEST
+    * UNION and physically deleted, and the gate proves the one
+    * property that makes deletion safe: the live table read (through
+    * its manifest) is byte-identical after the delete. The audit rows
+    * carry the measured listing/orphan counts per phase with the
+    * post-vacuum directory exactly equal to the manifest set. */
+  private def vacuumDef: QueryDef =
+    QueryDef(
+      "sink_vacuum",
+      (spark, sf) => {
+        val (dataDir, manDir) = buildVersioned(spark, sf)
+        // plant the debris: a failed job's uncommitted output — in
+        // the directory, in no manifest
+        graft.engine.Tables.loadEvents(spark, sf)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+          .filter(pmod(col("event_id"), lit(7)) === 3)
+          .repartition(3).write.mode("append").parquet(dataDir)
+        val live = (readManifest(manDir, "v1") ++
+          readManifest(manDir, "v2")).toSet
+        val pre = listParts(dataDir)
+        val orphans = pre.filterNot(live)
+        orphans.foreach(f => new java.io.File(f).delete())
+        val post = listParts(dataDir)
+        def audit(phase: String, nListed: Int, nOrphans: Int) =
+          spark.read.parquet(readManifest(manDir, "v2"): _*)
+            .agg(count(lit(1)).as("n_rows"),
+              graft.engine.Dsl.sumDec2(col("value")).cast("double")
+                .as("sum_value"),
+              countDistinct(col("user_id")).as("n_users"),
+              sum(col("event_id")).as("sum_id"))
+            .select(lit(phase).as("phase"),
+              lit(nListed.toLong).as("n_listed"),
+              lit(nOrphans.toLong).as("n_orphans"), col("n_rows"),
+              col("sum_value"), col("n_users"), col("sum_id"))
+        audit("pre", pre.size, orphans.size)
+          .unionAll(audit("post", post.size,
+            post.filterNot(live).size))
+          .orderBy("phase")
+      },
+      Some("SELECT 'post' AS phase, CAST(8 AS BIGINT) AS n_listed, " +
+        "CAST(0 AS BIGINT) AS n_orphans, count(*) AS n_rows, " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value, " +
+        "count(DISTINCT user_id) AS n_users, " +
+        "CAST(sum(event_id) AS BIGINT) AS sum_id FROM events " +
+        "UNION ALL " +
+        "SELECT 'pre', CAST(11 AS BIGINT), CAST(3 AS BIGINT), count(*), " +
+        "CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), " +
+        "count(DISTINCT user_id), CAST(sum(event_id) AS BIGINT) " +
+        "FROM events ORDER BY phase"),
+      scaleNote = "Orphan detection is set subtraction between a " +
+        "listing and the live-manifest union — |files| string " +
+        "operations, zero data reads; the deletes are |orphans| " +
+        "object-store calls. At 100 TB the listing is the expensive " +
+        "half (the operation manifests exist to avoid), so " +
+        "production vacuums run RARELY and with a retention fence — " +
+        "age > N days AND unreferenced by any snapshot in the " +
+        "retention window (here: the union of ALL manifests; with " +
+        "time travel, every retained version's manifest joins the " +
+        "union) — because a file innocent in the current snapshot " +
+        "may be live in an older one a reader still holds. The " +
+        "safety property is gated, not asserted: the live read's " +
+        "fingerprints are computed through the manifest after the " +
+        "physical delete and must equal the logical table — vacuum " +
+        "can only ever remove what no manifest can reach.")
+
   /** Idempotently write the co-bucketed lineitem/orders pair and
     * return their catalog names. Bucket layout: 8 buckets on the JOIN
     * key, sorted within buckets — the layout every fact⋈fact
@@ -1068,5 +1140,6 @@ object SourceOps extends QueryGroup {
         "the complete lake-table story.")
 
   def defs: Seq[QueryDef] =
-    defsBase ++ Seq(compactDef, versionedDef, versionDiffDef, bucketedDef)
+    defsBase ++ Seq(compactDef, versionedDef, versionDiffDef, vacuumDef,
+      bucketedDef)
 }

@@ -507,6 +507,72 @@ object Streams {
       }
   }
 
+  case class HwState(day: Long, n: Long, l: Long, b: Long,
+      seas: Seq[Long], started: Boolean)
+  case class HwRow(event_type: String, day: String, n: Long,
+      level_micro: Long, trend_micro: Long, seasonal_micro: Long,
+      forecast_micro: Long)
+
+  /** Streaming Holt-Winters — the twin of batch ts_holt_winters and
+    * the O(period) live form its scaleNote names: per-type state is
+    * the open day's count, the (level, trend) pair, and the rotating
+    * 7-slot seasonal window — exactly the state the batch fold
+    * carries, so the recursion advances in the IDENTICAL integer
+    * micro-unit arithmetic (same explicit floor division through
+    * negative trends and seasonals) and stream agrees with batch
+    * bit-for-bit on every finalized day. The forecast emitted at day
+    * close is the true one-step-ahead l + b + s_{t−6}, read from the
+    * window BEFORE rotation — the live anomaly baseline a monitor
+    * compares tomorrow's count against. Ordered-replay contract as
+    * stream_holt: an out-of-order day throws rather than silently
+    * corrupting every later step. */
+  def holtWinters(events: Dataset[Event]): Dataset[HwRow] = {
+    import events.sparkSession.implicits._
+    val dayMs = 86400L * 1000
+    def d5(v: Long): Long = { val r = ((v % 5) + 5) % 5; (v - r) / 5 }
+    events
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (typ: String, evs: Iterator[Event], state: GroupState[HwState]) =>
+          var st = state.getOption.getOrElse(
+            HwState(Long.MinValue, 0L, 0L, 0L, Seq.fill(7)(0L),
+              started = false))
+          val out = Seq.newBuilder[HwRow]
+          def finalizeDay(): Unit = if (st.day != Long.MinValue) {
+            val x = st.n * 1000000L
+            val sp = st.seas.head // s_{t-7}
+            val sn = st.seas(1)   // s_{t-6}: next day's seasonal
+            val (l, b, sv) =
+              if (!st.started) (x, 0L, 0L)
+              else {
+                val lp = d5(x - sp + 4 * (st.l + st.b))
+                val bp = d5(lp - st.l + 4 * st.b)
+                (lp, bp, d5(x - lp + 4 * sp))
+              }
+            out += HwRow(typ,
+              java.time.LocalDate.ofEpochDay(st.day).toString, st.n,
+              l, b, sv, l + b + sn)
+            st = HwState(Long.MinValue, 0L, l, b,
+              st.seas.tail :+ sv, started = true)
+          }
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val d = Math.floorDiv(e.ts.getTime, dayMs)
+            if (st.day != Long.MinValue && d < st.day)
+              throw new IllegalStateException(
+                s"stream_holt_winters replay-order violation for " +
+                  s"'$typ': day $d after open day ${st.day}")
+            if (d != st.day) {
+              finalizeDay()
+              st = st.copy(day = d, n = 0L)
+            }
+            st = st.copy(n = st.n + 1)
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class GapState(day: Long, hourMask: Long, n: Long)
   case class GapRow(event_type: String, day: String, hours_observed: Long,
       n_events: Long, hours_missing: Long, has_gap: Boolean)

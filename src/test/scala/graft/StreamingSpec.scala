@@ -634,6 +634,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_holt_winters equals batch ts_holt_winters on finalized days under ordered replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val slices = Seq(all.take(300), all.slice(300, 900), all.drop(900))
+    val mem = MemoryStream[Streams.Event](47, spark, None)
+    val q = Streams.holtWinters(mem.toDS()).writeStream.format("memory")
+      .queryName("t_hw").outputMode("append").start()
+    try {
+      slices.foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val streamed = spark.table("t_hw")
+        .select(col("event_type"), col("day"), col("n"),
+          col("level_micro"), col("trend_micro"), col("seasonal_micro"),
+          col("forecast_micro"))
+      val lastDay = all.groupBy(_.event_type).map { case (t, es) =>
+        t -> java.time.LocalDate.ofEpochDay(
+          Math.floorDiv(es.map(_.ts.getTime).max, 86400000L)).toString
+      }.toSeq.toDF("event_type", "last_day")
+      val batch = graft.engine.Registry.byName("ts_holt_winters")
+        .build(spark, sf)
+        .join(lastDay, "event_type")
+        .filter(col("day") < col("last_day"))
+        .select(col("event_type"), col("day"), col("n"),
+          col("level_micro"), col("trend_micro"), col("seasonal_micro"),
+          col("forecast_micro"))
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch holt-winters mismatch")
+      assert(streamed.count() > 0, "vacuous: nothing emitted")
+      // the seasonal window actually develops live
+      assert(streamed.filter(col("seasonal_micro") =!= 0).count() > 0,
+        "fixture never develops a seasonal component in-stream")
+    } finally q.stop()
+  }
+
   test("stream_delay_board equals batch delay_board under ordered replay") {
     val s = spark
     import s.implicits._

@@ -54,4 +54,34 @@ class VersionedSinkSpec extends SparkSpec {
     assert(ids.nonEmpty && ids.forall(_ % 5 == 0),
       "diff read must contain exactly the commit-2 rows")
   }
+
+  test("sink_vacuum: deletes exactly the unreferenced debris, never the live table") {
+    val out = engine.Registry.byName("sink_vacuum").build(spark, sf)
+      .collect()
+    val byPhase = out.map(r => r.getString(0) -> r).toMap
+    assert(byPhase("pre").getLong(1) == 11 &&
+      byPhase("pre").getLong(2) == 3,
+      "pre phase must list 8 live + 3 planted orphan files")
+    assert(byPhase("post").getLong(1) == 8 &&
+      byPhase("post").getLong(2) == 0,
+      "post phase must list exactly the manifest set")
+    // live fingerprints identical across the physical delete
+    Seq(3, 4, 5, 6).foreach { i =>
+      assert(byPhase("pre").get(i) == byPhase("post").get(i),
+        s"live-read column $i changed across vacuum")
+    }
+    // on disk: directory == v2 manifest exactly, manifests intact,
+    // and v1 (an older retained snapshot) still fully readable
+    val (dataDir, manDir) = queries.SourceOps.versionedDirs(spark, sf)
+    val listed = new java.io.File(dataDir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSet
+    val v1 = queries.SourceOps.readManifest(manDir, "v1")
+    val v2 = queries.SourceOps.readManifest(manDir, "v2")
+    assert(listed == v2.toSet,
+      "post-vacuum directory must equal the newest manifest")
+    assert(spark.read.parquet(v1: _*).count() > 0,
+      "older retained snapshot must survive vacuum")
+  }
 }
