@@ -82,7 +82,15 @@ object ScalingCurve {
       "sql_tpch_q13", "sql_tpch_q21",
       "dedup_minhash_accuracy", "emb_outlier", "emb_dim_variance",
       "dedup_exact_substring", "graph_closeness", "sink_versioned",
-      "sink_bucketed", "sql_recursive_cte", "sql_pivot")
+      "sink_bucketed", "sql_recursive_cte", "sql_pivot",
+      // r10 second wave (all scale with sf: events/documents/orders
+      // tables; sink_vacuum and source_version_diff include their
+      // builds in the timing — write-path operators, sink_versioned's
+      // precedent)
+      "ts_decompose", "attribution_position", "sample_weighted",
+      "graph_modularity", "source_version_diff", "dq_expectations",
+      "sql_unnest", "ts_holt_winters", "sink_vacuum",
+      "ab_test_welch", "ts_acf", "sql_group_by_all")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -460,6 +460,68 @@ object Analytics extends QueryGroup {
         "over the same window pass; the seasonal twin at lag 7 is " +
         "what ts_seasonal_dow reads directly off the calendar."),
 
+    // Full autocorrelation function, lags 1..7 (r10) — the
+    // generalization ts_autocorr's scaleNote promises, delivered:
+    // SEVEN lag columns ride ONE window pass over the collapsed
+    // daily table, a stack unpivots them to (lag, prev) pairs, and
+    // the same exact-BIGINT moment sums give Pearson r per (type,
+    // lag). The shape of this table IS the diagnosis: r decaying
+    // smoothly = trend (difference before alarming), a spike at
+    // lag 7 = weekly seasonality (hand the series to ts_holt_winters
+    // / ts_decompose), all-near-zero = white noise (plain z-scores
+    // suffice). Each lag's pair count shrinks by one row per series
+    // (k = days − lag), measured per row.
+    QueryDef(
+      "ts_acf",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), col("ts").cast("date").as("day"))
+          .agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy("event_type").orderBy("day")
+        val withLags = (1 to 7).foldLeft(daily) { (d, l) =>
+          d.withColumn(s"p$l", lag(col("n"), l).over(w))
+        }
+        val pairs = withLags.select(col("event_type"), col("n"),
+            expr("stack(7, 1, p1, 2, p2, 3, p3, 4, p4, 5, p5, 6, p6, " +
+              "7, p7) AS (lag, prev)"))
+          .filter(col("prev").isNotNull)
+        val g = pairs.groupBy("event_type", "lag")
+          .agg(count(lit(1)).as("k"),
+            sum(col("n")).as("sx"), sum(col("prev")).as("sy"),
+            sum(col("n") * col("prev")).as("sxy"),
+            sum(col("n") * col("n")).as("sxx"),
+            sum(col("prev") * col("prev")).as("syy"))
+        val va = (col("k") * col("sxx") - col("sx") * col("sx")).cast("double")
+        val vb = (col("k") * col("syy") - col("sy") * col("sy")).cast("double")
+        val num = (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+        g.select(col("event_type"), col("lag"), col("k"),
+            when(va > 0 && vb > 0, round(num / sqrt(va * vb), 4)).as("r"))
+          .orderBy("event_type", "lag")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "p AS (" + (1 to 7).map(l =>
+          s"SELECT event_type, n, $l AS lag, lag(n, $l) OVER " +
+          "(PARTITION BY event_type ORDER BY day) AS prev FROM daily")
+          .mkString(" UNION ALL ") + "), " +
+        "g AS (SELECT event_type, lag, count(*) AS k, CAST(sum(n) AS BIGINT) AS sx, CAST(sum(prev) AS BIGINT) AS sy, " +
+        "CAST(sum(n*prev) AS BIGINT) AS sxy, CAST(sum(n*n) AS BIGINT) AS sxx, CAST(sum(prev*prev) AS BIGINT) AS syy " +
+        "FROM p WHERE prev IS NOT NULL GROUP BY 1, 2) " +
+        "SELECT event_type, lag, k, CASE WHEN k*sxx - sx*sx > 0 AND k*syy - sy*sy > 0 " +
+        "THEN round(CAST(k*sxy - sx*sy AS DOUBLE) / sqrt(CAST(k*sxx - sx*sx AS DOUBLE) * CAST(k*syy - sy*sy AS DOUBLE)), 4) END AS r " +
+        "FROM g ORDER BY event_type, lag"),
+      scaleNote = "ts_autocorr's economics × 7 lags at the cost of " +
+        "×1: the log collapses to |types|×|days| rows map-side, ONE " +
+        "window pass materializes all seven lag columns (the frame " +
+        "walks once; each lag is an offset read, not a re-sort), the " +
+        "stack is a narrow pipelined unpivot, and the moment rollup " +
+        "collapses to |types|×7 cells in the same event_type " +
+        "exchange. The oracle's 7-fold UNION restates it as seven " +
+        "window passes — correct and 7× the work, exactly the " +
+        "rewrite this operator exists to avoid. Lag count scales " +
+        "free until ~|days| (the pair count floor); a 365-lag " +
+        "periodogram-by-ACF is the same plan with a wider stack, " +
+        "still calendar-bounded, never event-bounded."),
+
     // Day-of-week seasonal index per event type: observed dow count ×
     // 7 / type total — 1.0 means flat, the transit-domain shape
     // (weekday peaks, weekend troughs) reads directly off the index.
@@ -1351,6 +1413,91 @@ object Analytics extends QueryGroup {
         "unnecessary. Tie correction, when the value domain is " +
         "coarse enough to matter, subtracts Σt³−t from the variance " +
         "— one more integer sum over the same table."),
+
+    // Welch's t-test (r10) — the third member of the A/B family and
+    // the one analysts reach for first on a CONTINUOUS metric:
+    // ab_test_zscore compares conversion RATES, ab_test_ks/
+    // mannwhitney compare DISTRIBUTIONS; Welch compares MEANS without
+    // assuming equal variances (the unequal-variance default every
+    // stats library now recommends over Student's t). Inputs are
+    // three exact integer sums per variant — n, Σv, Σv² in cents —
+    // merged associatively on any partitioning; the t statistic and
+    // the Welch–Satterthwaite degrees of freedom compose from them
+    // once at the edge (identical expression tree on both engines).
+    // Degenerate guard: n ≤ 1 on either arm or zero pooled variance
+    // → NULL t, significance coalesces false (ab_test_zscore's se>0
+    // discipline).
+    QueryDef(
+      "ab_test_welch",
+      (spark, sf) => {
+        val per = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("variant"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+        val one = per.agg(
+          sum(when(col("variant") === 0, col("n"))).as("n1"),
+          sum(when(col("variant") === 0, col("sv"))).as("sv1"),
+          sum(when(col("variant") === 0, col("svv"))).as("svv1"),
+          sum(when(col("variant") === 1, col("n"))).as("n2"),
+          sum(when(col("variant") === 1, col("sv"))).as("sv2"),
+          sum(when(col("variant") === 1, col("svv"))).as("svv2"))
+        val m1 = col("sv1").cast("double") / col("n1").cast("double")
+        val m2 = col("sv2").cast("double") / col("n2").cast("double")
+        val s21 = (col("n1") * col("svv1") - col("sv1") * col("sv1"))
+          .cast("double") /
+          (col("n1") * (col("n1") - 1)).cast("double")
+        val s22 = (col("n2") * col("svv2") - col("sv2") * col("sv2"))
+          .cast("double") /
+          (col("n2") * (col("n2") - 1)).cast("double")
+        val se2 = s21 / col("n1").cast("double") +
+          s22 / col("n2").cast("double")
+        val ok = col("n1") > 1 && col("n2") > 1 && se2 > lit(0.0)
+        val t = (m1 - m2) / sqrt(se2)
+        val df = se2 * se2 /
+          ((s21 / col("n1").cast("double")) *
+            (s21 / col("n1").cast("double")) /
+            (col("n1") - 1).cast("double") +
+           (s22 / col("n2").cast("double")) *
+            (s22 / col("n2").cast("double")) /
+            (col("n2") - 1).cast("double"))
+        one.select(col("n1"), col("n2"),
+            round(m1 - m2, 4).as("mean_diff_cents"),
+            when(ok, round(t, 4)).as("t_stat"),
+            when(ok, round(df, 1)).as("df"),
+            coalesce(when(ok, abs(t) > lit(1.96)), lit(false))
+              .as("significant"))
+      },
+      Some("WITH ev AS (SELECT user_id % 2 AS variant, CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), " +
+        "per AS (SELECT variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv FROM ev GROUP BY 1), " +
+        "one AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN variant = 0 THEN sv END) AS BIGINT) AS sv1, CAST(sum(CASE WHEN variant = 0 THEN svv END) AS BIGINT) AS svv1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2, CAST(sum(CASE WHEN variant = 1 THEN sv END) AS BIGINT) AS sv2, CAST(sum(CASE WHEN variant = 1 THEN svv END) AS BIGINT) AS svv2 FROM per), " +
+        "f AS (SELECT *, CAST(sv1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1, CAST(sv2 AS DOUBLE)/CAST(n2 AS DOUBLE) AS m2, " +
+        "CAST(n1*svv1 - sv1*sv1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) AS s21, " +
+        "CAST(n2*svv2 - sv2*sv2 AS DOUBLE)/CAST(n2*(n2-1) AS DOUBLE) AS s22 FROM one), " +
+        "g AS (SELECT *, s21/CAST(n1 AS DOUBLE) + s22/CAST(n2 AS DOUBLE) AS se2, " +
+        "n1 > 1 AND n2 > 1 AND s21/CAST(n1 AS DOUBLE) + s22/CAST(n2 AS DOUBLE) > 0.0 AS ok FROM f) " +
+        "SELECT n1, n2, round(m1 - m2, 4) AS mean_diff_cents, " +
+        "CASE WHEN ok THEN round((m1 - m2)/sqrt(se2), 4) END AS t_stat, " +
+        "CASE WHEN ok THEN round(se2*se2 / ((s21/CAST(n1 AS DOUBLE))*(s21/CAST(n1 AS DOUBLE))/CAST(n1-1 AS DOUBLE) + (s22/CAST(n2 AS DOUBLE))*(s22/CAST(n2 AS DOUBLE))/CAST(n2-1 AS DOUBLE)), 1) END AS df, " +
+        "coalesce(CASE WHEN ok THEN abs((m1 - m2)/sqrt(se2)) > 1.96 END, false) AS significant " +
+        "FROM g"),
+      scaleNote = "The cheapest possible A/B plan: ONE map-side-" +
+        "combined aggregate collapses the log to two (n, Σv, Σv²) " +
+        "triples — three associative BIGINT sums per variant, " +
+        "bit-stable partials on any partitioning — and every float " +
+        "(means, variances, t, df) composes from the six integers " +
+        "in one edge expression. No window, no join, no per-user " +
+        "state: this is why mean-metric tests run continuously on " +
+        "live dashboards while rank tests (mannwhitney's value " +
+        "histogram) run on demand. Long bound: Σv² ≤ n·max_cents² " +
+        "(~10¹⁸ at a billion purchases of $500) — DECIMAL(38,0) " +
+        "partials past that, agg_corr's escalation. Stratified " +
+        "(CUPED-style) variants add covariate sums to the SAME " +
+        "aggregate; per-segment tests add the segment key to the " +
+        "groupBy — the plan shape never changes."),
 
     // Holt's linear (level + trend) exponential smoothing — the TRUE
     // recursive smoother ts_ewma's truncated-window form cannot be

@@ -559,7 +559,41 @@ object SqlSurface extends QueryGroup {
       |HAVING count(1) >= 50
       |ORDER BY tok""".stripMargin
 
+  /** GROUP BY ALL through the parser path (r10) — the modern
+    * analyst-ergonomics clause (DuckDB originated it; Spark adopted
+    * it in 3.4): the grouping keys are INFERRED as every
+    * non-aggregate select expression, including the computed year.
+    * Unlike PIVOT/UNNEST this one IS identical text on both engines
+    * — what the hash gates is that two independent analyzers infer
+    * the SAME grouping set from the same projection, which is
+    * exactly the risk a team adopting the clause takes on. */
+  private val QGroupByAll =
+    """SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr,
+      |  count(1) AS n,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |GROUP BY ALL
+      |ORDER BY l_returnflag, l_linestatus, yr""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_group_by_all",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QGroupByAll)
+      },
+      Some(QGroupByAll.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The clause is pure analyzer sugar — after " +
+        "inference the plan is the ordinary grouped aggregate " +
+        "(map-side partials to |flag|×|status|×|years| cells, one " +
+        "exchange), so it costs nothing at any scale; the thing to " +
+        "gate is SEMANTIC: both engines must infer the identical " +
+        "grouping set, computed alias included, or a migrated " +
+        "dashboard silently re-aggregates at the wrong grain. The " +
+        "quantity sum is scale-pinned DECIMAL before the edge cast " +
+        "(house rule), so partials merge bit-stable on any " +
+        "partitioning."),
+
     QueryDef(
       "sql_unnest",
       (spark, sf) => {

@@ -1561,4 +1561,66 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.exists(_.getLong(4) < 0L),
       "fixture never exercises floor division through negatives")
   }
+
+  test("ab_test_welch: statistic equals a driver-side recomputation from raw cents") {
+    val out = run("ab_test_welch").collect()(0)
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def stats(vs: Array[Long]) = {
+      val n = vs.length.toLong
+      val sv = vs.sum; val svv = vs.map(v => v * v).sum
+      (n, sv.toDouble / n,
+        (n * svv - sv * sv).toDouble / (n * (n - 1)).toDouble)
+    }
+    val (n1, m1, s21) = stats(raw.filter(_._1 == 0L).map(_._2))
+    val (n2, m2, s22) = stats(raw.filter(_._1 == 1L).map(_._2))
+    assert(out.getLong(0) == n1 && out.getLong(1) == n2)
+    val se2 = s21 / n1 + s22 / n2
+    val t = (m1 - m2) / math.sqrt(se2)
+    val df = se2 * se2 / ((s21 / n1) * (s21 / n1) / (n1 - 1) +
+      (s22 / n2) * (s22 / n2) / (n2 - 1))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(3) == r4(t), s"t: got ${out.getDouble(3)}, want ${r4(t)}")
+    // Welch df bounds: min(n1,n2)-1 <= df <= n1+n2-2
+    assert(df >= math.min(n1, n2) - 1 - 1e-6 && df <= n1 + n2 - 2 + 1e-6)
+    assert(out.getBoolean(5) == (math.abs(t) > 1.96))
+  }
+
+  test("ts_acf: lag-1 equals ts_autocorr and pair counts shrink one row per lag") {
+    val acf = run("ts_acf").collect()
+    val auto = run("ts_autocorr").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val byType = acf.groupBy(_.getString(0))
+    byType.foreach { case (t, rows) =>
+      val lag1 = rows.find(_.getInt(1) == 1).get
+      // cross-operator identity: the general op at lag 1 IS ts_autocorr
+      assert(lag1.getLong(2) == auto(t).getLong(1) &&
+        lag1.getDouble(3) == auto(t).getDouble(2),
+        s"$t: ts_acf lag 1 diverges from ts_autocorr")
+      // row-based lag: k_L = days - L exactly
+      val days = lag1.getLong(2) + 1
+      rows.foreach(r => assert(r.getLong(2) == days - r.getInt(1),
+        s"$t lag ${r.getInt(1)}: k ${r.getLong(2)} != ${days - r.getInt(1)}"))
+    }
+    assert(acf.length == byType.size * 7)
+  }
+
+  test("sql_group_by_all: inferred grouping equals the explicit GROUP BY") {
+    val all = run("sql_group_by_all")
+    graft.engine.Catalog.register(spark, sf)
+    val explicit = spark.sql(
+      "SELECT l_returnflag, l_linestatus, year(l_shipdate) AS yr, " +
+        "count(1) AS n, " +
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty " +
+        "FROM lineitem GROUP BY 1, 2, 3 " +
+        "ORDER BY l_returnflag, l_linestatus, yr")
+    assert(all.exceptAll(explicit).isEmpty &&
+      explicit.exceptAll(all).isEmpty,
+      "GROUP BY ALL inferred a different grouping than the explicit form")
+    assert(all.count() > 0)
+  }
 }
