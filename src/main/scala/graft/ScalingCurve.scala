@@ -90,7 +90,8 @@ object ScalingCurve {
       "ts_decompose", "attribution_position", "sample_weighted",
       "graph_modularity", "source_version_diff", "dq_expectations",
       "sql_unnest", "ts_holt_winters", "sink_vacuum",
-      "ab_test_welch", "ts_acf", "sql_group_by_all")
+      "ab_test_welch", "ts_acf", "sql_group_by_all",
+      "graph_louvain_round")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

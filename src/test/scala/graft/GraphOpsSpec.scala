@@ -256,4 +256,60 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.map(_.getLong(3)).exists(_ > 0L),
       "expected at least one intra-nation edge on the sf0.001 graph")
   }
+
+  test("graph_louvain_round: driver-side argmax replay + measured modularity improvement") {
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val cu: Map[Long, Int] =
+      (engine.Tables.customer(spark, sf)
+        .select((col("c_custkey") * 2).as("n"), col("c_nationkey")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)) ++
+       engine.Tables.supplier(spark, sf)
+        .select((col("s_suppkey") * 2 + 1).as("n"), col("s_nationkey")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1))).toMap
+    val t = adj.length.toLong
+    val deg = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val dc = cu.toSeq.groupBy(_._2)
+      .map { case (c, ns) => c -> ns.map(n => deg.getOrElse(n._1, 0L)).sum }
+    val eyc = adj.groupBy(_._1).map { case (u, es) =>
+      u -> es.groupBy(e => cu(e._2)).map { case (c, l) => c -> l.length.toLong } }
+    // the scheduled (customer side × 1/8 hash slice) integer argmax,
+    // min-c tiebreak
+    val newLabel: Map[Long, Int] = cu.map { case (u, c0) =>
+      u -> (if (u % 2 != 0 || (u / 2) % 8 != 0) c0 else deg.get(u) match {
+        case None => c0
+        case Some(d) =>
+          (eyc(u).keySet + c0).toSeq.map { c =>
+            (t * eyc(u).getOrElse(c, 0L) -
+              d * (dc(c) - (if (c == c0) d else 0L)), c)
+          }.sortBy { case (s, c) => (-s, c) }.head._2
+      })
+    }
+    val rows = engine.Registry.byName("graph_louvain_round")
+      .build(spark, sf).collect()
+    val byComm = adj.groupBy(e => newLabel(e._1))
+    assert(rows.map(_.getInt(0)).toSet == byComm.keySet)
+    rows.foreach { r =>
+      val c = r.getInt(0)
+      val es = byComm(c)
+      assert(r.getLong(2) == es.length.toLong, s"deg_sum comm $c")
+      assert(r.getLong(3) == es.count(e => newLabel(e._2) == c).toLong / 2,
+        s"internal_edges comm $c")
+      assert(r.getLong(1) == es.map(_._1).distinct.length.toLong,
+        s"n_nodes comm $c")
+      val mi = cu.count { case (u, c0) => newLabel(u) == c && c != c0 }
+      assert(r.getLong(5) == mi.toLong, s"n_moved_in comm $c")
+    }
+    // the schedule's point, measured: the round must IMPROVE modularity
+    val qOld = engine.Registry.byName("graph_modularity").build(spark, sf)
+      .collect().map(_.getDouble(4)).sum
+    val qNew = rows.map(_.getDouble(4)).sum
+    assert(qNew > qOld,
+      s"one-sided move round must improve modularity: $qOld -> $qNew")
+    assert(rows.map(_.getLong(5)).sum > 0, "vacuous: no node moved")
+  }
 }

@@ -303,7 +303,10 @@ class PlanPropertiesSpec extends SparkSpec {
         "sample_weighted",
         // the 1-row RI-failure count crossed onto the 1-row rule
         // aggregate before the 7-row stack — two constants, no scan
-        "dq_expectations")
+        "dq_expectations",
+        // the 1-row directed-edge total in the gain scores and the
+        // |nations|-row rollup — graph_modularity's constant
+        "graph_louvain_round")
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.
