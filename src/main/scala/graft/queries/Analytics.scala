@@ -1715,5 +1715,89 @@ object Analytics extends QueryGroup {
         "cells: only cells on the grid's own staircase can hold " +
         "skyline points — everything else drops before the sort). " +
         "Output is the frontier staircase: ≤ |distinct sizes| rows " +
-        "per brand by construction."))
+        "per brand by construction."),
+
+    // Pearson chi-square test of independence on the k×2 contingency
+    // table — the A/B family's MULTI-ARM member (zscore compares two
+    // rates; real platforms ship 3+ arms, and k−1 pairwise z-tests
+    // inflate the false-positive rate — the chi-square is the one
+    // omnibus readout). Arms = user_id % 3 (deterministic assignment,
+    // zscore's contract), exposure = first view, conversion = a
+    // purchase within 24 h of it (the windowed definition — unwindowed
+    // saturates, see ab_test_zscore). The 6 cells are exact integers
+    // collapsed to ONE row of conditional sums; χ² = Σ (O−E)²/E over
+    // the 6 cells composes from those integers in one fixed-order
+    // expression, identical text on both engines. Degenerate guard
+    // (an empty arm, or conversion total at 0 or N → some E = 0):
+    // χ² is NULL and significance coalesces false. df = (3−1)(2−1) =
+    // 2; rejection at α=0.05 via χ²₂ > 5.9915. With k = 2 the
+    // statistic is exactly z² — the family's internal consistency,
+    // asserted in-spec against ab_test_zscore's own output.
+    QueryDef(
+      "ab_test_chi2",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        val exposed = ev.filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .withColumn("v", col("user_id") % 3)
+        val conv = ev.filter(col("event_type") === "purchase")
+          .join(exposed.select("user_id", "t0"), Seq("user_id"))
+          .filter(col("ts") >= col("t0") &&
+            col("ts") <= col("t0") + expr("INTERVAL 24 HOUR"))
+          .select(col("user_id")).distinct().withColumn("c", lit(1L))
+        val per = exposed.join(conv, Seq("user_id"), "left")
+          .groupBy("v")
+          .agg(count(lit(1)).as("n"),
+            sum(coalesce(col("c"), lit(0L))).as("x"))
+        val one = per.agg(
+          sum(when(col("v") === 0, col("n"))).as("n0"),
+          sum(when(col("v") === 0, col("x"))).as("x0"),
+          sum(when(col("v") === 1, col("n"))).as("n1"),
+          sum(when(col("v") === 1, col("x"))).as("x1"),
+          sum(when(col("v") === 2, col("n"))).as("n2"),
+          sum(when(col("v") === 2, col("x"))).as("x2"))
+        val nn = (col("n0") + col("n1") + col("n2")).cast("double")
+        val xx = (col("x0") + col("x1") + col("x2")).cast("double")
+        val p = xx / nn
+        def term(n: Column, x: Column): Column = {
+          val e1 = n.cast("double") * p
+          val e0 = n.cast("double") * (lit(1.0) - p)
+          (x.cast("double") - e1) * (x.cast("double") - e1) / e1 +
+            ((n - x).cast("double") - e0) * ((n - x).cast("double") - e0) / e0
+        }
+        val ok = col("n0") > 0 && col("n1") > 0 && col("n2") > 0 &&
+          xx > lit(0.0) && xx < nn
+        val chi2 = when(ok, round(
+          term(col("n0"), col("x0")) + term(col("n1"), col("x1")) +
+            term(col("n2"), col("x2")), 4))
+        one.select(col("n0"), col("x0"), col("n1"), col("x1"),
+          col("n2"), col("x2"), chi2.as("chi2"), lit(2).as("df"),
+          coalesce(chi2 > lit(5.9915), lit(false)).as("significant"))
+      },
+      Some("WITH exposed AS (SELECT user_id, min(ts) AS t0, user_id % 3 AS v FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "conv AS (SELECT DISTINCT p.user_id FROM events p JOIN exposed e ON p.user_id = e.user_id AND p.ts >= e.t0 AND p.ts <= e.t0 + INTERVAL 24 HOUR WHERE p.event_type = 'purchase'), " +
+        "per AS (SELECT e.v, count(*) AS n, CAST(sum(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS x FROM exposed e LEFT JOIN conv c ON e.user_id = c.user_id GROUP BY 1), " +
+        "o AS (SELECT CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n0, CAST(sum(CASE WHEN v = 0 THEN x END) AS BIGINT) AS x0, " +
+        "CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN v = 1 THEN x END) AS BIGINT) AS x1, " +
+        "CAST(sum(CASE WHEN v = 2 THEN n END) AS BIGINT) AS n2, CAST(sum(CASE WHEN v = 2 THEN x END) AS BIGINT) AS x2 FROM per), " +
+        "f AS (SELECT *, CAST(n0 + n1 + n2 AS DOUBLE) AS nn, CAST(x0 + x1 + x2 AS DOUBLE) AS xx FROM o), " +
+        "g AS (SELECT *, xx / nn AS p, n0 > 0 AND n1 > 0 AND n2 > 0 AND xx > 0.0 AND xx < nn AS ok FROM f), " +
+        "h AS (SELECT *, CASE WHEN ok THEN round(" +
+        "(CAST(x0 AS DOUBLE) - CAST(n0 AS DOUBLE)*p)*(CAST(x0 AS DOUBLE) - CAST(n0 AS DOUBLE)*p)/(CAST(n0 AS DOUBLE)*p) + (CAST(n0 - x0 AS DOUBLE) - CAST(n0 AS DOUBLE)*(1.0 - p))*(CAST(n0 - x0 AS DOUBLE) - CAST(n0 AS DOUBLE)*(1.0 - p))/(CAST(n0 AS DOUBLE)*(1.0 - p)) + " +
+        "(CAST(x1 AS DOUBLE) - CAST(n1 AS DOUBLE)*p)*(CAST(x1 AS DOUBLE) - CAST(n1 AS DOUBLE)*p)/(CAST(n1 AS DOUBLE)*p) + (CAST(n1 - x1 AS DOUBLE) - CAST(n1 AS DOUBLE)*(1.0 - p))*(CAST(n1 - x1 AS DOUBLE) - CAST(n1 AS DOUBLE)*(1.0 - p))/(CAST(n1 AS DOUBLE)*(1.0 - p)) + " +
+        "(CAST(x2 AS DOUBLE) - CAST(n2 AS DOUBLE)*p)*(CAST(x2 AS DOUBLE) - CAST(n2 AS DOUBLE)*p)/(CAST(n2 AS DOUBLE)*p) + (CAST(n2 - x2 AS DOUBLE) - CAST(n2 AS DOUBLE)*(1.0 - p))*(CAST(n2 - x2 AS DOUBLE) - CAST(n2 AS DOUBLE)*(1.0 - p))/(CAST(n2 AS DOUBLE)*(1.0 - p)), 4) END AS chi2 FROM g) " +
+        "SELECT n0, x0, n1, x1, n2, x2, chi2, 2 AS df, coalesce(chi2 > 5.9915, false) AS significant FROM h"),
+      scaleNote = "Same cost class as ab_test_zscore — two map-side-" +
+        "combined user-level collapses (the wire carries users, not " +
+        "events), a k-row rollup, and a driver-scale statistic " +
+        "composed from 2k exact integer cells on one row: a billion-" +
+        "user 10-arm experiment is the identical plan with a wider " +
+        "conditional-sum row. The omnibus property is why this is " +
+        "the dashboard default for multi-arm tests (k−1 pairwise z " +
+        "tests inflate α); arm-vs-control drill-down after a " +
+        "significant omnibus reuses zscore's plan with the arm " +
+        "filter pushed into the SAME user-level scan. Many " +
+        "concurrent experiments add experiment_id to both group " +
+        "keys — cells stay integer-exact under any partitioning, so " +
+        "the statistic is bit-stable on any cluster size."))
 }

@@ -538,5 +538,77 @@ object TextVector extends QueryGroup {
         "(they are tiny relative to text) and each epoch is seconds; " +
         "swapping in averaged-perceptron or margin variants changes " +
         "the update expression, not the plan. The learned weights " +
-        "feed text_quality-style gates as a TRAINED scorer."))
+        "feed text_quality-style gates as a TRAINED scorer."),
+
+    // Flesch reading-ease per language — the READABILITY member of
+    // the quality stack (text_quality measures lexical surface,
+    // quality_gopher_rules gates structure; this scores how HARD the
+    // prose is, the classic curriculum/filtering signal). Syllables
+    // are the standard vowel-group heuristic (runs of [aeiouy] after
+    // lowercasing — counts groups, not letters), sentences are
+    // [.!?]+ runs floored at 1 (this corpus carries no sentence
+    // punctuation, so the per-sentence term degenerates to document
+    // length — stated, not hidden; on punctuated prose the same
+    // expression reads true sentence lengths). Per-doc score
+    // 206.835 − 1.015·(w/s) − 84.6·(y/w) composes from three exact
+    // integers and is floor-quantized to centi-units, so the
+    // per-language mean is a ratio of exact BIGINT sums — no float
+    // ever aggregates. Buckets at the standard 60 (easy) / 30
+    // (difficult) cutoffs.
+    QueryDef(
+      "text_readability",
+      (spark, sf) => {
+        val w = size(split(col("text"), " "))
+        val y = size(regexp_extract_all(lower(col("text")),
+          lit("[aeiouy]+"), lit(0)))
+        val s = greatest(size(regexp_extract_all(col("text"),
+          lit("[.!?]+"), lit(0))), lit(1))
+        val flesch = lit(206.835) -
+          lit(1.015) * (w.cast("double") / s.cast("double")) -
+          lit(84.6) * (y.cast("double") / w.cast("double"))
+        Tables.documents(spark, sf)
+          .select(col("lang"), w.cast("long").as("w"),
+            y.cast("long").as("y"),
+            floor(flesch * lit(100.0)).cast("long").as("centi"))
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("w")).as("total_words"),
+            sum(col("y")).as("sy"),
+            sum(col("centi")).as("sc"),
+            sum(when(col("centi") >= 6000, 1L).otherwise(0L)).as("n_easy"),
+            sum(when(col("centi") < 3000, 1L).otherwise(0L)).as("n_difficult"))
+          .select(col("lang"), col("n_docs"), col("total_words"),
+            round(col("sy").cast("double") / col("total_words").cast("double"), 4)
+              .as("syllables_per_word"),
+            round(col("sc").cast("double") /
+              (col("n_docs").cast("double") * lit(100.0)), 4)
+              .as("avg_flesch"),
+            col("n_easy"), col("n_difficult"))
+          .orderBy("lang")
+      },
+      Some("WITH d AS (SELECT lang, CAST(len(string_split(text, ' ')) AS BIGINT) AS w, " +
+        "CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS y, " +
+        "CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS s FROM documents), " +
+        "f AS (SELECT lang, w, y, CAST(floor((206.835 - 1.015*(CAST(w AS DOUBLE)/CAST(s AS DOUBLE)) - 84.6*(CAST(y AS DOUBLE)/CAST(w AS DOUBLE))) * 100.0) AS BIGINT) AS centi FROM d) " +
+        "SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS total_words, " +
+        "round(CAST(sum(y) AS DOUBLE) / CAST(sum(w) AS DOUBLE), 4) AS syllables_per_word, " +
+        "round(CAST(sum(centi) AS DOUBLE) / (CAST(count(*) AS DOUBLE) * 100.0), 4) AS avg_flesch, " +
+        "CAST(sum(CASE WHEN centi >= 6000 THEN 1 ELSE 0 END) AS BIGINT) AS n_easy, " +
+        "CAST(sum(CASE WHEN centi < 3000 THEN 1 ELSE 0 END) AS BIGINT) AS n_difficult " +
+        "FROM f GROUP BY lang ORDER BY lang"),
+      scaleNote = "Pure per-row scalar codegen (two regexp passes + " +
+        "one split inside the scan) collapsing map-side to |langs| " +
+        "rows of six BIGINT sums — the cheapest possible shape, " +
+        "text_quality's economics exactly: re-partitioning cannot " +
+        "move an integer cell, so the report is bit-stable at any " +
+        "cluster size. The float appears exactly once per ROW " +
+        "(composed from three ints, floor-quantized immediately) and " +
+        "never aggregates. At 100 TB the regexp cost dominates — " +
+        "both patterns are single-pass DFAs over the text the scan " +
+        "already decoded, and the text column dies at the projection " +
+        "so the shuffle carries nothing but the integer cells. " +
+        "Per-doc scores (the curriculum/filter input, " +
+        "corpus_curriculum's staging key) are the same expression " +
+        "without the rollup; per-source or per-shard reports add a " +
+        "group key, not a pass."))
 }

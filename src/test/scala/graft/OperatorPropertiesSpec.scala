@@ -1623,4 +1623,94 @@ class OperatorPropertiesSpec extends SparkSpec {
       "GROUP BY ALL inferred a different grouping than the explicit form")
     assert(all.count() > 0)
   }
+
+  test("ab_test_chi2: driver-side replay + k=2 reduces to zscore's z-squared") {
+    val out = run("ab_test_chi2").collect()(0)
+    // independent 3-arm replay from the raw events (zscore's
+    // windowed-conversion contract)
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val t0 = ev.filter(_._2 == "view").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._3).min }
+    val conv = ev.filter(_._2 == "purchase")
+      .filter(e => t0.get(e._1).exists(t =>
+        e._3 >= t && e._3 <= t + 24L * 3600 * 1000000))
+      .map(_._1).toSet
+    val cells = t0.keys.groupBy(_ % 3).map { case (v, us) =>
+      v -> (us.size.toLong, us.count(conv).toLong) }
+    val Seq((n0, x0), (n1, x1), (n2, x2)) =
+      Seq(0L, 1L, 2L).map(cells(_))
+    assert(Seq(out.getLong(0), out.getLong(1), out.getLong(2),
+      out.getLong(3), out.getLong(4), out.getLong(5)) ==
+      Seq(n0, x0, n1, x1, n2, x2), "contingency cells diverge")
+    val nn = (n0 + n1 + n2).toDouble; val xx = (x0 + x1 + x2).toDouble
+    val p = xx / nn
+    def term(n: Long, x: Long) = {
+      val e1 = n * p; val e0 = n * (1.0 - p)
+      (x - e1) * (x - e1) / e1 + ((n - x) - e0) * ((n - x) - e0) / e0
+    }
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val chi2 = r4(term(n0, x0) + term(n1, x1) + term(n2, x2))
+    assert(out.getDouble(6) == chi2,
+      s"chi2: got ${out.getDouble(6)}, want $chi2")
+    assert(out.getInt(7) == 2)
+    assert(out.getBoolean(8) == (chi2 > 5.9915))
+    // family consistency: a 2x2 chi-square IS z^2 — recompose the
+    // 2-arm statistic from ab_test_zscore's own emitted cells
+    val z = run("ab_test_zscore").collect()(0)
+    val (na, xa, nb, xb) =
+      (z.getLong(0), z.getLong(1), z.getLong(3), z.getLong(4))
+    val p2 = (xa + xb).toDouble / (na + nb).toDouble
+    def term2(n: Long, x: Long) = {
+      val e1 = n * p2; val e0 = n * (1.0 - p2)
+      (x - e1) * (x - e1) / e1 + ((n - x) - e0) * ((n - x) - e0) / e0
+    }
+    val chi22 = term2(na, xa) + term2(nb, xb)
+    val zRaw = z.getDouble(6)
+    assert(math.abs(chi22 - zRaw * zRaw) < 1e-2,
+      s"2x2 chi2 $chi22 != z^2 ${zRaw * zRaw}")
+  }
+
+  test("text_readability: driver-side Java-regex replay + the sentence path on punctuated prose") {
+    val out = run("text_readability").collect()
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    def counts(t: String): (Long, Long, Long) = {
+      val w = t.split(" ", -1).length.toLong
+      val y = "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong
+      val s = math.max("[.!?]+".r.findAllIn(t).length.toLong, 1L)
+      (w, y, s)
+    }
+    def centi(w: Long, y: Long, s: Long): Long =
+      math.floor((206.835 - 1.015 * (w.toDouble / s.toDouble) -
+        84.6 * (y.toDouble / w.toDouble)) * 100.0).toLong
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byLang = docs.groupBy(_._1)
+    assert(out.map(_.getString(0)).toSeq == byLang.keys.toSeq.sorted)
+    out.foreach { r =>
+      val ds = byLang(r.getString(0)).map(d => counts(d._2))
+      val n = ds.length.toLong
+      val sw = ds.map(_._1).sum; val sy = ds.map(_._2).sum
+      val sc = ds.map(d => centi(d._1, d._2, d._3)).sum
+      assert(r.getLong(1) == n && r.getLong(2) == sw,
+        s"${r.getString(0)}: n/words diverge")
+      assert(r.getDouble(3) == r4(sy.toDouble / sw.toDouble),
+        s"${r.getString(0)}: syllables_per_word")
+      assert(r.getDouble(4) == r4(sc.toDouble / (n.toDouble * 100.0)),
+        s"${r.getString(0)}: avg_flesch")
+      assert(r.getLong(5) == ds.count(d => centi(d._1, d._2, d._3) >= 6000).toLong)
+      assert(r.getLong(6) == ds.count(d => centi(d._1, d._2, d._3) < 3000).toLong)
+    }
+    // the sentence term on PUNCTUATED prose (this corpus has none):
+    // classic easy prose scores high with TRUE sentence counts
+    val (w2, y2, s2) = counts("The cat sat on the mat. It was happy! Was it? Yes.")
+    assert(s2 == 4L, s"sentence runs: got $s2")
+    val easy = centi(w2, y2, s2)
+    assert(easy > 6000, s"punctuated easy prose scored $easy centi-units")
+  }
 }
