@@ -91,7 +91,8 @@ object ScalingCurve {
       "graph_modularity", "source_version_diff", "dq_expectations",
       "sql_unnest", "ts_holt_winters", "sink_vacuum",
       "ab_test_welch", "ts_acf", "sql_group_by_all",
-      "graph_louvain_round")
+      "graph_louvain_round", "ab_test_chi2", "text_readability",
+      "dq_profile", "sql_rollup_grouping")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -575,6 +575,26 @@ object SqlSurface extends QueryGroup {
       |GROUP BY ALL
       |ORDER BY l_returnflag, l_linestatus, yr""".stripMargin
 
+  /** ROLLUP + GROUPING() through the parser — agg_rollup's DSL twin
+    * on the SQL surface, IDENTICAL text on both engines. GROUPING()
+    * is the part worth gating: the subtotal rows carry NULL in the
+    * rolled-up key, and only the marker distinguishes "subtotal" from
+    * a genuine NULL group — a report consumer that confuses them
+    * double-counts. NULLS FIRST is spelled explicitly because the
+    * engines' default null sort order DIVERGES (Spark ASC = nulls
+    * first, DuckDB ASC = nulls last) — the one ORDER BY seam every
+    * cross-engine rollup hits. */
+  private val QRollupGrouping =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+      |  CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+      |  count(1) AS n,
+      |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+      |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
+      |  o_orderpriority NULLS FIRST""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
     QueryDef(
       "sql_group_by_all",
@@ -593,6 +613,30 @@ object SqlSurface extends QueryGroup {
         "quantity sum is scale-pinned DECIMAL before the edge cast " +
         "(house rule), so partials merge bit-stable on any " +
         "partitioning."),
+
+    QueryDef(
+      "sql_rollup_grouping",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QRollupGrouping)
+      },
+      Some(QRollupGrouping.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "ROLLUP is ONE aggregate with an Expand that " +
+        "replicates each row once per grouping set (3 here) before " +
+        "the map-side partial — k levels cost k× partial-agg input, " +
+        "never k passes over the table, and the partials still " +
+        "collapse to |status|×|priority| + |status| + 1 cells before " +
+        "the one exchange. The gate is SEMANTIC, not physical: the " +
+        "subtotal rows carry NULL in the rolled-up key and only " +
+        "GROUPING() distinguishes them from genuine NULL groups, " +
+        "and the engines' default null SORT order diverges (Spark " +
+        "nulls-first, DuckDB nulls-last) — both seams are pinned in " +
+        "the text (explicit NULLS FIRST, the marker emitted as INT). " +
+        "The money sum is scale-pinned DECIMAL at every grouping " +
+        "level, so subtotals are exactly the sums of their detail " +
+        "rows — asserted in-spec — on any partitioning. CUBE / " +
+        "GROUPING SETS are the same Expand with more sets " +
+        "(agg_cube's DSL economics, now proven through the parser)."),
 
     QueryDef(
       "sql_unnest",

@@ -1713,4 +1713,29 @@ class OperatorPropertiesSpec extends SparkSpec {
     val easy = centi(w2, y2, s2)
     assert(easy > 6000, s"punctuated easy prose scored $easy centi-units")
   }
+
+  test("sql_rollup_grouping: subtotals equal the sums of their detail rows; markers label levels") {
+    val rows = run("sql_rollup_grouping").collect()
+    val detail = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 0)
+    val subStatus = rows.filter(r => r.getInt(2) == 0 && r.getInt(3) == 1)
+    val grand = rows.filter(r => r.getInt(2) == 1 && r.getInt(3) == 1)
+    assert(grand.length == 1 && subStatus.nonEmpty && detail.nonEmpty)
+    // rolled-up keys are NULL exactly where the marker says
+    subStatus.foreach(r => assert(!r.isNullAt(0) && r.isNullAt(1)))
+    assert(grand(0).isNullAt(0) && grand(0).isNullAt(1))
+    detail.foreach(r => assert(!r.isNullAt(0) && !r.isNullAt(1)))
+    // exact-DECIMAL additivity: each subtotal is the sum of its
+    // detail rows, and the grand total the sum of subtotals
+    def r2(x: Double) = BigDecimal(x).setScale(2,
+      BigDecimal.RoundingMode.HALF_UP)
+    subStatus.foreach { s =>
+      val ds = detail.filter(_.getString(0) == s.getString(0))
+      assert(ds.map(_.getLong(4)).sum == s.getLong(4))
+      assert(ds.map(r => r2(r.getDouble(5))).sum == r2(s.getDouble(5)),
+        s"status ${s.getString(0)}: subtotal not additive")
+    }
+    assert(subStatus.map(_.getLong(4)).sum == grand(0).getLong(4))
+    assert(subStatus.map(r => r2(r.getDouble(5))).sum ==
+      r2(grand(0).getDouble(5)))
+  }
 }

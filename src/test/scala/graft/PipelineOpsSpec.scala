@@ -273,4 +273,46 @@ class PipelineOpsSpec extends SparkSpec {
     assert(l.filter(col("l_shipdate") < cut).count() > 0)
     assert(l.filter(col("l_shipdate") >= cut).count() > 0)
   }
+
+  test("dq_profile: driver-side replay + the null/distinct semantics on a null-bearing frame") {
+    val out = run("dq_profile").collect()
+    assert(out.map(_.getString(0)).toSeq ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    val ev = engine.Tables.loadEvents(spark, sf)
+      .select("event_id", "user_id", "event_type", "value").collect()
+    val n = ev.length.toLong
+    val byName = out.map(r => r.getString(0) -> r).toMap
+    out.foreach(r => assert(r.getLong(1) == n, s"${r.getString(0)}: n_rows"))
+    // exact replay of the numeric/string columns
+    val eid = byName("event_id")
+    assert(eid.getLong(2) == 0L &&
+      eid.getLong(3) == ev.map(_.getLong(0)).distinct.length.toLong &&
+      eid.getDouble(4) == ev.map(_.getLong(0)).min.toDouble &&
+      eid.getDouble(5) == ev.map(_.getLong(0)).max.toDouble &&
+      eid.isNullAt(6) && eid.isNullAt(7))
+    val et = byName("event_type")
+    assert(et.getLong(3) == ev.map(_.getString(2)).distinct.length.toLong &&
+      et.isNullAt(4) && et.isNullAt(5) &&
+      et.getString(6) == ev.map(_.getString(2)).min &&
+      et.getString(7) == ev.map(_.getString(2)).max)
+    val vl = byName("value")
+    assert(vl.getDouble(4) == ev.map(_.getDouble(3)).min &&
+      vl.getDouble(5) == ev.map(_.getDouble(3)).max)
+    // this feed carries no nulls, so prove the null-counting and
+    // null-excluding-distinct semantics on a constructed frame with
+    // the operator's own expressions
+    val session = spark
+    import session.implicits._
+    val probe = Seq((Option(1L), "a"), (Option.empty[Long], "b"),
+      (Option.empty[Long], "b")).toDF("k", "s")
+    val p = probe.agg(
+      sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"),
+      countDistinct(col("k")).as("nd_k"),
+      countDistinct(col("s")).as("nd_s"),
+      min(col("k")).cast("double").as("mn")).collect()(0)
+    assert(p.getLong(0) == 2L, "null count over a null-bearing column")
+    assert(p.getLong(1) == 1L, "count(DISTINCT) must exclude NULLs")
+    assert(p.getLong(2) == 2L)
+    assert(p.getDouble(3) == 1.0)
+  }
 }
