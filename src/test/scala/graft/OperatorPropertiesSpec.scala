@@ -1738,4 +1738,46 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(subStatus.map(r => r2(r.getDouble(5))).sum ==
       r2(grand(0).getDouble(5)))
   }
+
+  test("ab_bootstrap_ci: driver-side md5 replay of a full resample; CI brackets the mean") {
+    val out = run("ab_bootstrap_ci").collect()(0)
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.getLong(0) == raw.length.toLong)
+    assert(out.getLong(1) == raw.map(_._2).sum * 1000000L / raw.length)
+    assert(out.getLong(2) == 64L)
+    // CI sanity: brackets the point estimate, strictly ordered
+    assert(out.getLong(3) <= out.getLong(1) &&
+      out.getLong(1) <= out.getLong(4),
+      s"CI [${out.getLong(3)}, ${out.getLong(4)}] misses mean ${out.getLong(1)}")
+    assert(out.getLong(5) == out.getLong(4) - out.getLong(3) &&
+      out.getLong(5) > 0L)
+    // independent replay of resample b=17: same salt, same md5 u16,
+    // same Poisson inverse-CDF thresholds — its mean must land
+    // INSIDE the emitted order-statistic CI only if rank 4..61; the
+    // hard assertion is the weight draw itself
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(id: Long, b: Long): Long = {
+      val hex = md.digest(s"graftb:$id:$b".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    def w(u: Long): Long =
+      if (u < 24109) 0L else if (u < 48218) 1L else if (u < 60273) 2L
+      else if (u < 64291) 3L else if (u < 65296) 4L else if (u < 65497) 5L
+      else if (u < 65530) 6L else 7L
+    val ms = (0L until 64L).map { b =>
+      val ws = raw.map { case (id, v) => val x = w(u16(id, b)); (x * v, x) }
+      ws.map(_._1).sum * 1000000L / ws.map(_._2).sum
+    }.sorted
+    // the emitted CI endpoints ARE the replayed 4th/61st order stats
+    assert(out.getLong(3) == ms(3), s"ci_lo: got ${out.getLong(3)}, want ${ms(3)}")
+    assert(out.getLong(4) == ms(60), s"ci_hi: got ${out.getLong(4)}, want ${ms(60)}")
+    // weights average ~1: total resampled mass within 20% of n per draw
+    val mass = raw.map { case (id, _) => w(u16(id, 17L)) }.sum
+    assert(math.abs(mass - raw.length).toDouble / raw.length < 0.2,
+      s"Poisson mass $mass vs n ${raw.length}")
+  }
 }

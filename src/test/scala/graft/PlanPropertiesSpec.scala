@@ -306,7 +306,12 @@ class PlanPropertiesSpec extends SparkSpec {
         "dq_expectations",
         // the 1-row directed-edge total in the gain scores and the
         // |nations|-row rollup — graph_modularity's constant
-        "graph_louvain_round")
+        "graph_louvain_round",
+        // the 1-row point-estimate aggregate crossed onto the 1-row
+        // CI order-statistic aggregate — two constants, dq_
+        // expectations' exact shape; the B=64 resample table never
+        // touches a loop join
+        "ab_bootstrap_ci")
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.
