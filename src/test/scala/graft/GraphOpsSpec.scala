@@ -312,4 +312,35 @@ class GraphOpsSpec extends SparkSpec {
       s"one-sided move round must improve modularity: $qOld -> $qNew")
     assert(rows.map(_.getLong(5)).sum > 0, "vacuous: no node moved")
   }
+
+  test("graph_hits: driver-side replay of the alternating integer power iteration") {
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    // a1 = in-degree * 1e6 rescaled; h1 = sum of a1 rescaled; a2 = sum of h1 rescaled
+    val a1r = pairs.groupBy(_._2).map { case (s, es) => s -> es.length.toLong * 1000000L }
+    val amx = a1r.values.max
+    val a1 = a1r.map { case (s, ar) => s -> ar * 1000000L / amx }
+    val h1r = pairs.groupBy(_._1).map { case (c, es) => c -> es.map(e => a1(e._2)).sum }
+    val hmx = h1r.values.max
+    val h1 = h1r.map { case (c, hr) => c -> hr * 1000000L / hmx }
+    val a2r = pairs.groupBy(_._2).map { case (s, es) => s -> es.map(e => h1(e._1)).sum }
+    val amx2 = a2r.values.max
+    val a2 = a2r.map { case (s, ar) => s -> ar * 1000000L / amx2 }
+    val want = a2.toSeq.sortBy { case (s, a) => (-a, s) }.take(20)
+    val rows = engine.Registry.byName("graph_hits").build(spark, sf).collect()
+    assert(rows.length == math.min(20, a2.size))
+    rows.zip(want).foreach { case (r, (s, a)) =>
+      assert(r.getLong(0) == s && r.getLong(3) == a,
+        s"rank mismatch: got (${r.getLong(0)}, ${r.getLong(3)}), want ($s, $a)")
+      assert(r.getLong(2) == a1(s), s"a1 for supplier $s")
+      assert(r.getLong(1) == a1r(s) / 1000000L, s"indeg for supplier $s")
+    }
+    // L-infinity normalization: every score bounded by 1e6, and the
+    // max authority attains it exactly
+    assert(rows.forall(r => r.getLong(3) <= 1000000L && r.getLong(3) > 0L))
+    assert(rows.head.getLong(3) == 1000000L)
+  }
 }

@@ -311,7 +311,11 @@ class PlanPropertiesSpec extends SparkSpec {
         // CI order-statistic aggregate — two constants, dq_
         // expectations' exact shape; the B=64 resample table never
         // touches a loop join
-        "ab_bootstrap_ci")
+        "ab_bootstrap_ci",
+        // three 1-row L∞-max broadcasts (one per rescale step) —
+        // the integer normalization constants; the edge-list joins
+        // are all equi
+        "graph_hits")
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.
