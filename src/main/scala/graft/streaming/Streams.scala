@@ -996,6 +996,49 @@ object Streams {
         col("r_len") && col("r_mwl") && col("r_stop") && col("r_rep"))
       .drop("ws")
   }
+
+  case class LangDoc(doc_id: Long, lang: String, text: String)
+
+  /** Streaming readability dashboard — the live per-language twin of
+    * batch text_readability: every arriving document contributes its
+    * three exact integer counts (words, vowel-group syllables,
+    * centi-quantized Flesch score) to a running per-lang aggregate.
+    * Because the per-doc float composes ONCE map-side and is floor-
+    * quantized before it ever aggregates (the batch op's contract),
+    * the running sums are plain BIGINT adds — a streaming aggregate
+    * in complete mode whose state is |langs| rows of six longs, and
+    * whose final table after replay is BIT-EQUAL to the batch
+    * report (parity-proven). This is the ingest-quality panel that
+    * runs next to stream_quality_gate: the gate drops documents,
+    * this watches the quality DISTRIBUTION drift per language. */
+  def readability(docs: Dataset[LangDoc]): DataFrame = {
+    val w = size(split(col("text"), " "))
+    val y = size(regexp_extract_all(lower(col("text")),
+      lit("[aeiouy]+"), lit(0)))
+    val s = greatest(size(regexp_extract_all(col("text"),
+      lit("[.!?]+"), lit(0))), lit(1))
+    val flesch = lit(206.835) -
+      lit(1.015) * (w.cast("double") / s.cast("double")) -
+      lit(84.6) * (y.cast("double") / w.cast("double"))
+    docs.toDF()
+      .select(col("lang"), w.cast("long").as("w"), y.cast("long").as("y"),
+        floor(flesch * lit(100.0)).cast("long").as("centi"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w")).as("total_words"),
+        sum(col("y")).as("sy"),
+        sum(col("centi")).as("sc"),
+        sum(when(col("centi") >= 6000, 1L).otherwise(0L)).as("n_easy"),
+        sum(when(col("centi") < 3000, 1L).otherwise(0L)).as("n_difficult"))
+      .select(col("lang"), col("n_docs"), col("total_words"),
+        round(col("sy").cast("double") / col("total_words").cast("double"), 4)
+          .as("syllables_per_word"),
+        round(col("sc").cast("double") /
+          (col("n_docs").cast("double") * lit(100.0)), 4)
+          .as("avg_flesch"),
+        col("n_easy"), col("n_difficult"))
+  }
+
   case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
   case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]],
       drops: Long = 0L)

@@ -596,6 +596,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_readability equals batch text_readability after full replay (complete mode)") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val mem = MemoryStream[Streams.LangDoc](47, spark, None)
+    val q = Streams.readability(mem.toDS()).writeStream.format("memory")
+      .queryName("t_readability").outputMode("complete").start()
+    try {
+      var seen = 0L
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seen += sl.length
+          // the running panel always accounts for every doc seen so far
+          val partial = spark.table("t_readability")
+          assert(partial.agg(sum("n_docs")).collect()(0).getLong(0) == seen)
+        }
+      val streamed = spark.table("t_readability")
+      val batch = graft.engine.Registry.byName("text_readability")
+        .build(spark, sf)
+      assert(batch.exceptAll(streamed).isEmpty &&
+        streamed.exceptAll(batch).isEmpty,
+        "stream/batch readability mismatch after full replay")
+      assert(streamed.count() > 0)
+    } finally q.stop()
+  }
+
   test("stream_holt equals batch ts_holt_linear on finalized days under ordered replay") {
     val s = spark
     import s.implicits._
