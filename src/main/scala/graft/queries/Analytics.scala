@@ -1880,5 +1880,71 @@ object Analytics extends QueryGroup {
         "partials past that, agg_corr's escalation. Per-arm CIs add " +
         "the variant key to the groupBy; any statistic expressible " +
         "as weighted integer sums (rates, ratios, totals) bootstraps " +
-        "through the identical plan."))
+        "through the identical plan."),
+
+    // Sample-ratio-mismatch (SRM) guardrail — the check every
+    // experiment platform runs BEFORE any readout: if the observed
+    // arm sizes don't match the DECLARED traffic split, the
+    // assignment mechanism is broken (redirect bugs, bot filters,
+    // crash-biased logging) and every downstream statistic —
+    // zscore, chi2, welch, the bootstrap CI — is invalid regardless
+    // of its p-value. Chi-square goodness-of-fit of the exposed-user
+    // counts against the declared weights, df = k−1, the standard
+    // α=0.001 SRM threshold (χ²₂ > 13.8155 — deliberately strict:
+    // an SRM alarm halts the experiment, so false alarms are
+    // expensive). BOTH decision paths are gated: against the true
+    // uniform 1/3 split the test passes, and against a deliberately
+    // wrong 80/10/10 declaration the SAME counts fire the alarm —
+    // the dq_expectations discipline of proving the failing path,
+    // because an SRM check that cannot fire is worse than none.
+    QueryDef(
+      "ab_test_srm",
+      (spark, sf) => {
+        val per = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "view")
+          .groupBy(col("user_id")).agg(min(col("ts")).as("t0"))
+          .withColumn("v", col("user_id") % 3)
+          .groupBy("v").agg(count(lit(1)).as("n"))
+        val one = per.agg(
+          sum(when(col("v") === 0, col("n"))).as("n0"),
+          sum(when(col("v") === 1, col("n"))).as("n1"),
+          sum(when(col("v") === 2, col("n"))).as("n2"))
+        val nn = (col("n0") + col("n1") + col("n2")).cast("double")
+        def gof(w0: Double, w1: Double, w2: Double): Column = {
+          def t(n: Column, w: Double) = {
+            val e = nn * lit(w)
+            (n.cast("double") - e) * (n.cast("double") - e) / e
+          }
+          round(t(col("n0"), w0) + t(col("n1"), w1) + t(col("n2"), w2), 4)
+        }
+        val chiTrue = gof(1.0 / 3.0, 1.0 / 3.0, 1.0 / 3.0)
+        val chiWrong = gof(0.8, 0.1, 0.1)
+        one.select(col("n0"), col("n1"), col("n2"),
+          chiTrue.as("chi2_declared"),
+          (chiTrue > lit(13.8155)).as("srm_detected"),
+          chiWrong.as("chi2_misdeclared"),
+          (chiWrong > lit(13.8155)).as("srm_detected_misdeclared"))
+      },
+      Some("WITH exposed AS (SELECT user_id, min(ts) AS t0, user_id % 3 AS v FROM events WHERE event_type = 'view' GROUP BY user_id), " +
+        "per AS (SELECT v, count(*) AS n FROM exposed GROUP BY 1), " +
+        "o AS (SELECT CAST(sum(CASE WHEN v = 0 THEN n END) AS BIGINT) AS n0, CAST(sum(CASE WHEN v = 1 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN v = 2 THEN n END) AS BIGINT) AS n2 FROM per), " +
+        "f AS (SELECT *, CAST(n0 + n1 + n2 AS DOUBLE) AS nn FROM o), " +
+        "g AS (SELECT n0, n1, n2, " +
+        "round((CAST(n0 AS DOUBLE) - nn*(1.0/3.0))*(CAST(n0 AS DOUBLE) - nn*(1.0/3.0))/(nn*(1.0/3.0)) + (CAST(n1 AS DOUBLE) - nn*(1.0/3.0))*(CAST(n1 AS DOUBLE) - nn*(1.0/3.0))/(nn*(1.0/3.0)) + (CAST(n2 AS DOUBLE) - nn*(1.0/3.0))*(CAST(n2 AS DOUBLE) - nn*(1.0/3.0))/(nn*(1.0/3.0)), 4) AS chi2_declared, " +
+        "round((CAST(n0 AS DOUBLE) - nn*0.8)*(CAST(n0 AS DOUBLE) - nn*0.8)/(nn*0.8) + (CAST(n1 AS DOUBLE) - nn*0.1)*(CAST(n1 AS DOUBLE) - nn*0.1)/(nn*0.1) + (CAST(n2 AS DOUBLE) - nn*0.1)*(CAST(n2 AS DOUBLE) - nn*0.1)/(nn*0.1), 4) AS chi2_misdeclared FROM f) " +
+        "SELECT n0, n1, n2, chi2_declared, chi2_declared > 13.8155 AS srm_detected, " +
+        "chi2_misdeclared, chi2_misdeclared > 13.8155 AS srm_detected_misdeclared FROM g"),
+      scaleNote = "The cheapest guardrail in the family: ONE " +
+        "map-side-combined user-level collapse (shared with " +
+        "ab_test_zscore/chi2's exposure scan when they run in the " +
+        "same DAG), a k-row rollup, and two fixed GOF expressions " +
+        "on one row of exact integers — a billion-user experiment " +
+        "pays a scan it was already paying. SRM runs CONTINUOUSLY " +
+        "(every readout refresh), which is why its α is strict: at " +
+        "the 0.001 threshold a healthy experiment false-alarms once " +
+        "per thousand refreshes, not once per twenty. Weighted " +
+        "splits change the declared-weight literals only; per-" +
+        "segment SRM (the usual localization step after an alarm) " +
+        "adds the segment key to both group keys — same plan, and " +
+        "the integer cells stay bit-stable on any partitioning."))
 }

@@ -1780,4 +1780,21 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(mass - raw.length).toDouble / raw.length < 0.2,
       s"Poisson mass $mass vs n ${raw.length}")
   }
+
+  test("ab_test_srm: passes under the true split, fires under the misdeclared one") {
+    val out = run("ab_test_srm").collect()(0)
+    val (n0, n1, n2) = (out.getLong(0), out.getLong(1), out.getLong(2))
+    val nn = (n0 + n1 + n2).toDouble
+    def gof(ws: Seq[Double]) = Seq(n0, n1, n2).zip(ws)
+      .map { case (n, w) => val e = nn * w; (n - e) * (n - e) / e }.sum
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(3) == r4(gof(Seq(1.0 / 3, 1.0 / 3, 1.0 / 3))))
+    assert(out.getDouble(5) == r4(gof(Seq(0.8, 0.1, 0.1))))
+    // the point of the operator: same counts, two verdicts
+    assert(!out.getBoolean(4),
+      s"healthy uniform split flagged as SRM (chi2=${out.getDouble(3)})")
+    assert(out.getBoolean(6),
+      s"misdeclared 80/10/10 split NOT flagged (chi2=${out.getDouble(5)})")
+  }
 }
