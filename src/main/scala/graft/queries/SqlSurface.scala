@@ -595,7 +595,49 @@ object SqlSurface extends QueryGroup {
       |ORDER BY g_status, g_priority, o_orderstatus NULLS FIRST,
       |  o_orderpriority NULLS FIRST""".stripMargin
 
+  /** LATERAL correlated subquery with ORDER BY + LIMIT — the
+    * "top-N per row" idiom through the parser, IDENTICAL text on
+    * both engines. The gated seam is the DECORRELATION: a naive
+    * engine re-executes the subquery per outer row (a nested loop —
+    * the 100 TB kill); Catalyst must rewrite it into one windowed
+    * rank over the inner table joined back on the correlation key.
+    * PlanPropertiesSpec pins exactly that (Window present, no loop
+    * join). The DSL twin is join_lateral; win_topk_group is the
+    * same result computed windowed-first by hand. */
+  private val QLateral =
+    """SELECT c_mktsegment, c_custkey, t.pr
+      |FROM customer, LATERAL (
+      |  SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS pr
+      |  FROM orders WHERE o_custkey = c_custkey
+      |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) AS t
+      |WHERE c_custkey <= 100
+      |ORDER BY c_mktsegment, c_custkey, pr DESC""".stripMargin
+
   def defs: Seq[QueryDef] = Seq(
+    QueryDef(
+      "sql_lateral",
+      (spark, sf) => {
+        Catalog.register(spark, sf)
+        spark.sql(QLateral)
+      },
+      Some(QLateral.replace('\n', ' ').replaceAll(" +", " ")),
+      scaleNote = "The text LOOKS like a per-row re-execution — and " +
+        "on a naive engine it is one (|outer| probes of the inner " +
+        "table: the nested loop that cannot survive 100 TB). The " +
+        "plan gate pins what actually runs: Catalyst decorrelates " +
+        "the correlated ORDER BY + LIMIT into ONE row_number window " +
+        "over orders partitioned by the correlation key, filtered " +
+        "to rank ≤ 2, hash-joined back to customer — the identical " +
+        "physical shape win_topk_group declares by hand, paid once " +
+        "regardless of outer cardinality, with the c_custkey ≤ 100 " +
+        "predicate pushed into BOTH scans through the equi key. " +
+        "This is the SQL-surface query whose correctness gate and " +
+        "plan gate matter equally: same rows as DuckDB proves the " +
+        "tie/limit semantics agree; Window-not-loop proves the " +
+        "rewrite fired. Deeper top-N changes the LIMIT literal; " +
+        "per-segment variants move the correlation key — the " +
+        "decorrelated shape is invariant."),
+
     QueryDef(
       "sql_group_by_all",
       (spark, sf) => {

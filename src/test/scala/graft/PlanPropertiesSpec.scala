@@ -468,6 +468,19 @@ class PlanPropertiesSpec extends SparkSpec {
       s"per-row scalar subquery survived decorrelation:\n${p.take(1500)}")
   }
 
+  test("sql_lateral's correlated ORDER BY+LIMIT decorrelates to one window, never a loop") {
+    val p = plan("sql_lateral")
+    // DecorrelateInnerQuery must rewrite the per-row top-2 into ONE
+    // row_number window over orders partitioned by the correlation
+    // key, joined back — a naive engine nested-loops |outer| probes
+    assert(p.contains("Window"),
+      s"expected the decorrelated rank window:\n${p.take(1500)}")
+    assert(p.contains("row_number"),
+      s"expected row_number in the rank window:\n${p.take(1500)}")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"LATERAL degenerated to a loop join:\n${p.take(1500)}")
+  }
+
   test("sql_tpch_q21's double correlation decorrelates to one semi + one anti join") {
     val p = plan("sql_tpch_q21")
     assert(p.contains("LeftSemi"),
