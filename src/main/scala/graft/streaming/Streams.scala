@@ -1039,6 +1039,27 @@ object Streams {
         col("n_easy"), col("n_difficult"))
   }
 
+  /** Streaming sample-ratio-mismatch panel — the live form of batch
+    * ab_test_srm, which is the check that RUNS continuously by
+    * design (every readout refresh re-validates the split; the
+    * batch scaleNote's strict α exists exactly because this panel
+    * never stops). First exposure per user is deduplicated in-stream
+    * (unbounded per-user state — the exposure set IS the experiment
+    * population, the same state every per-user experiment readout
+    * carries), then the running per-arm counts aggregate in complete
+    * mode: |arms| rows of one long each. The GOF verdict composes
+    * from the emitted integers exactly as the batch op's edge
+    * expression — parity-proven against ab_test_srm's cells after
+    * full replay. */
+  def srm(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .filter(col("event_type") === "view")
+      .select(col("user_id"))
+      .dropDuplicates("user_id")
+      .withColumn("v", col("user_id") % 3)
+      .groupBy("v")
+      .agg(count(lit(1)).as("n"))
+
   case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
   case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]],
       drops: Long = 0L)

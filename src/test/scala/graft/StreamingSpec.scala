@@ -626,6 +626,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_srm running arm counts match batch ab_test_srm cells and GOF after replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](53, spark, None)
+    val q = Streams.srm(mem.toDS()).writeStream.format("memory")
+      .queryName("t_srm").outputMode("complete").start()
+    try {
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl => mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable() }
+      val cells = spark.table("t_srm").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val batch = graft.engine.Registry.byName("ab_test_srm")
+        .build(spark, sf).collect()(0)
+      assert(cells(0L) == batch.getLong(0) && cells(1L) == batch.getLong(1) &&
+        cells(2L) == batch.getLong(2),
+        s"streamed arm counts $cells diverge from batch")
+      // the GOF verdict recomposes from the emitted integers exactly
+      // as the batch edge expression
+      val nn = cells.values.sum.toDouble
+      def r4(x: Double) = BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val chi = r4(Seq(0L, 1L, 2L).map { v =>
+        val e = nn / 3.0; val d = cells(v) - e; d * d / e
+      }.sum)
+      assert(chi == batch.getDouble(3),
+        s"GOF from streamed cells $chi != batch ${batch.getDouble(3)}")
+    } finally q.stop()
+  }
+
   test("stream_holt equals batch ts_holt_linear on finalized days under ordered replay") {
     val s = spark
     import s.implicits._
