@@ -394,5 +394,61 @@ SELECT thr_bp, count(cos) AS n_pairs FROM t LEFT JOIN p ON p.cos >= CAST(thr_bp 
         "100 TB the pair floor (0.25) bounds what the counts " +
         "traverse; thresholds are exact int basis points so the " +
         "curve is bit-reproducible release-over-release — the " +
-        "property that makes threshold drift a diffable signal."))
+        "property that makes threshold drift a diffable signal."),
+
+    // The mutual k-NN GRAPH over the embedding corpus — the data
+    // structure semantic clustering actually consumes (SemDeDup and
+    // k-NN-graph community methods cluster the MUTUAL edge set,
+    // because asymmetric edges are dominated by hubs): per vector,
+    // its top-3 same-bucket neighbours by exact quantized cosine
+    // (6-plane SRP buckets — the ann_ivf candidate discipline), plus
+    // the mutuality flag (does the reverse edge exist in the graph).
+    // emb_near_dup emits the THRESHOLDED pair set; this emits the
+    // RANKED per-node adjacency — thresholds miss isolated points'
+    // structure, k-NN adapts to local density. Fully hash-oracled
+    // via the Signs-table replay (ann_ivf's technique).
+    QueryDef(
+      "emb_knn_graph",
+      (spark, sf) => {
+        val b = bucketed(spark, sf, planes = 6)
+        val w = Window.partitionBy("src")
+          .orderBy(col("cos").desc, col("dst").asc)
+        val knn = b.select(col("vec_id").as("src"), col("qv").as("q1"),
+            col("norm2").as("m1"), col("bucket"))
+          .join(b.select(col("vec_id").as("dst"), col("qv").as("q2"),
+            col("norm2").as("m2"), col("bucket")), Seq("bucket"))
+          .filter(col("src") =!= col("dst"))
+          .withColumn("cos", graft.engine.Vec.cosine(
+            LongArrayDot.dot(col("q1"), col("q2")), col("m1"), col("m2")))
+          .withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3)
+          .select("src", "rank", "dst", "cos")
+        val rev = knn.select(col("dst").as("src"), col("src").as("dst"))
+          .withColumn("m", lit(true))
+        knn.join(rev, Seq("src", "dst"), "left")
+          .select(col("src"), col("rank"), col("dst"), col("cos"),
+            coalesce(col("m"), lit(false)).as("mutual"))
+          .orderBy("src", "rank")
+      },
+      Some(s"""WITH q AS ($QuantSql),
+pr AS (SELECT vec_id, qv, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS n2, ${psSql(6)} AS ps FROM q),
+b AS (SELECT vec_id, qv, n2, ${bucketSql(6)} AS bucket FROM pr),
+e0 AS (SELECT a.vec_id AS src, c.vec_id AS dst, round(CAST(list_sum(list_transform(range(1,65), i -> a.qv[i]*c.qv[i])) AS DOUBLE)/(sqrt(CAST(a.n2 AS DOUBLE))*sqrt(CAST(c.n2 AS DOUBLE))),4) AS cos FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id <> c.vec_id),
+e AS (SELECT src, rank, dst, cos FROM (SELECT src, dst, cos, row_number() OVER (PARTITION BY src ORDER BY cos DESC, dst ASC) AS rank FROM e0) WHERE rank <= 3)
+SELECT e.src, e.rank, e.dst, e.cos, r.src IS NOT NULL AS mutual FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src ORDER BY e.src, e.rank""".replaceAll("\\n", " ")),
+      scaleNote = "|V|·k edges from bucket-LOCAL candidates: the " +
+        "pair space is Σ|bucket|² with the plane count as the " +
+        "linearity dial (grow planes with the corpus so |bucket| " +
+        "stays constant — emb_near_dup's measured economics), the " +
+        "rank window rides the SAME bucket partitioning as the " +
+        "candidate join, and the mutuality check is one self-join " +
+        "of the k·|V| edge list on (src, dst) — co-partition both " +
+        "sides on src and it is exchange-light at any scale. At " +
+        "100 TB write the corpus bucket-partitioned and each " +
+        "executor builds its buckets' adjacency lists without ever " +
+        "seeing another bucket; recall beyond the home bucket is " +
+        "the standard multi-probe dial (ann_recall_curve measures " +
+        "it). Downstream, graph_components over the mutual edges " +
+        "IS SemDeDup-style semantic clustering — the operators " +
+        "compose without a new shuffle shape; k is a literal."))
 }

@@ -115,4 +115,36 @@ class AnnIvfSpec extends SparkSpec {
     assert(r1 <= r2 && r2 <= 1.0 && r1 >= 0.0)
     assert(hits2 <= pos2)
   }
+
+  test("emb_knn_graph: per-node ranked adjacency with a correct mutuality flag") {
+    val rows = graft.engine.Registry.byName("emb_knn_graph")
+      .build(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val edges = rows.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bySrc = rows.groupBy(_.getLong(0))
+    bySrc.foreach { case (src, es) =>
+      val ranked = es.sortBy(_.getInt(1))
+      assert(ranked.map(_.getInt(1)).toSeq == (1 to ranked.length),
+        s"$src: ranks not dense from 1")
+      assert(ranked.length <= 3, s"$src: more than k edges")
+      // cos non-increasing with rank, dst-tiebroken
+      ranked.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getDouble(3) > b.getDouble(3) ||
+            (a.getDouble(3) == b.getDouble(3) && a.getLong(2) < b.getLong(2)),
+            s"$src: rank order violates (cos desc, dst asc)")
+        case _ =>
+      }
+      assert(es.forall(r => r.getLong(2) != src), s"$src: self edge")
+      assert(es.forall(r => r.getDouble(3) >= -1.0001 && r.getDouble(3) <= 1.0001))
+    }
+    // the mutuality flag IS the reverse-edge membership test
+    rows.foreach { r =>
+      assert(r.getBoolean(4) == edges.contains((r.getLong(2), r.getLong(0))),
+        s"mutual flag wrong for (${r.getLong(0)}, ${r.getLong(2)})")
+    }
+    // non-vacuous in both directions: some edges mutual, some not
+    assert(rows.exists(_.getBoolean(4)) && rows.exists(!_.getBoolean(4)),
+      "fixture exercises only one mutuality value")
+  }
 }
