@@ -93,7 +93,8 @@ object ScalingCurve {
       "ab_test_welch", "ts_acf", "sql_group_by_all",
       "graph_louvain_round", "ab_test_chi2", "text_readability",
       "dq_profile", "sql_rollup_grouping", "ab_bootstrap_ci",
-      "graph_hits", "ab_test_srm", "sql_lateral", "emb_knn_graph")
+      "graph_hits", "ab_test_srm", "sql_lateral", "emb_knn_graph",
+      "agg_hhi")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -907,5 +907,76 @@ object Aggregates extends QueryGroup {
         "the s bound already excludes. For groups too large to sort, the " +
         "binned approximation (Gini over agg_histogram's fixed " +
         "buckets) is the standard trade — same formula over bucket " +
-        "midpoints, error bounded by bin width."))
+        "midpoints, error bounded by bin width."),
+
+    // Herfindahl–Hirschman index — agg_gini's CONCENTRATION sibling
+    // for market structure (gini ranks inequality of a population;
+    // HHI answers the antitrust question: how concentrated is a
+    // market among its participants): per REGION, the supplier
+    // revenue concentration HHI = Σ_s share_s². The float-sum trap
+    // is designed out by algebra: HHI = Σr_s²/(Σr_s)², so both sums
+    // run EXACT — revenue in 1e-4-dollar units as BIGINT (the sum's
+    // native DECIMAL(·,4) scale, so no cross-engine rounding seam at
+    // all), squares as DECIMAL(19,0)² partials (a big supplier's
+    // units square past Long; Spark sums in DECIMAL(38,0), DuckDB
+    // in HUGEINT — equal as doubles at the edge) — and the single
+    // division composes once at the edge. Equivalent-firms 1/HHI is
+    // the readable form (an HHI of 0.25 "is" 4 equal firms); the
+    // DOJ's 0.25 concentration flag emitted as the gate.
+    QueryDef(
+      "agg_hhi",
+      (spark, sf) => {
+        val rev = Tables.lineitem(spark, sf)
+          .join(Tables.supplier(spark, sf),
+            col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(Tables.nation(spark, sf)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("n_regionkey"), col("s_suppkey"),
+            (col("l_extendedprice").cast(Dsl.D2) *
+              (lit(1).cast(Dsl.D2) - col("l_discount").cast(Dsl.D2)))
+              .cast(Dsl.D4).as("r"))
+          .groupBy("n_regionkey", "s_suppkey")
+          .agg((sum(col("r")) * 10000).cast("long").as("c"))
+        rev.groupBy("n_regionkey")
+          .agg(count(lit(1)).as("n_suppliers"),
+            sum(col("c")).as("tot"),
+            sum(col("c").cast("decimal(19,0)") *
+              col("c").cast("decimal(19,0)")).as("sq"))
+          .select(col("n_regionkey"), col("n_suppliers"),
+            round(col("tot").cast("double") / 10000, 2).as("total_rev"),
+            round(col("sq").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double")), 6)
+              .as("hhi"),
+            round(lit(1.0) / (col("sq").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double"))), 2)
+              .as("equivalent_firms"),
+            (col("sq").cast("double") /
+              (col("tot").cast("double") * col("tot").cast("double")) >
+              lit(0.25)).as("concentrated"))
+          .orderBy("n_regionkey")
+      },
+      Some("WITH rev AS (SELECT n_regionkey, s_suppkey, " +
+        "CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,4))) * 10000 AS BIGINT) AS c " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey JOIN nation ON s_nationkey = n_nationkey GROUP BY 1, 2), " +
+        "agg AS (SELECT n_regionkey, count(*) AS n_suppliers, CAST(sum(c) AS BIGINT) AS tot, " +
+        "sum(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS sq FROM rev GROUP BY 1) " +
+        "SELECT n_regionkey, n_suppliers, round(CAST(tot AS DOUBLE) / 10000, 2) AS total_rev, " +
+        "round(CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)), 6) AS hhi, " +
+        "round(1.0 / (CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE))), 2) AS equivalent_firms, " +
+        "CAST(sq AS DOUBLE) / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) > 0.25 AS concentrated " +
+        "FROM agg ORDER BY n_regionkey"),
+      scaleNote = "Two map-side-combined aggregates (per-supplier " +
+        "cents, then per-region (Σr, Σr²)) — the wire carries " +
+        "|suppliers| then |regions| rows, and both moments are " +
+        "associative exact partials (cents as BIGINT, squares as " +
+        "DECIMAL(38,0) — the square of a 10-figure-cents supplier " +
+        "exceeds Long, which is why the escalation is in the " +
+        "operator, not a footnote), so re-partitioning cannot move " +
+        "the index: the Σr²/(Σr)² algebra replaces the textbook " +
+        "Σshare² exactly BECAUSE shares are floats whose sum order " +
+        "would differ per layout. Any market definition (brand, " +
+        "region, route) is a group-key swap; the same two-moment " +
+        "substrate yields the coefficient-of-variation and " +
+        "Simpson/effective-diversity indices with different edge " +
+        "expressions — one plan, a family of concentration stats."))
 }

@@ -1797,4 +1797,43 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(6),
       s"misdeclared 80/10/10 split NOT flagged (chi2=${out.getDouble(5)})")
   }
+
+  test("agg_hhi: exact-decimal replay; bounds 1/n <= hhi <= 1 and 1/hhi <= n") {
+    val out = run("agg_hhi").collect()
+    val raw = graft.engine.Tables.lineitem(spark, sf)
+      .join(graft.engine.Tables.supplier(spark, sf),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(graft.engine.Tables.nation(spark, sf),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey"), col("s_suppkey"),
+        col("l_extendedprice"), col("l_discount"))
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1),
+        (BigDecimal(r.getDouble(2)).setScale(2, BigDecimal.RoundingMode.HALF_UP) *
+          (BigDecimal(1) - BigDecimal(r.getDouble(3)).setScale(2,
+            BigDecimal.RoundingMode.HALF_UP)))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP)))
+    def r6(x: Double) = BigDecimal(x).setScale(6,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val byNation = raw.groupBy(_._1)
+    assert(out.map(_.getInt(0)).toSeq == byNation.keys.toSeq.sorted)
+    out.foreach { r =>
+      val sup = byNation(r.getInt(0)).groupBy(_._2)
+        .map { case (_, rs) => (rs.map(_._3).sum * 10000).toBigInt }
+      assert(r.getLong(1) == sup.size.toLong, s"${r.getInt(0)}: n_suppliers")
+      val tot = sup.sum; val sq = sup.map(c => c * c).sum
+      val hhi = (BigDecimal(sq).toDouble) / (tot.toDouble * tot.toDouble)
+      assert(r.getDouble(3) == r6(hhi),
+        s"${r.getInt(0)}: hhi got ${r.getDouble(3)}, want ${r6(hhi)}")
+      // structural bounds of the index
+      assert(r.getDouble(3) >= 1.0 / r.getLong(1) - 1e-9 &&
+        r.getDouble(3) <= 1.0 + 1e-9)
+      assert(r.getDouble(4) <= r.getLong(1) + 1e-6,
+        "equivalent firms cannot exceed actual firms")
+      assert(r.getBoolean(5) == (hhi > 0.25),
+        s"${r.getInt(0)}: concentration flag")
+    }
+    assert(out.exists(r => r.getLong(1) > 1L),
+      "fixture has only single-supplier markets")
+  }
 }
