@@ -1369,5 +1369,88 @@ object GraphOps extends QueryGroup {
         "depth (graph_components' discipline); the emitted a₁→a₂ " +
         "pair is the convergence observable — rank churn between " +
         "rounds is the stopping signal, and TakeOrderedAndProject " +
-        "keeps the report top-k without a global sort."))
+        "keeps the report top-k without a global sort."),
+
+    // Deterministic random walks — the DeepWalk/node2vec CORPUS
+    // GENERATOR: graph-embedding training data is walk sequences
+    // treated as sentences, and at 100 TB the walk draw must be a
+    // pure function of (node, step), not of an RNG whose state
+    // depends on partitioning — so the "random" step is the house
+    // portable hash (md5-u16, sample_consistent's contract) modulo
+    // the node's degree, indexing into a rank-ordered adjacency
+    // list. One walk of length 4 from every customer node: each
+    // step is (join degree → compute index) + (equi join adjacency
+    // on (node, index)) — O(1) work per walk per step, never a
+    // neighbor-list scan. Emitted long-form (start, step, node):
+    // the exact rows a skip-gram window consumes. Every engine,
+    // every layout, every rerun draws the SAME walks — the property
+    // that makes the downstream embedding reproducible.
+    QueryDef(
+      "graph_random_walks",
+      (spark, sf) => {
+        val e = edges(spark, sf)
+        val w = Window.partitionBy("src").orderBy("dst")
+        val adj = e.withColumn("idx",
+          row_number().over(w).cast("long") - 1)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        def u16(t: Int) = conv(substring(md5(concat(lit("graftk:"),
+          col("node").cast("string"), lit(s":$t"))), 1, 4), 16, 10)
+          .cast("long")
+        val start = deg.filter(col("src") % 2 === 0)
+          .select(col("src").as("start"))
+        var cur = start.select(col("start"), col("start").as("node"))
+        var acc = cur.select(col("start"), lit(0).as("step"), col("node"))
+        for (t <- 1 to 4) {
+          cur = cur
+            .join(deg, col("node") === col("src")).drop("src")
+            .withColumn("idx", pmod(u16(t), col("deg")))
+            .join(adj.select(col("src").as("asrc"),
+              col("idx").as("aidx"), col("dst").as("nxt")),
+              col("node") === col("asrc") && col("idx") === col("aidx"))
+            .select(col("start"), col("nxt").as("node"))
+          acc = acc.unionByName(
+            cur.select(col("start"), lit(t).as("step"), col("node")))
+        }
+        acc.orderBy("start", "step")
+      },
+      Some {
+        def u16(ref: String, t: Int) =
+          s"(('0x'||substr(md5('graftk:'||CAST($ref AS VARCHAR)||':$t'),1,4))::BIGINT"
+        def step(prev: String, t: Int) =
+          s"w$t AS (SELECT $prev.start, adj.dst AS node FROM $prev " +
+            s"JOIN deg ON $prev.node = deg.src " +
+            s"JOIN adj ON adj.src = $prev.node AND adj.idx = " +
+            s"${u16(s"$prev.node", t)} % deg.deg))"
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
+          "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+          "w0 AS (SELECT src AS start, src AS node FROM deg WHERE src % 2 = 0), " +
+          step("w0", 1) + ", " + step("w1", 2) + ", " +
+          step("w2", 3) + ", " + step("w3", 4) + " " +
+          "SELECT start, 0 AS step, node FROM w0 " +
+          "UNION ALL SELECT start, 1, node FROM w1 " +
+          "UNION ALL SELECT start, 2, node FROM w2 " +
+          "UNION ALL SELECT start, 3, node FROM w3 " +
+          "UNION ALL SELECT start, 4, node FROM w4 " +
+          "ORDER BY start, step"
+      },
+      scaleNote = "Walk state is ONE row per active walk — each step " +
+        "is an equi join to the |V|-row degree table (broadcast-able " +
+        "when nodes are dimension-scale, co-partitioned on node id " +
+        "past that) plus an equi join to the rank-ordered adjacency " +
+        "on (node, index): O(walks) rows moved per step, NEVER a " +
+        "neighbor-list scan, because the index is computed BEFORE " +
+        "the join — the reason the draw must be hash-arithmetic, " +
+        "not sampling. T steps = T such join pairs (walk length is " +
+        "wall-clock depth, not width); W walks per node = one " +
+        "explode of the start set with the walk id salted into the " +
+        "hash; node2vec's p/q bias = keeping (prev, node) in the " +
+        "walk state and a 2-arm CASE on the drawn index — same " +
+        "plan. Adjacency ranks build once (one row_number over the " +
+        "edge list's natural src partitioning) and amortize across " +
+        "every walk epoch; the hash draw makes a billion-walk " +
+        "corpus bit-reproducible across engines, reruns, and " +
+        "cluster sizes — the property an embedding-training " +
+        "pipeline needs to be auditable at all."))
 }

@@ -343,4 +343,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.forall(r => r.getLong(3) <= 1000000L && r.getLong(3) > 0L))
     assert(rows.head.getLong(3) == 1000000L)
   }
+
+  test("graph_random_walks: full-sequence driver replay; every step walks a real edge") {
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adjAll = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val adj = adjAll.groupBy(_._1).map { case (u, es) =>
+      u -> es.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(node: Long, t: Int): Long = {
+      val hex = md.digest(s"graftk:$node:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 4)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val want = adj.keys.filter(_ % 2 == 0).toSeq.sorted.flatMap { s0 =>
+      val walk = (1 to 4).scanLeft(s0) { (cur, t) =>
+        val ns = adj(cur); ns((u16(cur, t) % ns.length).toInt)
+      }
+      walk.zipWithIndex.map { case (n, st) => (s0, st, n) }
+    }
+    val rows = engine.Registry.byName("graph_random_walks")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.length == want.length,
+      s"row count ${rows.length} != replay ${want.length}")
+    assert(rows.sorted.toSeq == want.sorted,
+      "walk sequences diverge from the md5 replay")
+    // structural: every consecutive hop is an actual edge
+    val edgeSet = adjAll.toSet
+    rows.groupBy(_._1).foreach { case (s0, steps) =>
+      val seq = steps.sortBy(_._2).map(_._3)
+      assert(seq.head == s0)
+      seq.sliding(2).foreach {
+        case Array(a, b) => assert(edgeSet.contains((a, b)),
+          s"walk from $s0 used non-edge ($a, $b)")
+        case _ =>
+      }
+    }
+  }
 }
