@@ -29,6 +29,20 @@ import graft.engine.{QueryDef, QueryGroup, Tables}
   */
 object GraphOps extends QueryGroup {
 
+  /** Eager local checkpoint that ALSO resets plan statistics.
+    * LogicalRDD preserves the optimized plan's stats snapshot across
+    * localCheckpoint, so an iterative loop that multiplies the
+    * loop-carried sizeInBytes per round (joins do) compounds it
+    * exponentially until Catalyst's size-only stats visitor grinds
+    * in BigInteger arithmetic (CheckpointProbe measures the cliff).
+    * Re-wrapping the checkpointed RDD in a fresh DataFrame resets
+    * stats to the session default — constant planning cost per
+    * round at any depth. */
+  private def freshDf(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(true)
+    ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
+  }
+
   /** Micro-unit initial rank (1.0). */
   val R0 = 1000000L
   val Iters = 3
@@ -1370,6 +1384,163 @@ object GraphOps extends QueryGroup {
         "pair is the convergence observable — rank churn between " +
         "rounds is the stopping signal, and TakeOrderedAndProject " +
         "keeps the report top-k without a global sort."),
+
+    // The FULL Louvain sweep — graph_louvain_round's promised
+    // iteration delivered: 16 scheduled move rounds (8 hash slices ×
+    // 2 bipartite sides = every node offered exactly one move),
+    // labels eagerly checkpointed per round (graph_components'
+    // fixpoint discipline). One sweep is the measured sweet spot
+    // (LouvainSweepProbe): Q climbs monotonically through it at both
+    // fixtures (sf0.01: −0.0029 → +0.0600 over the 16 rounds, 1441
+    // moves) while a SECOND sweep oscillates around the plateau —
+    // synchronous scheduled moves convert the remaining gain into
+    // label churn once the greedy frontier is exhausted, which is
+    // where sequential Louvain coarsens instead. Output is the final
+    // partition under graph_modularity's own rollup plus the
+    // moved-from-initial count per community; the oracle replays all
+    // 16 rounds (machine-generated CTE chain — nothing pinned).
+    //
+    // STATS-CARRY TRAP (found here, CheckpointProbe reproduces it):
+    // localCheckpoint truncates the logical PLAN but LogicalRDD
+    // copies the optimized plan's STATS snapshot through the
+    // checkpoint, so a loop whose round multiplies the loop-carried
+    // sizeInBytes several times (4 label references/round here)
+    // compounds it exponentially — by round ~12 Catalyst spends
+    // minutes in BigInteger stats arithmetic while every plan stays
+    // flat. freshDf re-wraps the checkpointed RDD in a new DataFrame,
+    // resetting stats to the default; rounds then cost O(1) planning
+    // forever (probe: 95 s round 13 → 0.3 s flat).
+    QueryDef(
+      "graph_louvain_sweep",
+      (spark, sf) => {
+        val e = edges(spark, sf).localCheckpoint(true)
+        val comm0 = Tables.customer(spark, sf)
+            .select((col("c_custkey") * 2).as("node"),
+              col("c_nationkey").as("cu"))
+          .unionAll(Tables.supplier(spark, sf)
+            .select((col("s_suppkey") * 2 + 1).as("node"),
+              col("s_nationkey").as("cu")))
+          .localCheckpoint(true)
+        val deg = e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("d")).localCheckpoint(true)
+        val tot = e.agg(count(lit(1)).as("t"))
+        var lab = freshDf(comm0.select(col("node"), col("cu").as("nc")))
+        for (r <- 0 until 16) {
+          val side = r % 2
+          val slice = (r / 2) % 8
+          val dct = lab.join(deg, Seq("node"), "left")
+            .groupBy(col("nc").as("c"))
+            .agg(sum(coalesce(col("d"), lit(0L))).as("dc"))
+          val euc = e
+            .join(broadcast(lab.select(col("node").as("dst"),
+              col("nc").as("c"))), Seq("dst"))
+            .groupBy(col("src").as("node"), col("c"))
+            .agg(count(lit(1)).as("e_uc"))
+          val cand = euc.unionByName(
+              deg.join(broadcast(lab), Seq("node"))
+                .select(col("node"), col("nc").as("c"),
+                  lit(0L).as("e_uc")))
+            .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
+          val w = Window.partitionBy("node")
+            .orderBy(col("score").desc, col("c").asc)
+          val winner = cand
+            .join(broadcast(lab), Seq("node"))
+            .join(broadcast(dct), Seq("c"))
+            .join(deg, Seq("node"))
+            .crossJoin(broadcast(tot))
+            .withColumn("score", col("t") * col("e_uc") -
+              col("d") * (col("dc") -
+                when(col("c") === col("nc"), col("d")).otherwise(0L)))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1 && col("node") % 2 === side &&
+              pmod(expr("node div 2"), lit(8)) === slice)
+            .select(col("node"), col("c").as("nc0"))
+          lab = freshDf(lab.join(winner, Seq("node"), "left")
+            .select(col("node"), coalesce(col("nc0"), col("nc")).as("nc")))
+        }
+        val j2 = e
+          .join(broadcast(lab.select(col("node").as("src"),
+            col("nc").as("sc"))), Seq("src"))
+          .join(broadcast(lab.select(col("node").as("dst"),
+            col("nc").as("dc2"))), Seq("dst"))
+        val movedIn = lab.join(comm0, Seq("node"))
+          .filter(col("nc") =!= col("cu"))
+          .groupBy(col("nc").as("comm")).agg(count(lit(1)).as("mi"))
+        j2.groupBy(col("sc").as("comm"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("dc2") === col("sc"), 1L).otherwise(0L))
+              .as("internal2"),
+            countDistinct(col("src")).as("n_nodes"))
+          .join(broadcast(movedIn), Seq("comm"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("comm"), col("n_nodes"), col("deg_sum"),
+            expr("internal2 div 2").as("internal_edges"),
+            round(col("internal2").cast("double") / col("t") -
+              (col("deg_sum").cast("double") / col("t")) *
+              (col("deg_sum").cast("double") / col("t")), 6)
+              .as("mod_term"),
+            coalesce(col("mi"), lit(0L)).as("n_moved_in"),
+            lit(16).as("rounds"))
+          .orderBy("comm")
+      },
+      Some {
+        def round(k: Int): String = {
+          val p = s"lab${k - 1}"
+          val side = (k - 1) % 2
+          val slice = ((k - 1) / 2) % 8
+          s"dct$k AS (SELECT $p.nc AS c, CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS dc " +
+            s"FROM $p LEFT JOIN deg ON $p.node = deg.node GROUP BY 1), " +
+          s"euc$k AS (SELECT e.src AS node, l2.nc AS c, count(*) AS e_uc " +
+            s"FROM e JOIN $p l2 ON e.dst = l2.node GROUP BY 1, 2), " +
+          s"cand$k AS (SELECT node, c, CAST(sum(e_uc) AS BIGINT) AS e_uc FROM (" +
+            s"SELECT * FROM euc$k UNION ALL SELECT deg.node, $p.nc AS c, 0 AS e_uc " +
+            s"FROM deg JOIN $p ON deg.node = $p.node) GROUP BY 1, 2), " +
+          s"scored$k AS (SELECT cand$k.node, cand$k.c, " +
+            s"t.t * cand$k.e_uc - deg.d * (dct$k.dc - CASE WHEN cand$k.c = $p.nc THEN deg.d ELSE 0 END) AS score " +
+            s"FROM cand$k JOIN $p ON cand$k.node = $p.node " +
+            s"JOIN dct$k ON cand$k.c = dct$k.c JOIN deg ON cand$k.node = deg.node CROSS JOIN tot t), " +
+          s"win$k AS (SELECT node, c AS nc0 FROM (SELECT *, " +
+            s"row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn FROM scored$k) " +
+            s"WHERE rn = 1 AND node % 2 = $side AND ((node // 2) % 8) = $slice), " +
+          s"lab$k AS MATERIALIZED (SELECT $p.node, coalesce(win$k.nc0, $p.nc) AS nc " +
+            s"FROM $p LEFT JOIN win$k ON $p.node = win$k.node)"
+        }
+        s"WITH bp AS MATERIALIZED ($EdgesSql), " +
+          "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "comm AS MATERIALIZED (SELECT c_custkey*2 AS node, c_nationkey AS cu FROM customer " +
+          "UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), " +
+          "deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY 1), " +
+          "tot AS MATERIALIZED (SELECT count(*) AS t FROM e), " +
+          "lab0 AS MATERIALIZED (SELECT node, cu AS nc FROM comm), " +
+          (1 to 16).map(round).mkString(", ") + ", " +
+          "j2 AS (SELECT ls.nc AS sc, ld.nc AS dc2, e.src FROM e " +
+          "JOIN lab16 ls ON e.src = ls.node JOIN lab16 ld ON e.dst = ld.node), " +
+          "mi AS (SELECT lab16.nc AS comm, count(*) AS mi FROM lab16 " +
+          "JOIN comm ON lab16.node = comm.node WHERE lab16.nc <> comm.cu GROUP BY 1), " +
+          "roll AS (SELECT sc AS comm, count(DISTINCT src) AS n_nodes, count(*) AS deg_sum, " +
+          "CAST(sum(CASE WHEN dc2 = sc THEN 1 ELSE 0 END) AS BIGINT) AS internal2 FROM j2 GROUP BY 1) " +
+          "SELECT roll.comm, n_nodes, deg_sum, internal2 // 2 AS internal_edges, " +
+          "round(CAST(internal2 AS DOUBLE) / t.t - (CAST(deg_sum AS DOUBLE)/t.t) * (CAST(deg_sum AS DOUBLE)/t.t), 6) AS mod_term, " +
+          "CAST(coalesce(mi.mi, 0) AS BIGINT) AS n_moved_in, 16 AS rounds " +
+          "FROM roll LEFT JOIN mi ON roll.comm = mi.comm CROSS JOIN tot t ORDER BY roll.comm"
+      },
+      scaleNote = "Per round the plan is graph_louvain_round's " +
+        "exactly (broadcast/co-partitioned label joins, the argmax " +
+        "window riding the candidate groupBy's src partitioning), " +
+        "×16 with labels eagerly checkpointed between rounds so " +
+        "lineage stays flat and each round's shuffle work is " +
+        "constant — the sweep is wall-clock depth, not width, the " +
+        "graph_components economics. The ROUND COUNT is the measured " +
+        "part: one full sweep (every node offered exactly one move) " +
+        "is where the scheduled synchronous gain stops — probe-" +
+        "measured Q climbs monotonically through rounds 1–16 and " +
+        "oscillates if iterated further, so production Louvain " +
+        "coarsens here (contract communities to supernodes — " +
+        "dedup_clusters_star's contraction — and re-sweep the " +
+        "smaller graph) rather than re-sweeping flat. n_moved_in " +
+        "vs the per-round probe ledger localizes any divergence to " +
+        "a round; everything is integer argmax with min-c ties, so " +
+        "the 16-round trajectory is bit-identical on any cluster."),
 
     // Deterministic random walks — the DeepWalk/node2vec CORPUS
     // GENERATOR: graph-embedding training data is walk sequences

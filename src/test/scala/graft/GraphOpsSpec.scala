@@ -344,6 +344,69 @@ class GraphOpsSpec extends SparkSpec {
     assert(rows.head.getLong(3) == 1000000L)
   }
 
+  test("graph_louvain_sweep: 16-round driver replay; one sweep improves modularity") {
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val cu0: Map[Long, Int] =
+      (engine.Tables.customer(spark, sf)
+        .select((col("c_custkey") * 2).as("n"), col("c_nationkey")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1)) ++
+       engine.Tables.supplier(spark, sf)
+        .select((col("s_suppkey") * 2 + 1).as("n"), col("s_nationkey")).collect()
+        .map(r => r.getLong(0) -> r.getInt(1))).toMap
+    val t = adj.length.toLong
+    val deg = adj.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nbrs = adj.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab = cu0
+    for (r <- 0 until 16) {
+      val side = r % 2; val slice = (r / 2) % 8
+      val dc = lab.toSeq.groupBy(_._2)
+        .map { case (c, ns) => c -> ns.map(n => deg.getOrElse(n._1, 0L)).sum }
+      lab = lab.map { case (u, c0) =>
+        u -> (if (u % 2 != side || (u / 2) % 8 != slice) c0
+        else deg.get(u) match {
+          case None => c0
+          case Some(d) =>
+            val eyc = nbrs(u).groupBy(lab).map { case (c, l) => c -> l.length.toLong }
+            (eyc.keySet + c0).toSeq.map { c =>
+              (t * eyc.getOrElse(c, 0L) -
+                d * (dc(c) - (if (c == c0) d else 0L)), c)
+            }.minBy { case (sc, c) => (-sc, c) }._2
+        })
+      }
+    }
+    val rows = engine.Registry.byName("graph_louvain_sweep")
+      .build(spark, sf).collect()
+    val byComm = adj.groupBy(e => lab(e._1))
+    assert(rows.map(_.getInt(0)).toSet == byComm.keySet)
+    rows.foreach { r =>
+      val c = r.getInt(0); val es = byComm(c)
+      assert(r.getLong(2) == es.length.toLong, s"deg_sum comm $c")
+      assert(r.getLong(3) == es.count(e => lab(e._2) == c).toLong / 2,
+        s"internal_edges comm $c")
+      assert(r.getLong(1) == es.map(_._1).distinct.length.toLong,
+        s"n_nodes comm $c")
+      assert(r.getLong(5) ==
+        cu0.count { case (u, c0) => lab(u) == c && c != c0 }.toLong,
+        s"n_moved_in comm $c")
+      assert(r.getInt(6) == 16)
+    }
+    // the sweep's point: Q after one full sweep beats BOTH the
+    // initial partition and the single-round operator's result
+    val qInit = engine.Registry.byName("graph_modularity").build(spark, sf)
+      .collect().map(_.getDouble(4)).sum
+    val qRound = engine.Registry.byName("graph_louvain_round").build(spark, sf)
+      .collect().map(_.getDouble(4)).sum
+    val qSweep = rows.map(_.getDouble(4)).sum
+    assert(qSweep > qInit, s"sweep must beat init: $qInit -> $qSweep")
+    assert(qSweep > qRound, s"sweep must beat one round: $qRound -> $qSweep")
+    assert(rows.map(_.getLong(5)).sum > 0, "vacuous: nothing moved")
+  }
+
   test("graph_random_walks: full-sequence driver replay; every step walks a real edge") {
     val pairs = engine.Tables.lineitem(spark, sf)
       .join(engine.Tables.orders(spark, sf),

@@ -315,7 +315,10 @@ class PlanPropertiesSpec extends SparkSpec {
         // three 1-row L∞-max broadcasts (one per rescale step) —
         // the integer normalization constants; the edge-list joins
         // are all equi
-        "graph_hits")
+        "graph_hits",
+        // the 1-row edge total crossed into each round's gain scores
+        // and the final rollup — graph_louvain_round's constant, ×16
+        "graph_louvain_sweep")
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.
