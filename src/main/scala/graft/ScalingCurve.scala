@@ -94,7 +94,8 @@ object ScalingCurve {
       "graph_louvain_round", "ab_test_chi2", "text_readability",
       "dq_profile", "sql_rollup_grouping", "ab_bootstrap_ci",
       "graph_hits", "ab_test_srm", "sql_lateral", "emb_knn_graph",
-      "agg_hhi", "graph_random_walks", "graph_louvain_sweep")
+      "agg_hhi", "graph_random_walks", "graph_louvain_sweep",
+      "text_zipf_curve")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -342,5 +342,72 @@ object QualityOps extends QueryGroup {
         "bit-stable (1e9 div (60+r) is exact; float 1/(60+r) sums " +
         "would tie-break on rounding noise). Ranks stay bounded by " +
         "construction, so the global rank windows run on ≤ 100 " +
-        "rows."))
+        "rows."),
+
+    // Zipf rank–frequency fit — the corpus law text_heaps_curve
+    // doesn't measure (Heaps: how VOCABULARY grows with corpus; Zipf:
+    // how frequency DECAYS with rank — healthy natural text fits
+    // ln f ≈ a − s·ln r with s ≈ 1, and a corrupted or templated
+    // corpus shows up as a broken slope or low R², which makes this
+    // a quality gate, not a curiosity). OLS over the top-1000
+    // (ln rank, ln count) pairs: the two logs are the ONLY floats,
+    // each composed once per vocab row and floor-quantized to 1e-6
+    // before anything aggregates — the five OLS moments are then
+    // exact BIGINT sums (ts_linear_forecast's discipline), and
+    // slope/intercept/R² compose from them in one edge expression.
+    QueryDef(
+      "text_zipf_curve",
+      (spark, sf) => {
+        val counts = Tables.documents(spark, sf)
+          .select(explode(split(col("text"), " ")).as("w"))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val win = Window.orderBy(col("c").desc, col("w").asc)
+        val pts = counts
+          .withColumn("r", row_number().over(win).cast("long"))
+          .filter(col("r") <= 1000)
+          .select(
+            floor(log(col("r").cast("double")) * 1000000).cast("long").as("x"),
+            floor(log(col("c").cast("double")) * 1000000).cast("long").as("y"))
+        val m = pts.agg(count(lit(1)).as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        val n = col("n").cast("double")
+        val covn = n * col("sxy").cast("double") -
+          col("sx").cast("double") * col("sy").cast("double")
+        val varxn = n * col("sxx").cast("double") -
+          col("sx").cast("double") * col("sx").cast("double")
+        val varyn = n * col("syy").cast("double") -
+          col("sy").cast("double") * col("sy").cast("double")
+        m.select(col("n").as("n_ranks"),
+            round(covn / varxn, 4).as("zipf_slope"),
+            round((col("sy").cast("double") -
+              (covn / varxn) * col("sx").cast("double")) / n / 1e6, 4)
+              .as("intercept_ln"),
+            round(covn * covn / (varxn * varyn), 4).as("r2"))
+      },
+      Some("WITH cnt AS (SELECT w, count(*) AS c FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents) GROUP BY 1), " +
+        "pts AS (SELECT CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000) AS BIGINT) AS x, CAST(floor(ln(CAST(c AS DOUBLE)) * 1000000) AS BIGINT) AS y FROM " +
+        "(SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM cnt) WHERE r <= 1000), " +
+        "m AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*y) AS BIGINT) AS sxy, CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy FROM pts) " +
+        "SELECT n AS n_ranks, " +
+        "round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)), 4) AS zipf_slope, " +
+        "round((CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / (CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) / 1e6, 4) AS intercept_ln, " +
+        "round((CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) * (CAST(n AS DOUBLE)*sxy - CAST(sx AS DOUBLE)*CAST(sy AS DOUBLE)) / ((CAST(n AS DOUBLE)*sxx - CAST(sx AS DOUBLE)*CAST(sx AS DOUBLE)) * (CAST(n AS DOUBLE)*syy - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE))), 4) AS r2 " +
+        "FROM m"),
+      scaleNote = "Token counting is text_tokens' map-side-collapsed " +
+        "pass (the wire carries |vocab| partials, never tokens); the " +
+        "global rank window runs on the aggregate-collapsed vocab " +
+        "table capped to the top-1000 head (TakeOrdered-class work — " +
+        "the Zipf HEAD is the fit target by definition, so the cap " +
+        "is semantics, not a shortcut), and the OLS moments are five " +
+        "BIGINT sums over ≤ 1000 rows. Cross-engine float risk is " +
+        "confined to two ln() calls per vocab row, each quantized " +
+        "to 1e-6 BEFORE aggregation — a 1-ulp libm divergence moves " +
+        "a floor boundary with probability ~1e-10 per row, and the " +
+        "hash gate would catch it loudly. Per-language or per-source " +
+        "fits add the key to the groupBy and swap the global window " +
+        "for a partitioned one — same moments, same edge algebra."))
 }

@@ -26,6 +26,43 @@ class QualityOpsSpec extends SparkSpec {
     assert(Seq(5, 6, 7, 8).count(splits) >= 2, "fewer than 2 rules split")
   }
 
+  test("text_zipf_curve: OLS replay from driver-side token counts; slope negative, r2 in (0,1]") {
+    val out = engine.Registry.byName("text_zipf_curve")
+      .build(spark, sf).collect()(0)
+    val toks = engine.Tables.documents(spark, sf)
+      .select("text").collect().flatMap(_.getString(0).split(" ", -1))
+    val pts = toks.groupBy(identity).map { case (w, a) => (w, a.length.toLong) }
+      .toSeq.sortBy { case (w, c) => (-c, w) }.take(1000).zipWithIndex
+      .map { case ((_, c), i) =>
+        (math.floor(math.log((i + 1).toDouble) * 1000000).toLong,
+          math.floor(math.log(c.toDouble) * 1000000).toLong) }
+    val n = pts.length.toLong
+    assert(out.getLong(0) == n)
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val syy = pts.map(p => p._2 * p._2).sum
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    val covn = n.toDouble * sxy - sx.toDouble * sy.toDouble
+    val varxn = n.toDouble * sxx - sx.toDouble * sx.toDouble
+    val varyn = n.toDouble * syy - sy.toDouble * sy.toDouble
+    assert(out.getDouble(1) == r4(covn / varxn), "slope replay")
+    assert(out.getDouble(3) == r4(covn * covn / (varxn * varyn)), "r2 replay")
+    // frequency decays with rank (slope < 0) — and the LOW R² is the
+    // operator's point on THIS corpus: the synthetic text draws from
+    // a ~40-token pool near-uniformly, i.e. it is exactly the
+    // templated/degenerate corpus the Zipf gate exists to flag
+    // (natural text fits the head with R² near 1; this fixture
+    // measures ~0.06)
+    assert(out.getDouble(1) < 0, s"Zipf slope must be negative: ${out.getDouble(1)}")
+    assert(out.getDouble(3) >= 0.0 && out.getDouble(3) <= 1.0,
+      s"r2 out of range: ${out.getDouble(3)}")
+    assert(out.getDouble(3) < 0.5,
+      "the templated synthetic corpus should FAIL the naturalness fit " +
+        s"(r2=${out.getDouble(3)}) — if this starts passing, the fixture changed")
+  }
+
   test("text_heaps_curve: cumulative counts are monotone and the vocab curve is sub-linear") {
     val rows = run("text_heaps_curve").collect()
     assert(rows.map(_.getLong(0)).toSeq == (1L to rows.length))
