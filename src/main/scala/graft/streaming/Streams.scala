@@ -1060,6 +1060,39 @@ object Streams {
       .groupBy("v")
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming Poisson bootstrap — the live form of ab_bootstrap_ci,
+    * and the reason the Poisson form wins in production: each
+    * arriving purchase draws its 64 resample weights LOCALLY (the
+    * same md5-u16 → Poisson(1) inverse-CDF as the batch op — a pure
+    * function of (event_id, b), so replay and batch agree bit-for-
+    * bit), and the running state is just 64 (Σw·v, Σw) BIGINT pairs
+    * in a complete-mode aggregate. Every batch emits the 64 exact
+    * integer resample means; the CI is the 4th/61st order statistic
+    * of the emitted table — which a dashboard (or the parity test)
+    * computes from 64 rows. A classical multinomial bootstrap cannot
+    * stream at all: it needs n before it draws. */
+  def bootstrapMeans(events: Dataset[Event]): DataFrame = {
+    val u16 = conv(substring(md5(concat(lit("graftb:"),
+      col("event_id").cast("string"), lit(":"),
+      col("b").cast("string"))), 1, 4), 16, 10).cast("long")
+    val weight = when(col("u16") < 24109, 0L)
+      .when(col("u16") < 48218, 1L).when(col("u16") < 60273, 2L)
+      .when(col("u16") < 64291, 3L).when(col("u16") < 65296, 4L)
+      .when(col("u16") < 65497, 5L).when(col("u16") < 65530, 6L)
+      .otherwise(7L)
+    events.toDF()
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .withColumn("b", explode(sequence(lit(0L), lit(63L))))
+      .withColumn("u16", u16)
+      .withColumn("w", weight)
+      .groupBy("b")
+      .agg(sum(col("w") * col("v")).as("swv"), sum(col("w")).as("sw"))
+      .select(col("b"), col("swv"), col("sw"),
+        expr("(swv * 1000000) div sw").as("m_micro"))
+  }
+
   case class BandRow(band_key: Long, doc_id: Long, toks: Array[Long])
   case class BandBucket(ids: Seq[Long], toks: Seq[Seq[Long]],
       drops: Long = 0L)

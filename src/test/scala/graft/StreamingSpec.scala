@@ -660,6 +660,48 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_bootstrap resample means converge to batch ab_bootstrap_ci's CI on replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](59, spark, None)
+    val q = Streams.bootstrapMeans(mem.toDS()).writeStream.format("memory")
+      .queryName("t_boot").outputMode("complete").start()
+    try {
+      var nPurch = 0L
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          nPurch += sl.count(_.event_type == "purchase")
+          // mid-replay the panel is live: 64 resamples, each with
+          // Poisson mass ~ the purchases seen so far
+          val t = spark.table("t_boot").collect()
+          assert(t.length == 64)
+          val masses = t.map(_.getLong(2))
+          // Poisson(1) total mass has sd = sqrt(n); the max of 64
+          // draws sits within ~4 sigma, so bound at 5 sigma + slack
+          val tol = 5.0 * math.sqrt(math.max(nPurch, 1L).toDouble) + 5
+          assert(masses.forall(m => math.abs(m - nPurch) < tol),
+            s"resample mass far from n=$nPurch (tol $tol): " +
+              s"${masses.min}..${masses.max}")
+        }
+      val streamed = spark.table("t_boot").collect()
+        .map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+      // the batch CI endpoints ARE order statistics of these means
+      val ms = streamed.map(_._2).sorted
+      val batch = graft.engine.Registry.byName("ab_bootstrap_ci")
+        .build(spark, sf).collect()(0)
+      assert(batch.getLong(3) == ms(3),
+        s"streamed 4th order stat ${ms(3)} != batch ci_lo ${batch.getLong(3)}")
+      assert(batch.getLong(4) == ms(60),
+        s"streamed 61st order stat ${ms(60)} != batch ci_hi ${batch.getLong(4)}")
+    } finally q.stop()
+  }
+
   test("stream_holt equals batch ts_holt_linear on finalized days under ordered replay") {
     val s = spark
     import s.implicits._
