@@ -95,7 +95,9 @@ object ScalingCurve {
       "dq_profile", "sql_rollup_grouping", "ab_bootstrap_ci",
       "graph_hits", "ab_test_srm", "sql_lateral", "emb_knn_graph",
       "agg_hhi", "graph_random_walks", "graph_louvain_sweep",
-      "text_zipf_curve")
+      "text_zipf_curve",
+      // r11 wave (all scale with sf)
+      "graph_walk_pairs")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

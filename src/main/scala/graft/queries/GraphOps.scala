@@ -43,6 +43,20 @@ object GraphOps extends QueryGroup {
     ck.sparkSession.createDataFrame(ck.rdd, ck.schema)
   }
 
+  /** SIZE-FENCED broadcast hint for NODE-SIZED state tables (the
+    * Louvain label/community maps — |V| rows). The explicit hint
+    * overrides Spark's own sizing at ANY scale, so it is only valid
+    * while the node set is dimension-scale (it derives from the
+    * customer/supplier DIM tables here — thousands to millions of
+    * rows, inside the broadcast envelope). At 100 TB the swap is
+    * mechanical and stated once, here: DROP the hint and co-partition
+    * the state with the edge list on the join key (src/dst) — the
+    * graph_modularity valve — so each round's label join is a
+    * co-partitioned shuffle join instead of a driver-sized broadcast.
+    * Every Louvain hint site routes through this helper so the fence
+    * cannot silently detach from the hint. */
+  private def bcastNodeState(df: DataFrame): DataFrame = broadcast(df)
+
   /** Micro-unit initial rank (1.0). */
   val R0 = 1000000L
   val Iters = 3
@@ -87,6 +101,61 @@ object GraphOps extends QueryGroup {
   private val EdgesSql =
     "SELECT c, s FROM (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
+
+  /** Deterministic walk corpus (start, step, node) — length-4 walks
+    * from every customer node, the md5-u16(node, step) draw modulo
+    * degree indexing a rank-ordered adjacency list. Factored out of
+    * graph_random_walks so graph_walk_pairs (the skip-gram consumer)
+    * shares the EXACT corpus — one definition, two operators. */
+  private def walkTable(spark: SparkSession, sf: String): DataFrame = {
+    val e = edges(spark, sf)
+    val w = Window.partitionBy("src").orderBy("dst")
+    val adj = e.withColumn("idx",
+      row_number().over(w).cast("long") - 1)
+    val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    def u16(t: Int) = conv(substring(md5(concat(lit("graftk:"),
+      col("node").cast("string"), lit(s":$t"))), 1, 4), 16, 10)
+      .cast("long")
+    val start = deg.filter(col("src") % 2 === 0)
+      .select(col("src").as("start"))
+    var cur = start.select(col("start"), col("start").as("node"))
+    var acc = cur.select(col("start"), lit(0).as("step"), col("node"))
+    for (t <- 1 to 4) {
+      cur = cur
+        .join(deg, col("node") === col("src")).drop("src")
+        .withColumn("idx", pmod(u16(t), col("deg")))
+        .join(adj.select(col("src").as("asrc"),
+          col("idx").as("aidx"), col("dst").as("nxt")),
+          col("node") === col("asrc") && col("idx") === col("aidx"))
+        .select(col("start"), col("nxt").as("node"))
+      acc = acc.unionByName(
+        cur.select(col("start"), lit(t).as("step"), col("node")))
+    }
+    acc
+  }
+
+  /** The same walk corpus as DuckDB CTEs, ending in `walks`. */
+  private val WalksSql: String = {
+    def u16(ref: String, t: Int) =
+      s"(('0x'||substr(md5('graftk:'||CAST($ref AS VARCHAR)||':$t'),1,4))::BIGINT"
+    def step(prev: String, t: Int) =
+      s"w$t AS (SELECT $prev.start, adj.dst AS node FROM $prev " +
+        s"JOIN deg ON $prev.node = deg.src " +
+        s"JOIN adj ON adj.src = $prev.node AND adj.idx = " +
+        s"${u16(s"$prev.node", t)} % deg.deg))"
+    s"bp AS ($EdgesSql), " +
+      "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+      "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
+      "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+      "w0 AS (SELECT src AS start, src AS node FROM deg WHERE src % 2 = 0), " +
+      step("w0", 1) + ", " + step("w1", 2) + ", " +
+      step("w2", 3) + ", " + step("w3", 4) + ", " +
+      "walks AS (SELECT start, 0 AS step, node FROM w0 " +
+      "UNION ALL SELECT start, 1, node FROM w1 " +
+      "UNION ALL SELECT start, 2, node FROM w2 " +
+      "UNION ALL SELECT start, 3, node FROM w3 " +
+      "UNION ALL SELECT start, 4, node FROM w4)"
+  }
 
   /** Per-node triangle counts from an undirected unique-pair edge
     * list (u, v) with u < v. Degree-ordered orientation + adjacency-
@@ -1207,16 +1276,16 @@ object GraphOps extends QueryGroup {
           .groupBy(col("cu").as("c"))
           .agg(sum(coalesce(col("d"), lit(0L))).as("dc"))
         val euc = e
-          .join(broadcast(comm.select(col("node").as("dst"),
+          .join(bcastNodeState(comm.select(col("node").as("dst"),
             col("cu").as("c"))), Seq("dst"))
           .groupBy(col("src").as("node"), col("c"))
           .agg(count(lit(1)).as("e_uc"))
         val cand = euc.unionByName(
-            deg.join(broadcast(comm), Seq("node"))
+            deg.join(bcastNodeState(comm), Seq("node"))
               .select(col("node"), col("cu").as("c"), lit(0L).as("e_uc")))
           .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
         val scored = cand
-          .join(broadcast(comm), Seq("node"))
+          .join(bcastNodeState(comm), Seq("node"))
           .join(broadcast(dct), Seq("c"))
           .join(deg, Seq("node"))
           .crossJoin(broadcast(tot))
@@ -1233,9 +1302,9 @@ object GraphOps extends QueryGroup {
           .select(col("node"), coalesce(col("nc0"), col("cu")).as("nc"),
             col("cu"))
         val j2 = e
-          .join(broadcast(labels.select(col("node").as("src"),
+          .join(bcastNodeState(labels.select(col("node").as("src"),
             col("nc").as("sc"))), Seq("src"))
-          .join(broadcast(labels.select(col("node").as("dst"),
+          .join(bcastNodeState(labels.select(col("node").as("dst"),
             col("nc").as("dc2"))), Seq("dst"))
         val movedIn = labels.filter(col("nc") =!= col("cu"))
           .groupBy(col("nc").as("comm")).agg(count(lit(1)).as("mi"))
@@ -1432,19 +1501,19 @@ object GraphOps extends QueryGroup {
             .groupBy(col("nc").as("c"))
             .agg(sum(coalesce(col("d"), lit(0L))).as("dc"))
           val euc = e
-            .join(broadcast(lab.select(col("node").as("dst"),
+            .join(bcastNodeState(lab.select(col("node").as("dst"),
               col("nc").as("c"))), Seq("dst"))
             .groupBy(col("src").as("node"), col("c"))
             .agg(count(lit(1)).as("e_uc"))
           val cand = euc.unionByName(
-              deg.join(broadcast(lab), Seq("node"))
+              deg.join(bcastNodeState(lab), Seq("node"))
                 .select(col("node"), col("nc").as("c"),
                   lit(0L).as("e_uc")))
             .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
           val w = Window.partitionBy("node")
             .orderBy(col("score").desc, col("c").asc)
           val winner = cand
-            .join(broadcast(lab), Seq("node"))
+            .join(bcastNodeState(lab), Seq("node"))
             .join(broadcast(dct), Seq("c"))
             .join(deg, Seq("node"))
             .crossJoin(broadcast(tot))
@@ -1459,9 +1528,9 @@ object GraphOps extends QueryGroup {
             .select(col("node"), coalesce(col("nc0"), col("nc")).as("nc")))
         }
         val j2 = e
-          .join(broadcast(lab.select(col("node").as("src"),
+          .join(bcastNodeState(lab.select(col("node").as("src"),
             col("nc").as("sc"))), Seq("src"))
-          .join(broadcast(lab.select(col("node").as("dst"),
+          .join(bcastNodeState(lab.select(col("node").as("dst"),
             col("nc").as("dc2"))), Seq("dst"))
         val movedIn = lab.join(comm0, Seq("node"))
           .filter(col("nc") =!= col("cu"))
@@ -1558,54 +1627,9 @@ object GraphOps extends QueryGroup {
     // that makes the downstream embedding reproducible.
     QueryDef(
       "graph_random_walks",
-      (spark, sf) => {
-        val e = edges(spark, sf)
-        val w = Window.partitionBy("src").orderBy("dst")
-        val adj = e.withColumn("idx",
-          row_number().over(w).cast("long") - 1)
-        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
-        def u16(t: Int) = conv(substring(md5(concat(lit("graftk:"),
-          col("node").cast("string"), lit(s":$t"))), 1, 4), 16, 10)
-          .cast("long")
-        val start = deg.filter(col("src") % 2 === 0)
-          .select(col("src").as("start"))
-        var cur = start.select(col("start"), col("start").as("node"))
-        var acc = cur.select(col("start"), lit(0).as("step"), col("node"))
-        for (t <- 1 to 4) {
-          cur = cur
-            .join(deg, col("node") === col("src")).drop("src")
-            .withColumn("idx", pmod(u16(t), col("deg")))
-            .join(adj.select(col("src").as("asrc"),
-              col("idx").as("aidx"), col("dst").as("nxt")),
-              col("node") === col("asrc") && col("idx") === col("aidx"))
-            .select(col("start"), col("nxt").as("node"))
-          acc = acc.unionByName(
-            cur.select(col("start"), lit(t).as("step"), col("node")))
-        }
-        acc.orderBy("start", "step")
-      },
-      Some {
-        def u16(ref: String, t: Int) =
-          s"(('0x'||substr(md5('graftk:'||CAST($ref AS VARCHAR)||':$t'),1,4))::BIGINT"
-        def step(prev: String, t: Int) =
-          s"w$t AS (SELECT $prev.start, adj.dst AS node FROM $prev " +
-            s"JOIN deg ON $prev.node = deg.src " +
-            s"JOIN adj ON adj.src = $prev.node AND adj.idx = " +
-            s"${u16(s"$prev.node", t)} % deg.deg))"
-        s"WITH bp AS ($EdgesSql), " +
-          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
-          "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
-          "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
-          "w0 AS (SELECT src AS start, src AS node FROM deg WHERE src % 2 = 0), " +
-          step("w0", 1) + ", " + step("w1", 2) + ", " +
-          step("w2", 3) + ", " + step("w3", 4) + " " +
-          "SELECT start, 0 AS step, node FROM w0 " +
-          "UNION ALL SELECT start, 1, node FROM w1 " +
-          "UNION ALL SELECT start, 2, node FROM w2 " +
-          "UNION ALL SELECT start, 3, node FROM w3 " +
-          "UNION ALL SELECT start, 4, node FROM w4 " +
-          "ORDER BY start, step"
-      },
+      (spark, sf) => walkTable(spark, sf).orderBy("start", "step"),
+      Some(s"WITH $WalksSql SELECT start, step, node FROM walks " +
+        "ORDER BY start, step"),
       scaleNote = "Walk state is ONE row per active walk — each step " +
         "is an equi join to the |V|-row degree table (broadcast-able " +
         "when nodes are dimension-scale, co-partitioned on node id " +
@@ -1623,5 +1647,66 @@ object GraphOps extends QueryGroup {
         "every walk epoch; the hash draw makes a billion-walk " +
         "corpus bit-reproducible across engines, reruns, and " +
         "cluster sizes — the property an embedding-training " +
-        "pipeline needs to be auditable at all."))
+        "pipeline needs to be auditable at all."),
+
+    // Skip-gram pair extraction — graph_random_walks' CONSUMER, the
+    // step its own comment promised ("the exact rows a skip-gram
+    // window consumes"): walks are sentences, nodes are tokens, and
+    // the embedding trainer consumes (center, context) co-occurrence
+    // pairs within a ±2 window over the walk order. ONE window pass
+    // over the shared walk corpus (lead(node, 1) / lead(node, 2)
+    // partitioned by walk id — the walk table's natural grouping, no
+    // self-join of the corpus against itself), symmetrized by
+    // emitting each adjacent pair in both directions, then one
+    // groupBy to pair counts split by distance. The oracle RESTATES
+    // the semantics as the self-join on |step distance| ∈ {1, 2} —
+    // the window form and the join form must agree pair-for-pair,
+    // which is exactly what the hash gate proves. With this the
+    // DeepWalk data pipeline is end-to-end in-engine: edges → walks
+    // → skip-gram pairs, every stage deterministic and oracled.
+    QueryDef(
+      "graph_walk_pairs",
+      (spark, sf) => {
+        val walks = walkTable(spark, sf)
+        val w = Window.partitionBy("start").orderBy("step")
+        val fw = walks
+          .withColumn("n1", lead(col("node"), 1).over(w))
+          .withColumn("n2", lead(col("node"), 2).over(w))
+        val fwd = fw.filter(col("n1").isNotNull)
+          .select(col("node").as("center"), col("n1").as("context"),
+            lit(1).as("d"))
+          .unionByName(fw.filter(col("n2").isNotNull)
+            .select(col("node").as("center"), col("n2").as("context"),
+              lit(2).as("d")))
+        fwd.unionByName(fwd.select(col("context").as("center"),
+            col("center").as("context"), col("d")))
+          .groupBy("center", "context")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(when(col("d") === 1, 1L).otherwise(0L)).as("n_d1"),
+            sum(when(col("d") === 2, 1L).otherwise(0L)).as("n_d2"))
+          .orderBy("center", "context")
+      },
+      Some(s"WITH $WalksSql " +
+        "SELECT a.node AS center, b.node AS context, " +
+        "count(*) AS n_pairs, " +
+        "CAST(sum(CASE WHEN abs(a.step - b.step) = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1, " +
+        "CAST(sum(CASE WHEN abs(a.step - b.step) = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_d2 " +
+        "FROM walks a JOIN walks b ON a.start = b.start " +
+        "AND abs(a.step - b.step) BETWEEN 1 AND 2 " +
+        "GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "The pair pass adds NO join to the walk build: " +
+        "lead() rides a window partitioned by walk id — walks are " +
+        "short (length T) and independent, so the window sort is " +
+        "T·log T per walk inside whatever partitioning the walk " +
+        "table already has, never a corpus-level sort; at W walks " +
+        "the pass moves O(W·T·k) pair rows (k = window radius) into " +
+        "one map-side-combined groupBy on (center, context) — the " +
+        "co-occurrence matrix build, sparse by construction. The " +
+        "oracle's self-join formulation (|Δstep| ≤ 2 within a walk) " +
+        "is the SEMANTIC definition; the window form is the scale " +
+        "form (the self-join would re-shuffle the corpus twice), " +
+        "and the hash gate proves them pair-for-pair equal. " +
+        "Distance-split counts (n_d1/n_d2) keep the trainer's " +
+        "distance-weighting (1/d in word2vec) a multiply away " +
+        "downstream, not a re-extraction."))
 }

@@ -447,4 +447,39 @@ class GraphOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("graph_walk_pairs: window form equals the self-join definition, pair for pair") {
+    // the operator extracts skip-gram pairs via lead() windows; the
+    // DEFINITION is the walk self-join on |Δstep| ∈ {1,2}. Replay the
+    // definition driver-side from the walk corpus itself and require
+    // exact agreement on every (center, context, n_pairs, n_d1, n_d2).
+    val walks = engine.Registry.byName("graph_random_walks")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val want = walks.toSeq.groupBy(_._1).toSeq.flatMap { case (_, steps) =>
+      for {
+        a <- steps; b <- steps
+        d = math.abs(a._2 - b._2) if d >= 1 && d <= 2
+      } yield ((a._3, b._3), d)
+    }.groupBy(_._1).map { case ((c, x), ds) =>
+      (c, x, ds.size.toLong,
+        ds.count(_._2 == 1).toLong, ds.count(_._2 == 2).toLong)
+    }.toSeq.sorted
+    val got = engine.Registry.byName("graph_walk_pairs")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    assert(got == got.sorted, "output not ordered by (center, context)")
+    assert(got.sorted == want,
+      s"pair table diverges from the self-join definition " +
+        s"(got ${got.length} rows, want ${want.length})")
+    // symmetry: the pair matrix is symmetric by construction
+    val m = got.map(t => (t._1, t._2) -> t._3).toMap
+    got.foreach { case (c, x, n, _, _) =>
+      assert(m.get((x, c)).contains(n), s"asymmetric pair ($c, $x)")
+    }
+    // every center/context is a real node reached by some walk
+    val nodes = walks.map(_._3).toSet
+    assert(got.forall(t => nodes(t._1) && nodes(t._2)))
+  }
 }
