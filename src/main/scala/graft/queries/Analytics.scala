@@ -725,9 +725,17 @@ object Analytics extends QueryGroup {
           col("di"), col("n").as("na"))
         val b = daily.select(col("event_type").as("type_b"),
           col("di").as("dib"), col("n").as("nb"))
+        // compute the lagged day on the LEFT before the join: the
+        // r10 form joined on di = dib + lag, whose right-hand
+        // expression mixes sides, so Catalyst could not extract an
+        // equi key and planned a nested loop over the broadcast
+        // grid — found by the r11 structural BNLJ sweep. dib = di −
+        // lag is the same predicate with the arithmetic one one
+        // side, and it hash-joins.
         val pairs = a.crossJoin(broadcast(lags))
-          .join(b, col("di") === col("dib") + col("lag") &&
-            col("type_a") =!= col("type_b"))
+          .withColumn("dib", col("di") - col("lag"))
+          .join(b, Seq("dib"))
+          .filter(col("type_a") =!= col("type_b"))
         val m = pairs.groupBy("type_a", "type_b", "lag")
           .agg(count(lit(1)).as("nd"),
             sum(col("na")).as("sa"), sum(col("nb")).as("sb"),

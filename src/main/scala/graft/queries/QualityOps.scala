@@ -292,8 +292,11 @@ object QualityOps extends QueryGroup {
         val q = Tables.embeddings(spark, sf)
           .select(col("vec_id"), graft.engine.Vec.quantize(col("embedding")).as("qv"))
           .withColumn("n2", graft.engine.Vec.norm2(col("qv")))
+        // limit(1) is a semantic no-op (vec_id is unique) that makes
+        // the broadcast side PROVABLY 1-row to the structural BNLJ
+        // sweep — a self-certifying plan instead of a named exemption
         val qv = q.filter(col("vec_id") === 0)
-          .select(col("qv").as("qq"), col("n2").as("qn"))
+          .select(col("qv").as("qq"), col("n2").as("qn")).limit(1)
         val semTop = q.filter(col("vec_id") =!= 0)
           .crossJoin(broadcast(qv))
           .withColumn("dot", graft.plans.LongArrayDot.dot(col("qq"), col("qv")))

@@ -228,110 +228,107 @@ class PlanPropertiesSpec extends SparkSpec {
 
   test("plan sweep: no declared query plans a cartesian or unexpected loop join") {
     // The 100 TB kill-switch, applied to the WHOLE surface: a
-    // CartesianProduct anywhere, or a BroadcastNestedLoopJoin outside
-    // the two operators that are nested-loop BY DESIGN (join_cross is
-    // a bounded dim×dim cross join; join_like is a contains-predicate
-    // join against a broadcast token list), means some refactor turned
-    // an equi join into an all-pairs scan.
-    // agg_hll_sketch: the rollup row crossJoins a broadcast SINGLE-ROW
-    // aggregate (the global exact distinct for the tolerance verdict) —
-    // a nested loop over exactly one row is a constant, not a scan.
-    // ann_topk: the brute-force exact-recall BASELINE — broadcast query
-    // set against every vector is its defining semantics; ann_ivf is
-    // the bucketed equi-join scale path measured against it.
-    // tfidf_keywords / ts_resample / ts_interpolate / corpus_mix /
-    // agg_heavy_hitters: the only loop join is a broadcast SINGLE-ROW
-    // aggregate (corpus count N / global day bounds / global totals /
-    // the MG verdict's stream length) — a constant, not a scan.
-    // contamination_check: the broadcast single-row BLOOM mask (the
-    // position-set map every corpus shingle probes map-side).
-    // corpus_epochs: the |langs|-row rate table crossJoins ONE global
-    // max row. ann_pq: the verdict row assembly crossJoins four
-    // single-row aggregates (ann_kmeans' shape).
-    val bnljByDesign =
-      Set("join_cross", "join_like", "agg_hll_sketch", "ann_topk",
-        "tfidf_keywords", "ts_resample", "ts_interpolate", "corpus_mix",
-        "agg_heavy_hitters", "corpus_pipeline", "ann_kmeans",
-        "contamination_check", "corpus_epochs", "ann_pq",
-        // single-row totals/min broadcast into the ranked profiles
-        "vocab_coverage", "sample_balanced", "skew_diagnose",
-        // the 1-row (n_docs, total_len) corpus-stats broadcast every
-        // per-term BM25 contribution reads — a constant, not a scan
-        "text_bm25",
-        // the 1-row (Σ√n, Σn) normalization broadcast the per-lang
-        // temperature rates divide by — a constant, not a scan
-        "sample_temperature",
-        // the 1-row (Nu, Np) PMI normalization constant
-        "text_collocations",
-        // the broadcast 8-row lag table crossJoined onto the
-        // |types|×|days| daily GRID (not the corpus) — a bounded
-        // constant expansion, ts_sliding's slide-offset pattern
-        "ts_cross_correlation",
-        // the 1-row n_orders lift-normalization constant
-        "basket_pairs",
-        // each epoch crossJoins the 1-ROW weight-vector aggregate into
-        // the feature table (the batch-perceptron broadcast state) —
-        // a constant, not a scan; ts_linear_forecast crossJoins the
-        // 3-row horizon constant into the |types|-row fit table
-        "text_classifier_perceptron", "ts_linear_forecast",
-        // the 1-row total and leftover constants the |langs|-row
-        // Hamilton allocator broadcasts
-        "corpus_token_allocation",
-        // the 1-row (n1, n2) sample-size aggregate broadcast into the
-        // bounded per-value ECDF table — a constant, not a scan
-        "ab_test_ks",
-        // the exact arm IS ann_topk's brute-force baseline (bounded
-        // 100-query broadcast) — the defining semantics of a recall
-        // measurement; the probe arms are bucket-local equi joins
-        "ann_recall_curve",
-        // r9 additions, all the 1-row-broadcast constant pattern:
-        // the m-position Bloom bit array every probe row checks
-        // map-side (the operator's entire point), the 1-row max
-        // doc_id decile scaler, the 1-row corpus count the ECDF
-        // stage assignment divides by, and the ONE query vector the
-        // semantic arm scores against
-        "join_bloom_prefilter", "text_heaps_curve", "corpus_curriculum",
-        "rank_fusion_rrf",
-        // the 1-row L1-delta certificate aggregate cross-joined onto
-        // the rank table (pagerankDeltaCol — a constant, not a scan)
-        "graph_pagerank",
-        // the 1-row directed-edge total the |nations|-row modularity
-        // rollup divides by — a constant, not a scan
-        "graph_modularity",
-        // the 1-row max-weight constant the weighted-sampling
-        // threshold divides by — sample_balanced's min-count pattern
-        "sample_weighted",
-        // the 1-row RI-failure count crossed onto the 1-row rule
-        // aggregate before the 7-row stack — two constants, no scan
-        "dq_expectations",
-        // the 1-row directed-edge total in the gain scores and the
-        // |nations|-row rollup — graph_modularity's constant
-        "graph_louvain_round",
-        // the 1-row point-estimate aggregate crossed onto the 1-row
-        // CI order-statistic aggregate — two constants, dq_
-        // expectations' exact shape; the B=64 resample table never
-        // touches a loop join
-        "ab_bootstrap_ci",
-        // three 1-row L∞-max broadcasts (one per rescale step) —
-        // the integer normalization constants; the edge-list joins
-        // are all equi
-        "graph_hits",
-        // the 1-row edge total crossed into each round's gain scores
-        // and the final rollup — graph_louvain_round's constant, ×16
-        "graph_louvain_sweep")
+    // CartesianProduct anywhere, or a BroadcastNestedLoopJoin whose
+    // broadcast side is not PROVABLY BOUNDED, means some refactor
+    // turned an equi join into an all-pairs scan.
+    //
+    // Adjudication is STRUCTURAL (r11, VERDICT: the r10 name list had
+    // grown to ~25 entries, every one of them the same "broadcast side
+    // is a grouping-key-free aggregate or a bounded literal table"
+    // pattern — a rename hazard, and a new operator's 1-row broadcast
+    // needed a hand-written entry every round): each BNLJ's broadcast
+    // subtree is walked for a provable row bound — a grouping-free
+    // aggregate is 1 row by construction, a LocalRelation/Range is its
+    // literal size, unary nodes preserve-or-reduce (Expand multiplies
+    // by its projection count), joins bound by product, unions by sum;
+    // any unbounded leaf (a file scan) makes the side unbounded and
+    // the BNLJ a violation. A nested loop over a provably-constant
+    // side is a constant, not a scan — and now PROVED so per plan,
+    // per run, with nothing to rename out of coverage.
+    //
+    // Named exceptions — loop joins by SEMANTICS, not by constant:
+    // join_cross is a bounded dim×dim cross join; join_like is a
+    // contains-predicate join against a broadcast token list;
+    // ann_topk is the brute-force exact-recall BASELINE (broadcast
+    // query set against every vector is its defining semantics;
+    // ann_ivf is the bucketed equi-join scale path measured against
+    // it); ann_recall_curve's exact arm IS that baseline; ann_kmeans
+    // and ann_pq EMBED that same baseline in their recall verdicts
+    // (the <100-query set and the ≤128-row codebooks are bounded by
+    // construction, but they sit behind localCheckpoint `Scan
+    // ExistingRDD` leaves the structural walker cannot see through —
+    // probed in BnljProbe; every 1-row-aggregate BNLJ in those same
+    // plans IS structurally proven).
+    val bnljBySemantics =
+      Set("join_cross", "join_like", "ann_topk", "ann_recall_curve",
+        "ann_kmeans", "ann_pq")
+    // Provable upper bound on a broadcast subtree's row count;
+    // None = unbounded (some leaf scales with data).
+    val BnljBroadcastBound = 4096L
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.{ExpandExec, LocalTableScanExec, RangeExec, UnionExec}
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.joins.{BaseJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.catalyst.optimizer.BuildLeft
+    def maxRows(p: SparkPlan): Option[Long] = p match {
+      case a: BaseAggregateExec if a.groupingExpressions.isEmpty =>
+        Some(1L)
+      case l: LocalTableScanExec => Some(l.rows.size.toLong)
+      case r: RangeExec => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
+      case re: ReusedExchangeExec => maxRows(re.child)
+      case lim: org.apache.spark.sql.execution.BaseLimitExec =>
+        Some(lim.limit.toLong)
+      case cl: org.apache.spark.sql.execution.CollectLimitExec =>
+        Some(cl.limit.toLong)
+      case t: org.apache.spark.sql.execution.TakeOrderedAndProjectExec =>
+        Some(t.limit.toLong)
+      case u: UnionExec =>
+        val cs = u.children.map(maxRows)
+        if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+      case e: ExpandExec =>
+        maxRows(e.child).map(_ * e.projections.size)
+      case j: BaseJoinExec =>
+        // inner/cross bound = product; outer forms add at most each
+        // side once — l·r + l + r covers every join type
+        for (l <- maxRows(j.left); r <- maxRows(j.right))
+          yield l * r + l + r
+      case _ if p.children.size == 1 => maxRows(p.children.head)
+      case _ => None
+    }
     // Collect ALL violations before asserting (r10, ADVICE): the r9
     // form asserted inside the foreach, so the first violator masked
     // every query registered after it — one bad plan could hide others.
     val violations = Registry.all.flatMap { d =>
-      val p = plan(d.name)
+      val p0 = Registry.byName(d.name).build(spark, sf)
+        .queryExecution.executedPlan
+      val exec = p0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case x => x
+      }
       val cart =
-        if (p.contains("CartesianProduct"))
-          Some(s"${d.name} plans CartesianProduct:\n${p.take(600)}")
+        if (exec.toString.contains("CartesianProduct"))
+          Some(s"${d.name} plans CartesianProduct:\n${exec.toString.take(600)}")
         else None
       val bnlj =
-        if (!bnljByDesign(d.name) && p.contains("BroadcastNestedLoop"))
-          Some(s"${d.name} plans BroadcastNestedLoopJoin:\n${p.take(600)}")
-        else None
+        if (bnljBySemantics(d.name)) None
+        else {
+          val bad = exec.collect { case j: BroadcastNestedLoopJoinExec => j }
+            .flatMap { j =>
+              val side =
+                if (j.buildSide == BuildLeft) j.left else j.right
+              maxRows(side) match {
+                case Some(n) if n <= BnljBroadcastBound => None
+                case bound => Some(
+                  s"${d.name} plans a BroadcastNestedLoopJoin whose " +
+                    s"broadcast side is not provably bounded " +
+                    s"(bound=$bound):\n${side.toString.take(600)}")
+              }
+            }
+          if (bad.isEmpty) None
+          else Some(bad.mkString("\n---\n"))
+        }
       cart.toSeq ++ bnlj.toSeq
     }
     assert(violations.isEmpty,
