@@ -858,5 +858,96 @@ object PipelineOps extends QueryGroup {
         "schema. Extrema are order-independent min/max — no float " +
         "aggregates anywhere, so the report is bit-stable on any " +
         "partitioning; per-partition profiles (drift monitoring) " +
-        "add the partition key to a groupBy, not a pass."))
+        "add the partition key to a groupBy, not a pass."),
+
+    // dq_profile's 100 TB path, GATED (r11 — the scaleNote named the
+    // one-token approx_count_distinct swap; the house precedent —
+    // retention_cohort_approx, agg_approx_hll — is to ship the approx
+    // twin with a tolerance verdict so the scale path is itself
+    // hash-gated, not just documented). The PRODUCTION pass is the
+    // first aggregate alone: nulls + extrema + six HLL++ sketches
+    // (rsd 0.02) in ONE no-Expand scan with fixed-size mergeable
+    // partials — the plan that profiles 100 TB. The six exact
+    // single-column distincts exist ONLY to compute the tolerance
+    // verdict at test scale (each is a plain two-phase aggregate —
+    // a single distinct column never plans an Expand — and their
+    // 1-row results broadcast onto the report row, the structurally-
+    // proven constant pattern); at 100 TB the verdict scaffolding is
+    // dropped and the report reads the sketch column directly. Same
+    // tolerance band as retention_cohort_approx: 2 + 10 % absolute+
+    // relative (rsd 0.02 ⇒ σ≈2 %; small cardinalities sit in HLL++'s
+    // exact sparse mode, covered by the +2).
+    QueryDef(
+      "dq_profile_approx",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+        def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        val agg = ev.agg(
+          count(lit(1)).as("n_rows"),
+          nn("event_id").as("nn_event_id"),
+          approx_count_distinct(col("event_id"), 0.02).as("ae_event_id"),
+          min(col("event_id")).cast("double").as("mn_event_id"),
+          max(col("event_id")).cast("double").as("mx_event_id"),
+          nn("ts").as("nn_ts"),
+          approx_count_distinct(col("ts"), 0.02).as("ae_ts"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mn_ts"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mx_ts"),
+          nn("user_id").as("nn_user_id"),
+          approx_count_distinct(col("user_id"), 0.02).as("ae_user_id"),
+          min(col("user_id")).cast("double").as("mn_user_id"),
+          max(col("user_id")).cast("double").as("mx_user_id"),
+          nn("event_type").as("nn_event_type"),
+          approx_count_distinct(col("event_type"), 0.02).as("ae_event_type"),
+          min(col("event_type")).as("mn_event_type"),
+          max(col("event_type")).as("mx_event_type"),
+          nn("value").as("nn_value"),
+          approx_count_distinct(col("value"), 0.02).as("ae_value"),
+          min(col("value")).as("mn_value"),
+          max(col("value")).as("mx_value"),
+          nn("props").as("nn_props"),
+          approx_count_distinct(col("props"), 0.02).as("ae_props"),
+          min(col("props")).as("mn_props"),
+          max(col("props")).as("mx_props"))
+        // verdict-only exact distincts: six separate single-distinct
+        // aggregates (no Expand), 1 row each, broadcast onto the row
+        val cols = Seq("event_id", "ts", "user_id", "event_type",
+          "value", "props")
+        val withExact = cols.foldLeft(agg) { (d, c) =>
+          d.crossJoin(broadcast(
+            ev.agg(countDistinct(col(c)).as(s"nd_$c"))))
+        }
+        val withTol = cols.foldLeft(withExact) { (d, c) =>
+          d.withColumn(s"tol_$c",
+            abs(col(s"ae_$c") - col(s"nd_$c")).cast("double") <=
+              lit(2.0) + lit(0.10) * col(s"nd_$c"))
+        }
+        withTol.select(expr("stack(6, " +
+          "'event_id', n_rows, nn_event_id, nd_event_id, tol_event_id, mn_event_id, mx_event_id, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'event_type', n_rows, nn_event_type, nd_event_type, tol_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_event_type, mx_event_type, " +
+          "'props', n_rows, nn_props, nd_props, tol_props, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_props, mx_props, " +
+          "'ts', n_rows, nn_ts, nd_ts, tol_ts, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_ts, mx_ts, " +
+          "'user_id', n_rows, nn_user_id, nd_user_id, tol_user_id, mn_user_id, mx_user_id, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
+          "'value', n_rows, nn_value, nd_value, tol_value, mn_value, mx_value, CAST(NULL AS STRING), CAST(NULL AS STRING)) " +
+          "AS (col_name, n_rows, n_null, n_distinct, est_in_tol, min_num, max_num, min_str, max_str)"))
+          .orderBy("col_name")
+      },
+      Some("SELECT 'event_id' AS col_name, count(*) AS n_rows, count(*) - count(event_id) AS n_null, count(DISTINCT event_id) AS n_distinct, TRUE AS est_in_tol, CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num, CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM events " +
+        "UNION ALL SELECT 'event_type', count(*), count(*) - count(event_type), count(DISTINCT event_type), TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(event_type), max(event_type) FROM events " +
+        "UNION ALL SELECT 'props', count(*), count(*) - count(props), count(DISTINCT props), TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), min(props), max(props) FROM events " +
+        "UNION ALL SELECT 'ts', count(*), count(*) - count(ts), count(DISTINCT epoch_us(ts)), TRUE, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), strftime(min(ts), '%Y-%m-%d %H:%M:%S'), strftime(max(ts), '%Y-%m-%d %H:%M:%S') FROM events " +
+        "UNION ALL SELECT 'user_id', count(*), count(*) - count(user_id), count(DISTINCT user_id), TRUE, CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events " +
+        "UNION ALL SELECT 'value', count(*), count(*) - count(value), count(DISTINCT value), TRUE, min(value), max(value), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR) FROM events " +
+        "ORDER BY col_name"),
+      scaleNote = "THE production profile plan: one scan, one " +
+        "aggregate row, no Expand anywhere (asserted in-spec — " +
+        "dq_profile's k-way row replication is gone), every " +
+        "distinct a fixed-KB HLL++ sketch with mergeable partials, " +
+        "so the pass costs the scan however many columns are " +
+        "profiled. The six exact distincts are VERDICT SCAFFOLDING " +
+        "at test scale only (each a no-Expand two-phase aggregate, " +
+        "1-row broadcast onto the report row — the sweep-proven " +
+        "constant pattern); production drops them and reads the " +
+        "sketch. est_in_tol gates every column's sketch inside the " +
+        "2 + 10 % band — a broken sketch fails the hash loudly, " +
+        "retention_cohort_approx's discipline."))
 }

@@ -315,4 +315,41 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.getLong(2) == 2L)
     assert(p.getDouble(3) == 1.0)
   }
+
+  test("dq_profile_approx: the Expand is GONE from the plan; exact columns match dq_profile; every sketch in tolerance") {
+    import org.apache.spark.sql.execution.ExpandExec
+    def expands(name: String): Int = {
+      val p0 = run(name).queryExecution.executedPlan
+      val p = p0 match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case x => x
+      }
+      p.collect { case e: ExpandExec => e }.size
+    }
+    // the exact profiler pays the k-way multi-distinct Expand — the
+    // named honest cost; the approx twin must NOT (that is its point)
+    assert(expands("dq_profile") >= 1,
+      "dq_profile's exact multi-distinct should plan an Expand")
+    assert(expands("dq_profile_approx") == 0,
+      "dq_profile_approx must plan NO Expand — the 100 TB profile pass")
+    // identical report apart from the verdict column: n_rows, n_null,
+    // exact n_distinct, extrema all agree row for row
+    val exact = run("dq_profile").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val approx = run("dq_profile_approx").collect()
+    assert(approx.map(_.getString(0)).toSeq ==
+      Seq("event_id", "event_type", "props", "ts", "user_id", "value"))
+    approx.foreach { r =>
+      val e = exact(r.getString(0))
+      assert(r.getLong(1) == e.getLong(1) && r.getLong(2) == e.getLong(2)
+        && r.getLong(3) == e.getLong(3), s"${r.getString(0)}: exact cols")
+      assert(r.getBoolean(4), s"${r.getString(0)}: sketch out of tolerance")
+      // extrema shifted one column right of dq_profile's layout
+      Seq(5, 6, 7, 8).foreach { i =>
+        val (a, b) = (r.get(i), e.get(i - 1))
+        assert(a == b, s"${r.getString(0)} col $i: $a != $b")
+      }
+    }
+  }
 }
