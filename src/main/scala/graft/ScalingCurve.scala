@@ -97,7 +97,8 @@ object ScalingCurve {
       "agg_hhi", "graph_random_walks", "graph_louvain_sweep",
       "text_zipf_curve",
       // r11 wave (all scale with sf)
-      "graph_walk_pairs", "dq_profile_approx", "emb_pca_deflate")
+      "graph_walk_pairs", "dq_profile_approx", "emb_pca_deflate",
+      "graph_louvain_coarsen")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

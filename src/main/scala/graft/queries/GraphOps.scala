@@ -157,6 +157,96 @@ object GraphOps extends QueryGroup {
       "UNION ALL SELECT start, 4, node FROM w4)"
   }
 
+  /** The 16-round scheduled level-1 Louvain sweep (graph_louvain_
+    * sweep's loop), factored so graph_louvain_coarsen continues from
+    * the EXACT same labels. Returns (edges, comm0, deg, tot, final
+    * label table) — all checkpointed/stats-reset per the sweep's
+    * discipline. */
+  private def louvainSweepState(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val e = edges(spark, sf).localCheckpoint(true)
+    val comm0 = Tables.customer(spark, sf)
+        .select((col("c_custkey") * 2).as("node"),
+          col("c_nationkey").as("cu"))
+      .unionAll(Tables.supplier(spark, sf)
+        .select((col("s_suppkey") * 2 + 1).as("node"),
+          col("s_nationkey").as("cu")))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("node"))
+      .agg(count(lit(1)).as("d")).localCheckpoint(true)
+    val tot = e.agg(count(lit(1)).as("t"))
+    var lab = freshDf(comm0.select(col("node"), col("cu").as("nc")))
+    for (r <- 0 until 16) {
+      val side = r % 2
+      val slice = (r / 2) % 8
+      val dct = lab.join(deg, Seq("node"), "left")
+        .groupBy(col("nc").as("c"))
+        .agg(sum(coalesce(col("d"), lit(0L))).as("dc"))
+      val euc = e
+        .join(bcastNodeState(lab.select(col("node").as("dst"),
+          col("nc").as("c"))), Seq("dst"))
+        .groupBy(col("src").as("node"), col("c"))
+        .agg(count(lit(1)).as("e_uc"))
+      val cand = euc.unionByName(
+          deg.join(bcastNodeState(lab), Seq("node"))
+            .select(col("node"), col("nc").as("c"),
+              lit(0L).as("e_uc")))
+        .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
+      val w = Window.partitionBy("node")
+        .orderBy(col("score").desc, col("c").asc)
+      val winner = cand
+        .join(bcastNodeState(lab), Seq("node"))
+        .join(broadcast(dct), Seq("c"))
+        .join(deg, Seq("node"))
+        .crossJoin(broadcast(tot))
+        .withColumn("score", col("t") * col("e_uc") -
+          col("d") * (col("dc") -
+            when(col("c") === col("nc"), col("d")).otherwise(0L)))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("node") % 2 === side &&
+          pmod(expr("node div 2"), lit(8)) === slice)
+        .select(col("node"), col("c").as("nc0"))
+      lab = freshDf(lab.join(winner, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nc0"), col("nc")).as("nc")))
+    }
+    (e, comm0, deg, tot, lab)
+  }
+
+  /** Level-1 sweep oracle chain (bp, e, comm, deg, tot, lab0 and the
+    * 16 machine-generated rounds, ending at lab16) — shared between
+    * graph_louvain_sweep's oracle and graph_louvain_coarsen's. */
+  private def louvainL1Sql: String = {
+    def round(k: Int): String = {
+      val p = s"lab${k - 1}"
+      val side = (k - 1) % 2
+      val slice = ((k - 1) / 2) % 8
+      s"dct$k AS (SELECT $p.nc AS c, CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS dc " +
+        s"FROM $p LEFT JOIN deg ON $p.node = deg.node GROUP BY 1), " +
+      s"euc$k AS (SELECT e.src AS node, l2.nc AS c, count(*) AS e_uc " +
+        s"FROM e JOIN $p l2 ON e.dst = l2.node GROUP BY 1, 2), " +
+      s"cand$k AS (SELECT node, c, CAST(sum(e_uc) AS BIGINT) AS e_uc FROM (" +
+        s"SELECT * FROM euc$k UNION ALL SELECT deg.node, $p.nc AS c, 0 AS e_uc " +
+        s"FROM deg JOIN $p ON deg.node = $p.node) GROUP BY 1, 2), " +
+      s"scored$k AS (SELECT cand$k.node, cand$k.c, " +
+        s"t.t * cand$k.e_uc - deg.d * (dct$k.dc - CASE WHEN cand$k.c = $p.nc THEN deg.d ELSE 0 END) AS score " +
+        s"FROM cand$k JOIN $p ON cand$k.node = $p.node " +
+        s"JOIN dct$k ON cand$k.c = dct$k.c JOIN deg ON cand$k.node = deg.node CROSS JOIN tot t), " +
+      s"win$k AS (SELECT node, c AS nc0 FROM (SELECT *, " +
+        s"row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn FROM scored$k) " +
+        s"WHERE rn = 1 AND node % 2 = $side AND ((node // 2) % 8) = $slice), " +
+      s"lab$k AS MATERIALIZED (SELECT $p.node, coalesce(win$k.nc0, $p.nc) AS nc " +
+        s"FROM $p LEFT JOIN win$k ON $p.node = win$k.node)"
+    }
+    s"bp AS MATERIALIZED ($EdgesSql), " +
+      "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+      "comm AS MATERIALIZED (SELECT c_custkey*2 AS node, c_nationkey AS cu FROM customer " +
+      "UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), " +
+      "deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY 1), " +
+      "tot AS MATERIALIZED (SELECT count(*) AS t FROM e), " +
+      "lab0 AS MATERIALIZED (SELECT node, cu AS nc FROM comm), " +
+      (1 to 16).map(round).mkString(", ")
+  }
+
   /** Per-node triangle counts from an undirected unique-pair edge
     * list (u, v) with u < v. Degree-ordered orientation + adjacency-
     * array intersection: a triangle {a,b,c} oriented a→b, a→c, b→c
@@ -1482,51 +1572,7 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_louvain_sweep",
       (spark, sf) => {
-        val e = edges(spark, sf).localCheckpoint(true)
-        val comm0 = Tables.customer(spark, sf)
-            .select((col("c_custkey") * 2).as("node"),
-              col("c_nationkey").as("cu"))
-          .unionAll(Tables.supplier(spark, sf)
-            .select((col("s_suppkey") * 2 + 1).as("node"),
-              col("s_nationkey").as("cu")))
-          .localCheckpoint(true)
-        val deg = e.groupBy(col("src").as("node"))
-          .agg(count(lit(1)).as("d")).localCheckpoint(true)
-        val tot = e.agg(count(lit(1)).as("t"))
-        var lab = freshDf(comm0.select(col("node"), col("cu").as("nc")))
-        for (r <- 0 until 16) {
-          val side = r % 2
-          val slice = (r / 2) % 8
-          val dct = lab.join(deg, Seq("node"), "left")
-            .groupBy(col("nc").as("c"))
-            .agg(sum(coalesce(col("d"), lit(0L))).as("dc"))
-          val euc = e
-            .join(bcastNodeState(lab.select(col("node").as("dst"),
-              col("nc").as("c"))), Seq("dst"))
-            .groupBy(col("src").as("node"), col("c"))
-            .agg(count(lit(1)).as("e_uc"))
-          val cand = euc.unionByName(
-              deg.join(bcastNodeState(lab), Seq("node"))
-                .select(col("node"), col("nc").as("c"),
-                  lit(0L).as("e_uc")))
-            .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
-          val w = Window.partitionBy("node")
-            .orderBy(col("score").desc, col("c").asc)
-          val winner = cand
-            .join(bcastNodeState(lab), Seq("node"))
-            .join(broadcast(dct), Seq("c"))
-            .join(deg, Seq("node"))
-            .crossJoin(broadcast(tot))
-            .withColumn("score", col("t") * col("e_uc") -
-              col("d") * (col("dc") -
-                when(col("c") === col("nc"), col("d")).otherwise(0L)))
-            .withColumn("rn", row_number().over(w))
-            .filter(col("rn") === 1 && col("node") % 2 === side &&
-              pmod(expr("node div 2"), lit(8)) === slice)
-            .select(col("node"), col("c").as("nc0"))
-          lab = freshDf(lab.join(winner, Seq("node"), "left")
-            .select(col("node"), coalesce(col("nc0"), col("nc")).as("nc")))
-        }
+        val (e, comm0, _, tot, lab) = louvainSweepState(spark, sf)
         val j2 = e
           .join(bcastNodeState(lab.select(col("node").as("src"),
             col("nc").as("sc"))), Seq("src"))
@@ -1553,35 +1599,7 @@ object GraphOps extends QueryGroup {
           .orderBy("comm")
       },
       Some {
-        def round(k: Int): String = {
-          val p = s"lab${k - 1}"
-          val side = (k - 1) % 2
-          val slice = ((k - 1) / 2) % 8
-          s"dct$k AS (SELECT $p.nc AS c, CAST(sum(coalesce(deg.d, 0)) AS BIGINT) AS dc " +
-            s"FROM $p LEFT JOIN deg ON $p.node = deg.node GROUP BY 1), " +
-          s"euc$k AS (SELECT e.src AS node, l2.nc AS c, count(*) AS e_uc " +
-            s"FROM e JOIN $p l2 ON e.dst = l2.node GROUP BY 1, 2), " +
-          s"cand$k AS (SELECT node, c, CAST(sum(e_uc) AS BIGINT) AS e_uc FROM (" +
-            s"SELECT * FROM euc$k UNION ALL SELECT deg.node, $p.nc AS c, 0 AS e_uc " +
-            s"FROM deg JOIN $p ON deg.node = $p.node) GROUP BY 1, 2), " +
-          s"scored$k AS (SELECT cand$k.node, cand$k.c, " +
-            s"t.t * cand$k.e_uc - deg.d * (dct$k.dc - CASE WHEN cand$k.c = $p.nc THEN deg.d ELSE 0 END) AS score " +
-            s"FROM cand$k JOIN $p ON cand$k.node = $p.node " +
-            s"JOIN dct$k ON cand$k.c = dct$k.c JOIN deg ON cand$k.node = deg.node CROSS JOIN tot t), " +
-          s"win$k AS (SELECT node, c AS nc0 FROM (SELECT *, " +
-            s"row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn FROM scored$k) " +
-            s"WHERE rn = 1 AND node % 2 = $side AND ((node // 2) % 8) = $slice), " +
-          s"lab$k AS MATERIALIZED (SELECT $p.node, coalesce(win$k.nc0, $p.nc) AS nc " +
-            s"FROM $p LEFT JOIN win$k ON $p.node = win$k.node)"
-        }
-        s"WITH bp AS MATERIALIZED ($EdgesSql), " +
-          "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
-          "comm AS MATERIALIZED (SELECT c_custkey*2 AS node, c_nationkey AS cu FROM customer " +
-          "UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), " +
-          "deg AS MATERIALIZED (SELECT src AS node, count(*) AS d FROM e GROUP BY 1), " +
-          "tot AS MATERIALIZED (SELECT count(*) AS t FROM e), " +
-          "lab0 AS MATERIALIZED (SELECT node, cu AS nc FROM comm), " +
-          (1 to 16).map(round).mkString(", ") + ", " +
+        s"WITH $louvainL1Sql, " +
           "j2 AS (SELECT ls.nc AS sc, ld.nc AS dc2, e.src FROM e " +
           "JOIN lab16 ls ON e.src = ls.node JOIN lab16 ld ON e.dst = ld.node), " +
           "mi AS (SELECT lab16.nc AS comm, count(*) AS mi FROM lab16 " +
@@ -1610,6 +1628,170 @@ object GraphOps extends QueryGroup {
         "vs the per-round probe ledger localizes any divergence to " +
         "a round; everything is integer argmax with min-c ties, so " +
         "the 16-round trajectory is bit-identical on any cluster."),
+
+    // MULTI-LEVEL Louvain (r11) — the composition the sweep's own
+    // scaleNote names as what production does where flat re-sweeps
+    // oscillate: contract the swept partition to SUPERNODES
+    // (communities → nodes, directed inter-community edge counts →
+    // weights, intra-community counts → self-loops — dedup_clusters_
+    // star's contraction idea applied to graph_louvain_sweep's
+    // output) and run a second scheduled sweep on the contracted
+    // WEIGHTED graph. The level-2 gain algebra is level 1's with
+    // counts replaced by weights — score(U,c) = t·E_{U,c} −
+    // D_U·(Dc_c − [c=cu]·D_U) — where D_U (weighted degree) INCLUDES
+    // self-loop weight (total degree is preserved under contraction)
+    // and E_{U,c} runs over cross edges only (a self-loop is internal
+    // wherever U goes, so it shifts every candidate equally and drops
+    // out of the argmax). Schedule MEASURED FIRST (GraphCoarsenProbe,
+    // the r10 lesson): on the ≤|communities|-node contracted graph,
+    // 8 rounds of (2 hash sides × 4 slices) climb Q monotonically and
+    // stay monotone through a second sweep at BOTH fixtures (sf0.001:
+    // 0.004909 → 0.008851, converged by round 4; sf0.01: 0.060020 →
+    // 0.062312), where a 4-round schedule oscillates (sf0.01 sweep-1
+    // round 3 drops Q) — the same herding physics as level 1, on 25
+    // nodes. Output: the COMPOSED partition (node → level-1 comm →
+    // level-2 comm) under graph_modularity's rollup on the ORIGINAL
+    // edge list, plus how many level-1 communities merged into each —
+    // Σ mod_term here ≥ the sweep's Σ mod_term (asserted in-spec,
+    // probed +80%/+4% at the two fixtures).
+    QueryDef(
+      "graph_louvain_coarsen",
+      (spark, sf) => {
+        val (e, _, _, tot, lab) = louvainSweepState(spark, sf)
+        // contraction: directed weighted supernode edges (incl. self)
+        val wAll = e
+          .join(bcastNodeState(lab.select(col("node").as("src"),
+            col("nc").as("u"))), Seq("src"))
+          .join(bcastNodeState(lab.select(col("node").as("dst"),
+            col("nc").as("v"))), Seq("dst"))
+          .groupBy("u", "v").agg(count(lit(1)).as("w"))
+          .localCheckpoint(true)
+        val dw = wAll.groupBy(col("u").as("node"))
+          .agg(sum(col("w")).as("d")).localCheckpoint(true)
+        val wx = wAll.filter(col("u") =!= col("v"))
+          .select(col("u").as("src"), col("v").as("dst"), col("w"))
+          .localCheckpoint(true)
+        var lab2 = freshDf(dw.select(col("node"), col("node").as("nc")))
+        for (r <- 0 until 8) {
+          val side = r % 2
+          val slice = (r / 2) % 4
+          val dct = lab2.join(dw, Seq("node"))
+            .groupBy(col("nc").as("c")).agg(sum(col("d")).as("dc"))
+          val euc = wx
+            .join(broadcast(lab2.select(col("node").as("dst"),
+              col("nc").as("c"))), Seq("dst"))
+            .groupBy(col("src").as("node"), col("c"))
+            .agg(sum(col("w")).as("e_uc"))
+          val cand = euc.unionByName(
+              dw.join(broadcast(lab2), Seq("node"))
+                .select(col("node"), col("nc").as("c"),
+                  lit(0L).as("e_uc")))
+            .groupBy("node", "c").agg(sum(col("e_uc")).as("e_uc"))
+          val w = Window.partitionBy("node")
+            .orderBy(col("score").desc, col("c").asc)
+          val winner = cand
+            .join(broadcast(lab2), Seq("node"))
+            .join(broadcast(dct), Seq("c"))
+            .join(broadcast(dw), Seq("node"))
+            .crossJoin(broadcast(tot))
+            .withColumn("score", col("t") * col("e_uc") -
+              col("d") * (col("dc") -
+                when(col("c") === col("nc"), col("d")).otherwise(0L)))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1 && col("node") % 2 === side &&
+              pmod(expr("node div 2"), lit(4)) === slice)
+            .select(col("node"), col("c").as("nc0"))
+          lab2 = freshDf(lab2.join(winner, Seq("node"), "left")
+            .select(col("node"), coalesce(col("nc0"), col("nc")).as("nc")))
+        }
+        // compose node → level-1 comm → level-2 comm; rollup on the
+        // ORIGINAL edge list under graph_modularity's aggregate
+        val labC = lab
+          .join(broadcast(lab2.select(col("node").as("nc"),
+            col("nc").as("nc2"))), Seq("nc"))
+          .select(col("node"), col("nc2"))
+        val merged = lab2.groupBy(col("nc").as("comm"))
+          .agg(count(lit(1)).as("n_comms1"))
+        val j2 = e
+          .join(bcastNodeState(labC.select(col("node").as("src"),
+            col("nc2").as("sc"))), Seq("src"))
+          .join(bcastNodeState(labC.select(col("node").as("dst"),
+            col("nc2").as("dc2"))), Seq("dst"))
+        j2.groupBy(col("sc").as("comm"))
+          .agg(count(lit(1)).as("deg_sum"),
+            sum(when(col("dc2") === col("sc"), 1L).otherwise(0L))
+              .as("internal2"),
+            countDistinct(col("src")).as("n_nodes"))
+          .join(broadcast(merged), Seq("comm"))
+          .crossJoin(broadcast(tot))
+          .select(col("comm"), col("n_nodes"), col("n_comms1"),
+            col("deg_sum"),
+            expr("internal2 div 2").as("internal_edges"),
+            round(col("internal2").cast("double") / col("t") -
+              (col("deg_sum").cast("double") / col("t")) *
+              (col("deg_sum").cast("double") / col("t")), 6)
+              .as("mod_term"),
+            lit(8).as("rounds2"))
+          .orderBy("comm")
+      },
+      Some {
+        def round2(k: Int): String = {
+          val p = s"blab${k - 1}"
+          val side = (k - 1) % 2
+          val slice = ((k - 1) / 2) % 4
+          s"bdct$k AS (SELECT $p.nc AS c, CAST(sum(dw.d) AS BIGINT) AS dc " +
+            s"FROM $p JOIN dw ON $p.node = dw.node GROUP BY 1), " +
+          s"beuc$k AS (SELECT wx.u AS node, l2.nc AS c, CAST(sum(wx.w) AS BIGINT) AS e_uc " +
+            s"FROM wx JOIN $p l2 ON wx.v = l2.node GROUP BY 1, 2), " +
+          s"bcand$k AS (SELECT node, c, CAST(sum(e_uc) AS BIGINT) AS e_uc FROM (" +
+            s"SELECT * FROM beuc$k UNION ALL SELECT dw.node, $p.nc AS c, 0 AS e_uc " +
+            s"FROM dw JOIN $p ON dw.node = $p.node) GROUP BY 1, 2), " +
+          s"bscored$k AS (SELECT bcand$k.node, bcand$k.c, " +
+            s"t.t * bcand$k.e_uc - dw.d * (bdct$k.dc - CASE WHEN bcand$k.c = $p.nc THEN dw.d ELSE 0 END) AS score " +
+            s"FROM bcand$k JOIN $p ON bcand$k.node = $p.node " +
+            s"JOIN bdct$k ON bcand$k.c = bdct$k.c JOIN dw ON bcand$k.node = dw.node CROSS JOIN tot t), " +
+          s"bwin$k AS (SELECT node, c AS nc0 FROM (SELECT *, " +
+            s"row_number() OVER (PARTITION BY node ORDER BY score DESC, c ASC) AS rn FROM bscored$k) " +
+            s"WHERE rn = 1 AND node % 2 = $side AND ((node // 2) % 4) = $slice), " +
+          s"blab$k AS MATERIALIZED (SELECT $p.node, coalesce(bwin$k.nc0, $p.nc) AS nc " +
+            s"FROM $p LEFT JOIN bwin$k ON $p.node = bwin$k.node)"
+        }
+        s"WITH $louvainL1Sql, " +
+          "wall AS MATERIALIZED (SELECT ls.nc AS u, ld.nc AS v, count(*) AS w FROM e " +
+          "JOIN lab16 ls ON e.src = ls.node JOIN lab16 ld ON e.dst = ld.node GROUP BY 1, 2), " +
+          "dw AS MATERIALIZED (SELECT u AS node, CAST(sum(w) AS BIGINT) AS d FROM wall GROUP BY 1), " +
+          "wx AS MATERIALIZED (SELECT u, v, w FROM wall WHERE u <> v), " +
+          "blab0 AS MATERIALIZED (SELECT node, node AS nc FROM dw), " +
+          (1 to 8).map(round2).mkString(", ") + ", " +
+          "labc AS MATERIALIZED (SELECT lab16.node, blab8.nc AS nc2 FROM lab16 " +
+          "JOIN blab8 ON lab16.nc = blab8.node), " +
+          "mg AS (SELECT nc AS comm, count(*) AS n_comms1 FROM blab8 GROUP BY 1), " +
+          "j2 AS (SELECT ls.nc2 AS sc, ld.nc2 AS dc2, e.src FROM e " +
+          "JOIN labc ls ON e.src = ls.node JOIN labc ld ON e.dst = ld.node), " +
+          "roll AS (SELECT sc AS comm, count(DISTINCT src) AS n_nodes, count(*) AS deg_sum, " +
+          "CAST(sum(CASE WHEN dc2 = sc THEN 1 ELSE 0 END) AS BIGINT) AS internal2 FROM j2 GROUP BY 1) " +
+          "SELECT roll.comm, n_nodes, CAST(mg.n_comms1 AS BIGINT) AS n_comms1, deg_sum, " +
+          "internal2 // 2 AS internal_edges, " +
+          "round(CAST(internal2 AS DOUBLE) / t.t - (CAST(deg_sum AS DOUBLE)/t.t) * (CAST(deg_sum AS DOUBLE)/t.t), 6) AS mod_term, " +
+          "8 AS rounds2 " +
+          "FROM roll JOIN mg ON roll.comm = mg.comm CROSS JOIN tot t ORDER BY roll.comm"
+      },
+      scaleNote = "The coarsening step is ONE groupBy over the " +
+        "labeled edge list (the same two label joins the sweep's " +
+        "rollup already does), and everything after it runs on a " +
+        "|communities|-node graph — the entire point of multi-level " +
+        "Louvain: level-2 rounds cost |communities|² at worst, " +
+        "microscopic beside the level-1 corpus passes, so the " +
+        "composition's wall-clock IS the sweep's plus one " +
+        "contraction shuffle. Weighted-degree products stay in " +
+        "BIGINT below t·E ≈ 2^62 (t = directed edge total; DECIMAL" +
+        "(38,0) partials past it, the house fence). The level-2 " +
+        "schedule is probe-measured like level 1's (8 rounds, 2 " +
+        "sides × 4 slices, monotone through a second sweep at both " +
+        "fixtures — GraphCoarsenProbe's ledger); deeper hierarchies " +
+        "repeat the same contraction on blab8, each level strictly " +
+        "smaller. Labels checkpoint/stats-reset per round " +
+        "(freshDf), so 24 total rounds plan in O(1) each."),
 
     // Deterministic random walks — the DeepWalk/node2vec CORPUS
     // GENERATOR: graph-embedding training data is walk sequences

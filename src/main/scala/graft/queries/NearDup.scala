@@ -596,6 +596,18 @@ object NearDup extends QueryGroup {
     // DIAMETER, star contraction with log |component|. Declared
     // side-by-side so the driver hash proves both resolve the same
     // clusters at every scale factor.
+    //
+    // r10→r11 LEDGER DRIFT ADJUDICATED (the 1.64 → 2.26 s, 1.38×
+    // move in BENCH_r09→r10 was the one carried key outside the box
+    // band): interleaved BenchOne A/B against the r9 tree (3c61e4f)
+    // in a scratch worktree, 6 rounds each at sf0.1 — r9 warm
+    // 2.42–3.32 s (median 2.81), r11 warm 2.54–3.76 s (median 3.12),
+    // ranges overlapping with inversions (one r11 run beat five of
+    // six r9 runs). The 11% median delta sits well inside the
+    // within-tree spread (±37–48%) and the documented 15–25% box
+    // drift; the operator's code was untouched in r10 (git log:
+    // additions only). VERDICT: box noise, not a regression — the
+    // 014b6a3 precedent's outcome, recorded here per its procedure.
     QueryDef(
       "dedup_clusters_star",
       (spark, sf) =>

@@ -448,6 +448,34 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("graph_louvain_coarsen: level-2 modularity beats the flat sweep; contraction conserves mass") {
+    val sweep = engine.Registry.byName("graph_louvain_sweep")
+      .build(spark, sf).collect()
+    val co = engine.Registry.byName("graph_louvain_coarsen")
+      .build(spark, sf).collect()
+    val q1 = sweep.map(_.getDouble(4)).sum
+    val q2 = co.map(_.getDouble(5)).sum
+    // the point of coarsening: the composed partition's modularity
+    // must be at least the flat sweep's (probe: +80% at sf0.001,
+    // +4% at sf0.01)
+    assert(q2 >= q1, s"coarsening must not lose modularity: $q1 -> $q2")
+    // contraction conserves mass: total degree and total internal+
+    // external edge count carry through, level-1 communities all land
+    assert(co.map(_.getLong(3)).sum == sweep.map(_.getLong(2)).sum,
+      "deg_sum total must be conserved under contraction")
+    assert(co.map(_.getLong(1)).sum == sweep.map(_.getLong(1)).sum,
+      "every original node must appear in exactly one level-2 community")
+    assert(co.map(_.getLong(2)).sum == sweep.length.toLong,
+      "every level-1 community must merge into exactly one supernode")
+    // strictly coarser or equal, never finer
+    assert(co.length <= sweep.length)
+    // merging happened somewhere (the probe says it must at both sfs)
+    assert(co.exists(_.getLong(2) > 1L), "vacuous: nothing merged")
+    // internal edges can only grow when communities merge
+    assert(co.map(_.getLong(4)).sum >= sweep.map(_.getLong(3)).sum,
+      "internal edge total cannot shrink under merging")
+  }
+
   test("graph_walk_pairs: window form equals the self-join definition, pair for pair") {
     // the operator extracts skip-gram pairs via lead() windows; the
     // DEFINITION is the walk self-join on |Δstep| ∈ {1,2}. Replay the
