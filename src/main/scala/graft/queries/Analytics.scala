@@ -1507,6 +1507,134 @@ object Analytics extends QueryGroup {
         "aggregate; per-segment tests add the segment key to the " +
         "groupBy — the plan shape never changes."),
 
+    // CUPED (Controlled-experiment Using Pre-Experiment Data) — the
+    // variance-reduction step ab_test_welch's scaleNote promised
+    // ("stratified CUPED-style variants add covariate sums to the
+    // SAME aggregate"), and the technique every mature experimentation
+    // platform applies before the t-test: per user, the PRE-period
+    // metric X (purchases before the experiment cut, 2024-01-16) is a
+    // covariate for the POST-period metric Y; Ycuped = Y − θ(X − X̄)
+    // with θ = cov(X,Y)/var(X) estimated POOLED across arms (θ from
+    // pre-experiment structure is assignment-independent, so the
+    // adjustment is unbiased). Everything is exact BIGINT moments —
+    // per arm (n, ΣX, ΣY, ΣX², ΣY², ΣXY) in cents off ONE per-user
+    // conditional aggregate — and θ, the adjusted diff, its Welch SE,
+    // and the variance-reduction ratio 1 − ρ² all compose once at the
+    // edge. Degenerate guards: var(X) = 0 → NULL θ (adjustment
+    // undefined), n ≤ 1 or zero adjusted variance → NULL t,
+    // significance coalesces false.
+    QueryDef(
+      "ab_cuped",
+      (spark, sf) => {
+        val cut = Dsl.tsLit("2024-01-16")
+        val cents = floor(col("value") * 100).cast("long")
+        val per = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("ts") < cut, cents).otherwise(0L)).as("x"),
+            sum(when(col("ts") >= cut, cents).otherwise(0L)).as("y"))
+          .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+        val m = per.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        def arm(v: Int, c: String) =
+          sum(when(col("variant") === v, col(c))).as(s"$c$v")
+        val one = m.agg(
+          arm(0, "n"), arm(0, "sx"), arm(0, "sy"), arm(0, "sxx"),
+          arm(0, "syy"), arm(0, "sxy"),
+          arm(1, "n"), arm(1, "sx"), arm(1, "sy"), arm(1, "sxx"),
+          arm(1, "syy"), arm(1, "sxy"))
+        def d(c: Column) = c.cast("double")
+        val n = col("n0") + col("n1")
+        val sx = col("sx0") + col("sx1")
+        val sy = col("sy0") + col("sy1")
+        val sxx = col("sxx0") + col("sxx1")
+        val syy = col("syy0") + col("syy1")
+        val sxy = col("sxy0") + col("sxy1")
+        val vx = d(n * sxx - sx * sx)
+        val vy = d(n * syy - sy * sy)
+        val cxy = d(n * sxy - sx * sy)
+        val theta = cxy / vx
+        val rho2 = cxy * cxy / (vx * vy)
+        def meanAdj(v: Int) =
+          d(col(s"sy$v")) / d(col(s"n$v")) -
+            theta * (d(col(s"sx$v")) / d(col(s"n$v")))
+        // per-arm adjusted sample variance:
+        // s²y − 2θ·cov + θ²·s²x, each moment exact per arm
+        def s2adj(v: Int) = {
+          val nn = col(s"n$v")
+          val s2y = d(nn * col(s"syy$v") - col(s"sy$v") * col(s"sy$v")) /
+            d(nn * (nn - 1))
+          val s2x = d(nn * col(s"sxx$v") - col(s"sx$v") * col(s"sx$v")) /
+            d(nn * (nn - 1))
+          val cov = d(nn * col(s"sxy$v") - col(s"sx$v") * col(s"sy$v")) /
+            d(nn * (nn - 1))
+          s2y - lit(2.0) * theta * cov + theta * theta * s2x
+        }
+        val rawDiff = d(col("sy0")) / d(col("n0")) -
+          d(col("sy1")) / d(col("n1"))
+        val adjDiff = meanAdj(0) - meanAdj(1)
+        val se2 = s2adj(0) / d(col("n0")) + s2adj(1) / d(col("n1"))
+        val okTheta = col("n0") > 1 && col("n1") > 1 && vx > lit(0.0)
+        val ok = okTheta && se2 > lit(0.0)
+        val t = adjDiff / sqrt(se2)
+        one.select(col("n0").as("n_a"), col("n1").as("n_b"),
+          when(okTheta, round(theta, 6)).as("theta"),
+          round(rawDiff, 4).as("raw_diff_cents"),
+          when(okTheta, round(adjDiff, 4)).as("adj_diff_cents"),
+          when(okTheta, round(rho2, 4)).as("var_reduction"),
+          when(ok, round(t, 4)).as("t_adj"),
+          coalesce(when(ok, abs(t) > lit(1.96)), lit(false))
+            .as("significant"))
+      },
+      Some("WITH ev AS (SELECT user_id, CAST(floor(value*100) AS BIGINT) AS v, ts FROM events WHERE event_type = 'purchase'), " +
+        "pu AS (SELECT user_id % 2 AS variant, " +
+        "CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-16' THEN v ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN v ELSE 0 END) AS BIGINT) AS y " +
+        "FROM ev GROUP BY user_id), " +
+        "m AS (SELECT variant, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy FROM pu GROUP BY 1), " +
+        "one AS (SELECT " +
+        "CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0, CAST(sum(CASE WHEN variant = 0 THEN sx END) AS BIGINT) AS sx0, CAST(sum(CASE WHEN variant = 0 THEN sy END) AS BIGINT) AS sy0, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN sxx END) AS BIGINT) AS sxx0, CAST(sum(CASE WHEN variant = 0 THEN syy END) AS BIGINT) AS syy0, CAST(sum(CASE WHEN variant = 0 THEN sxy END) AS BIGINT) AS sxy0, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN variant = 1 THEN sx END) AS BIGINT) AS sx1, CAST(sum(CASE WHEN variant = 1 THEN sy END) AS BIGINT) AS sy1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN sxx END) AS BIGINT) AS sxx1, CAST(sum(CASE WHEN variant = 1 THEN syy END) AS BIGINT) AS syy1, CAST(sum(CASE WHEN variant = 1 THEN sxy END) AS BIGINT) AS sxy1 FROM m), " +
+        "f AS (SELECT *, n0 + n1 AS n, sx0 + sx1 AS sx, sy0 + sy1 AS sy, sxx0 + sxx1 AS sxx, syy0 + syy1 AS syy, sxy0 + sxy1 AS sxy FROM one), " +
+        "g AS (SELECT *, CAST(n*sxx - sx*sx AS DOUBLE) AS vx, CAST(n*syy - sy*sy AS DOUBLE) AS vy, CAST(n*sxy - sx*sy AS DOUBLE) AS cxy FROM f), " +
+        "h AS (SELECT *, cxy / vx AS theta, cxy*cxy / (vx*vy) AS rho2, " +
+        "CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE) - (cxy / vx) * (CAST(sx0 AS DOUBLE)/CAST(n0 AS DOUBLE)) AS ma0, " +
+        "CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE) - (cxy / vx) * (CAST(sx1 AS DOUBLE)/CAST(n1 AS DOUBLE)) AS ma1, " +
+        "CAST(n0*syy0 - sy0*sy0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE) - 2.0 * (cxy / vx) * (CAST(n0*sxy0 - sx0*sy0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE)) + (cxy / vx) * (cxy / vx) * (CAST(n0*sxx0 - sx0*sx0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE)) AS s2a0, " +
+        "CAST(n1*syy1 - sy1*sy1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) - 2.0 * (cxy / vx) * (CAST(n1*sxy1 - sx1*sy1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE)) + (cxy / vx) * (cxy / vx) * (CAST(n1*sxx1 - sx1*sx1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE)) AS s2a1 FROM g), " +
+        "k AS (SELECT *, s2a0/CAST(n0 AS DOUBLE) + s2a1/CAST(n1 AS DOUBLE) AS se2, " +
+        "n0 > 1 AND n1 > 1 AND vx > 0.0 AS ok_theta, " +
+        "n0 > 1 AND n1 > 1 AND vx > 0.0 AND s2a0/CAST(n0 AS DOUBLE) + s2a1/CAST(n1 AS DOUBLE) > 0.0 AS ok FROM h) " +
+        "SELECT n0 AS n_a, n1 AS n_b, " +
+        "CASE WHEN ok_theta THEN round(theta, 6) END AS theta, " +
+        "round(CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE) - CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE), 4) AS raw_diff_cents, " +
+        "CASE WHEN ok_theta THEN round(ma0 - ma1, 4) END AS adj_diff_cents, " +
+        "CASE WHEN ok_theta THEN round(rho2, 4) END AS var_reduction, " +
+        "CASE WHEN ok THEN round((ma0 - ma1)/sqrt(se2), 4) END AS t_adj, " +
+        "coalesce(CASE WHEN ok THEN abs((ma0 - ma1)/sqrt(se2)) > 1.96 END, false) AS significant " +
+        "FROM k"),
+      scaleNote = "ab_test_welch's plan with three covariate sums " +
+        "added: ONE per-user conditional aggregate (the pre/post " +
+        "split is a CASE inside the sum — no second scan, no join), " +
+        "one 2-row arm rollup, one 1-row edge expression — the " +
+        "whole adjustment costs the groupBy(user_id) exchange the " +
+        "raw test already needs for per-user metrics. θ pooled " +
+        "across arms keeps the estimator assignment-independent " +
+        "(the CUPED validity condition) and is three exact BIGINT " +
+        "moment differences. Long bound: n·Σx² ≤ ~10¹⁸ at a million " +
+        "users × $7.5k pre-period spend — DECIMAL(38,0) partials " +
+        "past it, agg_corr's escalation. var_reduction = ρ² is the " +
+        "SHIPPED observable: it prices how much experiment runtime " +
+        "CUPED buys (a 0.3 ρ² = 30% fewer users for the same " +
+        "power), which is the number platform teams actually report."),
+
     // Holt's linear (level + trend) exponential smoothing — the TRUE
     // recursive smoother ts_ewma's truncated-window form cannot be
     // (ewma's 8-lag window forgets; Holt's state carries the whole

@@ -1628,6 +1628,56 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(5) == (math.abs(t) > 1.96))
   }
 
+  test("ab_cuped: theta/adjustment replay from raw cents; adjustment shrinks the SE") {
+    val out = run("ab_cuped").collect()(0)
+    val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getAs[java.time.LocalDateTime](1), r.getLong(2)))
+    val perUser = raw.groupBy(_._1).map { case (u, es) =>
+      (u % 2,
+        es.filter(_._2.isBefore(cut)).map(_._3).sum,
+        es.filter(e => !e._2.isBefore(cut)).map(_._3).sum)
+    }.toSeq
+    def mom(vs: Seq[(Long, Long)]) = {
+      val n = vs.length.toLong
+      (n, vs.map(_._1).sum, vs.map(_._2).sum,
+        vs.map(p => p._1 * p._1).sum, vs.map(p => p._2 * p._2).sum,
+        vs.map(p => p._1 * p._2).sum)
+    }
+    val a = mom(perUser.filter(_._1 == 0L).map(p => (p._2, p._3)))
+    val b = mom(perUser.filter(_._1 == 1L).map(p => (p._2, p._3)))
+    assert(out.getLong(0) == a._1 && out.getLong(1) == b._1)
+    val (n, sx, sy, sxx, syy, sxy) = (a._1 + b._1, a._2 + b._2,
+      a._3 + b._3, a._4 + b._4, a._5 + b._5, a._6 + b._6)
+    val theta = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    val rho2 = math.pow((n * sxy - sx * sy).toDouble, 2) /
+      ((n * sxx - sx * sx).toDouble * (n * syy - sy * sy).toDouble)
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) == r(theta, 6), s"theta ${out.getDouble(2)} vs ${r(theta, 6)}")
+    assert(out.getDouble(5) == r(rho2, 4), s"rho2 ${out.getDouble(5)} vs ${r(rho2, 4)}")
+    // the adjusted diff replays: (ȳa − θx̄a) − (ȳb − θx̄b)
+    val adj = (a._3.toDouble / a._1 - theta * a._2.toDouble / a._1) -
+      (b._3.toDouble / b._1 - theta * b._2.toDouble / b._1)
+    assert(out.getDouble(4) == r(adj, 4))
+    // CUPED's point: per-arm adjusted variance ≤ raw variance when
+    // X and Y correlate (ρ² > 0 here — assert it is genuinely active)
+    assert(rho2 > 0.0 && rho2 < 1.0)
+    def s2(nn: Long, s: Long, ss: Long) =
+      (nn * ss - s * s).toDouble / (nn * (nn - 1)).toDouble
+    Seq(a, b).foreach { m =>
+      val s2y = s2(m._1, m._3, m._5)
+      val cov = (m._1 * m._6 - m._2 * m._3).toDouble / (m._1 * (m._1 - 1)).toDouble
+      val s2x = s2(m._1, m._2, m._4)
+      val s2a = s2y - 2 * theta * cov + theta * theta * s2x
+      assert(s2a > 0.0 && s2a <= s2y * 1.0001,
+        s"adjusted variance must not exceed raw: $s2a vs $s2y")
+    }
+  }
+
   test("ts_acf: lag-1 equals ts_autocorr and pair counts shrink one row per lag") {
     val acf = run("ts_acf").collect()
     val auto = run("ts_autocorr").collect()
