@@ -1507,6 +1507,84 @@ object Analytics extends QueryGroup {
         "aggregate; per-segment tests add the segment key to the " +
         "groupBy — the plan shape never changes."),
 
+    // Power / minimum-detectable-effect analysis — the PLANNING side
+    // of the A/B family (every other member tests data already
+    // collected; this one answers "how long must we run"): from the
+    // same two (n, Σv, Σv²) BIGINT triples as ab_test_welch, compute
+    // for each target power the two-sided-α=0.05 MDE at the CURRENT
+    // sample sizes — mde = (z_{α/2} + z_power)·√(s²p·(1/n₁+1/n₂)) on
+    // the pooled variance — plus the per-arm n required to detect a
+    // 5%-of-control-mean lift. The z constants are fixed literals
+    // (0.8416/1.2816/1.6449 for power 0.8/0.9/0.95 — quantile lookups,
+    // not data), joined as a 3-row literal table onto the 1-row
+    // moment aggregate, so the whole report is one scan + one edge
+    // expression per power row.
+    QueryDef(
+      "ab_power_mde",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val per = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("variant"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+        val one = per.agg(
+          sum(when(col("variant") === 0, col("n"))).as("n1"),
+          sum(when(col("variant") === 0, col("sv"))).as("sv1"),
+          sum(when(col("variant") === 0, col("svv"))).as("svv1"),
+          sum(when(col("variant") === 1, col("n"))).as("n2"),
+          sum(when(col("variant") === 1, col("sv"))).as("sv2"),
+          sum(when(col("variant") === 1, col("svv"))).as("svv2"))
+        val powers = Seq((80, 0.8416), (90, 1.2816), (95, 1.6449))
+          .toDF("power_pct", "zb")
+        def d(c: Column) = c.cast("double")
+        // pooled sample variance from the six integers
+        val s2p = d((col("n1") + col("n2")) * (col("svv1") + col("svv2")) -
+          (col("sv1") + col("sv2")) * (col("sv1") + col("sv2"))) /
+          d((col("n1") + col("n2")) * (col("n1") + col("n2") - 1))
+        val m1 = d(col("sv1")) / d(col("n1"))
+        val se = sqrt(s2p * (lit(1.0) / d(col("n1")) +
+          lit(1.0) / d(col("n2"))))
+        val mde = (lit(1.96) + col("zb")) * se
+        val target = lit(0.05) * m1
+        val nNeed = lit(2.0) * s2p *
+          (lit(1.96) + col("zb")) * (lit(1.96) + col("zb")) /
+          (target * target)
+        one.crossJoin(broadcast(powers))
+          .select(col("power_pct"), col("n1"), col("n2"),
+            round(m1, 4).as("control_mean_cents"),
+            round(s2p, 4).as("pooled_var"),
+            round(mde, 4).as("mde_cents"),
+            round(mde / m1, 6).as("mde_rel"),
+            ceil(nNeed).cast("long").as("n_per_arm_for_5pct"))
+          .orderBy("power_pct")
+      },
+      Some("WITH ev AS (SELECT user_id % 2 AS variant, CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), " +
+        "per AS (SELECT variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv FROM ev GROUP BY 1), " +
+        "one AS (SELECT CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN variant = 0 THEN sv END) AS BIGINT) AS sv1, CAST(sum(CASE WHEN variant = 0 THEN svv END) AS BIGINT) AS svv1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n2, CAST(sum(CASE WHEN variant = 1 THEN sv END) AS BIGINT) AS sv2, CAST(sum(CASE WHEN variant = 1 THEN svv END) AS BIGINT) AS svv2 FROM per), " +
+        "pw AS (SELECT * FROM (VALUES (80, 0.8416), (90, 1.2816), (95, 1.6449)) AS t(power_pct, zb)), " +
+        "f AS (SELECT *, CAST((n1+n2)*(svv1+svv2) - (sv1+sv2)*(sv1+sv2) AS DOUBLE)/CAST((n1+n2)*(n1+n2-1) AS DOUBLE) AS s2p, " +
+        "CAST(sv1 AS DOUBLE)/CAST(n1 AS DOUBLE) AS m1 FROM one CROSS JOIN pw), " +
+        "g AS (SELECT *, (1.96 + zb) * sqrt(s2p * (1.0/CAST(n1 AS DOUBLE) + 1.0/CAST(n2 AS DOUBLE))) AS mde, 0.05 * m1 AS target FROM f) " +
+        "SELECT CAST(power_pct AS INT) AS power_pct, n1, n2, round(m1, 4) AS control_mean_cents, round(s2p, 4) AS pooled_var, " +
+        "round(mde, 4) AS mde_cents, round(mde / m1, 6) AS mde_rel, " +
+        "CAST(ceil(2.0 * s2p * (1.96 + zb) * (1.96 + zb) / (target * target)) AS BIGINT) AS n_per_arm_for_5pct " +
+        "FROM g ORDER BY power_pct"),
+      scaleNote = "ab_test_welch's exact plan (one map-side-combined " +
+        "triple aggregate, no window, no per-user state) with a " +
+        "3-row literal power table crossed onto the 1-row moment " +
+        "result — both sides constants to the sweep's structural " +
+        "proof. At any corpus size the report costs the purchase " +
+        "scan; in production it runs on yesterday's moments (agg_" +
+        "incremental_merge's mergeable triples), making 'when can " +
+        "we call this experiment' a dashboard cell, not a query. " +
+        "n_per_arm_for_5pct is deliberately relative-to-control-" +
+        "mean so the answer survives metric rescaling."),
+
     // CUPED (Controlled-experiment Using Pre-Experiment Data) — the
     // variance-reduction step ab_test_welch's scaleNote promised
     // ("stratified CUPED-style variants add covariate sums to the

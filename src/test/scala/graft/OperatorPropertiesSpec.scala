@@ -1628,6 +1628,35 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(5) == (math.abs(t) > 1.96))
   }
 
+  test("ab_power_mde: MDE monotone in power, replayed from welch's own moments") {
+    val out = run("ab_power_mde").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(80, 90, 95))
+    // MDE and required n both grow with target power
+    val mde = out.map(_.getDouble(5))
+    val np = out.map(_.getLong(7))
+    assert(mde.sliding(2).forall(p => p(0) < p(1)), mde.toSeq.toString)
+    assert(np.sliding(2).forall(p => p(0) < p(1)), np.toSeq.toString)
+    // replay the 80%-power row from raw cents
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = raw.map(_._2)
+    val (n, sv, svv) = (all.length.toLong, all.sum, all.map(v => v * v).sum)
+    val n1 = raw.count(_._1 == 0L).toLong
+    val n2 = n - n1
+    val s2p = (n * svv - sv * sv).toDouble / (n * (n - 1)).toDouble
+    val m1 = raw.filter(_._1 == 0L).map(_._2).sum.toDouble / n1
+    val want = (1.96 + 0.8416) * math.sqrt(s2p * (1.0 / n1 + 1.0 / n2))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(5) == r4(want),
+      s"mde ${out(0).getDouble(5)} vs ${r4(want)}")
+    // mde_rel is mde over the control mean
+    assert(math.abs(out(0).getDouble(6) - want / m1) < 1e-5)
+  }
+
   test("ab_cuped: theta/adjustment replay from raw cents; adjustment shrinks the SE") {
     val out = run("ab_cuped").collect()(0)
     val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
