@@ -72,6 +72,20 @@ object VecStats extends QueryGroup {
     g
   }
 
+  /** Driver-side two-axes computation: level-1 power iterations, the
+    * two-step truncating integer Hotelling downdate, level-2
+    * iterations. Shared by emb_pca_deflate and emb_project_pca. */
+  private def twoAxes(g: Array[Array[Long]])
+      : (Array[Long], BigInt, Long, Array[Long], BigInt, Long) = {
+    val (v1, _, num, den) = powerIter(g)
+    val t = v1.map(vi => (num * BigInt(vi)) / BigInt(den))
+    val g2 = Array.tabulate(Dim, Dim) { (i, j) =>
+      g(i)(j) - ((t(i) * BigInt(v1(j))) / BigInt(den)).toLong
+    }
+    val (v2, _, num2, den2) = powerIter(g2)
+    (v1, num, den, v2, num2, den2)
+  }
+
   /** One oracle-side power iteration (SQL CTE triple) over Gram CTE
     * `gm`, shared by both PCA oracles. Every CTE MATERIALIZED —
     * DuckDB inlines plain CTEs and the 8-deep chain would re-evaluate
@@ -81,6 +95,30 @@ object VecStats extends QueryGroup {
     s"$u AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.g * $p.v) AS BIGINT) AS u FROM $gm m JOIN $p ON m.j = $p.i GROUP BY 1), " +
       s"$d AS MATERIALIZED (SELECT greatest(max(abs(u)) // 1048576, 1) AS d FROM $u), " +
       s"$n AS MATERIALIZED (SELECT i, u // (SELECT d FROM $d) AS v FROM $u)"
+
+  /** Full two-axis oracle chain — q/e element tables, exact Gram,
+    * level-1 iterations (→ v8, nm, dn), the HUGEINT two-step
+    * Hotelling downdate, level-2 iterations (→ w8) — shared by
+    * emb_pca_deflate and emb_project_pca. */
+  private def pcaTwoAxesSql: String = {
+    val iter1 = iterSql("gm") _
+    val iter2 = iterSql("gm2") _
+    "q AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv, vec_id FROM embeddings), " +
+      "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+      "tri AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.v*b.v) AS BIGINT) AS g FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx GROUP BY 1, 2), " +
+      "gm AS MATERIALIZED (SELECT i, j, g // 67108864 AS g FROM tri UNION ALL SELECT j, i, g // 67108864 FROM tri WHERE i < j), " +
+      "v0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
+      (1 to 8).map(r => iter1(s"v${r - 1}", s"u$r", s"d$r", s"v$r")).mkString(", ") + ", " +
+      "u9 AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.g * v8.v) AS BIGINT) AS u FROM gm m JOIN v8 ON m.j = v8.i GROUP BY 1), " +
+      "nm AS MATERIALIZED (SELECT sum(CAST(v8.v AS HUGEINT) * u9.u) AS num FROM v8 JOIN u9 ON v8.i = u9.i), " +
+      "dn AS MATERIALIZED (SELECT sum(v*v) AS den FROM v8), " +
+      // the two-step integer downdate, HUGEINT throughout
+      "tv AS MATERIALIZED (SELECT i, ((SELECT num FROM nm) * CAST(v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM dn) AS t FROM v8), " +
+      "gm2 AS MATERIALIZED (SELECT gm.i, gm.j, CAST(gm.g - (tv.t * CAST(vj.v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM dn) AS BIGINT) AS g " +
+      "FROM gm JOIN tv ON gm.i = tv.i JOIN v8 vj ON gm.j = vj.i), " +
+      "w0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
+      (1 to 8).map(r => iter2(s"w${r - 1}", s"x$r", s"e$r", s"w$r")).mkString(", ")
+  }
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -226,16 +264,11 @@ object VecStats extends QueryGroup {
         val session = spark
         import session.implicits._
         val g = denseGram(spark, sf)
-        val (v1, _, num, den) = powerIter(g)
+        // integer Hotelling downdate inside twoAxes: two truncating
+        // steps so every intermediate stays ≤ ~2^90 (HUGEINT-safe)
+        val (v1, num, den, v2, num2, den2) = twoAxes(g)
         val ray1 = BigDecimal(num.toDouble / den.toDouble)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
-        // integer Hotelling downdate, two truncating steps so every
-        // intermediate stays ≤ ~2^90 (HUGEINT-safe at any tested sf)
-        val t = v1.map(vi => (num * BigInt(vi)) / BigInt(den))
-        val g2 = Array.tabulate(Dim, Dim) { (i, j) =>
-          g(i)(j) - ((t(i) * BigInt(v1(j))) / BigInt(den)).toLong
-        }
-        val (v2, _, num2, den2) = powerIter(g2)
         val ray2 = BigDecimal(num2.toDouble / den2.toDouble)
           .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
         val ratio = BigDecimal((num2.toDouble / den2.toDouble) /
@@ -250,23 +283,7 @@ object VecStats extends QueryGroup {
           .orderBy("i")
       },
       Some {
-        val iter1 = iterSql("gm") _
-        val iter2 = iterSql("gm2") _
-        "WITH q AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv, vec_id FROM embeddings), " +
-          "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
-          "tri AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.v*b.v) AS BIGINT) AS g FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx GROUP BY 1, 2), " +
-          "gm AS MATERIALIZED (SELECT i, j, g // 67108864 AS g FROM tri UNION ALL SELECT j, i, g // 67108864 FROM tri WHERE i < j), " +
-          "v0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
-          (1 to 8).map(r => iter1(s"v${r - 1}", s"u$r", s"d$r", s"v$r")).mkString(", ") + ", " +
-          "u9 AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.g * v8.v) AS BIGINT) AS u FROM gm m JOIN v8 ON m.j = v8.i GROUP BY 1), " +
-          "nm AS MATERIALIZED (SELECT sum(CAST(v8.v AS HUGEINT) * u9.u) AS num FROM v8 JOIN u9 ON v8.i = u9.i), " +
-          "dn AS MATERIALIZED (SELECT sum(v*v) AS den FROM v8), " +
-          // the two-step integer downdate, HUGEINT throughout
-          "tv AS MATERIALIZED (SELECT i, ((SELECT num FROM nm) * CAST(v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM dn) AS t FROM v8), " +
-          "gm2 AS MATERIALIZED (SELECT gm.i, gm.j, CAST(gm.g - (tv.t * CAST(vj.v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM dn) AS BIGINT) AS g " +
-          "FROM gm JOIN tv ON gm.i = tv.i JOIN v8 vj ON gm.j = vj.i), " +
-          "w0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
-          (1 to 8).map(r => iter2(s"w${r - 1}", s"x$r", s"e$r", s"w$r")).mkString(", ") + ", " +
+        s"WITH $pcaTwoAxesSql, " +
           "x9 AS (SELECT m.i AS i, CAST(sum(m.g * w8.v) AS BIGINT) AS u FROM gm2 m JOIN w8 ON m.j = w8.i GROUP BY 1), " +
           "nm2 AS (SELECT sum(CAST(w8.v AS HUGEINT) * x9.u) AS num FROM w8 JOIN x9 ON w8.i = x9.i), " +
           "dn2 AS (SELECT sum(v*v) AS den FROM w8) " +
@@ -291,6 +308,58 @@ object VecStats extends QueryGroup {
         "axis-projected index (emb_quantize → AnnIvf) keeps — the " +
         "spectral-decay measurement a 100 TB embedding store runs " +
         "before choosing its reduced dimension."),
+
+    // PCA APPLIED — the distributed half the two axis operators
+    // prepare for: project EVERY vector onto both principal axes.
+    // The axes come from the driver eigen loop (d-long constants)
+    // and re-enter the scan as literal arrays, so the projection is
+    // one codegen'd LongArrayDot pair per row — a map-only pass, no
+    // join, no shuffle, the emb_outlier centroid-literal pattern.
+    // Coordinates are exact integer dots floor-divided to the 2^20
+    // scale (truncating on both engines), so the projected corpus is
+    // bit-identical anywhere. This IS the dimension-reduction step
+    // emb_pca_power's scaleNote points at ("project, then AnnIvf's
+    // buckets"): the (proj1_q, proj2_q) plane is what a reduced
+    // index buckets on, and the same two columns are the standard
+    // corpus-visualization scatter.
+    QueryDef(
+      "emb_project_pca",
+      (spark, sf) => {
+        val g = denseGram(spark, sf)
+        val (v1, _, _, v2, _, _) = twoAxes(g)
+        val a1 = typedLit(v1.toSeq)
+        val a2 = typedLit(v2.toSeq)
+        Tables.embeddings(spark, sf)
+          .select(col("vec_id"),
+            Vec.quantize(col("embedding")).as("qv"))
+          .select(col("vec_id"),
+            graft.plans.LongArrayDot.dot(col("qv"), a1).as("d1"),
+            graft.plans.LongArrayDot.dot(col("qv"), a2).as("d2"))
+          .select(col("vec_id"),
+            expr("d1 div 1048576").as("proj1_q"),
+            expr("d2 div 1048576").as("proj2_q"))
+          .orderBy("vec_id")
+      },
+      Some(s"WITH $pcaTwoAxesSql " +
+        "SELECT e.vec_id, " +
+        "CAST(sum(e.v * v8.v) AS BIGINT) // 1048576 AS proj1_q, " +
+        "CAST(sum(e.v * w8.v) AS BIGINT) // 1048576 AS proj2_q " +
+        "FROM e JOIN v8 ON e.idx = v8.i JOIN w8 ON e.idx = w8.i " +
+        "GROUP BY 1 ORDER BY 1"),
+      scaleNote = "The projection pass is the IDEAL 100 TB plan: " +
+        "axes are d-long literals baked into the expression tree " +
+        "(no broadcast, no join — they ride the task binary), each " +
+        "row costs two codegen'd integer dot products, and the scan " +
+        "prunes to (vec_id, embedding). Corpus-side work is " +
+        "identical to emb_quantize's — embarrassingly parallel, " +
+        "zero shuffles until whatever consumes the coordinates " +
+        "(an ORDER BY here only for the oracle's determinism; a " +
+        "real pipeline writes the projection back partition-local, " +
+        "or feeds it straight into AnnIvf's bucket keys as the " +
+        "reduced-dimension index). The driver-side Gram collect is " +
+        "the same bounded 16 KB both PCA operators already pay — " +
+        "in a composed pipeline the axes are computed once per " +
+        "corpus version and reused across every projection run."),
 
     // Embedding-corpus hygiene stats (r9) — the validation pass every
     // cosine-based operator in this engine silently assumes: per

@@ -1247,6 +1247,27 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(ratio - r2 / r1) < 1e-3, s"ratio $ratio vs ${r2 / r1}")
   }
 
+  test("emb_project_pca: coordinates replay from the axes; the pass is join-free map work") {
+    val out = run("emb_project_pca").collect()
+    val axes = run("emb_pca_deflate").orderBy("i").collect()
+    val v1 = axes.map(_.getAs[Long]("axis1_q"))
+    val v2 = axes.map(_.getAs[Long]("axis2_q"))
+    val qv = graft.engine.Tables.embeddings(spark, sf)
+      .select(col("vec_id"), graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(out.length == qv.size)
+    out.take(50).foreach { r =>
+      val q = qv(r.getLong(0))
+      val p1 = q.zip(v1).map { case (a, b) => a * b }.sum / 1048576L
+      val p2 = q.zip(v2).map { case (a, b) => a * b }.sum / 1048576L
+      assert(r.getLong(1) == p1 && r.getLong(2) == p2,
+        s"vec ${r.getLong(0)}: (${r.getLong(1)}, ${r.getLong(2)}) != ($p1, $p2)")
+    }
+    // the projection is a map-only pass: literal axes, no join node
+    val plan = run("emb_project_pca").queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), plan.take(800))
+  }
+
   test("graph_label_spread: seeds clamp, labels stay in the seed class set, spread reaches both sides") {
     val out = run("graph_label_spread").cache()
     // every seed keeps exactly its seeded class
