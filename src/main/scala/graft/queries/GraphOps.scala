@@ -1890,5 +1890,106 @@ object GraphOps extends QueryGroup {
         "and the hash gate proves them pair-for-pair equal. " +
         "Distance-split counts (n_d1/n_d2) keep the trainer's " +
         "distance-weighting (1/d in word2vec) a multiply away " +
-        "downstream, not a re-extraction."))
+        "downstream, not a re-extraction."),
+
+    // SECOND-ORDER (return-biased) walks — the node2vec p-arm the
+    // random-walks scaleNote promised ("keeping (prev, node) in the
+    // walk state and a 2-arm CASE on the drawn index"): the walk
+    // state carries (start, prev, node), and at each step a hash of
+    // (node, prev, step) picks the RETURN arm with probability 1/4
+    // (go back to prev — node2vec's 1/p bias, here p < 1 favoring
+    // backtracks the way BFS-ish, structure-role embeddings want)
+    // or the uniform arm (the first-order draw, same rank-ordered
+    // adjacency lookup as graph_random_walks, distinct hash prefix
+    // so the two corpora decorrelate). Still O(1) join work per walk
+    // per step — the return arm costs NOTHING extra because prev is
+    // already in the state row. The full node2vec q-arm (in/out bias
+    // via distance-2 classification) is named, not implemented: true
+    // biased SAMPLING needs per-candidate weights normalized over
+    // the neighbor list — a per-step O(degree) classification join —
+    // which breaks the O(walks) economics; the return arm is the
+    // part that reshapes the walk distribution for free.
+    QueryDef(
+      "graph_walk_biased",
+      (spark, sf) => {
+        val e = edges(spark, sf)
+        val w = Window.partitionBy("src").orderBy("dst")
+        val adj = e.withColumn("idx",
+          row_number().over(w).cast("long") - 1)
+        val deg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+        def u16(t: Int) = conv(substring(md5(concat(lit("graftn:"),
+          col("node").cast("string"), lit(s":$t"))), 1, 4), 16, 10)
+          .cast("long")
+        def armHash(t: Int) = conv(substring(md5(concat(lit("graftb:"),
+          col("node").cast("string"), lit(":"),
+          coalesce(col("prev"), lit(-1L)).cast("string"),
+          lit(s":$t"))), 1, 4), 16, 10).cast("long")
+        val start = deg.filter(col("src") % 2 === 0)
+          .select(col("src").as("start"))
+        var cur = start.select(col("start"),
+          lit(null).cast("long").as("prev"), col("start").as("node"))
+        var acc = cur.select(col("start"), lit(0).as("step"), col("node"))
+        for (t <- 1 to 4) {
+          cur = cur
+            .join(deg, col("node") === col("src")).drop("src")
+            .withColumn("ret",
+              col("prev").isNotNull && pmod(armHash(t), lit(4)) === 0)
+            .withColumn("idx", pmod(u16(t), col("deg")))
+            .join(adj.select(col("src").as("asrc"),
+              col("idx").as("aidx"), col("dst").as("nxt")),
+              col("node") === col("asrc") && col("idx") === col("aidx"))
+            .select(col("start"), col("node").as("prev"),
+              when(col("ret"), col("prev")).otherwise(col("nxt"))
+                .as("node"))
+          acc = acc.unionByName(
+            cur.select(col("start"), lit(t).as("step"), col("node")))
+        }
+        acc.orderBy("start", "step")
+      },
+      Some {
+        def u16(ref: String, t: Int) =
+          s"(('0x'||substr(md5('graftn:'||CAST($ref AS VARCHAR)||':$t'),1,4))::BIGINT"
+        // unlike u16 (whose extra '(' the caller's trailing ')'
+        // closes), arm is a self-balanced expression
+        def arm(node: String, prev: String, t: Int) =
+          s"('0x'||substr(md5('graftb:'||CAST($node AS VARCHAR)||':'||" +
+            s"CAST(coalesce($prev, -1) AS VARCHAR)||':$t'),1,4))::BIGINT"
+        def step(p: String, t: Int) =
+          s"b$t AS (SELECT $p.start, $p.node AS prev, " +
+            s"CASE WHEN $p.prev IS NOT NULL AND ${arm(s"$p.node", s"$p.prev", t)} % 4 = 0 " +
+            s"THEN $p.prev ELSE adj.dst END AS node FROM $p " +
+            s"JOIN deg ON $p.node = deg.src " +
+            s"JOIN adj ON adj.src = $p.node AND adj.idx = " +
+            s"${u16(s"$p.node", t)} % deg.deg))"
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "adj AS (SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dst) - 1 AS idx FROM e), " +
+          "deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1), " +
+          "b0 AS (SELECT src AS start, CAST(NULL AS BIGINT) AS prev, src AS node FROM deg WHERE src % 2 = 0), " +
+          step("b0", 1) + ", " + step("b1", 2) + ", " +
+          step("b2", 3) + ", " + step("b3", 4) + " " +
+          "SELECT start, 0 AS step, node FROM b0 " +
+          "UNION ALL SELECT start, 1, node FROM b1 " +
+          "UNION ALL SELECT start, 2, node FROM b2 " +
+          "UNION ALL SELECT start, 3, node FROM b3 " +
+          "UNION ALL SELECT start, 4, node FROM b4 " +
+          "ORDER BY start, step"
+      },
+      scaleNote = "Identical join economics to graph_random_walks — " +
+        "per step one equi join to the degree table and one to the " +
+        "rank-ordered adjacency, O(walks) rows moved — because the " +
+        "second-order state is one extra BIGINT column riding the " +
+        "walk row, not a join: the return arm reads prev from the " +
+        "state, and the arm draw is hash arithmetic computed before " +
+        "any join. That is the design point: first-order walks and " +
+        "p-biased walks cost the SAME at 100 TB, so the bias is a " +
+        "free knob. The q-arm (distance-2 in/out bias) is the " +
+        "honest cutoff — it requires classifying the drawn " +
+        "candidate against N(prev), an extra (prev, candidate) " +
+        "edge-set probe per step (still equi, but doubling the " +
+        "per-step joins) plus per-class weight normalization over " +
+        "the full neighbor list for exact sampling; rejection-" +
+        "sampling variants exist but break draw determinism under " +
+        "retry. Walks stay bit-reproducible on any cluster: every " +
+        "draw is a pure function of (node, prev, step)."))
 }

@@ -476,6 +476,48 @@ class GraphOpsSpec extends SparkSpec {
       "internal edge total cannot shrink under merging")
   }
 
+  test("graph_walk_biased: full second-order replay; return arm fires at the hash rate") {
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adjAll = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+    val adj = adjAll.groupBy(_._1).map { case (u, es) => u -> es.map(_._2).sorted }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 4), 16)
+    var returns = 0; var eligible = 0
+    val want = adj.keys.filter(_ % 2 == 0).toSeq.sorted.flatMap { s0 =>
+      var prev = Option.empty[Long]; var cur = s0
+      val walk = Seq(cur) ++ (1 to 4).map { t =>
+        val ret = prev.nonEmpty &&
+          h(s"graftb:$cur:${prev.get}:$t") % 4 == 0
+        if (prev.nonEmpty) { eligible += 1; if (ret) returns += 1 }
+        val ns = adj(cur)
+        val nxt = if (ret) prev.get
+          else ns((h(s"graftn:$cur:$t") % ns.length).toInt)
+        prev = Some(cur); cur = nxt; cur
+      }
+      walk.zipWithIndex.map { case (n, st) => (s0, st, n) }
+    }
+    val rows = engine.Registry.byName("graph_walk_biased")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(rows.sorted.toSeq == want.sorted,
+      s"biased walks diverge from the second-order replay " +
+        s"(${rows.length} vs ${want.length} rows)")
+    // the return arm fires at ~1/4 of eligible (prev-bearing) steps —
+    // binomial 3σ band around 0.25
+    val rate = returns.toDouble / eligible
+    val sd = math.sqrt(0.25 * 0.75 / eligible)
+    assert(math.abs(rate - 0.25) < 3 * sd + 1e-9,
+      s"return rate $rate off 0.25 ($returns/$eligible)")
+    // and it genuinely fired (second-order state is live)
+    assert(returns > 0)
+  }
+
   test("graph_walk_pairs: window form equals the self-join definition, pair for pair") {
     // the operator extracts skip-gram pairs via lead() windows; the
     // DEFINITION is the walk self-join on |Δstep| ∈ {1,2}. Replay the
