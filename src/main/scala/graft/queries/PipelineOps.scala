@@ -860,6 +860,81 @@ object PipelineOps extends QueryGroup {
         "partitioning; per-partition profiles (drift monitoring) " +
         "add the partition key to a groupBy, not a pass."),
 
+    // Leak-free target encoding (r11) — the feature-engineering step
+    // between the corpus ops and the experiment stats: replace a
+    // categorical feature with the smoothed TRAIN-split mean of the
+    // target, the classic high-cardinality encoder (CatBoost/
+    // entity-embedding precursor), where "leak-free" is the entire
+    // point — the encoding must be computed on the train rows ONLY
+    // and merely APPLIED to validation, or the validation metric is
+    // fiction. The split is sample_consistent's portable hash
+    // contract (md5-u16 of the salted event id, 80/20), so train
+    // membership is bit-identical on both engines and across reruns;
+    // the encoding is the m=20 smoothed mean enc = (Σtrain +
+    // m·prior)/(n_train + m) in exact cents with the train-global
+    // prior broadcast as a 1-row aggregate (the structurally-proven
+    // constant); validation rows contribute ONLY their n and raw
+    // mean, emitted beside the encoding so the report doubles as the
+    // drift check (enc vs val mean per category).
+    QueryDef(
+      "feat_target_encode",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+          .select(concat(col("event_type"), lit("_"),
+              pmod(col("user_id"), lit(4))).as("category"),
+            floor(col("value") * 100).cast("long").as("cents"),
+            (conv(substring(md5(concat(lit("graftte:"),
+              col("event_id").cast("string"))), 1, 4), 16, 10)
+              .cast("long") % 10 < 8).as("is_train"))
+        val per = ev.groupBy("category")
+          .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+            sum(when(col("is_train"), col("cents")).otherwise(0L))
+              .as("s_train"),
+            sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_val"),
+            sum(when(!col("is_train"), col("cents")).otherwise(0L))
+              .as("s_val"))
+        val prior = ev.filter(col("is_train"))
+          .agg(sum(col("cents")).as("gs"), count(lit(1)).as("gn"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        per.crossJoin(broadcast(prior))
+          .select(col("category"), col("n_train"), col("n_val"),
+            round((d(col("s_train")) +
+              lit(20.0) * (d(col("gs")) / d(col("gn")))) /
+              (d(col("n_train")) + lit(20.0)), 4).as("enc_cents"),
+            when(col("n_val") > 0,
+              round(d(col("s_val")) / d(col("n_val")), 4))
+              .as("val_mean_cents"))
+          .orderBy("category")
+      },
+      Some("WITH ev AS (SELECT event_type || '_' || CAST(((user_id % 4) + 4) % 4 AS VARCHAR) AS category, " +
+        "CAST(floor(value*100) AS BIGINT) AS cents, " +
+        "('0x'||substr(md5('graftte:'||CAST(event_id AS VARCHAR)),1,4))::BIGINT % 10 < 8 AS is_train FROM events), " +
+        "per AS (SELECT category, " +
+        "CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_train, " +
+        "CAST(sum(CASE WHEN is_train THEN cents ELSE 0 END) AS BIGINT) AS s_train, " +
+        "CAST(sum(CASE WHEN NOT is_train THEN 1 ELSE 0 END) AS BIGINT) AS n_val, " +
+        "CAST(sum(CASE WHEN NOT is_train THEN cents ELSE 0 END) AS BIGINT) AS s_val " +
+        "FROM ev GROUP BY 1), " +
+        "pr AS (SELECT CAST(sum(cents) AS BIGINT) AS gs, count(*) AS gn FROM ev WHERE is_train) " +
+        "SELECT category, n_train, n_val, " +
+        "round((CAST(s_train AS DOUBLE) + 20.0 * (CAST(gs AS DOUBLE)/CAST(gn AS DOUBLE))) / (CAST(n_train AS DOUBLE) + 20.0), 4) AS enc_cents, " +
+        "CASE WHEN n_val > 0 THEN round(CAST(s_val AS DOUBLE)/CAST(n_val AS DOUBLE), 4) END AS val_mean_cents " +
+        "FROM per CROSS JOIN pr ORDER BY category"),
+      scaleNote = "ONE map-side-combined aggregate over the log (the " +
+        "split flag and category are scalar hash/concat expressions " +
+        "inside the scan — no join, no second pass for the split), " +
+        "a 1-row train prior broadcast back, and the |categories|-" +
+        "row report composes two float divisions at the edge. " +
+        "Applying the encoding to a feature table is then one " +
+        "broadcast equi join of this (small) table — or a " +
+        "co-partitioned join at catalog-scale cardinalities, where " +
+        "the smoothing term is precisely what keeps thin categories " +
+        "from memorizing their few train targets. The hash split " +
+        "is the leak-free guarantee AND the reproducibility one: " +
+        "any engine recomputes identical train membership, so the " +
+        "encoder is auditable end to end (sample_consistent's " +
+        "contract, applied to feature engineering)."),
+
     // dq_profile's 100 TB path, GATED (r11 — the scaleNote named the
     // one-token approx_count_distinct swap; the house precedent —
     // retention_cohort_approx, agg_approx_hll — is to ship the approx

@@ -316,6 +316,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.getDouble(3) == 1.0)
   }
 
+  test("feat_target_encode: leak-free replay from train rows only; shrinkage bounded by prior and raw mean") {
+    val out = run("feat_target_encode").collect()
+    assert(out.length == 20) // 5 event types × 4 user buckets
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(s: String): Long = java.lang.Long.parseLong(
+      md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        .substring(0, 4), 16)
+    val raw = engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("event_type"), col("user_id"),
+        floor(col("value") * 100).cast("long").as("cents"))
+      .collect().map(r => (s"${r.getString(1)}_${r.getLong(2) % 4}",
+        r.getLong(3), u16(s"graftte:${r.getLong(0)}") % 10 < 8))
+    val train = raw.filter(_._3)
+    // split rate inside the binomial 3σ band around 0.8
+    val rate = train.length.toDouble / raw.length
+    assert(math.abs(rate - 0.8) < 3 * math.sqrt(0.8 * 0.2 / raw.length),
+      s"train rate $rate")
+    val prior = train.map(_._2).sum.toDouble / train.length
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val cat = r.getString(0)
+      val tr = train.filter(_._1 == cat).map(_._2)
+      assert(r.getLong(1) == tr.length.toLong, s"$cat n_train")
+      // the encoding uses TRAIN rows only — recompute it without ever
+      // touching a validation row
+      val want = (tr.sum + 20.0 * prior) / (tr.length + 20.0)
+      assert(r.getDouble(3) == r4(want), s"$cat enc ${r.getDouble(3)} vs ${r4(want)}")
+      // shrinkage: enc lies between the raw train mean and the prior
+      val rawMean = tr.sum.toDouble / tr.length
+      val (lo, hi) = (math.min(rawMean, prior), math.max(rawMean, prior))
+      assert(want >= lo - 1e-9 && want <= hi + 1e-9,
+        s"$cat enc $want outside [$lo, $hi]")
+    }
+  }
+
   test("dq_profile_approx: the Expand is GONE from the plan; exact columns match dq_profile; every sketch in tolerance") {
     import org.apache.spark.sql.execution.ExpandExec
     def expands(name: String): Int = {
