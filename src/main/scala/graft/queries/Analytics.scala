@@ -1102,6 +1102,83 @@ object Analytics extends QueryGroup {
         "seasonal-adjust first via ts_seasonal_dow's index when the " +
         "residual trend is the question."),
 
+    // AR(1) — the AUTOREGRESSIVE member of the forecasting family
+    // (ts_linear_forecast regresses on TIME and sees only trend;
+    // ts_ewma/holt smooth but don't model; AR(1) regresses today's
+    // count on YESTERDAY's, capturing mean-reversion/persistence —
+    // φ near 1 = momentum, near 0 = noise around the mean, negative
+    // = oscillation, and |φ| ≥ 1 = non-stationary, emitted as a
+    // gate flag). Lag pairs come from ONE equi self-join of the
+    // |types|×|days| daily grid on (type, day − 1) — never the raw
+    // log — and the fit is the standard five exact BIGINT moments
+    // over (x = y_{t−1}, y = y_t); φ, intercept c, R², and the
+    // 1-step forecast c + φ·y_last compose once at the edge.
+    // y_last is max_by(y, day) — exact, tie-free (one row per day).
+    QueryDef(
+      "ts_ar1",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val pairs = daily.select(col("event_type"), col("day"),
+            col("y").as("yt"))
+          .join(daily.select(col("event_type"),
+            date_add(col("day"), 1).as("day"), col("y").as("ym1")),
+            Seq("event_type", "day"))
+        val s = pairs.groupBy("event_type").agg(
+          count(lit(1)).as("n"), sum(col("ym1")).as("sx"),
+          sum(col("yt")).as("sy"),
+          sum(col("ym1") * col("yt")).as("sxy"),
+          sum(col("ym1") * col("ym1")).as("sxx"),
+          sum(col("yt") * col("yt")).as("syy"))
+        val last = daily.groupBy("event_type")
+          .agg(max_by(col("y"), col("day")).as("y_last"))
+        def d(c: Column) = c.cast("double")
+        val vx = d(col("n") * col("sxx") - col("sx") * col("sx"))
+        val vy = d(col("n") * col("syy") - col("sy") * col("sy"))
+        val cxy = d(col("n") * col("sxy") - col("sx") * col("sy"))
+        val phi = cxy / nullif(vx, lit(0.0))
+        val c0 = (d(col("sy")) - phi * d(col("sx"))) / d(col("n"))
+        s.join(last, Seq("event_type"))
+          .select(col("event_type"), col("n").as("n_pairs"),
+            round(phi, 4).as("phi"),
+            round(c0, 4).as("intercept"),
+            round(cxy * cxy / nullif(vx * vy, lit(0.0)), 4).as("r2"),
+            col("y_last"),
+            round(c0 + phi * d(col("y_last")), 4).as("forecast_next"),
+            (abs(phi) < 1.0).as("stationary"))
+          .orderBy("event_type")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "pairs AS (SELECT a.event_type, a.y AS yt, b.y AS ym1 FROM daily a " +
+        "JOIN daily b ON a.event_type = b.event_type AND a.day = b.day + INTERVAL 1 DAY), " +
+        "s AS (SELECT event_type, count(*) AS n, sum(ym1) AS sx, sum(yt) AS sy, " +
+        "sum(ym1*yt) AS sxy, sum(ym1*ym1) AS sxx, sum(yt*yt) AS syy FROM pairs GROUP BY 1), " +
+        "lst AS (SELECT event_type, max_by(y, day) AS y_last FROM daily GROUP BY 1), " +
+        "f AS (SELECT s.*, lst.y_last, " +
+        "CAST(n*sxx - sx*sx AS DOUBLE) AS vx, CAST(n*syy - sy*sy AS DOUBLE) AS vy, " +
+        "CAST(n*sxy - sx*sy AS DOUBLE) AS cxy FROM s JOIN lst ON s.event_type = lst.event_type), " +
+        "g AS (SELECT *, cxy / nullif(vx, 0.0) AS phi FROM f), " +
+        "h AS (SELECT *, (CAST(sy AS DOUBLE) - phi * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS c0 FROM g) " +
+        "SELECT event_type, n AS n_pairs, round(phi, 4) AS phi, round(c0, 4) AS intercept, " +
+        "round(cxy*cxy / nullif(vx*vy, 0.0), 4) AS r2, y_last, " +
+        "round(c0 + phi * CAST(y_last AS DOUBLE), 4) AS forecast_next, " +
+        "abs(phi) < 1.0 AS stationary " +
+        "FROM h ORDER BY event_type"),
+      scaleNote = "Everything happens on the aggregate-collapsed " +
+        "daily grid: the lag join is |types|×|days| against itself " +
+        "on an equi key (day − 1 computed on one side — the " +
+        "ts_cross_correlation lesson: arithmetic on ONE side keeps " +
+        "the join hashable), the moments are one map-side-combined " +
+        "integer agg to |types| rows, and the fit is edge math. A " +
+        "trillion-event log prices identically to a million-event " +
+        "one past the first rollup. AR(p) is p lag joins (or one " +
+        "window with p lags) widening the same moment vector; the " +
+        "stationarity flag (|φ| < 1) is the gate a forecasting " +
+        "pipeline checks before trusting the extrapolation — " +
+        "non-stationary series route to differencing (ARIMA's d) " +
+        "instead."),
+
     // Robust anomaly detection: the MAD (median-absolute-deviation)
     // sibling of ts_anomaly's z-score — medians don't move when the
     // anomaly itself inflates the baseline, which is exactly when a

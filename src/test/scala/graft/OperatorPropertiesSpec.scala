@@ -1728,6 +1728,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ts_ar1: phi replays from the daily grid; identities vs ts_autocorr's moment discipline") {
+    val out = run("ts_ar1").collect()
+    val daily = engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    out.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t).sortBy(_._2.toEpochDay)
+      val byDay = series.map(p => p._2.toEpochDay -> p._3).toMap
+      val pairs = series.flatMap { case (_, d, yt) =>
+        byDay.get(d.toEpochDay - 1).map(ym1 => (ym1, yt)) }
+      assert(r.getLong(1) == pairs.length.toLong, s"$t n_pairs")
+      val n = pairs.length.toLong
+      val (sx, sy) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+      val sxy = pairs.map(p => p._1 * p._2).sum
+      val sxx = pairs.map(p => p._1 * p._1).sum
+      val phi = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      assert(r.getDouble(2) == r4(phi), s"$t phi ${r.getDouble(2)} vs ${r4(phi)}")
+      // forecast identity: c + phi*y_last with c from the same fit
+      val c0 = (sy.toDouble - phi * sx.toDouble) / n
+      val yLast = series.last._3
+      assert(r.getLong(5) == yLast)
+      assert(r.getDouble(6) == r4(c0 + phi * yLast), s"$t forecast")
+      // R² bounded, stationarity flag consistent with phi
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0 + 1e-9)
+      assert(r.getBoolean(7) == (math.abs(phi) < 1.0))
+    }
+  }
+
   test("ts_acf: lag-1 equals ts_autocorr and pair counts shrink one row per lag") {
     val acf = run("ts_acf").collect()
     val auto = run("ts_autocorr").collect()
