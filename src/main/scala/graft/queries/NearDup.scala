@@ -57,6 +57,40 @@ object NearDup extends QueryGroup {
   def coefA(i: Int): Long = 2L * i + 1
   def coefB(i: Int): Long = (104729L * i + 12345L) % P
 
+  /** Gate-portable hashed word-3-gram shingle SET (doc_id, h) — the
+    * rolling token encode dedup_minhash_accuracy introduced (DuckDB
+    * cannot evaluate xxhash64; estimator error is a property of the
+    * derived family, not the base hash), factored so
+    * dedup_simhash_accuracy measures ITS bit family over the same
+    * shingles and candidate universe. */
+  def portableShingles(docs: DataFrame): DataFrame = {
+    def enc(c: org.apache.spark.sql.Column) =
+      length(c).cast("long") * 65536L + ascii(c).cast("long") * 256L +
+        ascii(substring(c, -1, 1)).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("pos")
+    docs.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .withColumn("t1", lead(col("tok"), 1).over(w))
+      .withColumn("t2", lead(col("tok"), 2).over(w))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        pmod((enc(col("tok")) * 31 + enc(col("t1"))) * 31 + enc(col("t2")),
+          lit(P)).as("h"))
+      .distinct()
+  }
+
+  /** The same portable shingle set as DuckDB CTEs ending in
+    * `s (doc_id, h)`. */
+  val PortableShingleSql: String = {
+    val encSql = (t: String) =>
+      s"(length($t)*65536 + ascii($t)*256 + ascii(right($t,1)))"
+    "w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
+      "t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> " +
+      s"((${encSql("w[i]")}*31 + ${encSql("w[i+1]")})*31 + ${encSql("w[i+2]")}) % $P)) AS hs FROM w0), " +
+      "s AS (SELECT doc_id, unnest(hs) AS h FROM t)"
+  }
+
   /** Per-document MinHash signature via explode + codegen'd min aggs.
     *
     * Two array-HOF formulations were benchmarked first and rejected:
@@ -893,21 +927,7 @@ object NearDup extends QueryGroup {
     QueryDef(
       "dedup_minhash_accuracy",
       (spark, sf) => {
-        def enc(c: Column): Column =
-          length(c).cast("long") * 65536L + ascii(c).cast("long") * 256L +
-            ascii(substring(c, -1, 1)).cast("long")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("doc_id").orderBy("pos")
-        val sh = Tables.documents(spark, sf)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-          .withColumn("t1", lead(col("tok"), 1).over(w))
-          .withColumn("t2", lead(col("tok"), 2).over(w))
-          .filter(col("t2").isNotNull)
-          .select(col("doc_id"),
-            pmod((enc(col("tok")) * 31 + enc(col("t1"))) * 31 + enc(col("t2")),
-              lit(P)).as("h"))
-          .distinct()
+        val sh = portableShingles(Tables.documents(spark, sf))
           .localCheckpoint(false) // feeds sig, sets, df, and both join sides
         val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
           .filter(col("df") <= MaxBucketDocs).select("h")
@@ -952,16 +972,11 @@ object NearDup extends QueryGroup {
           .orderBy("jac_band")
       },
       Some {
-        val encSql = (t: String) =>
-          s"(length($t)*65536 + ascii($t)*256 + ascii(right($t,1)))"
         val mins = (0 until NumHashes).map(i =>
           s"min((${coefA(i)}*h + ${coefB(i)}) % $P) AS m$i").mkString(", ")
         val agree = (0 until NumHashes).map(i =>
           s"CASE WHEN x.m$i = y.m$i THEN 1 ELSE 0 END").mkString(" + ")
-        s"WITH w0 AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents), " +
-          "t AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w)-1), i -> " +
-          s"((${encSql("w[i]")}*31 + ${encSql("w[i+1]")})*31 + ${encSql("w[i+2]")}) % $P)) AS hs FROM w0), " +
-          "s AS (SELECT doc_id, unnest(hs) AS h FROM t), " +
+        s"WITH $PortableShingleSql, " +
           s"okh AS (SELECT h FROM (SELECT h, count(*) AS df FROM s GROUP BY 1) WHERE df <= $MaxBucketDocs), " +
           "rare AS (SELECT s.doc_id, s.h FROM s JOIN okh USING (h)), " +
           "pc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id), " +

@@ -144,5 +144,109 @@ object SimHash extends QueryGroup {
           .orderBy("metric")
       },
       Some(s"WITH ${NearDup.TruthPairCtes}, tr AS (SELECT id1, id2 FROM p WHERE CAST(ni AS DOUBLE)/(n1+n2-ni) >= 0.5) SELECT * FROM (SELECT 'precision_subset' AS metric, CAST(NULL AS BIGINT) AS n, TRUE AS ok UNION ALL SELECT 'recall_ge_04' AS metric, (SELECT count(*) FROM tr) AS n, TRUE AS ok) ORDER BY metric"),
-      scaleNote = "One aggregation produces the 64-bit fingerprint (8 bytes per doc — 100 TB of text collapses to GBs of signatures); banding turns near-pair search into 4 equi-joins on 16-bit keys. Hot 16-bit buckets (skewed band values) are salted or length-partitioned before the self-join at scale."))
+      scaleNote = "One aggregation produces the 64-bit fingerprint (8 bytes per doc — 100 TB of text collapses to GBs of signatures); banding turns near-pair search into 4 equi-joins on 16-bit keys. Hot 16-bit buckets (skewed band values) are salted or length-partitioned before the self-join at scale."),
+
+    // SimHash estimator RESPONSE CURVE (r11) — dedup_minhash_
+    // accuracy's sibling for the second fingerprint family: per
+    // exact-similarity band, how does the 64-bit simhash Hamming
+    // distance actually respond? MinHash agreement estimates Jaccard
+    // DIRECTLY (err in the same units); simhash Hamming tracks the
+    // ANGLE, so the honest measurement is the response curve —
+    // Hamming stats per exact squared-cosine band, every column an
+    // exact integer (cos²_bp = ni²·10⁴ div (na·nb) needs no sqrt and
+    // no trig, so no float ever enters the gate). The bit family is
+    // gate-portable: bit_b(doc) = majority over shingles of
+    // ((coefA(b)·h + coefB(b)) mod P) mod 2 — dedup_near's OWN affine
+    // family reused as sign hashes (estimator behavior is a property
+    // of the family, not the base hash: dedup_minhash_accuracy's
+    // argument) — and the candidate universe is the same df-capped
+    // inverted index, so the two accuracy tables are read side by
+    // side band-for-band. The spec asserts the curve is monotone:
+    // mean Hamming falls as exact similarity rises — the property
+    // that makes Hamming banding a usable dedup signal at all.
+    QueryDef(
+      "dedup_simhash_accuracy",
+      (spark, sf) => {
+        import NearDup.{P, MaxBucketDocs, coefA, coefB}
+        val sh = NearDup.portableShingles(Tables.documents(spark, sf))
+          .localCheckpoint(false) // feeds sig, sets, df, both join sides
+        val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= MaxBucketDocs).select("h")
+        val rare = sh.join(okH, "h")
+        val cand = rare.as("a")
+          .join(rare.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .distinct()
+        val cnts = (0 until Bits).map { b =>
+          sum(pmod(lit(coefA(b)) * col("h") + lit(coefB(b)), lit(P)) % 2)
+            .as(s"c$b")
+        }
+        val sig0 = sh.groupBy("doc_id")
+          .agg(count(lit(1)).as("n"), cnts: _*)
+        val sig = sig0.select(col("doc_id") +: (0 until Bits).map(b =>
+          (col(s"c$b") * 2 > col("n")).cast("long").as(s"x$b")): _*)
+        val toks = sh.groupBy("doc_id")
+          .agg(array_sort(collect_list(col("h"))).as("toks"))
+        val s1 = sig.select(col("doc_id").as("id1") +:
+          (0 until Bits).map(b => col(s"x$b").as(s"p$b")): _*)
+        val s2 = sig.select(col("doc_id").as("id2") +:
+          (0 until Bits).map(b => col(s"x$b").as(s"q$b")): _*)
+        cand
+          .join(toks.select(col("doc_id").as("id1"), col("toks").as("ta")), "id1")
+          .join(toks.select(col("doc_id").as("id2"), col("toks").as("tb")), "id2")
+          .join(s1, "id1").join(s2, "id2")
+          .withColumn("ham", lit(64L) - (0 until Bits)
+            .map(b => (col(s"p$b") === col(s"q$b")).cast("long"))
+            .reduce(_ + _))
+          .withColumn("ni",
+            graft.plans.SortedIntersectCount.count(col("ta"), col("tb")))
+          // exact squared cosine of the shingle SETS in basis points —
+          // integer-only (no sqrt): ni²·10⁴ div (|A|·|B|)
+          .withColumn("cos2_bp", expr(
+            "(ni * ni * 10000) div (size(ta) * CAST(size(tb) AS BIGINT))"))
+          .groupBy(expr("cos2_bp div 1000").as("cos2_band"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("ham")).as("sum_ham"),
+            min(col("ham")).as("min_ham"),
+            max(col("ham")).as("max_ham"))
+          .orderBy("cos2_band")
+      },
+      Some {
+        import NearDup.{P, MaxBucketDocs, coefA, coefB}
+        val cs = (0 until Bits).map(b =>
+          s"sum(((${coefA(b)}*h + ${coefB(b)}) % $P) % 2) AS c$b").mkString(", ")
+        val xs = (0 until Bits).map(b =>
+          s"CASE WHEN c$b*2 > n THEN 1 ELSE 0 END AS x$b").mkString(", ")
+        val agree = (0 until Bits).map(b =>
+          s"CASE WHEN x.x$b = y.x$b THEN 1 ELSE 0 END").mkString(" + ")
+        s"WITH ${NearDup.PortableShingleSql}, " +
+          s"okh AS (SELECT h FROM (SELECT h, count(*) AS df FROM s GROUP BY 1) WHERE df <= $MaxBucketDocs), " +
+          "rare AS (SELECT s.doc_id, s.h FROM s JOIN okh USING (h)), " +
+          "pc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+          "nsz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1), " +
+          "pi AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id JOIN pc ON pc.id1 = a.doc_id AND pc.id2 = b.doc_id GROUP BY 1, 2), " +
+          s"cn AS (SELECT doc_id, count(*) AS n, $cs FROM s GROUP BY doc_id), " +
+          s"sg AS (SELECT doc_id, $xs FROM cn), " +
+          s"ph AS (SELECT pc.id1, pc.id2, 64 - ($agree) AS ham FROM pc JOIN sg x ON pc.id1 = x.doc_id JOIN sg y ON pc.id2 = y.doc_id), " +
+          "pp AS (SELECT (pi.ni*pi.ni*10000)//(n1.n*n2.n) AS cos2_bp, ph.ham " +
+          "FROM pi JOIN ph ON pi.id1 = ph.id1 AND pi.id2 = ph.id2 JOIN nsz n1 ON pi.id1 = n1.doc_id JOIN nsz n2 ON pi.id2 = n2.doc_id) " +
+          "SELECT cos2_bp//1000 AS cos2_band, count(*) AS n_pairs, " +
+          "CAST(sum(ham) AS BIGINT) AS sum_ham, CAST(min(ham) AS BIGINT) AS min_ham, CAST(max(ham) AS BIGINT) AS max_ham " +
+          "FROM pp GROUP BY 1 ORDER BY 1"
+      },
+      scaleNote = "Same economics as dedup_minhash_accuracy, which " +
+        "is the point of sharing its scaffolding: candidates ride " +
+        "the df-capped inverted index (pair expansion bounded at " +
+        "C(cap,2) per hash), the 64 bit-majority counters are ONE " +
+        "map-side-combined aggregate over the shingle rows (64 " +
+        "conditional sums — the simhash vote, portably spelled), " +
+        "and the per-pair Hamming is a codegen'd 64-term equality " +
+        "sum on two 64-column signature rows. The response curve " +
+        "is what SIZES a simhash deployment: mean Hamming per " +
+        "similarity band tells you which Hamming threshold captures " +
+        "your target similarity (and the band overlap prices the " +
+        "false-positive rate), exactly the measurement that decides " +
+        "simhash_near's maxHamming=3 — previously an assumed " +
+        "constant, now a measured one."))
 }

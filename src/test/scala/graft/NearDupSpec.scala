@@ -171,4 +171,29 @@ class NearDupSpec extends SparkSpec {
       assert(maxAbs <= 10000)
     }
   }
+
+  test("simhash response curve: random pairs center near 32, near-dups near 0, monotone") {
+    val rows = graft.engine.Registry.byName("dedup_simhash_accuracy")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.length >= 2, "vacuous: need both similarity regimes")
+    // mean Hamming strictly decreases as exact similarity rises —
+    // the property that makes Hamming banding a dedup signal
+    val means = rows.sortBy(_._1).map(r => r._3.toDouble / r._2)
+    assert(means.sliding(2).forall(p => p(0) > p(1)),
+      s"response curve not monotone: ${means.toSeq}")
+    // dissimilar pairs look random: 64 fair bits → mean 32, and the
+    // band-0 population is large, so ±3 of 32 is generous
+    val low = rows.minBy(_._1)
+    assert(math.abs(low._3.toDouble / low._2 - 32.0) < 3.0,
+      s"band-0 mean ${low._3.toDouble / low._2} not ~32")
+    // near-dups land within a small Hamming ball (min reaches ≤ 3 —
+    // simhash_near's maxHamming is a usable threshold)
+    val high = rows.maxBy(_._1)
+    assert(high._1 >= 8 && high._4 <= 3,
+      s"top band ${high._1} min_ham ${high._4}")
+    rows.foreach { case (_, n, sum, mn, mx) =>
+      assert(n > 0 && mn >= 0 && mx <= 64 && sum >= mn * n && sum <= mx * n)
+    }
+  }
 }
