@@ -1060,6 +1060,48 @@ object Streams {
       .groupBy("v")
       .agg(count(lit(1)).as("n"))
 
+  /** Live experiment-planning panel — the streaming form of
+    * ab_power_mde, and the reason the moment design matters: the
+    * panel keeps ONE (n, Σv, Σv²) BIGINT triple per arm in a
+    * complete-mode aggregate, and the dashboard composes the MDE /
+    * required-n for any target power from the two emitted rows —
+    * "when can we stop this experiment" updates continuously without
+    * any recomputation over history. The emitted integers are
+    * EXACTLY the batch op's moment aggregate, so the parity test
+    * recomposes the batch MDE bit-for-bit from the streamed cells. */
+  def powerMoments(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .groupBy("variant")
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        sum(col("v") * col("v")).as("svv"))
+
+  /** Live target-encoder refresh — the streaming form of
+    * feat_target_encode: the train/val split is a pure hash of the
+    * event id (so an event's membership never depends on arrival
+    * order or batch boundaries — the property that lets the encoder
+    * stream at all), and the panel keeps per-category conditional
+    * (n, Σcents) pairs for both splits in one complete-mode
+    * aggregate. The smoothed encoding and the train-global prior
+    * both recompose from the emitted integers (prior = Σs_train /
+    * Σn_train over the rows), so a model server can refresh its
+    * encoding table from the panel without a batch job. */
+  def targetEncodeMoments(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .select(concat(col("event_type"), lit("_"),
+          pmod(col("user_id"), lit(4))).as("category"),
+        floor(col("value") * 100).cast("long").as("cents"),
+        (conv(substring(md5(concat(lit("graftte:"),
+          col("event_id").cast("string"))), 1, 4), 16, 10)
+          .cast("long") % 10 < 8).as("is_train"))
+      .groupBy("category")
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), col("cents")).otherwise(0L)).as("s_train"),
+        sum(when(!col("is_train"), 1L).otherwise(0L)).as("n_val"),
+        sum(when(!col("is_train"), col("cents")).otherwise(0L)).as("s_val"))
+
   /** Streaming Poisson bootstrap — the live form of ab_bootstrap_ci,
     * and the reason the Poisson form wins in production: each
     * arriving purchase draws its 64 resample weights LOCALLY (the

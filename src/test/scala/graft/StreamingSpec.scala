@@ -660,6 +660,90 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_power_mde moments recompose the batch MDE bit-for-bit after replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val half = all.length / 2
+    val mem = MemoryStream[Streams.Event](57, spark, None)
+    val q = Streams.powerMoments(mem.toDS()).writeStream.format("memory")
+      .queryName("t_power").outputMode("complete").start()
+    try {
+      mem.addData(all.take(half).toIndexedSeq: _*); q.processAllAvailable()
+      // mid-stream the panel already carries valid moments (n > 0)
+      assert(spark.table("t_power").collect().forall(_.getLong(1) > 0))
+      mem.addData(all.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+      val m = spark.table("t_power").collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val (n1, _, _) = m(0L); val (n2, _, _) = m(1L)
+      val n = n1 + n2
+      val sv = m(0L)._2 + m(1L)._2
+      val svv = m(0L)._3 + m(1L)._3
+      // recompose the 80%-power MDE exactly as the batch edge does
+      val s2p = (n * svv - sv * sv).toDouble / (n * (n - 1)).toDouble
+      val mde = (1.96 + 0.8416) *
+        math.sqrt(s2p * (1.0 / n1 + 1.0 / n2))
+      def r4(x: Double) = BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val batch = graft.engine.Registry.byName("ab_power_mde")
+        .build(spark, sf).orderBy("power_pct").collect()
+      assert(batch(0).getLong(1) == n1 && batch(0).getLong(2) == n2,
+        "streamed arm sizes diverge from batch")
+      assert(batch(0).getDouble(5) == r4(mde),
+        s"MDE from streamed moments ${r4(mde)} != batch ${batch(0).getDouble(5)}")
+    } finally q.stop()
+  }
+
+  test("stream_target_encode panel recomposes batch feat_target_encode encodings after replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](58, spark, None)
+    val q = Streams.targetEncodeMoments(mem.toDS()).writeStream
+      .format("memory").queryName("t_tenc").outputMode("complete").start()
+    try {
+      var seen = 0L
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seen += sl.length
+          // conservation at every batch boundary: the panel accounts
+          // for every event seen so far, split-exactly
+          val p = spark.table("t_tenc")
+            .agg(sum(col("n_train") + col("n_val"))).collect()(0).getLong(0)
+          assert(p == seen, s"panel covers $p of $seen events")
+        }
+      val panel = spark.table("t_tenc").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // prior recomposes from the emitted integers alone
+      val gs = panel.values.map(_._2).sum
+      val gn = panel.values.map(_._1).sum
+      def r4(x: Double) = BigDecimal(x).setScale(4,
+        BigDecimal.RoundingMode.HALF_UP).toDouble
+      val batch = graft.engine.Registry.byName("feat_target_encode")
+        .build(spark, sf).collect()
+      assert(batch.length == panel.size)
+      batch.foreach { b =>
+        val (nt, st, nv, sv) = panel(b.getString(0))
+        assert(b.getLong(1) == nt && b.getLong(2) == nv,
+          s"${b.getString(0)} split sizes diverge")
+        val enc = (st + 20.0 * (gs.toDouble / gn)) / (nt + 20.0)
+        assert(b.getDouble(3) == r4(enc),
+          s"${b.getString(0)} enc ${r4(enc)} != batch ${b.getDouble(3)}")
+        if (nv > 0) assert(b.getDouble(4) == r4(sv.toDouble / nv))
+      }
+    } finally q.stop()
+  }
+
   test("stream_bootstrap resample means converge to batch ab_bootstrap_ci's CI on replay") {
     val s = spark
     import s.implicits._
