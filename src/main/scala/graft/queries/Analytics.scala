@@ -704,6 +704,62 @@ object Analytics extends QueryGroup {
         "islands; calendar bucketing (covered seconds per day) splits " +
         "intervals at day boundaries map-side first."),
 
+    // Interval MERGE — the third member of the interval family
+    // (coverage sums the union's length, gaps lists the holes; this
+    // emits the merged islands THEMSELVES — the table downstream
+    // joins actually consume: billing periods, outage windows,
+    // contiguous-session spans). Same single-window sweep: an
+    // interval starts a NEW island iff its start lies strictly after
+    // the running max of all prior ends (touching endpoints merge —
+    // [a,b)+[b,c) is one contiguous span); the island id is the
+    // running sum of those flags, and one groupBy collapses each
+    // island to (start, end, size). No self-join, no per-second
+    // explode — two windows riding ONE user_id exchange.
+    QueryDef(
+      "interval_merge",
+      (spark, sf) => {
+        val iv = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("event_id"),
+            expr("unix_micros(cast(ts as timestamp)) div 1000000").as("s"))
+          .withColumn("e", col("s") + (col("event_id") % 1800) + 60)
+        val wp = Window.partitionBy("user_id").orderBy("s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wr = Window.partitionBy("user_id").orderBy("s", "event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        iv.withColumn("pm", max(col("e")).over(wp))
+          .withColumn("new_island",
+            when(col("pm").isNull || col("s") > col("pm"), 1L)
+              .otherwise(0L))
+          .withColumn("island", sum(col("new_island")).over(wr))
+          .groupBy("user_id", "island")
+          .agg(min(col("s")).as("start_sec"), max(col("e")).as("end_sec"),
+            count(lit(1)).as("n_intervals"))
+          .select(col("user_id"), col("island").as("island_id"),
+            col("start_sec"), col("end_sec"),
+            (col("end_sec") - col("start_sec")).as("dur_sec"),
+            col("n_intervals"))
+          .orderBy("user_id", "island_id")
+      },
+      Some("WITH i AS (SELECT user_id, event_id, epoch_us(ts)//1000000 AS s, epoch_us(ts)//1000000 + (event_id % 1800) + 60 AS e FROM events), " +
+        "m AS (SELECT *, max(e) OVER (PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM i), " +
+        "f AS (SELECT *, CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni FROM m), " +
+        "g AS (SELECT *, CAST(sum(ni) OVER (PARTITION BY user_id ORDER BY s, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS island FROM f) " +
+        "SELECT user_id, island AS island_id, min(s) AS start_sec, max(e) AS end_sec, " +
+        "CAST(max(e) - min(s) AS BIGINT) AS dur_sec, count(*) AS n_intervals " +
+        "FROM g GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "interval_coverage's exact plan shape — both " +
+        "windows and the groupBy ride ONE hashpartitioning(user_id) " +
+        "exchange (the island id deliberately stays user-local so " +
+        "nothing global orders anything) — and per-row window state " +
+        "is one running max + one running sum: a hot user costs a " +
+        "sort, never memory. The island table is what makes the " +
+        "other two ops incremental at scale: persist it and a new " +
+        "day's intervals merge against only the LAST island per " +
+        "user (merge_scd2's open-row discipline), instead of " +
+        "re-sweeping history; coverage and gaps then both read the " +
+        "island table (Σdur, pairwise island gaps) without touching " +
+        "raw events again."),
+
     // Lagged cross-correlation between event-type daily series — the
     // monitoring question ts_autocorr cannot answer: does type A's
     // volume LEAD type B's by k days (cascade/causality screening,

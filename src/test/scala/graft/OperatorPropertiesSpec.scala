@@ -1728,6 +1728,34 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("interval_merge: islands disjoint and ordered; totals equal interval_coverage exactly") {
+    val islands = run("interval_merge").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val cov = run("interval_coverage").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val byUser = islands.groupBy(_._1)
+    assert(byUser.keySet == cov.keySet)
+    byUser.foreach { case (u, is) =>
+      val sorted = is.sortBy(_._2)
+      // island ids are 1..k dense, islands strictly disjoint in order
+      assert(sorted.map(_._2).toSeq == (1L to is.length).toSeq)
+      sorted.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(1)._3 > w(0)._4,
+          s"user $u: island ${w(1)._2} starts inside island ${w(0)._2}")
+      }
+      // cross-operator identities: the union length and interval
+      // count must equal interval_coverage's, the span must too
+      val (nIv, covered, span) = cov(u)
+      assert(is.map(_._6).sum == nIv, s"user $u interval count")
+      assert(is.map(_._5).sum == covered,
+        s"user $u: Σ island dur ${is.map(_._5).sum} != covered $covered")
+      assert(sorted.last._4 - sorted.head._3 == span, s"user $u span")
+      is.foreach(i => assert(i._5 == i._4 - i._3 && i._5 > 0))
+    }
+  }
+
   test("ts_ar1: phi replays from the daily grid; identities vs ts_autocorr's moment discipline") {
     val out = run("ts_ar1").collect()
     val daily = engine.Tables.loadEvents(spark, sf)
