@@ -573,6 +573,56 @@ object Streams {
       }
   }
 
+  case class IslandState(start: Long, end: Long, n: Long, emitted: Long)
+  case class IslandRow(user_id: Long, island_id: Long, start_sec: Long,
+      end_sec: Long, dur_sec: Long, n_intervals: Long)
+
+  /** Streaming interval merge — the live form of batch interval_merge,
+    * and the shape that makes the interval family incremental in
+    * production: per-user state is ONLY the one open island (start,
+    * end, size, emit counter); an arriving interval either extends it
+    * (end = max) or closes it — the closed island is emitted exactly
+    * once, in Append mode, the moment its successor proves nothing
+    * can merge into it again. Intervals are the batch op's exactly
+    * (start = event second, end = start + (event_id % 1800) + 60),
+    * and island ids are the same per-user dense ordinals, so the
+    * emitted rows are a strict prefix of the batch island table: all
+    * islands but each user's final (still-open) one. Ordered-replay
+    * contract enforced like ewma/calendar_gaps: an interval starting
+    * before the open island's start throws rather than silently
+    * mis-merging. */
+  def intervalMerge(events: Dataset[Event]): Dataset[IslandRow] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Event], state: GroupState[IslandState]) =>
+          var st = state.getOption
+            .getOrElse(IslandState(Long.MinValue, 0L, 0L, 0L))
+          val out = Seq.newBuilder[IslandRow]
+          for (e <- evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))) {
+            val s = Math.floorDiv(e.ts.getTime, 1000L)
+            val en = s + (e.event_id % 1800) + 60
+            if (st.start == Long.MinValue)
+              st = IslandState(s, en, 1L, st.emitted)
+            else if (s > st.end) {
+              out += IslandRow(uid, st.emitted + 1, st.start, st.end,
+                st.end - st.start, st.n)
+              st = IslandState(s, en, 1L, st.emitted + 1)
+            } else {
+              if (s < st.start) throw new IllegalStateException(
+                s"stream_interval_merge replay-order violation for user " +
+                  s"$uid: start $s before open island ${st.start}")
+              st = IslandState(st.start, math.max(st.end, en),
+                st.n + 1, st.emitted)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+  }
+
   case class GapState(day: Long, hourMask: Long, n: Long)
   case class GapRow(event_type: String, day: String, hours_observed: Long,
       n_events: Long, hours_missing: Long, has_gap: Boolean)

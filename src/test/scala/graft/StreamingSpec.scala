@@ -660,6 +660,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_interval_merge emits exactly the batch islands minus each user's open one") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](59, spark, None)
+    val q = Streams.intervalMerge(mem.toDS()).writeStream.format("memory")
+      .queryName("t_islands").outputMode("append").start()
+    try {
+      var lastCount = 0L
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          // append mode: emitted islands only ever accumulate
+          val c = spark.table("t_islands").count()
+          assert(c >= lastCount); lastCount = c
+        }
+      val streamed = spark.table("t_islands").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5))).toSet
+      val batch = graft.engine.Registry.byName("interval_merge")
+        .build(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(4), r.getLong(5)))
+      // the stream can never close a user's LAST island (nothing
+      // arrives after it) — emitted rows are exactly the batch table
+      // minus each user's max island id
+      val lastIsland = batch.groupBy(_._1).view.mapValues(_.map(_._2).max)
+      val want = batch.filterNot(b => lastIsland(b._1) == b._2).toSet
+      assert(streamed == want,
+        s"streamed ${streamed.size} islands, want ${want.size}; " +
+          s"diff ${(streamed diff want).take(3)} / ${(want diff streamed).take(3)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stream_power_mde moments recompose the batch MDE bit-for-bit after replay") {
     val s = spark
     import s.implicits._
