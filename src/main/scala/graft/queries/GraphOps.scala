@@ -1892,6 +1892,96 @@ object GraphOps extends QueryGroup {
         "distance-weighting (1/d in word2vec) a multiply away " +
         "downstream, not a re-extraction."),
 
+    // FULL core decomposition (r11) — graph_k_core answers "who is in
+    // the k-core" for one k; this emits every node's CORENESS (the
+    // largest k whose k-core contains it) via the h-index iteration
+    // (Lü et al. 2016): c₀ = degree, c_{t+1}(v) = H-index of the
+    // neighbors' c_t — converges to coreness from above,
+    // monotonically, with NO sequential peeling (the textbook
+    // peel-min-degree loop is inherently serial; the h-index form is
+    // one synchronous relational round, which is why it is THE
+    // distributed coreness algorithm). Rounds MEASURED first
+    // (CorenessProbe): exact fixpoint in 1 round at sf0.001, 3 at
+    // sf0.01, 5 at sf0.1 (max core 10 / 47 / 59), +1 no-change proof
+    // round; the operator unrolls EIGHT rounds (margin 2 over the
+    // deepest measurement) and emits n_unstable = |{v : c₇(v) ≠
+    // c₈(v)}| as the gated certificate — a deeper graph fails the
+    // hash loudly instead of truncating silently. The
+    // per-round h-index is pure relational algebra: rank neighbors'
+    // values desc, h = max(min(rank, value)) — order-invariant under
+    // ties, so bit-stable on any partitioning. Output = the coreness
+    // histogram split by bipartite side (the degeneracy profile that
+    // sizes graph algorithms: max coreness bounds clique size,
+    // triangle cores, and the peel depth of any density filter).
+    QueryDef(
+      "graph_coreness",
+      (spark, sf) => {
+        val e = edges(spark, sf).localCheckpoint(true)
+        var vals = freshDf(e.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).cast("long").as("c")))
+        var prev: DataFrame = null
+        for (_ <- 1 to 8) {
+          prev = vals
+          val w = Window.partitionBy("node").orderBy(col("cn").desc)
+          vals = freshDf(e
+            .join(bcastNodeState(vals.select(col("node").as("dst"),
+              col("c").as("cn"))), Seq("dst"))
+            .select(col("src").as("node"), col("cn"))
+            .withColumn("rk", row_number().over(w).cast("long"))
+            .groupBy("node")
+            .agg(max(least(col("rk"), col("cn"))).as("c")))
+        }
+        val unstable = vals.select(col("node"), col("c"))
+          .join(prev.select(col("node"), col("c").as("cp")), Seq("node"))
+          .agg(sum(when(col("c") =!= col("cp"), 1L).otherwise(0L))
+            .as("n_unstable"))
+        vals.groupBy(col("c").as("coreness"))
+          .agg(count(lit(1)).as("n_nodes"),
+            sum(when(col("node") % 2 === 0, 1L).otherwise(0L))
+              .as("n_customers"),
+            sum(when(col("node") % 2 === 1, 1L).otherwise(0L))
+              .as("n_suppliers"))
+          .crossJoin(broadcast(unstable))
+          .select(col("coreness"), col("n_nodes"), col("n_customers"),
+            col("n_suppliers"), col("n_unstable"), lit(8).as("rounds"))
+          .orderBy("coreness")
+      },
+      Some {
+        def round(k: Int): String = {
+          val p = s"c${k - 1}"
+          s"r$k AS (SELECT e.src AS node, $p.c AS cn, " +
+            s"row_number() OVER (PARTITION BY e.src ORDER BY $p.c DESC) AS rk " +
+            s"FROM e JOIN $p ON e.dst = $p.node), " +
+          s"c$k AS MATERIALIZED (SELECT node, CAST(max(least(rk, cn)) AS BIGINT) AS c " +
+            s"FROM r$k GROUP BY 1)"
+        }
+        s"WITH bp AS MATERIALIZED ($EdgesSql), " +
+          "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "c0 AS MATERIALIZED (SELECT src AS node, count(*) AS c FROM e GROUP BY 1), " +
+          (1 to 8).map(round).mkString(", ") + ", " +
+          "un AS (SELECT CAST(sum(CASE WHEN c8.c <> c7.c THEN 1 ELSE 0 END) AS BIGINT) AS n_unstable " +
+          "FROM c8 JOIN c7 ON c8.node = c7.node) " +
+          "SELECT c AS coreness, count(*) AS n_nodes, " +
+          "CAST(sum(CASE WHEN node % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_customers, " +
+          "CAST(sum(CASE WHEN node % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_suppliers, " +
+          "(SELECT n_unstable FROM un) AS n_unstable, 8 AS rounds " +
+          "FROM c8 GROUP BY 1 ORDER BY 1"
+      },
+      scaleNote = "Each round is ONE equi join of the edge list to " +
+        "the |V|-row value table (broadcast at dimension scale, " +
+        "co-partitioned past it — the bcastNodeState fence) + a " +
+        "rank window riding the join's src partitioning + a " +
+        "map-side-combined max — the graph_pagerank economics with " +
+        "a window instead of a sum, and values checkpoint/stats-" +
+        "reset per round (freshDf). Convergence is O(log-ish) " +
+        "rounds empirically (probe: 1 / 3 / 5 at sf0.001/0.01/0.1 — " +
+        "coreness propagates from the boundary inward), vs the " +
+        "peeling algorithm's O(max-degree) SEQUENTIAL rounds that " +
+        "cannot parallelize at all; n_unstable = 0 is the gated " +
+        "certificate that the unroll sufficed. The histogram is " +
+        "the degeneracy profile; the per-node table (c8 before the " +
+        "rollup) is what downstream density filters join against."),
+
     // SECOND-ORDER (return-biased) walks — the node2vec p-arm the
     // random-walks scaleNote promised ("keeping (prev, node) in the
     // walk state and a 2-arm CASE on the drawn index"): the walk

@@ -476,6 +476,45 @@ class GraphOpsSpec extends SparkSpec {
       "internal edge total cannot shrink under merging")
   }
 
+  test("graph_coreness: histogram equals textbook peeling; k-core cross-identity; certificate clean") {
+    val out = engine.Registry.byName("graph_coreness").build(spark, sf)
+      .collect()
+    // ground truth: textbook peel-min-degree, driver-side
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = pairs.flatMap { case (c, s) => Seq((c, s), (s, c)) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    val core = scala.collection.mutable.Map[Long, Int]()
+    val remaining = adj.keySet.to(scala.collection.mutable.Set)
+    var k = 0
+    while (remaining.nonEmpty) {
+      val victims = remaining.filter(v => adj(v).count(remaining.contains) <= k)
+      if (victims.isEmpty) k += 1
+      else victims.foreach { v => core(v) = k; remaining -= v }
+    }
+    val wantHist = core.groupBy(_._2).map { case (c, m) =>
+      c.toLong -> ((m.size.toLong,
+        m.keys.count(_ % 2 == 0).toLong,
+        m.keys.count(_ % 2 == 1).toLong))
+    }
+    assert(out.length == wantHist.size)
+    out.foreach { r =>
+      val (n, nc, ns) = wantHist(r.getLong(0))
+      assert(r.getLong(1) == n && r.getLong(2) == nc && r.getLong(3) == ns,
+        s"coreness ${r.getLong(0)}: (${r.getLong(1)},${r.getLong(2)},${r.getLong(3)}) != ($n,$nc,$ns)")
+      assert(r.getLong(4) == 0L, "h-index iteration did not stabilize")
+      assert(r.getInt(5) == 8)
+    }
+    // cross-operator identity: coreness ≥ 10 is EXACTLY the k=10 core
+    val inCore10 = out.filter(_.getLong(0) >= 10L).map(_.getLong(1)).sum
+    val kcore = engine.Registry.byName("graph_k_core").build(spark, sf).count()
+    assert(inCore10 == kcore,
+      s"coreness≥10 count $inCore10 != graph_k_core membership $kcore")
+  }
+
   test("graph_walk_biased: full second-order replay; return arm fires at the hash rate") {
     val pairs = engine.Tables.lineitem(spark, sf)
       .join(engine.Tables.orders(spark, sf),
