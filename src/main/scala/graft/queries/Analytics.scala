@@ -1640,6 +1640,111 @@ object Analytics extends QueryGroup {
         "aggregate; per-segment tests add the segment key to the " +
         "groupBy — the plan shape never changes."),
 
+    // Always-valid sequential test (mSPRT) — the A/B member that
+    // fixes the peeking problem the fixed-horizon family (welch/
+    // zscore) silently has: looking at a fixed-α test daily inflates
+    // false positives ~5× over a month, which is why platforms run
+    // mixture sequential probability ratio tests — the likelihood
+    // ratio Λ_n with a N(0, τ) mixture over effect sizes is a
+    // martingale under H₀, so P(sup Λ > 1/α) ≤ α AT EVERY n
+    // simultaneously and the dashboard may stop the moment it
+    // crosses. Panel: per day, CUMULATIVE per-arm purchase moments
+    // (exact BIGINT, one window pass over the |days|×2 daily grid),
+    // then log Λ = ½·ln(V/(V+τ)) + Δ²τ/(2V(V+τ)) with Δ the mean
+    // diff and V its variance estimate — ln is the only transcendental
+    // and the result FLOOR-QUANTIZES to integer basis points before
+    // anything else touches it (text_zipf_curve's discipline), so
+    // the running max and the rejection flags are pure integer
+    // comparisons against ln(1/α)·10⁴ = 29957. τ = 10⁴ cents² —
+    // the mixture scale, a tuning literal sized to the metric's
+    // per-user variance (stated, not hidden).
+    QueryDef(
+      "ab_sequential",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .groupBy(to_date(col("ts")).as("day"),
+            (col("user_id") % 2).as("variant"))
+          .agg(count(lit(1)).as("n"),
+            sum(floor(col("value") * 100).cast("long")).as("sv"),
+            sum(floor(col("value") * 100).cast("long") *
+              floor(col("value") * 100).cast("long")).as("svv"))
+        def arm(v: Int, c: String) =
+          sum(when(col("variant") === v, col(c)).otherwise(0L)).as(s"$c$v")
+        val grid = daily.groupBy("day")
+          .agg(arm(0, "n"), arm(0, "sv"), arm(0, "svv"),
+            arm(1, "n"), arm(1, "sv"), arm(1, "svv"))
+        // cumulative moments: a window over the aggregate-collapsed
+        // |days|-row grid (single partition by construction — the
+        // zipf-head pattern, never the raw log)
+        val wc = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val cum = grid.select(col("day") +:
+          Seq("n0", "sv0", "svv0", "n1", "sv1", "svv1").map(c =>
+            sum(col(c)).over(wc).as(s"c$c")): _*)
+        def d(c: Column) = c.cast("double")
+        def s2(v: Int) =
+          d(col(s"cn$v") * col(s"csvv$v") - col(s"csv$v") * col(s"csv$v")) /
+            d(col(s"cn$v") * (col(s"cn$v") - 1))
+        val diff = d(col("csv0")) / d(col("cn0")) -
+          d(col("csv1")) / d(col("cn1"))
+        val v = s2(0) / d(col("cn0")) + s2(1) / d(col("cn1"))
+        val tau = lit(10000.0)
+        val ok = col("cn0") > 1 && col("cn1") > 1 && v > lit(0.0)
+        val llr = lit(0.5) * log(v / (v + tau)) +
+          diff * diff * tau / (lit(2.0) * v * (v + tau))
+        val scored = cum.select(col("day"),
+          col("cn0").as("n_a"), col("cn1").as("n_b"),
+          when(ok, floor(llr * 10000).cast("long")).as("llr_bp"))
+        val wr = Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        scored
+          .withColumn("llr_max_bp", max(col("llr_bp")).over(wr))
+          .select(col("day").cast("string").as("day"),
+            col("n_a"), col("n_b"), col("llr_bp"), col("llr_max_bp"),
+            coalesce(col("llr_bp") > 29957L, lit(false))
+              .as("reject_today"),
+            coalesce(col("llr_max_bp") > 29957L, lit(false))
+              .as("rejected_by_now"))
+          .orderBy("day")
+      },
+      Some("WITH ev AS (SELECT CAST(ts AS DATE) AS day, user_id % 2 AS variant, CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), " +
+        "daily AS (SELECT day, variant, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv FROM ev GROUP BY 1, 2), " +
+        "grid AS (SELECT day, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN n ELSE 0 END) AS BIGINT) AS n0, CAST(sum(CASE WHEN variant = 0 THEN sv ELSE 0 END) AS BIGINT) AS sv0, CAST(sum(CASE WHEN variant = 0 THEN svv ELSE 0 END) AS BIGINT) AS svv0, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN variant = 1 THEN sv ELSE 0 END) AS BIGINT) AS sv1, CAST(sum(CASE WHEN variant = 1 THEN svv ELSE 0 END) AS BIGINT) AS svv1 FROM daily GROUP BY 1), " +
+        "cum AS (SELECT day, " +
+        "CAST(sum(n0) OVER w AS BIGINT) AS cn0, CAST(sum(sv0) OVER w AS BIGINT) AS csv0, CAST(sum(svv0) OVER w AS BIGINT) AS csvv0, " +
+        "CAST(sum(n1) OVER w AS BIGINT) AS cn1, CAST(sum(sv1) OVER w AS BIGINT) AS csv1, CAST(sum(svv1) OVER w AS BIGINT) AS csvv1 " +
+        "FROM grid WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "f AS (SELECT *, CAST(cn0*csvv0 - csv0*csv0 AS DOUBLE)/CAST(cn0*(cn0-1) AS DOUBLE) AS s20, " +
+        "CAST(cn1*csvv1 - csv1*csv1 AS DOUBLE)/CAST(cn1*(cn1-1) AS DOUBLE) AS s21, " +
+        "CAST(csv0 AS DOUBLE)/CAST(cn0 AS DOUBLE) - CAST(csv1 AS DOUBLE)/CAST(cn1 AS DOUBLE) AS df FROM cum), " +
+        "g AS (SELECT *, s20/CAST(cn0 AS DOUBLE) + s21/CAST(cn1 AS DOUBLE) AS vv, " +
+        "cn0 > 1 AND cn1 > 1 AND s20/CAST(cn0 AS DOUBLE) + s21/CAST(cn1 AS DOUBLE) > 0.0 AS ok FROM f), " +
+        "h AS (SELECT day, cn0 AS n_a, cn1 AS n_b, " +
+        "CASE WHEN ok THEN CAST(floor((0.5 * ln(vv/(vv + 10000.0)) + df*df*10000.0/(2.0*vv*(vv + 10000.0))) * 10000) AS BIGINT) END AS llr_bp FROM g), " +
+        "i AS (SELECT *, max(llr_bp) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS llr_max_bp FROM h) " +
+        "SELECT CAST(day AS VARCHAR) AS day, n_a, n_b, llr_bp, llr_max_bp, " +
+        "coalesce(llr_bp > 29957, false) AS reject_today, " +
+        "coalesce(llr_max_bp > 29957, false) AS rejected_by_now " +
+        "FROM i ORDER BY day"),
+      scaleNote = "The raw log collapses to the |days|×2 grid in one " +
+        "map-side-combined aggregate; every window after that runs " +
+        "on ≤ |days| rows (the deliberately-single-partition " +
+        "aggregate-head pattern — never a corpus window), and the " +
+        "one ln() floor-quantizes to integer basis points before " +
+        "the running max or any comparison, so the decision column " +
+        "is bit-stable however the log was partitioned. In " +
+        "production the panel keeps only the last cumulative " +
+        "moment row per arm (stream_power_mde's exact state) and " +
+        "appends a day at a time — always-valid means the emitted " +
+        "rejected_by_now NEVER retracts, which is the property " +
+        "that lets a dashboard auto-stop an experiment. τ tunes " +
+        "sensitivity (small τ = powered for small effects late; " +
+        "large = big effects early); sweeping τ is one more " +
+        "literal column, not a new pass."),
+
     // Power / minimum-detectable-effect analysis — the PLANNING side
     // of the A/B family (every other member tests data already
     // collected; this one answers "how long must we run"): from the

@@ -1649,6 +1649,49 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(5) == (math.abs(t) > 1.96))
   }
 
+  test("ab_sequential: final-day llr replays from raw cents; rejection never retracts") {
+    val out = run("ab_sequential").orderBy("day").collect()
+    assert(out.length > 1)
+    // cumulative sample sizes are monotone and end at the full log
+    val ns = out.map(r => r.getLong(1) + r.getLong(2))
+    assert(ns.sliding(2).forall(p => p(0) <= p(1)))
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ns.last == raw.length.toLong)
+    // replay the FINAL day's llr from all purchases
+    def mom(vs: Array[Long]) = {
+      val n = vs.length.toLong
+      (n, vs.sum, vs.map(x => x * x).sum)
+    }
+    val (n0, s0, ss0) = mom(raw.filter(_._1 == 0L).map(_._2))
+    val (n1, s1, ss1) = mom(raw.filter(_._1 == 1L).map(_._2))
+    val s20 = (n0 * ss0 - s0 * s0).toDouble / (n0 * (n0 - 1)).toDouble
+    val s21 = (n1 * ss1 - s1 * s1).toDouble / (n1 * (n1 - 1)).toDouble
+    val diff = s0.toDouble / n0 - s1.toDouble / n1
+    val vv = s20 / n0 + s21 / n1
+    val llr = 0.5 * math.log(vv / (vv + 10000.0)) +
+      diff * diff * 10000.0 / (2.0 * vv * (vv + 10000.0))
+    val last = out.last
+    assert(last.getLong(0 + 1) == n0 && last.getLong(2) == n1)
+    assert(last.getLong(3) == math.floor(llr * 10000).toLong,
+      s"final llr_bp ${last.getLong(3)} vs ${math.floor(llr * 10000).toLong}")
+    // the running max is a true running max; rejected_by_now is
+    // monotone (an always-valid test never retracts a rejection)
+    var runMax = Long.MinValue
+    var rejected = false
+    out.foreach { r =>
+      if (!r.isNullAt(3)) runMax = math.max(runMax, r.getLong(3))
+      if (!r.isNullAt(4)) assert(r.getLong(4) == runMax, s"day ${r.getString(0)}")
+      val now = r.getBoolean(6)
+      assert(!rejected || now, "rejected_by_now retracted")
+      rejected = now
+      assert(r.getBoolean(5) == (!r.isNullAt(3) && r.getLong(3) > 29957L))
+    }
+  }
+
   test("ab_power_mde: MDE monotone in power, replayed from welch's own moments") {
     val out = run("ab_power_mde").collect()
     assert(out.map(_.getInt(0)).toSeq == Seq(80, 90, 95))
