@@ -476,6 +476,39 @@ class GraphOpsSpec extends SparkSpec {
       "internal edge total cannot shrink under merging")
   }
 
+  test("graph_rich_club: curve replays from a brute-force club extraction at sampled k") {
+    val out = engine.Registry.byName("graph_rich_club").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    assert(out.nonEmpty)
+    val pairs = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("c"), (col("l_suppkey") * 2 + 1).as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = pairs.flatMap { case (c, s) => Seq(c, s) }
+      .groupBy(identity).map { case (n, l) => n -> l.size }
+    // brute force at a few sampled thresholds: extract the club,
+    // count nodes and internal undirected edges directly
+    val ks = Seq(out.head._1, out(out.length / 2)._1, out.last._1)
+    ks.foreach { k =>
+      val club = deg.filter(_._2 > k).keySet
+      val ek = pairs.count(p => club(p._1) && club(p._2)).toLong
+      val row = out.find(_._1 == k).get
+      assert(row._2 == club.size.toLong, s"k=$k nodes")
+      assert(row._3 == ek, s"k=$k edges ${row._3} != $ek")
+      if (club.size > 1) {
+        val phi = 2.0 * ek / (club.size.toLong * (club.size - 1L))
+        val r4 = BigDecimal(phi).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(row._4 == r4, s"k=$k phi ${row._4} != $r4")
+      }
+    }
+    // club sizes strictly shrink along the curve; edge counts shrink
+    assert(out.map(_._2).sliding(2).forall(p => p(0) > p(1)))
+    assert(out.map(_._3).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
   test("graph_coreness: histogram equals textbook peeling; k-core cross-identity; certificate clean") {
     val out = engine.Registry.byName("graph_coreness").build(spark, sf)
       .collect()
