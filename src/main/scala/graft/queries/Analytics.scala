@@ -1235,6 +1235,125 @@ object Analytics extends QueryGroup {
         "non-stationary series route to differencing (ARIMA's d) " +
         "instead."),
 
+    // Rolling-origin forecast BACKTEST (r11) — the evaluation step
+    // the forecasting family was missing: ts_linear_forecast and
+    // ts_ar1 each emit a forecast, but which model should a
+    // monitoring pipeline trust? Expanding-window backtest: at every
+    // cutoff day t (≥ 5 observations), fit on days ≤ t ONLY and
+    // forecast the next observed day, for three models — naive
+    // persistence (ŷ = y_t, the baseline every paper forgets),
+    // linear trend (ts_linear_forecast's OLS on day index), and
+    // AR(1) (ts_ar1's lag regression) — then score against the
+    // actual. All fits come from CUMULATIVE exact integer moments
+    // (one window pass per type over the daily grid: the expanding
+    // window IS a prefix sum, so t fits cost one pass, not t
+    // passes); each fold's error floor-quantizes to integer basis
+    // points immediately (dedup_minhash_accuracy's discipline — raw
+    // float SUMS would be partition-order-dependent), so the
+    // per-model score card (n_folds, Σ|err|, Σerr, max|err|) is
+    // exact BIGINTs and the model ranking is bit-stable anywhere.
+    QueryDef(
+      "ts_forecast_backtest",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val wAll = Window.partitionBy("event_type").orderBy("day")
+        val wCum = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val base = daily
+          .withColumn("d0", min(col("day")).over(
+            Window.partitionBy("event_type")))
+          .withColumn("x", datediff(col("day"), col("d0")).cast("long"))
+          .withColumn("yl", lag(col("y"), 1).over(wAll))
+          .withColumn("xn", lead(col("x"), 1).over(wAll))
+          .withColumn("yn", lead(col("y"), 1).over(wAll))
+        def cum(c: Column, name: String) = sum(c).over(wCum).as(name)
+        val m = base.select(col("event_type"), col("x"), col("y"),
+          col("xn"), col("yn"),
+          cum(lit(1L), "cn"), cum(col("x"), "sx"), cum(col("y"), "sy"),
+          cum(col("x") * col("y"), "sxy"),
+          cum(col("x") * col("x"), "sxx"),
+          cum(when(col("yl").isNotNull, 1L).otherwise(0L), "pn"),
+          cum(when(col("yl").isNotNull, col("yl")).otherwise(0L), "psx"),
+          cum(when(col("yl").isNotNull, col("y")).otherwise(0L), "psy"),
+          cum(when(col("yl").isNotNull, col("yl") * col("y"))
+            .otherwise(0L), "psxy"),
+          cum(when(col("yl").isNotNull, col("yl") * col("yl"))
+            .otherwise(0L), "psxx"))
+        def d(c: Column) = c.cast("double")
+        val denL = d(col("cn") * col("sxx") - col("sx") * col("sx"))
+        val bL = d(col("cn") * col("sxy") - col("sx") * col("sy")) / denL
+        val aL = (d(col("sy")) - bL * d(col("sx"))) / d(col("cn"))
+        val denA = d(col("pn") * col("psxx") - col("psx") * col("psx"))
+        val phi = d(col("pn") * col("psxy") - col("psx") * col("psy")) / denA
+        val cA = (d(col("psy")) - phi * d(col("psx"))) / d(col("pn"))
+        val folds = m
+          .filter(col("yn").isNotNull && col("cn") >= 5 &&
+            col("pn") >= 3 && denL > 0.0 && denA > 0.0)
+          .select(col("event_type"),
+            floor((d(col("y")) - d(col("yn"))) * 10000)
+              .cast("long").as("e_naive"),
+            floor((aL + bL * d(col("xn")) - d(col("yn"))) * 10000)
+              .cast("long").as("e_linear"),
+            floor((cA + phi * d(col("y")) - d(col("yn"))) * 10000)
+              .cast("long").as("e_ar1"))
+        folds.select(col("event_type"), expr(
+            "stack(3, 'ar1', e_ar1, 'linear', e_linear, 'naive', e_naive) " +
+              "AS (model, err_bp)"))
+          .groupBy("event_type", "model")
+          .agg(count(lit(1)).as("n_folds"),
+            sum(abs(col("err_bp"))).as("sum_abs_err_bp"),
+            sum(col("err_bp")).as("sum_err_bp"),
+            max(abs(col("err_bp"))).as("max_abs_err_bp"))
+          .orderBy("event_type", "model")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "dx AS (SELECT event_type, day, y, " +
+        "CAST(date_diff('day', min(day) OVER (PARTITION BY event_type), day) AS BIGINT) AS x FROM daily), " +
+        "base AS (SELECT event_type, day, y, x, " +
+        "lag(y) OVER tw AS yl, lead(x) OVER tw AS xn, lead(y) OVER tw AS yn " +
+        "FROM dx WINDOW tw AS (PARTITION BY event_type ORDER BY day)), " +
+        "m AS (SELECT event_type, x, y, xn, yn, " +
+        "CAST(count(*) OVER cw AS BIGINT) AS cn, CAST(sum(x) OVER cw AS BIGINT) AS sx, CAST(sum(y) OVER cw AS BIGINT) AS sy, " +
+        "CAST(sum(x*y) OVER cw AS BIGINT) AS sxy, CAST(sum(x*x) OVER cw AS BIGINT) AS sxx, " +
+        "CAST(sum(CASE WHEN yl IS NOT NULL THEN 1 ELSE 0 END) OVER cw AS BIGINT) AS pn, " +
+        "CAST(sum(CASE WHEN yl IS NOT NULL THEN yl ELSE 0 END) OVER cw AS BIGINT) AS psx, " +
+        "CAST(sum(CASE WHEN yl IS NOT NULL THEN y ELSE 0 END) OVER cw AS BIGINT) AS psy, " +
+        "CAST(sum(CASE WHEN yl IS NOT NULL THEN yl*y ELSE 0 END) OVER cw AS BIGINT) AS psxy, " +
+        "CAST(sum(CASE WHEN yl IS NOT NULL THEN yl*yl ELSE 0 END) OVER cw AS BIGINT) AS psxx " +
+        "FROM base WINDOW cw AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "f AS (SELECT *, CAST(cn*sxx - sx*sx AS DOUBLE) AS denl, CAST(pn*psxx - psx*psx AS DOUBLE) AS dena FROM m " +
+        "WHERE yn IS NOT NULL AND cn >= 5 AND pn >= 3), " +
+        "g AS (SELECT *, CAST(cn*sxy - sx*sy AS DOUBLE)/denl AS bl, " +
+        "CAST(pn*psxy - psx*psy AS DOUBLE)/dena AS phi FROM f WHERE denl > 0.0 AND dena > 0.0), " +
+        "h AS (SELECT event_type, " +
+        "CAST(floor((CAST(y AS DOUBLE) - CAST(yn AS DOUBLE)) * 10000) AS BIGINT) AS e_naive, " +
+        "CAST(floor(((CAST(sy AS DOUBLE) - bl*CAST(sx AS DOUBLE))/CAST(cn AS DOUBLE) + bl*CAST(xn AS DOUBLE) - CAST(yn AS DOUBLE)) * 10000) AS BIGINT) AS e_linear, " +
+        "CAST(floor(((CAST(psy AS DOUBLE) - phi*CAST(psx AS DOUBLE))/CAST(pn AS DOUBLE) + phi*CAST(y AS DOUBLE) - CAST(yn AS DOUBLE)) * 10000) AS BIGINT) AS e_ar1 FROM g), " +
+        "u AS (SELECT event_type, 'naive' AS model, e_naive AS err_bp FROM h " +
+        "UNION ALL SELECT event_type, 'linear', e_linear FROM h " +
+        "UNION ALL SELECT event_type, 'ar1', e_ar1 FROM h) " +
+        "SELECT event_type, model, count(*) AS n_folds, " +
+        "CAST(sum(abs(err_bp)) AS BIGINT) AS sum_abs_err_bp, " +
+        "CAST(sum(err_bp) AS BIGINT) AS sum_err_bp, " +
+        "CAST(max(abs(err_bp)) AS BIGINT) AS max_abs_err_bp " +
+        "FROM u GROUP BY 1, 2 ORDER BY 1, 2"),
+      scaleNote = "The expanding window IS a prefix sum: every " +
+        "cutoff's fit moments come from ONE cumulative window pass " +
+        "per type over the |types|×|days| daily grid (never a " +
+        "refit-per-fold loop, never the raw log — t folds cost one " +
+        "pass), and the per-fold fits are row-local edge " +
+        "expressions. Errors quantize to integer basis points " +
+        "BEFORE aggregation, so the score card is exact-sum " +
+        "arithmetic — the model ranking cannot flip with " +
+        "partitioning, which matters because this operator's " +
+        "output IS a decision (which forecaster the alerting " +
+        "pipeline trusts per series). Walk-forward with a sliding " +
+        "(not expanding) window is the same plan with bounded-" +
+        "preceding frames; h-step-ahead backtests swap lead(1) for " +
+        "lead(h)."),
+
     // Robust anomaly detection: the MAD (median-absolute-deviation)
     // sibling of ts_anomaly's z-score — medians don't move when the
     // anomaly itself inflates the baseline, which is exactly when a

@@ -1799,6 +1799,57 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ts_forecast_backtest: fold errors replay from expanding-window fits driver-side") {
+    val out = run("ts_forecast_backtest").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(out.nonEmpty && out.keys.map(_._2).toSet ==
+      Set("naive", "linear", "ar1"))
+    val daily = engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    daily.groupBy(_._1).foreach { case (t, rowsRaw) =>
+      val rows = rowsRaw.sortBy(_._2.toEpochDay)
+      val x0 = rows.head._2.toEpochDay
+      val xs = rows.map(r => (r._2.toEpochDay - x0, r._3))
+      val folds = (0 until xs.length - 1).flatMap { i =>
+        val fit = xs.take(i + 1)
+        val pairs = fit.sliding(2).filter(_.length == 2)
+          .map(w => (w(0)._2, w(1)._2)).toSeq
+        if (fit.length < 5 || pairs.length < 3) None else {
+          val n = fit.length.toLong
+          val (sx, sy) = (fit.map(_._1).sum, fit.map(_._2).sum)
+          val sxy = fit.map(p => p._1 * p._2).sum
+          val sxx = fit.map(p => p._1 * p._1).sum
+          val denL = (n * sxx - sx * sx).toDouble
+          val pn = pairs.length.toLong
+          val (px, py) = (pairs.map(_._1).sum, pairs.map(_._2).sum)
+          val pxy = pairs.map(p => p._1 * p._2).sum
+          val pxx = pairs.map(p => p._1 * p._1).sum
+          val denA = (pn * pxx - px * px).toDouble
+          if (denL <= 0 || denA <= 0) None else {
+            val bl = (n * sxy - sx * sy).toDouble / denL
+            val al = (sy.toDouble - bl * sx) / n
+            val phi = (pn * pxy - px * py).toDouble / denA
+            val ca = (py.toDouble - phi * px) / pn
+            val (xn, yn) = xs(i + 1)
+            val (_, yt) = xs(i)
+            Some((
+              math.floor((yt.toDouble - yn) * 10000).toLong,
+              math.floor((al + bl * xn - yn) * 10000).toLong,
+              math.floor((ca + phi * yt - yn) * 10000).toLong))
+          }
+        }
+      }
+      def card(es: Seq[Long]) =
+        (es.length.toLong, es.map(math.abs).sum, es.sum, es.map(math.abs).max)
+      assert(out((t, "naive")) == card(folds.map(_._1)), s"$t naive")
+      assert(out((t, "linear")) == card(folds.map(_._2)), s"$t linear")
+      assert(out((t, "ar1")) == card(folds.map(_._3)), s"$t ar1")
+    }
+  }
+
   test("ts_ar1: phi replays from the daily grid; identities vs ts_autocorr's moment discipline") {
     val out = run("ts_ar1").collect()
     val daily = engine.Tables.loadEvents(spark, sf)
