@@ -102,7 +102,8 @@ object ScalingCurve {
       "emb_project_pca", "graph_walk_biased", "feat_target_encode",
       "ts_ar1", "dedup_simhash_accuracy", "interval_merge",
       "multimodal_quality", "graph_coreness", "ab_sequential",
-      "graph_rich_club", "ts_forecast_backtest")
+      "graph_rich_club", "ts_forecast_backtest", "agg_anova",
+      "text_code_detect")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -755,6 +755,71 @@ object Aggregates extends QueryGroup {
         "reach ~10^21, still exact; the final compose is driver-side " +
         "arithmetic on |groups| rows."),
 
+    // One-way ANOVA (r11) — the k-group omnibus for a CONTINUOUS
+    // metric, completing the square the A/B family left open
+    // (ab_test_chi2 is the k-group omnibus for RATES; welch is the
+    // 2-group mean test; this is the k-group mean test that gates
+    // pairwise fishing the same way chi2 does): does purchase value
+    // differ across event types at all? Sums of squares stay EXACT:
+    // the textbook SSB/SSW need Σ_g s_g²/n_g — a float sum whose
+    // order would float with partitioning — so each group's term is
+    // the floor-divided integer (s_g² div n_g, cents²; ≤ 1 cents²
+    // truncation per group, identically on both engines), and SSB/
+    // SSW compose from integer sums. F and the fixed-α verdict are
+    // one edge expression; the critical value is a stated literal
+    // (a quantile lookup, not data): 2.45 ≈ F₀.₀₅(4, 120), chosen
+    // CONSERVATIVE — finite-df₂ critical values exceed the ∞-row's
+    // 2.37, so comparing against 2.45 under-rejects slightly rather
+    // than over-rejecting at any df₂ ≥ 120 (every tested scale).
+    QueryDef(
+      "agg_anova",
+      (spark, sf) => {
+        val g = Tables.loadEvents(spark, sf)
+          .select(col("event_type"),
+            floor(col("value") * 100).cast("long").as("v"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("s"),
+            sum(col("v") * col("v")).as("ss"))
+          .withColumn("term", expr("(s * s) div n"))
+        val one = g.agg(count(lit(1)).as("k"), sum(col("n")).as("nt"),
+          sum(col("s")).as("st"), sum(col("ss")).as("sst"),
+          sum(col("term")).as("tsum"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val ssb = col("tsum") - expr("(st * st) div nt")
+        val ssw = col("sst") - col("tsum")
+        val f = (d(ssb) / d(col("k") - 1)) / (d(ssw) / d(col("nt") - col("k")))
+        val ok = col("k") > 1 && col("nt") > col("k") && ssw > 0L
+        one.select(col("k").as("n_groups"), col("nt").as("n_total"),
+          ssb.as("ssb_c2"), ssw.as("ssw_c2"),
+          (col("k") - 1).as("df1"), (col("nt") - col("k")).as("df2"),
+          when(ok, round(f, 4)).as("f_stat"),
+          coalesce(when(ok, f > lit(2.45)), lit(false)).as("significant"))
+      },
+      Some("WITH ev AS (SELECT event_type, CAST(floor(value*100) AS BIGINT) AS v FROM events), " +
+        "g AS (SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS s, CAST(sum(v*v) AS BIGINT) AS ss FROM ev GROUP BY 1), " +
+        "t AS (SELECT event_type, n, s, ss, (s * s) // n AS term FROM g), " +
+        "one AS (SELECT count(*) AS k, CAST(sum(n) AS BIGINT) AS nt, CAST(sum(s) AS BIGINT) AS st, " +
+        "CAST(sum(ss) AS BIGINT) AS sst, CAST(sum(term) AS BIGINT) AS tsum FROM t), " +
+        "f AS (SELECT *, tsum - (st * st) // nt AS ssb, sst - tsum AS ssw FROM one), " +
+        "h AS (SELECT *, (CAST(ssb AS DOUBLE)/CAST(k - 1 AS DOUBLE)) / (CAST(ssw AS DOUBLE)/CAST(nt - k AS DOUBLE)) AS fs, " +
+        "k > 1 AND nt > k AND ssw > 0 AS ok FROM f) " +
+        "SELECT k AS n_groups, nt AS n_total, ssb AS ssb_c2, ssw AS ssw_c2, " +
+        "CAST(k - 1 AS BIGINT) AS df1, nt - k AS df2, " +
+        "CASE WHEN ok THEN round(fs, 4) END AS f_stat, " +
+        "coalesce(CASE WHEN ok THEN fs > 2.45 END, false) AS significant " +
+        "FROM h"),
+      scaleNote = "Two map-side-combined aggregates: the log " +
+        "collapses to |groups| exact (n, Σv, Σv²) triples, those to " +
+        "ONE row — ab_test_welch's economics at k groups. The " +
+        "integer-term trick (s² div n per group, ≤ 1 cents² floor " +
+        "loss, identical both engines) is what keeps the sums of " +
+        "squares order-independent where the textbook float Σ s²/n " +
+        "is a partition lottery; s² needs DECIMAL(38,0) past " +
+        "~3·10⁹ group-sum cents (agg_corr's escalation — the house " +
+        "fence). The omnibus gates pairwise welch tests exactly as " +
+        "ab_test_chi2 gates pairwise z-tests: one significant F " +
+        "licenses k·(k−1)/2 comparisons without α inflation."),
+
     // Skewness + excess kurtosis per group — agg_corr's exact-moment
     // discipline extended to the 3rd/4th powers: built-in skewness()/
     // kurtosis() float-accumulate in partition order (a hash lottery

@@ -610,5 +610,74 @@ object TextVector extends QueryGroup {
         "Per-doc scores (the curriculum/filter input, " +
         "corpus_curriculum's staging key) are the same expression " +
         "without the rollup; per-source or per-shard reports add a " +
-        "group key, not a pass."))
+        "group key, not a pass."),
+
+    // Code detection (r11) — the ROUTING classifier every mixed
+    // pretraining corpus runs before anything else: code and prose
+    // need different dedup thresholds, different quality rules
+    // (gopher rules KILL code: symbol ratios and short lines are
+    // exactly what they penalize), different tokenizer allocations —
+    // so the first pipeline stage tags each doc code/prose and
+    // routes. Two cheap scalar features, both exact integers: a
+    // keyword-token count (def/return/import/class/void/func/var/
+    // const — an IN-list filter over the split tokens, no regex) and
+    // a code-symbol count ({}();= via length-minus-replace, one pass
+    // per symbol inside the scan); is_code = keywords ≥ 2 AND
+    // symbols ≥ 1% of chars (both thresholds stated literals). The
+    // per-source rollup is the corpus-composition report (what share
+    // of each source is code — the number that drives mixture
+    // weights); the per-doc flag is the same expression pre-rollup.
+    QueryDef(
+      "text_code_detect",
+      (spark, sf) => {
+        // literal (non-regex) replace, the same builtin DuckDB runs
+        def symCount: org.apache.spark.sql.Column =
+          Seq("{", "}", "(", ")", ";", "=").map(s =>
+            length(col("text")) - length(expr(s"replace(text, '$s', '')")))
+            .reduce(_ + _).cast("long")
+        val kw = array(Seq("def", "return", "import", "class", "void",
+          "func", "var", "const").map(lit): _*)
+        val d = Tables.documents(spark, sf)
+          .select(col("source"), col("n_chars"),
+            symCount.as("syms"),
+            size(filter(split(col("text"), " "),
+              t => array_contains(kw, t))).cast("long").as("kws"))
+          .withColumn("is_code", col("kws") >= 2 &&
+            col("syms") * 100 >= greatest(col("n_chars"), lit(1L)))
+        d.groupBy("source")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+            sum(col("kws")).as("total_keywords"),
+            sum(col("syms")).as("total_symbols"))
+          .select(col("source"), col("n_docs"), col("n_code"),
+            col("total_keywords"), col("total_symbols"),
+            expr("(n_code * 10000) div n_docs").as("code_rate_bp"))
+          .orderBy("source")
+      },
+      Some("WITH d AS (SELECT source, n_chars, " +
+        "CAST(length(text) - length(replace(text, '{', '')) + length(text) - length(replace(text, '}', '')) + " +
+        "length(text) - length(replace(text, '(', '')) + length(text) - length(replace(text, ')', '')) + " +
+        "length(text) - length(replace(text, ';', '')) + length(text) - length(replace(text, '=', '')) AS BIGINT) AS syms, " +
+        "CAST(len(list_filter(string_split(text, ' '), t -> t IN ('def','return','import','class','void','func','var','const'))) AS BIGINT) AS kws " +
+        "FROM documents), " +
+        "f AS (SELECT *, kws >= 2 AND syms * 100 >= greatest(n_chars, 1) AS is_code FROM d) " +
+        "SELECT source, count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) AS n_code, " +
+        "CAST(sum(kws) AS BIGINT) AS total_keywords, CAST(sum(syms) AS BIGINT) AS total_symbols, " +
+        "(CAST(sum(CASE WHEN is_code THEN 1 ELSE 0 END) AS BIGINT) * 10000) // count(*) AS code_rate_bp " +
+        "FROM f GROUP BY 1 ORDER BY 1"),
+      scaleNote = "Pure per-row scalar codegen inside the scan (six " +
+        "single-char replace passes + one token filter — no regex " +
+        "engine, no UDF), collapsing map-side to |sources| rows of " +
+        "integer sums: text_quality's economics, and the text " +
+        "column dies at the projection. Both thresholds are " +
+        "literals, both features exact integers, so the routing " +
+        "decision is bit-stable under any partitioning — which " +
+        "matters because a doc that flips code/prose between runs " +
+        "would flip its dedup threshold, quality rules, and " +
+        "tokenizer downstream. Real deployments widen the keyword " +
+        "list per language and add an indent-ratio feature (lines " +
+        "starting with spaces — one more replace pair on '\\n  '); " +
+        "the plan shape is already that of a fastText-class router " +
+        "with the embedding swapped for hand features."))
 }

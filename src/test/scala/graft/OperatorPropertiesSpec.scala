@@ -1649,6 +1649,69 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(5) == (math.abs(t) > 1.96))
   }
 
+  test("agg_anova: F replays from raw cents; partition identity holds within the floor loss") {
+    val out = run("agg_anova").collect()(0)
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val groups = raw.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val k = groups.size.toLong
+    val nt = raw.length.toLong
+    assert(out.getLong(0) == k && out.getLong(1) == nt)
+    val terms = groups.values.map { vs =>
+      val s = vs.sum; (s * s) / vs.length }.sum
+    val st = raw.map(_._2).sum
+    val sst = raw.map(v => v._2 * v._2).sum
+    val ssb = terms - (st * st) / nt
+    val ssw = sst - terms
+    assert(out.getLong(2) == ssb && out.getLong(3) == ssw)
+    // partition identity: SSB + SSW = total SS up to the ≤ (k+1)
+    // cents² floor truncation the integer terms introduce
+    val totSS = sst - (st * st) / nt
+    assert(math.abs((ssb + ssw) - totSS) <= k + 1,
+      s"SSB+SSW ${ssb + ssw} vs total $totSS")
+    val f = (ssb.toDouble / (k - 1)) / (ssw.toDouble / (nt - k))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(6) == r4(f))
+    assert(out.getBoolean(7) == (f > 2.45))
+    assert(out.getLong(4) == k - 1 && out.getLong(5) == nt - k)
+  }
+
+  test("text_code_detect: prose corpus routes prose; a planted code doc fires both features") {
+    val out = run("text_code_detect").collect()
+    val nDocs = graft.engine.Tables.documents(spark, sf).count()
+    assert(out.map(_.getLong(1)).sum == nDocs)
+    out.foreach { r =>
+      assert(r.getLong(5) == r.getLong(2) * 10000 / r.getLong(1))
+      assert(r.getLong(2) <= r.getLong(1))
+    }
+    // the synthetic corpus is natural-language — near-zero code rate
+    assert(out.map(_.getLong(2)).sum <= nDocs / 20,
+      "prose corpus misrouted as code")
+    // failing path: a planted code doc trips BOTH features with the
+    // operator's own expressions
+    val s = spark
+    import s.implicits._
+    val planted = Seq(
+      ("def main() { return compute(x); } import os; class Foo { var y = 1; }", 70L),
+      ("the quick brown fox jumps over the lazy dog again and again", 60L))
+      .toDF("text", "n_chars")
+    val checked = planted.select(
+      (Seq("{", "}", "(", ")", ";", "=").map(sym =>
+        length(col("text")) - length(expr(s"replace(text, '$sym', '')")))
+        .reduce(_ + _).cast("long")).as("syms"),
+      size(filter(split(col("text"), " "),
+        t => t.isin("def", "return", "import", "class", "void",
+          "func", "var", "const"))).cast("long").as("kws"),
+      col("n_chars"))
+      .withColumn("is_code", col("kws") >= 2 &&
+        col("syms") * 100 >= greatest(col("n_chars"), lit(1L)))
+      .collect()
+    assert(checked(0).getBoolean(3), "planted code doc must route as code")
+    assert(!checked(1).getBoolean(3), "prose doc must not")
+  }
+
   test("ab_sequential: final-day llr replays from raw cents; rejection never retracts") {
     val out = run("ab_sequential").orderBy("day").collect()
     assert(out.length > 1)
