@@ -188,6 +188,73 @@ object CorpusOps extends QueryGroup {
       Some(s"WITH t AS (SELECT count(*) AS total, count(DISTINCT lang) AS nl FROM documents) SELECT lang, count(*) AS n_docs, round(${mixRateSql("t.total", "t.nl", "count(*)")}, 6) AS rate, CAST(floor(count(*) * ${mixRateSql("t.total", "t.nl", "count(*)")}) AS BIGINT) AS n_keep FROM documents CROSS JOIN t GROUP BY lang, t.total, t.nl ORDER BY lang"),
       scaleNote = "Two tiny aggregations (|langs| rows and one global row) over one scan each — the manifest costs two map-side-combined passes no matter the corpus size, and the single-row totals broadcast. The rates then DRIVE the heavy work: a scan-side Bernoulli filter per language (sample_fraction's shape), never a shuffle. Swap the uniform target for any published mix vector without changing the plan."),
 
+    // Mixture-drift gate (r11) — corpus_mix PRESCRIBES a mixture;
+    // this MEASURES how far the corpus actually sits from the target,
+    // as KL(actual ‖ target) over TOKEN mass (char-weighted, not
+    // doc-weighted — a mixture is a token budget, and doc shares
+    // mis-state it when lengths differ by language): per language
+    // the exact char share (ppm, integer), the KL contribution
+    // p·ln(p/q) against the uniform target (the one ln() composes
+    // from exact integer ratios and floor-quantizes to micro-nats
+    // immediately — ab_sequential's discipline), the corpus total
+    // KL as an exact BIGINT sum of the quantized contributions, and
+    // the release gate KL ≤ 0.2 nats (a stated literal — roughly
+    // "no language's share off by more than ~2× in log terms").
+    // This is the number a recurring corpus build alerts on: a
+    // crawler that starts over-fetching one language moves KL long
+    // before any per-language count looks alarming.
+    QueryDef(
+      "corpus_mix_kl",
+      (spark, sf) => {
+        val per = Tables.documents(spark, sf)
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_chars")).as("chars"))
+        val tot = per.agg(sum(col("chars")).as("tc"),
+          count(lit(1)).as("nl"))
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        val contrib = floor(
+          (d(col("chars")) / d(col("tc"))) *
+            log(d(col("chars") * col("nl")) / d(col("tc"))) *
+            lit(1000000.0)).cast("long")
+        val k = per.crossJoin(broadcast(tot))
+          .select(col("lang"), col("n_docs"), col("chars"),
+            expr("(chars * 1000000) div tc").as("share_ppm"),
+            contrib.as("kl_contrib_micro"))
+        val ksum = k.agg(sum(col("kl_contrib_micro")).as("kl_total_micro"))
+        k.crossJoin(broadcast(ksum))
+          .select(col("lang"), col("n_docs"), col("chars"),
+            col("share_ppm"), col("kl_contrib_micro"),
+            col("kl_total_micro"),
+            (col("kl_total_micro") <= 200000L).as("mix_in_tol"))
+          .orderBy("lang")
+      },
+      Some("WITH per AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
+        "t AS (SELECT CAST(sum(chars) AS BIGINT) AS tc, count(*) AS nl FROM per), " +
+        "k AS (SELECT lang, n_docs, chars, (chars * 1000000) // tc AS share_ppm, " +
+        "CAST(floor((CAST(chars AS DOUBLE)/CAST(tc AS DOUBLE)) * ln(CAST(chars * nl AS DOUBLE)/CAST(tc AS DOUBLE)) * 1000000.0) AS BIGINT) AS kl_contrib_micro " +
+        "FROM per CROSS JOIN t), " +
+        "s AS (SELECT CAST(sum(kl_contrib_micro) AS BIGINT) AS kl_total_micro FROM k) " +
+        "SELECT lang, n_docs, chars, share_ppm, kl_contrib_micro, kl_total_micro, " +
+        "kl_total_micro <= 200000 AS mix_in_tol " +
+        "FROM k CROSS JOIN s ORDER BY lang"),
+      scaleNote = "corpus_mix's economics exactly — two map-side " +
+        "aggregations (|langs| rows, then 1) plus the 1-row total " +
+        "broadcasts the structural sweep auto-accepts — and the " +
+        "report is |langs| rows whatever the corpus. The float " +
+        "discipline is the load-bearing part: each contribution " +
+        "composes ONE ln() from exact integer ratios and floor-" +
+        "quantizes to micro-nats before the total sums, so the " +
+        "corpus KL (and the gate boolean) is an exact-integer fact " +
+        "at any partitioning. Against a NON-uniform published " +
+        "target, q_lang joins in as a literal table (the corpus_" +
+        "token_allocation shape) and the expression is unchanged; " +
+        "per-source or per-shard drift panels add a group key. The " +
+        "same quantize-then-sum KL shape gates embedding-bucket " +
+        "drift (ann_ivf's bucket histogram vs its training one) " +
+        "and token-distribution drift (vocab_coverage's counts) — " +
+        "one discipline, many gates."),
+
     // Per-document novelty: the fraction of a doc's distinct shingles
     // that occur in NO other document — the decontamination/novelty
     // signal (a doc of all-shared shingles is boilerplate or benchmark

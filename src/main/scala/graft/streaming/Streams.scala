@@ -1047,6 +1047,40 @@ object Streams {
       .drop("ws")
   }
 
+  case class SourceDoc(doc_id: Long, source: String, text: String,
+      n_chars: Long)
+
+  /** Live code/prose ROUTER panel — the streaming form of
+    * text_code_detect, and the stage order matters: routing is the
+    * FIRST decision a mixed ingest stream makes (code and prose go
+    * to different dedup/quality/tokenizer paths), so it has to run
+    * on the stream, not in the nightly batch. Both features are the
+    * batch op's exactly (keyword IN-list over split tokens, literal
+    * replace symbol counts — scalar codegen inside the micro-batch,
+    * no state per doc), and the panel keeps per-source conditional
+    * counts in one complete-mode aggregate; the routing rate per
+    * source recomposes from the emitted integers. Because the flag
+    * is a pure function of the document, stream and batch CANNOT
+    * disagree on any doc — the parity test proves the panel equals
+    * the batch report after replay. */
+  def codeRoute(docs: Dataset[SourceDoc]): DataFrame = {
+    val syms = Seq("{", "}", "(", ")", ";", "=").map(s =>
+      length(col("text")) - length(expr(s"replace(text, '$s', '')")))
+      .reduce(_ + _).cast("long")
+    docs.toDF()
+      .select(col("source"), col("n_chars"), syms.as("syms"),
+        expr("CAST(size(filter(split(text, ' '), t -> t IN " +
+          "('def','return','import','class','void','func','var','const'))) AS BIGINT)")
+          .as("kws"))
+      .withColumn("is_code", col("kws") >= 2 &&
+        col("syms") * 100 >= greatest(col("n_chars"), lit(1L)))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("is_code"), 1L).otherwise(0L)).as("n_code"),
+        sum(col("kws")).as("total_keywords"),
+        sum(col("syms")).as("total_symbols"))
+  }
+
   case class LangDoc(doc_id: Long, lang: String, text: String)
 
   /** Streaming readability dashboard — the live per-language twin of

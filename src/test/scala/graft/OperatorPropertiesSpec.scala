@@ -1649,6 +1649,32 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.getBoolean(5) == (math.abs(t) > 1.96))
   }
 
+  test("corpus_mix_kl: contributions replay from char counts; KL nonneg within floor slack") {
+    val out = run("corpus_mix_kl").collect()
+    val raw = graft.engine.Tables.documents(spark, sf)
+      .groupBy("lang").agg(count(lit(1)).as("n"), sum("n_chars").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val tc = raw.map(_._3).sum
+    val nl = raw.length.toLong
+    assert(out.length == nl.toInt)
+    val wantTotal = raw.map { case (_, _, c) =>
+      math.floor((c.toDouble / tc) *
+        math.log(c.toDouble * nl / tc) * 1e6).toLong }.sum
+    out.foreach { r =>
+      val (_, _, c) = raw.find(_._1 == r.getString(0)).get
+      assert(r.getLong(2) == c)
+      assert(r.getLong(3) == c * 1000000L / tc, s"${r.getString(0)} share")
+      val want = math.floor((c.toDouble / tc) *
+        math.log(c.toDouble * nl / tc) * 1e6).toLong
+      assert(r.getLong(4) == want, s"${r.getString(0)} contrib")
+      assert(r.getLong(5) == wantTotal)
+      assert(r.getBoolean(6) == (wantTotal <= 200000L))
+    }
+    // KL ≥ 0 mathematically; each floor can shave < 1 micro-nat, so
+    // the quantized total sits above −nl micro-nats
+    assert(wantTotal >= -nl, s"KL total $wantTotal below floor slack")
+  }
+
   test("agg_anova: F replays from raw cents; partition identity holds within the floor loss") {
     val out = run("agg_anova").collect()(0)
     val raw = graft.engine.Tables.loadEvents(spark, sf)

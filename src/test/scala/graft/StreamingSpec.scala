@@ -660,6 +660,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_code_route panel equals the batch router report after replay") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+      .as[Streams.SourceDoc].collect().sortBy(_.doc_id)
+    val half = all.length / 2
+    val mem = MemoryStream[Streams.SourceDoc](61, spark, None)
+    val q = Streams.codeRoute(mem.toDS()).writeStream.format("memory")
+      .queryName("t_route").outputMode("complete").start()
+    try {
+      mem.addData(all.take(half).toIndexedSeq: _*); q.processAllAvailable()
+      // mid-stream the panel accounts for every doc seen so far
+      assert(spark.table("t_route").agg(sum("n_docs"))
+        .collect()(0).getLong(0) == half.toLong)
+      mem.addData(all.drop(half).toIndexedSeq: _*); q.processAllAvailable()
+      val panel = spark.table("t_route").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      val batch = graft.engine.Registry.byName("text_code_detect")
+        .build(spark, sf).collect()
+      assert(batch.length == panel.size)
+      batch.foreach { b =>
+        val (nd, nc, kw, sy) = panel(b.getString(0))
+        assert(b.getLong(1) == nd && b.getLong(2) == nc &&
+          b.getLong(3) == kw && b.getLong(4) == sy,
+          s"${b.getString(0)}: panel diverges from batch")
+        // the routing rate recomposes from the emitted integers
+        assert(b.getLong(5) == nc * 10000 / nd)
+      }
+    } finally q.stop()
+  }
+
   test("stream_interval_merge emits exactly the batch islands minus each user's open one") {
     val s = spark
     import s.implicits._
