@@ -103,6 +103,56 @@ class StreamingRobustnessSpec extends SparkSpec {
     } finally q2.stop()
   }
 
+  test("stream_interval_merge recovers its open island from checkpoint across restart") {
+    val s = spark
+    import s.implicits._
+    val src = Files.createTempDirectory("im-src").toString
+    val ckpt = Files.createTempDirectory("im-ckpt").toString
+    def ev(id: Long, t: String) =
+      graft.streaming.Streams.Event(id, java.sql.Timestamp.valueOf(t), 7L, "view", 1.0)
+    def sec(t: String) = java.sql.Timestamp.valueOf(t).getTime / 1000
+    // slice0: island 1 (id=100 → 160 s) closed by the arrival of
+    // island 2's opener (id=101 → 161 s, an hour later)
+    Seq(ev(100, "2024-01-01 10:00:00"), ev(101, "2024-01-01 11:00:00"))
+      .toDS().write.parquet(s"$src/slice0")
+    val schema = implicitly[org.apache.spark.sql.Encoder[graft.streaming.Streams.Event]].schema
+    val emitted = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Long, Long)]()
+    def start() = graft.streaming.Streams.intervalMerge(
+        spark.readStream.schema(schema).parquet(s"$src/slice*")
+          .as[graft.streaming.Streams.Event])
+      .writeStream
+      .foreachBatch((batch: org.apache.spark.sql.Dataset[graft.streaming.Streams.IslandRow], _: Long) =>
+        batch.collect().foreach(r => emitted.add(
+          (r.user_id, r.island_id, r.start_sec, r.end_sec, r.n_intervals))))
+      .option("checkpointLocation", ckpt)
+      .outputMode("append").start()
+
+    val q1 = start()
+    q1.processAllAvailable()
+    q1.stop()
+    assert(emitted.asScala.toSeq ==
+      Seq((7L, 1L, sec("2024-01-01 10:00:00"), sec("2024-01-01 10:00:00") + 160, 1L)),
+      s"run 1 must emit exactly island 1: ${emitted.asScala}")
+    emitted.clear()
+
+    // while the query is down: an interval EXTENDING the open island 2
+    // (starts inside it, id=1700 → 1760 s) and, much later, island 3's
+    // opener which closes island 2. Only a query that recovered its
+    // state emits island 2 with the PRE-RESTART start and island_id 2;
+    // a state-less restart would call the extension a fresh island 1
+    // starting at 11:02.
+    Seq(ev(1700, "2024-01-01 11:02:00"), ev(50, "2024-01-01 13:00:00"))
+      .toDS().write.parquet(s"$src/slice1")
+    val q2 = start()
+    try {
+      q2.processAllAvailable()
+      assert(emitted.asScala.toSeq ==
+        Seq((7L, 2L, sec("2024-01-01 11:00:00"),
+          sec("2024-01-01 11:02:00") + 1760, 2L)),
+        s"open island lost across restart: ${emitted.asScala}")
+    } finally q2.stop()
+  }
+
   test("checkpoint recovery: a restarted query continues without reprocessing") {
     val src = Files.createTempDirectory("ckpt-src").toString
     val ckpt = Files.createTempDirectory("ckpt").toString
