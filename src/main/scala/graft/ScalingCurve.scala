@@ -103,7 +103,7 @@ object ScalingCurve {
       "ts_ar1", "dedup_simhash_accuracy", "interval_merge",
       "multimodal_quality", "graph_coreness", "ab_sequential",
       "graph_rich_club", "ts_forecast_backtest", "agg_anova",
-      "text_code_detect", "corpus_mix_kl")
+      "text_code_detect", "corpus_mix_kl", "ab_ratio_delta")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

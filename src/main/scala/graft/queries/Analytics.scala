@@ -1759,6 +1759,107 @@ object Analytics extends QueryGroup {
         "aggregate; per-segment tests add the segment key to the " +
         "groupBy — the plan shape never changes."),
 
+    // Delta-method test for RATIO metrics (r11) — the practical A/B
+    // trap the rest of the family sidesteps: CTR = Σclicks/Σviews is
+    // a ratio of SUMS whose numerator and denominator are correlated
+    // within a user, and the randomization unit (user) differs from
+    // the analysis unit (view) — so the naive per-view binomial SE
+    // is wrong (usually far too small: clustered views). The
+    // industry-standard fix (Deng et al.) is the delta method on
+    // per-USER totals: Var(X̄/Ȳ) ≈ (s²x + R²·s²y − 2R·s_xy)/(n·Ȳ²),
+    // all from six exact BIGINT per-arm moments over ONE per-user
+    // conditional aggregate — ab_cuped's plan with clicks/views in
+    // place of pre/post. R, both variances, z, and the verdict
+    // compose once at the edge; zero-view arms and degenerate
+    // variances → NULL z, significance coalesces false.
+    QueryDef(
+      "ab_ratio_delta",
+      (spark, sf) => {
+        val per = Tables.loadEvents(spark, sf)
+          .filter(col("event_type").isin("click", "view"))
+          .groupBy(col("user_id"))
+          .agg(sum(when(col("event_type") === "click", 1L).otherwise(0L))
+              .as("x"),
+            sum(when(col("event_type") === "view", 1L).otherwise(0L))
+              .as("y"))
+          .select((col("user_id") % 2).as("variant"), col("x"), col("y"))
+        val m = per.groupBy("variant")
+          .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+            sum(col("y")).as("sy"),
+            sum(col("x") * col("x")).as("sxx"),
+            sum(col("y") * col("y")).as("syy"),
+            sum(col("x") * col("y")).as("sxy"))
+        def arm(v: Int, c: String) =
+          sum(when(col("variant") === v, col(c))).as(s"$c$v")
+        val one = m.agg(
+          arm(0, "n"), arm(0, "sx"), arm(0, "sy"), arm(0, "sxx"),
+          arm(0, "syy"), arm(0, "sxy"),
+          arm(1, "n"), arm(1, "sx"), arm(1, "sy"), arm(1, "sxx"),
+          arm(1, "syy"), arm(1, "sxy"))
+        def d(c: Column) = c.cast("double")
+        def ratio(v: Int) = d(col(s"sx$v")) / d(col(s"sy$v"))
+        // delta-method variance of the ratio-of-sums for arm v
+        def varR(v: Int) = {
+          val nn = col(s"n$v")
+          val r = ratio(v)
+          val s2x = d(nn * col(s"sxx$v") - col(s"sx$v") * col(s"sx$v")) /
+            d(nn * (nn - 1))
+          val s2y = d(nn * col(s"syy$v") - col(s"sy$v") * col(s"sy$v")) /
+            d(nn * (nn - 1))
+          val cxy = d(nn * col(s"sxy$v") - col(s"sx$v") * col(s"sy$v")) /
+            d(nn * (nn - 1))
+          val ybar = d(col(s"sy$v")) / d(nn)
+          (s2x + r * r * s2y - lit(2.0) * r * cxy) /
+            (d(nn) * ybar * ybar)
+        }
+        val ok = col("n0") > 1 && col("n1") > 1 &&
+          col("sy0") > 0L && col("sy1") > 0L &&
+          varR(0) + varR(1) > lit(0.0)
+        val z = (ratio(0) - ratio(1)) / sqrt(varR(0) + varR(1))
+        one.select(col("n0").as("n_a"), col("n1").as("n_b"),
+          when(col("sy0") > 0L, round(ratio(0), 6)).as("ctr_a"),
+          when(col("sy1") > 0L, round(ratio(1), 6)).as("ctr_b"),
+          when(ok, round(ratio(0) - ratio(1), 6)).as("diff"),
+          when(ok, round(z, 4)).as("z_delta"),
+          coalesce(when(ok, abs(z) > lit(1.96)), lit(false))
+            .as("significant"))
+      },
+      Some("WITH pu AS (SELECT user_id % 2 AS variant, " +
+        "CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x, " +
+        "CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS y " +
+        "FROM events WHERE event_type IN ('click', 'view') GROUP BY user_id), " +
+        "m AS (SELECT variant, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy, " +
+        "CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy, CAST(sum(x*y) AS BIGINT) AS sxy FROM pu GROUP BY 1), " +
+        "one AS (SELECT " +
+        "CAST(sum(CASE WHEN variant = 0 THEN n END) AS BIGINT) AS n0, CAST(sum(CASE WHEN variant = 0 THEN sx END) AS BIGINT) AS sx0, CAST(sum(CASE WHEN variant = 0 THEN sy END) AS BIGINT) AS sy0, " +
+        "CAST(sum(CASE WHEN variant = 0 THEN sxx END) AS BIGINT) AS sxx0, CAST(sum(CASE WHEN variant = 0 THEN syy END) AS BIGINT) AS syy0, CAST(sum(CASE WHEN variant = 0 THEN sxy END) AS BIGINT) AS sxy0, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN n END) AS BIGINT) AS n1, CAST(sum(CASE WHEN variant = 1 THEN sx END) AS BIGINT) AS sx1, CAST(sum(CASE WHEN variant = 1 THEN sy END) AS BIGINT) AS sy1, " +
+        "CAST(sum(CASE WHEN variant = 1 THEN sxx END) AS BIGINT) AS sxx1, CAST(sum(CASE WHEN variant = 1 THEN syy END) AS BIGINT) AS syy1, CAST(sum(CASE WHEN variant = 1 THEN sxy END) AS BIGINT) AS sxy1 FROM m), " +
+        "f AS (SELECT *, CAST(sx0 AS DOUBLE)/CAST(sy0 AS DOUBLE) AS r0, CAST(sx1 AS DOUBLE)/CAST(sy1 AS DOUBLE) AS r1 FROM one), " +
+        "g AS (SELECT *, " +
+        "(CAST(n0*sxx0 - sx0*sx0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE) + r0*r0*CAST(n0*syy0 - sy0*sy0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE) - 2.0*r0*CAST(n0*sxy0 - sx0*sy0 AS DOUBLE)/CAST(n0*(n0-1) AS DOUBLE)) / (CAST(n0 AS DOUBLE) * (CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE)) * (CAST(sy0 AS DOUBLE)/CAST(n0 AS DOUBLE))) AS v0, " +
+        "(CAST(n1*sxx1 - sx1*sx1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) + r1*r1*CAST(n1*syy1 - sy1*sy1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE) - 2.0*r1*CAST(n1*sxy1 - sx1*sy1 AS DOUBLE)/CAST(n1*(n1-1) AS DOUBLE)) / (CAST(n1 AS DOUBLE) * (CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE)) * (CAST(sy1 AS DOUBLE)/CAST(n1 AS DOUBLE))) AS v1 FROM f), " +
+        "h AS (SELECT *, n0 > 1 AND n1 > 1 AND sy0 > 0 AND sy1 > 0 AND v0 + v1 > 0.0 AS ok FROM g) " +
+        "SELECT n0 AS n_a, n1 AS n_b, " +
+        "CASE WHEN sy0 > 0 THEN round(r0, 6) END AS ctr_a, " +
+        "CASE WHEN sy1 > 0 THEN round(r1, 6) END AS ctr_b, " +
+        "CASE WHEN ok THEN round(r0 - r1, 6) END AS diff, " +
+        "CASE WHEN ok THEN round((r0 - r1)/sqrt(v0 + v1), 4) END AS z_delta, " +
+        "coalesce(CASE WHEN ok THEN abs((r0 - r1)/sqrt(v0 + v1)) > 1.96 END, false) AS significant " +
+        "FROM h"),
+      scaleNote = "ab_cuped's exact economics: one per-user " +
+        "conditional aggregate (the only user-keyed exchange), one " +
+        "2-row arm rollup, one edge expression — and the statistical " +
+        "point IS the plan shape: the delta method works on per-USER " +
+        "totals precisely so that no view-level resampling or " +
+        "user-level bootstrap is needed, making the correct ratio " +
+        "SE as cheap as the wrong binomial one. The six moments " +
+        "merge associatively (agg_incremental_merge's property), so " +
+        "a live dashboard maintains them incrementally and the " +
+        "z-test is a constant-time compose per refresh. Long bound: " +
+        "n·Σx² at a billion users × 10⁴ views/user ≈ 10¹⁷ — inside " +
+        "BIGINT; DECIMAL(38,0) past it (the house escalation)."),
+
     // Always-valid sequential test (mSPRT) — the A/B member that
     // fixes the peeking problem the fixed-horizon family (welch/
     // zscore) silently has: looking at a fixed-α test daily inflates

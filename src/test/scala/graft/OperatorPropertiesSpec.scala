@@ -1810,6 +1810,61 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(math.abs(out(0).getDouble(6) - want / m1) < 1e-5)
   }
 
+  test("ab_ratio_delta: z replays from per-user totals; delta SE differs from the naive binomial") {
+    val out = run("ab_ratio_delta").collect()(0)
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type").isin("click", "view"))
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val perUser = raw.groupBy(_._1).map { case (u, es) =>
+      (u % 2, es.count(_._2 == "click").toLong,
+        es.count(_._2 == "view").toLong) }.toSeq
+    def mom(vs: Seq[(Long, Long)]) = {
+      val n = vs.length.toLong
+      (n, vs.map(_._1).sum, vs.map(_._2).sum,
+        vs.map(p => p._1 * p._1).sum, vs.map(p => p._2 * p._2).sum,
+        vs.map(p => p._1 * p._2).sum)
+    }
+    val a = mom(perUser.filter(_._1 == 0L).map(p => (p._2, p._3)))
+    val b = mom(perUser.filter(_._1 == 1L).map(p => (p._2, p._3)))
+    assert(out.getLong(0) == a._1 && out.getLong(1) == b._1)
+    def rOf(m: (Long, Long, Long, Long, Long, Long)) =
+      m._2.toDouble / m._3
+    def vOf(m: (Long, Long, Long, Long, Long, Long)) = {
+      val (n, sx, sy, sxx, syy, sxy) = m
+      val r = rOf(m)
+      val s2x = (n * sxx - sx * sx).toDouble / (n * (n - 1)).toDouble
+      val s2y = (n * syy - sy * sy).toDouble / (n * (n - 1)).toDouble
+      val cxy = (n * sxy - sx * sy).toDouble / (n * (n - 1)).toDouble
+      val ybar = sy.toDouble / n
+      (s2x + r * r * s2y - 2.0 * r * cxy) / (n * ybar * ybar)
+    }
+    def r(x: Double, s: Int) = BigDecimal(x).setScale(s,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out.getDouble(2) == r(rOf(a), 6) && out.getDouble(3) == r(rOf(b), 6))
+    val z = (rOf(a) - rOf(b)) / math.sqrt(vOf(a) + vOf(b))
+    assert(out.getDouble(5) == r(z, 4), s"z ${out.getDouble(5)} vs ${r(z, 4)}")
+    assert(out.getBoolean(6) == (math.abs(z) > 1.96))
+    // the statistical point: the clustered (delta) SE genuinely
+    // differs from the naive per-view binomial SE. On THIS corpus
+    // clicks are not nested under views (independent event types, so
+    // Σclicks/Σviews ≈ 1 > any probability), which makes the naive
+    // binomial SE literally undefined (p(1−p) < 0 → NaN) while the
+    // delta SE — which never assumed a probability — stays finite:
+    // the strongest possible version of the redundancy check.
+    val (ca, va) = (a._2, a._3)
+    val (cb, vb) = (b._2, b._3)
+    val p = (ca + cb).toDouble / (va + vb)
+    val seNaive = math.sqrt(p * (1 - p) * (1.0 / va + 1.0 / vb))
+    val seDelta = math.sqrt(vOf(a) + vOf(b))
+    assert(seDelta > 0 && !seDelta.isNaN)
+    if (p > 0 && p < 1)
+      assert(math.abs(seDelta / seNaive - 1.0) > 0.01,
+        s"delta SE $seDelta ~ naive $seNaive — clustering invisible?")
+    else assert(seNaive.isNaN,
+      "ratio > 1 must break the binomial SE — else re-derive this test")
+  }
+
   test("ab_cuped: theta/adjustment replay from raw cents; adjustment shrinks the SE") {
     val out = run("ab_cuped").collect()(0)
     val cut = java.time.LocalDateTime.parse("2024-01-16T00:00:00")
