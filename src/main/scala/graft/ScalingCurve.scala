@@ -103,7 +103,11 @@ object ScalingCurve {
       "ts_ar1", "dedup_simhash_accuracy", "interval_merge",
       "multimodal_quality", "graph_coreness", "ab_sequential",
       "graph_rich_club", "ts_forecast_backtest", "agg_anova",
-      "text_code_detect", "corpus_mix_kl", "ab_ratio_delta")
+      "text_code_detect", "corpus_mix_kl", "ab_ratio_delta",
+      // r12 wave (all scale with sf; sink_walk_corpus includes the
+      // one-time corpus write in its first-touch timing — a
+      // write-path operator, sink_bucketed's precedent)
+      "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -116,6 +116,53 @@ object CorpusOps extends QueryGroup {
   def mixRateSql(total: String, nl: String, n: String): String =
     s"least(1.0, $total / ($nl * $n))"
 
+  /** The published release-target mixture (ppm of token/char mass per
+    * language — sums to 1e6). A stated literal manifest, the form a
+    * data-mix release note publishes; corpus_mix_kl_target gates the
+    * corpus against it. */
+  val ReleaseMixPpm: Seq[(String, Long)] = Seq(
+    "de" -> 150000L, "en" -> 400000L, "es" -> 150000L,
+    "fr" -> 100000L, "zh" -> 200000L)
+
+  /** KL(actual ‖ target) over char mass against an explicit q table —
+    * corpus_mix_kl's plan with the uniform 1/|langs| target swapped
+    * for a literal (lang, q_ppm) manifest. Factored so the spec can
+    * pass the uniform target and prove corpus_mix_kl is the
+    * q = 1/|langs| special case of this operator. */
+  def mixKlAgainst(spark: org.apache.spark.sql.SparkSession, sf: String,
+      target: Seq[(String, Long)]): org.apache.spark.sql.DataFrame = {
+    val session = spark
+    import session.implicits._
+    val q = target.toDF("lang", "q_ppm")
+    val per = Tables.documents(spark, sf)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"))
+    val tot = per.agg(sum(col("chars")).as("tc"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    // ONE ln() from exact integer ratios, floor-quantized to
+    // micro-nats BEFORE the total sums (corpus_mix_kl's discipline):
+    // p/q = (chars·1e6)/(tc·q_ppm), both sides exact BIGINT products
+    // cast to double (< 2^53 at any plausible manifest scale)
+    val contrib = floor(
+      (d(col("chars")) / d(col("tc"))) *
+        log(d(col("chars") * lit(1000000L)) / d(col("tc") * col("q_ppm"))) *
+        lit(1000000.0)).cast("long")
+    val k = per.join(broadcast(q), Seq("lang"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("lang"), col("n_docs"), col("chars"), col("q_ppm"),
+        expr("(chars * 1000000) div tc").as("share_ppm"),
+        contrib.as("kl_contrib_micro"))
+    val ks = k.agg(sum(col("kl_contrib_micro")).as("kl_total_micro"),
+      sum(when(col("q_ppm").isNull, 1L).otherwise(0L)).as("n_uncovered"))
+    k.crossJoin(broadcast(ks))
+      .select(col("lang"), col("n_docs"), col("chars"), col("q_ppm"),
+        col("share_ppm"), col("kl_contrib_micro"), col("kl_total_micro"),
+        col("n_uncovered"),
+        (col("kl_total_micro") <= 200000L && col("n_uncovered") === 0L)
+          .as("mix_in_tol"))
+      .orderBy("lang")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -254,6 +301,56 @@ object CorpusOps extends QueryGroup {
         "drift (ann_ivf's bucket histogram vs its training one) " +
         "and token-distribution drift (vocab_coverage's counts) — " +
         "one discipline, many gates."),
+
+    // Non-uniform mixture-drift gate (r12, VERDICT r11 #2) — the
+    // literal-q-table swap corpus_mix_kl's comment promised, gated:
+    // the SAME quantize-then-sum KL plan measured against a PUBLISHED
+    // release target (ReleaseMixPpm — a stated ppm manifest, the form
+    // every real data-mix release note carries) instead of the
+    // uniform 1/|langs|. q joins in as a |langs|-row literal VALUES
+    // table (broadcast — the corpus_token_allocation shape); the
+    // contribution p·ln(p/q) still composes ONE ln() from exact
+    // integer ratios — ln((chars·1e6)/(tc·q_ppm)) — and floor-
+    // quantizes to micro-nats before the exact BIGINT total. A lang
+    // the target omits cannot silently vanish into an inner join:
+    // the LEFT join carries it with a NULL q, the n_uncovered column
+    // counts it, and the gate verdict requires zero uncovered langs
+    // (p>0 against q=0 is infinite KL — the gate must fail, not
+    // skip). Uniform corpus_mix_kl is PROVEN the q=1/|langs| special
+    // case in-spec (same exact rational → same IEEE division → same
+    // double, bit for bit).
+    QueryDef(
+      "corpus_mix_kl_target",
+      (spark, sf) => mixKlAgainst(spark, sf, ReleaseMixPpm),
+      Some {
+        val values = ReleaseMixPpm
+          .map { case (l, q) => s"('$l', CAST($q AS BIGINT))" }
+          .mkString(", ")
+        s"WITH q AS (SELECT * FROM (VALUES $values) AS t(lang, q_ppm)), " +
+          "per AS (SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS chars FROM documents GROUP BY 1), " +
+          "t AS (SELECT CAST(sum(chars) AS BIGINT) AS tc FROM per), " +
+          "k AS (SELECT per.lang, n_docs, chars, q.q_ppm, (chars * 1000000) // tc AS share_ppm, " +
+          "CAST(floor((CAST(chars AS DOUBLE)/CAST(tc AS DOUBLE)) * ln(CAST(chars * 1000000 AS DOUBLE)/CAST(tc * q.q_ppm AS DOUBLE)) * 1000000.0) AS BIGINT) AS kl_contrib_micro " +
+          "FROM per LEFT JOIN q ON per.lang = q.lang CROSS JOIN t), " +
+          "s AS (SELECT CAST(sum(kl_contrib_micro) AS BIGINT) AS kl_total_micro, " +
+          "CAST(sum(CASE WHEN q_ppm IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered FROM k) " +
+          "SELECT lang, n_docs, chars, q_ppm, share_ppm, kl_contrib_micro, kl_total_micro, n_uncovered, " +
+          "kl_total_micro <= 200000 AND n_uncovered = 0 AS mix_in_tol " +
+          "FROM k CROSS JOIN s ORDER BY lang"
+      },
+      scaleNote = "corpus_mix_kl's economics verbatim — two map-side " +
+        "aggregations plus two 1-row broadcasts the structural sweep " +
+        "auto-accepts — with ONE more |langs|-row broadcast join (the " +
+        "literal q table; a published mix manifest is dimension-" +
+        "scale by definition, hundreds of rows at most). The LEFT " +
+        "join + n_uncovered column is the scale-safety piece: as the " +
+        "crawl discovers new languages the gate FAILS loudly (an " +
+        "uncovered lang means p>0 vs q=0 — infinite KL, not a " +
+        "skippable row), which is exactly the alert semantics a " +
+        "recurring 100 TB build needs. Swapping release targets is a " +
+        "literal-table edit — plan, shuffle count, and float " +
+        "discipline (one ln per lang, floor-quantized micro-nats, " +
+        "exact BIGINT total) are unchanged from the uniform gate."),
 
     // Per-document novelty: the fraction of a doc's distinct shingles
     // that occur in NO other document — the decontamination/novelty

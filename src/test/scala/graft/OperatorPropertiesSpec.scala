@@ -1675,6 +1675,37 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(wantTotal >= -nl, s"KL total $wantTotal below floor slack")
   }
 
+  test("corpus_mix_kl_target: uniform q reduces bit-for-bit to corpus_mix_kl; omitted langs gate, never drop") {
+    val langs = graft.engine.Tables.documents(spark, sf)
+      .select("lang").distinct().collect().map(_.getString(0)).sorted
+    val nl = langs.length.toLong
+    assert(1000000L % nl == 0, s"fixture langs $nl must divide 1e6 for the exact uniform q")
+    // q = 1/|langs| special case: same exact rationals → same IEEE
+    // divisions → the SAME doubles — the shared columns must be
+    // bit-equal to the uniform operator's
+    val shared = Seq("lang", "n_docs", "chars", "share_ppm",
+      "kl_contrib_micro", "kl_total_micro")
+    val uni = graft.queries.CorpusOps
+      .mixKlAgainst(spark, sf, langs.map(_ -> 1000000L / nl).toSeq)
+      .select(shared.map(col): _*)
+    val base = run("corpus_mix_kl").select(shared.map(col): _*)
+    assert(uni.exceptAll(base).isEmpty && base.exceptAll(uni).isEmpty,
+      "uniform q-table run diverges from corpus_mix_kl")
+    // the declared release-target run covers every fixture lang
+    val rel = run("corpus_mix_kl_target").collect()
+    assert(rel.length == nl.toInt)
+    assert(rel.forall(_.getLong(7) == 0L), "release target left langs uncovered")
+    assert(rel.forall(r => !r.isNullAt(3)))
+    // a target that OMITS langs: the left join keeps them, the
+    // n_uncovered column counts them, and the gate verdict fails —
+    // infinite-KL langs cannot silently vanish into an inner join
+    val partial = graft.queries.CorpusOps
+      .mixKlAgainst(spark, sf, Seq("en" -> 1000000L)).collect()
+    assert(partial.length == nl.toInt, "omitted langs were dropped")
+    assert(partial.forall(_.getLong(7) == nl - 1))
+    assert(partial.forall(!_.getBoolean(8)), "gate passed with uncovered langs")
+  }
+
   test("agg_anova: F replays from raw cents; partition identity holds within the floor loss") {
     val out = run("agg_anova").collect()(0)
     val raw = graft.engine.Tables.loadEvents(spark, sf)

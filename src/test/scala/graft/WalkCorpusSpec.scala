@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Plan + replay proofs for the r12 walk-corpus sink and its PMI
+  * consumer (VERDICT r11 #1): the hash gate covers content; these
+  * tests pin (1) the sink's read-back is bit-equal to the logical
+  * walk table and lands exactly one file per bucket, (2) the
+  * skip-gram window pass rides the written layout with NO shuffle
+  * exchange between scan and lead() — the reason the sink exists,
+  * (3) the PMI/SPPMI algebra replays driver-side from the pair
+  * counts with exact marginal conservation and symmetry. */
+class WalkCorpusSpec extends SparkSpec {
+
+  test("sink_walk_corpus: read-back corpus is bit-equal to the logical walk table; one file per bucket") {
+    val corpus = queries.GraphOps.walkCorpus(spark, sf)
+      .select("start", "step", "node")
+    val logical = engine.Registry.byName("graph_random_walks")
+      .build(spark, sf).select("start", "step", "node")
+    assert(corpus.exceptAll(logical).isEmpty &&
+      logical.exceptAll(corpus).isEmpty,
+      "materialized corpus diverges from the logical walk table")
+    val out = engine.Registry.byName("sink_walk_corpus")
+      .build(spark, sf).collect()
+    assert(out.length == 5, "expected one row per step 0..4")
+    assert(out.forall(_.getInt(4) == queries.GraphOps.WalkCorpusBuckets),
+      "part-file count != bucket count — a bucket split across task " +
+        "files or went missing")
+  }
+
+  test("skip-gram window rides the sink bucketing: no exchange between scan and lead()") {
+    val walks = queries.GraphOps.walkCorpus(spark, sf)
+    val w = Window.partitionBy("start").orderBy("step")
+    val fw = walks.withColumn("n1", lead(col("node"), 1).over(w))
+    fw.collect()
+    val ps = (fw.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }).toString
+    assert(!ps.contains("Exchange"),
+      s"window over the bucketed corpus must not exchange:\n$ps")
+    assert(ps.contains("Bucketed: true"),
+      s"scan must be bucket-aware:\n$ps")
+  }
+
+  test("graph_walk_pmi: PMI/SPPMI replay from pair counts; marginals conserve and are symmetric") {
+    val arr = engine.Registry.byName("graph_walk_pairs")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val nc = arr.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val nx = arr.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    // the pair table is symmetrized, so the two marginals are the
+    // same function — and they conserve the pair total exactly
+    assert(nc == nx, "center/context marginals diverge on a symmetric table")
+    val t = arr.map(_._3).sum
+    assert(nc.values.sum == t, "marginal mass != pair total")
+    val pairSet = arr.map(p => (p._1, p._2) -> p._3).toMap
+    val out = engine.Registry.byName("graph_walk_pmi")
+      .build(spark, sf).collect()
+    assert(out.length == arr.length, "PMI table must cover every pair")
+    out.foreach { r =>
+      val (c, x, np) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(np == pairSet((c, x)))
+      assert(r.getLong(3) == nc(c) && r.getLong(4) == nc(x))
+      // the engine's exact composition: BIGINT products, ONE double
+      // division, ONE ln, floor to micro-nats
+      val pmi = math.floor(math.log(
+        (np * t).toDouble / (nc(c) * nc(x)).toDouble) * 1e6).toLong
+      assert(r.getLong(5) == pmi, s"pmi($c,$x): got ${r.getLong(5)}, want $pmi")
+      val sp = math.max(0L, math.floor(math.log(
+        (np * t).toDouble / (nc(c) * nc(x) * 4L).toDouble) * 1e6).toLong)
+      assert(r.getLong(6) == sp, s"sppmi($c,$x): got ${r.getLong(6)}, want $sp")
+      // the k-shift only ever lowers PMI; SPPMI clamps at zero
+      assert(r.getLong(6) <= math.max(0L, r.getLong(5)))
+      // symmetry: the mirrored cell carries identical counts (so the
+      // factorization target is a symmetric matrix, as SGNS expects)
+      assert(pairSet((x, c)) == np)
+    }
+  }
+}
