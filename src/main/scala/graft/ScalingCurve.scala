@@ -107,7 +107,8 @@ object ScalingCurve {
       // r12 wave (all scale with sf; sink_walk_corpus includes the
       // one-time corpus write in its first-touch timing — a
       // write-path operator, sink_bucketed's precedent)
-      "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi")
+      "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi",
+      "graph_betweenness")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

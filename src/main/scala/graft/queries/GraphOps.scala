@@ -548,6 +548,58 @@ object GraphOps extends QueryGroup {
     (reached, rounds)
   }
 
+  /** [[bfsLevelsPerSource]] with shortest-path COUNTS carried through
+    * the wave (σ in Brandes' notation) — the forward pass of
+    * betweenness centrality. A node first reached at round t gets
+    * σ(s, w) = Σ_{u ∈ frontier, (u,w) ∈ E} σ(s, u): one sum folded
+    * into the frontier join's aggregate, so the σ-carrying wave costs
+    * exactly the closeness wave plus one map-side-combined sum. The
+    * edge list is a distinct pair set by construction (no
+    * multi-edges), so the sum is over distinct predecessors. Returns
+    * ((s, node, h, sig), rounds). */
+  def bfsSigmaPerSource(e: DataFrame, seeds: DataFrame): (DataFrame, Int) = {
+    var reached = seeds.select(col("node").as("s"), col("node"),
+        lit(0L).as("h"), lit(1L).as("sig"))
+      .localCheckpoint(false)
+    var frontier = reached.select("s", "node", "sig").localCheckpoint(false)
+    var rounds = 0
+    var done = frontier.count() == 0
+    while (!done) {
+      val next = e
+        .join(broadcast(frontier.select(col("s"), col("node").as("src"),
+          col("sig"))), "src")
+        .groupBy(col("s"), col("dst").as("node"))
+        .agg(sum(col("sig")).as("sig"))
+        .join(broadcast(reached.select("s", "node")), Seq("s", "node"),
+          "left_anti")
+        .localCheckpoint(false)
+      val c = next.count()
+      if (c == 0) done = true
+      else {
+        rounds += 1
+        reached = reached
+          .unionAll(next.select(col("s"), col("node"),
+            lit(rounds.toLong).as("h"), col("sig")))
+          .localCheckpoint(false)
+        frontier = next.select("s", "node", "sig")
+      }
+    }
+    (reached, rounds)
+  }
+
+  /** Checkpointed edges + the house 8-seed sample + the σ-carrying
+    * forward wave — the state graph_betweenness and its sizing probe
+    * (BetweennessProbe) share, so the probe measures EXACTLY the
+    * operator's magnitudes. */
+  def brandesForward(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame, Int) = {
+    val e = edges(spark, sf).localCheckpoint(false)
+    val seeds = e.select(col("src").as("node")).distinct()
+      .filter(col("node") % 2 === 0 && col("node") < 16) // custkey < 8
+    val (lv, rounds) = bfsSigmaPerSource(e, seeds)
+    (e, lv, rounds)
+  }
+
   /** Measured per-source BFS exhaustion depth of graph_closeness's
     * seed sample at sf0.01 — same sf0.01-only contract as
     * [[PagerankDeltaSf001]]. */
@@ -556,6 +608,19 @@ object GraphOps extends QueryGroup {
   /** Level CTEs the closeness oracle unrolls — must stay ≥
     * [[CloseRoundsSf001]]. */
   val OracleCloseUnroll = 5
+
+  /** Measured σ-wave exhaustion depth of graph_betweenness's seed
+    * sample at sf0.01 (BetweennessProbe: 3/4/4 rounds at
+    * sf0.001/0.01/0.1; max backward product 7.8e9 ≪ 2^62 —
+    * BIGINT-safe) — same sf0.01-only contract as
+    * [[PagerankDeltaSf001]]. */
+  val BetwRoundsSf001 = 4L
+
+  /** Forward/backward level CTEs the betweenness oracle unrolls —
+    * must stay ≥ [[BetwRoundsSf001]]; the extra level is empty on
+    * 4-deep data (σ rows only exist at true levels) and a deeper
+    * graph fails the pinned rounds certificate LOUDLY. */
+  val OracleBetwUnroll = 5
 
   /** True k-core: peel degree-<k nodes to the FIXPOINT (r8, VERDICT
     * r7 #4 — a fixed round count silently truncates on deeper
@@ -908,6 +973,123 @@ object GraphOps extends QueryGroup {
         "scale. Integer micro-unit closeness keeps the ranking " +
         "bit-stable on any partitioning; the rounds certificate " +
         "makes traversal depth part of the contract."),
+
+    // Sampled-source BETWEENNESS centrality (r12, VERDICT r11 #3) —
+    // the missing member of the centrality family, and the one
+    // people use for cut/bridge detection: bc(v) = how many
+    // shortest paths pass THROUGH v. Exact betweenness is Brandes
+    // over all |V| sources — intractable; the standard estimator
+    // (Brandes–Pich) runs the sampled seed set, exact per seed.
+    // Forward pass = graph_closeness's synchronized multi-seed BFS
+    // with shortest-path COUNTS folded into the wave
+    // (bfsSigmaPerSource — σ costs one extra sum in the frontier
+    // join); backward pass = Brandes' dependency accumulation over
+    // the same round-stamped level table, level by level from the
+    // deepest: δ(u) = Σ_{succ w} σ_u·(1 + δ_w)/σ_w, kept EXACT in
+    // integer micro-units — each per-edge term is ONE BIGINT floor
+    // division (σ_u·(1e6+δ_w)) div σ_w (truncating = floor on these
+    // positive operands, identical both engines), so the sums are
+    // order-independent and the whole table is hash-stable at any
+    // partitioning. Probe-sized FIRST (house rule —
+    // BetweennessProbe): 4 rounds at sf0.01, max product 7.8e9
+    // (≪ 2^62), integer-vs-float drift ≤ 3e-1 micro-δ absolute at
+    // sf0.1. The gated rounds certificate pins traversal depth
+    // (graph_reachability's loud-failure contract); δ excludes the
+    // seed's own level-0 row by construction (levels ≥ 1 only).
+    QueryDef(
+      "graph_betweenness",
+      (spark, sf) => {
+        val (e, lv0, rounds) = brandesForward(spark, sf)
+        val lv = lv0.localCheckpoint(false)
+        var cur = lv.filter(col("h") === rounds.toLong)
+          .select(col("s"), col("node"), col("sig"), lit(0L).as("delta"))
+          .localCheckpoint(false)
+        var acc = cur.select(col("s"), col("node"), col("delta"))
+        for (h <- rounds to 1 by -1) {
+          val prevLv = lv.filter(col("h") === (h - 1).toLong)
+            .select(col("s"), col("node"), col("sig"))
+          val dprev = e.select(col("src").as("pnode"), col("dst").as("node"))
+            .join(broadcast(cur.withColumnRenamed("sig", "sig_w")
+              .withColumnRenamed("delta", "delta_w")), "node")
+            .select(col("s"), col("pnode").as("node"),
+              col("sig_w"), col("delta_w"))
+            .join(broadcast(prevLv.withColumnRenamed("sig", "sig_u")),
+              Seq("s", "node"))
+            .select(col("s"), col("node"),
+              expr("(sig_u * (1000000 + delta_w)) div sig_w").as("c"))
+            .groupBy("s", "node").agg(sum(col("c")).as("delta"))
+          cur = prevLv.join(dprev, Seq("s", "node"), "left")
+            .select(col("s"), col("node"), col("sig"),
+              coalesce(col("delta"), lit(0L)).as("delta"))
+            .localCheckpoint(false)
+          if (h > 1) acc = acc.unionAll(cur.select("s", "node", "delta"))
+        }
+        acc.groupBy("node")
+          .agg(sum(col("delta")).as("bc_micro"),
+            count(lit(1)).as("n_seeds"))
+          .select(
+            when(col("node") % 2 === 0, lit("customer"))
+              .otherwise(lit("supplier")).as("node_type"),
+            expr("node div 2").as("key"),
+            col("bc_micro"), col("n_seeds"))
+          .withColumn("rounds", lit(rounds))
+          .orderBy("node_type", "key")
+      },
+      Some {
+        val H = OracleBetwUnroll
+        val nbr = (prev: String, cur: String) =>
+          s"$cur AS (SELECT DISTINCT $prev.s AS s, e.dst AS node FROM e JOIN $prev ON e.src = $prev.node)"
+        val unroll = (1 to H)
+          .map(i => nbr(s"r${i - 1}", s"r$i")).mkString(", ")
+        val lvu = (1 to H)
+          .map(i => s"SELECT s, node, $i AS h FROM r$i").mkString(" UNION ALL ")
+        val sig = (1 to H).map(i =>
+          s"sg$i AS MATERIALIZED (SELECT p.s, e.dst AS node, CAST(sum(p.sig) AS BIGINT) AS sig " +
+            s"FROM sg${i - 1} p JOIN e ON e.src = p.node " +
+            s"JOIN d ON d.s = p.s AND d.node = e.dst AND d.h = $i GROUP BY 1, 2)").mkString(", ")
+        val back = (H - 1 to 1 by -1).map { h =>
+          s"dc$h AS (SELECT u.s, u.node, CAST(sum((u.sig * (1000000 + w.delta)) // w.sig) AS BIGINT) AS delta " +
+            s"FROM sg$h u JOIN e ON e.src = u.node " +
+            s"JOIN wd${h + 1} w ON w.s = u.s AND w.node = e.dst GROUP BY 1, 2), " +
+            s"wd$h AS MATERIALIZED (SELECT sg$h.s, sg$h.node, sg$h.sig, coalesce(dc$h.delta, CAST(0 AS BIGINT)) AS delta " +
+            s"FROM sg$h LEFT JOIN dc$h ON sg$h.s = dc$h.s AND sg$h.node = dc$h.node)"
+        }.mkString(", ")
+        val union = (1 to H)
+          .map(i => s"SELECT s, node, delta FROM wd$i").mkString(" UNION ALL ")
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "r0 AS (SELECT DISTINCT src AS s, src AS node FROM e WHERE src % 2 = 0 AND src < 16), " +
+          unroll + ", " +
+          s"lvx AS (SELECT s, node, 0 AS h FROM r0 UNION ALL $lvu), " +
+          "d AS MATERIALIZED (SELECT s, node, min(h) AS h FROM lvx GROUP BY 1, 2), " +
+          "sg0 AS (SELECT s, node, CAST(1 AS BIGINT) AS sig FROM r0), " +
+          sig + ", " +
+          s"wd$H AS (SELECT s, node, sig, CAST(0 AS BIGINT) AS delta FROM sg$H), " +
+          back + ", " +
+          s"alld AS ($union) " +
+          "SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
+          "node // 2 AS key, CAST(sum(delta) AS BIGINT) AS bc_micro, " +
+          "count(*) AS n_seeds, " +
+          s"CAST($BetwRoundsSf001 AS INT) AS rounds " +
+          "FROM alld GROUP BY node ORDER BY node_type, key"
+      },
+      scaleNote = "Forward cost = graph_closeness's wave exactly (σ " +
+        "is one extra map-side sum in the same frontier join); the " +
+        "backward pass re-reads the checkpointed level table level " +
+        "by level — per round, ONE edges⋈frontier equi join plus a " +
+        "(s, node) join to the level below, O(level size) rows " +
+        "moved, frontiers broadcast while they fit and co-partition " +
+        "on (s, node) at social-graph scale (the closeness valve, " +
+        "unchanged). Sampled seeds are the standard estimator " +
+        "(Brandes–Pich: error ∝ 1/√seeds, independent of |V|) — " +
+        "never |V| sources. The integer fence is probe-measured: " +
+        "per-edge products σ_u·(1e6+δ_w) peak at 7.8e9 on these " +
+        "fixtures, eight orders below 2^63; graphs whose path " +
+        "counts push σ·δ past ~2^62 switch the product to " +
+        "DECIMAL(38,0) partials (the Louvain fence) with the plan " +
+        "unchanged. The rounds certificate keeps traversal depth " +
+        "part of the contract — a deeper graph fails the hash " +
+        "loudly instead of truncating the dependency accumulation."),
 
     // Neighbor-set Jaccard similarity between suppliers of the
     // bipartite trading graph: sim(s1,s2) = |C(s1)∩C(s2)| /

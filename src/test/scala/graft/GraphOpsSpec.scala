@@ -624,4 +624,48 @@ class GraphOpsSpec extends SparkSpec {
     val nodes = walks.map(_._3).toSet
     assert(got.forall(t => nodes(t._1) && nodes(t._2)))
   }
+
+  test("graph_betweenness: full integer Brandes driver replay; seeds never accumulate their own wave") {
+    val (eDf, lvDf, rounds) = GraphOps.brandesForward(spark, sf)
+    val edges = eDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val lv = lvDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap // (s, node) -> (h, sig)
+    val bySH = lv.groupBy { case ((s, _), (h, _)) => (s, h) }
+    val seeds = lv.keys.map(_._1).toSet
+    // the exact integer dependency recursion, deepest level first —
+    // every per-edge term ONE floor division, the operator's algebra
+    val delta = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (s <- seeds; h <- rounds.toLong to 1L by -1L)
+      for (((_, w), (_, sigW)) <- bySH.getOrElse((s, h), Map.empty)) {
+        val dW = delta.getOrElse((s, w), 0L)
+        for (u <- adj(w) if lv.get((s, u)).exists(_._1 == h - 1)) {
+          val sigU = lv((s, u))._2
+          delta((s, u)) = delta.getOrElse((s, u), 0L) +
+            (sigU * (1000000L + dW)) / sigW
+        }
+      }
+    val want = lv.keys.toSeq.collect { case (s, v) if lv((s, v))._1 >= 1 =>
+      v -> delta.getOrElse((s, v), 0L)
+    }.groupBy(_._1).map { case (v, xs) =>
+      v -> (xs.map(_._2).sum, xs.length.toLong)
+    }
+    val got = run("graph_betweenness").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4)))
+    assert(got.forall(_._5 == rounds), "rounds certificate mismatch")
+    assert(got.length == want.size, s"${got.length} rows, want ${want.size}")
+    got.foreach { case (tp, key, bc, ns, _) =>
+      val node = if (tp == "customer") key * 2 else key * 2 + 1
+      val (wbc, wns) = want(node)
+      assert(bc == wbc, s"bc($node): got $bc, want $wbc")
+      assert(ns == wns, s"n_seeds($node): got $ns, want $wns")
+    }
+    // a seed's own level-0 row never accumulates: its n_seeds counts
+    // only OTHER sources' waves passing through it
+    val seedRows = got.filter(r => r._1 == "customer" && r._2 < 8)
+    assert(seedRows.nonEmpty &&
+      seedRows.forall(_._4 <= seeds.size - 1))
+  }
 }
