@@ -72,17 +72,35 @@ object VecStats extends QueryGroup {
     g
   }
 
-  /** Driver-side two-axes computation: level-1 power iterations, the
-    * two-step truncating integer Hotelling downdate, level-2
-    * iterations. Shared by emb_pca_deflate and emb_project_pca. */
+  /** The deflate-and-repeat loop GENERALIZED to k axes (r12 —
+    * emb_pca_deflate proved the two-step truncating integer Hotelling
+    * downdate for k=2; this loops it): per level, 8 power iterations
+    * on the current Gram, then the exact integer downdate
+    * G ← G − (t·vᵀ)//den with t = (num·v)//den, every intermediate in
+    * 128-bit (BigInt here, HUGEINT in the oracle; both // truncate
+    * toward zero). Returns per level (axis v, Rayleigh numerator,
+    * denominator). */
+  private def topAxes(g: Array[Array[Long]], k: Int)
+      : Seq[(Array[Long], BigInt, Long)] = {
+    var cur = g
+    (1 to k).map { l =>
+      val (v, _, num, den) = powerIter(cur)
+      if (l < k) {
+        val t = v.map(vi => (num * BigInt(vi)) / BigInt(den))
+        cur = Array.tabulate(Dim, Dim) { (i, j) =>
+          cur(i)(j) - ((t(i) * BigInt(v(j))) / BigInt(den)).toLong
+        }
+      }
+      (v, num, den)
+    }
+  }
+
+  /** Driver-side two-axes computation — [[topAxes]] at k=2 (the
+    * original r11 form, arithmetic unchanged). Shared by
+    * emb_pca_deflate and emb_project_pca. */
   private def twoAxes(g: Array[Array[Long]])
       : (Array[Long], BigInt, Long, Array[Long], BigInt, Long) = {
-    val (v1, _, num, den) = powerIter(g)
-    val t = v1.map(vi => (num * BigInt(vi)) / BigInt(den))
-    val g2 = Array.tabulate(Dim, Dim) { (i, j) =>
-      g(i)(j) - ((t(i) * BigInt(v1(j))) / BigInt(den)).toLong
-    }
-    val (v2, _, num2, den2) = powerIter(g2)
+    val Seq((v1, num, den), (v2, num2, den2)) = topAxes(g, 2)
     (v1, num, den, v2, num2, den2)
   }
 
@@ -118,6 +136,33 @@ object VecStats extends QueryGroup {
       "FROM gm JOIN tv ON gm.i = tv.i JOIN v8 vj ON gm.j = vj.i), " +
       "w0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
       (1 to 8).map(r => iter2(s"w${r - 1}", s"x$r", s"e$r", s"w$r")).mkString(", ")
+  }
+
+  /** k-level oracle chain: per level l, 8 materialized iterations on
+    * Gram CTE g{l} (names a{l}0..a{l}8), the Rayleigh pair
+    * (n{l}/d{l}), and for l < k the HUGEINT downdate t{l} → g{l+1}.
+    * pcaTwoAxesSql generalized — same arithmetic per level. */
+  private def pcaTopkSql(k: Int): String = {
+    val base =
+      "q AS (SELECT list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv, vec_id FROM embeddings), " +
+        "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+        "tri AS MATERIALIZED (SELECT a.idx AS i, b.idx AS j, CAST(sum(a.v*b.v) AS BIGINT) AS g FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.idx <= b.idx GROUP BY 1, 2), " +
+        "g1 AS MATERIALIZED (SELECT i, j, g // 67108864 AS g FROM tri UNION ALL SELECT j, i, g // 67108864 FROM tri WHERE i < j)"
+    val levels = (1 to k).map { l =>
+      val it = iterSql(s"g$l") _
+      s"a${l}0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i, CAST(1048576 AS BIGINT) AS v), " +
+        (1 to 8).map(r =>
+          it(s"a$l${r - 1}", s"b$l$r", s"c$l$r", s"a$l$r")).mkString(", ") + ", " +
+        s"x$l AS MATERIALIZED (SELECT m.i AS i, CAST(sum(m.g * a${l}8.v) AS BIGINT) AS u FROM g$l m JOIN a${l}8 ON m.j = a${l}8.i GROUP BY 1), " +
+        s"n$l AS MATERIALIZED (SELECT sum(CAST(a${l}8.v AS HUGEINT) * x$l.u) AS num FROM a${l}8 JOIN x$l ON a${l}8.i = x$l.i), " +
+        s"d$l AS MATERIALIZED (SELECT sum(v*v) AS den FROM a${l}8)" +
+        (if (l < k)
+          s", t$l AS MATERIALIZED (SELECT i, ((SELECT num FROM n$l) * CAST(v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM d$l) AS t FROM a${l}8), " +
+            s"g${l + 1} AS MATERIALIZED (SELECT g$l.i, g$l.j, CAST(g$l.g - (t$l.t * CAST(vj.v AS HUGEINT)) // (SELECT CAST(den AS HUGEINT) FROM d$l) AS BIGINT) AS g " +
+            s"FROM g$l JOIN t$l ON g$l.i = t$l.i JOIN a${l}8 vj ON g$l.j = vj.i)"
+        else "")
+    }.mkString(", ")
+    s"$base, $levels"
   }
 
   def defs: Seq[QueryDef] = Seq(
@@ -308,6 +353,73 @@ object VecStats extends QueryGroup {
         "axis-projected index (emb_quantize → AnnIvf) keeps — the " +
         "spectral-decay measurement a 100 TB embedding store runs " +
         "before choosing its reduced dimension."),
+
+    // Top-k principal axes (r12, VERDICT r11 #5 — emb_pca_deflate's
+    // k=2 downdate LOOPED to k=4, the extension VecStats' own
+    // comment names): four axes, four Rayleigh quotients, and the
+    // scree ratios λ_l/λ₁ — the spectral-decay TABLE that prices how
+    // many dims a PCA-reduced ANN index needs (read the scree until
+    // it flattens; project onto that many axes). Same exact integer
+    // arithmetic per level: 8 power iterations, then the two-step
+    // truncating 128-bit Hotelling downdate, repeated — the oracle
+    // replays ALL 4×8 = 32 materialized iterations and 3 downdates.
+    // emb_pca_deflate's measured-spectrum caveat applies doubly: the
+    // synthetic corpus is near-isotropic (exact λ ratios 0.93-0.98),
+    // so successive Rayleigh estimates sit inside the top cluster
+    // and scree ratios hover near (or slightly above) 1 — which IS
+    // the honest spectral-decay readout for isotropic data ("PCA
+    // will not compress this corpus"); a real decaying spectrum
+    // separates cleanly on the same schedule.
+    QueryDef(
+      "emb_pca_topk",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val g = denseGram(spark, sf)
+        val axes = topAxes(g, 4)
+        val rays = axes.map(a => a._2.toDouble / a._3.toDouble)
+        def r4(x: Double) = BigDecimal(x)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        var df = (0 until Dim).map(i => (i + 1,
+            axes(0)._1(i), axes(1)._1(i), axes(2)._1(i), axes(3)._1(i)))
+          .toDF("i", "axis1_q", "axis2_q", "axis3_q", "axis4_q")
+        for (l <- 0 until 4)
+          df = df.withColumn(s"rayleigh${l + 1}", lit(r4(rays(l))))
+        for (l <- 1 until 4)
+          df = df.withColumn(s"scree${l + 1}", lit(r4(rays(l) / rays(0))))
+        df.orderBy("i")
+      },
+      Some {
+        val sel = (1 to 4).map(l => s"a${l}8.v AS axis${l}_q").mkString(", ")
+        val ray = (l: Int) =>
+          s"CAST((SELECT num FROM n$l) AS DOUBLE) / CAST((SELECT den FROM d$l) AS DOUBLE)"
+        val rays = (1 to 4)
+          .map(l => s"round(${ray(l)}, 4) AS rayleigh$l").mkString(", ")
+        val screes = (2 to 4)
+          .map(l => s"round((${ray(l)}) / (${ray(1)}), 4) AS scree$l")
+          .mkString(", ")
+        val joins = (2 to 4)
+          .map(l => s"JOIN a${l}8 ON a18.i = a${l}8.i").mkString(" ")
+        s"WITH ${pcaTopkSql(4)} " +
+          s"SELECT CAST(a18.i AS INT) AS i, $sel, $rays, $screes " +
+          s"FROM a18 $joins ORDER BY i"
+      },
+      scaleNote = "emb_pca_power's economics times a CONSTANT: the " +
+        "one corpus-sized computation is still the single mergeable " +
+        "Gram aggregate (collected once — 16 KB — and deflated k " +
+        "times driver-side, exactly the composed pipeline " +
+        "emb_pca_deflate's scaleNote promised), and each additional " +
+        "axis costs 8 more d×d integer mat-vecs plus one integer " +
+        "rank-1 downdate — register-file arithmetic, microseconds " +
+        "at d=64 and still sub-second at d=4096. k is a literal: " +
+        "deeper spectra loop the same two steps, and every level's " +
+        "trajectory stays exact-integer (BigInt/HUGEINT downdate " +
+        "intermediates, truncating division both engines), so the " +
+        "whole scree table is bit-stable on any partitioning. The " +
+        "scree ratios are the deliverable a 100 TB embedding store " +
+        "reads before fixing its reduced index dimension; " +
+        "emb_project_pca then applies however many axes the scree " +
+        "justifies as literal arrays in one map-only pass."),
 
     // PCA APPLIED — the distributed half the two axis operators
     // prepare for: project EVERY vector onto both principal axes.

@@ -1123,6 +1123,26 @@ object Streams {
         col("n_easy"), col("n_difficult"))
   }
 
+  /** Live mixture-drift panel — the streaming form of corpus_mix_kl,
+    * which is explicitly "the alert a recurring build fires": the
+    * alert belongs ON the stream (stream_mix_kl, r12). Per-language
+    * (n_docs, chars) counters in ONE complete-mode aggregate, chars
+    * computed from the arriving text (length(text) ≡ the batch
+    * table's n_chars by the fixture contract, so the counters are
+    * the batch op's exact integers). State is |langs| rows of two
+    * BIGINTs; the KL — each contribution ONE ln() of exact integer
+    * ratios floor-quantized to micro-nats — and the ≤0.2-nat gate
+    * verdict recompose from the emitted integers exactly as the
+    * batch edge expression, parity-proven bit-for-bit after replay
+    * with a mid-replay conservation pin (Σchars accounts for every
+    * char seen so far — a drifting crawler moves this panel long
+    * before per-language doc counts look alarming). */
+  def mixKl(docs: Dataset[LangDoc]): DataFrame =
+    docs.toDF()
+      .select(col("lang"), length(col("text")).cast("long").as("chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
+
   /** Streaming sample-ratio-mismatch panel — the live form of batch
     * ab_test_srm, which is the check that RUNS continuously by
     * design (every readout refresh re-validates the split; the

@@ -1268,6 +1268,48 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(!plan.contains("Join"), plan.take(800))
   }
 
+  test("emb_pca_topk: levels 1-2 reproduce emb_pca_deflate bit-for-bit; scree recomposes; axes distinct") {
+    val out = run("emb_pca_topk").orderBy("i").collect()
+    assert(out.length == 64)
+    val two = run("emb_pca_deflate").orderBy("i").collect()
+    // the k=4 loop's first two levels ARE the k=2 operator — same
+    // Gram, same iterations, same downdate, bit for bit
+    assert(out.map(_.getAs[Long]("axis1_q")).toSeq ==
+      two.map(_.getAs[Long]("axis1_q")).toSeq)
+    assert(out.map(_.getAs[Long]("axis2_q")).toSeq ==
+      two.map(_.getAs[Long]("axis2_q")).toSeq)
+    assert(out(0).getAs[Double]("rayleigh1") ==
+      two(0).getAs[Double]("rayleigh1"))
+    assert(out(0).getAs[Double]("rayleigh2") ==
+      two(0).getAs[Double]("rayleigh2"))
+    assert(out(0).getAs[Double]("scree2") ==
+      two(0).getAs[Double]("eig_ratio"))
+    val rays = (1 to 4).map(l => out(0).getAs[Double](s"rayleigh$l"))
+    assert(rays.forall(_ > 0), s"quotients must be positive: $rays")
+    // near-flat corpus (probed λ₂/λ₁ = 0.93-0.98 by exact eig): all
+    // four quotients sit in the top cluster, so every scree ratio
+    // stays inside the deflate band
+    val screes = (2 to 4).map(l => out(0).getAs[Double](s"scree$l"))
+    assert(screes.forall(s => s > 0.80 && s < 1.20),
+      s"screes $screes outside the probed near-flat band")
+    (2 to 4).foreach { l =>
+      assert(math.abs(out(0).getAs[Double](s"scree$l") -
+        rays(l - 1) / rays(0)) < 1e-3,
+        s"scree$l does not recompose from the quotients")
+    }
+    // the four axes are genuinely distinct directions (deflation did
+    // SOMETHING each level) — no pair near-parallel
+    val axes = (1 to 4).map(l =>
+      out.map(_.getAs[Long](s"axis${l}_q").toDouble))
+    for (a <- 0 until 4; b <- a + 1 until 4) {
+      val cos = axes(a).zip(axes(b)).map { case (x, y) => x * y }.sum /
+        (math.sqrt(axes(a).map(x => x * x).sum) *
+          math.sqrt(axes(b).map(x => x * x).sum))
+      assert(math.abs(cos) < 0.9,
+        s"axes ${a + 1},${b + 1} nearly parallel: cos=$cos")
+    }
+  }
+
   test("graph_label_spread: seeds clamp, labels stay in the seed class set, spread reaches both sides") {
     val out = run("graph_label_spread").cache()
     // every seed keeps exactly its seeded class

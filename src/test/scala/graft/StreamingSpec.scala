@@ -626,6 +626,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_mix_kl per-lang counters recompose batch corpus_mix_kl bit-for-bit after replay") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val mem = MemoryStream[Streams.LangDoc](67, spark, None)
+    val q = Streams.mixKl(mem.toDS()).writeStream.format("memory")
+      .queryName("t_mixkl").outputMode("complete").start()
+    try {
+      var seenChars = 0L
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seenChars += sl.map(_.text.length.toLong).sum
+          // mid-replay conservation pin: the panel accounts for
+          // every char seen so far — no batch boundary loses mass
+          val partial = spark.table("t_mixkl")
+          assert(partial.agg(sum("chars")).collect()(0).getLong(0) == seenChars,
+            "char mass not conserved mid-replay")
+        }
+      val cells = spark.table("t_mixkl").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val batch = graft.engine.Registry.byName("corpus_mix_kl")
+        .build(spark, sf).collect()
+      assert(batch.length == cells.size)
+      // per-lang counters equal the batch aggregate exactly
+      batch.foreach { r =>
+        val (n, c) = cells(r.getString(0))
+        assert(n == r.getLong(1) && c == r.getLong(2),
+          s"${r.getString(0)}: streamed ($n, $c) diverges from batch")
+      }
+      // the KL — contributions, total, and the ≤0.2-nat verdict —
+      // recomposes from the emitted integers exactly as the batch
+      // edge expression (one ln per lang, floored to micro-nats)
+      val tc = cells.values.map(_._2).sum
+      val nl = cells.size.toLong
+      val contribs = cells.view.mapValues { case (_, c) =>
+        math.floor((c.toDouble / tc) *
+          math.log(c.toDouble * nl / tc) * 1e6).toLong
+      }.toMap
+      val total = contribs.values.sum
+      batch.foreach { r =>
+        assert(contribs(r.getString(0)) == r.getLong(4),
+          s"${r.getString(0)} contribution diverges")
+        assert(total == r.getLong(5), "KL total diverges")
+        assert(r.getBoolean(6) == (total <= 200000L), "gate verdict diverges")
+      }
+    } finally q.stop()
+  }
+
   test("stream_srm running arm counts match batch ab_test_srm cells and GOF after replay") {
     val s = spark
     import s.implicits._
