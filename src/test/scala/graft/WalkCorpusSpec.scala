@@ -79,4 +79,33 @@ class WalkCorpusSpec extends SparkSpec {
       assert(pairSet((x, c)) == np)
     }
   }
+
+  test("graph_walk_embed: four-iteration integer power replay over the SPPMI matrix") {
+    val pm = engine.Registry.byName("graph_walk_pmi")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
+    val m = pm.filter(_._3 > 0)
+    assert(m.nonEmpty, "SPPMI matrix has no positive entries")
+    val byCenter = m.groupBy(_._1)
+    var x = byCenter.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 4) {
+      val u = byCenter.view.mapValues(_.map { case (_, ctx, w) =>
+        w * x.getOrElse(ctx, 0L) }.sum).toMap
+      val d = math.max(u.values.map(math.abs).max / 1000000L, 1L)
+      x = u.view.mapValues(_ / d).toMap
+    }
+    val got = engine.Registry.byName("graph_walk_embed")
+      .build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    assert(got.length == x.size, s"${got.length} rows, want ${x.size}")
+    got.foreach { case (tp, key, v, it) =>
+      val node = if (tp == "customer") key * 2 else key * 2 + 1
+      assert(v == x(node), s"emb($node): got $v, want ${x(node)}")
+      assert(it == 4)
+    }
+    // a nonneg irreducible-ish matrix from a positive start: the
+    // dominant component is positive and non-degenerate
+    assert(got.forall(_._3 > 0), "embedding must stay positive")
+    assert(got.map(_._3).distinct.length > 1, "embedding collapsed to a constant")
+  }
 }
