@@ -108,7 +108,8 @@ object ScalingCurve {
       // one-time corpus write in its first-touch timing — a
       // write-path operator, sink_bucketed's precedent)
       "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi",
-      "graph_betweenness", "emb_pca_topk", "graph_walk_embed")
+      "graph_betweenness", "emb_pca_topk", "graph_walk_embed",
+      "graph_edge_betweenness")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

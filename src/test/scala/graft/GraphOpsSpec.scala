@@ -668,4 +668,61 @@ class GraphOpsSpec extends SparkSpec {
     assert(seedRows.nonEmpty &&
       seedRows.forall(_._4 <= seeds.size - 1))
   }
+
+  test("graph_edge_betweenness: per-edge replay; edge terms conserve each source's node dependency") {
+    val (eDf, lvDf, rounds) = GraphOps.brandesForward(spark, sf)
+    val edges = eDf.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = edges.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val lv = lvDf.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val bySH = lv.groupBy { case ((s, _), (h, _)) => (s, h) }
+    val seeds = lv.keys.map(_._1).toSet
+    val delta = scala.collection.mutable.Map[(Long, Long), Long]()
+    val edgeSum = scala.collection.mutable.Map[(Long, Long), (Long, Long)]()
+    for (s <- seeds; h <- rounds.toLong to 1L by -1L)
+      for (((_, w), (_, sigW)) <- bySH.getOrElse((s, h), Map.empty)) {
+        val dW = delta.getOrElse((s, w), 0L)
+        for (u <- adj(w) if lv.get((s, u)).exists(_._1 == h - 1)) {
+          val c = (lv((s, u))._2 * (1000000L + dW)) / sigW
+          delta((s, u)) = delta.getOrElse((s, u), 0L) + c
+          val (cs, cn) = edgeSum.getOrElse((u, w), (0L, 0L))
+          edgeSum((u, w)) = (cs + c, cn + 1L)
+        }
+      }
+    val got = run("graph_edge_betweenness").collect()
+      .map { r =>
+        val u = if (r.getString(0) == "customer") r.getLong(1) * 2
+          else r.getLong(1) * 2 + 1
+        val w = if (r.getString(2) == "customer") r.getLong(3) * 2
+          else r.getLong(3) * 2 + 1
+        (u, w) -> (r.getLong(4), r.getLong(5), r.getInt(6))
+      }.toMap
+    assert(got.size == edgeSum.size, s"${got.size} edges, want ${edgeSum.size}")
+    edgeSum.foreach { case (k, (cs, cn)) =>
+      val (ebc, ns, rd) = got(k)
+      assert(ebc == cs, s"edge $k: got $ebc, want $cs")
+      assert(ns == cn && rd == rounds)
+    }
+    // conservation: within every source's DAG, a node's dependency IS
+    // the sum of its outgoing edge terms — so the edge table carries
+    // the node table's exact information at finer grain
+    val nodeOut = run("graph_betweenness").collect().map { r =>
+      val v = if (r.getString(0) == "customer") r.getLong(1) * 2
+        else r.getLong(1) * 2 + 1
+      v -> r.getLong(2)
+    }.toMap
+    // (the replay's delta map IS the per-(source, node) sum of edge
+    // terms, so summing it over level-≥1 appearances must reproduce
+    // the node operator exactly — the seed's own level-0 wave
+    // excluded on both sides)
+    val bcFromEdges = scala.collection.mutable.Map[Long, Long]()
+    for (((s, v), d) <- delta if lv((s, v))._1 >= 1) {
+      bcFromEdges(v) = bcFromEdges.getOrElse(v, 0L) + d
+    }
+    nodeOut.foreach { case (v, bc) =>
+      assert(bcFromEdges.getOrElse(v, 0L) == bc,
+        s"node $v: dependency $bc not conserved by edge terms")
+    }
+  }
 }
