@@ -1123,6 +1123,32 @@ object Streams {
         col("n_easy"), col("n_difficult"))
   }
 
+  /** Live data-quality profile — the streaming form of
+    * dq_profile_approx's PRODUCTION pass (stream_dq_profile, r12):
+    * the profile a 100 TB feed actually maintains is not a nightly
+    * batch but a continuously-updated panel, and the sketch design
+    * is WHY it can stream — every aggregate here has a fixed-size
+    * mergeable state (counts, min/max, six-KB HLL++ registers), so
+    * the whole panel is ONE complete-mode global aggregate row
+    * regardless of feed volume. HLL++ register merge is max-fold —
+    * commutative, associative, replay-order-independent — so the
+    * streamed sketch estimates are BIT-EQUAL to a batch
+    * approx_count_distinct over the same rows (proven in-spec), and
+    * sit inside the batch op's 2+10 % tolerance of the exact
+    * distincts. */
+  def dqProfile(events: Dataset[Event]): DataFrame =
+    events.toDF().agg(
+      count(lit(1)).as("n_rows"),
+      sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_null_value"),
+      approx_count_distinct(col("event_id"), 0.02).as("ad_event_id"),
+      approx_count_distinct(col("user_id"), 0.02).as("ad_user_id"),
+      approx_count_distinct(col("event_type"), 0.02).as("ad_event_type"),
+      approx_count_distinct(col("value"), 0.02).as("ad_value"),
+      min(col("user_id")).as("mn_user_id"),
+      max(col("user_id")).as("mx_user_id"),
+      min(col("value")).as("mn_value"),
+      max(col("value")).as("mx_value"))
+
   /** Live mixture-drift panel — the streaming form of corpus_mix_kl,
     * which is explicitly "the alert a recurring build fires": the
     * alert belongs ON the stream (stream_mix_kl, r12). Per-language

@@ -626,6 +626,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dq_profile: streamed HLL sketches bit-equal batch sketches; panel sits in dq_profile_approx's tolerance") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](71, spark, None)
+    val q = Streams.dqProfile(mem.toDS()).writeStream.format("memory")
+      .queryName("t_dqprof").outputMode("complete").start()
+    try {
+      var seen = 0L
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seen += sl.length
+          // mid-replay: the panel accounts for every row seen
+          assert(spark.table("t_dqprof").collect()(0).getLong(0) == seen)
+        }
+      val got = spark.table("t_dqprof").collect()(0)
+      // HLL++ merge is a register max-fold — replay order and batch
+      // boundaries cannot move a bit: the streamed panel equals the
+      // one-shot batch aggregate EXACTLY, sketches included
+      val batch = Streams.dqProfile(all.toSeq.toDS()).collect()(0)
+      (0 until got.length).foreach { i =>
+        assert(got.get(i) == batch.get(i),
+          s"panel col $i: streamed ${got.get(i)} != batch ${batch.get(i)}")
+      }
+      // and the sketches sit inside the batch op's tolerance band of
+      // the exact distincts (dq_profile_approx's 2 + 10 % gate)
+      val prof = graft.engine.Registry.byName("dq_profile_approx")
+        .build(spark, sf).collect()
+        .map(r => r.getString(0) -> r).toMap
+      Seq("event_id" -> 2, "user_id" -> 3, "event_type" -> 4, "value" -> 5)
+        .foreach { case (c, i) =>
+          val nd = prof(c).getAs[Long]("n_distinct")
+          assert(math.abs(got.getLong(i) - nd) <= 2.0 + 0.10 * nd,
+            s"$c sketch ${got.getLong(i)} outside tolerance of exact $nd")
+          assert(prof(c).getAs[Long]("n_rows") == got.getLong(0))
+        }
+      assert(prof("value").getAs[Long]("n_null") == got.getLong(1))
+      assert(prof("user_id").getAs[Double]("min_num") == got.getLong(6).toDouble)
+      assert(prof("user_id").getAs[Double]("max_num") == got.getLong(7).toDouble)
+      assert(prof("value").getAs[Double]("min_num") == got.getDouble(8))
+      assert(prof("value").getAs[Double]("max_num") == got.getDouble(9))
+    } finally q.stop()
+  }
+
   test("stream_mix_kl per-lang counters recompose batch corpus_mix_kl bit-for-bit after replay") {
     val s = spark
     import s.implicits._
