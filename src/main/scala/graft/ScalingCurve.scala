@@ -104,12 +104,14 @@ object ScalingCurve {
       "multimodal_quality", "graph_coreness", "ab_sequential",
       "graph_rich_club", "ts_forecast_backtest", "agg_anova",
       "text_code_detect", "corpus_mix_kl", "ab_ratio_delta",
-      // r12 wave (all scale with sf; sink_walk_corpus includes the
-      // one-time corpus write in its first-touch timing — a
-      // write-path operator, sink_bucketed's precedent)
+      // r12 wave (all scale with sf; sink_walk_corpus's one-time
+      // corpus write happens in the WARM pass — idempotent per
+      // (session, sf) — so its curve prices the steady-state
+      // bucketed read-back, and the write cost itself is
+      // graph_random_walks' curve, which builds the same table)
       "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi",
       "graph_betweenness", "emb_pca_topk", "graph_walk_embed",
-      "graph_edge_betweenness")
+      "graph_edge_betweenness", "graph_conductance")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -1690,6 +1690,80 @@ object GraphOps extends QueryGroup {
         "modularity-guided iteration (Louvain's inner loop) reuses " +
         "this exact aggregate shape per move round."),
 
+    // Community CONDUCTANCE (r12) — modularity's complementary
+    // quality metric, and the one cut-based community evaluation
+    // (Leskovec's NCP plots, spectral partitioning bounds) actually
+    // uses: φ(C) = cut(C) / min(vol(C), 2m − vol(C)) — how leaky a
+    // community's boundary is relative to its size. Modularity
+    // compares against a NULL MODEL (degree-preserving rewiring);
+    // conductance is model-free — a partition can score well on one
+    // and badly on the other, which is why community pipelines
+    // report both. Same plan as graph_modularity verbatim (two
+    // broadcast community joins + one rollup): on the directed
+    // double edge list, vol(C) = directed rows with src ∈ C and
+    // cut(C) = directed rows leaving C (each undirected cut edge has
+    // exactly one leaving direction, so the count is the exact
+    // undirected cut). All integers; one guarded division at the
+    // edge (min-side 0 → NULL both engines).
+    QueryDef(
+      "graph_conductance",
+      (spark, sf) => {
+        val e = edges(spark, sf)
+        val comm = Tables.customer(spark, sf)
+            .select((col("c_custkey") * 2).as("node"),
+              col("c_nationkey").as("comm"))
+          .unionAll(Tables.supplier(spark, sf)
+            .select((col("s_suppkey") * 2 + 1).as("node"),
+              col("s_nationkey").as("comm")))
+        val j = e
+          .join(broadcast(comm.withColumnRenamed("node", "src")
+            .withColumnRenamed("comm", "sc")), Seq("src"))
+          .join(broadcast(comm.withColumnRenamed("node", "dst")
+            .withColumnRenamed("comm", "dc")), Seq("dst"))
+        val tot = j.agg(count(lit(1)).as("t"))
+        val volMin = least(col("vol"), col("t") - col("vol"))
+        j.groupBy(col("sc").as("nation"))
+          .agg(count(lit(1)).as("vol"),
+            sum(when(col("dc") =!= col("sc"), 1L).otherwise(0L))
+              .as("cut_edges"),
+            countDistinct(col("src")).as("n_nodes"))
+          .crossJoin(broadcast(tot))
+          .select(col("nation"), col("n_nodes"), col("vol"),
+            col("cut_edges"), volMin.as("vol_min"),
+            when(volMin > 0,
+              round(col("cut_edges").cast("double") /
+                volMin.cast("double"), 6)).as("conductance"))
+          .orderBy("nation")
+      },
+      Some(s"WITH bp AS ($EdgesSql), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+        "comm AS (SELECT c_custkey*2 AS node, c_nationkey AS comm FROM customer " +
+        "UNION ALL SELECT s_suppkey*2+1, s_nationkey FROM supplier), " +
+        "j AS (SELECT sc.comm AS sc, dc.comm AS dc, e.src FROM e " +
+        "JOIN comm sc ON e.src = sc.node JOIN comm dc ON e.dst = dc.node), " +
+        "t AS (SELECT count(*) AS t FROM j), " +
+        "p AS (SELECT sc AS nation, count(DISTINCT src) AS n_nodes, count(*) AS vol, " +
+        "CAST(sum(CASE WHEN dc <> sc THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges, " +
+        "least(count(*), any_value(t.t) - count(*)) AS vol_min " +
+        "FROM j CROSS JOIN t GROUP BY sc) " +
+        "SELECT nation, n_nodes, vol, cut_edges, vol_min, " +
+        "CASE WHEN vol_min > 0 THEN round(CAST(cut_edges AS DOUBLE) / CAST(vol_min AS DOUBLE), 6) END AS conductance " +
+        "FROM p ORDER BY nation"),
+      scaleNote = "graph_modularity's economics verbatim — dim-" +
+        "derived community map broadcasts (co-partitions with the " +
+        "edge build at social-graph scale, the standard valve), edge " +
+        "list read once, map-side-combined rollup to |communities| " +
+        "rows, 1-row total broadcast back — so reporting BOTH " +
+        "quality metrics costs one extra conditional sum in the " +
+        "same aggregate, not a second pass. Every division input is " +
+        "an exact integer and the degenerate min-side guard emits " +
+        "NULL identically on both engines (no Infinity ordering " +
+        "hazard). Evaluating any other partition (Louvain's output, " +
+        "label_spread's, components') swaps the comm map, plan " +
+        "unchanged — together with modularity this gives community " +
+        "pipelines the standard two-axis readout (null-model gain " +
+        "vs boundary leakage) at one aggregate's price."),
+
     // Louvain move round (r10) — the promise in graph_modularity's
     // scaleNote CASHED: one deterministic synchronous round of
     // modularity-guided label moves, starting from the nationkey

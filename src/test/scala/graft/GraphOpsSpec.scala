@@ -669,6 +669,36 @@ class GraphOpsSpec extends SparkSpec {
       seedRows.forall(_._4 <= seeds.size - 1))
   }
 
+  test("graph_conductance: ties exactly to graph_modularity's cells; boundary accounting conserves") {
+    val cond = run("graph_conductance").collect()
+    val mod = run("graph_modularity").collect()
+      .map(r => r.get(0).toString.toLong ->
+        (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap // nation -> (n_nodes, deg_sum, internal_edges)
+    assert(cond.length == mod.size)
+    val t = cond.map(_.getLong(2)).sum // Σvol = directed edge total
+    cond.foreach { r =>
+      val (nation, n, vol, cut) = (r.get(0).toString.toLong,
+        r.getLong(1), r.getLong(2), r.getLong(3))
+      val (mn, deg, internal) = mod(nation)
+      // vol IS modularity's degree mass; the boundary accounting
+      // closes exactly: directed rows = internal (×2) + leaving
+      assert(n == mn && vol == deg)
+      assert(vol == 2 * internal + cut,
+        s"nation $nation: vol $vol != 2*$internal + $cut")
+      val volMin = math.min(vol, t - vol)
+      assert(r.getLong(4) == volMin)
+      if (volMin > 0) {
+        val want = BigDecimal(cut.toDouble / volMin)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        assert(r.getDouble(5) == want)
+        // φ ∈ [0, 1]: cut ≤ vol (each leaving row is a vol row) and
+        // cut ≤ t − vol (its reverse row sits in another community)
+        assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+      } else assert(r.isNullAt(5))
+    }
+  }
+
   test("graph_edge_betweenness: per-edge replay; edge terms conserve each source's node dependency") {
     val (eDf, lvDf, rounds) = GraphOps.brandesForward(spark, sf)
     val edges = eDf.collect().map(r => (r.getLong(0), r.getLong(1)))
