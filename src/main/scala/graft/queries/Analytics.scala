@@ -1235,6 +1235,96 @@ object Analytics extends QueryGroup {
         "non-stationary series route to differencing (ARIMA's d) " +
         "instead."),
 
+    // Theil–Sen ROBUST trend (r12) — the missing robustness member
+    // of the forecasting family: ts_linear_forecast's OLS slope is a
+    // least-squares mean, so one logging outage or backfill spike
+    // drags the whole trend (exactly the contamination ts_anomaly_mad
+    // exists to flag — MAD is the robust LOCATION member, Theil–Sen
+    // is its robust SLOPE sibling, breakdown point 29%). Estimator =
+    // the exact MEDIAN of all pairwise slopes over the aggregate-
+    // collapsed daily grid: slopes quantize to integer basis points
+    // by one truncating division each ((dy·10⁴) div dx — div and //
+    // both truncate toward zero, probed), the median is the exact
+    // order statistic (row_number window, two-middle mean for even
+    // counts — agg_median_exact's contract), and the OLS slope rides
+    // along from the same grid so the report IS the robustness diff
+    // a dashboard wants (sen ≈ ols ⇒ clean series; gap ⇒ outliers
+    // are steering OLS).
+    QueryDef(
+      "ts_theil_sen",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val d0 = daily.groupBy("event_type")
+          .agg(min(col("day")).as("d0"))
+        val pts = daily.join(d0, "event_type")
+          .select(col("event_type"),
+            datediff(col("day"), col("d0")).cast("long").as("x"),
+            col("y"))
+        val l = pts.select(col("event_type"), col("x").as("xa"),
+          col("y").as("ya"))
+        val r = pts.select(col("event_type"), col("x").as("xb"),
+          col("y").as("yb"))
+        val pairs = l.join(r, Seq("event_type"))
+          .filter(col("xa") < col("xb"))
+          .select(col("event_type"),
+            expr("((yb - ya) * 10000) div (xb - xa)").as("slope_q"))
+        val w = Window.partitionBy("event_type").orderBy("slope_q")
+        val cw = Window.partitionBy("event_type")
+        val med = pairs
+          .withColumn("rn", row_number().over(w))
+          .withColumn("cnt", count(lit(1)).over(cw))
+          .filter(col("rn") === expr("(cnt + 1) div 2") ||
+            col("rn") === expr("cnt div 2 + 1"))
+          .groupBy("event_type")
+          .agg(round(avg(col("slope_q")), 4).as("sen_bp"),
+            max(col("cnt")).as("n_pairs"))
+        val s = pts.groupBy("event_type").agg(
+          count(lit(1)).as("n_days"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        def d(c: Column) = c.cast("double")
+        s.join(med, Seq("event_type"))
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("sen_bp"),
+            round(d((col("n_days") * col("sxy") -
+                col("sx") * col("sy")) * lit(10000L)) /
+              nullif(d(col("n_days") * col("sxx") -
+                col("sx") * col("sx")), lit(0.0)), 4).as("ols_bp"))
+          .orderBy("event_type")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1), " +
+        "pts AS (SELECT d.event_type, CAST(date_diff('day', x.d0, d.day) AS BIGINT) AS x, y FROM daily d JOIN d0 x ON d.event_type = x.event_type), " +
+        "pr AS (SELECT a.event_type, ((b.y - a.y) * 10000) // (b.x - a.x) AS slope_q " +
+        "FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x), " +
+        "rk AS (SELECT event_type, slope_q, row_number() OVER (PARTITION BY event_type ORDER BY slope_q) AS rn, " +
+        "count(*) OVER (PARTITION BY event_type) AS cnt FROM pr), " +
+        "md AS (SELECT event_type, round(avg(slope_q), 4) AS sen_bp, CAST(max(cnt) AS BIGINT) AS n_pairs " +
+        "FROM rk WHERE rn = (cnt + 1) // 2 OR rn = cnt // 2 + 1 GROUP BY 1), " +
+        "s AS (SELECT event_type, count(*) AS n_days, sum(x) AS sx, sum(y) AS sy, " +
+        "sum(x*y) AS sxy, sum(x*x) AS sxx FROM pts GROUP BY 1) " +
+        "SELECT s.event_type, n_days, n_pairs, sen_bp, " +
+        "round(CAST((n_days*sxy - sx*sy) * 10000 AS DOUBLE) / nullif(CAST(n_days*sxx - sx*sx AS DOUBLE), 0), 4) AS ols_bp " +
+        "FROM s JOIN md ON s.event_type = md.event_type ORDER BY s.event_type"),
+      scaleNote = "Everything runs on the aggregate-collapsed daily " +
+        "grid (|types|×|days| rows), so the pairwise stage is the " +
+        "textbook O(d²) per series — ~5k pairs at d=100, trivially " +
+        "partition-parallel because the self-join is an equi join on " +
+        "the series key with the slope computed in the join output; " +
+        "the raw log is never touched past the first rollup. Long " +
+        "series (d in the tens of thousands) switch to the standard " +
+        "k-pair SUBSAMPLE estimator: sample_consistent's hash picks " +
+        "k deterministic pairs per series and the same median window " +
+        "runs on k rows — accuracy ∝ 1/√k, plan unchanged. The " +
+        "slope quantization (one truncating integer division per " +
+        "pair, identical both engines) is what makes the MEDIAN " +
+        "hash-stable: order statistics over exact integers cannot " +
+        "drift with partitioning, where a float-slope median could " +
+        "tie-break differently per layout. OLS rides the same grid " +
+        "for free — the sen-vs-ols gap IS the outlier alarm."),
+
     // Rolling-origin forecast BACKTEST (r11) — the evaluation step
     // the forecasting family was missing: ts_linear_forecast and
     // ts_ar1 each emit a forecast, but which model should a

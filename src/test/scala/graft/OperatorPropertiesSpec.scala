@@ -2099,6 +2099,48 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ts_theil_sen: exact pairwise-slope median replays; Sen shrugs off the outlier that drags OLS") {
+    val out = run("ts_theil_sen").collect()
+    val daily = engine.Tables.loadEvents(spark, sf)
+      .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("y"))
+      .collect().map(r => (r.getString(0), r.getDate(1).toLocalDate, r.getLong(2)))
+    def r4(x: Double) = BigDecimal(x).setScale(4,
+      BigDecimal.RoundingMode.HALF_UP).toDouble
+    def senOf(ps: Seq[(Long, Long)]): Double = {
+      val ss = (for { (xa, ya) <- ps; (xb, yb) <- ps if xa < xb }
+        yield ((yb - ya) * 10000L) / (xb - xa)).sorted
+      val c = ss.length
+      (ss((c + 1) / 2 - 1) + ss(c / 2)).toDouble / 2
+    }
+    def olsOf(ps: Seq[(Long, Long)]): Double = {
+      val n = ps.length.toLong
+      val sx = ps.map(_._1).sum; val sy = ps.map(_._2).sum
+      val sxy = ps.map(p => p._1 * p._2).sum
+      val sxx = ps.map(p => p._1 * p._1).sum
+      ((n * sxy - sx * sy) * 10000L).toDouble / (n * sxx - sx * sx).toDouble
+    }
+    out.foreach { r =>
+      val t = r.getString(0)
+      val series = daily.filter(_._1 == t)
+      val d0 = series.map(_._2.toEpochDay).min
+      val pts = series.map(p => (p._2.toEpochDay - d0, p._3))
+      assert(r.getLong(1) == pts.length.toLong)
+      assert(r.getLong(2) == pts.length.toLong * (pts.length - 1) / 2)
+      assert(r.getDouble(3) == r4(senOf(pts)), s"$t sen")
+      assert(r.getDouble(4) == r4(olsOf(pts)), s"$t ols")
+    }
+    // the estimator property the operator exists for, demonstrated
+    // with the operator's exact arithmetic: one end-point outage
+    // spike in a clean 3/day line drags OLS by >2 counts/day while
+    // the pairwise-slope median moves <0.2 (29 of 435 pairs touch
+    // the outlier — far below the median's 29% breakdown point)
+    val clean = (0L until 30L).map(x => (x, 100L + 3L * x))
+    val dirty = clean.updated(29, (29L, 100000L))
+    assert(math.abs(senOf(dirty) - senOf(clean)) < 2000.0)
+    assert(math.abs(olsOf(dirty) - olsOf(clean)) > 20000.0)
+  }
+
   test("ts_acf: lag-1 equals ts_autocorr and pair counts shrink one row per lag") {
     val acf = run("ts_acf").collect()
     val auto = run("ts_autocorr").collect()
