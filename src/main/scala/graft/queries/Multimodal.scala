@@ -43,6 +43,22 @@ object Multimodal extends QueryGroup {
     }
   }
 
+  /** Portable 32-bit SimHash family for binary payloads (r12): the
+    * b-th fingerprint bit is the majority sign of
+    * ((A_b·k + B_b) mod P) mod 2 over the asset's exact integer
+    * byte-4-gram encodes k — dedup_simhash_accuracy's gate-portable
+    * affine construction, so the fingerprint (and the whole pair
+    * table) replays identically in DuckDB. Stated literal
+    * coefficients; P = 2^31 − 1 keeps A·k < 2^62. */
+  val SimBits = 32
+  val SimP = 2147483647L
+  val SimA: Seq[Long] = (1 to SimBits).map(b => (2654435761L * b) % SimP)
+  val SimB: Seq[Long] = (1 to SimBits).map(b => (40503L * (b + 7)) % SimP)
+
+  /** Hamming radius of the declared pair table — 3 of 32 bits, the
+    * pigeonhole-guaranteed regime of the 4×8 banding. */
+  val MaxAssetHamming = 3
+
   /** Deterministic media table derived from documents: payload = UTF-8
     * bytes of the text (stands in for encoded pixels), metadata from
     * doc fields. */
@@ -194,6 +210,111 @@ object Multimodal extends QueryGroup {
         "bucket confirms — dedup_near's band→verify shape on binary. " +
         "Keeper = min(id) is associative, so the canonical choice is " +
         "partition-order-free."),
+
+    // NEAR-duplicate asset detection (r12) — multimodal_dedup's
+    // fuzzy sibling, the pHash-shaped member the media family was
+    // missing: exact-fingerprint dedup misses re-encodes, crops and
+    // metadata-stripped copies; production asset lakes run a
+    // PERCEPTUAL hash (locality-sensitive over decoded content) and
+    // pair assets within a small Hamming distance. Shape here: a
+    // 32-bit SimHash over payload byte 4-grams (with a real codec
+    // the grams come from decoded-pixel blocks — Codec.decode is the
+    // stub boundary; the identity stub makes grams byte-grams, which
+    // keeps every stage real and oracled), banded 4×8 bits so
+    // candidates come from equi joins (distance ≤ 3 is pigeonhole-
+    // guaranteed a shared band), df-capped buckets, Hamming verify.
+    // Unlike simhash_near (xxhash64 → invariant verdicts), the bit
+    // family here is the GATE-PORTABLE affine one
+    // (dedup_simhash_accuracy's construction): sign_b(gram) =
+    // ((A_b·k + B_b) mod P) mod 2 over the exact integer 4-gram
+    // encode — so the raw pair table itself is hash-gated, the
+    // strongest oracle form the fingerprint family supports.
+    QueryDef(
+      "multimodal_near_dup",
+      (spark, sf) => {
+        val grams = mediaTable(spark, sf).toDF()
+          .select(col("media_id"), expr("CAST(payload AS STRING)").as("s"))
+          .filter(length(col("s")) >= 4)
+          .select(col("media_id"), explode(expr(
+            "transform(sequence(1, length(s) - 3), i -> " +
+              "CAST(ascii(substr(s, i, 1)) AS BIGINT)*16777216 + " +
+              "CAST(ascii(substr(s, i+1, 1)) AS BIGINT)*65536 + " +
+              "CAST(ascii(substr(s, i+2, 1)) AS BIGINT)*256 + " +
+              "CAST(ascii(substr(s, i+3, 1)) AS BIGINT))")).as("k"))
+        val votes = (0 until SimBits).map { b =>
+          sum(when(((lit(SimA(b)) * col("k") + lit(SimB(b))) % SimP) % 2
+            === 1, 1L).otherwise(-1L)).as(s"v$b")
+        }
+        val fp = (0 until SimBits)
+          .map(b => (col(s"v$b") > 0).cast("long") * lit(1L << b))
+          .reduce(_ + _)
+        val sig = grams.groupBy("media_id")
+          .agg(votes.head, votes.tail: _*)
+          .select(col("media_id"), fp.as("fp"))
+        val banded = sig.select(col("media_id"), col("fp"),
+            explode(array((0 until 4).map(j => struct(lit(j).as("band"),
+              shiftright(col("fp"), j * 8).bitwiseAND(lit(255L))
+                .as("bv"))): _*)).as("bk"))
+          .select(col("media_id"), col("fp"),
+            col("bk.band").as("band"), col("bk.bv").as("bv"))
+        val bc = banded.groupBy("band", "bv").agg(count(lit(1)).as("c"))
+        val ok = banded
+          .join(bc.filter(col("c") <= NearDup.MaxBucketDocs),
+            Seq("band", "bv"))
+        val l = ok.select(col("band"), col("bv"),
+          col("media_id").as("id1"), col("fp").as("f1"))
+        val r = ok.select(col("band"), col("bv"),
+          col("media_id").as("id2"), col("fp").as("f2"))
+        l.join(r, Seq("band", "bv")).filter(col("id1") < col("id2"))
+          .select(col("id1"), col("id2"),
+            expr("CAST(bit_count(f1 ^ f2) AS INT)").as("hamming"))
+          .distinct()
+          .filter(col("hamming") <= MaxAssetHamming)
+          .orderBy("id1", "id2")
+      },
+      Some {
+        val votes = (0 until SimBits).map(b =>
+          s"CAST(sum(CASE WHEN ((${SimA(b)} * k + ${SimB(b)}) % $SimP) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+          .mkString(", ")
+        val fp = (0 until SimBits)
+          .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")
+          .mkString(" + ")
+        "WITH g AS (SELECT doc_id AS media_id, " +
+          "CAST(ascii(substr(text, i, 1)) AS BIGINT)*16777216 + " +
+          "CAST(ascii(substr(text, i+1, 1)) AS BIGINT)*65536 + " +
+          "CAST(ascii(substr(text, i+2, 1)) AS BIGINT)*256 + " +
+          "CAST(ascii(substr(text, i+3, 1)) AS BIGINT) AS k " +
+          "FROM (SELECT doc_id, text, unnest(generate_series(1, length(text) - 3)) AS i " +
+          "FROM documents WHERE length(text) >= 4)), " +
+          s"v AS (SELECT media_id, $votes FROM g GROUP BY 1), " +
+          s"f AS (SELECT media_id, CAST($fp AS BIGINT) AS fp FROM v), " +
+          "banded AS (SELECT media_id, fp, j AS band, (fp >> (8*j)) & 255 AS bv " +
+          "FROM f CROSS JOIN (VALUES (0),(1),(2),(3)) AS bands(j)), " +
+          "bc AS (SELECT band, bv, count(*) AS c FROM banded GROUP BY 1, 2), " +
+          s"ok AS (SELECT banded.media_id, banded.fp, banded.band, banded.bv FROM banded " +
+          s"JOIN bc ON banded.band = bc.band AND banded.bv = bc.bv WHERE bc.c <= ${NearDup.MaxBucketDocs}), " +
+          "pr AS (SELECT DISTINCT a.media_id AS id1, b.media_id AS id2, " +
+          "CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming " +
+          "FROM ok a JOIN ok b ON a.band = b.band AND a.bv = b.bv AND a.media_id < b.media_id) " +
+          s"SELECT id1, id2, hamming FROM pr WHERE hamming <= $MaxAssetHamming ORDER BY id1, id2"
+      },
+      scaleNote = "dedup_near's candidate economics on binary: the " +
+        "fingerprint is one 32-sum map-side-combined aggregate per " +
+        "asset (grams stream out of the scan, payloads never shuffle " +
+        "— only 8-byte fingerprints do), candidates are equi joins " +
+        "on (band, value) with the df cap bounding every bucket's " +
+        "quadratic expansion (a common byte pattern — headers, " +
+        "padding — lands thousands of assets in one bucket; true " +
+        "near-dups still collide in their discriminative bands), and " +
+        "the Hamming verify touches only collided fingerprint " +
+        "pairs. With a real codec the SAME plan fingerprints " +
+        "decoded-pixel blocks (pHash proper): Codec.decode swaps in " +
+        "at the gram stage and the banding/verify/cap machinery is " +
+        "untouched — which is the point of keeping the fingerprint " +
+        "family portable rather than engine-hashed. Band count vs " +
+        "bits is the recall/cost dial exactly as simhash_near " +
+        "documents; the affine sign family keeps the whole pair " +
+        "table under the cross-engine hash gate."),
 
     // Binary-column DATA-QUALITY gate (r11) — dq_expectations' shape
     // applied to the payload column, the checks an asset lake runs

@@ -131,4 +131,59 @@ class MultimodalSpec extends SparkSpec {
     assert(bad.getLong(0) == 1L, "empty-payload counter")
     assert(bad.getLong(1) == 2L, "meta-mismatch counter")
   }
+
+  test("multimodal_near_dup: full driver replay — fingerprint, banding, bucket cap, Hamming verify") {
+    import graft.queries.Multimodal
+    val texts = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def fpOf(t: String): Long =
+      (0 until Multimodal.SimBits).map { b =>
+        val v = (0 to t.length - 4).map { i =>
+          val k = t(i).toLong * 16777216L + t(i + 1).toLong * 65536L +
+            t(i + 2).toLong * 256L + t(i + 3).toLong
+          if (((Multimodal.SimA(b) * k + Multimodal.SimB(b)) %
+            Multimodal.SimP) % 2 == 1) 1L else -1L
+        }.sum
+        if (v > 0) 1L << b else 0L
+      }.sum
+    val fps = texts.filter(_._2.length >= 4)
+      .map { case (id, t) => id -> fpOf(t) }
+    val buckets = scala.collection.mutable
+      .Map[(Int, Long), Vector[(Long, Long)]]()
+    fps.foreach { case (id, f) =>
+      (0 until 4).foreach { j =>
+        val bv = (f >> (8 * j)) & 255L
+        buckets((j, bv)) = buckets.getOrElse((j, bv), Vector.empty) :+
+          ((id, f))
+      }
+    }
+    val want = buckets.values
+      .filter(_.size <= graft.queries.NearDup.MaxBucketDocs)
+      .flatMap(v => for { a <- v; b <- v if a._1 < b._1 }
+        yield (a._1, b._1, java.lang.Long.bitCount(a._2 ^ b._2)))
+      .toSet.filter(_._3 <= Multimodal.MaxAssetHamming)
+    val got = graft.engine.Registry.byName("multimodal_near_dup")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == want,
+      s"pair table diverges from replay: got ${got.size}, want ${want.size}; " +
+        s"diff ${(got diff want).take(3)} / ${(want diff got).take(3)}")
+    // byte-identical payloads (hamming 0 by construction) can never
+    // be missed: distance ≤ 3 pigeonholes into a shared 8-bit band
+    val exactDupPairs = texts.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => for { a <- g.toSeq; b <- g.toSeq if a._1 < b._1 }
+        yield (a._1, b._1))
+    exactDupPairs.foreach { case (a, b) =>
+      assert(got.contains((a, b, 0)) ||
+        // unless every shared bucket was df-capped — then the drop
+        // is the documented, oracle-mirrored policy
+        (0 until 4).forall { j =>
+          val f = fps.toMap.apply(a)
+          buckets((j, (f >> (8 * j)) & 255L)).size >
+            graft.queries.NearDup.MaxBucketDocs
+        },
+        s"exact dup ($a, $b) missed without a cap excuse")
+    }
+  }
 }
