@@ -935,6 +935,67 @@ object PipelineOps extends QueryGroup {
         "encoder is auditable end to end (sample_consistent's " +
         "contract, applied to feature engineering)."),
 
+    // Feed FRESHNESS monitor (r12) — the standard DQ dimension the
+    // profile/expectation ops don't cover: completeness and validity
+    // say the data is RIGHT, freshness says it's CURRENT — the first
+    // alert an ingest pipeline actually fires (a feed that silently
+    // stops arriving passes every row-level rule). Per feed
+    // (event_type): row count, last-arrival timestamp, the LAG
+    // against the corpus WATERMARK (max ts across all feeds — the
+    // deterministic reference; wall-clock now() would make the gate
+    // unreproducible, the reason freshness checks in batch engines
+    // anchor to the watermark), trailing-24h liveness count, and the
+    // SLA verdict (lag ≤ 1 h, a stated literal). All exact integer
+    // microsecond arithmetic — the one-row watermark broadcasts back
+    // onto the same scan's aggregate.
+    QueryDef(
+      "dq_freshness",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+          .select(col("event_type"),
+            unix_micros(col("ts").cast("timestamp")).as("us"),
+            col("ts"))
+        val wm = ev.agg(max(col("us")).as("wm"))
+        ev.crossJoin(broadcast(wm))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_rows"),
+            date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss")
+              .as("last_ts"),
+            max(col("us")).as("mx"),
+            sum(when(col("us") > col("wm") - lit(86400000000L), 1L)
+              .otherwise(0L)).as("n_last_24h"),
+            max(col("wm")).as("wmx"))
+          .select(col("event_type"), col("n_rows"), col("last_ts"),
+            expr("(wmx - mx) div 1000000").as("lag_s"),
+            col("n_last_24h"),
+            (expr("(wmx - mx) div 1000000") <= 3600L).as("fresh"))
+          .orderBy("event_type")
+      },
+      Some("WITH e AS (SELECT event_type, epoch_us(ts) AS us, ts FROM events), " +
+        "w AS (SELECT max(us) AS wm FROM e), " +
+        "p AS (SELECT event_type, count(*) AS n_rows, " +
+        "strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS last_ts, max(us) AS mx, " +
+        "CAST(sum(CASE WHEN us > (SELECT wm FROM w) - 86400000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_last_24h " +
+        "FROM e GROUP BY 1) " +
+        "SELECT event_type, n_rows, last_ts, " +
+        "((SELECT wm FROM w) - mx) // 1000000 AS lag_s, n_last_24h, " +
+        "((SELECT wm FROM w) - mx) // 1000000 <= 3600 AS fresh " +
+        "FROM p ORDER BY event_type"),
+      scaleNote = "Two passes over the log's (type, ts) projection — " +
+        "one for the 1-row watermark (broadcast back, the " +
+        "structurally-proven constant pattern), one map-side-" +
+        "combined per-feed aggregate — and at 100 TB BOTH collapse " +
+        "further: a stats-aware reader answers max(ts) from parquet " +
+        "footers / partition names without scanning rows, and a " +
+        "date-partitioned lake prunes the trailing-24h count to the " +
+        "last partitions. Anchoring lag to the corpus watermark " +
+        "(not wall clock) is what makes the gate deterministic and " +
+        "replayable — a re-run of yesterday's audit produces " +
+        "yesterday's verdicts bit-for-bit. Per-source or per-shard " +
+        "freshness adds a group key; the SLA literal per feed joins " +
+        "in as a dimension table the way corpus_mix_kl_target's q " +
+        "manifest does."),
+
     // dq_profile's 100 TB path, GATED (r11 — the scaleNote named the
     // one-token approx_count_distinct swap; the house precedent —
     // retention_cohort_approx, agg_approx_hll — is to ship the approx

@@ -352,6 +352,30 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("dq_freshness: watermark-anchored lags replay exactly; the watermark feed reads lag zero") {
+    val out = graft.engine.Registry.byName("dq_freshness")
+      .build(spark, sf).collect()
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val wm = raw.map(_._2).max
+    assert(out.length == raw.map(_._1).distinct.length)
+    out.foreach { r =>
+      val t = r.getString(0)
+      val us = raw.filter(_._1 == t).map(_._2)
+      assert(r.getLong(1) == us.length.toLong)
+      assert(r.getLong(3) == (wm - us.max) / 1000000L, s"$t lag")
+      assert(r.getLong(4) == us.count(_ > wm - 86400000000L).toLong, s"$t 24h")
+      assert(r.getBoolean(5) == (r.getLong(3) <= 3600L), s"$t verdict")
+      assert(r.getLong(4) <= r.getLong(1))
+    }
+    // the watermark is anchored IN the data: at least one feed must
+    // read lag 0 (wall-clock anchoring could never guarantee this —
+    // the property that makes the audit replayable)
+    assert(out.exists(_.getLong(3) == 0L), "no feed carries the watermark")
+  }
+
   test("dq_profile_approx: the Expand is GONE from the plan; exact columns match dq_profile; every sketch in tolerance") {
     import org.apache.spark.sql.execution.ExpandExec
     def expands(name: String): Int = {
