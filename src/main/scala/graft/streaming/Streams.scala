@@ -1123,6 +1123,24 @@ object Streams {
         col("n_easy"), col("n_difficult"))
   }
 
+  /** Live feed-freshness panel — dq_freshness' streaming twin
+    * (stream_freshness, r12), and the form freshness monitoring
+    * NATIVELY takes (the batch op exists for audits; the alert runs
+    * on the stream): per feed, arrival count and the max event time
+    * in exact epoch micros, one complete-mode aggregate of |feeds|
+    * rows of two longs. The watermark, per-feed lags, and SLA
+    * verdicts all recompose from the emitted integers exactly as
+    * the batch edge expression — max() is an order-independent fold,
+    * so after full replay the panel is bit-equal to the batch
+    * audit's cells (parity-proven, with a mid-replay monotonicity
+    * pin: a feed's last-seen time never goes backward). */
+  def freshness(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), max(col("us")).as("mx"))
+
   /** Live data-quality profile — the streaming form of
     * dq_profile_approx's PRODUCTION pass (stream_dq_profile, r12):
     * the profile a 100 TB feed actually maintains is not a nightly

@@ -626,6 +626,46 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_freshness: per-feed watermarks never regress mid-replay; lags and SLA verdicts recompose batch dq_freshness") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](73, spark, None)
+    val q = Streams.freshness(mem.toDS()).writeStream.format("memory")
+      .queryName("t_fresh").outputMode("complete").start()
+    try {
+      var lastMx = Map.empty[String, Long]
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          val mx = spark.table("t_fresh").collect()
+            .map(r => r.getString(0) -> r.getLong(2)).toMap
+          // monotonicity pin: a feed's last-seen time never regresses
+          lastMx.foreach { case (t, v) => assert(mx(t) >= v, s"$t regressed") }
+          lastMx = mx
+        }
+      val cells = spark.table("t_fresh").collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val wm = cells.values.map(_._2).max
+      val batch = graft.engine.Registry.byName("dq_freshness")
+        .build(spark, sf).collect()
+      assert(batch.length == cells.size)
+      batch.foreach { r =>
+        val t = r.getString(0)
+        val (n, mx) = cells(t)
+        assert(n == r.getLong(1), s"$t count")
+        // lag and verdict recompose from the emitted integers exactly
+        // as the batch edge expression
+        assert((wm - mx) / 1000000L == r.getLong(3), s"$t lag")
+        assert(r.getBoolean(5) == ((wm - mx) / 1000000L <= 3600L), s"$t verdict")
+      }
+    } finally q.stop()
+  }
+
   test("stream_dq_profile: streamed HLL sketches bit-equal batch sketches; panel sits in dq_profile_approx's tolerance") {
     val s = spark
     import s.implicits._
