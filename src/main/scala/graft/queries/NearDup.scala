@@ -683,6 +683,68 @@ object NearDup extends QueryGroup {
         "showing up here is the hub that motivates the star (not " +
         "label-propagation) algorithm."),
 
+    // Duplication-aware TRAINING WEIGHTS (r12) — the policy layer
+    // between dedup and sampling that hard removal skips: a training
+    // pipeline chooses between HARD dedup (keep the keeper at weight
+    // 1 — shifts the distribution by deleting duplicate mass), COUNT
+    // dedup (keep the keeper carrying its cluster's multiplicity —
+    // preserves the corpus distribution while deduplicating the
+    // compute), and SOFT down-weighting (keep every member at 1/n —
+    // robust when the clustering itself is imperfect, since a wrong
+    // merge only dilutes instead of deleting). One table feeds all
+    // three: every doc (singletons included — the LEFT join against
+    // the pair-graph cluster table defaults a doc to its own
+    // cluster) with its cluster id, size, keeper flag, the keeper's
+    // multiplicity weight, and the exact-integer per-member
+    // down-weight 1e6 div n. Mass conservation is the contract:
+    // Σ keeper_weight = |corpus| exactly, and each cluster's member
+    // weights sum to 1e6 within the floor slack (< n ppm).
+    QueryDef(
+      "dedup_soft_weights",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val cl = clustersAuto(docs, 0.5)
+        val full = docs.select(col("doc_id"))
+          .join(cl.select(col("doc_id"), col("cluster_id")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val cs = full.groupBy("cluster_id")
+          .agg(count(lit(1)).as("sz"), min(col("doc_id")).as("keeper"))
+        full.join(cs, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"),
+            col("sz").as("cluster_size"),
+            (col("doc_id") === col("keeper")).as("is_keeper"),
+            when(col("doc_id") === col("keeper"), col("sz"))
+              .otherwise(0L).as("keeper_weight"),
+            expr("1000000 div sz").as("member_w_ppm"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE $ClusterCtes, " +
+        "fl AS (SELECT d.doc_id, coalesce(canon.cluster_id, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN canon ON d.doc_id = canon.doc_id), " +
+        "cs AS (SELECT cluster_id, count(*) AS sz, min(doc_id) AS keeper FROM fl GROUP BY 1) " +
+        "SELECT fl.doc_id, fl.cluster_id, cs.sz AS cluster_size, " +
+        "fl.doc_id = cs.keeper AS is_keeper, " +
+        "CAST(CASE WHEN fl.doc_id = cs.keeper THEN cs.sz ELSE 0 END AS BIGINT) AS keeper_weight, " +
+        "1000000 // cs.sz AS member_w_ppm " +
+        "FROM fl JOIN cs ON fl.cluster_id = cs.cluster_id ORDER BY fl.doc_id"),
+      scaleNote = "The cluster table is pair-graph-sized (only docs " +
+        "with a near-dup partner), so the LEFT join that restores " +
+        "singletons is corpus ⋈ small — broadcast at test scale, " +
+        "co-partitioned on doc_id at 100 TB — and the size/keeper " +
+        "rollup is map-side-combined to |clusters| rows. In a real " +
+        "pipeline the resolved cluster table is computed once and " +
+        "this weight table, the golden-record survivor, and the " +
+        "dup-rate rollup all read it (the declared query recomputes " +
+        "only because driver keys are self-contained). Downstream " +
+        "the weights compose without new machinery: sample_weighted " +
+        "consumes keeper_weight for count-dedup draws, and the " +
+        "per-member ppm multiplies into any loss/sampling mass — " +
+        "both exact integers, so the training distribution shift of " +
+        "a dedup policy change is an auditable diff of this table, " +
+        "not a re-crawl of the corpus."),
+
     // Rolling dedup — view maintenance for the cluster table. A
     // production corpus is deduplicated DAILY, not from scratch:
     // yesterday's resolved labels + only today's delta pairs enter the

@@ -196,4 +196,38 @@ class NearDupSpec extends SparkSpec {
       assert(n > 0 && mn >= 0 && mx <= 64 && sum >= mn * n && sum <= mx * n)
     }
   }
+
+  test("dedup_soft_weights: all three policy masses conserve; assignments agree with dedup_clusters") {
+    val out = graft.engine.Registry.byName("dedup_soft_weights")
+      .build(spark, sf).collect()
+    val total = graft.engine.Tables.documents(spark, sf).count()
+    assert(out.length.toLong == total, "every doc (singletons included) gets a weight row")
+    // count-dedup: keeper multiplicities conserve the corpus mass EXACTLY
+    assert(out.map(_.getLong(4)).sum == total)
+    val byCl = out.groupBy(_.getLong(1))
+    byCl.foreach { case (_, rows) =>
+      // exactly one keeper per cluster, and it is the min id
+      assert(rows.count(_.getBoolean(3)) == 1)
+      val keeper = rows.filter(_.getBoolean(3)).head
+      assert(keeper.getLong(0) == rows.map(_.getLong(0)).min)
+      assert(rows.forall(_.getLong(2) == rows.length.toLong))
+      assert(keeper.getLong(4) == rows.length.toLong)
+      // soft down-weight: cluster mass = 1e6 within the floor slack
+      val mass = rows.map(_.getLong(5)).sum
+      assert(mass <= 1000000L && mass > 1000000L - rows.length,
+        s"soft mass $mass outside floor slack for size ${rows.length}")
+    }
+    // clustered docs carry dedup_clusters' exact assignment; the rest
+    // are singletons defaulting to their own id
+    val cl = graft.engine.Registry.byName("dedup_clusters")
+      .build(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      cl.get(r.getLong(0)) match {
+        case Some(cid) => assert(cid == r.getLong(1))
+        case None => assert(r.getLong(1) == r.getLong(0))
+      }
+    }
+    assert(byCl.exists(_._2.length > 1), "fixture must contain a real cluster")
+  }
 }
