@@ -112,7 +112,8 @@ object ScalingCurve {
       "corpus_mix_kl_target", "sink_walk_corpus", "graph_walk_pmi",
       "graph_betweenness", "emb_pca_topk", "graph_walk_embed",
       "graph_edge_betweenness", "graph_conductance", "ts_theil_sen",
-      "multimodal_near_dup", "dq_freshness", "dedup_soft_weights")
+      "multimodal_near_dup", "dq_freshness", "dedup_soft_weights",
+      "ab_bayes_mc")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

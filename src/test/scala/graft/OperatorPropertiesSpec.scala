@@ -2099,6 +2099,54 @@ class OperatorPropertiesSpec extends SparkSpec {
     }
   }
 
+  test("ab_bayes_mc: stratified win-grid replays exactly; P tracks the closed-form normal probability; direction agrees with welch") {
+    val out = run("ab_bayes_mc").collect()(0)
+    val raw = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select((col("user_id") % 2).as("variant"),
+        floor(col("value") * 100).cast("long").as("v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    def mom(arm: Long) = {
+      val vs = raw.filter(_._1 == arm).map(_._2)
+      (vs.length.toLong, vs.sum, vs.map(v => v * v).sum)
+    }
+    val (n1, sv1, svv1) = mom(0L); val (n2, sv2, svv2) = mom(1L)
+    val m1 = sv1 * 1000000L / n1; val m2 = sv2 * 1000000L / n2
+    def seM(n: Long, sv: Long, svv: Long) = math.floor(math.sqrt(
+      (n * svv - sv * sv).toDouble / (n * (n - 1)).toDouble / n) * 1e6).toLong
+    val (se1, se2) = (seM(n1, sv1, svv1), seM(n2, sv2, svv2))
+    val zs = graft.queries.Analytics.BayesZMicro
+    val wins = (for { za <- zs; zb <- zs }
+      yield if (m2 + (zb * se2) / 1000000L > m1 + (za * se1) / 1000000L) 1L
+        else 0L).sum
+    val p = wins * 1000000L / 4096L
+    assert(out.getLong(0) == n1 && out.getLong(1) == n2)
+    assert(out.getLong(2) == m1 && out.getLong(3) == m2)
+    assert(out.getLong(4) == se1 && out.getLong(5) == se2)
+    assert(out.getLong(6) == p, s"p: got ${out.getLong(6)}, want $p")
+    assert(out.getBoolean(7) == (p >= 950000L || p <= 50000L))
+    // closed form under the normal posteriors: P(B>A) =
+    // Φ((μ₂−μ₁)/√(se₁²+se₂²)) — the 64² stratified grid must land
+    // within its discretization error of it
+    def phi(x: Double): Double = { // Zelen–Severo 26.2.17, |ε|<7.5e-8
+      val t = 1.0 / (1.0 + 0.2316419 * math.abs(x))
+      val d = 0.3989422804014327 * math.exp(-x * x / 2)
+      val pp = d * t * (0.319381530 + t * (-0.356563782 + t *
+        (1.781477937 + t * (-1.821255978 + t * 1.330274429))))
+      if (x >= 0) 1.0 - pp else pp
+    }
+    val pTrue = phi((m2 - m1).toDouble /
+      math.sqrt(se1.toDouble * se1 + se2.toDouble * se2) / 1.0)
+    assert(math.abs(p / 1e6 - pTrue) < 0.02,
+      s"grid P ${p / 1e6} vs closed form $pTrue")
+    // direction consistency with the frequentist member
+    val welch = run("ab_test_welch").collect()(0)
+    val diff = welch.getDouble(2) // mean A − mean B in cents
+    if (math.abs(diff) > 1e-9)
+      assert((p > 500000L) == (diff < 0),
+        "Bayesian direction disagrees with the mean difference")
+  }
+
   test("ts_theil_sen: exact pairwise-slope median replays; Sen shrugs off the outlier that drags OLS") {
     val out = run("ts_theil_sen").collect()
     val daily = engine.Tables.loadEvents(spark, sf)
