@@ -113,7 +113,13 @@ object ScalingCurve {
       "graph_betweenness", "emb_pca_topk", "graph_walk_embed",
       "graph_edge_betweenness", "graph_conductance", "ts_theil_sen",
       "multimodal_near_dup", "dq_freshness", "dedup_soft_weights",
-      "ab_bayes_mc")
+      "ab_bayes_mc",
+      // r13 wave (all scale with sf; sink_brandes_deps' one-time
+      // write happens in the WARM pass like sink_walk_corpus's, so
+      // its curve prices the steady-state bucketed read-back and
+      // graph_betweenness' curve prices the pass itself)
+      "sink_brandes_deps", "graph_girvan_split", "sink_louvain_labels",
+      "graph_walk_embed_k2", "dq_freshness_sla", "sample_soft_weighted")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -45,11 +45,19 @@ object Multimodal extends QueryGroup {
 
   /** Portable 32-bit SimHash family for binary payloads (r12): the
     * b-th fingerprint bit is the majority sign of
-    * ((A_b·k + B_b) mod P) mod 2 over the asset's exact integer
-    * byte-4-gram encodes k — dedup_simhash_accuracy's gate-portable
-    * affine construction, so the fingerprint (and the whole pair
-    * table) replays identically in DuckDB. Stated literal
-    * coefficients; P = 2^31 − 1 keeps A·k < 2^62. */
+    * ((A_b·(k mod P) + B_b) mod P) mod 2 over the asset's exact
+    * integer byte-4-gram encodes k — dedup_simhash_accuracy's
+    * gate-portable affine construction, so the fingerprint (and the
+    * whole pair table) replays identically in DuckDB. Stated literal
+    * coefficients. The gram reduces mod P BEFORE the multiply —
+    * ((A·(k mod P) + B) mod P) ≡ ((A·k + B) mod P) by modular
+    * identity, and it keeps A·k' < 2^62 for ANY code-point width:
+    * ascii()/substr are code-point based in both engines, so
+    * multibyte text (real zh content) yields grams up to ~1.8e13,
+    * which unreduced would wrap silently in Spark while DuckDB
+    * raises a BIGINT overflow (r12 ADVICE). On the all-ASCII
+    * fixtures max k ≈ 2.139e9 < P, so the reduction is the
+    * identity there and the shipped hashes are unchanged. */
   val SimBits = 32
   val SimP = 2147483647L
   val SimA: Seq[Long] = (1 to SimBits).map(b => (2654435761L * b) % SimP)
@@ -242,7 +250,7 @@ object Multimodal extends QueryGroup {
               "CAST(ascii(substr(s, i+2, 1)) AS BIGINT)*256 + " +
               "CAST(ascii(substr(s, i+3, 1)) AS BIGINT))")).as("k"))
         val votes = (0 until SimBits).map { b =>
-          sum(when(((lit(SimA(b)) * col("k") + lit(SimB(b))) % SimP) % 2
+          sum(when(((lit(SimA(b)) * (col("k") % SimP) + lit(SimB(b))) % SimP) % 2
             === 1, 1L).otherwise(-1L)).as(s"v$b")
         }
         val fp = (0 until SimBits)
@@ -274,7 +282,7 @@ object Multimodal extends QueryGroup {
       },
       Some {
         val votes = (0 until SimBits).map(b =>
-          s"CAST(sum(CASE WHEN ((${SimA(b)} * k + ${SimB(b)}) % $SimP) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
+          s"CAST(sum(CASE WHEN ((${SimA(b)} * (k % $SimP) + ${SimB(b)}) % $SimP) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v$b")
           .mkString(", ")
         val fp = (0 until SimBits)
           .map(b => s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END")

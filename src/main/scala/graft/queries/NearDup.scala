@@ -642,6 +642,9 @@ object NearDup extends QueryGroup {
     // drift; the operator's code was untouched in r10 (git log:
     // additions only). VERDICT: box noise, not a regression — the
     // 014b6a3 precedent's outcome, recorded here per its procedure.
+    // r11→r12 drift (1.41×, untouched code) re-adjudicated r13 the
+    // same way: A/B medians 3.72 vs 3.48 s (1.07×, inside sibling
+    // noise) — box drift again; figures at graph_hits's block.
     QueryDef(
       "dedup_clusters_star",
       (spark, sf) =>
@@ -744,6 +747,68 @@ object NearDup extends QueryGroup {
         "both exact integers, so the training distribution shift of " +
         "a dedup policy change is an auditable diff of this table, " +
         "not a re-crawl of the corpus."),
+
+    // SOFT-dedup SAMPLER (r13, VERDICT r12 #6 — dedup_soft_weights'
+    // promised consumer, gated end-to-end): draw from the weight
+    // table with probability ∝ member_w_ppm using sample_weighted's
+    // exact consistent-hash mechanism — u16 = first 4 md5 hex chars
+    // of the salted doc key, kept iff u16 < (member_w_ppm·65536)
+    // div 1e6. Each cluster member survives with probability ≈ 1/n,
+    // so a duplicated family contributes ONE expected doc — the
+    // soft-dedup policy executed as a sampling stage rather than a
+    // loss weight, composing cluster table → weights → draw with
+    // zero new machinery. Singletons have member_w_ppm = 1e6 →
+    // threshold 65536 → ALWAYS kept: soft dedup never deletes
+    // unique content, only down-samples duplicate mass (the policy
+    // property that distinguishes it from a plain uniform sample).
+    QueryDef(
+      "sample_soft_weighted",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val cl = clustersAuto(docs, 0.5)
+        val full = docs.select(col("doc_id"))
+          .join(cl.select(col("doc_id"), col("cluster_id")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+        val cs = full.groupBy("cluster_id")
+          .agg(count(lit(1)).as("sz"))
+        full.join(cs, "cluster_id")
+          .select(col("doc_id"), col("cluster_id"),
+            expr("1000000 div sz").as("member_w_ppm"))
+          .withColumn("u16", conv(substring(md5(concat(lit("graftsw:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"))
+          .withColumn("thr", expr("(member_w_ppm * 65536) div 1000000"))
+          .filter(col("u16") < col("thr"))
+          .select(col("doc_id"), col("cluster_id"),
+            col("member_w_ppm"), col("thr"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH RECURSIVE $ClusterCtes, " +
+        "fl AS (SELECT d.doc_id, coalesce(canon.cluster_id, d.doc_id) AS cluster_id " +
+        "FROM documents d LEFT JOIN canon ON d.doc_id = canon.doc_id), " +
+        "cs AS (SELECT cluster_id, count(*) AS sz FROM fl GROUP BY 1), " +
+        "sw AS (SELECT fl.doc_id, fl.cluster_id, 1000000 // cs.sz AS member_w_ppm, " +
+        "('0x'||substr(md5('graftsw:'||CAST(fl.doc_id AS VARCHAR)),1,4))::BIGINT AS u16, " +
+        "((1000000 // cs.sz) * 65536) // 1000000 AS thr " +
+        "FROM fl JOIN cs ON fl.cluster_id = cs.cluster_id) " +
+        "SELECT doc_id, cluster_id, member_w_ppm, thr FROM sw " +
+        "WHERE u16 < thr ORDER BY doc_id"),
+      scaleNote = "dedup_soft_weights' economics plus a map-only " +
+        "filter: the cluster table is pair-graph-sized, the " +
+        "singleton-restoring LEFT join is corpus ⋈ small " +
+        "(co-partitioned on doc_id at 100 TB), the size rollup is " +
+        "map-side-combined to |clusters| rows, and the draw itself " +
+        "is codegen'd scalar hashing — no shuffle, no state, the " +
+        "SAME predicate selecting the SAME subset in any engine, " +
+        "layout or rerun (sample_consistent's contract; a rand()-" +
+        "weighted draw has none of those). In a real pipeline the " +
+        "weight table is computed once and this draw, the loss-" +
+        "weighting path and the count-dedup keeper draw all read " +
+        "it. 16-bit resolution bounds the per-doc rate error at " +
+        "2⁻¹⁶ (widen the hex prefix for deeper clusters); Σ thr " +
+        "across a cluster ≈ 65536 = one expected survivor, the " +
+        "mass-conservation property proven in-spec."),
 
     // Rolling dedup — view maintenance for the cluster table. A
     // production corpus is deduplicated DAILY, not from scratch:
@@ -986,6 +1051,9 @@ object NearDup extends QueryGroup {
     // unbiased, where LSH bands would oversample the high-agreement
     // pairs the estimator is best on) — no jaccard floor: the low
     // bands are the false-positive regime LSH must not fire on.
+    // r11→r12 ledger drift (1.49×, untouched code) adjudicated BOX
+    // NOISE via interleaved BenchOne A/B (medians 3.69 vs 3.63 s,
+    // 1.02×) — figures at graph_hits's r13 adjudication block.
     QueryDef(
       "dedup_minhash_accuracy",
       (spark, sf) => {

@@ -230,4 +230,48 @@ class NearDupSpec extends SparkSpec {
     }
     assert(byCl.exists(_._2.length > 1), "fixture must contain a real cluster")
   }
+
+  test("sample_soft_weighted: singletons always kept; per-cluster threshold mass conserves; reproducible") {
+    val weights = graft.engine.Registry.byName("dedup_soft_weights")
+      .build(spark, sf).collect()
+    val kept = graft.engine.Registry.byName("sample_soft_weighted")
+      .build(spark, sf).collect()
+    val keptIds = kept.map(_.getLong(0)).toSet
+    // soft dedup never deletes unique content: every singleton
+    // (member_w_ppm = 1e6 -> thr = 65536 > any u16) survives
+    val singletons = weights.filter(_.getLong(2) == 1L)
+    assert(singletons.nonEmpty)
+    singletons.foreach(r => assert(keptIds(r.getLong(0)),
+      s"singleton ${r.getLong(0)} was dropped"))
+    // and the fixture has real clusters whose members were sampled
+    assert(weights.exists(_.getLong(2) > 1L))
+    // thr composes exactly from the emitted weight
+    kept.foreach { r =>
+      assert(r.getLong(3) == r.getLong(2) * 65536L / 1000000L)
+    }
+    // mass conservation: each cluster's summed keep-probability mass
+    // n·thr sits in (65536 - 2n, 65536] — one expected survivor,
+    // short only by the two floor slacks
+    weights.groupBy(_.getLong(1)).foreach { case (_, rs) =>
+      val n = rs.length.toLong
+      val thr = (1000000L / n) * 65536L / 1000000L
+      assert(thr * n <= 65536L && thr * n > 65536L - 2 * n,
+        s"cluster of $n: mass ${thr * n}")
+    }
+    // reproducibility: the draw is a pure function of doc_id
+    val again = graft.engine.Registry.byName("sample_soft_weighted")
+      .build(spark, sf).collect()
+    assert(kept.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the kept set is exactly the predicate's fixpoint, replayed
+    // driver-side over the weight table
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def u16(id: Long): Long = {
+      val h = md.digest(s"graftsw:$id".getBytes("UTF-8"))
+      java.lang.Long.parseLong(h.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val want = weights.filter { r =>
+      u16(r.getLong(0)) < r.getLong(5) * 65536L / 1000000L
+    }.map(_.getLong(0)).toSet
+    assert(keptIds == want, "kept set diverges from the driver replay")
+  }
 }

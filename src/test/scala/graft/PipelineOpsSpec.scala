@@ -412,4 +412,38 @@ class PipelineOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("dq_freshness_sla: both decision paths, uniform special case, and the uncovered-feed fence") {
+    import graft.queries.PipelineOps.{freshnessAgainst, FeedSlaS}
+    // daily-batch path (sf0.001): click is fresh at its own 24 h SLA
+    // but the uniform 3600 s gate calls it stale
+    val by = freshnessAgainst(spark, sf, FeedSlaS).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val click = by("click")
+    assert(click.getBoolean(6) && !click.getBoolean(7),
+      "click must pass its own SLA and fail the uniform gate at sf0.001")
+    assert(by.values.forall(r => r.getLong(8) == 0L && r.getBoolean(9)))
+    // tight-poller path (sf0.01, the correctness gate's own fixture):
+    // error is stale at its 1800 s SLA but the uniform gate calls it
+    // fresh — the path the gated output itself carries
+    val err = freshnessAgainst(spark, "/root/testdata/sf0.01", FeedSlaS)
+      .collect().map(r => r.getString(0) -> r).toMap.apply("error")
+    assert(!err.getBoolean(6) && err.getBoolean(7),
+      "error must fail its own SLA and pass the uniform gate at sf0.01")
+    // the uniform gate is the constant-manifest special case
+    val const = freshnessAgainst(spark, sf,
+      FeedSlaS.map { case (f, _) => f -> 3600L }).collect()
+    const.foreach(r => assert(r.getBoolean(6) == r.getBoolean(7)))
+    val uni = Registry.byName("dq_freshness").build(spark, sf).collect()
+      .map(r => r.getString(0) -> r.getBoolean(5)).toMap
+    const.foreach(r => assert(r.getBoolean(6) == uni(r.getString(0))))
+    // the fence: a manifest missing a feed fails the WHOLE gate and
+    // carries the uncovered feed with NULL verdicts, never drops it
+    val cut = freshnessAgainst(spark, sf,
+      FeedSlaS.filterNot(_._1 == "view")).collect()
+    assert(cut.length == by.size, "uncovered feed must not be dropped")
+    assert(cut.forall(r => r.getLong(8) == 1L && !r.getBoolean(9)))
+    val v = cut.map(r => r.getString(0) -> r).toMap.apply("view")
+    assert(v.isNullAt(5) && v.isNullAt(6))
+  }
 }

@@ -186,4 +186,34 @@ class MultimodalSpec extends SparkSpec {
         s"exact dup ($a, $b) missed without a cap excuse")
     }
   }
+
+  test("affine sign family: multibyte grams reduce mod P before the multiply (r12 ADVICE overflow fence)") {
+    // the largest code-point 4-gram ascii()/substr can produce
+    // (U+10FFFF in every slot) — ~1.87e13, far past P
+    val cp = 1114111L
+    val k = cp * 16777216L + cp * 65536L + cp * 256L + cp
+    // unreduced, the b=31 product would overflow a BIGINT: Spark
+    // would wrap silently while DuckDB raises — the divergence the
+    // reduction fences off
+    assert(BigInt(Multimodal.SimA.last) * BigInt(k) >
+      BigInt(Long.MaxValue))
+    val s = spark
+    import s.implicits._
+    val df = Seq(k).toDF("k")
+    for (b <- Seq(0, 15, 31)) {
+      val got = df.select(
+        (((lit(Multimodal.SimA(b)) * (col("k") % Multimodal.SimP) +
+          lit(Multimodal.SimB(b))) % Multimodal.SimP) % 2).as("bit"))
+        .collect()(0).getLong(0)
+      // modular identity: the reduced form equals the whole-k affine
+      // value computed without overflow in BigInt
+      val want = (((BigInt(Multimodal.SimA(b)) * BigInt(k) +
+        Multimodal.SimB(b)) mod BigInt(Multimodal.SimP)) mod 2).toLong
+      assert(got == want, s"bit $b: got $got, want $want")
+    }
+    // and on ASCII-range grams the reduction is the identity (k < P),
+    // so the shipped fingerprints are unchanged by the fence
+    val kAscii = 127L * 16777216L + 127L * 65536L + 127L * 256L + 127L
+    assert(kAscii < Multimodal.SimP)
+  }
 }

@@ -25,6 +25,15 @@ object TestSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.scheduler.DAGScheduler",
       org.apache.logging.log4j.Level.ERROR)
+    // The adjudicated global windows (aggregate-collapsed grids —
+    // tiny by construction, see PlanPropertiesSpec) each emit a
+    // WindowExec "No Partition Defined" WARN; at ~400 tests that is
+    // hundreds of identical lines drowning real warnings. Scope ONLY
+    // the window-exec category to ERROR in the shared test session
+    // (VERDICT r12 "what's wrong" #3 — the DAGScheduler precedent).
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.window.WindowExec",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
   val sf: String = "/root/testdata/sf0.001"

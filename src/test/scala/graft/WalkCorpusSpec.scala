@@ -108,4 +108,64 @@ class WalkCorpusSpec extends SparkSpec {
     assert(got.forall(_._3 > 0), "embedding must stay positive")
     assert(got.map(_._3).distinct.length > 1, "embedding collapsed to a constant")
   }
+
+  test("graph_walk_embed_k2: axis-1 is bit-equal to the rank-1 operator; downdate replays in BigInt") {
+    val r1 = engine.Registry.byName("graph_walk_embed")
+      .build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val k2 = engine.Registry.byName("graph_walk_embed_k2")
+      .build(spark, sf).collect()
+    assert(k2.length == r1.size)
+    k2.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      assert(r.getLong(2) == r1(key),
+        s"emb1_q($key) diverges from graph_walk_embed")
+      assert(r.getInt(7) == 8, "iters certificate")
+    }
+    // full BigInt driver replay of the downdate + second trajectory
+    val pm = engine.Registry.byName("graph_walk_pmi")
+      .build(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(6)))
+      .filter(_._3 > 0)
+    def axis(cells: Seq[(Long, Long, Long)]): Map[Long, Long] = {
+      val byC = cells.groupBy(_._1)
+      var x = byC.keys.map(_ -> 1000000L).toMap
+      for (_ <- 1 to 4) {
+        val u = byC.view.mapValues(_.map { case (_, ctx, w) =>
+          w * x.getOrElse(ctx, 0L) }.sum).toMap
+        val d = math.max(u.values.map(math.abs).max / 1000000L, 1L)
+        x = u.view.mapValues(_ / d).toMap
+      }
+      x
+    }
+    val v1 = axis(pm)
+    val num = pm.map { case (c, x, w) =>
+      BigInt(w) * v1(c) * v1(x) }.sum
+    val den = BigInt(v1.values.map(v => v * v).sum)
+    val t = v1.view.mapValues(v => (num * v) / den).toMap
+    val cells2 = pm.map { case (c, x, w) =>
+      (c, x, w - ((t(c) * v1(x)) / den).toLong) }
+    val v2 = axis(cells2)
+    k2.foreach { r =>
+      val node = if (r.getString(0) == "customer") r.getLong(1) * 2
+        else r.getLong(1) * 2 + 1
+      assert(r.getLong(3) == v2(node),
+        s"emb2_q($node): got ${r.getLong(3)}, want ${v2(node)}")
+    }
+    // Rayleigh/decay readout replays and stays finite
+    val ray1 = num.toDouble / den.toDouble
+    val num2 = cells2.map { case (c, x, w) =>
+      BigInt(w) * v2(c) * v2(x) }.sum
+    val den2 = BigInt(v2.values.map(v => v * v).sum)
+    val ray2 = num2.toDouble / den2.toDouble
+    def r4(x: Double) = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val row = k2.head
+    assert(row.getDouble(4) == r4(ray1))
+    assert(row.getDouble(5) == r4(ray2))
+    assert(row.getDouble(6) == r4(ray2 / ray1))
+    // deflation removed the dominant component: the residual
+    // Rayleigh cannot exceed the first
+    assert(ray2 <= ray1, s"lambda2 $ray2 > lambda1 $ray1")
+  }
 }
