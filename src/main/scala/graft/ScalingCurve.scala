@@ -119,7 +119,9 @@ object ScalingCurve {
       // its curve prices the steady-state bucketed read-back and
       // graph_betweenness' curve prices the pass itself)
       "sink_brandes_deps", "graph_girvan_split", "sink_louvain_labels",
-      "graph_walk_embed_k2", "dq_freshness_sla", "sample_soft_weighted")
+      "graph_walk_embed_k2", "dq_freshness_sla", "sample_soft_weighted",
+      "dedup_lsh_scurve", "graph_embed_link_auc", "ts_cusum",
+      "agg_median_weighted")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

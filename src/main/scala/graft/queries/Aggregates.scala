@@ -461,6 +461,69 @@ object Aggregates extends QueryGroup {
       Some("WITH t AS (SELECT o_orderpriority, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey) AS rn, count(*) OVER (PARTITION BY o_orderpriority) AS n FROM orders) SELECT o_orderpriority, max(n) AS n_orders, CAST(CAST(sum(CASE WHEN rn = (n+1)//2 OR rn = (n+2)//2 THEN CAST(o_totalprice AS DECIMAL(18,4)) END) / (CASE WHEN max(n) % 2 = 1 THEN 1 ELSE 2 END) AS DECIMAL(18,4)) AS DOUBLE) AS median, CAST(CAST(max(CASE WHEN rn = (9*n+9)//10 THEN o_totalprice END) AS DECIMAL(18,2)) AS DOUBLE) AS p90 FROM t GROUP BY 1 ORDER BY 1"),
       scaleNote = "Exact rank selection needs a total order per group — here row_number shards by the 5-value priority key, so each group funnels through one sort chain: fine at test scale, the known bottleneck at 100 TB. The scale path is documented by the pair: agg_approx_quantile's mergeable sketch for production, or (when exactness is required) the two-pass histogram narrowing — a first pass builds a value-bucket CDF from map-side counts, identifies the ~1/w-wide bucket containing the target rank, and a second pass sorts only that bucket. The median arithmetic itself is float-free (DECIMAL midpoint, /1 or /2), so the answer is layout-independent wherever the rank is computed."),
 
+    // CHAR-WEIGHTED exact median (r13) — the quantile a corpus
+    // report actually needs beside the doc-count one: "the median
+    // DOCUMENT is 800 chars" and "the median CHARACTER lives in a
+    // 3000-char document" are different facts (long docs carry most
+    // of the training mass), and token-budget decisions key on the
+    // second. Both medians from ONE value-grouped cumulative pass:
+    // group docs by (lang, n_chars), cumulative doc-count and
+    // cumulative char-mass over the value-ordered grid, each median
+    // = the first value where twice the cumulative crosses the
+    // total (the weighted generalization of the rank rule —
+    // agg_median_exact's device with weight = the value itself;
+    // any weight column substitutes). Exact integers end to end,
+    // zero floats anywhere.
+    QueryDef(
+      "agg_median_weighted",
+      (spark, sf) => {
+        val g = Tables.documents(spark, sf)
+          .groupBy(col("lang"), col("n_chars"))
+          .agg(count(lit(1)).as("c"))
+        val wseq = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("n_chars")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)
+        val ww = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang")
+        g.withColumn("cumc", sum(col("c")).over(wseq))
+          .withColumn("cumw", sum(col("c") * col("n_chars")).over(wseq))
+          .withColumn("totc", sum(col("c")).over(ww))
+          .withColumn("totw", sum(col("c") * col("n_chars")).over(ww))
+          .groupBy("lang")
+          .agg(max(col("totc")).as("n_docs"),
+            max(col("totw")).as("total_chars"),
+            min(when(lit(2L) * col("cumc") >= col("totc"),
+              col("n_chars"))).as("median_chars"),
+            min(when(lit(2L) * col("cumw") >= col("totw"),
+              col("n_chars"))).as("char_weighted_median_chars"))
+          .orderBy("lang")
+      },
+      Some("WITH g AS (SELECT lang, n_chars, count(*) AS c FROM documents GROUP BY 1, 2), " +
+        "w AS (SELECT lang, n_chars, " +
+        "CAST(sum(c) OVER win AS BIGINT) AS cumc, " +
+        "CAST(sum(c * n_chars) OVER win AS BIGINT) AS cumw, " +
+        "CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS totc, " +
+        "CAST(sum(c * n_chars) OVER (PARTITION BY lang) AS BIGINT) AS totw " +
+        "FROM g WINDOW win AS (PARTITION BY lang ORDER BY n_chars ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT lang, max(totc) AS n_docs, max(totw) AS total_chars, " +
+        "min(CASE WHEN 2 * cumc >= totc THEN n_chars END) AS median_chars, " +
+        "min(CASE WHEN 2 * cumw >= totw THEN n_chars END) AS char_weighted_median_chars " +
+        "FROM w GROUP BY 1 ORDER BY 1"),
+      scaleNote = "The value-grouped grid is the scale device: the " +
+        "window's input is |langs|·|distinct lengths| rows (bounded " +
+        "by the value domain, NOT the corpus — documents collapse " +
+        "map-side in the first aggregate), so the per-group sort " +
+        "chain that makes raw-row exact medians expensive at 100 TB " +
+        "never sees corpus-sized data. Ties need no tiebreak: equal " +
+        "values are one grid row, and the crossing rule reads the " +
+        "cumulative AT the value. The weighted median generalizes " +
+        "to any weight column (quality score, sample weight — " +
+        "dedup_soft_weights' member_w_ppm composes directly) and to " +
+        "any quantile (2·cum ≥ tot → 10·cum ≥ 9·tot for p90). All " +
+        "integer comparisons — the report is bit-identical on any " +
+        "layout."),
+
     // Bloom filter membership as a declared, hard-oracled query:
     // m=8192 bits, k=3 md5-slice hashes (agg_cms_sketch's digest
     // trick), built over the high-value customer set and probed with

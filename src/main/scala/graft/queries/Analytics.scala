@@ -1473,6 +1473,83 @@ object Analytics extends QueryGroup {
     // pairs — agg_median_exact's device, applied twice), so the only
     // floats are the final ×0.6745 modified-z compose and two display
     // divisions, all correctly rounded.
+    // CUSUM drift monitor (r13) — the control-chart member the
+    // monitoring family was missing: z-scores (ts_anomaly) and MAD
+    // (ts_anomaly_mad) catch SPIKES, but a feed that drifts 10%
+    // above target never trips a per-point threshold — cumulative
+    // sums do, by accumulating small deviations until they cross h
+    // (Page's CUSUM, the classic SPC chart). The sequential
+    // recursion S_t = max(0, S_{t-1} + d_t) is NOT computed as a
+    // loop: it has the exact closed form S_t = P_t − min(0,
+    // min_{i≤t} P_i) over the deviation prefix sums P — two window
+    // passes (prefix sum, then prefix min), no recursion, no
+    // per-row state, the expanding-window-backtest lesson applied
+    // to SPC. Everything is exact micro-unit integers: the target
+    // is the feed's own mean (tot·1e6 div days), allowance k =
+    // mu/20 (5%), alarm threshold h = 2·mu — stated policy
+    // literals; both the high-side and low-side charts ride the
+    // same two windows.
+    QueryDef(
+      "ts_cusum",
+      (spark, sf) => {
+        val d = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"),
+            date_trunc("day", col("ts")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val stats = d.groupBy("event_type")
+          .agg(sum(col("n")).as("tot"), count(lit(1)).as("nd"))
+          .select(col("event_type"),
+            expr("(tot * 1000000) div nd").as("mu_micro"))
+        val wseq = Window.partitionBy("event_type").orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        d.join(broadcast(stats), "event_type")
+          .withColumn("k", expr("mu_micro div 20"))
+          .withColumn("p_hi",
+            sum(col("n") * lit(1000000L) - col("mu_micro") - col("k"))
+              .over(wseq))
+          .withColumn("p_lo",
+            sum(col("mu_micro") - col("k") - col("n") * lit(1000000L))
+              .over(wseq))
+          .withColumn("m_hi", least(lit(0L), min(col("p_hi")).over(wseq)))
+          .withColumn("m_lo", least(lit(0L), min(col("p_lo")).over(wseq)))
+          .select(col("event_type"), col("day"), col("n"),
+            col("mu_micro"),
+            (col("p_hi") - col("m_hi")).as("cusum_hi_micro"),
+            (col("p_lo") - col("m_lo")).as("cusum_lo_micro"),
+            ((col("p_hi") - col("m_hi")) > lit(2L) * col("mu_micro"))
+              .as("alarm_hi"),
+            ((col("p_lo") - col("m_lo")) > lit(2L) * col("mu_micro"))
+              .as("alarm_lo"))
+          .orderBy("event_type", "day")
+      },
+      Some("WITH d AS (SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n FROM events GROUP BY 1, 2), " +
+        "st AS (SELECT event_type, (CAST(sum(n) AS BIGINT) * 1000000) // count(*) AS mu_micro FROM d GROUP BY 1), " +
+        "j AS (SELECT d.event_type, day, n, mu_micro, mu_micro // 20 AS k FROM d JOIN st ON d.event_type = st.event_type), " +
+        "p AS (SELECT *, CAST(sum(n*1000000 - mu_micro - k) OVER win AS BIGINT) AS p_hi, " +
+        "CAST(sum(mu_micro - k - n*1000000) OVER win AS BIGINT) AS p_lo FROM j " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "m AS (SELECT *, least(0, min(p_hi) OVER win) AS m_hi, least(0, min(p_lo) OVER win) AS m_lo FROM p " +
+        "WINDOW win AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) " +
+        "SELECT event_type, CAST(day AS TIMESTAMP) AS day, n, mu_micro, " +
+        "p_hi - m_hi AS cusum_hi_micro, p_lo - m_lo AS cusum_lo_micro, " +
+        "(p_hi - m_hi) > 2 * mu_micro AS alarm_hi, " +
+        "(p_lo - m_lo) > 2 * mu_micro AS alarm_lo " +
+        "FROM m ORDER BY event_type, day"),
+      scaleNote = "The daily rollup collapses the stream to " +
+        "|feeds|·|days| rows before any window touches it — window " +
+        "input is timeline-sized at any corpus scale, and both " +
+        "windows partition by feed (ts_anomaly's economics with the " +
+        "per-feed key). The closed form is the scale point: Page's " +
+        "recursion looks inherently sequential, but prefix-sum-" +
+        "minus-running-min is two one-pass window frames, so the " +
+        "chart distributes exactly like any cumulative metric — no " +
+        "mapGroups state, no driver loop. Exact integer micro-units " +
+        "end to end (sums bounded by days·daily-count·1e6 ≪ 2^63); " +
+        "the mean/allowance/threshold are stated policy literals a " +
+        "production chart replaces with its own target table — a " +
+        "(feed, mu, k, h) manifest joins in exactly like " +
+        "dq_freshness_sla's."),
+
     QueryDef(
       "ts_anomaly_mad",
       (spark, sf) => {

@@ -610,6 +610,129 @@ object NearDup extends QueryGroup {
         "case: 0.8 flags quote-level subsets, 0.95+ near-exact " +
         "embeddings of one doc in another."),
 
+    // LSH banding S-CURVE TUNER (r13) — the measurement that SIZES
+    // the (bands, rows) dial every MinHash deployment guesses at:
+    // for a pair of Jaccard similarity s, banded LSH with r rows ×
+    // b bands fires with P = 1 − (1 − s^r)^b. This operator
+    // evaluates that curve AGAINST THE CORPUS'S OWN measured pair
+    // distribution (the df-capped rare-shingle pair universe,
+    // dedup_containment's generator, with exact integer Jaccard) for
+    // four hash-budget-equal configs (r·b = 128): per config ×
+    // similarity decile, the pair count and the expected caught
+    // mass — read the table, pick the config whose recall
+    // concentrates where YOUR near-dups live. Float fence: s enters
+    // as an exact micro-unit integer, the ONE division is IEEE-
+    // identical cross-engine, and both powers are computed by
+    // REPEATED SQUARING (r, b are powers of two — s², s⁴, … and q²,
+    // q⁴, … as explicit multiply chains, never pow(), whose libm
+    // could diverge); per-pair P floor-quantizes to micro before the
+    // exact BIGINT mass sum, so the whole table is hash-stable.
+    QueryDef(
+      "dedup_lsh_scurve",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val docs = Tables.documents(spark, sf)
+        val hs = shingleRows(docs).distinct()
+          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+          .localCheckpoint(false)
+        val dfc = hs.groupBy("h").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= ContainmentDfCap)
+          .select("h")
+        val rare = hs.join(dfc, "h").localCheckpoint(false)
+        val nr = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+        val pj = rare.as("a")
+          .join(rare.as("b"),
+            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+          .agg(count(lit(1)).as("ni"))
+          .join(nr.select(col("doc_id").as("id1"),
+            col("n_rare").as("n1")), "id1")
+          .join(nr.select(col("doc_id").as("id2"),
+            col("n_rare").as("n2")), "id2")
+          .select(expr("(ni * 1000000) div (n1 + n2 - ni)").as("s_micro"))
+        val cfgs = Seq((2, 64), (4, 32), (8, 16), (16, 8)).toDF("r", "b")
+        pj.crossJoin(broadcast(cfgs))
+          .withColumn("sv", col("s_micro").cast("double") / lit(1000000.0))
+          .withColumn("s2", col("sv") * col("sv"))
+          .withColumn("s4", col("s2") * col("s2"))
+          .withColumn("s8", col("s4") * col("s4"))
+          .withColumn("s16", col("s8") * col("s8"))
+          .withColumn("q", lit(1.0) -
+            when(col("r") === 2, col("s2"))
+              .when(col("r") === 4, col("s4"))
+              .when(col("r") === 8, col("s8"))
+              .otherwise(col("s16")))
+          .withColumn("q2", col("q") * col("q"))
+          .withColumn("q4", col("q2") * col("q2"))
+          .withColumn("q8", col("q4") * col("q4"))
+          .withColumn("q16", col("q8") * col("q8"))
+          .withColumn("q32", col("q16") * col("q16"))
+          .withColumn("q64", col("q32") * col("q32"))
+          .withColumn("pb",
+            when(col("b") === 8, col("q8"))
+              .when(col("b") === 16, col("q16"))
+              .when(col("b") === 32, col("q32"))
+              .otherwise(col("q64")))
+          .withColumn("p_micro",
+            floor((lit(1.0) - col("pb")) * lit(1000000.0)).cast("long"))
+          .groupBy(col("b"), col("r"), expr("s_micro div 100000").as("dec"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("p_micro")).as("catch_mass_micro"))
+          .withColumn("exp_recall",
+            round(col("catch_mass_micro").cast("double") /
+              (col("n_pairs").cast("double") * lit(1000000.0)), 4))
+          .orderBy("r", "dec")
+      },
+      Some {
+        val layers = Seq(
+          "l0 AS (SELECT s_micro, r, b, CAST(s_micro AS DOUBLE)/1000000.0 AS sv FROM pj CROSS JOIN cfg)",
+          "l1 AS (SELECT *, sv*sv AS s2 FROM l0)",
+          "l2 AS (SELECT *, s2*s2 AS s4 FROM l1)",
+          "l3 AS (SELECT *, s4*s4 AS s8 FROM l2)",
+          "l4 AS (SELECT *, s8*s8 AS s16 FROM l3)",
+          "l5 AS (SELECT *, 1.0 - (CASE r WHEN 2 THEN s2 WHEN 4 THEN s4 WHEN 8 THEN s8 ELSE s16 END) AS q FROM l4)",
+          "l6 AS (SELECT *, q*q AS q2 FROM l5)",
+          "l7 AS (SELECT *, q2*q2 AS q4 FROM l6)",
+          "l8 AS (SELECT *, q4*q4 AS q8 FROM l7)",
+          "l9 AS (SELECT *, q8*q8 AS q16 FROM l8)",
+          "l10 AS (SELECT *, q16*q16 AS q32 FROM l9)",
+          "l11 AS (SELECT *, q32*q32 AS q64 FROM l10)",
+          "l12 AS (SELECT *, CASE b WHEN 8 THEN q8 WHEN 16 THEN q16 WHEN 32 THEN q32 ELSE q64 END AS pb FROM l11)",
+          "l13 AS (SELECT s_micro, r, b, CAST(floor((1.0 - pb)*1000000.0) AS BIGINT) AS p_micro FROM l12)"
+        ).mkString(", ")
+        s"WITH $ShingleCtes, " +
+          "df AS (SELECT g, count(*) AS df FROM s GROUP BY 1), " +
+          s"rare AS (SELECT s.doc_id, s.g FROM s JOIN df USING (g) WHERE df.df <= $ContainmentDfCap), " +
+          "nr AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1), " +
+          "pc AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2), " +
+          "pj AS (SELECT (ni * 1000000) // (n1.n_rare + n2.n_rare - ni) AS s_micro " +
+          "FROM pc JOIN nr n1 ON pc.id1 = n1.doc_id JOIN nr n2 ON pc.id2 = n2.doc_id), " +
+          "cfg AS (SELECT * FROM (VALUES (2, 64), (4, 32), (8, 16), (16, 8)) AS t(r, b)), " +
+          s"$layers " +
+          "SELECT b, r, s_micro // 100000 AS dec, count(*) AS n_pairs, " +
+          "CAST(sum(p_micro) AS BIGINT) AS catch_mass_micro, " +
+          "round(CAST(sum(p_micro) AS DOUBLE)/(count(*)*1000000.0), 4) AS exp_recall " +
+          "FROM l13 GROUP BY 1, 2, 3 ORDER BY r, dec"
+      },
+      scaleNote = "The pair universe is dedup_containment's df-capped " +
+        "inverted-index join — Σ_g df(g)² over rare shingles, near-" +
+        "linear at fixed cap, never all-pairs — and everything after " +
+        "it is a 4-row config broadcast (the structural sweep's " +
+        "bounded-literal class) plus per-pair scalar arithmetic that " +
+        "collapses map-side to |configs|·|deciles| rows on the wire. " +
+        "This is the measurement that should precede every " +
+        "dedup_near deployment: the S-curve against the CORPUS'S " +
+        "pair distribution, not the textbook grid — a corpus whose " +
+        "near-dup mass sits at s ≈ 0.6 wants (8,16)'s sharper knee, " +
+        "one with a long 0.3-mass tail wants (4,32)'s softer one; " +
+        "the hash budget (r·b = 128) is held constant so the table " +
+        "compares policy, not spend. The repeated-squaring fence " +
+        "matters at ANY scale: pow() routes through libm and may " +
+        "differ per platform — explicit multiply chains are IEEE-" +
+        "pinned everywhere, so the tuning table is bit-identical on " +
+        "any cluster."),
+
     // Cluster resolution: near-dup PAIRS → connected components →
     // canonical doc per component (min doc_id). Production dedup ends
     // here, not at pairs — this is the keep/drop decision. Iterative

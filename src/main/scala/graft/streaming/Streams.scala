@@ -1141,6 +1141,30 @@ object Streams {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n_rows"), max(col("us")).as("mx"))
 
+  /** Live PER-FEED-SLA freshness panel — dq_freshness_sla's
+    * streaming twin (stream_freshness_sla, r13): the SLA manifest
+    * is a static broadcast dimension, LEFT-joined onto the arriving
+    * rows BEFORE the aggregate (stream-static joins are pre-agg
+    * legal; post-agg joins are not in complete mode), so sla_s
+    * rides as a constant group key — an unmanifested feed carries a
+    * NULL SLA through the panel rather than vanishing, the batch
+    * op's uncovered-feed fence live. Per-feed lag vs the panel-wide
+    * watermark, the per-SLA verdict, and n_uncovered all recompose
+    * from the emitted integers exactly as the batch edge
+    * expression (parity-proven after full replay). */
+  def freshnessSla(events: Dataset[Event],
+      manifest: Seq[(String, Long)]): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    val sla = manifest.toDF("event_type", "sla_s")
+    events.toDF()
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("us"))
+      .join(broadcast(sla), Seq("event_type"), "left")
+      .groupBy("event_type", "sla_s")
+      .agg(count(lit(1)).as("n_rows"), max(col("us")).as("mx"))
+  }
+
   /** Live data-quality profile — the streaming form of
     * dq_profile_approx's PRODUCTION pass (stream_dq_profile, r12):
     * the profile a 100 TB feed actually maintains is not a nightly

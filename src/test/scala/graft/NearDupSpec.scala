@@ -274,4 +274,62 @@ class NearDupSpec extends SparkSpec {
     }.map(_.getLong(0)).toSet
     assert(keptIds == want, "kept set diverges from the driver replay")
   }
+
+  test("dedup_lsh_scurve: full driver replay of the repeated-squaring S-curve over the measured pairs") {
+    import org.apache.spark.sql.functions.{col, count, lit, xxhash64}
+    val docs = graft.engine.Tables.documents(spark, sf)
+    val hs = NearDup.shingleRows(docs).distinct()
+      .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+    val dfc = hs.groupBy("h").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= NearDup.ContainmentDfCap).select("h")
+    val rare = hs.join(dfc, "h")
+      .select("doc_id", "h").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nr = rare.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val byH = rare.groupBy(_._2).values.toSeq
+    val ni = scala.collection.mutable.Map[(Long, Long), Long]()
+    for (g <- byH; a <- g; b <- g if a._1 < b._1)
+      ni((a._1, b._1)) = ni.getOrElse((a._1, b._1), 0L) + 1L
+    val sMicros = ni.toSeq.map { case ((i, j), n) =>
+      n * 1000000L / (nr(i) + nr(j) - n) }
+    assert(sMicros.nonEmpty)
+    // the exact repeated-squaring composition, replayed in Scala
+    def pMicro(sM: Long, r: Int, b: Int): Long = {
+      val sv = sM.toDouble / 1000000.0
+      val s2 = sv * sv; val s4 = s2 * s2; val s8 = s4 * s4
+      val s16 = s8 * s8
+      val q = 1.0 - (r match {
+        case 2 => s2; case 4 => s4; case 8 => s8; case _ => s16 })
+      val q2 = q * q; val q4 = q2 * q2; val q8 = q4 * q4
+      val q16 = q8 * q8; val q32 = q16 * q16; val q64 = q32 * q32
+      val pb = b match {
+        case 8 => q8; case 16 => q16; case 32 => q32; case _ => q64 }
+      math.floor((1.0 - pb) * 1000000.0).toLong
+    }
+    val cfgs = Seq((2, 64), (4, 32), (8, 16), (16, 8))
+    val want = (for ((r, b) <- cfgs; sM <- sMicros)
+      yield ((b, r, sM / 100000L), pMicro(sM, r, b)))
+      .groupBy(_._1).view.mapValues(xs =>
+        (xs.length.toLong, xs.map(_._2).sum)).toMap
+    val got = graft.engine.Registry.byName("dedup_lsh_scurve")
+      .build(spark, sf).collect()
+    assert(got.length == want.size)
+    got.foreach { row =>
+      val key = (row.getInt(0), row.getInt(1), row.getLong(2))
+      val (n, mass) = want(key)
+      assert(row.getLong(3) == n, s"$key n_pairs")
+      assert(row.getLong(4) == mass, s"$key catch_mass_micro")
+      // the S-curve's defining monotonicities, on the emitted table:
+      // P in [0, 1] scaled
+      assert(mass >= 0L && mass <= n * 1000000L)
+    }
+    // at matched hash budget, smaller r has the softer curve: for the
+    // LOWEST observed decile, expected recall is non-increasing in r
+    val lowDec = got.map(_.getLong(2)).min
+    val lows = got.filter(_.getLong(2) == lowDec)
+      .sortBy(_.getInt(1))
+      .map(r => r.getLong(4).toDouble / r.getLong(3))
+    assert(lows.zip(lows.tail).forall { case (a, b) => a >= b },
+      s"low-s recall must fall as r rises: ${lows.mkString(", ")}")
+  }
 }

@@ -2435,4 +2435,55 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(out.exists(r => r.getLong(1) > 1L),
       "fixture has only single-supplier markets")
   }
+
+  test("ts_cusum: the window closed form equals Page's recursion replayed driver-side") {
+    val got = Registry.byName("ts_cusum").build(spark, sf).collect()
+    assert(got.nonEmpty)
+    got.groupBy(_.getString(0)).foreach { case (_, rows) =>
+      val seq = rows.sortBy(_.getTimestamp(1).getTime)
+      val mu = seq.head.getLong(3)
+      val k = mu / 20L
+      var sHi = 0L; var sLo = 0L
+      seq.foreach { r =>
+        val n = r.getLong(2)
+        sHi = math.max(0L, sHi + (n * 1000000L - mu - k))
+        sLo = math.max(0L, sLo + (mu - k - n * 1000000L))
+        assert(r.getLong(4) == sHi,
+          s"cusum_hi(${r.getString(0)}, ${r.getTimestamp(1)}): " +
+            s"got ${r.getLong(4)}, want $sHi")
+        assert(r.getLong(5) == sLo, "cusum_lo diverges from the recursion")
+        assert(r.getBoolean(6) == (sHi > 2 * mu))
+        assert(r.getBoolean(7) == (sLo > 2 * mu))
+      }
+      // the two charts cannot both be in alarm at once on any day
+      assert(!seq.exists(r => r.getBoolean(6) && r.getBoolean(7)))
+    }
+  }
+
+  test("agg_median_weighted: both medians replay by definition; the char-weighted one never undershoots") {
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "n_chars").collect()
+      .map(r => (r.getString(0), r.get(1).toString.toLong))
+    val got = Registry.byName("agg_median_weighted")
+      .build(spark, sf).collect()
+    assert(got.length == docs.map(_._1).distinct.length)
+    got.foreach { r =>
+      val vs = docs.filter(_._1 == r.getString(0)).map(_._2).sorted
+      assert(r.getLong(1) == vs.length)
+      val tot = vs.sum
+      assert(r.getLong(2) == tot)
+      // unweighted: first value whose doc-count cumulative crosses half
+      val medU = vs((vs.length - 1) / 2) // 2*cum >= n at ceil(n/2)-th
+      assert(r.getLong(3) == medU,
+        s"${r.getString(0)} median: got ${r.getLong(3)}, want $medU")
+      // weighted: first value where cumulative char mass crosses half
+      var cw = 0L
+      val medW = vs.find { v => cw += v; 2 * cw >= tot }.get
+      assert(r.getLong(4) == medW,
+        s"${r.getString(0)} weighted median: got ${r.getLong(4)}, want $medW")
+      // long docs carry the mass: the char-weighted median cannot sit
+      // below the doc-count one
+      assert(r.getLong(4) >= r.getLong(3))
+    }
+  }
 }

@@ -666,6 +666,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_freshness_sla: SLA keys ride the panel; uncovered feeds survive with NULL SLA; verdicts recompose batch dq_freshness_sla") {
+    val s = spark
+    import s.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    // truncated manifest: the view feed is deliberately unmanifested,
+    // so the live panel must carry it with a NULL SLA (the fence)
+    val manifest = graft.queries.PipelineOps.FeedSlaS
+      .filterNot(_._1 == "view")
+    val mem = MemoryStream[Streams.Event](74, spark, None)
+    val q = Streams.freshnessSla(mem.toDS(), manifest)
+      .writeStream.format("memory")
+      .queryName("t_fresh_sla").outputMode("complete").start()
+    try {
+      var lastMx = Map.empty[String, Long]
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          val rows = spark.table("t_fresh_sla").collect()
+          val mx = rows.map(r => r.getString(0) -> r.getLong(3)).toMap
+          lastMx.foreach { case (t, v) => assert(mx(t) >= v, s"$t regressed") }
+          lastMx = mx
+        }
+      val rows = spark.table("t_fresh_sla").collect()
+      // the fence, live: view rides with a NULL SLA, never dropped
+      val view = rows.find(_.getString(0) == "view").get
+      assert(view.isNullAt(1), "unmanifested feed must carry NULL sla_s")
+      assert(rows.count(_.isNullAt(1)) == 1)
+      // verdict recomposition against the batch op run with the SAME
+      // truncated manifest
+      val wm = rows.map(_.getLong(3)).max
+      val batch = graft.queries.PipelineOps
+        .freshnessAgainst(spark, sf, manifest).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(batch.size == rows.length)
+      rows.foreach { r =>
+        val t = r.getString(0)
+        val b = batch(t)
+        assert(r.getLong(2) == b.getLong(1), s"$t count")
+        assert((wm - r.getLong(3)) / 1000000L == b.getLong(3), s"$t lag")
+        if (r.isNullAt(1)) assert(b.isNullAt(5) && b.isNullAt(6))
+        else {
+          assert(r.getLong(1) == b.getLong(5), s"$t sla")
+          assert(((wm - r.getLong(3)) / 1000000L <= r.getLong(1))
+            == b.getBoolean(6), s"$t verdict")
+        }
+      }
+    } finally q.stop()
+  }
+
   test("stream_dq_profile: streamed HLL sketches bit-equal batch sketches; panel sits in dq_profile_approx's tolerance") {
     val s = spark
     import s.implicits._

@@ -168,4 +168,56 @@ class WalkCorpusSpec extends SparkSpec {
     // Rayleigh cannot exceed the first
     assert(ray2 <= ray1, s"lambda2 $ray2 > lambda1 $ray1")
   }
+
+  test("graph_embed_link_auc: pairwise-definition AUC replay matches the rank-sum identity") {
+    val out = engine.Registry.byName("graph_embed_link_auc")
+      .build(spark, sf).collect()
+    assert(out.length == 1)
+    val row = out.head
+    val (nPos, nNeg, units, auc) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    assert(nPos > 0 && nNeg > 0)
+    assert(auc >= 0.0 && auc <= 1.0)
+    // independent driver replay: rebuild samples + scores, then AUC
+    // by the PAIRWISE definition (wins + half-ties), which the
+    // operator's rank-sum identity must equal exactly
+    val (v1Df, v2Df, _) = queries.GraphOps.walkEmbedAxes(spark, sf)
+    val emb = v1Df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val emb2 = v2Df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ed = engine.Tables.lineitem(spark, sf)
+      .join(engine.Tables.orders(spark, sf),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .selectExpr("o_custkey*2 AS u", "l_suppkey*2+1 AS w")
+      .distinct().collect()
+      .map(r => (r.get(0).toString.toLong, r.get(1).toString.toLong))
+    val edSet = ed.toSet
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h(x: String) = md.digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val pos = ed.map { case (u, w) => (h(s"pos:$u:$w"), u, w) }
+      .sorted.take(4096).map(t => (t._2, t._3))
+    val cn = ed.map(_._1).distinct.sorted
+    val sn = ed.map(_._2).distinct.sorted
+    def h32(x: String) = java.lang.Long.parseLong(h(x).take(8), 16)
+    val neg = (1 to 4096).map { k =>
+      (cn((h32(s"negc:$k") % cn.length).toInt),
+        sn((h32(s"negs:$k") % sn.length).toInt))
+    }.distinct.filterNot(edSet)
+    def score(p: (Long, Long)): Option[Long] =
+      for (a1 <- emb.get(p._1); b1 <- emb.get(p._2))
+        yield a1 * b1 + emb2(p._1) * emb2(p._2)
+    val ps = pos.flatMap(score)
+    val ns = neg.flatMap(score)
+    assert(ps.length == nPos && ns.length == nNeg,
+      s"sample sizes: got (${ps.length}, ${ns.length}), want ($nPos, $nNeg)")
+    var wins2 = 0L // 2 per win, 1 per tie
+    for (p <- ps; n <- ns)
+      wins2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    assert(wins2 == units,
+      s"pairwise AUC units $wins2 != rank-sum identity $units")
+    val want = BigDecimal(wins2.toDouble / (2.0 * nPos * nNeg))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(auc == want)
+  }
 }
