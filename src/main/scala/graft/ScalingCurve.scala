@@ -121,7 +121,9 @@ object ScalingCurve {
       "sink_brandes_deps", "graph_girvan_split", "sink_louvain_labels",
       "graph_walk_embed_k2", "dq_freshness_sla", "sample_soft_weighted",
       "dedup_lsh_scurve", "graph_embed_link_auc", "ts_cusum",
-      "agg_median_weighted")
+      "agg_median_weighted", "surv_kaplan_meier", "dq_drift_psi",
+      "rank_ndcg", "corpus_dsir", "eval_calibration",
+      "surv_nelson_aalen", "rank_mrr", "attribution_markov")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

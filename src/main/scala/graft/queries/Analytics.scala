@@ -95,6 +95,56 @@ object Analytics extends QueryGroup {
       .groupBy("user_id")
       .agg(min(col("ts")).as(outTs))
 
+  /** Shared survival machinery (surv_kaplan_meier / surv_nelson_aalen):
+    * subject = a user's first signup, event = first qualifying
+    * purchase (value ≥ 100, stated policy) at or after it, duration in
+    * exact integer hours, right-censored at the stream watermark.
+    * Returns the risk grid (dur_h, d, c, n_risk) with the
+    * deaths-before-censoring tie rule. */
+  private def survRiskGrid(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val ev = Tables.loadEvents(spark, sf)
+    val wm = ev.agg(max(col("ts")).as("wm"))
+    val su = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min(col("ts")).as("t0"))
+    val pu = ev
+      .filter(col("event_type") === "purchase" && col("value") >= 100.0)
+      .select(col("user_id").as("p_user"), col("ts").as("pts"))
+    val conv = su
+      .join(pu, col("user_id") === col("p_user") && col("pts") >= col("t0"),
+        "left")
+      .groupBy(col("user_id"), col("t0"))
+      .agg(min(col("pts")).as("t1"))
+    val durs = conv.crossJoin(broadcast(wm))
+      .select(
+        when(col("t1").isNotNull, 1L).otherwise(0L).as("ev"),
+        expr("(unix_micros(cast(coalesce(t1, wm) as timestamp)) - " +
+          "unix_micros(cast(t0 as timestamp))) div 3600000000")
+          .as("dur_h"))
+    val grid = durs.groupBy("dur_h")
+      .agg(sum(col("ev")).as("d"),
+        sum(lit(1L) - col("ev")).as("c"))
+    val wseq = Window.orderBy("dur_h")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = grid.agg(sum(col("d") + col("c")).as("n_sub"))
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n_sub") - sum(col("d") + col("c")).over(wseq)
+          + col("d") + col("c"))
+  }
+
+  /** The oracle-side risk grid: CTEs su → wm → cv → du → g → t → r,
+    * ending in r(dur_h, d, c, n_risk) — shared verbatim by both
+    * survival oracles. */
+  private val SurvSqlCtes: String =
+    "su AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
+      "wm AS (SELECT max(ts) AS wm FROM events), " +
+      "cv AS (SELECT su.user_id, su.t0, min(e.ts) AS t1 FROM su LEFT JOIN events e ON e.user_id = su.user_id AND e.event_type = 'purchase' AND e.value >= 100 AND e.ts >= su.t0 GROUP BY 1, 2), " +
+      "du AS (SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev, (epoch_us(COALESCE(t1, wm)) - epoch_us(t0)) // 3600000000 AS dur_h FROM cv CROSS JOIN wm), " +
+      "g AS (SELECT dur_h, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c FROM du GROUP BY 1), " +
+      "t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_sub FROM g), " +
+      "r AS (SELECT g.*, n_sub - CAST(sum(d + c) OVER win AS BIGINT) + d + c AS n_risk FROM g CROSS JOIN t WINDOW win AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
+
   def defs: Seq[QueryDef] = Seq(
 
     // Ordered-sequence funnel: view → click → purchase, each step the
@@ -1063,6 +1113,137 @@ object Analytics extends QueryGroup {
         "lag_sec (agg_percentile_cont's exact-interpolation " +
         "discipline) yields the latency summary stats."),
 
+    // Markov removal-effect attribution (r13) — the data-driven
+    // member closing the attribution family: last-touch and
+    // position-based are HEURISTICS (they credit by rule);
+    // removal-effect credits each channel by how much conversion
+    // actually DROPS when journeys can no longer pass through it
+    // (Anderl et al. 2014 — the model every "data-driven
+    // attribution" product implements). The journey chain rides
+    // markov_transitions' collapsed grid: states = the four stated
+    // touch channels + start/conv/null (journeys restart after each
+    // purchase, end at the stream edge), transition probabilities
+    // exact integer micro floor divisions. Absorption P(conv|start)
+    // is the matrix power M^64 computed by SIX SQUARINGS of the
+    // ≤37-cell matrix (graph_walk_embed's integer-iteration
+    // discipline: every product sums exactly in BIGINT, ONE
+    // truncating division per cell per squaring — bit-identical on
+    // both engines; the 64-step horizon is stated and exceeds every
+    // fixture journey). Removing channel c = its row becomes
+    // null-absorbing; credit share = each channel's conversion drop
+    // over the total drop, clamped at 0 and fenced against the
+    // all-zero case.
+    QueryDef(
+      "attribution_markov",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        val sq = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("prev", lag(col("event_type"), 1).over(w))
+          .withColumn("nxt", lead(col("event_type"), 1).over(w))
+        val steps = sq.select(
+          when(col("prev").isNull || col("prev") === "purchase", "start")
+            .otherwise(col("prev")).as("s"),
+          when(col("event_type") === "purchase", "conv")
+            .otherwise(col("event_type")).as("t"))
+        val ends = sq.filter(col("nxt").isNull &&
+            col("event_type") =!= "purchase")
+          .select(col("event_type").as("s"), lit("null").as("t"))
+        val tc = steps.unionAll(ends).groupBy("s", "t")
+          .agg(count(lit(1)).as("n"))
+        val tn = tc.groupBy("s").agg(sum(col("n")).as("ns"))
+        val bm = tc.join(tn, "s")
+          .select(col("s"), col("t"), expr("(n * 1000000) div ns").as("p"))
+          .unionAll(Seq(("conv", "conv", 1000000L), ("null", "null", 1000000L))
+            .toDF("s", "t", "p"))
+        val channels = Seq("view", "click", "signup", "error")
+        val sc0 = bm.withColumn("k", lit("base"))
+        val scenarios = channels.foldLeft(sc0) { (acc, c) =>
+          acc.unionAll(
+            bm.filter(col("s") =!= c).withColumn("k", lit(c))
+              .unionAll(Seq((c, "null", 1000000L)).toDF("s", "t", "p")
+                .withColumn("k", lit(c))))
+        }.select("k", "s", "t", "p")
+        // six squarings = M^64; localCheckpoint truncates the lineage
+        // so the logical plan doesn't double per squaring (the
+        // GraphOps iterative-operator device) — the matrix is ≤185
+        // rows across all five scenarios
+        var m = scenarios.localCheckpoint(false)
+        for (_ <- 1 to 6) {
+          val a = m.select(col("k"), col("s"), col("t").as("mid"),
+            col("p").as("pa"))
+          val b = m.select(col("k").as("kb"), col("s").as("mid"),
+            col("t"), col("p").as("pb"))
+          m = a.join(b, col("k") === col("kb") && a("mid") === b("mid"))
+            .groupBy("k", "s", "t")
+            .agg(expr("sum(pa * pb) div 1000000").as("p"))
+            .localCheckpoint(false)
+        }
+        val res = m.filter(col("s") === "start" && col("t") === "conv")
+          .select(col("k"), col("p"))
+        // limit(1) is a semantic no-op (one base start→conv cell
+        // exists) that makes the broadcast side PROVABLY 1-row to the
+        // structural BNLJ sweep — rank_fusion_rrf's self-certifying
+        // device, needed here because the localCheckpoint's Scan
+        // ExistingRDD hides the filter's selectivity from the walker
+        val base = res.filter(col("k") === "base")
+          .select(col("p").as("p_base_micro")).limit(1)
+        val eff = res.filter(col("k") =!= "base")
+          .crossJoin(broadcast(base))
+          .select(col("k").as("channel"), col("p_base_micro"),
+            col("p").as("p_removed_micro"),
+            greatest(col("p_base_micro") - col("p"), lit(0L))
+              .as("removal_effect_micro"))
+        val tot = eff.agg(sum(col("removal_effect_micro")).as("te"))
+        eff.crossJoin(broadcast(tot))
+          .select(col("channel"), col("p_base_micro"),
+            col("p_removed_micro"), col("removal_effect_micro"),
+            when(col("te") > 0L,
+              expr("(removal_effect_micro * 1000000) div te"))
+              .otherwise(0L).as("attribution_ppm"),
+            lit(64L).as("horizon_steps"))
+          .orderBy("channel")
+      },
+      Some("WITH sq AS (SELECT user_id, event_type, lag(event_type) OVER w AS prev, lead(event_type) OVER w AS nxt FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
+        "tr AS (SELECT CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'start' ELSE prev END AS s, CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t FROM sq " +
+        "UNION ALL SELECT event_type AS s, 'null' AS t FROM sq WHERE nxt IS NULL AND event_type <> 'purchase'), " +
+        "tc AS (SELECT s, t, count(*) AS n FROM tr GROUP BY 1, 2), " +
+        "tn AS (SELECT s, CAST(sum(n) AS BIGINT) AS ns FROM tc GROUP BY 1), " +
+        "bm AS (SELECT tc.s, tc.t, (n * 1000000) // ns AS p FROM tc JOIN tn ON tc.s = tn.s " +
+        "UNION ALL SELECT 'conv', 'conv', 1000000 UNION ALL SELECT 'null', 'null', 1000000), " +
+        "sc AS MATERIALIZED (SELECT 'base' AS k, s, t, p FROM bm " +
+        "UNION ALL SELECT c.c AS k, bm.s, bm.t, bm.p FROM bm CROSS JOIN (VALUES ('view'), ('click'), ('signup'), ('error')) c(c) WHERE bm.s <> c.c " +
+        "UNION ALL SELECT c.c AS k, c.c AS s, 'null' AS t, 1000000 AS p FROM (VALUES ('view'), ('click'), ('signup'), ('error')) c(c)), " +
+        "m1 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM sc a JOIN sc b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3), m2 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM m1 a JOIN m1 b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3), m3 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM m2 a JOIN m2 b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3), m4 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM m3 a JOIN m3 b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3), m5 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM m4 a JOIN m4 b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3), m6 AS (SELECT a.k, a.s, b.t, CAST(sum(a.p * b.p) AS BIGINT) // 1000000 AS p FROM m5 a JOIN m5 b ON a.k = b.k AND a.t = b.s GROUP BY 1, 2, 3)" + ", " +
+        "res AS (SELECT k, p FROM m6 WHERE s = 'start' AND t = 'conv'), " +
+        "bs AS (SELECT p AS p_base_micro FROM res WHERE k = 'base'), " +
+        "eff AS (SELECT k AS channel, p_base_micro, p AS p_removed_micro, greatest(p_base_micro - p, 0) AS removal_effect_micro FROM res CROSS JOIN bs WHERE k <> 'base'), " +
+        "tot AS (SELECT CAST(sum(removal_effect_micro) AS BIGINT) AS te FROM eff) " +
+        "SELECT channel, p_base_micro, p_removed_micro, removal_effect_micro, " +
+        "CASE WHEN te > 0 THEN (removal_effect_micro * 1000000) // te ELSE 0 END AS attribution_ppm, " +
+        "CAST(64 AS BIGINT) AS horizon_steps FROM eff CROSS JOIN tot ORDER BY channel"),
+      scaleNote = "The ONLY corpus-scale work is markov_transitions' " +
+        "pass: one per-user window (the sessionization partitioning " +
+        "every behavioral op here shares) collapsing the stream to a " +
+        "≤37-cell transition grid — everything after runs on ≤185 " +
+        "constant rows across the five scenarios, so the model phase " +
+        "costs the same at 100 TB as at 100 MB. Matrix SQUARING is " +
+        "the scale trick: 64 absorption steps cost six 37-cell " +
+        "equi-joins instead of 64 value iterations (and each " +
+        "squaring localCheckpoints, so the plan stays O(1) deep — " +
+        "the GraphOps device). Every cell is exact-integer micro " +
+        "arithmetic (products ≤ 1e12 sum over ≤7 terms, one " +
+        "truncating division per cell per squaring) — both engines " +
+        "walk the identical lattice, and the per-squaring floor " +
+        "loss (≤ 6·7 micro end to end, stated) cannot flip a credit " +
+        "ordering fenced by the ≥0 clamp and the zero-total guard. " +
+        "More channels grow the grid quadratically but it stays " +
+        "driver-trivial up to thousands; per-segment attribution " +
+        "adds the segment key to every grid stage."),
+
     // The complement of interval_coverage: the HOLES — per key, the
     // uncovered stretches inside the activity span (the downtime /
     // silence / idle-capacity metric; coverage asks "how much ran",
@@ -1473,6 +1654,120 @@ object Analytics extends QueryGroup {
     // pairs — agg_median_exact's device, applied twice), so the only
     // floats are the final ×0.6745 modified-z compose and two display
     // divisions, all correctly rounded.
+    // Kaplan-Meier conversion survival (r13) — the time-to-event
+    // member the funnel family was missing: funnel_time_to_convert
+    // averages over users who DID convert, which is survivorship bias
+    // by construction (the slowest convertors are exactly the ones
+    // still pending when the window closes). KM handles them as
+    // right-censored observations: subject = a user's FIRST signup,
+    // event = their first qualifying purchase (value ≥ 100 — a stated
+    // policy literal) at or after it, duration in exact integer hours
+    // (epoch-micros difference, one floor division — never
+    // date_diff, whose hour-BOUNDARY counting differs from elapsed
+    // time). A user with no qualifying purchase is censored at the
+    // stream watermark, NOT dropped (34/150 at sf0.01 — both paths
+    // live). The curve: at each distinct duration t, risk set n_t =
+    // subjects with duration ≥ t (censored-at-t kept at risk for
+    // deaths at t — the standard deaths-before-censoring tie rule),
+    // d_t conversions, step ln((n_t−d_t)/n_t) floor-quantized to
+    // micro-nats (corpus_mix_kl's discipline: one ln of an exact
+    // integer ratio, floored BEFORE the cumulative sum), and
+    // log-survival = the running sum of steps — ln S(t), exact
+    // integers end to end once each step is quantized. The dashboard
+    // exponentiates for display; the engine never needs exp().
+    QueryDef(
+      "surv_kaplan_meier",
+      (spark, sf) => {
+        val wseq = Window.orderBy("dur_h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        survRiskGrid(spark, sf)
+          .withColumn("step_micro",
+            when(col("d") === 0L, lit(0L)).otherwise(
+              floor(log((col("n_risk") - col("d")).cast("double") /
+                col("n_risk").cast("double")) * lit(1000000.0))
+                .cast("long")))
+          .withColumn("log_surv_micro",
+            sum(col("step_micro")).over(wseq))
+          .select(col("dur_h"), col("n_risk"), col("d").as("d_conv"),
+            col("c").as("c_cens"), col("step_micro"),
+            col("log_surv_micro"),
+            (col("d") === col("n_risk")).as("surv_zero"))
+          .orderBy("dur_h")
+      },
+      Some(s"WITH $SurvSqlCtes, " +
+        "s AS (SELECT *, CASE WHEN d = 0 THEN 0 ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT) END AS step_micro FROM r) " +
+        "SELECT dur_h, n_risk, d AS d_conv, c AS c_cens, step_micro, " +
+        "CAST(sum(step_micro) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_surv_micro, " +
+        "d = n_risk AS surv_zero FROM s ORDER BY dur_h"),
+      scaleNote = "Three aggregates collapse the stream before any " +
+        "window: per-user first-signup and first-qualifying-purchase " +
+        "(both map-side combinable min's keyed by user), then the " +
+        "duration grid keyed by integer hour — so the global window " +
+        "(the adjudicated aggregate-collapsed-grid pattern) sees " +
+        "|distinct durations| rows (≤ observation hours: ~700 here, " +
+        "~2k for a 90-day window), never |users|, whatever the " +
+        "corpus size. The signup⋈purchase join shuffles on user_id " +
+        "once — co-partitioned with the groupBy that follows. The " +
+        "float fence is corpus_mix_kl's: each KM factor composes ONE " +
+        "ln from an exact integer ratio and floors to micro-nats " +
+        "BEFORE the cumulative sum, so the curve is bit-identical " +
+        "under any partitioning; exp() never runs in-engine. " +
+        "Stratified KM (per cohort/segment) adds the stratum to " +
+        "every key and the window partition — same plan. The " +
+        "value ≥ 100 qualifier and the censoring-at-watermark rule " +
+        "are stated policy; a (segment, threshold) manifest joins in " +
+        "like dq_freshness_sla's."),
+
+    // Nelson-Aalen cumulative hazard (r13) — Kaplan-Meier's exact-
+    // integer sibling on the SAME risk grid: where KM multiplies
+    // survival factors (one ln per step under the micro-nat fence),
+    // NA sums hazard increments d_t/n_t directly — and because each
+    // increment is ONE integer floor division (d·1e6 div n), the
+    // whole curve is exact integer arithmetic with NO transcendental
+    // anywhere, the strongest determinism class in the house. The
+    // two estimators bracket each other (−ln S(t) ≥ H(t), Jensen on
+    // the step level: −ln(1−x) ≥ x), which makes the PAIR a built-in
+    // cross-check a survival dashboard gets for free; NA is also the
+    // estimator of choice when risk sets are small (its increments
+    // stay defined at d = n, exactly where KM's ln(0) dies).
+    QueryDef(
+      "surv_nelson_aalen",
+      (spark, sf) => {
+        val wseq = Window.orderBy("dur_h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        survRiskGrid(spark, sf)
+          .withColumn("haz_step_micro", expr("(d * 1000000) div n_risk"))
+          .withColumn("cum_haz_micro",
+            sum(col("haz_step_micro")).over(wseq))
+          .withColumn("var_step_pico",
+            expr("(d * 1000000000000) div (n_risk * n_risk)"))
+          .withColumn("cum_var_pico",
+            sum(col("var_step_pico")).over(wseq))
+          .select(col("dur_h"), col("n_risk"), col("d").as("d_conv"),
+            col("c").as("c_cens"), col("haz_step_micro"),
+            col("cum_haz_micro"), col("cum_var_pico"))
+          .orderBy("dur_h")
+      },
+      Some(s"WITH $SurvSqlCtes, " +
+        "h AS (SELECT *, (d * 1000000) // n_risk AS haz_step_micro, (d * 1000000000000) // (n_risk * n_risk) AS var_step_pico FROM r) " +
+        "SELECT dur_h, n_risk, d AS d_conv, c AS c_cens, haz_step_micro, " +
+        "CAST(sum(haz_step_micro) OVER win AS BIGINT) AS cum_haz_micro, " +
+        "CAST(sum(var_step_pico) OVER win AS BIGINT) AS cum_var_pico " +
+        "FROM h WINDOW win AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) ORDER BY dur_h"),
+      scaleNote = "Identical economics to surv_kaplan_meier (the two " +
+        "share [[survRiskGrid]] verbatim — three map-side aggregates " +
+        "collapse the stream to the duration grid, the global window " +
+        "runs on |distinct durations| rows), but a strictly stronger " +
+        "determinism class: every hazard increment is an integer " +
+        "floor division and the curve a running BIGINT sum — no ln, " +
+        "no float multiply, nothing transcendental, so the 100 TB " +
+        "curve is bit-identical by construction rather than by the " +
+        "micro-nat fence argument. The Aalen variance rides the same " +
+        "window in pico units (d·1e12 div n² — n ≥ 1 keeps terms " +
+        "≤ 1e12, sums ≪ 2^63 up to 9e6 grid rows). Greenwood bands " +
+        "for KM compose from the same var column; stratified curves " +
+        "add the stratum key to grid and window as in KM."),
+
     // CUSUM drift monitor (r13) — the control-chart member the
     // monitoring family was missing: z-scores (ts_anomaly) and MAD
     // (ts_anomaly_mad) catch SPIKES, but a feed that drifts 10%

@@ -1116,5 +1116,81 @@ object CorpusOps extends QueryGroup {
         "token, so shard manifests never over- or under-fill. The " +
         "same Hamilton allocator reapplies per (lang, source) cell " +
         "grid — add the key to both aggs, rank within budget rows — " +
-        "and to GPU-hour or storage budgeting unchanged."))
+        "and to GPU-hour or storage budgeting unchanged."),
+
+    // DSIR-style importance weights (r13) — data selection by
+    // importance resampling (Xie et al. 2023, arXiv:2302.03169): the
+    // selection signal modern pretraining mixes use when "match a
+    // TARGET domain" replaces "pass a quality floor". Per document,
+    // the log importance ratio ln p_target(doc)/p_raw(doc) under two
+    // hashed bag-of-tokens models: features are md5-hashed token
+    // buckets (64 bins — the corpus_release hash idiom, identical on
+    // both engines), target = the en slice (stated policy; any
+    // domain slice substitutes), raw = the whole corpus, both
+    // +1/+64 Laplace-smoothed. Per BUCKET the weight composes ONE ln
+    // of an exact integer cross-ratio floored to micro-nats; per DOC
+    // the score is then an exact integer dot product of bucket
+    // counts with those frozen weights — so ranking and selection
+    // verdicts are bit-stable anywhere. selected = logw > 0 (docs
+    // that look more target than raw); the resampling stage is
+    // sample_weighted's consistent-hash draw with w = exp-bucketed
+    // logw, composable downstream.
+    QueryDef(
+      "corpus_dsir",
+      (spark, sf) => {
+        val tok = Tables.documents(spark, sf)
+          .select(col("doc_id"), col("lang"),
+            explode(split(col("text"), " ")).as("w"))
+          .select(col("doc_id"), col("lang"),
+            (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
+              % 64).as("b"))
+        val dc = tok.groupBy("doc_id", "lang", "b")
+          .agg(count(lit(1)).as("c"))
+        val rawc = dc.groupBy("b").agg(sum(col("c")).as("cr"))
+        val tgtc = dc.filter(col("lang") === "en")
+          .groupBy("b").agg(sum(col("c")).as("ct"))
+        val wts = rawc.join(tgtc, Seq("b"), "left")
+          .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+        val tots = wts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+        val wm = wts.crossJoin(broadcast(tots))
+          .select(col("b"),
+            floor(log(((col("ct") + lit(1L)) * (col("tr") + lit(64L)))
+              .cast("double") /
+              ((col("cr") + lit(1L)) * (col("tt") + lit(64L)))
+                .cast("double")) * lit(1000000.0)).cast("long")
+              .as("w_micro"))
+        dc.join(broadcast(wm), "b")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("w_micro")).as("logw_micro"))
+          .withColumn("selected", col("logw_micro") > 0L)
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, ('0x'||substr(md5(w),9,8))::BIGINT % 64 AS b FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+        "dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY 1, 2, 3), " +
+        "rawc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1), " +
+        "tgtc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dc WHERE lang = 'en' GROUP BY 1), " +
+        "w AS (SELECT rawc.b, COALESCE(ct, 0) AS ct, cr FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b), " +
+        "t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM w), " +
+        "wm AS (SELECT b, CAST(floor(ln(CAST((ct + 1) * (tr + 64) AS DOUBLE) / CAST((cr + 1) * (tt + 64) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro FROM w CROSS JOIN t) " +
+        "SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(sum(c * w_micro) AS BIGINT) AS logw_micro, CAST(sum(c * w_micro) AS BIGINT) > 0 AS selected " +
+        "FROM dc JOIN wm ON dc.b = wm.b GROUP BY doc_id, lang ORDER BY doc_id"),
+      scaleNote = "Three map-side-combinable aggregates do all the " +
+        "corpus-scale work (per-doc bucket counts collapse inside " +
+        "each input split — text_repetition's property — then two " +
+        "64-row model tables), and the 64-row weight table " +
+        "broadcasts back onto the per-doc counts: the scoring join " +
+        "is hash-agg-shaped, never a shuffle of tokens. The model " +
+        "is FROZEN as integers before any doc is scored — bucket " +
+        "weights floor once to micro-nats, per-doc scores are exact " +
+        "integer dot products — so selection at 100 TB is " +
+        "reproducible across engines, layouts, and reruns (DSIR's " +
+        "own float-sum scoring is none of those). Scale knobs: " +
+        "bucket count (64 → 10k buckets is the same plan; the " +
+        "weight table stays broadcast-sized up to millions), " +
+        "n-gram order (hash the bigram instead — one lambda), and " +
+        "the target slice (any manifest-declared domain). Product " +
+        "terms (ct+1)·(tr+64) brush 2^63 only past ~10^17 tokens — " +
+        "escalate to DECIMAL(38,0)/HUGEINT there, stated not " +
+        "silent."))
 }

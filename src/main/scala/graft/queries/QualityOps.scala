@@ -28,6 +28,58 @@ object QualityOps extends QueryGroup {
     * counts here; the rule shape is identical). */
   private val StopWords = Seq("the", "a", "of", "in", "to")
 
+  /** rank_ndcg's discount table: floor(1e6 · 1/log2(r+1)) for ranks
+    * 1..10 — STATED literals computed once offline (ln 2/ln(r+1)),
+    * shared verbatim by the Spark plan and the oracle's VALUES table
+    * so no runtime log() can diverge between engines. */
+  val NdcgGainsMicro: Seq[Long] = Seq(
+    1000000L, 630929L, 500000L, 430676L, 386852L,
+    356207L, 333333L, 315464L, 301029L, 289064L)
+
+  /** The same table as a DuckDB VALUES clause. */
+  val NdcgGainsValuesSql: String =
+    NdcgGainsMicro.zipWithIndex
+      .map { case (g, i) => s"(${i + 1}, ${g})" }
+      .mkString("SELECT * FROM (VALUES ", ", ", ") AS v(rank, gain_micro)")
+
+  /** Shared retrieval-eval rank table (rank_ndcg / rank_mrr): the
+    * fixed 16 lowest vec_ids as queries (ann_topk's O(1) broadcast
+    * rule), every other vector as a candidate, ranked by the house
+    * quantized cosine with vec_id tiebreak; rows with rank ≤ 10.
+    * Columns: query_id, qlabel, vec_id, label, rank. */
+  private def annRankTable(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val q = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("label"),
+        graft.engine.Vec.quantize(col("embedding")).as("qv"))
+      .withColumn("n2", graft.engine.Vec.norm2(col("qv")))
+    val queries = q.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
+        col("qv").as("qq"), col("n2").as("qn"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    broadcast(queries)
+      .join(q, col("query_id") =!= col("vec_id"))
+      .withColumn("dot", graft.plans.LongArrayDot.dot(col("qq"), col("qv")))
+      .withColumn("cos",
+        graft.engine.Vec.cosine(col("dot"), col("qn"), col("n2")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select("query_id", "qlabel", "vec_id", "label", "rank")
+  }
+
+  /** Oracle-side rank table: CTEs q → n → e → d → c → r ending in
+    * rt(query_id, qlabel, clabel, rank), rank ≤ 10 — shared verbatim
+    * by both retrieval-eval oracles. */
+  private val AnnRankSqlCtes: String =
+    "q AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE)*1048576) AS BIGINT)) AS qv FROM embeddings), " +
+      "n AS (SELECT vec_id, CAST(list_sum(list_transform(qv, x -> x*x)) AS BIGINT) AS norm2 FROM q), " +
+      "e AS (SELECT vec_id, unnest(qv) AS v, generate_subscripts(qv, 1) AS idx FROM q), " +
+      "d AS (SELECT a.vec_id AS query_id, b.vec_id AS vec_id, CAST(sum(a.v*b.v) AS BIGINT) AS dot FROM e a JOIN e b ON a.idx = b.idx AND a.vec_id <> b.vec_id WHERE a.vec_id < 16 GROUP BY 1, 2), " +
+      "c AS (SELECT d.query_id, d.vec_id, round(CAST(dot AS DOUBLE)/(sqrt(CAST(n1.norm2 AS DOUBLE))*sqrt(CAST(n2.norm2 AS DOUBLE))), 4) AS cos FROM d JOIN n n1 ON d.query_id = n1.vec_id JOIN n n2 ON d.vec_id = n2.vec_id), " +
+      "r AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank FROM c), " +
+      "rt AS (SELECT r.query_id, qa.label AS qlabel, qb.label AS clabel, r.rank FROM r JOIN q qa ON r.query_id = qa.vec_id JOIN q qb ON r.vec_id = qb.vec_id WHERE r.rank <= 10)"
+
   def defs: Seq[QueryDef] = Seq(
 
     // Gopher-style rule-based quality gate — the canonical pre-filter
@@ -346,6 +398,126 @@ object QualityOps extends QueryGroup {
         "would tie-break on rounding noise). Ranks stay bounded by " +
         "construction, so the global rank windows run on ≤ 100 " +
         "rows."),
+
+    // NDCG@10 retrieval evaluation (r13) — the GRADED metric the
+    // retrieval stack was missing: ann_recall_curve counts how many
+    // true neighbors the index returns ANYWHERE in top-k (set
+    // recall); NDCG scores WHERE they land (a hit at rank 1 is worth
+    // 3.5× one at rank 10) — the metric RAG/search evals actually
+    // report. Queries = the fixed 16 lowest vec_ids (ann_topk's O(1)
+    // broadcast-side rule), candidates = everyone else, relevance =
+    // label match (the corpus's own ground truth), ranking = the
+    // house quantized cosine with vec_id tiebreak (a total order, so
+    // rank assignment is bit-stable). The discount table 1/log2(r+1)
+    // is TEN STATED micro-unit literals shared verbatim by both
+    // engines ([[NdcgGainsMicro]] — computed once offline, so no
+    // runtime log() can diverge); DCG/IDCG are exact integer sums of
+    // those literals and NDCG is one ppm floor division. IDCG uses
+    // min(10, |relevant pool|) ideal positions — the honest
+    // normalizer when a label has fewer than k members.
+    QueryDef(
+      "rank_ndcg",
+      (spark, sf) => {
+        val labCnt = Tables.embeddings(spark, sf)
+          .groupBy("label").agg(count(lit(1)).as("nl"))
+          .select(col("label").as("qlabel"), col("nl"))
+        val gainDf = {
+          val session = spark
+          import session.implicits._
+          NdcgGainsMicro.zipWithIndex
+            .map { case (g, i) => (i + 1, g) }
+            .toDF("rank", "gain_micro")
+        }
+        val top = annRankTable(spark, sf).join(broadcast(gainDf), "rank")
+        val per = top.groupBy("query_id", "qlabel")
+          .agg(
+            sum(when(col("label") === col("qlabel"), 1L).otherwise(0L))
+              .as("n_rel_top10"),
+            sum(when(col("label") === col("qlabel"), col("gain_micro"))
+              .otherwise(0L)).as("dcg_micro"))
+        // broadcast the LITERAL side: the walker proves a 10-row
+        // LocalTableScan bound; the label-count aggregate cannot be
+        // proven bounded (its leaf is a file scan)
+        val idcg = labCnt
+          .join(broadcast(gainDf),
+            col("rank") <= least(lit(10), col("nl") - lit(1L)))
+          .groupBy("qlabel")
+          .agg(max(col("nl") - lit(1L)).as("n_rel_pool"),
+            sum(col("gain_micro")).as("idcg_micro"))
+        per.join(broadcast(idcg), "qlabel")
+          .select(col("query_id"), col("qlabel"), col("n_rel_pool"),
+            col("n_rel_top10"), col("dcg_micro"), col("idcg_micro"),
+            expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_ppm"))
+          .orderBy("query_id")
+      },
+      Some(s"WITH $AnnRankSqlCtes, " +
+        s"g AS ($NdcgGainsValuesSql), " +
+        "lc AS (SELECT label AS qlabel, count(*) AS nl FROM q GROUP BY 1), " +
+        "t AS (SELECT rt.query_id, rt.qlabel, rt.clabel, g.gain_micro FROM rt JOIN g ON rt.rank = g.rank), " +
+        "p AS (SELECT query_id, qlabel, CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10, CAST(sum(CASE WHEN clabel = qlabel THEN gain_micro ELSE 0 END) AS BIGINT) AS dcg_micro FROM t GROUP BY 1, 2), " +
+        "i AS (SELECT qlabel, CAST(max(nl - 1) AS BIGINT) AS n_rel_pool, CAST(sum(gain_micro) AS BIGINT) AS idcg_micro FROM lc JOIN g ON g.rank <= least(10, nl - 1) GROUP BY 1) " +
+        "SELECT query_id, p.qlabel, n_rel_pool, n_rel_top10, dcg_micro, idcg_micro, (dcg_micro * 1000000) // idcg_micro AS ndcg_ppm " +
+        "FROM p JOIN i ON p.qlabel = i.qlabel ORDER BY query_id"),
+      scaleNote = "The eval inherits ann_topk's economics: a FIXED " +
+        "16-query broadcast side (O(1) in corpus size), candidates " +
+        "scored partition-locally, WindowGroupLimit keeping 10 rows " +
+        "per query through the rank window — total work is " +
+        "16×|corpus| and nothing quadratic exists. The discount " +
+        "table and per-label pool counts are literal/tiny broadcast " +
+        "dims. The float fence is total: discounts are STATED " +
+        "micro-literals (no runtime log), relevance is an equality, " +
+        "DCG/IDCG are exact BIGINT sums, NDCG one ppm floor " +
+        "division — the leaderboard cannot move with partitioning. " +
+        "Swapping the exact ranker for ann_ivf's probe measures the " +
+        "INDEX's NDCG against this exact baseline; graded relevance " +
+        "(2^rel−1 gains) is a CASE swap on the same plan."),
+
+    // MRR + hit@k (r13) — the FIRST-hit metrics beside rank_ndcg's
+    // graded one, off the SAME shared rank table ([[annRankTable]]):
+    // RAG answer-retrieval cares where the first usable passage
+    // lands (MRR), product search cares whether anything relevant is
+    // on page one (hit@k) — both recompose from one min() over the
+    // relevant ranks. The reciprocal is rank_fusion_rrf's exact
+    // integer nano-unit floor division (1e9 div r — never float
+    // 1/r), a no-hit query scores 0 and STAYS IN the table (dropping
+    // it inflates MRR, the classic eval bug — ab_test_srm's
+    // denominator discipline), and hit flags are rank comparisons.
+    // Zero floats; the leaderboard is bit-stable anywhere.
+    QueryDef(
+      "rank_mrr",
+      (spark, sf) => {
+        annRankTable(spark, sf)
+          .groupBy("query_id", "qlabel")
+          .agg(min(when(col("label") === col("qlabel"), col("rank")))
+            .as("first_rel_rank"))
+          .select(col("query_id"), col("qlabel"),
+            col("first_rel_rank").cast("long").as("first_rel_rank"),
+            coalesce(expr("1000000000 div first_rel_rank"), lit(0L))
+              .as("rr_nano"),
+            coalesce(col("first_rel_rank") <= 1, lit(false)).as("hit_at_1"),
+            coalesce(col("first_rel_rank") <= 3, lit(false)).as("hit_at_3"),
+            coalesce(col("first_rel_rank") <= 10, lit(false)).as("hit_at_10"))
+          .orderBy("query_id")
+      },
+      Some(s"WITH $AnnRankSqlCtes, " +
+        "p AS (SELECT query_id, qlabel, CAST(min(CASE WHEN clabel = qlabel THEN rank END) AS BIGINT) AS first_rel_rank FROM rt GROUP BY 1, 2) " +
+        "SELECT query_id, qlabel, first_rel_rank, " +
+        "COALESCE(1000000000 // first_rel_rank, 0) AS rr_nano, " +
+        "COALESCE(first_rel_rank <= 1, FALSE) AS hit_at_1, " +
+        "COALESCE(first_rel_rank <= 3, FALSE) AS hit_at_3, " +
+        "COALESCE(first_rel_rank <= 10, FALSE) AS hit_at_10 " +
+        "FROM p ORDER BY query_id"),
+      scaleNote = "rank_ndcg's economics verbatim (the two SHARE the " +
+        "rank table: fixed 16-query broadcast, partition-local " +
+        "scoring, WindowGroupLimit at 10) with one aggregate on top " +
+        "— at 100 TB a combined eval computes both metrics from ONE " +
+        "materialized rank table instead of two scoring passes " +
+        "(sink_walk_corpus's materialize-once pattern applies when " +
+        "the eval suite grows). Integer nano reciprocals and rank " +
+        "compares only — no float path exists; the mean MRR any " +
+        "dashboard reports is an exact BIGINT sum over these rows " +
+        "divided once at the edge. Deeper cutoffs (hit@100) change " +
+        "the rank-table limit, not the plan."),
 
     // Zipf rank–frequency fit — the corpus law text_heaps_curve
     // doesn't measure (Heaps: how VOCABULARY grows with corpus; Zipf:

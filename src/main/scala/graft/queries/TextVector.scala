@@ -50,6 +50,91 @@ object TextVector extends QueryGroup {
   private val LangPredSql: String =
     "p AS (SELECT d.doc_id, d.lang, COALESCE(s.pred, 'und') AS pred_lang FROM documents d LEFT JOIN (SELECT doc_id, (max(struct_pack(c := cnt, l := lang_guess))).l AS pred FROM (SELECT doc_id, lang_guess, count(*) AS cnt FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) t JOIN (VALUES ('scan','en'),('join','en'),('merge','fr'),('window','fr'),('sort','de'),('group','de'),('query','es'),('value','es'),('key','zh'),('line','zh')) m(w, lang_guess) ON t.w = m.w GROUP BY doc_id, lang_guess) GROUP BY doc_id) s ON d.doc_id = s.doc_id)"
 
+  /** Batch-perceptron machinery shared by text_classifier_perceptron
+    * (the training curve) and eval_calibration (which calibrates the
+    * trained epoch-3 margin): marker-word feature space, the per-doc
+    * integer feature frame with the ±1 en-vs-rest label, and the three
+    * epoch weight tables. All integer arithmetic — each epoch is ONE
+    * map-side-combined aggregate with the 1-row entering weights
+    * broadcast in. */
+  val PercWords: Seq[String] =
+    Seq("scan", "join", "merge", "sort", "query", "key")
+  private[queries] val PercNames: Seq[String] =
+    PercWords.map(w => s"x_$w") :+ "x_bias"
+
+  private def percFeatures(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+    val cnts = PercWords.map(w =>
+      sum(when(col("w") === w, 1L).otherwise(0L)).as(s"x_$w"))
+    tok.groupBy("doc_id", "lang")
+      .agg(cnts.head, cnts.tail: _*)
+      .withColumn("x_bias", lit(1L))
+      .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
+  }
+
+  /** Integer margin w·x under the `wp`-prefixed weight columns. */
+  private def percDotW(wp: String): org.apache.spark.sql.Column =
+    PercNames.indices.map(i => col(s"${wp}_$i") * col(PercNames(i)))
+      .reduce(_ + _)
+
+  private def percEpochAgg(src: org.apache.spark.sql.DataFrame,
+      prev: String, cur: String): org.apache.spark.sql.DataFrame = {
+    val upd = PercNames.indices.map(i =>
+      (first(col(s"${prev}_$i")) +
+        sum(when(col("mis"), col("y") * col(PercNames(i))).otherwise(0L)))
+        .as(s"${cur}_$i"))
+    val extras = Seq(
+      sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis"),
+      first(col("n_docs")).as("n_docs"))
+    src.withColumn("mis", col("y") * percDotW(prev) <= 0)
+      .agg(upd.head, (upd.tail ++ extras): _*)
+  }
+
+  /** (feature frame, epoch-1, epoch-2, epoch-3 weight tables). */
+  private def percStages(spark: org.apache.spark.sql.SparkSession,
+      sf: String): (org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+      org.apache.spark.sql.DataFrame) = {
+    val f = percFeatures(spark, sf)
+    val w1aggs = PercNames.indices.map(i =>
+      sum(col("y") * col(PercNames(i))).as(s"w1_$i")) :+
+      count(lit(1)).as("n_docs")
+    val w1 = f.agg(w1aggs.head, w1aggs.tail: _*)
+    val s2 = percEpochAgg(f.crossJoin(broadcast(w1)), "w1", "w2")
+    val s3 = percEpochAgg(f.crossJoin(broadcast(s2)), "w2", "w3")
+    (f, w1, s2, s3)
+  }
+
+  /** The oracle-side training chain: CTEs t → f → at (epoch-1 weights
+    * a0..a6 + n_docs) → bt (epoch 2, b0..) → ct (epoch 3, c0..), shared
+    * verbatim by both consumers' oracles. */
+  private[queries] val PercSqlDot: String => String = p =>
+    PercNames.indices.map(i => s"$p$i*${PercNames(i)}").mkString(" + ")
+  private[queries] val PercSqlCtes: String = {
+    val cnt = PercWords.map(w =>
+      s"CAST(sum(CASE WHEN w = '$w' THEN 1 ELSE 0 END) AS BIGINT) AS x_$w")
+      .mkString(", ")
+    val round2 = (src: String, prev: String, cur: String, m: String) =>
+      s"$m AS (SELECT *, y*(${PercSqlDot(prev)}) <= 0 AS mis FROM $src), " +
+        s"${cur}t AS (SELECT " +
+        PercNames.indices.map(i => s"CAST(any_value(${prev}$i) + sum(CASE WHEN mis THEN y*${PercNames(i)} ELSE 0 END) AS BIGINT) AS ${cur}$i")
+          .mkString(", ") +
+        s", CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis, any_value(n_docs) AS n_docs FROM $m)"
+    "t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
+      s"f AS (SELECT doc_id, $cnt, CAST(1 AS BIGINT) AS x_bias, " +
+      "CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM t GROUP BY doc_id, lang), " +
+      "at AS (SELECT " +
+      PercNames.indices.map(i => s"CAST(sum(y*${PercNames(i)}) AS BIGINT) AS a$i").mkString(", ") +
+      ", count(*) AS n_docs FROM f), " +
+      "e2 AS (SELECT f.*, at.* FROM f CROSS JOIN at), " +
+      round2("e2", "a", "b", "m2") + ", " +
+      "e3 AS (SELECT f.*, bt.* FROM f CROSS JOIN bt), " +
+      round2("e3", "b", "c", "m3")
+  }
+
   def defs: Seq[QueryDef] = Seq(
 
     // #52 — tokenize + explode + count: the word-frequency core of
@@ -435,7 +520,10 @@ object TextVector extends QueryGroup {
 
     // Train a classifier IN the engine: 3 epochs of the batch
     // perceptron (w ← w + Σ_{misclassified} y·x) for en-vs-rest over
-    // marker-word count features — integer weights, integer margins,
+    // marker-word count features — shared machinery in
+    // [[percStages]]/[[PercSqlCtes]], which eval_calibration consumes
+    // for the same trained epoch-3 weights. Integer weights, integer
+    // margins,
     // so every epoch is a map-side-combined aggregate and the whole
     // training run is bit-deterministic under any partitioning (the
     // sequential per-row perceptron is order-dependent; the BATCH
@@ -448,79 +536,27 @@ object TextVector extends QueryGroup {
     QueryDef(
       "text_classifier_perceptron",
       (spark, sf) => {
-        val fw = Seq("scan", "join", "merge", "sort", "query", "key")
-        val names = fw.map(w => s"x_$w") :+ "x_bias"
-        val tok = Tables.documents(spark, sf)
-          .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("w"))
-        val cnts = fw.map(w =>
-          sum(when(col("w") === w, 1L).otherwise(0L)).as(s"x_$w"))
-        val f = tok.groupBy("doc_id", "lang")
-          .agg(cnts.head, cnts.tail: _*)
-          .withColumn("x_bias", lit(1L))
-          .withColumn("y", when(col("lang") === "en", 1L).otherwise(-1L))
-        def dotW(wp: String) = names.indices
-          .map(i => col(s"${wp}_$i") * col(names(i))).reduce(_ + _)
-        def epochAgg(src: org.apache.spark.sql.DataFrame, prev: String,
-            cur: String) = {
-          val upd = names.indices.map(i =>
-            (first(col(s"${prev}_$i")) +
-              sum(when(col("mis"), col("y") * col(names(i))).otherwise(0L)))
-              .as(s"${cur}_$i"))
-          val extras = Seq(
-            sum(when(col("mis"), 1L).otherwise(0L)).as("n_mis"),
-            first(col("n_docs")).as("n_docs"))
-          src.withColumn("mis", col("y") * dotW(prev) <= 0)
-            .agg(upd.head, (upd.tail ++ extras): _*)
-        }
-        val w1aggs = names.indices.map(i =>
-          sum(col("y") * col(names(i))).as(s"w1_$i")) :+
-          count(lit(1)).as("n_docs")
-        val w1 = f.agg(w1aggs.head, w1aggs.tail: _*)
-        val s2 = epochAgg(f.crossJoin(broadcast(w1)), "w1", "w2")
-        val s3 = epochAgg(f.crossJoin(broadcast(s2)), "w2", "w3")
+        val (_, w1, s2, s3) = percStages(spark, sf)
         def out(epoch: Int, src: org.apache.spark.sql.DataFrame,
             wp: String, nmis: org.apache.spark.sql.Column) =
           src.select(Seq(lit(epoch).as("epoch"), nmis.as("n_mis"),
             round(lit(1.0) - nmis.cast("double") / col("n_docs"), 4)
               .as("accuracy")) ++
-            names.indices.map(i => col(s"${wp}_$i")
-              .as("w_" + names(i).stripPrefix("x_"))): _*)
+            PercNames.indices.map(i => col(s"${wp}_$i")
+              .as("w_" + PercNames(i).stripPrefix("x_"))): _*)
         out(1, w1, "w1", col("n_docs"))
           .unionByName(out(2, s2, "w2", col("n_mis")))
           .unionByName(out(3, s3, "w3", col("n_mis")))
           .orderBy("epoch")
       },
       Some {
-        val fw = Seq("scan", "join", "merge", "sort", "query", "key")
-        val xs = fw.map(w => s"x_$w") :+ "x_bias"
-        val cnt = fw.map(w =>
-          s"CAST(sum(CASE WHEN w = '$w' THEN 1 ELSE 0 END) AS BIGINT) AS x_$w")
-          .mkString(", ")
-        def ws(p: String) = xs.indices.map(i => s"${p}$i")
-        val dot = (p: String) =>
-          xs.indices.map(i => s"${p}$i*${xs(i)}").mkString(" + ")
-        val round2 = (src: String, prev: String, cur: String, m: String) =>
-          s"$m AS (SELECT *, y*(${dot(prev)}) <= 0 AS mis FROM $src), " +
-            s"${cur}t AS (SELECT " +
-            xs.indices.map(i => s"CAST(any_value(${prev}$i) + sum(CASE WHEN mis THEN y*${xs(i)} ELSE 0 END) AS BIGINT) AS ${cur}$i")
-              .mkString(", ") +
-            s", CAST(sum(CASE WHEN mis THEN 1 ELSE 0 END) AS BIGINT) AS n_mis, any_value(n_docs) AS n_docs FROM $m)"
         val sel = (epoch: Int, src: String, p: String, nm: String) =>
           s"SELECT $epoch AS epoch, CAST($nm AS BIGINT) AS n_mis, " +
             s"round(1.0 - CAST($nm AS DOUBLE)/n_docs, 4) AS accuracy, " +
-            xs.indices.map(i => s"${p}$i AS w_${xs(i).stripPrefix("x_")}")
+            PercNames.indices
+              .map(i => s"${p}$i AS w_${PercNames(i).stripPrefix("x_")}")
               .mkString(", ") + s" FROM $src"
-        "WITH t AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents), " +
-          s"f AS (SELECT doc_id, $cnt, CAST(1 AS BIGINT) AS x_bias, " +
-          "CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y FROM t GROUP BY doc_id, lang), " +
-          "at AS (SELECT " +
-          xs.indices.map(i => s"CAST(sum(y*${xs(i)}) AS BIGINT) AS a$i").mkString(", ") +
-          ", count(*) AS n_docs FROM f), " +
-          "e2 AS (SELECT f.*, at.* FROM f CROSS JOIN at), " +
-          round2("e2", "a", "b", "m2") + ", " +
-          "e3 AS (SELECT f.*, bt.* FROM f CROSS JOIN bt), " +
-          round2("e3", "b", "c", "m3") + " " +
+        s"WITH $PercSqlCtes " +
           sel(1, "at", "a", "n_docs") + " UNION ALL " +
           sel(2, "bt", "b", "n_mis") + " UNION ALL " +
           sel(3, "ct", "c", "n_mis") + " ORDER BY epoch"
@@ -539,6 +575,98 @@ object TextVector extends QueryGroup {
         "swapping in averaged-perceptron or margin variants changes " +
         "the update expression, not the plan. The learned weights " +
         "feed text_quality-style gates as a TRAINED scorer."),
+
+    // Histogram-binning calibration of the trained classifier (r13,
+    // Zadrozny & Elkan 2001) — the eval stage that turns the
+    // perceptron's raw integer margin into a PROBABILITY a pipeline
+    // can threshold: a margin of +7 means nothing until you measure
+    // that docs scoring +7 are en 92% of the time. Equal-mass margin
+    // deciles via the VALUE-GROUPED cumulative device
+    // (corpus_curriculum's: group docs by margin first, assign each
+    // margin value its decile by ((cum−c)·10) div n — tie groups stay
+    // atomic, so binning is a pure function of the margin
+    // distribution, bit-stable anywhere); per bin the calibrated
+    // probability is one ppm floor division of exact counts. The
+    // summary columns ride every row: isotonicity violations (bins
+    // where calibrated p regresses — 0 ⇔ the margin RANKS correctly,
+    // the monotonicity isotonic regression would enforce), the
+    // in-sample Brier score of the calibrated model (composed
+    // exactly from bin counts: Σ n_pos·(1e6−p)² + n_neg·p²), and the
+    // ECE of the naive rank-as-probability baseline the calibration
+    // replaces — all exact integer arithmetic, zero floats anywhere.
+    QueryDef(
+      "eval_calibration",
+      (spark, sf) => {
+        val (f, _, _, s3) = percStages(spark, sf)
+        val mg = f.crossJoin(broadcast(s3))
+          .select(
+            when(col("y") === 1L, 1L).otherwise(0L).as("y01"),
+            percDotW("w3").as("margin"))
+        val vm = mg.groupBy("margin")
+          .agg(count(lit(1)).as("c"), sum(col("y01")).as("pos"))
+        val n = vm.agg(sum(col("c")).as("n"))
+        val wseq = Window.orderBy("margin")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val binned = vm
+          .withColumn("cum", sum(col("c")).over(wseq))
+          .crossJoin(broadcast(n))
+          .withColumn("bin", expr("((cum - c) * 10) div n"))
+        val cb = binned.groupBy("bin")
+          .agg(sum(col("c")).as("n_docs"),
+            min(col("margin")).as("margin_lo"),
+            max(col("margin")).as("margin_hi"),
+            sum(col("pos")).as("n_pos"))
+          .withColumn("cal_p_ppm", expr("(n_pos * 1000000) div n_docs"))
+          .withColumn("conf_rank_ppm", expr("((2 * bin + 1) * 1000000) div 20"))
+          .withColumn("mono_viol",
+            (lag(col("cal_p_ppm"), 1).over(Window.orderBy("bin"))
+              > col("cal_p_ppm")).cast("long"))
+        val tot = cb.agg(
+          sum(coalesce(col("mono_viol"), lit(0L))).as("mono_violations"),
+          expr("sum(n_pos * (1000000 - cal_p_ppm) * (1000000 - cal_p_ppm) + " +
+            "(n_docs - n_pos) * cal_p_ppm * cal_p_ppm) " +
+            "div (sum(n_docs) * 1000000)").as("brier_micro"),
+          expr("sum(n_docs * abs(conf_rank_ppm - cal_p_ppm)) div sum(n_docs)")
+            .as("ece_rank_micro"))
+        cb.crossJoin(broadcast(tot))
+          .select(col("bin"), col("n_docs"), col("margin_lo"),
+            col("margin_hi"), col("n_pos"), col("cal_p_ppm"),
+            col("conf_rank_ppm"),
+            coalesce(col("mono_viol"), lit(0L)).as("mono_viol"),
+            col("mono_violations"), col("brier_micro"),
+            col("ece_rank_micro"))
+          .orderBy("bin")
+      },
+      Some(s"WITH $PercSqlCtes, " +
+        s"mg AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01, ${PercSqlDot("c")} AS margin FROM f CROSS JOIN ct), " +
+        "vm AS (SELECT margin, count(*) AS c, CAST(sum(y01) AS BIGINT) AS pos FROM mg GROUP BY 1), " +
+        "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vm), " +
+        "bb AS (SELECT *, ((sum(c) OVER (ORDER BY margin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 10) // nn.n AS bin FROM vm CROSS JOIN nn), " +
+        "cb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS n_docs, min(margin) AS margin_lo, max(margin) AS margin_hi, CAST(sum(pos) AS BIGINT) AS n_pos FROM bb GROUP BY 1), " +
+        "cc AS (SELECT *, (n_pos * 1000000) // n_docs AS cal_p_ppm, ((2 * bin + 1) * 1000000) // 20 AS conf_rank_ppm FROM cb), " +
+        "cm AS (SELECT *, CAST(CASE WHEN lag(cal_p_ppm) OVER (ORDER BY bin) > cal_p_ppm THEN 1 ELSE 0 END AS BIGINT) AS mono_viol FROM cc), " +
+        "tt AS (SELECT CAST(sum(mono_viol) AS BIGINT) AS mono_violations, " +
+        "CAST(sum(n_pos * (1000000 - cal_p_ppm) * (1000000 - cal_p_ppm) + (n_docs - n_pos) * cal_p_ppm * cal_p_ppm) // (sum(n_docs) * 1000000) AS BIGINT) AS brier_micro, " +
+        "CAST(sum(n_docs * abs(conf_rank_ppm - cal_p_ppm)) // sum(n_docs) AS BIGINT) AS ece_rank_micro FROM cm) " +
+        "SELECT CAST(bin AS BIGINT) AS bin, n_docs, CAST(margin_lo AS BIGINT) AS margin_lo, CAST(margin_hi AS BIGINT) AS margin_hi, n_pos, " +
+        "CAST(cal_p_ppm AS BIGINT) AS cal_p_ppm, CAST(conf_rank_ppm AS BIGINT) AS conf_rank_ppm, mono_viol, mono_violations, brier_micro, ece_rank_micro " +
+        "FROM cm CROSS JOIN tt ORDER BY bin"),
+      scaleNote = "Training reuses the perceptron's epoch aggregates " +
+        "(three map-side-combined passes, 1-row broadcasts); scoring " +
+        "is a row-local integer dot under the broadcast weights; and " +
+        "the binning runs on the VALUE-GROUPED margin table " +
+        "(|distinct margins| rows — bounded by the feature geometry, " +
+        "never the corpus), corpus_curriculum's collapse-then-window " +
+        "device, so no corpus-sized sort exists anywhere. Brier and " +
+        "ECE compose EXACTLY from the 10-row bin table (n_pos·(1−p)² " +
+        "+ n_neg·p² per bin — no per-doc residual pass), products " +
+        "bounded by n·1e12 ≪ 2^63 below ~9e6 docs per bin-sum unit; " +
+        "at 100 TB escalate the Brier numerator to DECIMAL(38,0)/" +
+        "HUGEINT, stated not silent. The calibrated (margin_lo, " +
+        "margin_hi] → p_ppm table IS the deployable calibrator " +
+        "(broadcast-join it onto any scored stream); isotonic " +
+        "regression swaps the decile grid for PAV on the same " +
+        "value-grouped input."),
 
     // Flesch reading-ease per language — the READABILITY member of
     // the quality stack (text_quality measures lexical surface,

@@ -2486,4 +2486,288 @@ class OperatorPropertiesSpec extends SparkSpec {
       assert(r.getLong(4) >= r.getLong(3))
     }
   }
+
+  test("surv_kaplan_meier: risk sets, steps, and the curve replay by definition") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(cast(ts as timestamp))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val wm = ev.map(_._4).max
+    val t0 = ev.filter(_._2 == "signup").groupBy(_._1)
+      .map { case (u, rs) => u -> rs.map(_._4).min }
+    val durs = t0.toSeq.map { case (u, s0) =>
+      val conv = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+        e._3 >= 100.0 && e._4 >= s0).map(_._4)
+      if (conv.nonEmpty) (1L, (conv.min - s0) / 3600000000L)
+      else (0L, (wm - s0) / 3600000000L)
+    }
+    assert(durs.exists(_._1 == 1L) && durs.exists(_._1 == 0L),
+      "fixture must exercise both the converted and censored paths")
+    val got = run("surv_kaplan_meier").collect()
+    assert(got.length == durs.map(_._2).distinct.length)
+    var atRisk = durs.length.toLong
+    var cumStep = 0L
+    got.sortBy(_.getLong(0)).foreach { r =>
+      val t = r.getLong(0)
+      val d = durs.count { case (e, h) => e == 1L && h == t }.toLong
+      val c = durs.count { case (e, h) => e == 0L && h == t }.toLong
+      assert(r.getLong(1) == atRisk, s"n_risk at $t")
+      assert(r.getLong(2) == d && r.getLong(3) == c, s"d/c at $t")
+      val step = if (d == 0L) 0L
+        else math.floor(math.log((atRisk - d).toDouble / atRisk) * 1e6).toLong
+      assert(r.getLong(4) == step, s"step at $t")
+      cumStep += step
+      assert(r.getLong(5) == cumStep, s"log_surv at $t")
+      assert(r.getBoolean(6) == (d == atRisk))
+      atRisk -= d + c
+    }
+    assert(atRisk == 0L, "every subject must leave the risk set")
+  }
+
+  test("dq_drift_psi: the grid is dense, terms are nonnegative, and counts conserve") {
+    val got = run("dq_drift_psi").collect()
+    val feeds = got.map(_.getString(0)).distinct
+    assert(got.length == feeds.length * 10, "densified |feeds|x10 grid")
+    val ev = graft.engine.Tables.loadEvents(spark, sf).count()
+    // every event lands in exactly one (window, bin) cell
+    assert(got.map(r => r.getLong(2) + r.getLong(3)).sum == ev)
+    got.groupBy(_.getString(0)).foreach { case (f, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == (0L to 9L), s"$f bins")
+      // each PSI term (p-q)ln(p/q) is nonnegative by construction;
+      // the floor can push a zero term to -1 micro at most
+      rows.foreach(r => assert(r.getLong(6) >= -1L, s"$f term"))
+      // the per-feed total is the sum of its terms
+      assert(rows.map(_.getLong(6)).sum == rows.head.getLong(7), s"$f psi")
+      val v = rows.head.getString(8)
+      val psi = rows.head.getLong(7)
+      assert(v == (if (psi < 100000L) "stable"
+        else if (psi < 250000L) "moderate" else "shifted"))
+      // totals match the feed's event count
+      assert(rows.map(_.getLong(2)).sum == rows.head.getLong(4))
+      assert(rows.map(_.getLong(3)).sum == rows.head.getLong(5))
+    }
+  }
+
+  test("rank_ndcg: IDCG is the ideal prefix, DCG is sandwiched by best/worst placement") {
+    val gains = graft.queries.QualityOps.NdcgGainsMicro
+    val labels = graft.engine.Tables.embeddings(spark, sf)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val got = run("rank_ndcg").collect()
+    assert(got.length == math.min(16, labels.size))
+    got.foreach { r =>
+      val (qid, qlab) = (r.getLong(0), r.getInt(1))
+      assert(labels(qid) == qlab)
+      val pool = labels.count { case (id, l) => id != qid && l == qlab }.toLong
+      assert(r.getLong(2) == pool, s"q$qid pool")
+      val (hits, dcg, idcg, ndcg) =
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(idcg == gains.take(math.min(10L, pool).toInt).sum, s"q$qid idcg")
+      assert(hits <= math.min(10L, pool))
+      // hits placed best-case (top ranks) vs worst-case (bottom ranks)
+      assert(dcg <= gains.take(hits.toInt).sum, s"q$qid dcg upper")
+      assert(dcg >= gains.takeRight(hits.toInt).sum, s"q$qid dcg lower")
+      assert(ndcg == dcg * 1000000L / idcg && ndcg <= 1000000L)
+    }
+  }
+
+  test("corpus_dsir: per-doc scores replay from the frozen bucket-weight model") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(w: String): Long = {
+      val hex = md.digest(w.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(8, 16)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val counts = docs.map { case (id, lang, text) =>
+      (id, lang, text.split(" ").map(bucket).groupBy(identity)
+        .map { case (b, xs) => b -> xs.length.toLong })
+    }
+    val cr = new scala.collection.mutable.HashMap[Long, Long]()
+    val ct = new scala.collection.mutable.HashMap[Long, Long]()
+    counts.foreach { case (_, lang, m) => m.foreach { case (b, c) =>
+      cr(b) = cr.getOrElse(b, 0L) + c
+      if (lang == "en") ct(b) = ct.getOrElse(b, 0L) + c
+    } }
+    val (tt, tr) = (ct.values.sum, cr.values.sum)
+    val wMicro = cr.keys.map { b =>
+      val c1 = ct.getOrElse(b, 0L)
+      b -> math.floor(math.log(((c1 + 1) * (tr + 64)).toDouble /
+        ((cr(b) + 1) * (tt + 64))) * 1e6).toLong
+    }.toMap
+    val got = run("corpus_dsir").collect()
+    assert(got.length == docs.length)
+    val want = counts.map { case (id, _, m) =>
+      id -> m.map { case (b, c) => c * wMicro(b) }.sum
+    }.toMap
+    got.foreach { r =>
+      assert(r.getLong(3) == want(r.getLong(0)),
+        s"doc ${r.getLong(0)} logw: got ${r.getLong(3)}, want ${want(r.getLong(0))}")
+      assert(r.getBoolean(4) == (r.getLong(3) > 0L))
+    }
+    // the en target slice must skew positive vs the rest (the signal exists)
+    val byLang = got.groupBy(_.getString(1))
+      .map { case (l, rs) => l -> rs.map(_.getLong(3)).sum / rs.length }
+    assert(byLang("en") > byLang.filter(_._1 != "en").values.max,
+      "en docs must score higher under the en-target model")
+  }
+
+  test("eval_calibration: bins replay from the trained epoch-3 weights; Brier and ECE compose from bin counts") {
+    val perc = run("text_classifier_perceptron").collect()
+      .find(_.getInt(0) == 3).get
+    val w3 = (3 until 10).map(perc.getLong) // w_scan..w_key, w_bias
+    val words = graft.queries.TextVector.PercWords
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val margins = docs.map { case (lang, text) =>
+      val toks = text.split(" ")
+      val x = words.map(w => toks.count(_ == w).toLong) :+ 1L
+      (x.zip(w3).map { case (a, b) => a * b }.sum,
+        if (lang == "en") 1L else 0L)
+    }
+    // value-grouped decile assignment
+    val n = margins.length.toLong
+    val grid = margins.groupBy(_._1).toSeq.sortBy(_._1).map { case (m, rs) =>
+      (m, rs.length.toLong, rs.map(_._2).sum)
+    }
+    var cum = 0L
+    val binned = grid.map { case (m, c, pos) =>
+      val bin = (cum * 10) / n; cum += c; (bin, m, c, pos)
+    }
+    val wantBins = binned.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (b, rs) =>
+        val nd = rs.map(_._3).sum; val np = rs.map(_._4).sum
+        (b, nd, rs.map(_._2).min, rs.map(_._2).max, np,
+          np * 1000000L / nd)
+    }
+    val got = run("eval_calibration").collect().sortBy(_.getLong(0))
+    assert(got.length == wantBins.length)
+    got.zip(wantBins).foreach { case (r, (b, nd, lo, hi, np, cal)) =>
+      assert(r.getLong(0) == b && r.getLong(1) == nd && r.getLong(4) == np)
+      assert(r.getLong(2) == lo && r.getLong(3) == hi)
+      assert(r.getLong(5) == cal, s"bin $b cal_p")
+      assert(r.getLong(6) == ((2 * b + 1) * 1000000L) / 20L)
+    }
+    // Brier/ECE recompose exactly from the replayed bins
+    val brier = wantBins.map { case (_, nd, _, _, np, cal) =>
+      np * (1000000L - cal) * (1000000L - cal) + (nd - np) * cal * cal
+    }.sum / (n * 1000000L)
+    val ece = wantBins.map { case (b, nd, _, _, _, cal) =>
+      nd * math.abs(((2 * b + 1) * 1000000L) / 20L - cal)
+    }.sum / n
+    val viol = wantBins.sliding(2).count(w => w(0)._6 > w(1)._6).toLong
+    assert(got.head.getLong(9) == brier, "brier_micro")
+    assert(got.head.getLong(10) == ece, "ece_rank_micro")
+    assert(got.head.getLong(8) == viol, "mono_violations")
+    assert(got.map(_.getLong(1)).sum == n, "bins partition the corpus")
+  }
+
+  test("surv_nelson_aalen: shares the KM risk grid; hazard replays; Jensen bracket holds") {
+    val km = run("surv_kaplan_meier").collect().sortBy(_.getLong(0))
+    val na = run("surv_nelson_aalen").collect().sortBy(_.getLong(0))
+    assert(km.length == na.length)
+    var cumHaz = 0L
+    var cumVar = 0L
+    km.zip(na).foreach { case (k, a) =>
+      // identical grid: dur_h, n_risk, d, c
+      (0 to 3).foreach(i => assert(k.getLong(i) == a.getLong(i)))
+      val (n, d) = (a.getLong(1), a.getLong(2))
+      val step = d * 1000000L / n
+      assert(a.getLong(4) == step, s"haz step at ${a.getLong(0)}")
+      cumHaz += step
+      assert(a.getLong(5) == cumHaz)
+      cumVar += d * 1000000000000L / (n * n)
+      assert(a.getLong(6) == cumVar)
+      // Jensen at the step level: -ln(1 - d/n) >= d/n, so the KM
+      // log-survival is at least as negative as -cum_haz (floors can
+      // only strengthen the inequality on the KM side)
+      if (d < n) assert(-k.getLong(5) >= a.getLong(5),
+        s"bracket at ${a.getLong(0)}")
+    }
+  }
+
+  test("rank_mrr is consistent with rank_ndcg on the shared rank table") {
+    val gains = graft.queries.QualityOps.NdcgGainsMicro
+    val ndcg = run("rank_ndcg").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val mrr = run("rank_mrr").collect()
+    assert(mrr.length == ndcg.size)
+    mrr.foreach { r =>
+      val q = r.getLong(0)
+      val nd = ndcg(q)
+      val first = if (r.isNullAt(2)) None else Some(r.getLong(2))
+      // a first hit exists iff ndcg counted any relevant in top-10
+      assert(first.isDefined == (nd.getLong(3) > 0L), s"q$q hit parity")
+      first.foreach { fr =>
+        assert(fr >= 1L && fr <= 10L)
+        assert(r.getLong(3) == 1000000000L / fr, s"q$q rr")
+        // the first hit alone contributes its discount to DCG
+        assert(nd.getLong(4) >= gains(fr.toInt - 1), s"q$q dcg floor")
+      }
+      if (first.isEmpty) assert(r.getLong(3) == 0L)
+      val (h1, h3, h10) =
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))
+      assert(h1 == first.exists(_ <= 1) && h3 == first.exists(_ <= 3) &&
+        h10 == first.isDefined)
+      if (h1) assert(h3); if (h3) assert(h10)
+    }
+  }
+
+  test("attribution_markov: transition grid, six squarings, and credits replay exactly") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val trans = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      seq.zipWithIndex.foreach { case (t, i) =>
+        val prev = if (i == 0 || seq(i - 1) == "purchase") "start" else seq(i - 1)
+        trans += ((prev, if (t == "purchase") "conv" else t))
+      }
+      if (seq.last != "purchase") trans += ((seq.last, "null"))
+    }
+    val tc = trans.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val tn = tc.groupBy(_._1._1).map { case (st, m) => st -> m.values.sum }
+    val bm = tc.map { case ((st, t), n) => (st, t) -> n * 1000000L / tn(st) } ++
+      Map(("conv", "conv") -> 1000000L, ("null", "null") -> 1000000L)
+    def square(m: Map[(String, String), Long]): Map[(String, String), Long] =
+      m.keys.map(_._1).toSeq.distinct.flatMap { i =>
+        m.keys.map(_._2).toSeq.distinct.flatMap { j =>
+          val v = m.collect { case ((a, mid), pa) if a == i =>
+            pa * m.getOrElse((mid, j), 0L) }.sum / 1000000L
+          if (v != 0L) Some((i, j) -> v) else None
+        }
+      }.toMap
+    def absorb(m: Map[(String, String), Long]): Long = {
+      var cur = m
+      for (_ <- 1 to 6) cur = square(cur)
+      cur.getOrElse(("start", "conv"), 0L)
+    }
+    val pBase = absorb(bm)
+    val channels = Seq("click", "error", "signup", "view")
+    val removed = channels.map { c =>
+      val rm = bm.filter(_._1._1 != c) + ((c, "null") -> 1000000L)
+      c -> absorb(rm)
+    }.toMap
+    val effs = channels.map(c => c -> math.max(pBase - removed(c), 0L)).toMap
+    val te = effs.values.sum
+    val got = run("attribution_markov").collect().sortBy(_.getString(0))
+    assert(got.length == channels.length)
+    got.foreach { r =>
+      val c = r.getString(0)
+      assert(r.getLong(1) == pBase, s"$c base")
+      assert(r.getLong(2) == removed(c), s"$c removed")
+      assert(r.getLong(3) == effs(c), s"$c effect")
+      assert(r.getLong(4) ==
+        (if (te > 0) effs(c) * 1000000L / te else 0L), s"$c share")
+      assert(r.getLong(5) == 64L)
+    }
+    // removing a channel cannot help conversion (beyond floor noise)
+    assert(got.forall(_.getLong(2) <= pBase))
+  }
 }

@@ -259,9 +259,12 @@ class PlanPropertiesSpec extends SparkSpec {
     // ExistingRDD` leaves the structural walker cannot see through —
     // probed in BnljProbe; every 1-row-aggregate BNLJ in those same
     // plans IS structurally proven).
+    // rank_ndcg embeds ann_topk's brute-force baseline verbatim (the
+    // fixed 16-query broadcast against every candidate is the exact
+    // ranker its NDCG is defined over — same semantics exemption).
     val bnljBySemantics =
       Set("join_cross", "join_like", "ann_topk", "ann_recall_curve",
-        "ann_kmeans", "ann_pq")
+        "ann_kmeans", "ann_pq", "rank_ndcg", "rank_mrr")
     // Provable upper bound on a broadcast subtree's row count;
     // None = unbounded (some leaf scales with data).
     val BnljBroadcastBound = 4096L
