@@ -1211,6 +1211,27 @@ object Streams {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
 
+  /** Live value-distribution panel — the streaming form of
+    * dq_drift_psi (stream_psi, r13): per (feed, bin) counters under
+    * the SAME stated literal edges (ONE CASE string —
+    * [[graft.queries.PipelineOps.PsiBinCase]] — shared by the batch
+    * op, its oracle, and this panel, so all three bin identically by
+    * construction) in one complete-mode aggregate: |feeds|·10 rows of
+    * one BIGINT each. Complete-mode counters are CUMULATIVE, which is
+    * exactly what a live PSI wants: freeze a snapshot at baseline
+    * time as the reference, difference the current panel against it
+    * for the live window (counts subtract cell-wise — no second
+    * scan, no history replay), then the Laplace-smoothed
+    * floor-quantized PSI composes from the two integer tables
+    * exactly as the batch edge expression. Parity + conservation +
+    * the snapshot-differencing identity proven in StreamingSpec. */
+  def psiCounts(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .select(col("event_type"),
+        expr(graft.queries.PipelineOps.PsiBinCase).cast("long").as("bin"))
+      .groupBy("event_type", "bin")
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming sample-ratio-mismatch panel — the live form of batch
     * ab_test_srm, which is the check that RUNS continuously by
     * design (every readout refresh re-validates the split; the

@@ -1481,4 +1481,61 @@ class StreamingSpec extends SparkSpec {
       assert(streamed.count() > 0)
     } finally q.stop()
   }
+
+  test("stream_psi: snapshot differencing recomposes batch dq_drift_psi exactly") {
+    val sess = spark
+    import sess.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    // the batch op's reference window: before the temporal midpoint
+    val us = all.map(_.ts.getTime * 1000L)
+    val mid = (us.min + us.max) / 2L
+    val (ref, cur) = all.partition(e => e.ts.getTime * 1000L < mid)
+    val mem = MemoryStream[Streams.Event](61, spark, None)
+    val q = Streams.psiCounts(mem.toDS()).writeStream.format("memory")
+      .queryName("t_psi").outputMode("complete").start()
+    try {
+      def snapshot(): Map[(String, Long), Long] =
+        spark.table("t_psi").collect()
+          .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      mem.addData(ref.toIndexedSeq: _*); q.processAllAvailable()
+      val refSnap = snapshot()
+      assert(refSnap.values.sum == ref.length.toLong,
+        "reference snapshot loses events")
+      mem.addData(cur.toIndexedSeq: _*); q.processAllAvailable()
+      val cumSnap = snapshot()
+      assert(cumSnap.values.sum == all.length.toLong,
+        "cumulative panel loses events")
+      // live-PSI identity: current window = cumulative − baseline
+      val curSnap = cumSnap.map { case (k, v) =>
+        k -> (v - refSnap.getOrElse(k, 0L)) }
+      val batch = graft.engine.Registry.byName("dq_drift_psi")
+        .build(spark, sf).collect()
+      batch.foreach { r =>
+        val k = (r.getString(0), r.getLong(1))
+        assert(refSnap.getOrElse(k, 0L) == r.getLong(2),
+          s"$k n_ref diverges")
+        assert(curSnap.getOrElse(k, 0L) == r.getLong(3),
+          s"$k n_cur diverges")
+      }
+      // the smoothed, floored PSI recomposes from the two integer
+      // tables exactly as the batch edge expression
+      batch.groupBy(_.getString(0)).foreach { case (feed, rows) =>
+        val tr = rows.map(_.getLong(2)).sum
+        val tc = rows.map(_.getLong(3)).sum
+        val contribs = rows.sortBy(_.getLong(1)).map { r =>
+          val (nr, nc) = (r.getLong(2), r.getLong(3))
+          math.floor(((nr + 1).toDouble / (tr + 10) -
+            (nc + 1).toDouble / (tc + 10)) *
+            math.log(((nr + 1) * (tc + 10)).toDouble /
+              ((nc + 1) * (tr + 10))) * 1e6).toLong
+        }
+        rows.sortBy(_.getLong(1)).zip(contribs).foreach { case (r, c) =>
+          assert(r.getLong(6) == c, s"$feed bin ${r.getLong(1)} contrib") }
+        assert(rows.head.getLong(7) == contribs.sum, s"$feed psi total")
+      }
+    } finally q.stop()
+  }
 }
