@@ -123,7 +123,10 @@ object ScalingCurve {
       "dedup_lsh_scurve", "graph_embed_link_auc", "ts_cusum",
       "agg_median_weighted", "surv_kaplan_meier", "dq_drift_psi",
       "rank_ndcg", "corpus_dsir", "eval_calibration",
-      "surv_nelson_aalen", "rank_mrr", "attribution_markov")
+      "surv_nelson_aalen", "rank_mrr", "attribution_markov",
+      "eval_pr_curve", "feat_woe_iv", "ab_diff_in_diff",
+      "surv_logrank", "eval_roc_auc", "attribution_shapley",
+      "eval_cohens_kappa")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

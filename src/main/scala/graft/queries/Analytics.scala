@@ -95,13 +95,20 @@ object Analytics extends QueryGroup {
       .groupBy("user_id")
       .agg(min(col("ts")).as(outTs))
 
+  /** 4-bit popcount of the coalition bitmask `cset`, written as
+    * portable arithmetic (Spark div / DuckDB // on the same shifts)
+    * so both engines count identically — attribution_shapley's
+    * weight selector. */
+  val PopCountSql: String = "((cset & 1) + ((cset div 2) & 1) + ((cset div 4) & 1) + ((cset div 8) & 1))"
+  val PopCountSqlDuck: String = "((cset & 1) + ((cset // 2) & 1) + ((cset // 4) & 1) + ((cset // 8) & 1))"
+
   /** Shared survival machinery (surv_kaplan_meier / surv_nelson_aalen):
     * subject = a user's first signup, event = first qualifying
     * purchase (value ≥ 100, stated policy) at or after it, duration in
     * exact integer hours, right-censored at the stream watermark.
     * Returns the risk grid (dur_h, d, c, n_risk) with the
     * deaths-before-censoring tie rule. */
-  private def survRiskGrid(spark: org.apache.spark.sql.SparkSession,
+  private def survDurations(spark: org.apache.spark.sql.SparkSession,
       sf: String): DataFrame = {
     val ev = Tables.loadEvents(spark, sf)
     val wm = ev.agg(max(col("ts")).as("wm"))
@@ -115,12 +122,17 @@ object Analytics extends QueryGroup {
         "left")
       .groupBy(col("user_id"), col("t0"))
       .agg(min(col("pts")).as("t1"))
-    val durs = conv.crossJoin(broadcast(wm))
-      .select(
+    conv.crossJoin(broadcast(wm))
+      .select(col("user_id"),
         when(col("t1").isNotNull, 1L).otherwise(0L).as("ev"),
         expr("(unix_micros(cast(coalesce(t1, wm) as timestamp)) - " +
           "unix_micros(cast(t0 as timestamp))) div 3600000000")
           .as("dur_h"))
+  }
+
+  private def survRiskGrid(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame = {
+    val durs = survDurations(spark, sf)
     val grid = durs.groupBy("dur_h")
       .agg(sum(col("ev")).as("d"),
         sum(lit(1L) - col("ev")).as("c"))
@@ -140,7 +152,7 @@ object Analytics extends QueryGroup {
     "su AS (SELECT user_id, min(ts) AS t0 FROM events WHERE event_type = 'signup' GROUP BY 1), " +
       "wm AS (SELECT max(ts) AS wm FROM events), " +
       "cv AS (SELECT su.user_id, su.t0, min(e.ts) AS t1 FROM su LEFT JOIN events e ON e.user_id = su.user_id AND e.event_type = 'purchase' AND e.value >= 100 AND e.ts >= su.t0 GROUP BY 1, 2), " +
-      "du AS (SELECT CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev, (epoch_us(COALESCE(t1, wm)) - epoch_us(t0)) // 3600000000 AS dur_h FROM cv CROSS JOIN wm), " +
+      "du AS (SELECT user_id, CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END AS ev, (epoch_us(COALESCE(t1, wm)) - epoch_us(t0)) // 3600000000 AS dur_h FROM cv CROSS JOIN wm), " +
       "g AS (SELECT dur_h, CAST(sum(ev) AS BIGINT) AS d, CAST(sum(1 - ev) AS BIGINT) AS c FROM du GROUP BY 1), " +
       "t AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_sub FROM g), " +
       "r AS (SELECT g.*, n_sub - CAST(sum(d + c) OVER win AS BIGINT) + d + c AS n_risk FROM g CROSS JOIN t WINDOW win AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))"
@@ -1244,6 +1256,116 @@ object Analytics extends QueryGroup {
         "driver-trivial up to thousands; per-segment attribution " +
         "adds the segment key to every grid stage."),
 
+    // Shapley-value attribution (r13) — the OTHER data-driven
+    // standard beside attribution_markov's removal effect: Markov
+    // credits by path dynamics, Shapley by cooperative game theory —
+    // each channel's credit is its average marginal lift across all
+    // orderings of the coalition it joined (the unique allocation
+    // satisfying efficiency/symmetry/dummy — why ad platforms ship
+    // it). Journeys = per-user segments split at each purchase (the
+    // Markov op's restart rule as a window cumsum), coalition = the
+    // journey's channel-presence bitmask, characteristic value
+    // v(S) = conversion rate of exactly-S journeys in exact ppm.
+    // With 4 channels the sum is EXACT: 8 marginals per channel,
+    // weights |S|!·(3−|S|)! ∈ {6,2,2,6} as integer numerators over
+    // the common 4! = 24, so φ numerators are exact BIGINTs and the
+    // efficiency identity Σφ_units = 24·(v(full) − v(∅)) holds to
+    // the unit BEFORE the one truncating division — emitted as a
+    // self-audit column that must be zero. MEASURED VERDICT CAVEAT
+    // (the graph_embed_link_auc precedent): under the restart
+    // segmentation an exactly-∅ journey is a purchase-only segment,
+    // so v(∅) = 1e6 by construction and the quasi-random fixture
+    // yields NEGATIVE channel credits (touches "delay" the next
+    // purchase here) — the op reports the fixture's truth instead
+    // of flattering it; on funnel-shaped data v(∅) ≈ 0 and credits
+    // turn positive with the same arithmetic.
+    QueryDef(
+      "attribution_shapley",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val seg = Tables.loadEvents(spark, sf)
+          .select(col("user_id"), col("ts"), col("event_id"),
+            col("event_type"))
+          .withColumn("seg", coalesce(
+            sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+              .over(w), lit(0L)))
+        val j = seg.groupBy("user_id", "seg")
+          .agg(max(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L)).as("conv"),
+            (max(when(col("event_type") === "view", 1L).otherwise(0L)) +
+              max(when(col("event_type") === "click", 2L).otherwise(0L)) +
+              max(when(col("event_type") === "signup", 4L).otherwise(0L)) +
+              max(when(col("event_type") === "error", 8L).otherwise(0L)))
+              .as("cset"))
+        val ct = j.groupBy("cset")
+          .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        val grid = spark.range(16).select(col("id").as("cset"))
+          .join(ct, Seq("cset"), "left")
+          .select(col("cset"),
+            coalesce(col("n"), lit(0L)).as("n"),
+            when(coalesce(col("n"), lit(0L)) > 0L,
+              expr("(c * 1000000) div n")).otherwise(0L).as("v_ppm"))
+          .localCheckpoint(false)
+        val unc = grid.agg(
+          sum(when(col("n") === 0L, 1L).otherwise(0L)).as("n_uncovered"),
+          max(when(col("cset") === 0L, col("v_ppm"))).as("v_empty_ppm"),
+          max(when(col("cset") === 15L, col("v_ppm"))).as("v_full_ppm"))
+        val ch = Seq(("view", 1L), ("click", 2L), ("signup", 4L),
+          ("error", 8L)).toDF("channel", "bit")
+        val pairs = grid.join(broadcast(ch),
+            expr("(cset & bit) = 0"))
+          .join(grid.select(col("cset").as("cs2"),
+            col("v_ppm").as("v2_ppm")), expr("cs2 = (cset | bit)"))
+          .withColumn("wnum", expr(
+            s"CASE $PopCountSql WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END"))
+        val phi = pairs.groupBy("channel")
+          .agg(sum(col("wnum") * (col("v2_ppm") - col("v_ppm")))
+            .as("phi_units"))
+        val tot = phi.agg(sum(col("phi_units")).as("sum_units"))
+        phi.crossJoin(broadcast(unc)).crossJoin(broadcast(tot))
+          .select(col("channel"), col("phi_units"),
+            expr("phi_units div 24").as("phi_micro"),
+            col("v_empty_ppm"), col("v_full_ppm"), col("n_uncovered"),
+            (col("sum_units") -
+              lit(24L) * (col("v_full_ppm") - col("v_empty_ppm")))
+              .as("efficiency_gap_units"))
+          .orderBy("channel")
+      },
+      Some("WITH e AS (SELECT user_id, ts, event_id, event_type, " +
+        "COALESCE(CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS seg FROM events), " +
+        "j AS (SELECT user_id, seg, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv, " +
+        "CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) + max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END) + max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) + max(CASE WHEN event_type = 'error' THEN 8 ELSE 0 END) AS BIGINT) AS cset FROM e GROUP BY 1, 2), " +
+        "ct AS (SELECT cset, count(*) AS n, CAST(sum(conv) AS BIGINT) AS c FROM j GROUP BY 1), " +
+        "g AS (SELECT b.cset, COALESCE(n, 0) AS n, CASE WHEN COALESCE(n, 0) > 0 THEN (c * 1000000) // n ELSE 0 END AS v_ppm FROM (SELECT unnest(generate_series(0, 15)) AS cset) b LEFT JOIN ct ON b.cset = ct.cset), " +
+        "un AS (SELECT CAST(sum(CASE WHEN n = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_uncovered, CAST(max(CASE WHEN cset = 0 THEN v_ppm END) AS BIGINT) AS v_empty_ppm, CAST(max(CASE WHEN cset = 15 THEN v_ppm END) AS BIGINT) AS v_full_ppm FROM g), " +
+        "pr AS (SELECT ch.channel, g.cset, g.v_ppm, g2.v_ppm AS v2_ppm, " +
+        s"CASE ${PopCountSqlDuck.replace("cset", "g.cset")} WHEN 0 THEN 6 WHEN 1 THEN 2 WHEN 2 THEN 2 ELSE 6 END AS wnum " +
+        "FROM g CROSS JOIN (VALUES ('view', 1), ('click', 2), ('signup', 4), ('error', 8)) ch(channel, bit) " +
+        "JOIN g g2 ON g2.cset = (g.cset | ch.bit) WHERE (g.cset & ch.bit) = 0), " +
+        "ph AS (SELECT channel, CAST(sum(wnum * (v2_ppm - v_ppm)) AS BIGINT) AS phi_units FROM pr GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(phi_units) AS BIGINT) AS sum_units FROM ph) " +
+        "SELECT channel, phi_units, phi_units // 24 AS phi_micro, v_empty_ppm, v_full_ppm, n_uncovered, " +
+        "sum_units - 24 * (v_full_ppm - v_empty_ppm) AS efficiency_gap_units " +
+        "FROM ph CROSS JOIN un CROSS JOIN tt ORDER BY channel"),
+      scaleNote = "attribution_markov's economics exactly: one " +
+        "per-user window pass (the shared sessionization " +
+        "partitioning) collapses the stream to journeys map-side, " +
+        "then a 16-row coalition grid — the game-theory phase costs " +
+        "the same at any corpus size. Exactness is the design " +
+        "point: 4 channels make the Shapley sum closed-form (8 " +
+        "integer marginals × integer weight numerators over the " +
+        "common 24), so the efficiency identity is checkable to the " +
+        "UNIT and emitted as a must-be-zero audit column — sampled-" +
+        "permutation Shapley (the k-channel escalation, k! blows up " +
+        "past ~10) would swap the exact grid for ab_bayes_mc-style " +
+        "deterministic stratified orderings on the same journey " +
+        "table. Exactly-S value estimation needs every coalition " +
+        "populated — n_uncovered fences sparse-coalition corpora " +
+        "(corpus_mix_kl_target's alert-never-skip rule)."),
+
     // The complement of interval_coverage: the HOLES — per key, the
     // uncovered stretches inside the activity span (the downtime /
     // silence / idle-capacity metric; coverage asks "how much ran",
@@ -1768,6 +1890,95 @@ object Analytics extends QueryGroup {
         "for KM compose from the same var column; stratified curves " +
         "add the stratum key to grid and window as in KM."),
 
+    // Log-rank test (r13) — the TEST completing the survival family
+    // (KM/NA estimate one curve; the log-rank decides whether TWO
+    // differ — "does variant B convert faster?", the survival
+    // family's A/B readout): groups = the house user_id % 2 split
+    // over the same signup→purchase framing, and at each distinct
+    // duration the hypergeometric machinery runs in exact integers —
+    // expected group-0 deaths e0 = d·n0 div n and variance
+    // v = d·n0·n1·(n−d) div (n²·(n−1)), both floor-quantized to
+    // micro BEFORE the sums (the corpus_mix_kl discipline), so the
+    // χ² = (Σ(o−e))²/Σv composes from two exact BIGINTs with floats
+    // only in the final edge expression. Emits the full per-time
+    // log-rank table (the audit trail a biostatistics reviewer
+    // expects), with the test row constants riding every row.
+    QueryDef(
+      "surv_logrank",
+      (spark, sf) => {
+        val durs = survDurations(spark, sf)
+          .withColumn("g", col("user_id") % 2)
+        val grid = durs.groupBy("dur_h")
+          .agg(sum(when(col("g") === 0, col("ev")).otherwise(0L)).as("d0"),
+            sum(when(col("g") === 0, lit(1L) - col("ev")).otherwise(0L))
+              .as("c0"),
+            sum(when(col("g") === 1, col("ev")).otherwise(0L)).as("d1"),
+            sum(when(col("g") === 1, lit(1L) - col("ev")).otherwise(0L))
+              .as("c1"))
+        val wseq = Window.orderBy("dur_h")
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = grid.agg(sum(col("d0") + col("c0")).as("t0"),
+          sum(col("d1") + col("c1")).as("t1"))
+        val r = grid.crossJoin(broadcast(tot))
+          .withColumn("n0", col("t0") -
+            sum(col("d0") + col("c0")).over(wseq) + col("d0") + col("c0"))
+          .withColumn("n1", col("t1") -
+            sum(col("d1") + col("c1")).over(wseq) + col("d1") + col("c1"))
+          .withColumn("n", col("n0") + col("n1"))
+          .withColumn("d", col("d0") + col("d1"))
+          .withColumn("e0_micro", expr("(d * n0 * 1000000) div n"))
+          .withColumn("v_micro",
+            when(col("n") > 1L,
+              expr("(d * n0 * n1 * (n - d) * 1000000) div (n * n * (n - 1))"))
+              .otherwise(0L))
+        val test = r.agg(
+          sum(col("d0") * lit(1000000L) - col("e0_micro")).as("oe_micro"),
+          sum(col("v_micro")).as("var_micro"))
+        val chi2raw = (col("oe_micro").cast("double") / lit(1000000.0)) *
+          (col("oe_micro").cast("double") / lit(1000000.0)) /
+          (col("var_micro").cast("double") / lit(1000000.0))
+        r.crossJoin(broadcast(test))
+          .select(col("dur_h"), col("n0"), col("n1"), col("d0"),
+            col("d1"), col("e0_micro"), col("v_micro"),
+            col("oe_micro"), col("var_micro"),
+            when(col("var_micro") > 0L, round(chi2raw, 4)).as("chi2"),
+            // significant compares the UNROUNDED chi2 on both engines
+            // (a rounded compare can flip at the 3.841 boundary)
+            coalesce(when(col("var_micro") > 0L, chi2raw > lit(3.841)),
+              lit(false)).as("significant"))
+          .orderBy("dur_h")
+      },
+      Some(s"WITH $SurvSqlCtes, " +
+        "dg AS (SELECT dur_h, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN ev ELSE 0 END) AS BIGINT) AS d0, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c0, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN ev ELSE 0 END) AS BIGINT) AS d1, " +
+        "CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 - ev ELSE 0 END) AS BIGINT) AS c1 FROM du GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(d0 + c0) AS BIGINT) AS t0, CAST(sum(d1 + c1) AS BIGINT) AS t1 FROM dg), " +
+        "rk AS (SELECT dg.*, t0 - CAST(sum(d0 + c0) OVER win AS BIGINT) + d0 + c0 AS n0, t1 - CAST(sum(d1 + c1) OVER win AS BIGINT) + d1 + c1 AS n1 FROM dg CROSS JOIN tt WINDOW win AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "rr AS (SELECT *, n0 + n1 AS n, d0 + d1 AS d FROM rk), " +
+        "rm AS (SELECT *, (d * n0 * 1000000) // n AS e0_micro, CASE WHEN n > 1 THEN (d * n0 * n1 * (n - d) * 1000000) // (n * n * (n - 1)) ELSE 0 END AS v_micro FROM rr), " +
+        "ts AS (SELECT CAST(sum(d0 * 1000000 - e0_micro) AS BIGINT) AS oe_micro, CAST(sum(v_micro) AS BIGINT) AS var_micro FROM rm) " +
+        "SELECT dur_h, n0, n1, d0, d1, e0_micro, v_micro, oe_micro, var_micro, " +
+        "CASE WHEN var_micro > 0 THEN round((CAST(oe_micro AS DOUBLE) / 1000000.0) * (CAST(oe_micro AS DOUBLE) / 1000000.0) / (CAST(var_micro AS DOUBLE) / 1000000.0), 4) END AS chi2, " +
+        "COALESCE(CASE WHEN var_micro > 0 THEN (CAST(oe_micro AS DOUBLE) / 1000000.0) * (CAST(oe_micro AS DOUBLE) / 1000000.0) / (CAST(var_micro AS DOUBLE) / 1000000.0) > 3.841 END, FALSE) AS significant " +
+        "FROM rm CROSS JOIN ts ORDER BY dur_h"),
+      scaleNote = "survRiskGrid's economics with a group key: the " +
+        "per-user collapse and the duration-grid aggregate are the " +
+        "same map-side passes (4 conditional cells per grid row " +
+        "instead of 2), and both risk-set windows run on the " +
+        "|distinct durations| grid, never on users. The " +
+        "hypergeometric terms are the overflow-watched part: " +
+        "d·n0·n1·(n−d)·1e6 stays under 2^63 up to ~50k subjects at " +
+        "risk simultaneously — past that, divide n²(n−1) in two " +
+        "truncating steps or escalate to DECIMAL(38,0), stated not " +
+        "silent. O−E and V floor to micro BEFORE summing, so the χ² " +
+        "inputs are two exact BIGINTs and the verdict cannot flip " +
+        "with partitioning. Stratified log-rank (by segment) adds " +
+        "the stratum to every key and sums the same two columns " +
+        "across strata; the Wilcoxon-Gehan variant just weights " +
+        "each row by n before the same sums."),
+
     // CUSUM drift monitor (r13) — the control-chart member the
     // monitoring family was missing: z-scores (ts_anomaly) and MAD
     // (ts_anomaly_mad) catch SPIKES, but a feed that drifts 10%
@@ -2168,6 +2379,109 @@ object Analytics extends QueryGroup {
     // Degenerate guard: n ≤ 1 on either arm or zero pooled variance
     // → NULL t, significance coalesces false (ab_test_zscore's se>0
     // discipline).
+    // Difference-in-differences (r13) — the quasi-experimental member
+    // of the A/B family: when a change CANNOT be randomized (a
+    // rollout hits everyone at time T), the naive before/after
+    // estimate absorbs every seasonal trend; DiD subtracts the
+    // control group's before/after drift so only the differential
+    // effect remains. Groups = the house user_id % 2 split, periods
+    // = before/at-after the stream's temporal midpoint (dq_drift_psi's
+    // exact-integer epoch device), metric = purchase value in exact
+    // cents. The four (group, period) cells carry (n, Σ, Σ²) BIGINT
+    // moments; cell means in micro-cents are integer floor
+    // divisions, DiD composes from the four as exact integers, and
+    // the pooled SE/t ride ab_test_welch's one-edge float
+    // composition discipline (n·Σv²−(Σv)² exact-integer numerators,
+    // doubles only in the final compose, correctly rounded).
+    QueryDef(
+      "ab_diff_in_diff",
+      (spark, sf) => {
+        val ev = Tables.loadEvents(spark, sf)
+          .filter(col("event_type") === "purchase")
+          .select((col("user_id") % 2).as("g"),
+            expr("unix_micros(cast(ts as timestamp))").as("us"),
+            floor(col("value") * 100).cast("long").as("v"))
+        val mid = ev.agg(expr("(min(us) + max(us)) div 2").as("mid_us"))
+        val cells = ev.crossJoin(broadcast(mid))
+          .withColumn("p", when(col("us") < col("mid_us"), 0L).otherwise(1L))
+          .groupBy("g", "p")
+          .agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+            sum(col("v") * col("v")).as("svv"))
+        def cell(g: Int, p: Int, c: String) =
+          sum(when(col("g") === g && col("p") === p, col(c)))
+        val one = cells.agg(
+          cell(0, 0, "n").as("n_a_pre"), cell(0, 0, "sv").as("sv_a_pre"),
+          cell(0, 0, "svv").as("q_a_pre"),
+          cell(0, 1, "n").as("n_a_post"), cell(0, 1, "sv").as("sv_a_post"),
+          cell(0, 1, "svv").as("q_a_post"),
+          cell(1, 0, "n").as("n_b_pre"), cell(1, 0, "sv").as("sv_b_pre"),
+          cell(1, 0, "svv").as("q_b_pre"),
+          cell(1, 1, "n").as("n_b_post"), cell(1, 1, "sv").as("sv_b_post"),
+          cell(1, 1, "svv").as("q_b_post"))
+        def m(sv: String, n: String) =
+          expr(s"($sv * 1000000) div $n")
+        val did = (m("sv_b_post", "n_b_post") - m("sv_b_pre", "n_b_pre")) -
+          (m("sv_a_post", "n_a_post") - m("sv_a_pre", "n_a_pre"))
+        def vOverN(n: String, sv: String, q: String) =
+          (col(n) * col(q) - col(sv) * col(sv)).cast("double") /
+            ((col(n) * (col(n) - 1)).cast("double") * col(n).cast("double"))
+        val se2 = vOverN("n_a_pre", "sv_a_pre", "q_a_pre") +
+          vOverN("n_a_post", "sv_a_post", "q_a_post") +
+          vOverN("n_b_pre", "sv_b_pre", "q_b_pre") +
+          vOverN("n_b_post", "sv_b_post", "q_b_post")
+        val ok = col("n_a_pre") > 1 && col("n_a_post") > 1 &&
+          col("n_b_pre") > 1 && col("n_b_post") > 1 && se2 > lit(0.0)
+        val t = (did.cast("double") / lit(1000000.0)) / sqrt(se2)
+        one.select(col("n_a_pre"), col("n_a_post"), col("n_b_pre"),
+          col("n_b_post"),
+          m("sv_a_pre", "n_a_pre").as("mean_a_pre_microc"),
+          m("sv_a_post", "n_a_post").as("mean_a_post_microc"),
+          m("sv_b_pre", "n_b_pre").as("mean_b_pre_microc"),
+          m("sv_b_post", "n_b_post").as("mean_b_post_microc"),
+          did.as("did_microc"),
+          when(ok, round(sqrt(se2), 4)).as("se_cents"),
+          when(ok, round(t, 4)).as("t_stat"),
+          coalesce(when(ok, abs(t) > lit(1.96)), lit(false))
+            .as("significant"))
+      },
+      Some("WITH ev AS (SELECT user_id % 2 AS g, epoch_us(ts) AS us, CAST(floor(value*100) AS BIGINT) AS v FROM events WHERE event_type = 'purchase'), " +
+        "mid AS (SELECT (min(us) + max(us)) // 2 AS mid_us FROM ev), " +
+        "cl AS (SELECT g, CASE WHEN us < mid_us THEN 0 ELSE 1 END AS p, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv, CAST(sum(v*v) AS BIGINT) AS svv FROM ev CROSS JOIN mid GROUP BY 1, 2), " +
+        "one AS (SELECT " +
+        "CAST(sum(CASE WHEN g = 0 AND p = 0 THEN n END) AS BIGINT) AS n_a_pre, CAST(sum(CASE WHEN g = 0 AND p = 0 THEN sv END) AS BIGINT) AS sv_a_pre, CAST(sum(CASE WHEN g = 0 AND p = 0 THEN svv END) AS BIGINT) AS q_a_pre, " +
+        "CAST(sum(CASE WHEN g = 0 AND p = 1 THEN n END) AS BIGINT) AS n_a_post, CAST(sum(CASE WHEN g = 0 AND p = 1 THEN sv END) AS BIGINT) AS sv_a_post, CAST(sum(CASE WHEN g = 0 AND p = 1 THEN svv END) AS BIGINT) AS q_a_post, " +
+        "CAST(sum(CASE WHEN g = 1 AND p = 0 THEN n END) AS BIGINT) AS n_b_pre, CAST(sum(CASE WHEN g = 1 AND p = 0 THEN sv END) AS BIGINT) AS sv_b_pre, CAST(sum(CASE WHEN g = 1 AND p = 0 THEN svv END) AS BIGINT) AS q_b_pre, " +
+        "CAST(sum(CASE WHEN g = 1 AND p = 1 THEN n END) AS BIGINT) AS n_b_post, CAST(sum(CASE WHEN g = 1 AND p = 1 THEN sv END) AS BIGINT) AS sv_b_post, CAST(sum(CASE WHEN g = 1 AND p = 1 THEN svv END) AS BIGINT) AS q_b_post FROM cl), " +
+        "ed AS (SELECT *, " +
+        "((sv_b_post * 1000000) // n_b_post - (sv_b_pre * 1000000) // n_b_pre) - ((sv_a_post * 1000000) // n_a_post - (sv_a_pre * 1000000) // n_a_pre) AS did_microc, " +
+        "CAST(n_a_pre * q_a_pre - sv_a_pre * sv_a_pre AS DOUBLE) / (CAST(n_a_pre * (n_a_pre - 1) AS DOUBLE) * n_a_pre) + " +
+        "CAST(n_a_post * q_a_post - sv_a_post * sv_a_post AS DOUBLE) / (CAST(n_a_post * (n_a_post - 1) AS DOUBLE) * n_a_post) + " +
+        "CAST(n_b_pre * q_b_pre - sv_b_pre * sv_b_pre AS DOUBLE) / (CAST(n_b_pre * (n_b_pre - 1) AS DOUBLE) * n_b_pre) + " +
+        "CAST(n_b_post * q_b_post - sv_b_post * sv_b_post AS DOUBLE) / (CAST(n_b_post * (n_b_post - 1) AS DOUBLE) * n_b_post) AS se2, " +
+        "n_a_pre > 1 AND n_a_post > 1 AND n_b_pre > 1 AND n_b_post > 1 AS nok FROM one) " +
+        "SELECT n_a_pre, n_a_post, n_b_pre, n_b_post, " +
+        "(sv_a_pre * 1000000) // n_a_pre AS mean_a_pre_microc, (sv_a_post * 1000000) // n_a_post AS mean_a_post_microc, " +
+        "(sv_b_pre * 1000000) // n_b_pre AS mean_b_pre_microc, (sv_b_post * 1000000) // n_b_post AS mean_b_post_microc, " +
+        "did_microc, " +
+        "CASE WHEN nok AND se2 > 0 THEN round(sqrt(se2), 4) END AS se_cents, " +
+        "CASE WHEN nok AND se2 > 0 THEN round((CAST(did_microc AS DOUBLE) / 1000000.0) / sqrt(se2), 4) END AS t_stat, " +
+        "COALESCE(CASE WHEN nok AND se2 > 0 THEN abs((CAST(did_microc AS DOUBLE) / 1000000.0) / sqrt(se2)) > 1.96 END, FALSE) AS significant " +
+        "FROM ed"),
+      scaleNote = "ab_test_welch's economics with a second dimension: " +
+        "ONE conditional-moment aggregate over the pruned purchase " +
+        "scan produces all four (group, period) cells map-side (the " +
+        "1-row midpoint broadcasts; at 100 TB the period boundary is " +
+        "a partition-pruning date literal instead), and everything " +
+        "after is a 1-row edge expression. Cell means and the DiD " +
+        "point estimate are exact integer micro-cents (sums ≤ " +
+        "5e4·1e6·n ≪ 2^63 below ~2e8 purchases per cell — escalate " +
+        "to DECIMAL(38,0) past that, stated not silent); only " +
+        "SE/t touch doubles, composed once from exact-integer " +
+        "numerators exactly like ab_test_welch. Parallel-trends " +
+        "diagnostics (the assumption DiD lives on) = ts_cusum per " +
+        "group on the pre window; per-segment DiD adds the segment " +
+        "key to the cell aggregate."),
+
     QueryDef(
       "ab_test_welch",
       (spark, sf) => {

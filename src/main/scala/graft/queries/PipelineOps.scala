@@ -1021,6 +1021,115 @@ object PipelineOps extends QueryGroup {
     // target, the classic high-cardinality encoder (CatBoost/
     // entity-embedding precursor), where "leak-free" is the entire
     // point — the encoding must be computed on the train rows ONLY
+    // Weight-of-Evidence + Information Value (r13) — the feature-
+    // SCREENING member beside feat_target_encode's feature-BUILDING
+    // one: before any model trains, IV ranks candidate features by
+    // how much each separates the classes (the credit-scoring
+    // standard: IV < 0.02 useless, 0.1-0.3 medium, > 0.3 strong),
+    // and WoE is the per-bin log-odds contribution the ranking
+    // decomposes into. Features = the perceptron's six marker-word
+    // PRESENCE bits over documents, label = en-vs-rest — so this
+    // table PREDICTS which features text_classifier_perceptron
+    // should find useful, the screening→training handshake. The
+    // feature grid is densified (6 features × present/absent via a
+    // literal VALUES dim) and +1-smoothed so empty cells stay
+    // finite; each WoE composes ONE ln of an exact integer
+    // cross-ratio floored to micro (corpus_mix_kl's fence), each IV
+    // contribution the PSI-shaped (p−q)·WoE floored micro product.
+    // On this quasi-random fixture the screen honestly reports
+    // near-null IVs (~0.003-0.014 — marker PRESENCE saturates across
+    // languages; the perceptron separates on counts), which is the
+    // point of screening: weak features get reported, not flattered
+    // (graph_embed_link_auc's AUC≈0.50 discipline).
+    QueryDef(
+      "feat_woe_iv",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val words = graft.queries.TextVector.PercWords
+        val docs = Tables.documents(spark, sf)
+          .select(col("doc_id"),
+            when(col("lang") === "en", 1L).otherwise(0L).as("y01"))
+        val pres = Tables.documents(spark, sf)
+          .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+          .filter(col("w").isin(words: _*))
+          .select(col("doc_id"), col("w").as("feature")).distinct()
+        val cnt1 = pres.join(docs, "doc_id")
+          .groupBy("feature")
+          .agg(sum(col("y01")).as("p1"),
+            sum(lit(1L) - col("y01")).as("n1"))
+        val tot = docs.agg(sum(col("y01")).as("tp"),
+          sum(lit(1L) - col("y01")).as("tn"))
+        val grid = words.toDF("feature")
+          .crossJoin(Seq(1L, 0L).toDF("bin"))
+        val cells = grid
+          .join(cnt1, Seq("feature"), "left")
+          .crossJoin(broadcast(tot))
+          .select(col("feature"), col("bin"),
+            when(col("bin") === 1L, coalesce(col("p1"), lit(0L)))
+              .otherwise(col("tp") - coalesce(col("p1"), lit(0L)))
+              .as("n_pos"),
+            when(col("bin") === 1L, coalesce(col("n1"), lit(0L)))
+              .otherwise(col("tn") - coalesce(col("n1"), lit(0L)))
+              .as("n_neg"),
+            col("tp"), col("tn"))
+        val woe = floor(log(
+          ((col("n_pos") + lit(1L)) * (col("tn") + lit(2L))).cast("double") /
+            ((col("n_neg") + lit(1L)) * (col("tp") + lit(2L))).cast("double"))
+          * lit(1000000.0)).cast("long")
+        val wf = Window.partitionBy("feature")
+        cells
+          .withColumn("woe_micro", woe)
+          .withColumn("iv_contrib_micro",
+            floor(((col("n_pos") + lit(1L)).cast("double") /
+              (col("tp") + lit(2L)).cast("double") -
+              (col("n_neg") + lit(1L)).cast("double") /
+                (col("tn") + lit(2L)).cast("double")) *
+              log(((col("n_pos") + lit(1L)) * (col("tn") + lit(2L)))
+                .cast("double") /
+                ((col("n_neg") + lit(1L)) * (col("tp") + lit(2L)))
+                  .cast("double")) * lit(1000000.0)).cast("long"))
+          .withColumn("iv_micro", sum(col("iv_contrib_micro")).over(wf))
+          .select(col("feature"), col("bin"), col("n_pos"), col("n_neg"),
+            col("woe_micro"), col("iv_contrib_micro"), col("iv_micro"))
+          .orderBy("feature", "bin")
+      },
+      Some {
+        val values = graft.queries.TextVector.PercWords
+          .map(w => s"('$w')").mkString(", ")
+        "WITH d AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y01 FROM documents), " +
+          "pr AS (SELECT DISTINCT doc_id, w AS feature FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents) " +
+          s"WHERE w IN (${graft.queries.TextVector.PercWords.map(w => s"'$w'").mkString(", ")})), " +
+          "c1 AS (SELECT feature, CAST(sum(y01) AS BIGINT) AS p1, CAST(sum(1 - y01) AS BIGINT) AS n1 FROM pr JOIN d ON pr.doc_id = d.doc_id GROUP BY 1), " +
+          "tt AS (SELECT CAST(sum(y01) AS BIGINT) AS tp, CAST(sum(1 - y01) AS BIGINT) AS tn FROM d), " +
+          s"g AS (SELECT f.feature, b.bin FROM (VALUES $values) f(feature) CROSS JOIN (VALUES (CAST(1 AS BIGINT)), (CAST(0 AS BIGINT))) b(bin)), " +
+          "ce AS (SELECT g.feature, g.bin, " +
+          "CASE WHEN g.bin = 1 THEN COALESCE(p1, 0) ELSE tp - COALESCE(p1, 0) END AS n_pos, " +
+          "CASE WHEN g.bin = 1 THEN COALESCE(n1, 0) ELSE tn - COALESCE(n1, 0) END AS n_neg, tp, tn " +
+          "FROM g LEFT JOIN c1 ON g.feature = c1.feature CROSS JOIN tt), " +
+          "k AS (SELECT feature, bin, n_pos, n_neg, " +
+          "CAST(floor(ln(CAST((n_pos + 1) * (tn + 2) AS DOUBLE) / CAST((n_neg + 1) * (tp + 2) AS DOUBLE)) * 1000000.0) AS BIGINT) AS woe_micro, " +
+          "CAST(floor((CAST(n_pos + 1 AS DOUBLE) / CAST(tp + 2 AS DOUBLE) - CAST(n_neg + 1 AS DOUBLE) / CAST(tn + 2 AS DOUBLE)) * ln(CAST((n_pos + 1) * (tn + 2) AS DOUBLE) / CAST((n_neg + 1) * (tp + 2) AS DOUBLE)) * 1000000.0) AS BIGINT) AS iv_contrib_micro FROM ce) " +
+          "SELECT feature, bin, n_pos, n_neg, woe_micro, iv_contrib_micro, " +
+          "CAST(sum(iv_contrib_micro) OVER (PARTITION BY feature) AS BIGINT) AS iv_micro " +
+          "FROM k ORDER BY feature, bin"
+      },
+      scaleNote = "Two map-side-combinable aggregates do the corpus " +
+        "work (per-doc distinct feature presence collapses inside " +
+        "each split — the text_repetition property — then |features| " +
+        "and 1-row class totals), and everything after runs on the " +
+        "densified 6×2 literal grid: the screening report costs the " +
+        "same at 100 TB as here, per feature, and a thousand " +
+        "candidate features just widen the tiny grid. The ln fence " +
+        "is corpus_mix_kl's (one ln per cell of an exact integer " +
+        "cross-ratio, floored to micro BEFORE the per-feature sum), " +
+        "so the IV ranking — the table's entire point — cannot " +
+        "reorder with partitioning. Continuous features reuse " +
+        "dq_drift_psi's stated bin edges to become categorical " +
+        "first; the monotone-WoE binning a credit model wants is " +
+        "eval_calibration's value-grouped device on the same " +
+        "counts."),
+
     // and merely APPLIED to validation, or the validation metric is
     // fiction. The split is sample_consistent's portable hash
     // contract (md5-u16 of the salted event id, 80/20), so train

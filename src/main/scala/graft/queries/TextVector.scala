@@ -135,6 +135,21 @@ object TextVector extends QueryGroup {
       round2("e3", "b", "c", "m3")
   }
 
+  /** Per-doc (y01, margin) under the trained epoch-3 weights — the
+    * scored frame eval_calibration and eval_pr_curve both start from. */
+  private def percMargins(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val (f, _, _, s3) = percStages(spark, sf)
+    f.crossJoin(broadcast(s3))
+      .select(
+        when(col("y") === 1L, 1L).otherwise(0L).as("y01"),
+        percDotW("w3").as("margin"))
+  }
+
+  /** The oracle-side scored frame: CTE mg(y01, margin) off ct. */
+  private val PercMarginSql: String =
+    s"mg AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01, ${PercSqlDot("c")} AS margin FROM f CROSS JOIN ct)"
+
   def defs: Seq[QueryDef] = Seq(
 
     // #52 — tokenize + explode + count: the word-frequency core of
@@ -280,6 +295,76 @@ object TextVector extends QueryGroup {
         "prediction drift between model versions is this exact " +
         "query with (old_pred, new_pred) as the keys, which is the " +
         "canary every corpus-filter upgrade ships with."),
+
+    // Cohen's kappa (r13) — chance-corrected agreement over the
+    // lang-ID confusion matrix, completing the classifier-audit
+    // stack (text_lang_id_eval shows WHERE the classifier errs; κ
+    // answers "is this agreement better than guessing the
+    // marginals?" — the number annotation pipelines and
+    // inter-rater QA report, and the right headline when classes
+    // are imbalanced and raw accuracy flatters). All in exact
+    // N²-unit integers off the same shared prediction table:
+    // observed agreement po·N = Σ diag, expected pe·N² = Σ_k
+    // rowtot_k·coltot_k (the marginal-product chance model — the
+    // 'und' fallback class participates with a zero truth marginal,
+    // contributing nothing to chance, exactly as it should), and
+    // κ_ppm = ((po·N² − pe·N²)·1e6) div (N² − pe·N²) — one floor
+    // division, zero floats, with the Landis-Koch verdict bucket.
+    QueryDef(
+      "eval_cohens_kappa",
+      (spark, sf) => {
+        val cm = langPredictions(spark, sf)
+          .groupBy("lang", "pred_lang")
+          .agg(count(lit(1)).as("n"))
+          .localCheckpoint(false)
+        val rows = cm.groupBy("lang")
+          .agg(sum(col("n")).as("rt"))
+          .select(col("lang").as("k"), col("rt"))
+        val cols = cm.groupBy("pred_lang")
+          .agg(sum(col("n")).as("ct"))
+          .select(col("pred_lang").as("k"), col("ct"))
+        val pe = rows.join(cols, "k")
+          .agg(sum(col("rt") * col("ct")).as("pe_n2"))
+        val po = cm.agg(
+          sum(col("n")).as("nn"),
+          sum(when(col("lang") === col("pred_lang"), col("n"))
+            .otherwise(0L)).as("diag"))
+        po.crossJoin(broadcast(pe))
+          .select(col("nn").as("n_docs"), col("diag").as("n_agree"),
+            expr("(diag * 1000000) div nn").as("po_ppm"),
+            expr("(pe_n2 * 1000000) div (nn * nn)").as("pe_ppm"),
+            expr("((diag * nn - pe_n2) * 1000000) div (nn * nn - pe_n2)")
+              .as("kappa_ppm"))
+          .withColumn("verdict",
+            when(col("kappa_ppm") < 200000L, "slight")
+              .when(col("kappa_ppm") < 400000L, "fair")
+              .when(col("kappa_ppm") < 600000L, "moderate")
+              .when(col("kappa_ppm") < 800000L, "substantial")
+              .otherwise("almost_perfect"))
+      },
+      Some(s"WITH $LangPredSql, " +
+        "cm AS (SELECT lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2), " +
+        "rt AS (SELECT lang AS k, CAST(sum(n) AS BIGINT) AS rt FROM cm GROUP BY 1), " +
+        "ct AS (SELECT pred_lang AS k, CAST(sum(n) AS BIGINT) AS ct FROM cm GROUP BY 1), " +
+        "pe AS (SELECT CAST(sum(rt.rt * ct.ct) AS BIGINT) AS pe_n2 FROM rt JOIN ct ON rt.k = ct.k), " +
+        "po AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(CASE WHEN lang = pred_lang THEN n ELSE 0 END) AS BIGINT) AS diag FROM cm), " +
+        "kk AS (SELECT nn AS n_docs, diag AS n_agree, (diag * 1000000) // nn AS po_ppm, (pe_n2 * 1000000) // (nn * nn) AS pe_ppm, " +
+        "((diag * nn - pe_n2) * 1000000) // (nn * nn - pe_n2) AS kappa_ppm FROM po CROSS JOIN pe) " +
+        "SELECT n_docs, n_agree, po_ppm, pe_ppm, kappa_ppm, " +
+        "CASE WHEN kappa_ppm < 200000 THEN 'slight' WHEN kappa_ppm < 400000 THEN 'fair' WHEN kappa_ppm < 600000 THEN 'moderate' WHEN kappa_ppm < 800000 THEN 'substantial' ELSE 'almost_perfect' END AS verdict " +
+        "FROM kk"),
+      scaleNote = "Rides text_lang_id_eval's matrix: one broadcast-" +
+        "lexicon pass over the corpus, then everything runs on the " +
+        "|langs|² cell table (KBs forever) — the marginals join is " +
+        "|classes| rows. The N²-unit integer formulation is the " +
+        "determinism point: diag·N and Σ row·col stay exact BIGINTs " +
+        "(N²·1e6 ≪ 2^63 below ~3e6 docs; compute κ on a " +
+        "sample_consistent slice or escalate to DECIMAL(38,0) past " +
+        "that, stated not silent), so the κ and its verdict bucket " +
+        "cannot move with partitioning. Weighted κ (ordinal labels) " +
+        "adds a literal disagreement-weight grid to the same cells; " +
+        "two ANNOTATORS instead of model-vs-truth is the same query " +
+        "with the second label column swapped in."),
 
     // Token counting with a BPE-ish regex (word / number / punctuation
     // classes, ASCII form identical under Java regex and RE2) next to
@@ -597,12 +682,7 @@ object TextVector extends QueryGroup {
     QueryDef(
       "eval_calibration",
       (spark, sf) => {
-        val (f, _, _, s3) = percStages(spark, sf)
-        val mg = f.crossJoin(broadcast(s3))
-          .select(
-            when(col("y") === 1L, 1L).otherwise(0L).as("y01"),
-            percDotW("w3").as("margin"))
-        val vm = mg.groupBy("margin")
+        val vm = percMargins(spark, sf).groupBy("margin")
           .agg(count(lit(1)).as("c"), sum(col("y01")).as("pos"))
         val n = vm.agg(sum(col("c")).as("n"))
         val wseq = Window.orderBy("margin")
@@ -638,7 +718,7 @@ object TextVector extends QueryGroup {
           .orderBy("bin")
       },
       Some(s"WITH $PercSqlCtes, " +
-        s"mg AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01, ${PercSqlDot("c")} AS margin FROM f CROSS JOIN ct), " +
+        s"$PercMarginSql, " +
         "vm AS (SELECT margin, count(*) AS c, CAST(sum(y01) AS BIGINT) AS pos FROM mg GROUP BY 1), " +
         "nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM vm), " +
         "bb AS (SELECT *, ((sum(c) OVER (ORDER BY margin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c) * 10) // nn.n AS bin FROM vm CROSS JOIN nn), " +
@@ -667,6 +747,124 @@ object TextVector extends QueryGroup {
         "(broadcast-join it onto any scored stream); isotonic " +
         "regression swaps the decile grid for PAV on the same " +
         "value-grouped input."),
+
+    // Precision-recall curve + average precision (r13) — the
+    // threshold-sweep eval completing the classifier family
+    // (text_classifier_perceptron trains, eval_calibration turns the
+    // margin into a probability, this measures ranking quality where
+    // classes are imbalanced — en is ~44% here but quality gates at
+    // 100 TB run at 1-5% positive rates, exactly where accuracy and
+    // ROC flatter and PR does not). One row per DISTINCT margin
+    // threshold (predict en iff margin ≥ t): cumulative TP/FP off
+    // the value-grouped margin table in one descending window,
+    // precision/recall/F1 as exact ppm floor divisions, and average
+    // precision AP = Σ ΔTP·P_t / totPos composed from the same
+    // integers — the step-wise AP definition, zero floats anywhere.
+    QueryDef(
+      "eval_pr_curve",
+      (spark, sf) => {
+        val vm = percMargins(spark, sf).groupBy("margin")
+          .agg(count(lit(1)).as("c"), sum(col("y01")).as("pos"))
+        val wdesc = Window.orderBy(col("margin").desc)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        val tot = vm.agg(sum(col("pos")).as("tot_pos"),
+          sum(col("c")).as("n_docs"))
+        val cum = vm.crossJoin(broadcast(tot))
+          .withColumn("tp", sum(col("pos")).over(wdesc))
+          .withColumn("npred", sum(col("c")).over(wdesc))
+          .withColumn("fp", col("npred") - col("tp"))
+          .withColumn("precision_ppm", expr("(tp * 1000000) div npred"))
+          .withColumn("recall_ppm", expr("(tp * 1000000) div tot_pos"))
+        val ap = cum
+          .agg(expr("sum(pos * precision_ppm) div max(tot_pos)")
+            .as("ap_micro"))
+        cum.crossJoin(broadcast(ap))
+          .select(col("margin").as("margin_thr"), col("npred"),
+            col("tp"), col("fp"), col("precision_ppm"),
+            col("recall_ppm"),
+            when(col("precision_ppm") + col("recall_ppm") > 0L,
+              expr("(2 * precision_ppm * recall_ppm) div (precision_ppm + recall_ppm)"))
+              .otherwise(0L).as("f1_ppm"),
+            col("ap_micro"))
+          .orderBy(col("margin_thr").desc)
+      },
+      Some(s"WITH $PercSqlCtes, " +
+        s"$PercMarginSql, " +
+        "vm AS (SELECT margin, count(*) AS c, CAST(sum(y01) AS BIGINT) AS pos FROM mg GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(pos) AS BIGINT) AS tot_pos, CAST(sum(c) AS BIGINT) AS n_docs FROM vm), " +
+        "cu AS (SELECT *, CAST(sum(pos) OVER win AS BIGINT) AS tp, CAST(sum(c) OVER win AS BIGINT) AS npred FROM vm CROSS JOIN tt WINDOW win AS (ORDER BY margin DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
+        "pr AS (SELECT *, npred - tp AS fp, (tp * 1000000) // npred AS precision_ppm, (tp * 1000000) // tot_pos AS recall_ppm FROM cu), " +
+        "ap AS (SELECT CAST(sum(pos * precision_ppm) // max(tot_pos) AS BIGINT) AS ap_micro FROM pr) " +
+        "SELECT margin AS margin_thr, npred, tp, fp, precision_ppm, recall_ppm, " +
+        "CASE WHEN precision_ppm + recall_ppm > 0 THEN (2 * precision_ppm * recall_ppm) // (precision_ppm + recall_ppm) ELSE 0 END AS f1_ppm, " +
+        "ap_micro FROM pr CROSS JOIN ap ORDER BY margin_thr DESC"),
+      scaleNote = "eval_calibration's economics: training is the " +
+        "shared three-epoch aggregate chain, scoring is row-local " +
+        "under broadcast weights, and the threshold sweep runs on " +
+        "the VALUE-GROUPED margin table (|distinct margins| rows — " +
+        "the corpus collapses map-side before the window exists). " +
+        "Sweeping thresholds at every distinct value is FREE here " +
+        "precisely because of that collapse — the naive per-" +
+        "threshold rescan is |thresholds|·|corpus|. All ratios are " +
+        "exact ppm floor divisions of BIGINT cumulative counts " +
+        "(products ≤ n·1e6 ≪ 2^63), AP composes from the same " +
+        "integers in one aggregate — the curve, the operating " +
+        "point (max F1 row), and the leaderboard number are all " +
+        "bit-stable under any partitioning. ROC is the same plan " +
+        "with FP in the x-role; per-segment curves add the segment " +
+        "key to the grid and window."),
+
+    // ROC-AUC of the trained margin (r13) — the third leg of the
+    // classifier-eval triad (eval_calibration: is the probability
+    // honest; eval_pr_curve: how does it trade precision for recall;
+    // this: one threshold-free ranking number — P(random en doc
+    // outranks a random non-en doc)). Same machinery as
+    // graph_embed_link_auc: the tie-aware rank-sum identity over the
+    // GROUPED margin table, AUC·2PN = Σ_s n⁺(s)·(2·Σ_{s'<s} n⁻(s')
+    // + n⁻(s)) — every term an exact BIGINT off the shared
+    // percMargins frame, ONE division at the edge; Gini = 2·AUC−1
+    // emitted beside it in exact 2PN units.
+    QueryDef(
+      "eval_roc_auc",
+      (spark, sf) => {
+        val g = percMargins(spark, sf)
+          .groupBy("margin")
+          .agg(sum(col("y01")).as("np"),
+            sum(lit(1L) - col("y01")).as("nn"))
+        val wb = Window.orderBy("margin")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cb", coalesce(sum(col("nn")).over(wb), lit(0L)))
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (lit(2L) * col("cb") + col("nn")))
+              .as("auc_2pn_units"))
+          .select(col("n_pos"), col("n_neg"), col("auc_2pn_units"),
+            round(col("auc_2pn_units").cast("double") /
+              (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"),
+            (col("auc_2pn_units") - col("n_pos") * col("n_neg"))
+              .as("gini_pn_units"))
+      },
+      Some(s"WITH $PercSqlCtes, " +
+        s"$PercMarginSql, " +
+        "gg AS (SELECT margin, CAST(sum(y01) AS BIGINT) AS np, CAST(sum(1 - y01) AS BIGINT) AS nn FROM mg GROUP BY 1), " +
+        "rr AS (SELECT np, nn, coalesce(CAST(sum(nn) OVER (ORDER BY margin ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM gg) " +
+        "SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg, " +
+        "CAST(sum(np*(2*cb + nn)) AS BIGINT) AS auc_2pn_units, " +
+        "round(CAST(sum(np*(2*cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 4) AS auc, " +
+        "CAST(sum(np*(2*cb + nn)) - sum(np) * sum(nn) AS BIGINT) AS gini_pn_units " +
+        "FROM rr"),
+      scaleNote = "The rank-sum identity is what makes AUC " +
+        "distributable: no pair enumeration (P·N pairs at 100 TB is " +
+        "the quadratic trap), just the value-grouped margin table — " +
+        "map-side collapsed, |distinct margins| rows — one " +
+        "cumulative window over it, and one aggregate; ties are " +
+        "handled EXACTLY by the n⁻(s) term rather than by a " +
+        "0.5-correction float. AUC·2PN and Gini·PN stay exact " +
+        "BIGINTs (≤ n²·2 ≪ 2^63 below ~2e9 docs; escalate to " +
+        "DECIMAL(38,0) past that, stated not silent) with the ONE " +
+        "edge division rounded for display — the leaderboard " +
+        "number is bit-stable under any partitioning. Per-segment " +
+        "AUC adds the segment key to the grid and window; " +
+        "graph_embed_link_auc is this identity on sampled pairs."),
 
     // Flesch reading-ease per language — the READABILITY member of
     // the quality stack (text_quality measures lexical surface,

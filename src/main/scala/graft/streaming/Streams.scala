@@ -1232,6 +1232,22 @@ object Streams {
       .groupBy("event_type", "bin")
       .agg(count(lit(1)).as("n"))
 
+  /** Live SPC counter panel — the streaming form of ts_cusum
+    * (stream_cusum, r13): per (feed, day) event counters in one
+    * complete-mode aggregate — the integers Page's chart is a pure
+    * function of. The closed form (prefix sum minus running min over
+    * deviation prefixes) and both alarm verdicts recompose from the
+    * emitted counters exactly as the batch edge expression, so the
+    * live chart needs no ordered state and no history replay — the
+    * panel IS the sufficient statistic. Parity with batch ts_cusum
+    * (every chart cell and alarm bit) proven in StreamingSpec after
+    * full replay, with mid-replay count conservation pinned. */
+  def cusumDaily(events: Dataset[Event]): DataFrame =
+    events.toDF()
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+
   /** Streaming sample-ratio-mismatch panel — the live form of batch
     * ab_test_srm, which is the check that RUNS continuously by
     * design (every readout refresh re-validates the split; the

@@ -2770,4 +2770,249 @@ class OperatorPropertiesSpec extends SparkSpec {
     // removing a channel cannot help conversion (beyond floor noise)
     assert(got.forall(_.getLong(2) <= pBase))
   }
+
+  test("eval_pr_curve: cumulative cells, ratios, and AP replay from the margins") {
+    val perc = run("text_classifier_perceptron").collect()
+      .find(_.getInt(0) == 3).get
+    val w3 = (3 until 10).map(perc.getLong)
+    val words = graft.queries.TextVector.PercWords
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val margins = docs.map { case (lang, text) =>
+      val toks = text.split(" ")
+      val x = words.map(w => toks.count(_ == w).toLong) :+ 1L
+      (x.zip(w3).map { case (a, b) => a * b }.sum,
+        if (lang == "en") 1L else 0L)
+    }
+    val totPos = margins.map(_._2).sum
+    val grid = margins.groupBy(_._1).toSeq.sortBy(-_._1).map {
+      case (m, rs) => (m, rs.length.toLong, rs.map(_._2).sum)
+    }
+    var tp = 0L; var np = 0L; var apNum = 0L
+    val want = grid.map { case (m, c, pos) =>
+      tp += pos; np += c
+      val prec = tp * 1000000L / np
+      apNum += pos * prec
+      (m, np, tp, np - tp, prec, tp * 1000000L / totPos)
+    }
+    val ap = apNum / totPos
+    val got = run("eval_pr_curve").collect()
+    assert(got.length == want.length)
+    got.sortBy(-_.getLong(0)).zip(want).foreach {
+      case (r, (m, n, t, f, prec, rec)) =>
+        assert(r.getLong(0) == m && r.getLong(1) == n && r.getLong(2) == t
+          && r.getLong(3) == f)
+        assert(r.getLong(4) == prec && r.getLong(5) == rec)
+        val f1 = if (prec + rec > 0) 2 * prec * rec / (prec + rec) else 0L
+        assert(r.getLong(6) == f1)
+        assert(r.getLong(7) == ap, "ap_micro")
+    }
+    // curve sanity: recall is nondecreasing as the threshold drops,
+    // and the last row classifies everything positive
+    val last = got.minBy(_.getLong(0))
+    assert(last.getLong(1) == margins.length.toLong)
+    assert(last.getLong(5) == 1000000L)
+  }
+
+  test("feat_woe_iv: cells, WoE signs, and the IV ranking replay from doc presence") {
+    val words = graft.queries.TextVector.PercWords
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map(r => (r.getString(0) == "en", r.getString(1).split(" ").toSet))
+    val (tp, tn) = (docs.count(_._1).toLong, docs.count(!_._1).toLong)
+    val got = run("feat_woe_iv").collect()
+    assert(got.length == words.length * 2)
+    words.foreach { w =>
+      val p1 = docs.count { case (en, ts) => en && ts(w) }.toLong
+      val n1 = docs.count { case (en, ts) => !en && ts(w) }.toLong
+      val rows = got.filter(_.getString(0) == w)
+      assert(rows.length == 2)
+      val ivWant = rows.map { r =>
+        val (np, nn) = if (r.getLong(1) == 1L) (p1, n1)
+          else (tp - p1, tn - n1)
+        assert(r.getLong(2) == np && r.getLong(3) == nn, s"$w cells")
+        val woe = math.floor(math.log(((np + 1) * (tn + 2)).toDouble /
+          ((nn + 1) * (tp + 2))) * 1e6).toLong
+        assert(r.getLong(4) == woe, s"$w woe")
+        val contrib = math.floor(((np + 1).toDouble / (tp + 2) -
+          (nn + 1).toDouble / (tn + 2)) *
+          math.log(((np + 1) * (tn + 2)).toDouble /
+            ((nn + 1) * (tp + 2))) * 1e6).toLong
+        assert(r.getLong(5) == contrib, s"$w contrib")
+        contrib
+      }.sum
+      rows.foreach(r => assert(r.getLong(6) == ivWant, s"$w iv"))
+    }
+    // IV terms are nonnegative by construction ((p−q) and ln share
+    // sign); the floor can shave at most 1 micro per cell. The
+    // MAGNITUDES are honestly near-null here — the quasi-random
+    // fixture's marker presence barely separates en from non-en
+    // (the graph_embed_link_auc precedent: the screen REPORTS weak
+    // features instead of flattering them).
+    assert(got.forall(_.getLong(5) >= -1L))
+    assert(got.forall(_.getLong(6) >= -2L))
+  }
+
+  test("ab_diff_in_diff: the four cells and the DiD compose from raw purchases") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("value"),
+        expr("unix_micros(cast(ts as timestamp))").as("us")).collect()
+      .map(r => (r.getLong(0) % 2, math.floor(r.getDouble(1) * 100).toLong,
+        r.getLong(2)))
+    val mid = (ev.map(_._3).min + ev.map(_._3).max) / 2
+    def cell(g: Long, post: Boolean) =
+      ev.filter(e => e._1 == g && ((e._3 >= mid) == post)).map(_._2)
+    val got = run("ab_diff_in_diff").collect()
+    assert(got.length == 1)
+    val r = got.head
+    val cells = Seq(cell(0, false), cell(0, true), cell(1, false), cell(1, true))
+    cells.zipWithIndex.foreach { case (c, i) =>
+      assert(r.getLong(i) == c.length.toLong, s"cell $i n") }
+    val means = cells.map(c => c.sum * 1000000L / c.length)
+    (0 to 3).foreach(i => assert(r.getLong(4 + i) == means(i), s"mean $i"))
+    assert(r.getLong(8) == (means(3) - means(2)) - (means(1) - means(0)))
+    // SE/t present on this fixture (all four cells populated)
+    assert(!r.isNullAt(9) && !r.isNullAt(10))
+    assert(r.getDouble(9) > 0.0)
+  }
+
+  test("surv_logrank: the hypergeometric table and the chi-square replay by definition") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_type"), col("value"),
+        expr("unix_micros(cast(ts as timestamp))").as("us")).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+    val wm = ev.map(_._4).max
+    val durs = ev.filter(_._2 == "signup").groupBy(_._1).toSeq.map {
+      case (u, rs) =>
+        val s0 = rs.map(_._4).min
+        val conv = ev.filter(e => e._1 == u && e._2 == "purchase" &&
+          e._3 >= 100.0 && e._4 >= s0).map(_._4)
+        (u % 2, if (conv.nonEmpty) 1L else 0L,
+          (if (conv.nonEmpty) conv.min - s0 else wm - s0) / 3600000000L)
+    }
+    val grid = durs.groupBy(_._3).toSeq.sortBy(_._1)
+    var n0 = durs.count(_._1 == 0L).toLong
+    var n1 = durs.count(_._1 == 1L).toLong
+    var oe = 0L; var va = 0L
+    val want = grid.map { case (t, rs) =>
+      val d0 = rs.count(r => r._1 == 0L && r._2 == 1L).toLong
+      val c0 = rs.count(r => r._1 == 0L && r._2 == 0L).toLong
+      val d1 = rs.count(r => r._1 == 1L && r._2 == 1L).toLong
+      val c1 = rs.count(r => r._1 == 1L && r._2 == 0L).toLong
+      val (n, d) = (n0 + n1, d0 + d1)
+      val e0 = d * n0 * 1000000L / n
+      val v = if (n > 1) d * n0 * n1 * (n - d) * 1000000L / (n * n * (n - 1))
+        else 0L
+      oe += d0 * 1000000L - e0; va += v
+      val row = (t, n0, n1, d0, d1, e0, v)
+      n0 -= d0 + c0; n1 -= d1 + c1
+      row
+    }
+    val got = run("surv_logrank").collect().sortBy(_.getLong(0))
+    assert(got.length == want.length)
+    got.zip(want).foreach { case (r, (t, w0, w1, d0, d1, e0, v)) =>
+      assert(r.getLong(0) == t && r.getLong(1) == w0 && r.getLong(2) == w1)
+      assert(r.getLong(3) == d0 && r.getLong(4) == d1)
+      assert(r.getLong(5) == e0, s"e0 at $t")
+      assert(r.getLong(6) == v, s"v at $t")
+      assert(r.getLong(7) == oe && r.getLong(8) == va)
+      val chi2 = (oe.toDouble / 1e6) * (oe.toDouble / 1e6) / (va.toDouble / 1e6)
+      assert(math.abs(r.getDouble(9) - chi2) < 1e-3)
+      assert(r.getBoolean(10) == (chi2 > 3.841))
+    }
+  }
+
+  test("eval_roc_auc: the rank-sum AUC equals the brute-force pair count") {
+    val perc = run("text_classifier_perceptron").collect()
+      .find(_.getInt(0) == 3).get
+    val w3 = (3 until 10).map(perc.getLong)
+    val words = graft.queries.TextVector.PercWords
+    val margins = graft.engine.Tables.documents(spark, sf)
+      .select("lang", "text").collect()
+      .map { r =>
+        val toks = r.getString(1).split(" ")
+        val x = words.map(w => toks.count(_ == w).toLong) :+ 1L
+        (x.zip(w3).map { case (a, b) => a * b }.sum,
+          r.getString(0) == "en")
+      }
+    val pos = margins.filter(_._2).map(_._1)
+    val neg = margins.filterNot(_._2).map(_._1)
+    // brute-force tie-aware pair count: wins*2 + ties (AUC·2PN)
+    val units = (for (p <- pos; n <- neg) yield
+      if (p > n) 2L else if (p == n) 1L else 0L).sum
+    val got = run("eval_roc_auc").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == pos.length.toLong && r.getLong(1) == neg.length.toLong)
+    assert(r.getLong(2) == units, "rank-sum identity diverges from pair enumeration")
+    assert(math.abs(r.getDouble(3) -
+      units.toDouble / (2.0 * pos.length * neg.length)) < 1e-4)
+    assert(r.getLong(4) == units - pos.length.toLong * neg.length)
+  }
+
+  test("attribution_shapley: coalition values, weights, and efficiency replay exactly") {
+    val ev = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"), col("event_id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // journeys: per-user segments split at each purchase
+    val journeys = ev.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      val seq = rows.sortBy(r => (r._3, r._4)).map(_._2)
+      val segs = scala.collection.mutable.ArrayBuffer[Seq[String]]()
+      var cur = scala.collection.mutable.ArrayBuffer[String]()
+      seq.foreach { t => cur += t; if (t == "purchase") { segs += cur.toSeq; cur = scala.collection.mutable.ArrayBuffer[String]() } }
+      if (cur.nonEmpty) segs += cur.toSeq
+      segs
+    }
+    val bits = Map("view" -> 1L, "click" -> 2L, "signup" -> 4L, "error" -> 8L)
+    val ct = journeys.map { s =>
+      (s.flatMap(bits.get).distinct.sum,
+        if (s.contains("purchase")) 1L else 0L)
+    }.groupBy(_._1).map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    val v = (0L to 15L).map(k => k -> ct.get(k).map {
+      case (n, c) => c * 1000000L / n }.getOrElse(0L)).toMap
+    val wnum = Map(0 -> 6L, 1 -> 2L, 2 -> 2L, 3 -> 6L)
+    val phi = bits.map { case (ch, b) =>
+      ch -> (0L to 15L).filter(s => (s & b) == 0).map { s =>
+        wnum(java.lang.Long.bitCount(s)) * (v(s | b) - v(s))
+      }.sum
+    }
+    val got = run("attribution_shapley").collect()
+    assert(got.length == 4)
+    got.foreach { r =>
+      val ch = r.getString(0)
+      assert(r.getLong(1) == phi(ch), s"$ch phi_units")
+      assert(r.getLong(2) == phi(ch) / 24L)
+      assert(r.getLong(3) == v(0L) && r.getLong(4) == v(15L))
+      assert(r.getLong(5) == (0L to 15L).count(k => !ct.contains(k)).toLong)
+      // the efficiency identity holds to the unit
+      assert(r.getLong(6) == phi.values.sum - 24L * (v(15L) - v(0L)))
+      assert(r.getLong(6) == 0L, "efficiency gap must be zero")
+    }
+  }
+
+  test("eval_cohens_kappa: po/pe/kappa replay from the confusion matrix") {
+    val cm = run("text_lang_id_eval").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val n = cm.values.sum
+    val diag = cm.collect { case ((a, b), c) if a == b => c }.sum
+    val rowT = cm.groupBy(_._1._1).map { case (k, m) => k -> m.values.sum }
+    val colT = cm.groupBy(_._1._2).map { case (k, m) => k -> m.values.sum }
+    val pe = rowT.map { case (k, rt) => rt * colT.getOrElse(k, 0L) }.sum
+    val got = run("eval_cohens_kappa").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n && r.getLong(1) == diag)
+    assert(r.getLong(2) == diag * 1000000L / n)
+    assert(r.getLong(3) == pe * 1000000L / (n * n))
+    val kappa = (diag * n - pe) * 1000000L / (n * n - pe)
+    assert(r.getLong(4) == kappa)
+    val verdict = if (kappa < 200000L) "slight" else if (kappa < 400000L) "fair"
+      else if (kappa < 600000L) "moderate" else if (kappa < 800000L) "substantial"
+      else "almost_perfect"
+    assert(r.getString(5) == verdict)
+  }
 }

@@ -1538,4 +1538,58 @@ class StreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("stream_cusum: daily counters recompose batch ts_cusum's chart and alarms after replay") {
+    val sess = spark
+    import sess.implicits._
+    val all = graft.engine.Tables.loadEvents(spark, sf)
+      .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      .as[Streams.Event].collect().sortBy(e => (e.ts.getTime, e.event_id))
+    val third = all.length / 3
+    val mem = MemoryStream[Streams.Event](62, spark, None)
+    val q = Streams.cusumDaily(mem.toDS()).writeStream.format("memory")
+      .queryName("t_cusum").outputMode("complete").start()
+    try {
+      var seen = 0L
+      Seq(all.take(third), all.slice(third, 2 * third), all.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seen += sl.length
+          val partial = spark.table("t_cusum")
+          assert(partial.agg(sum("n")).collect()(0).getLong(0) == seen,
+            "count mass not conserved mid-replay")
+        }
+      val cells = spark.table("t_cusum").collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime) -> r.getLong(2))
+        .toMap
+      val batch = graft.engine.Registry.byName("ts_cusum")
+        .build(spark, sf).collect()
+      assert(batch.length == cells.size)
+      // panel counters equal the batch daily rollup exactly
+      batch.foreach { r =>
+        val k = (r.getString(0), r.getTimestamp(1).getTime)
+        assert(cells(k) == r.getLong(2), s"$k daily count diverges")
+      }
+      // the chart — mu, both closed-form CUSUMs, both alarms —
+      // recomposes from the emitted counters exactly as the batch
+      // edge expression
+      batch.groupBy(_.getString(0)).foreach { case (feed, rows) =>
+        val seq = rows.sortBy(_.getTimestamp(1).getTime)
+        val ns = seq.map(r => cells((feed, r.getTimestamp(1).getTime)))
+        val mu = ns.sum * 1000000L / ns.length
+        val k = mu / 20L
+        var sHi = 0L; var sLo = 0L
+        seq.zip(ns).foreach { case (r, n) =>
+          assert(r.getLong(3) == mu, s"$feed mu")
+          sHi = math.max(0L, sHi + (n * 1000000L - mu - k))
+          sLo = math.max(0L, sLo + (mu - k - n * 1000000L))
+          assert(r.getLong(4) == sHi && r.getLong(5) == sLo,
+            s"$feed chart cell diverges")
+          assert(r.getBoolean(6) == (sHi > 2 * mu) &&
+            r.getBoolean(7) == (sLo > 2 * mu), s"$feed alarm diverges")
+        }
+      }
+    } finally q.stop()
+  }
 }
