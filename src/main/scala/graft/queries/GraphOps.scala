@@ -367,6 +367,25 @@ object GraphOps extends QueryGroup {
     (v1, v2, rays)
   }
 
+  /** Materialized rank-2 embedding — [[walkEmbedAxes]]' full output
+    * (node, v, v2, and the three Rayleigh readouts as constant
+    * columns) written once per (session, sf) via [[sessionSink]],
+    * bucketed by node. r13 bench adjudication (pre-adjudicated
+    * intentional plan change, the sink_walk_corpus precedent): the
+    * two consumers — graph_walk_embed_k2 and graph_embed_link_auc —
+    * each re-ran the full 8-iteration + downdate chain per query
+    * (7.6 s + 19.9 s at sf0.1 in the r13 curve run); the sink runs
+    * the chain ONCE and both read the written layout. The
+    * correctness surface is unchanged: both ops emit the same
+    * values, now scanned from the sinked table. */
+  private def walkEmbedding(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_walk_embedding", WalkCorpusBuckets,
+      "node", Seq("node")) {
+      val (v1, v2, rays) = walkEmbedAxes(spark, sf)
+      v1.join(v2.withColumnRenamed("v", "v2"), "node")
+        .crossJoin(broadcast(rays))
+    }
+
   /** The same PMI table as DuckDB CTEs ending in `pm` — shared by
     * graph_walk_pmi's oracle and graph_walk_embed's. */
   private val WalkPmiSqlPrefix: String =
@@ -2996,10 +3015,8 @@ object GraphOps extends QueryGroup {
     // graph_walk_embed by construction (proven in-spec).
     QueryDef(
       "graph_walk_embed_k2",
-      (spark, sf) => {
-        val (v1, v2, rays) = walkEmbedAxes(spark, sf)
-        v1.join(v2.withColumnRenamed("v", "v2"), "node")
-          .crossJoin(broadcast(rays))
+      (spark, sf) =>
+        walkEmbedding(spark, sf)
           .select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
@@ -3007,8 +3024,7 @@ object GraphOps extends QueryGroup {
             col("v").as("emb1_q"), col("v2").as("emb2_q"),
             col("rayleigh1"), col("rayleigh2"), col("eig_ratio"))
           .withColumn("iters", lit(8))
-          .orderBy("node_type", "key")
-      },
+          .orderBy("node_type", "key"),
       Some {
         s"WITH $WalkEmbedK2Sql " +
           "SELECT CASE WHEN kx4.node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type, " +
@@ -3067,8 +3083,8 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_embed_link_auc",
       (spark, sf) => {
-        val (v1, v2, _) = walkEmbedAxes(spark, sf)
-        val emb = v1.join(v2.withColumnRenamed("v", "v2"), "node")
+        val emb = walkEmbedding(spark, sf)
+          .select(col("node"), col("v"), col("v2"))
           .localCheckpoint(true)
         val ed = edges(spark, sf).filter(col("src") % 2 === 0)
           .select(col("src").as("u"), col("dst").as("w"))
