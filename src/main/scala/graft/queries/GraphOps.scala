@@ -2378,6 +2378,21 @@ object GraphOps extends QueryGroup {
     // same signature as the r10/r11 star-drift adjudications.
     // Verdict: box drift on scheduler-latency-bound multi-action
     // queries, all four; no plan changed, nothing to fix.
+    // r12→r13 LEDGER DRIFT ADJUDICATED (same family, r13 final
+    // bench): graph_random_walks 4.38→12.24 (2.79×) and
+    // graph_louvain_round 3.53→6.81 (1.93×), both UNTOUCHED code.
+    // Interleaved BenchOne A/B, 2 rounds each at sf0.1, 2026-08-16:
+    // fresh-JVM warm reads 6.56/9.86 s (random_walks) and 5.28/6.30
+    // (louvain_round) — BOTH elevated ~1.5-2× over their ledger
+    // pairs in isolation too, while sibling graph_hits reads 0.94×
+    // of its ledger in the same bench. Same signature as the block
+    // above: correlated environment drift on the heaviest
+    // shuffle-bound multi-action queries, amplified in-bench by the
+    // larger 355-query session's residue (25 new ops + two new
+    // session sinks ahead of them in the run order). No plan
+    // changed; the sink wins measured in the same run
+    // (betweenness pair 14.1→0.45 s, Louvain family −19 s,
+    // embedding pair −24 s) dwarf the drift.
     QueryDef(
       "graph_hits",
       (spark, sf) => {
