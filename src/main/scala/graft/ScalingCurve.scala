@@ -126,7 +126,7 @@ object ScalingCurve {
       "surv_nelson_aalen", "rank_mrr", "attribution_markov",
       "eval_pr_curve", "feat_woe_iv", "ab_diff_in_diff",
       "surv_logrank", "eval_roc_auc", "attribution_shapley",
-      "eval_cohens_kappa")
+      "eval_cohens_kappa", "eval_mcnemar")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

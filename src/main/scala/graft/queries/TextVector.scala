@@ -141,14 +141,14 @@ object TextVector extends QueryGroup {
       sf: String): org.apache.spark.sql.DataFrame = {
     val (f, _, _, s3) = percStages(spark, sf)
     f.crossJoin(broadcast(s3))
-      .select(
+      .select(col("doc_id"),
         when(col("y") === 1L, 1L).otherwise(0L).as("y01"),
         percDotW("w3").as("margin"))
   }
 
   /** The oracle-side scored frame: CTE mg(y01, margin) off ct. */
   private val PercMarginSql: String =
-    s"mg AS (SELECT CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01, ${PercSqlDot("c")} AS margin FROM f CROSS JOIN ct)"
+    s"mg AS (SELECT doc_id, CASE WHEN y = 1 THEN 1 ELSE 0 END AS y01, ${PercSqlDot("c")} AS margin FROM f CROSS JOIN ct)"
 
   def defs: Seq[QueryDef] = Seq(
 
@@ -865,6 +865,82 @@ object TextVector extends QueryGroup {
         "number is bit-stable under any partitioning. Per-segment " +
         "AUC adds the segment key to the grid and window; " +
         "graph_embed_link_auc is this identity on sampled pairs."),
+
+    // McNemar's paired test (r13) — the MODEL-COMPARISON member
+    // closing the eval family: the single-model metrics (accuracy,
+    // AUC, PR, κ, calibration) cannot say whether classifier B
+    // actually beats classifier A on the SAME documents — two
+    // models can share an accuracy while disagreeing on half the
+    // corpus. McNemar tests exactly the disagreement cells: A = the
+    // lang-ID marker vote (pred_lang = 'en'), B = the trained
+    // perceptron (margin > 0), truth = the label, paired per doc by
+    // one equi join of the two shared prediction frames. χ² =
+    // (n₁₀−n₀₁)²/(n₁₀+n₀₁) composes from exact BIGINT cells with
+    // ONE edge division; the discordant-cell fence (n₁₀+n₀₁ = 0 →
+    // no test, stated NULL) and the significance compare on the
+    // UNROUNDED value keep both engines' verdicts identical.
+    QueryDef(
+      "eval_mcnemar",
+      (spark, sf) => {
+        val a = langPredictions(spark, sf)
+          .select(col("doc_id"),
+            (col("pred_lang") === "en").cast("long").as("pa"),
+            (col("lang") === "en").cast("long").as("y"))
+        val b = percMargins(spark, sf)
+          .select(col("doc_id"), (col("margin") > 0L).cast("long").as("pb"))
+        val cells = a.join(b, "doc_id")
+          .select(
+            (col("pa") === col("y")).cast("long").as("ra"),
+            (col("pb") === col("y")).cast("long").as("rb"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("ra") * col("rb")).as("n_both_right"),
+            sum(col("ra") * (lit(1L) - col("rb"))).as("n_only_a"),
+            sum((lit(1L) - col("ra")) * col("rb")).as("n_only_b"),
+            sum((lit(1L) - col("ra")) * (lit(1L) - col("rb")))
+              .as("n_both_wrong"))
+        val chi2raw = ((col("n_only_a") - col("n_only_b")) *
+          (col("n_only_a") - col("n_only_b"))).cast("double") /
+          (col("n_only_a") + col("n_only_b")).cast("double")
+        cells.select(col("n_docs"), col("n_both_right"),
+          col("n_only_a"), col("n_only_b"), col("n_both_wrong"),
+          expr("((n_both_right + n_only_a) * 1000000) div n_docs")
+            .as("acc_a_ppm"),
+          expr("((n_both_right + n_only_b) * 1000000) div n_docs")
+            .as("acc_b_ppm"),
+          when(col("n_only_a") + col("n_only_b") > 0L,
+            round(chi2raw, 4)).as("chi2"),
+          coalesce(when(col("n_only_a") + col("n_only_b") > 0L,
+            chi2raw > lit(3.841)), lit(false)).as("significant"))
+      },
+      Some(s"WITH $PercSqlCtes, " +
+        s"$PercMarginSql, " +
+        s"$LangPredSql, " +
+        "pd AS (SELECT p.doc_id, CASE WHEN p.pred_lang = 'en' THEN 1 ELSE 0 END AS pa, CASE WHEN p.lang = 'en' THEN 1 ELSE 0 END AS y, CASE WHEN mg.margin > 0 THEN 1 ELSE 0 END AS pb FROM p JOIN mg ON p.doc_id = mg.doc_id), " +
+        "cl AS (SELECT count(*) AS n_docs, " +
+        "CAST(sum(CASE WHEN pa = y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n_both_right, " +
+        "CAST(sum(CASE WHEN pa = y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_only_a, " +
+        "CAST(sum(CASE WHEN pa <> y AND pb = y THEN 1 ELSE 0 END) AS BIGINT) AS n_only_b, " +
+        "CAST(sum(CASE WHEN pa <> y AND pb <> y THEN 1 ELSE 0 END) AS BIGINT) AS n_both_wrong FROM pd) " +
+        "SELECT n_docs, n_both_right, n_only_a, n_only_b, n_both_wrong, " +
+        "((n_both_right + n_only_a) * 1000000) // n_docs AS acc_a_ppm, " +
+        "((n_both_right + n_only_b) * 1000000) // n_docs AS acc_b_ppm, " +
+        "CASE WHEN n_only_a + n_only_b > 0 THEN round(CAST((n_only_a - n_only_b) * (n_only_a - n_only_b) AS DOUBLE) / (n_only_a + n_only_b), 4) END AS chi2, " +
+        "COALESCE(CASE WHEN n_only_a + n_only_b > 0 THEN CAST((n_only_a - n_only_b) * (n_only_a - n_only_b) AS DOUBLE) / (n_only_a + n_only_b) > 3.841 END, FALSE) AS significant " +
+        "FROM cl"),
+      scaleNote = "Both prediction frames are existing shared " +
+        "machinery (one broadcast-lexicon pass; three perceptron " +
+        "epoch aggregates + a row-local scored dot), the pairing is " +
+        "ONE equi join on doc_id — co-partitioned with the per-doc " +
+        "aggregates that feed it — and the contingency table is one " +
+        "grouping-free conditional aggregate: four BIGINT cells " +
+        "whatever the corpus size. The χ² touches floats exactly " +
+        "once, composed from exact integers, with the significance " +
+        "compare on the UNROUNDED value on both engines (the " +
+        "surv_logrank rule). This is the promotion gate for any " +
+        "corpus-filter upgrade at 100 TB: run both model versions " +
+        "over a sample_consistent slice, McNemar the disagreement " +
+        "cells, and ship only on a significant win — accuracy " +
+        "deltas alone double-count the agreeing majority."),
 
     // Flesch reading-ease per language — the READABILITY member of
     // the quality stack (text_quality measures lexical surface,

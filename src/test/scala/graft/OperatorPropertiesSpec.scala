@@ -3015,4 +3015,39 @@ class OperatorPropertiesSpec extends SparkSpec {
       else "almost_perfect"
     assert(r.getString(5) == verdict)
   }
+
+  test("eval_mcnemar: contingency cells and the test replay from the two predictors") {
+    val preds = run("text_lang_id").collect()
+      .map(r => r.getLong(0) -> (r.getString(2) == "en", r.getString(1) == "en")).toMap
+    val perc = run("text_classifier_perceptron").collect()
+      .find(_.getInt(0) == 3).get
+    val w3 = (3 until 10).map(perc.getLong)
+    val words = graft.queries.TextVector.PercWords
+    val cells = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "text").collect().map { r =>
+        val toks = r.getString(1).split(" ")
+        val x = words.map(w => toks.count(_ == w).toLong) :+ 1L
+        val (pa, y) = preds(r.getLong(0))
+        val pb = x.zip(w3).map { case (a, b) => a * b }.sum > 0L
+        (pa == y, pb == y)
+      }
+    val n = cells.length.toLong
+    val bothR = cells.count(c => c._1 && c._2).toLong
+    val onlyA = cells.count(c => c._1 && !c._2).toLong
+    val onlyB = cells.count(c => !c._1 && c._2).toLong
+    val bothW = cells.count(c => !c._1 && !c._2).toLong
+    val got = run("eval_mcnemar").collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getLong(0) == n && r.getLong(1) == bothR)
+    assert(r.getLong(2) == onlyA && r.getLong(3) == onlyB
+      && r.getLong(4) == bothW)
+    assert(r.getLong(5) == (bothR + onlyA) * 1000000L / n)
+    assert(r.getLong(6) == (bothR + onlyB) * 1000000L / n)
+    if (onlyA + onlyB > 0) {
+      val chi2 = ((onlyA - onlyB) * (onlyA - onlyB)).toDouble / (onlyA + onlyB)
+      assert(math.abs(r.getDouble(7) - chi2) < 1e-3)
+      assert(r.getBoolean(8) == (chi2 > 3.841))
+    } else assert(r.isNullAt(7) && !r.getBoolean(8))
+  }
 }
