@@ -18,7 +18,15 @@ object Catalog {
       df.createOrReplaceTempView(n)
     }
     GraftExtensions.install(spark)
-    graft.functions.Gtfs.register(spark)
+    // register-once-per-session guard (VERDICT r13 #7): re-running
+    // the UDAF registration on every Catalog.register call made
+    // SimpleFunctionRegistry log a "function replaced" WARN per
+    // SQL-surface query — 198 lines per test run. functionExists is
+    // session-scoped, so a fresh session still installs; the native
+    // registerFunction calls above are overwrite-silent and need no
+    // guard.
+    if (!spark.catalog.functionExists("geometric_mean"))
+      graft.functions.Gtfs.register(spark)
   }
 
   /** Persist a table as a managed catalog table and compute CBO

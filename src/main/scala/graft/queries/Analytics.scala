@@ -1327,6 +1327,11 @@ object Analytics extends QueryGroup {
         val tot = phi.agg(sum(col("phi_units")).as("sum_units"))
         phi.crossJoin(broadcast(unc)).crossJoin(broadcast(tot))
           .select(col("channel"), col("phi_units"),
+            // phi_units is NEGATIVE for drag channels; plain signed
+            // div is safe because integer-division truncation parity
+            // (Spark div ≡ DuckDB // toward zero) is the measured
+            // house contract, pinned every round by fn_math's
+            // neg_div_trunc gate column (r13 ADVICE #2).
             expr("phi_units div 24").as("phi_micro"),
             col("v_empty_ppm"), col("v_full_ppm"), col("n_uncovered"),
             (col("sum_units") -
@@ -1802,9 +1807,19 @@ object Analytics extends QueryGroup {
       (spark, sf) => {
         val wseq = Window.orderBy("dur_h")
           .rowsBetween(Window.unboundedPreceding, 0)
+        // the d = n_risk branch (terminal step, S(t) hits 0) must be
+        // an EXPLICIT stated NULL (r13 ADVICE #1): Spark log(0)
+        // returns NULL which the running sum silently skips, but
+        // DuckDB ln(0) throws a hard Out of Range error — so without
+        // the guard the all-deaths terminal row is a latent oracle
+        // crash on one engine and a silent skip on the other. The
+        // surv_zero column already flags the row; the NULL step makes
+        // both engines' running sums skip it identically by contract.
         survRiskGrid(spark, sf)
           .withColumn("step_micro",
-            when(col("d") === 0L, lit(0L)).otherwise(
+            when(col("d") === 0L, lit(0L))
+              .when(col("d") === col("n_risk"), lit(null).cast("long"))
+              .otherwise(
               floor(log((col("n_risk") - col("d")).cast("double") /
                 col("n_risk").cast("double")) * lit(1000000.0))
                 .cast("long")))
@@ -1817,7 +1832,7 @@ object Analytics extends QueryGroup {
           .orderBy("dur_h")
       },
       Some(s"WITH $SurvSqlCtes, " +
-        "s AS (SELECT *, CASE WHEN d = 0 THEN 0 ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT) END AS step_micro FROM r) " +
+        "s AS (SELECT *, CASE WHEN d = 0 THEN 0 WHEN d = n_risk THEN NULL ELSE CAST(floor(ln(CAST(n_risk - d AS DOUBLE) / CAST(n_risk AS DOUBLE)) * 1000000.0) AS BIGINT) END AS step_micro FROM r) " +
         "SELECT dur_h, n_risk, d AS d_conv, c AS c_cens, step_micro, " +
         "CAST(sum(step_micro) OVER (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS log_surv_micro, " +
         "d = n_risk AS surv_zero FROM s ORDER BY dur_h"),
@@ -1927,9 +1942,20 @@ object Analytics extends QueryGroup {
           .withColumn("n", col("n0") + col("n1"))
           .withColumn("d", col("d0") + col("d1"))
           .withColumn("e0_micro", expr("(d * n0 * 1000000) div n"))
+          // TWO truncating steps (r13 ADVICE #4): the single-division
+          // spelling d·n0·n1·(n−d)·1e6 div n²(n−1) overflows 2^63 at
+          // ~13k subjects under the d-scales-with-n worst case of
+          // this hour-granular grid (d ≈ n/700 ⇒ product ~n⁴·357) —
+          // and on overflow Spark BIGINT wraps silently while DuckDB
+          // errors. Splitting after the first ÷n caps the largest
+          // intermediate at ~n³·357 (boundary ~300k subjects, a 20×
+          // raise) and costs at most 1 micro-unit per grid row
+          // (the dropped remainder r < n contributes r(n−d)/(n²(n−1))
+          // < 1/(n−1) to the true quotient), identical on both
+          // engines by the fn_math-pinned truncation-parity contract.
           .withColumn("v_micro",
             when(col("n") > 1L,
-              expr("(d * n0 * n1 * (n - d) * 1000000) div (n * n * (n - 1))"))
+              expr("(((d * n0 * n1 * 1000000) div n) * (n - d)) div (n * (n - 1))"))
               .otherwise(0L))
         val test = r.agg(
           sum(col("d0") * lit(1000000L) - col("e0_micro")).as("oe_micro"),
@@ -1957,7 +1983,7 @@ object Analytics extends QueryGroup {
         "tt AS (SELECT CAST(sum(d0 + c0) AS BIGINT) AS t0, CAST(sum(d1 + c1) AS BIGINT) AS t1 FROM dg), " +
         "rk AS (SELECT dg.*, t0 - CAST(sum(d0 + c0) OVER win AS BIGINT) + d0 + c0 AS n0, t1 - CAST(sum(d1 + c1) OVER win AS BIGINT) + d1 + c1 AS n1 FROM dg CROSS JOIN tt WINDOW win AS (ORDER BY dur_h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), " +
         "rr AS (SELECT *, n0 + n1 AS n, d0 + d1 AS d FROM rk), " +
-        "rm AS (SELECT *, (d * n0 * 1000000) // n AS e0_micro, CASE WHEN n > 1 THEN (d * n0 * n1 * (n - d) * 1000000) // (n * n * (n - 1)) ELSE 0 END AS v_micro FROM rr), " +
+        "rm AS (SELECT *, (d * n0 * 1000000) // n AS e0_micro, CASE WHEN n > 1 THEN (((d * n0 * n1 * 1000000) // n) * (n - d)) // (n * (n - 1)) ELSE 0 END AS v_micro FROM rr), " +
         "ts AS (SELECT CAST(sum(d0 * 1000000 - e0_micro) AS BIGINT) AS oe_micro, CAST(sum(v_micro) AS BIGINT) AS var_micro FROM rm) " +
         "SELECT dur_h, n0, n1, d0, d1, e0_micro, v_micro, oe_micro, var_micro, " +
         "CASE WHEN var_micro > 0 THEN round((CAST(oe_micro AS DOUBLE) / 1000000.0) * (CAST(oe_micro AS DOUBLE) / 1000000.0) / (CAST(var_micro AS DOUBLE) / 1000000.0), 4) END AS chi2, " +
@@ -1968,11 +1994,16 @@ object Analytics extends QueryGroup {
         "same map-side passes (4 conditional cells per grid row " +
         "instead of 2), and both risk-set windows run on the " +
         "|distinct durations| grid, never on users. The " +
-        "hypergeometric terms are the overflow-watched part: " +
-        "d·n0·n1·(n−d)·1e6 stays under 2^63 up to ~50k subjects at " +
-        "risk simultaneously — past that, divide n²(n−1) in two " +
-        "truncating steps or escalate to DECIMAL(38,0), stated not " +
-        "silent. O−E and V floor to micro BEFORE summing, so the χ² " +
+        "hypergeometric terms are the overflow-watched part, and the " +
+        "variance division runs in TWO truncating steps (÷n first, " +
+        "then ÷n(n−1)) so the largest intermediate is ~d·n²·1e6: " +
+        "under the d-scales-with-n worst case of an hour-granular " +
+        "grid (d ≈ n/700) that holds under 2^63 to ~300k subjects " +
+        "at risk — the single-division spelling wrapped silently at " +
+        "~13k, a 20× raise for ≤1 micro-unit of stated truncation " +
+        "bias per grid row. Past 300k, escalate to DECIMAL(38,0) " +
+        "partials (agg_corr's escalation), stated not silent. " +
+        "O−E and V floor to micro BEFORE summing, so the χ² " +
         "inputs are two exact BIGINTs and the verdict cannot flip " +
         "with partitioning. Stratified log-rank (by segment) adds " +
         "the stratum to every key and sums the same two columns " +
@@ -3074,10 +3105,17 @@ object Analytics extends QueryGroup {
     // micro-units, l_t = (x_t·1e6 + 4(l+b)) /₅ and b_t =
     // ((l_t−l) + 4b) /₅ where /₅ is FLOOR division spelled as
     // (v − pmod(v,5)) div 5 on both engines — trend goes negative,
-    // and Spark's div truncates toward zero while DuckDB's //
-    // floors, so the explicit pmod form is the only spelling whose
-    // negative-operand semantics agree (the CAST-truncates-vs-rounds
-    // gotcha's division cousin). Spark folds per type with one
+    // and the recursion is DEFINED with floor semantics, so the
+    // spelling makes the floor explicit rather than leaning on
+    // either engine's default. (r13 ADVICE #2 correction: an earlier
+    // version of this comment claimed DuckDB's // floors while Spark
+    // div truncates; MEASURED DuckDB 1.0.0 integer // actually
+    // truncates toward zero exactly like Spark div ((-7)//2 = -3) —
+    // truncation parity is the house contract for plain signed
+    // integer division, pinned cross-engine by fn_math's
+    // neg_div_trunc column. The pmod spelling here is kept because
+    // floor is the semantic this op WANTS, not because plain div
+    // would diverge.) Spark folds per type with one
     // aggregate() HOF over the day-sorted series; the oracle replays
     // the identical recursion as a per-type recursive CTE.
     QueryDef(

@@ -444,8 +444,16 @@ object QualityOps extends QueryGroup {
           .groupBy("qlabel")
           .agg(max(col("nl") - lit(1L)).as("n_rel_pool"),
             sum(col("gain_micro")).as("idcg_micro"))
-        per.join(broadcast(idcg), "qlabel")
-          .select(col("query_id"), col("qlabel"), col("n_rel_pool"),
+        // LEFT join (r13 ADVICE #3): a query whose label has no other
+        // member (nl − 1 = 0) gets NO idcg row from the theta join,
+        // and an inner join would silently DROP the query — the eval
+        // under-reporting coverage instead of surfacing the
+        // undefined-NDCG case. rank_mrr's no-hit-stays-in discipline:
+        // the query row survives with n_rel_pool = 0 and an explicit
+        // NULL ndcg_ppm (NULL idcg propagates through the div).
+        per.join(broadcast(idcg), Seq("qlabel"), "left")
+          .select(col("query_id"), col("qlabel"),
+            coalesce(col("n_rel_pool"), lit(0L)).as("n_rel_pool"),
             col("n_rel_top10"), col("dcg_micro"), col("idcg_micro"),
             expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_ppm"))
           .orderBy("query_id")
@@ -456,8 +464,8 @@ object QualityOps extends QueryGroup {
         "t AS (SELECT rt.query_id, rt.qlabel, rt.clabel, g.gain_micro FROM rt JOIN g ON rt.rank = g.rank), " +
         "p AS (SELECT query_id, qlabel, CAST(sum(CASE WHEN clabel = qlabel THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_top10, CAST(sum(CASE WHEN clabel = qlabel THEN gain_micro ELSE 0 END) AS BIGINT) AS dcg_micro FROM t GROUP BY 1, 2), " +
         "i AS (SELECT qlabel, CAST(max(nl - 1) AS BIGINT) AS n_rel_pool, CAST(sum(gain_micro) AS BIGINT) AS idcg_micro FROM lc JOIN g ON g.rank <= least(10, nl - 1) GROUP BY 1) " +
-        "SELECT query_id, p.qlabel, n_rel_pool, n_rel_top10, dcg_micro, idcg_micro, (dcg_micro * 1000000) // idcg_micro AS ndcg_ppm " +
-        "FROM p JOIN i ON p.qlabel = i.qlabel ORDER BY query_id"),
+        "SELECT query_id, p.qlabel, COALESCE(n_rel_pool, 0) AS n_rel_pool, n_rel_top10, dcg_micro, idcg_micro, (dcg_micro * 1000000) // idcg_micro AS ndcg_ppm " +
+        "FROM p LEFT JOIN i ON p.qlabel = i.qlabel ORDER BY query_id"),
       scaleNote = "The eval inherits ann_topk's economics: a FIXED " +
         "16-query broadcast side (O(1) in corpus size), candidates " +
         "scored partition-locally, WindowGroupLimit keeping 10 rows " +

@@ -199,10 +199,21 @@ object SortSetScalar extends QueryGroup {
             round(log(col("l_quantity")), 4).as("qty_ln"),
             sqrt(col("l_quantity")).as("qty_sqrt"),
             pow(col("l_linenumber").cast("double"), 2.0).as("line_sq"),
-            (col("l_orderkey") % 7).as("key_mod"))
+            (col("l_orderkey") % 7).as("key_mod"),
+            // negative-operand integer-division PARITY PIN (r13
+            // ADVICE #2): Spark `div` truncates toward zero, and
+            // measured DuckDB 1.0.0 integer `//` ALSO truncates
+            // ((-7)//2 = -3, not -4) — truncation parity is the
+            // house contract for plain integer division on negative
+            // operands (attribution_shapley's phi_units div 24
+            // relies on it). This column runs that exact case
+            // through the hash gate every round: if either engine
+            // ever changes to floor semantics, fn_math fails loudly.
+            expr("CAST((3 - l_linenumber * 2) div 3 AS BIGINT)")
+              .as("neg_div_trunc"))
           .orderBy("l_orderkey", "l_linenumber", "l_quantity", "price_ceil", "price_floor"),
-      Some("SELECT l_orderkey, l_linenumber, l_quantity, abs(l_quantity - 25.0) AS qty_dev, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, round(ln(l_quantity), 4) AS qty_ln, sqrt(l_quantity) AS qty_sqrt, pow(CAST(l_linenumber AS DOUBLE), 2.0) AS line_sq, l_orderkey % 7 AS key_mod FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, price_ceil, price_floor"),
-      scaleNote = "Scalar math in the scan projection, fully codegen'd. (l_orderkey,l_linenumber) is not unique; every output column is a function of the five sort keys, so any remaining ties are bit-identical rows."),
+      Some("SELECT l_orderkey, l_linenumber, l_quantity, abs(l_quantity - 25.0) AS qty_dev, CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil, CAST(floor(l_extendedprice) AS BIGINT) AS price_floor, round(ln(l_quantity), 4) AS qty_ln, sqrt(l_quantity) AS qty_sqrt, pow(CAST(l_linenumber AS DOUBLE), 2.0) AS line_sq, l_orderkey % 7 AS key_mod, CAST((3 - l_linenumber * 2) // 3 AS BIGINT) AS neg_div_trunc FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, price_ceil, price_floor"),
+      scaleNote = "Scalar math in the scan projection, fully codegen'd. (l_orderkey,l_linenumber) is not unique; every output column is a function of the five sort keys, so any remaining ties are bit-identical rows. neg_div_trunc pins negative-operand integer-division truncation parity cross-engine (the contract attribution_shapley's signed div relies on)."),
 
     // Bitwise function surface — the hash/mask/flag toolkit every
     // bucketing scheme here leans on (band keys, bitmap presence,
