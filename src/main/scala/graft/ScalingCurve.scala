@@ -126,7 +126,13 @@ object ScalingCurve {
       "surv_nelson_aalen", "rank_mrr", "attribution_markov",
       "eval_pr_curve", "feat_woe_iv", "ab_diff_in_diff",
       "surv_logrank", "eval_roc_auc", "attribution_shapley",
-      "eval_cohens_kappa", "eval_mcnemar")
+      "eval_cohens_kappa", "eval_mcnemar",
+      // r14 wave (walk generators now read their session sinks —
+      // these curves price the steady-state bucketed read-back;
+      // the link evals ride the fixed 8k-pair probe)
+      "graph_random_walks", "graph_walk_biased", "sink_walk_biased",
+      "rank_link_hits_at_k", "rank_link_auc_by_degree",
+      "graph_girvan_rounds", "sample_dsir")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

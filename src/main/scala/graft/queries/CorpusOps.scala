@@ -163,6 +163,53 @@ object CorpusOps extends QueryGroup {
       .orderBy("lang")
   }
 
+  /** Per-document DSIR table (doc_id, lang, n_tokens, logw_micro) —
+    * corpus_dsir's build, factored (r14) so sample_dsir composes the
+    * SAME frozen integer weights into its resampling draw. See the
+    * corpus_dsir QueryDef comment for the model. */
+  private def dsirDocTable(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
+          % 64).as("b"))
+    val dc = tok.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    val rawc = dc.groupBy("b").agg(sum(col("c")).as("cr"))
+    val tgtc = dc.filter(col("lang") === "en")
+      .groupBy("b").agg(sum(col("c")).as("ct"))
+    val wts = rawc.join(tgtc, Seq("b"), "left")
+      .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
+    val tots = wts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
+    val wm = wts.crossJoin(broadcast(tots))
+      .select(col("b"),
+        floor(log(((col("ct") + lit(1L)) * (col("tr") + lit(64L)))
+          .cast("double") /
+          ((col("cr") + lit(1L)) * (col("tt") + lit(64L)))
+            .cast("double")) * lit(1000000.0)).cast("long")
+          .as("w_micro"))
+    dc.join(broadcast(wm), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w_micro")).as("logw_micro"))
+  }
+
+  /** The same per-document DSIR table as DuckDB CTEs ending in `ds`. */
+  private val DsirSqlCtes: String =
+    "tok AS (SELECT doc_id, lang, ('0x'||substr(md5(w),9,8))::BIGINT % 64 AS b FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+      "dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY 1, 2, 3), " +
+      "rawc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1), " +
+      "tgtc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dc WHERE lang = 'en' GROUP BY 1), " +
+      "w AS (SELECT rawc.b, COALESCE(ct, 0) AS ct, cr FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b), " +
+      "t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM w), " +
+      "wm AS (SELECT b, CAST(floor(ln(CAST((ct + 1) * (tr + 64) AS DOUBLE) / CAST((cr + 1) * (tt + 64) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro FROM w CROSS JOIN t), " +
+      "ds AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(sum(c * w_micro) AS BIGINT) AS logw_micro FROM dc JOIN wm ON dc.b = wm.b GROUP BY doc_id, lang)"
+
+  /** ln 2 in micro-nats — sample_dsir's dyadic band width. */
+  private val Ln2Micro = 693147L
+
   def defs: Seq[QueryDef] = Seq(
 
     // TF-IDF keyword extraction: top-3 terms per document by
@@ -1137,44 +1184,13 @@ object CorpusOps extends QueryGroup {
     // logw, composable downstream.
     QueryDef(
       "corpus_dsir",
-      (spark, sf) => {
-        val tok = Tables.documents(spark, sf)
-          .select(col("doc_id"), col("lang"),
-            explode(split(col("text"), " ")).as("w"))
-          .select(col("doc_id"), col("lang"),
-            (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
-              % 64).as("b"))
-        val dc = tok.groupBy("doc_id", "lang", "b")
-          .agg(count(lit(1)).as("c"))
-        val rawc = dc.groupBy("b").agg(sum(col("c")).as("cr"))
-        val tgtc = dc.filter(col("lang") === "en")
-          .groupBy("b").agg(sum(col("c")).as("ct"))
-        val wts = rawc.join(tgtc, Seq("b"), "left")
-          .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
-        val tots = wts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-        val wm = wts.crossJoin(broadcast(tots))
-          .select(col("b"),
-            floor(log(((col("ct") + lit(1L)) * (col("tr") + lit(64L)))
-              .cast("double") /
-              ((col("cr") + lit(1L)) * (col("tt") + lit(64L)))
-                .cast("double")) * lit(1000000.0)).cast("long")
-              .as("w_micro"))
-        dc.join(broadcast(wm), "b")
-          .groupBy("doc_id", "lang")
-          .agg(sum(col("c")).as("n_tokens"),
-            sum(col("c") * col("w_micro")).as("logw_micro"))
+      (spark, sf) =>
+        dsirDocTable(spark, sf)
           .withColumn("selected", col("logw_micro") > 0L)
-          .orderBy("doc_id")
-      },
-      Some("WITH tok AS (SELECT doc_id, lang, ('0x'||substr(md5(w),9,8))::BIGINT % 64 AS b FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), " +
-        "dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY 1, 2, 3), " +
-        "rawc AS (SELECT b, CAST(sum(c) AS BIGINT) AS cr FROM dc GROUP BY 1), " +
-        "tgtc AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dc WHERE lang = 'en' GROUP BY 1), " +
-        "w AS (SELECT rawc.b, COALESCE(ct, 0) AS ct, cr FROM rawc LEFT JOIN tgtc ON rawc.b = tgtc.b), " +
-        "t AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cr) AS BIGINT) AS tr FROM w), " +
-        "wm AS (SELECT b, CAST(floor(ln(CAST((ct + 1) * (tr + 64) AS DOUBLE) / CAST((cr + 1) * (tt + 64) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w_micro FROM w CROSS JOIN t) " +
-        "SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(sum(c * w_micro) AS BIGINT) AS logw_micro, CAST(sum(c * w_micro) AS BIGINT) > 0 AS selected " +
-        "FROM dc JOIN wm ON dc.b = wm.b GROUP BY doc_id, lang ORDER BY doc_id"),
+          .orderBy("doc_id"),
+      Some(s"WITH $DsirSqlCtes " +
+        "SELECT doc_id, lang, n_tokens, logw_micro, logw_micro > 0 AS selected " +
+        "FROM ds ORDER BY doc_id"),
       scaleNote = "Three map-side-combinable aggregates do all the " +
         "corpus-scale work (per-doc bucket counts collapse inside " +
         "each input split — text_repetition's property — then two " +
@@ -1192,5 +1208,62 @@ object CorpusOps extends QueryGroup {
         "the target slice (any manifest-declared domain). Product " +
         "terms (ct+1)·(tr+64) brush 2^63 only past ~10^17 tokens — " +
         "escalate to DECIMAL(38,0)/HUGEINT there, stated not " +
-        "silent."))
+        "silent."),
+
+    // DSIR resampling (r14, VERDICT r13 #5) — the consumer
+    // corpus_dsir's own comment promised: turn the frozen log
+    // importance weights into an actual selected corpus via
+    // sample_weighted's consistent-hash draw. exp() never runs
+    // in-engine: acceptance is DYADIC — band = floor(logw / ln 2)
+    // (the pmod floor spelling, logw goes negative), the per-doc
+    // rate is 2^(band − max_band) so the best-matching band is
+    // kept with probability 1 (max-normalized importance
+    // resampling — a deterministic normalizer where DSIR's
+    // sum-normalization would need a float global), and the
+    // threshold is one integer shift: thr = 65536 >> (max_band −
+    // band), zero past 17 bands down. Draw = md5-u16(doc_id) <
+    // thr (sample_consistent's contract): the SAME docs selected
+    // on any engine, layout, or rerun. Output = the selected docs
+    // with their full audit trail (weights, band, thr).
+    QueryDef(
+      "sample_dsir",
+      (spark, sf) => {
+        val ds = dsirDocTable(spark, sf)
+          .withColumn("band",
+            expr(s"(logw_micro - pmod(logw_micro, $Ln2Micro)) div $Ln2Micro"))
+        val mb = ds.agg(max(col("band")).as("max_band"))
+        ds.crossJoin(broadcast(mb))
+          .withColumn("thr", expr(
+            "65536 div shiftleft(1L, cast(least(max_band - band, 17) as int))"))
+          .withColumn("u16", conv(substring(md5(concat(lit("graftdsir:"),
+            col("doc_id").cast("string"))), 1, 4), 16, 10).cast("long"))
+          .filter(col("u16") < col("thr"))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("logw_micro"), col("band"), col("thr"))
+          .orderBy("doc_id")
+      },
+      Some(s"WITH $DsirSqlCtes, " +
+        s"bd AS (SELECT *, (logw_micro - ((logw_micro % $Ln2Micro + $Ln2Micro) % $Ln2Micro)) // $Ln2Micro AS band FROM ds), " +
+        "mb AS (SELECT max(band) AS max_band FROM bd), " +
+        "dw AS (SELECT bd.*, 65536 // (1 << least(max_band - band, 17)) AS thr, " +
+        "('0x'||substr(md5('graftdsir:'||CAST(doc_id AS VARCHAR)),1,4))::BIGINT AS u16 " +
+        "FROM bd CROSS JOIN mb) " +
+        "SELECT doc_id, lang, n_tokens, logw_micro, CAST(band AS BIGINT) AS band, CAST(thr AS BIGINT) AS thr " +
+        "FROM dw WHERE u16 < thr ORDER BY doc_id"),
+      scaleNote = "corpus_dsir's economics plus a map-only draw: the " +
+        "model freeze and per-doc scoring are the same three " +
+        "map-side aggregates + 64-row broadcast, the band is scalar " +
+        "arithmetic, max_band is ONE grouping-free aggregate " +
+        "broadcast back (self-certifying 1-row side), and the draw " +
+        "is codegen'd hashing — no new shuffle shape at any corpus " +
+        "size. The dyadic ladder is the determinism fence: exact " +
+        "exp-proportional resampling needs float exp() per doc " +
+        "(order-dependent at the margins), while 2^band quantization " +
+        "costs at most a factor-2 rate error within a band — stated, " +
+        "bounded, and bit-stable. Σ thr/65536 over the corpus = the " +
+        "expected sample size, so budget targeting composes by " +
+        "shifting the normalizer (keep rate halves per extra band " +
+        "subtracted); 16-bit draw resolution truncates 17+ bands " +
+        "below max to zero — at 100 TB that tail is exactly the " +
+        "off-domain mass DSIR exists to drop."))
 }

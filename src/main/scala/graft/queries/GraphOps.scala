@@ -107,8 +107,17 @@ object GraphOps extends QueryGroup {
     * degree indexing a rank-ordered adjacency list. Factored out of
     * graph_random_walks so graph_walk_pairs (the skip-gram consumer)
     * shares the EXACT corpus — one definition, two operators. */
-  private def walkTable(spark: SparkSession, sf: String): DataFrame = {
-    val e = edges(spark, sf)
+  private def walkTable(spark: SparkSession, sf: String): DataFrame =
+    walkTableFrom(edges(spark, sf))
+
+  /** The walk build parameterized by an arbitrary symmetrized edge
+    * list (src, dst) — factored (r14) so GraphOpsSpec can drive the
+    * full DeepWalk chain over a PLANTED-community fixture and prove
+    * the link-AUC eval detects signal when signal exists (the
+    * shipped fixture honestly reads 0.50; honesty alone does not
+    * prove discrimination). Start set stays src % 2 == 0 — fixtures
+    * must carry both parities. */
+  private[graft] def walkTableFrom(e: DataFrame): DataFrame = {
     val w = Window.partitionBy("src").orderBy("dst")
     val adj = e.withColumn("idx",
       row_number().over(w).cast("long") - 1)
@@ -305,8 +314,12 @@ object GraphOps extends QueryGroup {
     * (the trainer input) consumes the exact same pair table. ±2-window
     * co-occurrence via one lead() pass riding the sink's bucketing,
     * symmetrized, grouped to counts split by distance. */
-  private def walkPairTable(spark: SparkSession, sf: String): DataFrame = {
-    val walks = walkCorpus(spark, sf)
+  private def walkPairTable(spark: SparkSession, sf: String): DataFrame =
+    walkPairsFrom(walkCorpus(spark, sf))
+
+  /** The pair extraction parameterized by a walk corpus (start,
+    * step, node) — factored (r14) for the planted-fixture spec. */
+  private[graft] def walkPairsFrom(walks: DataFrame): DataFrame = {
     val w = Window.partitionBy("start").orderBy("step")
     val fw = walks
       .withColumn("n1", lead(col("node"), 1).over(w))
@@ -328,8 +341,13 @@ object GraphOps extends QueryGroup {
   /** The full shifted-PMI table over the skip-gram pairs — graph_
     * walk_pmi's build (no ordering), factored so graph_walk_embed
     * (the spectral trainer) consumes the exact same matrix. */
-  private def walkPmiTable(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = walkPairTable(spark, sf)
+  private def walkPmiTable(spark: SparkSession, sf: String): DataFrame =
+    walkPmiFrom(walkPairTable(spark, sf))
+
+  /** The shifted-PMI build parameterized by a pair table — factored
+    * (r14) for the planted-fixture spec. */
+  private[graft] def walkPmiFrom(pairTable: DataFrame): DataFrame = {
+    val pairs = pairTable
       .select("center", "context", "n_pairs")
     val nc = pairs.groupBy("center").agg(sum("n_pairs").as("n_center"))
     val nx = pairs.groupBy("context").agg(sum("n_pairs").as("n_context"))
@@ -403,14 +421,44 @@ object GraphOps extends QueryGroup {
       "nm2 AS (SELECT sum(CAST(sp2.w AS HUGEINT) * vc.v * vx.v) AS num2 " +
       "FROM sp2 JOIN lx4 vc ON sp2.center = vc.node JOIN lx4 vx ON sp2.context = vx.node)"
 
+  /** The scored link-prediction pair table as DuckDB CTEs ending in
+    * `sc` (u, w, score, lbl) — [[linkScoreTable]]'s oracle twin,
+    * shared by graph_embed_link_auc, rank_link_hits_at_k, and
+    * rank_link_auc_by_degree. */
+  private lazy val LinkScoreSqlCtes: String =
+    s"$WalkEmbedK2Sql, " +
+      "emb AS (SELECT kx4.node, kx4.v AS v1, lx4.v AS v2 FROM kx4 JOIN lx4 ON kx4.node = lx4.node), " +
+      "ed AS (SELECT c AS u, s AS w FROM bp), " +
+      "pos AS (SELECT u, w FROM ed ORDER BY md5('pos:'||CAST(u AS VARCHAR)||':'||CAST(w AS VARCHAR)), u, w LIMIT 4096), " +
+      "cnl AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM (SELECT DISTINCT u AS node FROM ed)), " +
+      "snl AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM (SELECT DISTINCT w AS node FROM ed)), " +
+      "ncn AS (SELECT count(*) AS ncust FROM cnl), " +
+      "nsn AS (SELECT count(*) AS nsupp FROM snl), " +
+      "dr AS (SELECT ('0x'||substr(md5('negc:'||CAST(k AS VARCHAR)),1,8))::BIGINT % (SELECT ncust FROM ncn) AS ci, " +
+      "('0x'||substr(md5('negs:'||CAST(k AS VARCHAR)),1,8))::BIGINT % (SELECT nsupp FROM nsn) AS si " +
+      "FROM (SELECT unnest(range(1, 4097)) AS k)), " +
+      "neg AS (SELECT DISTINCT cnl.node AS u, snl.node AS w FROM dr " +
+      "JOIN cnl ON dr.ci = cnl.idx JOIN snl ON dr.si = snl.idx " +
+      "WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = cnl.node AND ed.w = snl.node)), " +
+      "sc AS (SELECT pos.u, pos.w, e1.v1*e2.v1 + e1.v2*e2.v2 AS score, CAST(1 AS BIGINT) AS lbl FROM pos " +
+      "JOIN emb e1 ON pos.u = e1.node JOIN emb e2 ON pos.w = e2.node " +
+      "UNION ALL SELECT neg.u, neg.w, e1.v1*e2.v1 + e1.v2*e2.v2, CAST(0 AS BIGINT) FROM neg " +
+      "JOIN emb e1 ON neg.u = e1.node JOIN emb e2 ON neg.w = e2.node)"
+
   /** Both rank-2 spectral axes + the Rayleigh readout (r13) — the
     * graph_walk_embed_k2 build, factored so graph_embed_link_auc
     * scores edges with the EXACT same embedding. Returns (v1(node,
     * v), v2(node, v), rays(rayleigh1, rayleigh2, eig_ratio) 1-row).
     * See the k2 QueryDef comment for the downdate algebra. */
   private[graft] def walkEmbedAxes(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame, DataFrame) =
+    walkEmbedAxesFrom(walkPmiTable(spark, sf))
+
+  /** The rank-2 axes parameterized by a PMI table — factored (r14)
+    * for the planted-fixture spec. */
+  private[graft] def walkEmbedAxesFrom(pmiTable: DataFrame)
       : (DataFrame, DataFrame, DataFrame) = {
-    val m = walkPmiTable(spark, sf)
+    val m = pmiTable
       .filter(col("sppmi_micro") > 0)
       .select(col("center"), col("context"),
         col("sppmi_micro").as("w"))
@@ -474,6 +522,80 @@ object GraphOps extends QueryGroup {
       v1.join(v2.withColumnRenamed("v", "v2"), "node")
         .crossJoin(broadcast(rays))
     }
+
+  /** Scored link-prediction pair table (u, w, score, lbl) — factored
+    * out of graph_embed_link_auc (r14) so the deeper evals
+    * (rank_link_hits_at_k, rank_link_auc_by_degree) read the EXACT
+    * same fixed 4096+4096 deterministic sample and rank-2 scores.
+    * Positives: md5-ordered top-4096 true (customer, supplier)
+    * pairs; negatives: 4096 hash-drawn index pairs into the
+    * rank-ordered node lists, deduped, anti-joined against true
+    * edges. Score = v₁·v₁ + v₂·v₂ exact integer dots off the
+    * materialized embedding sink. Pairs with an unembedded endpoint
+    * drop identically on both engines. */
+  private def linkScoreTable(spark: SparkSession, sf: String): DataFrame = {
+    val emb = walkEmbedding(spark, sf)
+      .select(col("node"), col("v"), col("v2"))
+      .localCheckpoint(true)
+    val ed = edges(spark, sf).filter(col("src") % 2 === 0)
+      .select(col("src").as("u"), col("dst").as("w"))
+      .localCheckpoint(true)
+    val pos = ed.orderBy(md5(concat(lit("pos:"),
+        col("u").cast("string"), lit(":"), col("w").cast("string"))),
+        col("u"), col("w"))
+      .limit(4096)
+    val cn = ed.select(col("u").as("node")).distinct()
+      .withColumn("idx", row_number().over(
+        Window.orderBy("node")).cast("long") - 1)
+      .localCheckpoint(true)
+    val sn = ed.select(col("w").as("node")).distinct()
+      .withColumn("idx", row_number().over(
+        Window.orderBy("node")).cast("long") - 1)
+      .localCheckpoint(true)
+    val ncust = cn.agg(count(lit(1)).as("ncust"))
+    val nsupp = sn.agg(count(lit(1)).as("nsupp"))
+    def h32(salt: String) = conv(substring(md5(concat(lit(salt),
+      col("k").cast("string"))), 1, 8), 16, 10).cast("long")
+    val neg = spark.range(1, 4097).select(col("id").as("k"))
+      .crossJoin(broadcast(ncust)).crossJoin(broadcast(nsupp))
+      .select((h32("negc:") % col("ncust")).as("ci"),
+        (h32("negs:") % col("nsupp")).as("si"))
+      .join(cn.select(col("idx").as("ci"), col("node").as("u")), "ci")
+      .join(sn.select(col("idx").as("si"), col("node").as("w")), "si")
+      .select("u", "w").distinct()
+      .join(ed, Seq("u", "w"), "left_anti")
+    def scoreSide(df: DataFrame, lbl: Int) = df
+      .join(emb.select(col("node").as("u"), col("v").as("a1"),
+        col("v2").as("a2")), "u")
+      .join(emb.select(col("node").as("w"), col("v").as("b1"),
+        col("v2").as("b2")), "w")
+      .select(col("u"), col("w"),
+        (col("a1") * col("b1") + col("a2") * col("b2")).as("score"),
+        lit(lbl.toLong).as("lbl"))
+    scoreSide(pos, 1).unionAll(scoreSide(neg, 0))
+  }
+
+  /** Tie-aware exact-integer rank-sum AUC over a (score BIGINT,
+    * lbl ∈ {0,1} BIGINT) table — graph_embed_link_auc's metric,
+    * factored (r14) so the planted-community discrimination spec
+    * exercises the identical computation: AUC·2PN = Σ_s n⁺(s)·
+    * (2·Σ_{s'<s} n⁻(s') + n⁻(s)), every term exact, one division
+    * at the edge. The one global window runs on the grouped
+    * |distinct scores| table (aggregate-collapsed). */
+  private[graft] def rankSumAuc(scored: DataFrame): DataFrame = {
+    val g = scored.groupBy("score")
+      .agg(sum(col("lbl")).as("np"),
+        sum(lit(1L) - col("lbl")).as("nn"))
+    val wb = Window.orderBy("score")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    g.withColumn("cb", coalesce(sum(col("nn")).over(wb), lit(0L)))
+      .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+        sum(col("np") * (lit(2L) * col("cb") + col("nn")))
+          .as("auc_2pn_units"))
+      .select(col("n_pos"), col("n_neg"), col("auc_2pn_units"),
+        round(col("auc_2pn_units").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
+  }
 
   /** The same PMI table as DuckDB CTEs ending in `pm` — shared by
     * graph_walk_pmi's oracle and graph_walk_embed's. */
@@ -991,6 +1113,70 @@ object GraphOps extends QueryGroup {
     * betweenness over the bounded split graph (500 edges), one
     * divisive Girvan–Newman round's worth. */
   val GirvanCutK = 16
+
+  /** Edges graph_girvan_rounds removes PER ROUND — smaller than the
+    * one-shot's k because the re-ranking between cuts is the point:
+    * two k=8 re-ranked rounds explore a different dendrogram path
+    * than one k=16 static cut. */
+  val GirvanRoundCutK = 8
+
+  /** Measured σ-wave exhaustion depth of the 8-seed Brandes pass ON
+    * the top-500 split subgraph at sf0.01, both divisive rounds
+    * (GirvanRoundsProbe: 4/4 at sf0.001, 14/14 at sf0.01, 3/3 at
+    * sf0.1; max backward term 3.9e8 ≪ 2^63) — same sf0.01-only
+    * contract as [[BetwRoundsSf001]]. */
+  val GirvanBfsRoundsSf001 = 14L
+
+  /** Forward/backward level CTEs the girvan-rounds oracle unrolls
+    * per divisive round — must stay ≥ [[GirvanBfsRoundsSf001]]; the
+    * spare level is empty on 14-deep data and a deeper subgraph
+    * fails the pinned rounds certificate LOUDLY. */
+  val OracleGirvanUnroll = 15
+
+  /** The sampled-Brandes chain on an ARBITRARY edge CTE — the
+    * [[brandesSqlBase]] generators parameterized by (edge table,
+    * CTE prefix) so graph_girvan_rounds replays the per-round
+    * betweenness recompute on each remainder subgraph. Produces
+    * `<p>gebc` (u, v, ebc): per canonical undirected pair, the
+    * summed backward dependency terms over both DAG directions.
+    * Seeds: the 8 smallest even node ids of the edge table — the
+    * house deterministic sample, re-drawn per remainder. */
+  private def girvanBrandesSql(e: String, p: String): String = {
+    val H = OracleGirvanUnroll
+    val nbr = (prev: String, cur: String) =>
+      s"$cur AS (SELECT DISTINCT $prev.s AS s, $e.dst AS node FROM $e JOIN $prev ON $e.src = $prev.node)"
+    val unroll = (1 to H)
+      .map(i => nbr(s"${p}r${i - 1}", s"${p}r$i")).mkString(", ")
+    val lvu = (1 to H)
+      .map(i => s"SELECT s, node, $i AS h FROM ${p}r$i").mkString(" UNION ALL ")
+    val sig = (1 to H).map(i =>
+      s"${p}sg$i AS MATERIALIZED (SELECT q.s, $e.dst AS node, CAST(sum(q.sig) AS BIGINT) AS sig " +
+        s"FROM ${p}sg${i - 1} q JOIN $e ON $e.src = q.node " +
+        s"JOIN ${p}d ON ${p}d.s = q.s AND ${p}d.node = $e.dst AND ${p}d.h = $i GROUP BY 1, 2)").mkString(", ")
+    val back = (H - 1 to 0 by -1).map { h =>
+      val ec = s"${p}ec$h AS MATERIALIZED (SELECT u.s, u.node AS un, $e.dst AS wn, " +
+        s"CAST((u.sig * (1000000 + w.delta)) // w.sig AS BIGINT) AS c " +
+        s"FROM ${p}sg$h u JOIN $e ON $e.src = u.node " +
+        s"JOIN ${p}wd${h + 1} w ON w.s = u.s AND w.node = $e.dst)"
+      if (h == 0) ec
+      else ec + ", " +
+        s"${p}dc$h AS (SELECT s, un AS node, CAST(sum(c) AS BIGINT) AS delta FROM ${p}ec$h GROUP BY 1, 2), " +
+        s"${p}wd$h AS MATERIALIZED (SELECT ${p}sg$h.s, ${p}sg$h.node, ${p}sg$h.sig, coalesce(${p}dc$h.delta, CAST(0 AS BIGINT)) AS delta " +
+        s"FROM ${p}sg$h LEFT JOIN ${p}dc$h ON ${p}sg$h.s = ${p}dc$h.s AND ${p}sg$h.node = ${p}dc$h.node)"
+    }.mkString(", ")
+    val allec = (0 until H)
+      .map(i => s"SELECT un, wn, c FROM ${p}ec$i").mkString(" UNION ALL ")
+    s"${p}r0 AS (SELECT node AS s, node FROM (SELECT DISTINCT src AS node FROM $e WHERE src % 2 = 0 ORDER BY node LIMIT 8)), " +
+      unroll + ", " +
+      s"${p}lvx AS (SELECT s, node, 0 AS h FROM ${p}r0 UNION ALL $lvu), " +
+      s"${p}d AS MATERIALIZED (SELECT s, node, min(h) AS h FROM ${p}lvx GROUP BY 1, 2), " +
+      s"${p}sg0 AS (SELECT s, node, CAST(1 AS BIGINT) AS sig FROM ${p}r0), " +
+      sig + ", " +
+      s"${p}wd$H AS (SELECT s, node, sig, CAST(0 AS BIGINT) AS delta FROM ${p}sg$H), " +
+      back + ", " +
+      s"${p}gebc AS (SELECT least(un, wn) AS u, greatest(un, wn) AS v, " +
+      s"CAST(sum(c) AS BIGINT) AS ebc FROM ($allec) GROUP BY 1, 2)"
+  }
 
   /** Idempotently materialize the Brandes pass ONCE per (session,
     * sf) — VERDICT r12 #1: graph_betweenness and
@@ -1745,6 +1931,170 @@ object GraphOps extends QueryGroup {
         "the modularity rollup scores every level for the stopping " +
         "rule. All cut/label decisions are exact-integer argmax with " +
         "(u, v) tiebreaks — bit-stable at any partitioning."),
+
+    // ITERATED Girvan–Newman (r14, VERDICT r13 #6) — the
+    // cut→RECOMPUTE→re-cut loop that separates classic GN from a
+    // static threshold (graph_girvan_split cuts the top-16 ONCE off
+    // the full-graph sink ranks; here edge betweenness is re-run ON
+    // the remainder subgraph after every cut, so round 2's ranks see
+    // the bridges round 1 exposed). Two k=8 rounds on the bounded
+    // top-500 backbone: per round, the 8-seed sampled Brandes pass
+    // (seeds = the 8 smallest even node ids of the CURRENT remainder
+    // — re-drawn as cuts isolate nodes, deterministic both engines)
+    // runs via the same bfsSigmaPerSource + brandesBackward the
+    // full-graph operators use, ranks both-direction dependency sums
+    // per canonical pair, cuts the top-8 with (ebc, u, v) tiebreaks,
+    // and the modularity TRACE — exact integer q_micro per round on
+    // the ORIGINAL uncut graph — is the stopping-rule readout.
+    // Emits one row per level (round 0 = pre-cut baseline) with the
+    // measured per-round BFS depth gated against the pinned literal.
+    QueryDef(
+      "graph_girvan_rounds",
+      (spark, sf) => {
+        val strong = Tables.lineitem(spark, sf)
+          .join(Tables.orders(spark, sf),
+            col("l_orderkey") === col("o_orderkey"))
+          .groupBy((col("o_custkey") * 2).as("c"),
+            (col("l_suppkey") * 2 + 1).as("s"))
+          .agg(count(lit(1)).as("m"))
+          .orderBy(col("m").desc, col("c").asc, col("s").asc)
+          .limit(500)
+          .select(least(col("c"), col("s")).as("u"),
+            greatest(col("c"), col("s")).as("v"))
+          .localCheckpoint(false)
+        def bidir(und: DataFrame) = und
+          .select(col("u").as("src"), col("v").as("dst"))
+          .unionAll(und.select(col("v").as("src"), col("u").as("dst")))
+        def seedsOf(und: DataFrame) = und
+          .select(col("u").as("node"))
+          .unionAll(und.select(col("v").as("node"))).distinct()
+          .filter(col("node") % 2 === 0)
+          .orderBy("node").limit(8)
+        val eDir0 = bidir(strong).localCheckpoint(false)
+        val tot = eDir0.agg(count(lit(1)).as("t"))
+        val nodes0 = strong.select(col("u").as("node"))
+          .unionAll(strong.select(col("v").as("node"))).distinct()
+          .localCheckpoint(false)
+        def summarize(rest: DataFrame, r: Int, bfs: Int): DataFrame = {
+          val cl = graft.queries.NearDup.resolveEdges(rest)
+          val lab = nodes0.join(
+              cl.select(col("doc_id").as("node"), col("cluster_id")),
+              Seq("node"), "left")
+            .select(col("node"),
+              coalesce(col("cluster_id"), col("node")).as("comm"))
+            .localCheckpoint(false)
+          val j = eDir0
+            .join(broadcast(lab.withColumnRenamed("node", "src")
+              .withColumnRenamed("comm", "sc")), Seq("src"))
+            .join(broadcast(lab.withColumnRenamed("node", "dst")
+              .withColumnRenamed("comm", "dc")), Seq("dst"))
+          val q = j.groupBy(col("sc").as("comm"))
+            .agg(count(lit(1)).as("deg_sum"),
+              sum(when(col("dc") === col("sc"), 1L).otherwise(0L))
+                .as("internal2"))
+            .crossJoin(broadcast(tot))
+            .select(expr("(internal2 * 1000000) div t - " +
+              "(deg_sum * deg_sum * 1000000) div (t * t)").as("qterm"))
+            .agg(sum(col("qterm")).as("q_micro"))
+          val nc = lab.agg(countDistinct(col("comm")).as("n_comms"))
+          q.crossJoin(broadcast(nc))
+            .select(lit(r.toLong).as("round"),
+              lit((r * GirvanRoundCutK).toLong).as("n_cut"),
+              col("n_comms"), col("q_micro"),
+              lit(bfs.toLong).as("bfs_rounds"))
+        }
+        var rest = strong
+        var out = summarize(rest, 0, 0)
+        for (r <- 1 to 2) {
+          val e = bidir(rest).localCheckpoint(false)
+          val seeds = seedsOf(rest).localCheckpoint(false)
+          val (lv, rounds) = bfsSigmaPerSource(e, seeds)
+          val (_, eacc) = brandesBackward(e, lv, rounds)
+          val ebc = eacc
+            .groupBy(least(col("node"), col("wnode")).as("u"),
+              greatest(col("node"), col("wnode")).as("v"))
+            .agg(sum(col("c")).as("ebc"))
+          val cut = rest.join(ebc, Seq("u", "v"), "left")
+            .select(col("u"), col("v"),
+              coalesce(col("ebc"), lit(0L)).as("ebc"))
+            .orderBy(col("ebc").desc, col("u").asc, col("v").asc)
+            .limit(GirvanRoundCutK)
+            .select("u", "v").localCheckpoint(false)
+          rest = rest.join(cut, Seq("u", "v"), "left_anti")
+            .localCheckpoint(false)
+          out = out.unionAll(summarize(rest, r, rounds))
+        }
+        out.orderBy("round")
+      },
+      Some {
+        def cutSql(src: String, gebc: String, cut: String, rest: String) =
+          s"$cut AS (SELECT u, v FROM (SELECT $src.u, $src.v, " +
+            s"coalesce($gebc.ebc, 0) AS ebc FROM $src " +
+            s"LEFT JOIN $gebc ON $src.u = $gebc.u AND $src.v = $gebc.v) " +
+            s"ORDER BY ebc DESC, u, v LIMIT $GirvanRoundCutK), " +
+            s"$rest AS MATERIALIZED (SELECT u, v FROM $src WHERE NOT EXISTS " +
+            s"(SELECT 1 FROM $cut WHERE $cut.u = $src.u AND $cut.v = $src.v))"
+        def roundSql(i: Int, edges: String) =
+          s"reach$i(v, r) AS (SELECT node, node FROM vset " +
+            s"UNION SELECT $edges.dst, reach$i.r FROM $edges " +
+            s"JOIN reach$i ON $edges.src = reach$i.v), " +
+            s"lab$i AS (SELECT v AS node, min(r) AS comm FROM reach$i GROUP BY v), " +
+            s"jj$i AS (SELECT ls.comm AS sc, ld.comm AS dc FROM edir0 " +
+            s"JOIN lab$i ls ON edir0.src = ls.node " +
+            s"JOIN lab$i ld ON edir0.dst = ld.node), " +
+            s"pc$i AS (SELECT sc, CAST(count(*) AS BIGINT) AS deg_sum, " +
+            s"CAST(sum(CASE WHEN dc = sc THEN 1 ELSE 0 END) AS BIGINT) AS internal2 " +
+            s"FROM jj$i GROUP BY 1), " +
+            s"qq$i AS (SELECT CAST(sum((internal2 * 1000000) // t - " +
+            s"(deg_sum * deg_sum * 1000000) // (t * t)) AS BIGINT) AS q_micro " +
+            s"FROM pc$i CROSS JOIN tt), " +
+            s"nc$i AS (SELECT CAST(count(DISTINCT comm) AS BIGINT) AS n_comms FROM lab$i)"
+        def rowSql(i: Int) =
+          s"SELECT CAST($i AS BIGINT) AS round, " +
+            s"CAST(${i * GirvanRoundCutK} AS BIGINT) AS n_cut, n_comms, q_micro, " +
+            s"CAST(${if (i == 0) 0L else GirvanBfsRoundsSf001} AS BIGINT) AS bfs_rounds " +
+            s"FROM qq$i CROSS JOIN nc$i"
+        "WITH RECURSIVE gb0 AS (SELECT o_custkey*2 AS c, l_suppkey*2+1 AS s, count(*) AS m " +
+          "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2), " +
+          "strong AS MATERIALIZED (SELECT least(c, s) AS u, greatest(c, s) AS v " +
+          "FROM (SELECT c, s FROM gb0 ORDER BY m DESC, c, s LIMIT 500)), " +
+          "e1 AS MATERIALIZED (SELECT u AS src, v AS dst FROM strong UNION ALL SELECT v, u FROM strong), " +
+          girvanBrandesSql("e1", "a") + ", " +
+          cutSql("strong", "agebc", "cut1", "rest1") + ", " +
+          "e2 AS MATERIALIZED (SELECT u AS src, v AS dst FROM rest1 UNION ALL SELECT v, u FROM rest1), " +
+          girvanBrandesSql("e2", "b") + ", " +
+          cutSql("rest1", "bgebc", "cut2", "rest2") + ", " +
+          "e3 AS MATERIALIZED (SELECT u AS src, v AS dst FROM rest2 UNION ALL SELECT v, u FROM rest2), " +
+          "vset AS (SELECT DISTINCT u AS node FROM strong UNION SELECT v FROM strong), " +
+          "edir0 AS (SELECT u AS src, v AS dst FROM strong UNION ALL SELECT v, u FROM strong), " +
+          "tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM edir0), " +
+          roundSql(0, "e1") + ", " +
+          roundSql(1, "e2") + ", " +
+          roundSql(2, "e3") + " " +
+          rowSql(0) + " UNION ALL " + rowSql(1) + " UNION ALL " +
+          rowSql(2) + " ORDER BY round"
+      },
+      scaleNote = "Each round prices one sampled Brandes pass ON THE " +
+        "BOUNDED REMAINDER (≤500 edges, 8 seeds — per-source state " +
+        "is |S|·|V| ≤ a few thousand rows however big the corpus, " +
+        "because the top-500 fence bounds the subgraph before any " +
+        "traversal starts), one TakeOrdered top-8 cut, and one " +
+        "resolveEdges fixpoint on the shrunken remainder — the " +
+        "re-ranking between cuts is what a static top-16 cannot do, " +
+        "and at this size it costs two more bounded join waves, not " +
+        "a new shuffle shape. The modularity trace is the stopping " +
+        "rule: q_micro per level in exact integers (each community " +
+        "term two floor divisions against the uncut graph's edge " +
+        "total), so 'cut until Q drops' is an integer comparison. " +
+        "The per-round BFS depth is MEASURED and gated against the " +
+        "pinned sf0.01 literal (14/14 — GirvanRoundsProbe); a " +
+        "deeper remainder fails loudly rather than truncating the " +
+        "wave. At 100 TB the backbone fence is the honest contract " +
+        "(production GN runs on strongest-edge subgraphs — O(E²·V) " +
+        "exact GN does not exist at corpus scale); widening it is a " +
+        "LIMIT literal, and each dendrogram level persists as a cut " +
+        "table the next level reads (the sink_versioned manifest " +
+        "shape) so the loop is restartable mid-descent."),
 
     // Neighbor-set Jaccard similarity between suppliers of the
     // bipartite trading graph: sim(s1,s2) = |C(s1)∩C(s2)| /
@@ -3199,84 +3549,15 @@ object GraphOps extends QueryGroup {
     // real pipeline from shipping this embedding version.
     QueryDef(
       "graph_embed_link_auc",
-      (spark, sf) => {
-        val emb = walkEmbedding(spark, sf)
-          .select(col("node"), col("v"), col("v2"))
-          .localCheckpoint(true)
-        val ed = edges(spark, sf).filter(col("src") % 2 === 0)
-          .select(col("src").as("u"), col("dst").as("w"))
-          .localCheckpoint(true)
-        val pos = ed.orderBy(md5(concat(lit("pos:"),
-            col("u").cast("string"), lit(":"), col("w").cast("string"))),
-            col("u"), col("w"))
-          .limit(4096)
-        val cn = ed.select(col("u").as("node")).distinct()
-          .withColumn("idx", row_number().over(
-            Window.orderBy("node")).cast("long") - 1)
-          .localCheckpoint(true)
-        val sn = ed.select(col("w").as("node")).distinct()
-          .withColumn("idx", row_number().over(
-            Window.orderBy("node")).cast("long") - 1)
-          .localCheckpoint(true)
-        val ncust = cn.agg(count(lit(1)).as("ncust"))
-        val nsupp = sn.agg(count(lit(1)).as("nsupp"))
-        def h32(salt: String) = conv(substring(md5(concat(lit(salt),
-          col("k").cast("string"))), 1, 8), 16, 10).cast("long")
-        val neg = spark.range(1, 4097).select(col("id").as("k"))
-          .crossJoin(broadcast(ncust)).crossJoin(broadcast(nsupp))
-          .select((h32("negc:") % col("ncust")).as("ci"),
-            (h32("negs:") % col("nsupp")).as("si"))
-          .join(cn.select(col("idx").as("ci"), col("node").as("u")), "ci")
-          .join(sn.select(col("idx").as("si"), col("node").as("w")), "si")
-          .select("u", "w").distinct()
-          .join(ed, Seq("u", "w"), "left_anti")
-        def scoreSide(df: DataFrame, lbl: Int) = df
-          .join(emb.select(col("node").as("u"), col("v").as("a1"),
-            col("v2").as("a2")), "u")
-          .join(emb.select(col("node").as("w"), col("v").as("b1"),
-            col("v2").as("b2")), "w")
-          .select((col("a1") * col("b1") + col("a2") * col("b2"))
-            .as("score"), lit(lbl.toLong).as("lbl"))
-        val g = scoreSide(pos, 1).unionAll(scoreSide(neg, 0))
-          .groupBy("score")
-          .agg(sum(col("lbl")).as("np"),
-            sum(lit(1L) - col("lbl")).as("nn"))
-        val wb = Window.orderBy("score")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        g.withColumn("cb", coalesce(sum(col("nn")).over(wb), lit(0L)))
-          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
-            sum(col("np") * (lit(2L) * col("cb") + col("nn")))
-              .as("auc_2pn_units"))
-          .select(col("n_pos"), col("n_neg"), col("auc_2pn_units"),
-            round(col("auc_2pn_units").cast("double") /
-              (lit(2.0) * col("n_pos") * col("n_neg")), 4).as("auc"))
-      },
-      Some {
-        s"WITH $WalkEmbedK2Sql, " +
-          "emb AS (SELECT kx4.node, kx4.v AS v1, lx4.v AS v2 FROM kx4 JOIN lx4 ON kx4.node = lx4.node), " +
-          "ed AS (SELECT c AS u, s AS w FROM bp), " +
-          "pos AS (SELECT u, w FROM ed ORDER BY md5('pos:'||CAST(u AS VARCHAR)||':'||CAST(w AS VARCHAR)), u, w LIMIT 4096), " +
-          "cn AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM (SELECT DISTINCT u AS node FROM ed)), " +
-          "sn AS (SELECT node, row_number() OVER (ORDER BY node) - 1 AS idx FROM (SELECT DISTINCT w AS node FROM ed)), " +
-          "ncn AS (SELECT count(*) AS ncust FROM cn), " +
-          "nsn AS (SELECT count(*) AS nsupp FROM sn), " +
-          "dr AS (SELECT ('0x'||substr(md5('negc:'||CAST(k AS VARCHAR)),1,8))::BIGINT % (SELECT ncust FROM ncn) AS ci, " +
-          "('0x'||substr(md5('negs:'||CAST(k AS VARCHAR)),1,8))::BIGINT % (SELECT nsupp FROM nsn) AS si " +
-          "FROM (SELECT unnest(range(1, 4097)) AS k)), " +
-          "neg AS (SELECT DISTINCT cn.node AS u, sn.node AS w FROM dr " +
-          "JOIN cn ON dr.ci = cn.idx JOIN sn ON dr.si = sn.idx " +
-          "WHERE NOT EXISTS (SELECT 1 FROM ed WHERE ed.u = cn.node AND ed.w = sn.node)), " +
-          "sc AS (SELECT e1.v1*e2.v1 + e1.v2*e2.v2 AS score, CAST(1 AS BIGINT) AS lbl FROM pos " +
-          "JOIN emb e1 ON pos.u = e1.node JOIN emb e2 ON pos.w = e2.node " +
-          "UNION ALL SELECT e1.v1*e2.v1 + e1.v2*e2.v2, CAST(0 AS BIGINT) FROM neg " +
-          "JOIN emb e1 ON neg.u = e1.node JOIN emb e2 ON neg.w = e2.node), " +
-          "gg AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np, CAST(sum(1 - lbl) AS BIGINT) AS nn FROM sc GROUP BY 1), " +
-          "rr AS (SELECT np, nn, coalesce(CAST(sum(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM gg) " +
-          "SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg, " +
-          "CAST(sum(np*(2*cb + nn)) AS BIGINT) AS auc_2pn_units, " +
-          "round(CAST(sum(np*(2*cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 4) AS auc " +
-          "FROM rr"
-      },
+      (spark, sf) =>
+        rankSumAuc(linkScoreTable(spark, sf).select("score", "lbl")),
+      Some(s"WITH $LinkScoreSqlCtes, " +
+        "gg AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np, CAST(sum(1 - lbl) AS BIGINT) AS nn FROM sc GROUP BY 1), " +
+        "rr AS (SELECT np, nn, coalesce(CAST(sum(nn) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM gg) " +
+        "SELECT CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg, " +
+        "CAST(sum(np*(2*cb + nn)) AS BIGINT) AS auc_2pn_units, " +
+        "round(CAST(sum(np*(2*cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 4) AS auc " +
+        "FROM rr"),
       scaleNote = "Eval cost is FIXED in corpus size by design: both " +
         "sample sets are 4096-row TakeOrdered/hash-draw constants " +
         "(the ann_topk fixed-query-set lesson — a proportional " +
@@ -3290,8 +3571,151 @@ object GraphOps extends QueryGroup {
         "This is the gate a training pipeline runs BEFORE shipping " +
         "an embedding version: AUC against held-out edges, priced at " +
         "a constant few-thousand-pair probe however big the graph — " +
-        "deeper evals (per-degree-bucket AUC, hits@k) are group-key " +
-        "variants of the same grouped-scores table."),
+        "the deeper evals its scaleNote promised are now gated: " +
+        "rank_link_hits_at_k and rank_link_auc_by_degree, both " +
+        "group-key variants of this exact grouped-scores table."),
+
+    // Hits@k over the link-prediction scores (r14, VERDICT r13 #4) —
+    // the top-of-ranking eval AUC cannot see: AUC integrates over
+    // the WHOLE ranking, but a link recommender serves only the top
+    // k, so the shipped metric is "how many true edges landed in the
+    // top-k scored pairs". Ties are the honest hard part: pairs
+    // share exact-integer scores, and which in-tie pair is "inside"
+    // top-k is undefined — so the op emits BOTH deterministic
+    // bounds (ties-favor-positives best case, ties-favor-negatives
+    // worst case) as exact integers instead of a float expectation
+    // that would re-order under partitioning. Cutoff row per k by a
+    // 4-row literal theta-join against the cumulative grouped-score
+    // table; precision/recall bounds in exact ppm.
+    QueryDef(
+      "rank_link_hits_at_k",
+      (spark, sf) => {
+        val g = linkScoreTable(spark, sf)
+          .groupBy("score")
+          .agg(sum(col("lbl")).as("np"),
+            sum(lit(1L) - col("lbl")).as("nn"))
+        val wd = Window.orderBy(col("score").desc)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val r = g
+          .withColumn("above",
+            coalesce(sum(col("np") + col("nn")).over(wd), lit(0L)))
+          .withColumn("np_above", coalesce(sum(col("np")).over(wd), lit(0L)))
+        val tot = g.agg(sum(col("np")).as("n_pos"))
+        val ks = {
+          val session = spark
+          import session.implicits._
+          Seq(16L, 64L, 256L, 1024L).toDF("k")
+        }
+        r.join(broadcast(ks),
+            col("above") < col("k") &&
+              col("k") <= col("above") + col("np") + col("nn"))
+          .crossJoin(broadcast(tot))
+          .withColumn("hits_best",
+            col("np_above") + least(col("np"), col("k") - col("above")))
+          .withColumn("hits_worst",
+            col("np_above") + greatest(lit(0L),
+              col("k") - col("above") - col("nn")))
+          .select(col("k"), col("score").as("cut_score"),
+            col("above").as("n_above"), col("np_above"),
+            col("hits_best"), col("hits_worst"),
+            expr("(hits_best * 1000000) div k").as("prec_best_ppm"),
+            expr("(hits_worst * 1000000) div k").as("prec_worst_ppm"),
+            expr("(hits_best * 1000000) div n_pos").as("recall_best_ppm"))
+          .orderBy("k")
+      },
+      Some(s"WITH $LinkScoreSqlCtes, " +
+        "gg AS (SELECT score, CAST(sum(lbl) AS BIGINT) AS np, CAST(sum(1 - lbl) AS BIGINT) AS nn FROM sc GROUP BY 1), " +
+        "rr AS (SELECT score, np, nn, " +
+        "coalesce(CAST(sum(np + nn) OVER wd AS BIGINT), 0) AS above, " +
+        "coalesce(CAST(sum(np) OVER wd AS BIGINT), 0) AS np_above " +
+        "FROM gg WINDOW wd AS (ORDER BY score DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)), " +
+        "tp AS (SELECT CAST(sum(np) AS BIGINT) AS n_pos FROM gg), " +
+        "kk AS (SELECT CAST(k AS BIGINT) AS k FROM (VALUES (16), (64), (256), (1024)) t(k)), " +
+        "hh AS (SELECT k, score AS cut_score, above AS n_above, np_above, " +
+        "np_above + least(np, k - above) AS hits_best, " +
+        "np_above + greatest(0, k - above - nn) AS hits_worst " +
+        "FROM rr JOIN kk ON above < k AND k <= above + np + nn) " +
+        "SELECT k, cut_score, n_above, np_above, hits_best, hits_worst, " +
+        "(hits_best * 1000000) // k AS prec_best_ppm, " +
+        "(hits_worst * 1000000) // k AS prec_worst_ppm, " +
+        "(hits_best * 1000000) // n_pos AS recall_best_ppm " +
+        "FROM hh CROSS JOIN tp ORDER BY k"),
+      scaleNote = "Same fixed-cost economics as graph_embed_link_auc " +
+        "(the score table is the shared 8k-pair constant-size probe); " +
+        "the additional work is one desc-ordered running sum over the " +
+        "grouped |distinct scores| table and a 4-row literal " +
+        "theta-join to locate each cutoff — the broadcast side is a " +
+        "self-certifying LocalTableScan, so the join is bounded by " +
+        "construction. The tie-bounds design is the scale story: an " +
+        "integer-scored ranking WILL have ties at any corpus size, " +
+        "and emitting best/worst exact bounds keeps the metric " +
+        "bit-stable where a random or fractional tie-break would " +
+        "make the gate number partitioning-dependent. k beyond the " +
+        "probe size simply matches no cutoff row and is absent — " +
+        "stated, not padded."),
+
+    // Per-degree-bucket link AUC (r14, VERDICT r13 #4) — the
+    // stratified eval that catches WHERE an embedding fails: global
+    // AUC averages hubs (many walk visits, well-trained vectors)
+    // with cold tails (barely embedded), and a recommender that is
+    // great on hubs and random on the tail reads deceptively fine in
+    // aggregate. Group the SAME scored pairs by the customer
+    // endpoint's degree bucket (stated literal thresholds ≤4 / ≤16 /
+    // ≤64 / >64 — the log-ish bands a training-data curriculum
+    // would stratify on) and run the identical tie-aware rank-sum
+    // per bucket. A bucket missing a class emits NULL auc and stays
+    // visible (rank_ndcg's no-drop discipline, r13 ADVICE #3).
+    QueryDef(
+      "rank_link_auc_by_degree",
+      (spark, sf) => {
+        val ed = edges(spark, sf).filter(col("src") % 2 === 0)
+          .select(col("src").as("u"), col("dst").as("w"))
+        val deg = ed.groupBy("u").agg(count(lit(1)).as("deg"))
+        val b = linkScoreTable(spark, sf)
+          .join(deg, "u")
+          .withColumn("deg_bucket",
+            when(col("deg") <= 4, 0L).when(col("deg") <= 16, 1L)
+              .when(col("deg") <= 64, 2L).otherwise(3L))
+        val g = b.groupBy("deg_bucket", "score")
+          .agg(sum(col("lbl")).as("np"),
+            sum(lit(1L) - col("lbl")).as("nn"))
+        val wb = Window.partitionBy("deg_bucket").orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        g.withColumn("cb", coalesce(sum(col("nn")).over(wb), lit(0L)))
+          .groupBy("deg_bucket")
+          .agg(sum(col("np")).as("n_pos"), sum(col("nn")).as("n_neg"),
+            sum(col("np") * (lit(2L) * col("cb") + col("nn")))
+              .as("auc_2pn_units"))
+          .select(col("deg_bucket"), col("n_pos"), col("n_neg"),
+            col("auc_2pn_units"),
+            when(col("n_pos") > 0L && col("n_neg") > 0L,
+              round(col("auc_2pn_units").cast("double") /
+                (lit(2.0) * col("n_pos") * col("n_neg")), 4)).as("auc"))
+          .orderBy("deg_bucket")
+      },
+      Some(s"WITH $LinkScoreSqlCtes, " +
+        "dg AS (SELECT u, count(*) AS deg FROM ed GROUP BY 1), " +
+        "bb AS (SELECT sc.*, CASE WHEN deg <= 4 THEN 0 WHEN deg <= 16 THEN 1 WHEN deg <= 64 THEN 2 ELSE 3 END AS deg_bucket " +
+        "FROM sc JOIN dg ON sc.u = dg.u), " +
+        "gg AS (SELECT deg_bucket, score, CAST(sum(lbl) AS BIGINT) AS np, CAST(sum(1 - lbl) AS BIGINT) AS nn FROM bb GROUP BY 1, 2), " +
+        "rr AS (SELECT deg_bucket, np, nn, coalesce(CAST(sum(nn) OVER (PARTITION BY deg_bucket ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS cb FROM gg) " +
+        "SELECT CAST(deg_bucket AS BIGINT) AS deg_bucket, CAST(sum(np) AS BIGINT) AS n_pos, CAST(sum(nn) AS BIGINT) AS n_neg, " +
+        "CAST(sum(np*(2*cb + nn)) AS BIGINT) AS auc_2pn_units, " +
+        "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN round(CAST(sum(np*(2*cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 4) END AS auc " +
+        "FROM rr GROUP BY 1 ORDER BY 1"),
+      scaleNote = "The stratification adds ONE map-side-combined " +
+        "degree aggregate over the fixed probe's edge list and a " +
+        "bucket key threaded through the existing grouped-score " +
+        "plan — the rank window now partitions by bucket (4 " +
+        "partitions instead of 1 global, strictly friendlier), and " +
+        "everything downstream of the 8k-pair probe stays constant " +
+        "cost in graph size. Bucket thresholds are stated literals, " +
+        "so the strata are reproducible across corpus versions — " +
+        "the property a per-segment regression gate needs. At 100 " +
+        "TB, per-bucket AUC is the eval that decides whether to " +
+        "ship a cold-start fallback (tail bucket ≈ 0.5) or the " +
+        "embedding alone; more strata (per-community, per-tenure) " +
+        "are the same plan with a different broadcast-joined key."),
 
     // Rich-club coefficient curve (r11) — graph_assortativity's
     // structural sibling: assortativity gives ONE number for

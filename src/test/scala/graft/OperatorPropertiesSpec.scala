@@ -1587,6 +1587,41 @@ class OperatorPropertiesSpec extends SparkSpec {
     s1.unpersist(); docs.unpersist()
   }
 
+  test("sample_dsir: rerun-identical, max-band kept with p=1, mass tracks Σthr") {
+    val s1 = run("sample_dsir").cache()
+    val s2 = run("sample_dsir")
+    // reproducibility: the consistent-hash draw selects the SAME docs
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+    // corpus_dsir composition: every selected doc carries the exact
+    // logw corpus_dsir reports for it
+    val dsir = run("corpus_dsir")
+      .select(col("doc_id").as("d2"), col("logw_micro").as("lw2"))
+    assert(s1.join(dsir, col("doc_id") === col("d2"))
+      .filter(col("logw_micro") =!= col("lw2")).isEmpty,
+      "selected docs must carry corpus_dsir's exact weights")
+    val rows = s1.select("doc_id", "band", "thr").collect()
+    val maxBand = rows.map(_.getLong(1)).max
+    // max-band docs have thr = 65536 → u16 < thr always → kept; and
+    // at least one selected doc must BE max-band (p = 1 selection)
+    assert(rows.filter(_.getLong(1) == maxBand).forall(_.getLong(2) == 65536L),
+      "max-band docs must have thr = 65536")
+    assert(rows.exists(_.getLong(1) == maxBand),
+      "the max band must appear among selected docs")
+    // expected-mass proof over the FULL corpus: recompute every
+    // doc's thr from corpus_dsir's weights and check the selected
+    // count against Σ thr/65536 with a 4σ binomial band
+    val allBands = run("corpus_dsir")
+      .select(expr("(logw_micro - pmod(logw_micro, 693147)) div 693147"))
+      .collect().map(_.getLong(0))
+    val mb = allBands.max
+    val thrs = allBands.map(b => 65536L >> math.min(mb - b, 17L).toInt)
+    val exp = thrs.map(_ / 65536.0).sum
+    val sd = math.sqrt(exp)
+    assert(math.abs(s1.count() - exp) <= 4 * sd + 1,
+      s"selected ${s1.count()} vs expected $exp")
+    s1.unpersist()
+  }
+
   test("dq_expectations: ledger complete, consistent, and actually counting") {
     val out = run("dq_expectations").collect()
     assert(out.length == 7, s"expected 7 rules, got ${out.length}")
