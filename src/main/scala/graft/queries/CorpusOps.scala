@@ -177,23 +177,50 @@ object CorpusOps extends QueryGroup {
           % 64).as("b"))
     val dc = tok.groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("c"))
+    dc.join(broadcast(dsirWeightTable(dc)), "b")
+      .groupBy("doc_id", "lang")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum(col("c") * col("w_micro")).as("logw_micro"))
+  }
+
+  /** The 64-row frozen bucket-weight model (b, w_micro) off a
+    * (doc_id, lang, b, c) count table — factored (r14) so the
+    * streaming twin can export the SAME model as a literal map. */
+  private def dsirWeightTable(dc: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val rawc = dc.groupBy("b").agg(sum(col("c")).as("cr"))
     val tgtc = dc.filter(col("lang") === "en")
       .groupBy("b").agg(sum(col("c")).as("ct"))
     val wts = rawc.join(tgtc, Seq("b"), "left")
       .select(col("b"), coalesce(col("ct"), lit(0L)).as("ct"), col("cr"))
     val tots = wts.agg(sum(col("ct")).as("tt"), sum(col("cr")).as("tr"))
-    val wm = wts.crossJoin(broadcast(tots))
+    wts.crossJoin(broadcast(tots))
       .select(col("b"),
         floor(log(((col("ct") + lit(1L)) * (col("tr") + lit(64L)))
           .cast("double") /
           ((col("cr") + lit(1L)) * (col("tt") + lit(64L)))
             .cast("double")) * lit(1000000.0)).cast("long")
           .as("w_micro"))
-    dc.join(broadcast(wm), "b")
-      .groupBy("doc_id", "lang")
-      .agg(sum(col("c")).as("n_tokens"),
-        sum(col("c") * col("w_micro")).as("logw_micro"))
+  }
+
+  /** The frozen DSIR model as a driver-side literal map — the shape
+    * an ONLINE scorer deploys (train offline, apply in-stream);
+    * consumed by Streams.dsirSelection and its parity spec. The
+    * collect is the 64-row model table — the PQ-codebook class of
+    * bounded literal collects. */
+  private[graft] def dsirBucketWeights(
+      spark: org.apache.spark.sql.SparkSession, sf: String)
+      : Map[Long, Long] = {
+    val tok = Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
+          % 64).as("b"))
+    val dc = tok.groupBy("doc_id", "lang", "b")
+      .agg(count(lit(1)).as("c"))
+    dsirWeightTable(dc).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
   /** The same per-document DSIR table as DuckDB CTEs ending in `ds`. */

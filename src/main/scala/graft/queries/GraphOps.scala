@@ -533,7 +533,35 @@ object GraphOps extends QueryGroup {
     * edges. Score = v₁·v₁ + v₂·v₂ exact integer dots off the
     * materialized embedding sink. Pairs with an unembedded endpoint
     * drop identically on both engines. */
-  private def linkScoreTable(spark: SparkSession, sf: String): DataFrame = {
+  /** Materialized link-prediction probe (u, w, score, lbl, deg_u) —
+    * the linkProbe score table written ONCE per (session, sf) via
+    * [[sessionSink]] and read back by all three eval consumers
+    * (graph_embed_link_auc, rank_link_hits_at_k,
+    * rank_link_auc_by_degree). r14 pre-adjudicated intentional plan
+    * change (the sink_walk_corpus precedent): each consumer was
+    * re-deriving the |V|-row sample indexing + scoring joins per
+    * invocation (2-4.5 s each at sf0.1, and the 10×-replica probe
+    * measured whichever consumer ran FIRST paying the whole build);
+    * the sink runs the build once and each eval drops to a bucketed
+    * 8k-row scan. deg_u (the customer endpoint's edge count) rides
+    * along so the by-degree stratification needs no edge-list
+    * re-derivation at all. Values unchanged — the hash gate proves
+    * row equality against the unchanged oracles. */
+  private def linkScoreTable(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_link_scores", WalkCorpusBuckets,
+      "u", Seq("u", "w")) {
+      val (ed, sc) = linkProbe(spark, sf)
+      val deg = ed.groupBy("u").agg(count(lit(1)).as("deg_u"))
+      sc.join(deg, "u")
+        .select(col("u"), col("w"), col("score"), col("lbl"),
+          col("deg_u"))
+    }
+
+  /** The probe's (checkpointed edge list, scored pairs) — factored
+    * (r14) so the sink build computes the degree column off the SAME
+    * materialized edge list as the samples. */
+  private def linkProbe(spark: SparkSession, sf: String)
+      : (DataFrame, DataFrame) = {
     val emb = walkEmbedding(spark, sf)
       .select(col("node"), col("v"), col("v2"))
       .localCheckpoint(true)
@@ -572,7 +600,7 @@ object GraphOps extends QueryGroup {
       .select(col("u"), col("w"),
         (col("a1") * col("b1") + col("a2") * col("b2")).as("score"),
         lit(lbl.toLong).as("lbl"))
-    scoreSide(pos, 1).unionAll(scoreSide(neg, 0))
+    (ed, scoreSide(pos, 1).unionAll(scoreSide(neg, 0)))
   }
 
   /** Tie-aware exact-integer rank-sum AUC over a (score BIGINT,
@@ -3668,14 +3696,10 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "rank_link_auc_by_degree",
       (spark, sf) => {
-        val ed = edges(spark, sf).filter(col("src") % 2 === 0)
-          .select(col("src").as("u"), col("dst").as("w"))
-        val deg = ed.groupBy("u").agg(count(lit(1)).as("deg"))
         val b = linkScoreTable(spark, sf)
-          .join(deg, "u")
           .withColumn("deg_bucket",
-            when(col("deg") <= 4, 0L).when(col("deg") <= 16, 1L)
-              .when(col("deg") <= 64, 2L).otherwise(3L))
+            when(col("deg_u") <= 4, 0L).when(col("deg_u") <= 16, 1L)
+              .when(col("deg_u") <= 64, 2L).otherwise(3L))
         val g = b.groupBy("deg_bucket", "score")
           .agg(sum(col("lbl")).as("np"),
             sum(lit(1L) - col("lbl")).as("nn"))
@@ -3703,11 +3727,11 @@ object GraphOps extends QueryGroup {
         "CAST(sum(np*(2*cb + nn)) AS BIGINT) AS auc_2pn_units, " +
         "CASE WHEN sum(np) > 0 AND sum(nn) > 0 THEN round(CAST(sum(np*(2*cb + nn)) AS DOUBLE) / (2.0 * sum(np) * sum(nn)), 4) END AS auc " +
         "FROM rr GROUP BY 1 ORDER BY 1"),
-      scaleNote = "The stratification adds ONE map-side-combined " +
-        "degree aggregate over the fixed probe's edge list and a " +
-        "bucket key threaded through the existing grouped-score " +
-        "plan — the rank window now partitions by bucket (4 " +
-        "partitions instead of 1 global, strictly friendlier), and " +
+      scaleNote = "The stratification is a CASE over deg_u, which " +
+        "rides the materialized probe (sink_link_scores) — so the " +
+        "op is one bucketed 8k-row scan plus the per-bucket rank " +
+        "windows (4 partitions instead of 1 global, strictly " +
+        "friendlier), with no edge-list work per invocation; " +
         "everything downstream of the 8k-pair probe stays constant " +
         "cost in graph size. Bucket thresholds are stated literals, " +
         "so the strata are reproducible across corpus versions — " +

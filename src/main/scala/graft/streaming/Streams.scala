@@ -1211,6 +1211,43 @@ object Streams {
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(col("chars")).as("chars"))
 
+  /** Live DSIR selection panel (stream_dsir, r14) — the streaming
+    * form of corpus_dsir/sample_dsir's SCORING stage, in the shape
+    * an online selector actually deploys: the 64-bucket weight model
+    * is FROZEN offline and passed in as a literal map (train batch,
+    * apply in-stream — the model never refits on the stream), each
+    * arriving doc is scored STATELESSLY with one aggregate() HOF
+    * over its tokens (the exact integer dot product of bucket counts
+    * with frozen micro-nat weights — no explode, no per-doc state,
+    * same md5-bucket lambda as the batch op), and the panel keeps
+    * per (lang, selected) doc/token/logw counters in one
+    * complete-mode aggregate: ≤ 2·|langs| rows of three BIGINTs.
+    * Per-doc scores being pure functions of (text, frozen model),
+    * the panel recomposes batch corpus_dsir's (lang, selected)
+    * rollup bit-for-bit — parity + doc-mass conservation proven in
+    * StreamingSpec. */
+  def dsirSelection(docs: Dataset[LangDoc],
+      wMicro: Map[Long, Long]): DataFrame = {
+    val keys = wMicro.keys.toSeq.sorted
+    val wmap = map_from_arrays(
+      array(keys.map(lit(_)): _*),
+      array(keys.map(k => lit(wMicro(k))): _*))
+    val bucket = (w: org.apache.spark.sql.Column) =>
+      conv(substring(md5(w), 9, 8), 16, 10).cast("long") % 64
+    docs.toDF()
+      .select(col("lang"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"),
+        aggregate(split(col("text"), " "), lit(0L),
+          (acc, w) => acc +
+            coalesce(element_at(wmap, bucket(w)), lit(0L)))
+          .as("logw_micro"))
+      .withColumn("selected", col("logw_micro") > 0L)
+      .groupBy("lang", "selected")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("logw_micro")).as("logw_sum"))
+  }
+
   /** Live value-distribution panel — the streaming form of
     * dq_drift_psi (stream_psi, r13): per (feed, bin) counters under
     * the SAME stated literal edges (ONE CASE string —

@@ -820,6 +820,55 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_dsir: frozen-model selection panel recomposes batch corpus_dsir's rollup after replay") {
+    val s = spark
+    import s.implicits._
+    // the model is trained OFFLINE on the batch corpus and frozen —
+    // the deployment shape the panel exists for
+    val weights = graft.queries.CorpusOps.dsirBucketWeights(spark, sf)
+    assert(weights.nonEmpty && weights.size <= 64)
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    val mem = MemoryStream[Streams.LangDoc](71, spark, None)
+    val q = Streams.dsirSelection(mem.toDS(), weights)
+      .writeStream.format("memory")
+      .queryName("t_dsir").outputMode("complete").start()
+    try {
+      var seenDocs = 0L
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          seenDocs += sl.length
+          // mid-replay conservation: every doc seen so far is in
+          // exactly one (lang, selected) cell
+          val partial = spark.table("t_dsir")
+          assert(partial.agg(sum("n_docs")).collect()(0).getLong(0) == seenDocs,
+            "doc mass not conserved mid-replay")
+        }
+      val cells = spark.table("t_dsir").collect()
+        .map(r => (r.getString(0), r.getBoolean(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // batch parity: corpus_dsir's per-doc scores rolled up by
+      // (lang, selected) must equal the streamed cells exactly —
+      // the per-doc dot product is a pure function of (text, model)
+      val batch = graft.engine.Registry.byName("corpus_dsir")
+        .build(spark, sf)
+        .groupBy("lang", "selected")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("logw_micro")).as("logw_sum"))
+        .collect()
+      assert(batch.length == cells.size, "cell grid diverges")
+      batch.foreach { r =>
+        val k = (r.getString(0), r.getBoolean(1))
+        assert(cells(k) == ((r.getLong(2), r.getLong(3), r.getLong(4))),
+          s"$k: streamed ${cells(k)} diverges from batch")
+      }
+    } finally q.stop()
+  }
+
   test("stream_srm running arm counts match batch ab_test_srm cells and GOF after replay") {
     val s = spark
     import s.implicits._
