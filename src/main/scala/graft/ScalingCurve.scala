@@ -132,7 +132,7 @@ object ScalingCurve {
       // the link evals ride the fixed 8k-pair probe)
       "graph_random_walks", "graph_walk_biased", "sink_walk_biased",
       "rank_link_hits_at_k", "rank_link_auc_by_degree",
-      "graph_girvan_rounds", "sample_dsir")
+      "graph_girvan_rounds", "sample_dsir", "quality_lm_perplexity")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

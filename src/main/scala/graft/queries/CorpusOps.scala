@@ -167,16 +167,24 @@ object CorpusOps extends QueryGroup {
     * corpus_dsir's build, factored (r14) so sample_dsir composes the
     * SAME frozen integer weights into its resampling draw. See the
     * corpus_dsir QueryDef comment for the model. */
-  private def dsirDocTable(spark: org.apache.spark.sql.SparkSession,
-      sf: String): org.apache.spark.sql.DataFrame = {
-    val tok = Tables.documents(spark, sf)
+  /** Per-(doc, lang, bucket) hashed token counts — the shared
+    * feature table under corpus_dsir, sample_dsir, and
+    * quality_lm_perplexity (64 md5 bins, identical on both
+    * engines). */
+  private def dsirBucketCounts(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(spark, sf)
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .select(col("doc_id"), col("lang"),
         (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
           % 64).as("b"))
-    val dc = tok.groupBy("doc_id", "lang", "b")
+      .groupBy("doc_id", "lang", "b")
       .agg(count(lit(1)).as("c"))
+
+  private def dsirDocTable(spark: org.apache.spark.sql.SparkSession,
+      sf: String): org.apache.spark.sql.DataFrame = {
+    val dc = dsirBucketCounts(spark, sf)
     dc.join(broadcast(dsirWeightTable(dc)), "b")
       .groupBy("doc_id", "lang")
       .agg(sum(col("c")).as("n_tokens"),
@@ -210,18 +218,9 @@ object CorpusOps extends QueryGroup {
     * bounded literal collects. */
   private[graft] def dsirBucketWeights(
       spark: org.apache.spark.sql.SparkSession, sf: String)
-      : Map[Long, Long] = {
-    val tok = Tables.documents(spark, sf)
-      .select(col("doc_id"), col("lang"),
-        explode(split(col("text"), " ")).as("w"))
-      .select(col("doc_id"), col("lang"),
-        (conv(substring(md5(col("w")), 9, 8), 16, 10).cast("long")
-          % 64).as("b"))
-    val dc = tok.groupBy("doc_id", "lang", "b")
-      .agg(count(lit(1)).as("c"))
-    dsirWeightTable(dc).collect()
+      : Map[Long, Long] =
+    dsirWeightTable(dsirBucketCounts(spark, sf)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
-  }
 
   /** The same per-document DSIR table as DuckDB CTEs ending in `ds`. */
   private val DsirSqlCtes: String =
@@ -1292,5 +1291,88 @@ object CorpusOps extends QueryGroup {
         "shifting the normalizer (keep rate halves per extra band " +
         "subtracted); 16-bit draw resolution truncates 17+ bands " +
         "below max to zero — at 100 TB that tail is exactly the " +
-        "off-domain mass DSIR exists to drop."))
+        "off-domain mass DSIR exists to drop."),
+
+    // LM-perplexity quality filter (r14) — the CCNet-style member
+    // the quality family was missing: quality_gopher_rules applies
+    // surface heuristics, corpus_dsir matches a target by RATIO;
+    // this scores each doc by its ABSOLUTE cross-entropy under a
+    // language model trained on the clean slice (CCNet trains
+    // KenLM on Wikipedia; here a unigram model over the 64 hashed
+    // token buckets, trained on the en slice — the same frozen-
+    // integer-model discipline as DSIR). Per bucket the negative
+    // log-prob is ONE ln of an exact integer ratio (t+64)/(ct+1)
+    // (Laplace) floored to micro-nats; per doc the cross-entropy is
+    // the exact integer dot of bucket counts with those frozen
+    // costs, ONE floor division by token count. The deliverable is
+    // CCNet's head/middle/tail split: docs ranked by ce on the
+    // VALUE-GROUPED ce grid (ties share a tercile, stated), bucket
+    // 0 = most-fluent third — the slice a pretraining mix keeps,
+    // up-weights, or drops per policy. MEASURED FIXTURE CAVEAT (the
+    // link-AUC honesty discipline): this corpus's five synthetic
+    // langs share ONE 31-word vocabulary, so the en-trained model
+    // has no lexical signal to prefer en — the terciles here rank
+    // token-mix fluency only; the spec proves the chain by exact
+    // driver-side replay instead of asserting a cross-lang gap the
+    // fixture cannot produce.
+    QueryDef(
+      "quality_lm_perplexity",
+      (spark, sf) => {
+        val dc = dsirBucketCounts(spark, sf)
+        val tg = dc.filter(col("lang") === "en")
+          .groupBy("b").agg(sum(col("c")).as("ct"))
+        val tt = tg.agg(sum(col("ct")).as("t"))
+        val nl = spark.range(0, 64).select(col("id").as("b"))
+          .join(tg, Seq("b"), "left")
+          .crossJoin(broadcast(tt))
+          .select(col("b"),
+            floor(log((col("t") + lit(64L)).cast("double") /
+              (coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double"))
+              * lit(1000000.0)).cast("long").as("nll"))
+        val dd = dc.join(broadcast(nl), "b")
+          .groupBy("doc_id", "lang")
+          .agg(sum(col("c")).as("n_tokens"),
+            sum(col("c") * col("nll")).as("nll_sum"))
+          .withColumn("ce_micro", expr("nll_sum div n_tokens"))
+        val wb = Window.orderBy("ce_micro")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val cw = dd.groupBy("ce_micro").agg(count(lit(1)).as("nd"))
+          .withColumn("below", coalesce(sum(col("nd")).over(wb), lit(0L)))
+          .select(col("ce_micro"), col("below"))
+        val nn = dd.agg(count(lit(1)).as("n"))
+        dd.join(cw, "ce_micro").crossJoin(broadcast(nn))
+          .select(col("doc_id"), col("lang"), col("n_tokens"),
+            col("ce_micro"),
+            expr("(below * 3) div n").as("ppl_bucket"))
+          .orderBy("doc_id")
+      },
+      Some("WITH tok AS (SELECT doc_id, lang, ('0x'||substr(md5(w),9,8))::BIGINT % 64 AS b FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w FROM documents)), " +
+        "dc AS (SELECT doc_id, lang, b, count(*) AS c FROM tok GROUP BY 1, 2, 3), " +
+        "tg AS (SELECT b, CAST(sum(c) AS BIGINT) AS ct FROM dc WHERE lang = 'en' GROUP BY 1), " +
+        "tt AS (SELECT CAST(sum(ct) AS BIGINT) AS t FROM tg), " +
+        "gr AS (SELECT unnest(generate_series(0, 63)) AS b), " +
+        "nl AS (SELECT gr.b, CAST(floor(ln(CAST(t + 64 AS DOUBLE) / CAST(COALESCE(ct, 0) + 1 AS DOUBLE)) * 1000000.0) AS BIGINT) AS nll FROM gr LEFT JOIN tg ON gr.b = tg.b CROSS JOIN tt), " +
+        "dd AS (SELECT doc_id, lang, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(sum(c * nll) AS BIGINT) AS nll_sum FROM dc JOIN nl ON dc.b = nl.b GROUP BY 1, 2), " +
+        "de AS (SELECT *, nll_sum // n_tokens AS ce_micro FROM dd), " +
+        "cg AS (SELECT ce_micro, count(*) AS nd FROM de GROUP BY 1), " +
+        "cw AS (SELECT ce_micro, COALESCE(CAST(sum(nd) OVER (ORDER BY ce_micro ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below FROM cg), " +
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM de) " +
+        "SELECT doc_id, lang, n_tokens, ce_micro, (below * 3) // n AS ppl_bucket " +
+        "FROM de JOIN cw USING (ce_micro) CROSS JOIN nn ORDER BY doc_id"),
+      scaleNote = "corpus_dsir's exact economics with an absolute " +
+        "model: ONE map-side-combined (doc, bucket) count aggregate " +
+        "does all corpus-scale work, the model freezes to a 64-row " +
+        "integer cost table broadcast back (10k-bucket or bigram " +
+        "models are the same plan — the cost table stays broadcast-" +
+        "sized to millions of entries), and per-doc scoring is a " +
+        "hash-agg, never a token shuffle. The tercile split runs on " +
+        "the VALUE-GROUPED ce grid (|distinct ce values| rows — the " +
+        "adjudicated aggregate-collapsed window class), and the " +
+        "per-doc bucket lands via one equi join back on ce_micro — " +
+        "co-keyed shuffle, no broadcast of anything unbounded. " +
+        "Frozen integer costs make the keep/drop verdict " +
+        "bit-stable across engines, layouts, and reruns — the " +
+        "property a reproducible pretraining mix needs from its " +
+        "quality gate; swapping the en slice for any manifest-" +
+        "declared clean corpus is a filter literal."))
 }

@@ -1587,6 +1587,61 @@ class OperatorPropertiesSpec extends SparkSpec {
     s1.unpersist(); docs.unpersist()
   }
 
+  test("quality_lm_perplexity: exact model replay, terciles balanced, head<=tail") {
+    val out = run("quality_lm_perplexity").cache()
+    val n = out.count()
+    assert(n == graft.engine.Tables.documents(spark, sf).count(),
+      "every doc must be scored — a quality gate that drops docs is broken")
+    // NOTE (honest non-detection, the graph_embed_link_auc
+    // discipline): an en-scores-lower assertion is IMPOSSIBLE on
+    // this fixture — all five synthetic langs share the exact same
+    // 31-word vocabulary (measured), so the en-trained model sees
+    // no lexical signal to prefer. What IS testable: the model and
+    // per-doc scores are exactly what the op claims. Replay the
+    // whole chain driver-side from raw text: frozen bucket costs
+    // nll_b = floor(ln((t+64)/(ct+1))·1e6) off the en slice, per-doc
+    // ce = Σ c_b·nll_b div n_tokens — must match bit-for-bit.
+    def bucket(w: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(8, 16)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val enCounts = new scala.collection.mutable.HashMap[Long, Long]()
+    docs.filter(_._2 == "en").foreach(_._3.split(" ")
+      .foreach(w => enCounts(bucket(w)) = enCounts.getOrElse(bucket(w), 0L) + 1))
+    val t = enCounts.values.sum
+    val nll = (0L until 64L).map(b => b ->
+      math.floor(math.log((t + 64).toDouble /
+        (enCounts.getOrElse(b, 0L) + 1).toDouble) * 1e6).toLong).toMap
+    val expect = docs.map { case (id, _, text) =>
+      val ws = text.split(" ")
+      id -> ws.map(w => nll(bucket(w))).sum / ws.length
+    }.toMap
+    out.select("doc_id", "ce_micro").collect().foreach { r =>
+      assert(r.getLong(1) == expect(r.getLong(0)),
+        s"doc ${r.getLong(0)}: ce ${r.getLong(1)} != replay ${expect(r.getLong(0))}")
+    }
+    // tercile balance: buckets are rank-derived, so sizes differ only
+    // by tie collisions at the two boundaries
+    val sizes = out.groupBy("ppl_bucket").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0L, 1L, 2L), s"buckets: ${sizes.keySet}")
+    sizes.values.foreach(s =>
+      assert(math.abs(s - n / 3.0) <= n * 0.1 + 3,
+        s"tercile size $s far from ${n / 3}"))
+    // monotonicity: every head doc has ce <= every tail doc
+    val maxHead = out.filter(col("ppl_bucket") === 0)
+      .agg(max("ce_micro")).collect()(0).getLong(0)
+    val minTail = out.filter(col("ppl_bucket") === 2)
+      .agg(min("ce_micro")).collect()(0).getLong(0)
+    assert(maxHead <= minTail, s"head max $maxHead > tail min $minTail")
+    out.unpersist()
+  }
+
   test("sample_dsir: rerun-identical, max-band kept with p=1, mass tracks Σthr") {
     val s1 = run("sample_dsir").cache()
     val s2 = run("sample_dsir")
