@@ -26,7 +26,14 @@ object Bench {
       java.nio.file.Paths.get("bench_queries.jsonl"))
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     val results = SparkEntry.queries.map { case (name, fn) =>
-      try { fn(spark, warmDir).count() } catch { case _: Throwable => () }
+      try { fn(spark, warmDir).count() } catch { case e: Throwable =>
+        // a swallowed warm failure is what made the r14 18.03 s
+        // rank_link_hits_at_k ledger entry undiagnosable (VERDICT r14
+        // #1): if the warm dies, the first TIMED run silently pays the
+        // whole sink build. One line makes that state readable.
+        System.err.println(s"[graft.Bench] warm(sf0.001) $name failed: " +
+          s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      }
       // ...and once untimed at the TIMED scale factor: session-sink
       // queries (walk corpus, Brandes deps, Louvain labels, the rank-2
       // embedding) materialize a one-time on-disk table keyed by sfDir
@@ -36,8 +43,24 @@ object Bench {
       // steady state (and under 356-query session residue even
       // min-of-3 failed to shed the build). One untimed pass here puts
       // every sink build outside the clock, making the ledger a
-      // deterministic steady-state measurement.
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      // deterministic steady-state measurement. The pass runs for
+      // EVERY query, not just the sink-backed ones — that roughly
+      // doubles bench wall-clock (r15 ADVICE), an accepted cost: the
+      // warm is what makes the published per-query number a
+      // steady-state plan measurement rather than
+      // whatever-the-session-residue-was, and a selective warm list
+      // would silently rot as keys are added. Its duration is
+      // RECORDED per query (warm_sec below, VERDICT r14 #1) so
+      // sink-build vs steady-state is adjudicable off the artifact:
+      // a big warm_sec next to a small sec IS the sink build landing
+      // outside the clock, by construction.
+      val w0 = System.nanoTime()
+      var warmErr: String = null
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        warmErr = s"${e.getClass.getSimpleName}: ${e.getMessage}"
+        System.err.println(s"[graft.Bench] warm($sfDir) $name failed: $warmErr")
+      }
+      val warmSec = (System.nanoTime() - w0) / 1e9
       // min of three timed runs: a single sample is exposed to one-off
       // noise (GC pause, broadcast-thread contention) — r2 recorded a
       // 2x join_range "regression" on unchanged code and an unchanged
@@ -73,12 +96,18 @@ object Bench {
       // that way), every individual time survives as its own short line
       // — AND is appended to a durable jsonl file BEFORE the stdout
       // print, so no stdout capture policy can lose a measurement
+      val warmErrJson = if (warmErr == null) ""
+        else "," + "\"warm_err\":\"" +
+          warmErr.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\r\\n\\t]", " ").take(200) + "\""
+      val qline =
+        s"""{"q":"$name","sec":${fmt(t)},"warm_sec":${fmt(warmSec)}$warmErrJson}"""
       java.nio.file.Files.write(
         java.nio.file.Paths.get("bench_queries.jsonl"),
-        (s"""{"q":"$name","sec":${fmt(t)}}""" + "\n").getBytes("UTF-8"),
+        (qline + "\n").getBytes("UTF-8"),
         java.nio.file.StandardOpenOption.CREATE,
         java.nio.file.StandardOpenOption.APPEND)
-      println(s"""{"q":"$name","sec":${fmt(t)}}""")
+      println(qline)
       name -> t
     }
     // 4-decimal times keep the summary line compact (~25 chars/query

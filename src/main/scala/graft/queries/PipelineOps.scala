@@ -299,16 +299,21 @@ object PipelineOps extends QueryGroup {
       (spark, sf) => {
         val ev = Tables.loadEvents(spark, sf)
         val scd = scd2(ev)
+        // both sides descend from the same events scan (scd2(ev) is a
+        // self-join by lineage) — explicit aliases make the equi key
+        // unambiguous and quiet the "trivially true equals predicate"
+        // analyzer WARN (r14 VERDICT #3; plan unchanged)
         val probe = ev.filter(col("ts") >= Dsl.tsLit("2024-01-25"))
           .select(col("event_id"), col("user_id"), col("ts"))
+          .alias("p")
         probe.join(scd.select(col("user_id"), col("version"),
             col("event_type").as("state_type"),
-            col("valid_from"), col("valid_to")),
-          probe("user_id") === scd("user_id") &&
+            col("valid_from"), col("valid_to")).alias("s"),
+          col("p.user_id") === col("s.user_id") &&
             col("ts") >= col("valid_from") &&
             (col("valid_to").isNull || col("ts") < col("valid_to")))
-          .select(col("event_id"), probe("user_id"), col("ts"),
-            col("version"), col("state_type"))
+          .select(col("event_id"), col("p.user_id").as("user_id"),
+            col("ts"), col("version"), col("state_type"))
           .orderBy("event_id")
       },
       Some(s"WITH $Scd2Ctes, scd AS (SELECT user_id, version, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to FROM g) SELECT e.event_id, e.user_id, e.ts, s.version, s.event_type AS state_type FROM events e JOIN scd s ON e.user_id = s.user_id AND e.ts >= s.valid_from AND (s.valid_to IS NULL OR e.ts < s.valid_to) WHERE e.ts >= TIMESTAMP '2024-01-25' ORDER BY e.event_id"),
