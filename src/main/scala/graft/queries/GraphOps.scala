@@ -102,6 +102,48 @@ object GraphOps extends QueryGroup {
     "SELECT c, s FROM (SELECT DISTINCT o_custkey*2 AS c, l_suppkey*2+1 AS s " +
       "FROM lineitem JOIN orders ON l_orderkey = o_orderkey)"
 
+  /** Bucket-count literal for the materialized strongest-pair
+    * backbone — sink_backbone's file-count gate (500 rows; 4 buckets
+    * keeps files read-efficient while proving the single-writer
+    * layout). */
+  val BackboneBuckets = 4
+
+  /** The top-500 strongest-pair co-purchase backbone (c, s, m) —
+    * the bounded subgraph every DIVISIVE community operator runs on
+    * (graph_girvan_split, graph_girvan_rounds, graph_components),
+    * materialized ONCE per (session, sf) via [[sessionSink]] (r15,
+    * VERDICT r14 "next" #3 — the walk-corpus pattern, sixth
+    * application). Each consumer previously re-ran the
+    * lineitem⋈orders co-purchase rollup + TakeOrdered per
+    * invocation; the 10×-replica probe named that exact scan as
+    * graph_girvan_split's 5.6× driver (SCALING.md r14 replica
+    * table). Post-sink the family's per-query cost is a ≤500-row
+    * bucketed read + bounded graph work. Total order (m desc, c, s)
+    * makes the top-500 cut deterministic at any partitioning; c is
+    * always even and s odd (the bipartite node encoding), so
+    * consumers re-derive their orientation — (c,s) for components,
+    * least/greatest for the canonical-pair rankers — as a
+    * projection. */
+  private[graft] def backboneTable(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_backbone", BackboneBuckets,
+      "c", Seq("c", "s")) {
+      Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .agg(count(lit(1)).as("m"))
+        .orderBy(col("m").desc, col("c").asc, col("s").asc)
+        .limit(500)
+    }
+
+  /** The same backbone in DuckDB SQL (a CTE named `strong3` carrying
+    * c, s, m — `strong`/`bp` remain the consumers' 2-column names). */
+  private val BackboneSql =
+    "SELECT c, s, m FROM (SELECT o_custkey*2 AS c, l_suppkey*2+1 AS s, count(*) AS m " +
+      "FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1, 2 " +
+      "ORDER BY m DESC, c, s LIMIT 500)"
+
   /** Deterministic walk corpus (start, step, node) — length-4 walks
     * from every customer node, the md5-u16(node, step) draw modulo
     * degree indexing a rank-ordered adjacency list. Factored out of
@@ -1835,6 +1877,52 @@ object GraphOps extends QueryGroup {
         "traversal an exact-integer alert: a deeper graph moves " +
         "n_rows/h and fails the pinned rounds literal loudly."),
 
+    // The materialized strongest-pair backbone, GATED (r15, VERDICT
+    // r14 "next" #3 — the sink_walk_corpus gate pattern): row count,
+    // exact endpoint/weight checksums, the weight extremes (the
+    // top-500 cut boundary both engines must agree on under the
+    // (m, c, s) total order), and the measured part-file count vs
+    // the pinned bucket literal. The three divisive consumers
+    // (graph_girvan_split, graph_girvan_rounds, graph_components)
+    // read this table instead of re-running the co-purchase rollup.
+    QueryDef(
+      "sink_backbone",
+      (spark, sf) => {
+        val bb = backboneTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_backbone")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        bb.agg(count(lit(1)).as("n_edges"),
+            countDistinct(col("c")).as("n_cust"),
+            countDistinct(col("s")).as("n_supp"),
+            sum(col("c")).as("c_checksum"),
+            sum(col("s")).as("s_checksum"),
+            sum(col("m")).as("m_total"),
+            min(col("m")).as("m_min"),
+            max(col("m")).as("m_max"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some(s"WITH strong3 AS ($BackboneSql) " +
+        "SELECT count(*) AS n_edges, count(DISTINCT c) AS n_cust, " +
+        "count(DISTINCT s) AS n_supp, CAST(sum(c) AS BIGINT) AS c_checksum, " +
+        "CAST(sum(s) AS BIGINT) AS s_checksum, CAST(sum(m) AS BIGINT) AS m_total, " +
+        "min(m) AS m_min, max(m) AS m_max, " +
+        s"$BackboneBuckets AS n_files FROM strong3"),
+      scaleNote = "The sink moves the backbone extraction from " +
+        "every-divisive-query to once-per-corpus-version: the " +
+        "lineitem⋈orders co-purchase rollup (map-side-combined count " +
+        "+ TakeOrderedAndProject — never a global sort) runs once, " +
+        "and every Girvan/components consumer drops to a ≤500-row " +
+        "bucketed read plus bounded graph work. This is the nightly " +
+        "backbone-extraction job the r14 replica probe priced: at " +
+        "10× data the extraction scan was 5.6× of girvan_split's " +
+        "per-invocation cost — paid once here, amortized across the " +
+        "family. The checksum/extreme columns make a drifted cut " +
+        "boundary an exact-integer alert (two corpora disagreeing " +
+        "on the 500th-strongest pair fail m_min/checksums loudly), " +
+        "and the gated file count PROVES the single-writer bucket " +
+        "layout every consumer's scan relies on."),
+
     // Girvan–Newman SPLIT (r13, VERDICT r12 #1's promised consumer)
     // — the loop graph_edge_betweenness's scaleNote names, landed:
     // cut the top-k undirected edges by sampled edge betweenness,
@@ -1858,17 +1946,12 @@ object GraphOps extends QueryGroup {
           .groupBy(least(col("node"), col("wnode")).as("u"),
             greatest(col("node"), col("wnode")).as("v"))
           .agg(sum(col("c")).as("ebc"))
-        val strong = Tables.lineitem(spark, sf)
-          .join(Tables.orders(spark, sf),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("s"))
-          .agg(count(lit(1)).as("m"))
-          .orderBy(col("m").desc, col("c").asc, col("s").asc)
-          .limit(500)
+        // r15: the rollup + TakeOrdered moved into sink_backbone —
+        // the 10×-replica probe priced the per-invocation extraction
+        // scan at 5.6× on this key; now one ≤500-row bucketed read
+        val strong = backboneTable(spark, sf)
           .select(least(col("c"), col("s")).as("u"),
             greatest(col("c"), col("s")).as("v"))
-          .localCheckpoint(false)
         val cut = strong.join(ebc, Seq("u", "v"), "left")
           .select(col("u"), col("v"),
             coalesce(col("ebc"), lit(0L)).as("ebc"))
@@ -1979,14 +2062,9 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_girvan_rounds",
       (spark, sf) => {
-        val strong = Tables.lineitem(spark, sf)
-          .join(Tables.orders(spark, sf),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("s"))
-          .agg(count(lit(1)).as("m"))
-          .orderBy(col("m").desc, col("c").asc, col("s").asc)
-          .limit(500)
+        // r15: reads sink_backbone (one bucketed ≤500-row scan per
+        // round-loop entry instead of the co-purchase rollup scan)
+        val strong = backboneTable(spark, sf)
           .select(least(col("c"), col("s")).as("u"),
             greatest(col("c"), col("s")).as("v"))
           .localCheckpoint(false)
@@ -2390,16 +2468,10 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_components",
       (spark, sf) => {
-        val strong = Tables.lineitem(spark, sf)
-          .join(Tables.orders(spark, sf),
-            col("l_orderkey") === col("o_orderkey"))
-          .groupBy((col("o_custkey") * 2).as("c"),
-            (col("l_suppkey") * 2 + 1).as("s"))
-          .agg(count(lit(1)).as("m"))
-          .orderBy(col("m").desc, col("c").asc, col("s").asc)
-          .limit(500)
+        // r15: reads sink_backbone instead of re-running the
+        // co-purchase rollup per invocation (values hash-identical)
+        val strong = backboneTable(spark, sf)
           .select(col("c").as("u"), col("s").as("v"))
-          .localCheckpoint(false)
         graft.queries.NearDup.resolveEdges(strong)
           .select(
             when(col("doc_id") % 2 === 0, lit("customer"))
