@@ -30,7 +30,12 @@ object CorpusOps extends QueryGroup {
     s"$p AS (SELECT ls[i] || ' ' || ls[i+1] AS pair, f FROM " +
       s"(SELECT ls, f, unnest(generate_series(1, len(ls)-1)) AS i FROM " +
       s"(SELECT string_split(sym, ' ') AS ls, f FROM $s))), " +
-      s"$b AS (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM $p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
+      // MATERIALIZED (r15): bN is referenced ~6× by the following
+      // apply stage's replace expressions; without the hint DuckDB
+      // inlines each reference, and a 16-round chain
+      // (tokenizer_train_k) multiplies base-table opens past the fd
+      // limit ("Too many open files" at K=16). Same values.
+      s"$b AS MATERIALIZED (SELECT pair, CAST(sum(f) AS BIGINT) AS cnt FROM $p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 1)"
 
   /** BPE training on the distinct-word frequency table `wf(word, f)`:
     * nRounds of count-weighted-pairs → crown the (count, pair)-max
@@ -96,8 +101,35 @@ object CorpusOps extends QueryGroup {
     s"r$next AS (SELECT word, sym, f FROM $prev " +
       s"UNION ALL SELECT word, ${rep("sym")} AS sym, f FROM r$next " +
       s"WHERE ${rep("sym")} <> sym), " +
-      s"$next AS (SELECT word, sym, f FROM r$next WHERE ${rep("sym")} = sym)"
+      // MATERIALIZED: sN feeds the NEXT round's pair explode AND its
+      // own fixpoint filter — the same K=16 inlining blow-up guard
+      // as bpeRoundSql's bN (values unchanged)
+      s"$next AS MATERIALIZED (SELECT word, sym, f FROM r$next WHERE ${rep("sym")} = sym)"
   }
+
+  /** The deep-trainer merge budget (r15, VERDICT r14 #6): 16 rounds.
+    * The 3-round ops (tokenizer_bpe_merges, tokenizer_apply) are this
+    * trainer's FIXED PREFIX — BPE merges are strictly sequential, so
+    * rounds 1..3 of the K=16 run equal the 3-round run bit-for-bit
+    * (asserted in OperatorPropertiesSpec). Measured headroom: the
+    * fixture vocab (30 trainable words, 107 initial adjacent-pair
+    * slots, identical at all three SFs) still holds 70+ distinct
+    * pairs after round 16, so the argmax never draws from an empty
+    * table at any fixture. */
+  val BpeTrainK = 16
+
+  /** The K-round unrolled BPE oracle chain s1 → (b1, s2) → … → bK
+    * (+ sK+1, the final symbol table, when the caller encodes):
+    * [[bpeRoundSql]]/[[bpeApplySql]] iterated — the
+    * graph_girvan_rounds machine-generated-unroll pattern applied to
+    * tokenizer training. Caller supplies w/wf/s1 and the SELECT. */
+  private def bpeChainSql(k: Int, withFinalApply: Boolean): String =
+    (1 to k).map { i =>
+      bpeRoundSql(s"s$i", s"p$i", s"b$i") +
+        (if (i < k || withFinalApply)
+          ", " + bpeApplySql(s"s$i", s"b$i", s"s${i + 1}")
+        else "")
+    }.mkString(", ")
 
   /** THE train/val membership key: md5-prefix content-hash bucket in
     * [0, 100). One definition (Scala + SQL fragment) shared by
@@ -1140,6 +1172,109 @@ object CorpusOps extends QueryGroup {
         "scan per tokenizer candidate. A 50k-merge vocab swaps the " +
         "3-round trainer for the shipped merge table; the apply loop " +
         "is the same fixpoint replace per merge, still vocab-sized."),
+
+    // Vocab-size-parameterized BPE trainer (r15, VERDICT r14 #6 —
+    // tokenizer depth): the 3-round trainer iterated to K = 16
+    // merges, the graph_girvan_rounds loop shape applied to
+    // tokenizer training. Each round emits its top-pair CERTIFICATE
+    // (round, pair, merged, cnt) — the exact argmax with pair-text
+    // tiebreak both engines must crown identically — so a drifted
+    // merge table is pinpointed to the ROUND where the two engines
+    // first disagree, not just a final-vocab mismatch. The 3-merge
+    // ops are this trainer's fixed prefix (merges are strictly
+    // sequential; asserted in-spec). K is data, not structure: a
+    // 50k-merge production vocab runs the same loop with the merge
+    // table appended per round.
+    QueryDef(
+      "tokenizer_train_k",
+      (spark, sf) => {
+        val session = spark
+        import session.implicits._
+        val wf = Tables.documents(spark, sf)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("f"))
+        bpeTrain(wf, BpeTrainK)._1
+          .toDF("round", "pair", "merged", "cnt")
+          .orderBy("round")
+      },
+      Some {
+        "WITH RECURSIVE w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "wf AS MATERIALIZED (SELECT word, count(*) AS f FROM w WHERE length(word) >= 2 GROUP BY word), " +
+          "s1 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
+          bpeChainSql(BpeTrainK, withFinalApply = false) + " " +
+          "SELECT 1 AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM b1 " +
+          (2 to BpeTrainK).map(i =>
+            s"UNION ALL SELECT $i, pair, replace(pair, ' ', ''), cnt FROM b$i")
+            .mkString(" ") +
+          " ORDER BY round"
+      },
+      scaleNote = "tokenizer_bpe_merges' economics × K: the corpus " +
+        "is scanned ONCE (the word-frequency agg); each of the 16 " +
+        "rounds costs a vocab-sized pair explode + map-side-combined " +
+        "count + 1-row TakeOrdered + map-only fixpoint replace — " +
+        "never a corpus re-scan, which is the whole reason " +
+        "production BPE trainers (SentencePiece's distributed ports) " +
+        "count pairs on the word table. The per-round 1-row collect " +
+        "is the driver's merge-table append (the trained artifact " +
+        "must ship); localCheckpoint caps round-over-round lineage. " +
+        "At 100 TB: shard the word table by hash(word), merge " +
+        "per-shard pair counts (associative integer sums, same " +
+        "argmax) — 50k rounds = 50k vocab-local jobs. The per-round " +
+        "certificate rows make trainer drift a ROUND-INDEXED alert: " +
+        "two runs diverging at merge 12041 name that round's pair."),
+
+    // The encode side under the DEEP merge table (r15): tokenizer_
+    // apply's per-language fertility/compression audit re-run with
+    // all 16 learned merges applied — the number that prices whether
+    // the deeper vocab actually pays per language (compression must
+    // be ≥ the 3-merge table's by construction; the spec asserts
+    // it). Same vocab-sized economics: train once, encode the
+    // DISTINCT-word table, weight by frequency.
+    QueryDef(
+      "tokenizer_apply_k",
+      (spark, sf) => {
+        val docs = Tables.documents(spark, sf)
+        val wl = docs
+          .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("lang", "word").agg(count(lit(1)).as("fl"))
+        val wf = wl.groupBy("word").agg(sum(col("fl")).as("f"))
+        val (_, sym) = bpeTrain(wf, BpeTrainK)
+        wl.join(sym.select("word", "sym"), "word")
+          .groupBy("lang")
+          .agg(count(lit(1)).as("n_word_types"),
+            sum(col("fl") * length(col("word"))).as("n_tokens_char"),
+            sum(col("fl") * size(split(col("sym"), " "))).as("n_tokens_bpe"))
+          .withColumn("compression",
+            round(col("n_tokens_char").cast("double") /
+              col("n_tokens_bpe").cast("double"), 4))
+          .orderBy("lang")
+      },
+      Some {
+        val last = s"s${BpeTrainK + 1}"
+        "WITH RECURSIVE w AS (SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "wl AS MATERIALIZED (SELECT lang, word, count(*) AS fl FROM w WHERE length(word) >= 2 GROUP BY 1, 2), " +
+          "wf AS MATERIALIZED (SELECT word, CAST(sum(fl) AS BIGINT) AS f FROM wl GROUP BY 1), " +
+          "s1 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
+          bpeChainSql(BpeTrainK, withFinalApply = true) + " " +
+          s"SELECT wl.lang, count(*) AS n_word_types, " +
+          "CAST(sum(wl.fl * length(wl.word)) AS BIGINT) AS n_tokens_char, " +
+          s"CAST(sum(wl.fl * len(string_split($last.sym, ' '))) AS BIGINT) AS n_tokens_bpe, " +
+          s"round(CAST(sum(wl.fl * length(wl.word)) AS DOUBLE) / sum(wl.fl * len(string_split($last.sym, ' '))), 4) AS compression " +
+          s"FROM wl JOIN $last ON wl.word = $last.word GROUP BY 1 ORDER BY 1"
+      },
+      scaleNote = "tokenizer_apply's economics with the deeper merge " +
+        "table: the one corpus-sized stage is the (lang, word) count " +
+        "(map-side-combined), the 16-merge application runs on " +
+        "DISTINCT words (vocab-sized, shared across languages), and " +
+        "the weighted rollup is one broadcast-joinable vocab join — " +
+        "encode-the-vocab-once is how tokenizer audits run at corpus " +
+        "scale, vs an encode pass over raw text per candidate. The " +
+        "per-lang compression DELTA vs the 3-merge table is the " +
+        "decision number: a deeper vocab that compresses only the " +
+        "majority language is a multilingual-fairness regression, " +
+        "and both tables are under the same hash gate."),
 
     // Token-budget allocation by largest remainder — the planner step
     // between "measured per-language token counts" and "build the

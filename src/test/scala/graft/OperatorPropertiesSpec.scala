@@ -1058,6 +1058,38 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(bpe.map(_.getAs[String]("merged")).distinct.length == 3)
   }
 
+  test("tokenizer_train_k: the 3-merge trainer is its exact fixed prefix; certificates are distinct") {
+    val deep = run("tokenizer_train_k").orderBy("round").collect()
+    assert(deep.length == graft.queries.CorpusOps.BpeTrainK)
+    val short = run("tokenizer_bpe_merges").orderBy("round").collect()
+    // BPE merges are strictly sequential: rounds 1..3 of the K=16
+    // run must equal the 3-round run bit-for-bit
+    short.zip(deep.take(3)).foreach { case (s, d) =>
+      assert(s.getAs[Int]("round") == d.getAs[Int]("round"))
+      assert(s.getAs[String]("pair") == d.getAs[String]("pair"))
+      assert(s.getAs[String]("merged") == d.getAs[String]("merged"))
+      assert(s.getAs[Long]("cnt") == d.getAs[Long]("cnt"))
+    }
+    // every crowned merge is a new symbol (no round re-crowns)
+    assert(deep.map(_.getAs[String]("merged")).distinct.length == deep.length)
+    assert(deep.forall(_.getAs[Long]("cnt") > 0L))
+  }
+
+  test("tokenizer_apply_k: per-lang compression is monotone >= the 3-merge table's") {
+    val k3 = run("tokenizer_apply").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_tokens_bpe"), r.getAs[Double]("compression"))).toMap
+    val k16 = run("tokenizer_apply_k").collect()
+    assert(k16.nonEmpty && k16.length == k3.size)
+    k16.foreach { r =>
+      val (bpe3, comp3) = k3(r.getAs[String]("lang"))
+      // more merges can only shorten (or keep) every word's symbol
+      // sequence, so token counts fall and compression rises per lang
+      assert(r.getAs[Long]("n_tokens_bpe") <= bpe3, r.getAs[String]("lang"))
+      assert(r.getAs[Double]("compression") >= comp3, r.getAs[String]("lang"))
+    }
+  }
+
   test("text_classifier_perceptron: epoch-1 update is the exact class-difference vector") {
     val out = run("text_classifier_perceptron").orderBy("epoch").collect()
     val e1 = out(0)
