@@ -169,6 +169,45 @@ class WalkCorpusSpec extends SparkSpec {
     assert(ray2 <= ray1, s"lambda2 $ray2 > lambda1 $ray1")
   }
 
+  test("graph_walk_embed_k4: axes 1-2 are the k2 run's fixed prefix; the scree trace replays") {
+    val k2 = engine.Registry.byName("graph_walk_embed_k2")
+      .build(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5),
+          r.getDouble(6))).toMap
+    val k4 = engine.Registry.byName("graph_walk_embed_k4")
+      .build(spark, sf).collect()
+    assert(k4.length == k2.size)
+    k4.foreach { r =>
+      val key = (r.getString(0), r.getLong(1))
+      val (e1, e2, ray1, ray2, ratio) = k2(key)
+      // deflation is strictly sequential: the deeper run cannot move
+      // the shallow prefix (tokenizer_train_k's fixed-prefix law)
+      assert(r.getAs[Long]("emb1_q") == e1, s"emb1_q($key)")
+      assert(r.getAs[Long]("emb2_q") == e2, s"emb2_q($key)")
+      assert(r.getAs[Double]("rayleigh1") == ray1)
+      assert(r.getAs[Double]("rayleigh2") == ray2)
+      assert(r.getAs[Double]("eig_ratio") == ratio)
+      assert(r.getAs[Int]("iters") == 16, "iters certificate")
+    }
+    // the scree readout: every residual Rayleigh is bounded by the
+    // dominant one (deflation removes the found component), and the
+    // successive ratios are finite
+    val h = k4.head
+    val rays = (1 to 4).map(i => h.getAs[Double](s"rayleigh$i"))
+    assert(rays.tail.forall(_ <= rays.head),
+      s"residual Rayleigh exceeds lambda1: $rays")
+    Seq("eig_ratio", "eig_ratio3", "eig_ratio4").foreach { c =>
+      val v = h.getAs[Double](c)
+      assert(!v.isNaN && !v.isInfinite, s"$c = $v")
+    }
+    // the 4 axes are genuinely distinct vectors (deflation worked)
+    val cols = Seq("emb1_q", "emb2_q", "emb3_q", "emb4_q")
+    val vecs = cols.map(c => k4.map(_.getAs[Long](c)).toSeq)
+    for (i <- vecs.indices; j <- i + 1 until vecs.size)
+      assert(vecs(i) != vecs(j), s"axes ${cols(i)} and ${cols(j)} identical")
+  }
+
   test("graph_embed_link_auc: pairwise-definition AUC replay matches the rank-sum identity") {
     val out = engine.Registry.byName("graph_embed_link_auc")
       .build(spark, sf).collect()
