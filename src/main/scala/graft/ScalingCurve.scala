@@ -132,7 +132,15 @@ object ScalingCurve {
       // the link evals ride the fixed 8k-pair probe)
       "graph_random_walks", "graph_walk_biased", "sink_walk_biased",
       "rank_link_hits_at_k", "rank_link_auc_by_degree",
-      "graph_girvan_rounds", "sample_dsir", "quality_lm_perplexity")
+      "graph_girvan_rounds", "sample_dsir", "quality_lm_perplexity",
+      // r15 wave (sink_backbone's one-time write happens in the WARM
+      // pass like every session sink, so its curve prices the
+      // steady-state read-back + gate rollup; graph_walk_embed /
+      // _k4 read the widened embedding sink — steady state is the
+      // bucketed scan; the tokenizer K ops scan the corpus once then
+      // run 16 vocab-sized rounds)
+      "sink_backbone", "tokenizer_train_k", "tokenizer_apply_k",
+      "graph_walk_embed_k4")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -42,6 +42,16 @@ object TestSession {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
       org.apache.logging.log4j.Level.ERROR)
+    // Stateful-restart tests (replayed micro-batches over ephemeral
+    // checkpoints) each emit a MicroBatchExecution WARN pair about
+    // resumed offsets/state — deliberate in tests, 54 identical lines
+    // per run (VERDICT r14 #3, the last WARN family over 10 lines).
+    // Same scoping precedent as the three categories above; real
+    // streaming failures surface as test assertions, not these
+    // notices.
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+      org.apache.logging.log4j.Level.ERROR)
     s
   }
   val sf: String = "/root/testdata/sf0.001"
