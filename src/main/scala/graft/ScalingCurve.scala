@@ -139,8 +139,8 @@ object ScalingCurve {
       // _k4 read the widened embedding sink — steady state is the
       // bucketed scan; the tokenizer K ops scan the corpus once then
       // run 16 vocab-sized rounds)
-      "sink_backbone", "tokenizer_train_k", "tokenizer_apply_k",
-      "graph_walk_embed_k4")
+      "sink_backbone", "sink_ebc", "tokenizer_train_k",
+      "tokenizer_apply_k", "graph_walk_embed_k4")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -1339,6 +1339,28 @@ object GraphOps extends QueryGroup {
       eacc.unionByName(presence).withColumn("rounds", lit(rounds))
     }
 
+  /** Directed per-(node, wnode) edge-dependency rollup MATERIALIZED
+    * (r15 — the r15 10×-replica probe's own finding, the same
+    * in-round defect-fix pattern that caught rank_link_auc_by_degree
+    * in r14: post-sink_backbone, graph_girvan_split still read 4.5×
+    * at 10× data, and the only unbounded stage left was THIS rollup
+    * — the |seeds|·|E|-row dependency sink scanned + grouped per
+    * invocation). The scan+group now runs ONCE per (session, sf);
+    * both edge-granular consumers — graph_edge_betweenness and the
+    * splitter's canonical-pair ranks — read the |E|-row result.
+    * Bucketed by node, sorted (node, wnode): the edge operator's
+    * projection needs no exchange, and the splitter's canonical
+    * regroup runs on |E| rows instead of |seeds|·|E|. */
+  def ebcRollup(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_ebc", BrandesBuckets,
+      "node", Seq("node", "wnode")) {
+      brandesDeps(spark, sf).filter(col("wnode").isNotNull)
+        .groupBy(col("node"), col("wnode"))
+        .agg(sum(col("c")).as("ebc_micro"),
+          count(lit(1)).as("n_seeds"),
+          max(col("rounds")).as("rounds"))
+    }
+
   /** The shared Brandes oracle chain through the backward pass:
     * forward level sets + min-h distances, σ chains sg0..sgH, then
     * per level the MATERIALIZED edge-contribution table ec{h} (u at
@@ -1832,13 +1854,11 @@ object GraphOps extends QueryGroup {
     // table; this rollup no longer pays its own Brandes pass.
     QueryDef(
       "graph_edge_betweenness",
+      // r15: reads the materialized sink_ebc rollup — the
+      // |seeds|·|E| dependency scan+group runs once per session,
+      // this query is an |E|-row bucketed read + projection
       (spark, sf) => {
-        val deps = brandesDeps(spark, sf)
-        deps.filter(col("wnode").isNotNull)
-          .groupBy(col("node"), col("wnode"))
-          .agg(sum(col("c")).as("ebc_micro"),
-            count(lit(1)).as("n_seeds"),
-            max(col("rounds")).as("rounds"))
+        ebcRollup(spark, sf)
           .select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("src_type"),
@@ -1936,6 +1956,58 @@ object GraphOps extends QueryGroup {
         "traversal an exact-integer alert: a deeper graph moves " +
         "n_rows/h and fails the pinned rounds literal loudly."),
 
+    // The directed edge-dependency ROLLUP sink, GATED (r15 — the
+    // replica probe's in-round fix, see [[ebcRollup]]): pair count,
+    // distinct sources, exact node/wnode/contribution checksums, the
+    // seed-row conservation total, the pinned rounds literal, and
+    // the measured part-file count vs the bucket literal. The oracle
+    // replays the rollup off its own forward+backward chain.
+    QueryDef(
+      "sink_ebc",
+      (spark, sf) => {
+        val t = ebcRollup(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_ebc")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        t.agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("node")).as("n_src"),
+            sum(col("node")).as("node_checksum"),
+            sum(col("wnode")).as("wnode_checksum"),
+            sum(col("ebc_micro")).as("ebc_checksum"),
+            sum(col("n_seeds")).as("seed_rows"),
+            max(col("rounds")).as("rounds"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some {
+        val H = OracleBetwUnroll
+        val union = (0 until H)
+          .map(i => s"SELECT s, un, wn, c FROM ec$i").mkString(" UNION ALL ")
+        s"WITH $brandesSqlBase, alle AS ($union), " +
+          "roll AS (SELECT un, wn, CAST(sum(c) AS BIGINT) AS ebc, count(*) AS ns FROM alle GROUP BY 1, 2) " +
+          "SELECT count(*) AS n_pairs, count(DISTINCT un) AS n_src, " +
+          "CAST(sum(un) AS BIGINT) AS node_checksum, " +
+          "CAST(sum(wn) AS BIGINT) AS wnode_checksum, " +
+          "CAST(sum(ebc) AS BIGINT) AS ebc_checksum, " +
+          "CAST(sum(ns) AS BIGINT) AS seed_rows, " +
+          s"CAST($BetwRoundsSf001 AS INT) AS rounds, " +
+          s"$BrandesBuckets AS n_files FROM roll"
+      },
+      scaleNote = "The second-stage sink in the betweenness family: " +
+        "sink_brandes_deps holds |seeds|·|E| dependency rows (the " +
+        "pass), this holds their |E|-row edge rollup (the readout) — " +
+        "the scan+group from pass to readout now runs once per " +
+        "session instead of once per edge-granular consumer. The " +
+        "r15 10×-replica probe is the receipts: post-sink_backbone, " +
+        "graph_girvan_split still read 4.5× at 10× data because " +
+        "this rollup rescanned the 10× dependency table per " +
+        "invocation; post-sink_ebc the splitter regroups ≤|E| rows. " +
+        "The rollup group-by satisfies its clustering from the dep " +
+        "sink's bucket spec (node prefix), so even the once-per-" +
+        "session build is exchange-free; the written table reuses " +
+        "the same layout for its own consumers. seed_rows is the " +
+        "conservation gate: it must equal the dep sink's " +
+        "contribution-row total, so a dropped seed fails loudly."),
+
     // The materialized strongest-pair backbone, GATED (r15, VERDICT
     // r14 "next" #3 — the sink_walk_corpus gate pattern): row count,
     // exact endpoint/weight checksums, the weight extremes (the
@@ -2000,11 +2072,14 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_girvan_split",
       (spark, sf) => {
-        val deps = brandesDeps(spark, sf)
-        val ebc = deps.filter(col("wnode").isNotNull)
+        // r15: canonical-pair ranks regroup the |E|-row sink_ebc
+        // rollup instead of the |seeds|·|E|-row dependency sink —
+        // the r15 replica probe named that scan as this key's
+        // residual 4.5× driver after sink_backbone landed
+        val ebc = ebcRollup(spark, sf)
           .groupBy(least(col("node"), col("wnode")).as("u"),
             greatest(col("node"), col("wnode")).as("v"))
-          .agg(sum(col("c")).as("ebc"))
+          .agg(sum(col("ebc_micro")).as("ebc"))
         // r15: the rollup + TakeOrdered moved into sink_backbone —
         // the 10×-replica probe priced the per-invocation extraction
         // scan at 5.6× on this key; now one ≤500-row bucketed read

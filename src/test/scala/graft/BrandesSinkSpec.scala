@@ -42,6 +42,28 @@ class BrandesSinkSpec extends SparkSpec {
         "files or went missing")
   }
 
+  test("sink_ebc: read-back is bit-equal to a direct rollup of the dep sink; one file per bucket") {
+    val got = queries.GraphOps.ebcRollup(spark, sf)
+    val want = queries.GraphOps.brandesDeps(spark, sf)
+      .filter(col("wnode").isNotNull)
+      .groupBy(col("node"), col("wnode"))
+      .agg(sum(col("c")).as("ebc_micro"),
+        count(lit(1)).as("n_seeds"),
+        max(col("rounds")).as("rounds"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "materialized ebc rollup diverges from a direct dep-sink rollup")
+    val gate = engine.Registry.byName("sink_ebc")
+      .build(spark, sf).collect()
+    assert(gate.length == 1)
+    assert(gate(0).getAs[Int]("n_files") == queries.GraphOps.BrandesBuckets,
+      "part-file count != bucket count")
+    // seed-row conservation: Σ n_seeds = the dep sink's contribution
+    // row total (a dropped seed or level fails here loudly)
+    val contribRows = queries.GraphOps.brandesDeps(spark, sf)
+      .filter(col("wnode").isNotNull).count()
+    assert(gate(0).getAs[Long]("seed_rows") == contribRows)
+  }
+
   test("betweenness rollups ride the sink bucketing: no exchange between scan and aggregate") {
     val deps = queries.GraphOps.brandesDeps(spark, sf)
     for (rollup <- Seq(
