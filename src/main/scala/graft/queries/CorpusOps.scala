@@ -58,7 +58,8 @@ object CorpusOps extends QueryGroup {
     * per-word recursive CTE, so both engines share semantics. The
     * 1-row best-pair collect per round is the documented
     * bounded-collect class (AnnPq's codebook precedent). */
-  private def bpeTrain(wf: org.apache.spark.sql.DataFrame, nRounds: Int)
+  private def bpeTrain(wf: org.apache.spark.sql.DataFrame, nRounds: Int,
+      onRound: (Int, org.apache.spark.sql.DataFrame) => Unit = (_, _) => ())
       : (Seq[(Int, String, String, Long)], org.apache.spark.sql.DataFrame) = {
     var sym = wf.select(col("word"),
       trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"), col("f"))
@@ -85,6 +86,10 @@ object CorpusOps extends QueryGroup {
         changed = !step.filter(col("sym2") =!= col("sym")).isEmpty
         sym = step.select(col("word"), col("sym2").as("sym"), col("f"))
       }
+      // post-fixpoint hook: tokenizer_merge_curve snapshots each
+      // round's symbol table for its token-count rollup (a plan
+      // reference, not an action — nothing runs unless consumed)
+      onRound(r, sym)
     }
     (merges.result(), sym)
   }
@@ -1275,6 +1280,74 @@ object CorpusOps extends QueryGroup {
         "decision number: a deeper vocab that compresses only the " +
         "majority language is a multilingual-fairness regression, " +
         "and both tables are under the same hash gate."),
+
+    // The tokenizer-training LEARNING CURVE (r15): weighted corpus
+    // token count after EVERY merge round 0..16 — the marginal-ROI
+    // readout that actually picks K (each row: how many tokens the
+    // round saved, and the cumulative compression). Production vocab
+    // sizing is exactly this plot (tokens-per-byte vs merge count
+    // flattening); here it is an oracled 17-row table instead of a
+    // notebook figure. Round 0 is the character baseline (the
+    // pre-merge symbol table), so compression(0) = 1 and
+    // saved_vs_prev(0) is NULL on both engines. The snapshots ride
+    // bpeTrain's own loop via the onRound hook — plan references,
+    // no extra action per round beyond the rollups the output needs.
+    QueryDef(
+      "tokenizer_merge_curve",
+      (spark, sf) => {
+        val wf = Tables.documents(spark, sf)
+          .select(explode(split(col("text"), " ")).as("word"))
+          .filter(length(col("word")) >= 2)
+          .groupBy("word").agg(count(lit(1)).as("f"))
+        def toks(df: org.apache.spark.sql.DataFrame, r: Int) = df
+          .agg(sum(col("f") * size(split(col("sym"), " ")))
+            .as("n_tokens_bpe"))
+          .select(lit(r).as("round"), col("n_tokens_bpe"))
+        val s1 = wf.select(col("word"),
+          trim(regexp_replace(col("word"), "(.)", "$1 ")).as("sym"),
+          col("f"))
+        val buf = Seq.newBuilder[org.apache.spark.sql.DataFrame]
+        buf += toks(s1, 0)
+        bpeTrain(wf, BpeTrainK, (r, sym) => buf += toks(sym, r))
+        val chars = wf
+          .agg(sum(col("f") * length(col("word"))).as("n_chars"))
+        val w = Window.orderBy("round")
+        buf.result().reduce(_.unionAll(_))
+          .crossJoin(broadcast(chars))
+          .withColumn("saved_vs_prev",
+            lag(col("n_tokens_bpe"), 1).over(w) - col("n_tokens_bpe"))
+          .withColumn("compression",
+            round(col("n_chars").cast("double") /
+              col("n_tokens_bpe").cast("double"), 4))
+          .select("round", "n_tokens_bpe", "compression", "saved_vs_prev")
+          .orderBy("round")
+      },
+      Some {
+        val rolls = (0 to BpeTrainK).map { r =>
+          val tbl = s"s${r + 1}"
+          s"SELECT $r AS round, CAST(sum(f*len(string_split(sym, ' '))) AS BIGINT) AS n_tokens_bpe FROM $tbl"
+        }.mkString(" UNION ALL ")
+        "WITH RECURSIVE w AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents), " +
+          "wf AS MATERIALIZED (SELECT word, count(*) AS f FROM w WHERE length(word) >= 2 GROUP BY word), " +
+          "s1 AS MATERIALIZED (SELECT word, trim(regexp_replace(word, '(.)', '\\1 ', 'g')) AS sym, f FROM wf), " +
+          bpeChainSql(BpeTrainK, withFinalApply = true) + ", " +
+          "tc AS (SELECT CAST(sum(f*length(word)) AS BIGINT) AS n_chars FROM wf), " +
+          s"curve AS ($rolls) " +
+          "SELECT round, n_tokens_bpe, " +
+          "round(CAST((SELECT n_chars FROM tc) AS DOUBLE) / n_tokens_bpe, 4) AS compression, " +
+          "lag(n_tokens_bpe) OVER (ORDER BY round) - n_tokens_bpe AS saved_vs_prev " +
+          "FROM curve ORDER BY round"
+      },
+      scaleNote = "tokenizer_train_k's trainer with one extra " +
+        "vocab-sized rollup per round (Σ f·|sym| — map-side-combined " +
+        "to a 1-row frame; the 17-row union + lag window is an " +
+        "aggregate-collapsed grid, the adjudicated tiny-window " +
+        "class). The corpus is still scanned exactly once; the curve " +
+        "is what a 50k-merge production run logs per checkpoint to " +
+        "decide WHERE to stop training — the marginal tokens-saved " +
+        "column flattening is the stopping rule, and having it under " +
+        "the cross-engine hash gate means the stopping decision " +
+        "itself is reproducible, not a notebook artifact."),
 
     // Token-budget allocation by largest remainder — the planner step
     // between "measured per-language token counts" and "build the

@@ -1075,6 +1075,30 @@ class OperatorPropertiesSpec extends SparkSpec {
     assert(deep.forall(_.getAs[Long]("cnt") > 0L))
   }
 
+  test("tokenizer_merge_curve: char baseline, monotone counts, per-round savings bounded by the crowned cnt") {
+    val curve = run("tokenizer_merge_curve").orderBy("round").collect()
+    assert(curve.length == graft.queries.CorpusOps.BpeTrainK + 1)
+    val merges = run("tokenizer_train_k").orderBy("round").collect()
+      .map(r => r.getAs[Int]("round") -> r.getAs[Long]("cnt")).toMap
+    assert(curve(0).getAs[Double]("compression") == 1.0,
+      "round 0 must be the character baseline")
+    assert(curve(0).isNullAt(curve(0).fieldIndex("saved_vs_prev")))
+    curve.sliding(2).foreach { w =>
+      if (w.size == 2) {
+        val (prev, cur) = (w(0), w(1))
+        val saved = cur.getAs[Long]("saved_vs_prev")
+        assert(cur.getAs[Long]("n_tokens_bpe") ==
+          prev.getAs[Long]("n_tokens_bpe") - saved)
+        // each APPLIED occurrence saves exactly one token; the
+        // crowned cnt counts OVERLAPPING pairs, so it upper-bounds
+        // the fixpoint's applications and every round applies >= 1
+        assert(saved >= 1L, s"round ${cur.getAs[Int]("round")} saved nothing")
+        assert(saved <= merges(cur.getAs[Int]("round")),
+          s"round ${cur.getAs[Int]("round")}: saved $saved > crowned cnt")
+      }
+    }
+  }
+
   test("tokenizer_apply_k: per-lang compression is monotone >= the 3-merge table's") {
     val k3 = run("tokenizer_apply").collect()
       .map(r => r.getAs[String]("lang") ->
