@@ -1248,6 +1248,29 @@ object Streams {
         sum(col("logw_micro")).as("logw_sum"))
   }
 
+  /** Live BPE merge-candidate counting (stream_pair_counts, r15) —
+    * the streaming form of tokenizer_pair_counts' counting stage, in
+    * the shape an ONLINE tokenizer-trainer's candidate counter
+    * deploys: each arriving doc maps STATELESSLY to its adjacent
+    * char-pair multiset (two explodes, no per-doc state), and one
+    * complete-mode aggregate keeps the per-pair counter — ≤ |Σ|²
+    * rows of one BIGINT, alphabet-bounded, never corpus-bound. The
+    * batch op counts pairs on the word-frequency table (words → f,
+    * then Σ f per pair); per-occurrence streaming counting
+    * telescopes to the identical totals, so the final state equals
+    * the batch pair table bit-for-bit and the crowned round-1 merge
+    * (the argmax an online trainer would apply at the next
+    * checkpoint) matches tokenizer_bpe_merges' — both proven in
+    * StreamingSpec with mid-replay pair-mass conservation. */
+  def pairCounts(docs: Dataset[LangDoc]): DataFrame =
+    docs.toDF()
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+        .as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+
   /** Live value-distribution panel — the streaming form of
     * dq_drift_psi (stream_psi, r13): per (feed, bin) counters under
     * the SAME stated literal edges (ONE CASE string —

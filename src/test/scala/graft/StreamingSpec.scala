@@ -869,6 +869,59 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_pair_counts: live merge-candidate counters equal the batch pair table; round-1 merge matches") {
+    val s = spark
+    import s.implicits._
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    def pairMass(sl: Seq[Streams.LangDoc]): Long = sl.iterator
+      .flatMap(_.text.split(" "))
+      .filter(_.length >= 2).map(_.length.toLong - 1L).sum
+    val mem = MemoryStream[Streams.LangDoc](73, spark, None)
+    val q = Streams.pairCounts(mem.toDS()).writeStream.format("memory")
+      .queryName("t_pairs").outputMode("complete").start()
+    try {
+      var mass = 0L
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          mass += pairMass(sl.toIndexedSeq)
+          // mid-replay conservation: every adjacent char pair seen so
+          // far is counted exactly once
+          assert(spark.table("t_pairs").agg(sum("cnt"))
+            .collect()(0).getLong(0) == mass,
+            "pair mass not conserved mid-replay")
+        }
+      val streamed = spark.table("t_pairs").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      // batch parity: the word-frequency formulation (words -> f,
+      // then sum f per pair) telescopes to per-occurrence counting
+      val batch = graft.engine.Tables.documents(spark, sf)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .filter(length(col("word")) >= 2)
+        .groupBy("word").agg(count(lit(1)).as("f"))
+        .select(explode(expr(
+          "transform(sequence(1, length(word)-1), i -> substring(word, i, 2))"))
+          .as("pair"), col("f"))
+        .groupBy("pair").agg(sum(col("f")).as("cnt"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(streamed == batch, "streamed pair table diverges from batch")
+      // the crowned round-1 merge an online trainer would apply next
+      // equals the batch trainer's
+      val top = streamed.toSeq.sortBy { case (p, c) => (-c, p) }.head
+      val bpe1 = engine.Registry.byName("tokenizer_bpe_merges")
+        .build(spark, sf).orderBy("round").collect()(0)
+      // the stream counts raw char bigrams ("er"); the trainer's
+      // pair column is symbol-spaced ("e r") — compare the merged
+      // token and the exact count
+      assert(top._1 == bpe1.getAs[String]("merged") &&
+        top._2 == bpe1.getAs[Long]("cnt"),
+        "round-1 crowned merge diverges from the batch trainer")
+    } finally q.stop()
+  }
+
   test("stream_srm running arm counts match batch ab_test_srm cells and GOF after replay") {
     val s = spark
     import s.implicits._
