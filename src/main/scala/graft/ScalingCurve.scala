@@ -140,7 +140,8 @@ object ScalingCurve {
       // bucketed scan; the tokenizer K ops scan the corpus once then
       // run 16 vocab-sized rounds)
       "sink_backbone", "sink_ebc", "tokenizer_train_k",
-      "tokenizer_apply_k", "graph_walk_embed_k4", "tokenizer_merge_curve")
+      "tokenizer_apply_k", "graph_walk_embed_k4", "tokenizer_merge_curve",
+      "sink_bpe_history")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

@@ -227,7 +227,7 @@ object GraphOps extends QueryGroup {
     * for every downstream consumer, and the dir/table names embed
     * applicationId so a fresh session at a changed fixture never
     * serves a stale corpus. */
-  private def sessionSink(spark: SparkSession, sf: String, op: String,
+  private[queries] def sessionSink(spark: SparkSession, sf: String, op: String,
       buckets: Int, bucketCol: String, sortCols: Seq[String])
       (build: => DataFrame): DataFrame = {
     val sfx = (new java.io.File(sf).getName + "_" +
