@@ -96,10 +96,14 @@ object Bench {
       // that way), every individual time survives as its own short line
       // — AND is appended to a durable jsonl file BEFORE the stdout
       // print, so no stdout capture policy can lose a measurement
+      // truncate the RAW message first, escape after (r16, ADVICE):
+      // a take() applied post-escaping can cut mid-escape-pair and
+      // leave a lone trailing backslash — a malformed jsonl line on
+      // exactly the runs where the ledger matters most
       val warmErrJson = if (warmErr == null) ""
         else "," + "\"warm_err\":\"" +
-          warmErr.replace("\\", "\\\\").replace("\"", "\\\"")
-            .replaceAll("[\\r\\n\\t]", " ").take(200) + "\""
+          warmErr.take(200).replace("\\", "\\\\").replace("\"", "\\\"")
+            .replaceAll("[\\r\\n\\t]", " ") + "\""
       val qline =
         s"""{"q":"$name","sec":${fmt(t)},"warm_sec":${fmt(warmSec)}$warmErrJson}"""
       java.nio.file.Files.write(

@@ -454,8 +454,11 @@ object GraphOps extends QueryGroup {
       "nm1 AS (SELECT sum(CAST(sp.w AS HUGEINT) * vc.v * vx.v) AS num " +
       "FROM sp JOIN kx4 vc ON sp.center = vc.node JOIN kx4 vx ON sp.context = vx.node), " +
       "tt AS MATERIALIZED (SELECT node, ((SELECT num FROM nm1) * v) // (SELECT den FROM dn1) AS t FROM kx4), " +
+      // same HUGEINT downdate guard as the k4 chain (r16, ADVICE —
+      // applied to the rank-2 oracle too for symmetry; values
+      // unchanged below the overflow boundary)
       "sp2 AS MATERIALIZED (SELECT sp.center, sp.context, " +
-      "CAST(sp.w - (tt.t * vx.v) // (SELECT den FROM dn1) AS BIGINT) AS w " +
+      "CAST(sp.w - (CAST(tt.t AS HUGEINT) * vx.v) // (SELECT den FROM dn1) AS BIGINT) AS w " +
       "FROM sp JOIN tt ON sp.center = tt.node JOIN kx4 vx ON sp.context = vx.node), " +
       "lx0 AS MATERIALIZED (SELECT DISTINCT center AS node, CAST(1000000 AS BIGINT) AS v FROM sp2), " +
       (1 to 4).map(walkEmbedIterSql("sp2", "lx")).mkString(", ") + ", " +
@@ -483,8 +486,13 @@ object GraphOps extends QueryGroup {
       if (i < 4)
         base + ", " +
           s"tt$i AS MATERIALIZED (SELECT node, ((SELECT num FROM nm$i) * v) // (SELECT den FROM dn$i) AS t FROM $ax), " +
+          // CAST the downdate product to HUGEINT (r16, ADVICE): the
+          // Spark twin guards t·v_x with DECIMAL(38,0); the BIGINT
+          // product here aborts DuckDB with an overflow error on a
+          // corpus pushing t·v past 2^63 instead of verifying. The
+          // nm$i Rayleigh term already carries the same guard.
           s"q${i + 1} AS MATERIALIZED (SELECT $mt.center, $mt.context, " +
-          s"CAST($mt.w - (tt$i.t * vx.v) // (SELECT den FROM dn$i) AS BIGINT) AS w " +
+          s"CAST($mt.w - (CAST(tt$i.t AS HUGEINT) * vx.v) // (SELECT den FROM dn$i) AS BIGINT) AS w " +
           s"FROM $mt JOIN tt$i ON $mt.center = tt$i.node JOIN $ax vx ON $mt.context = vx.node)"
       else base
     }
@@ -617,6 +625,23 @@ object GraphOps extends QueryGroup {
     sessionSink(spark, sf, "sink_walk_embedding", WalkCorpusBuckets,
       "node", Seq("node")) {
       val (axes, rays) = walkEmbedAxesRank(walkPmiTable(spark, sf), 4)
+      // r16 (ADVICE): the four axes are inner-joined on node, so a
+      // corpus where deflation empties some node's higher-rank rows
+      // would silently SHRINK the sink relative to the rank-1/2
+      // oracles (caught only downstream when a hash gate fires).
+      // Assert equal support at write time instead — each axis is a
+      // checkpointed |V|-row table, so the counts are cached-block
+      // reads inside the once-per-session build. Deflation operates
+      // on the matrix SUPPORT (center set), which spectralAxis seeds
+      // identically per rank, so equality is the designed invariant;
+      // this makes its violation a named build-time failure.
+      val n0 = axes(0).count()
+      for (i <- 1 until 4) {
+        val ni = axes(i).count()
+        require(ni == n0, s"sink_walk_embedding: rank-${i + 1} axis " +
+          s"support $ni != rank-1 support $n0 — deflation dropped " +
+          "nodes; the inner-join sink would shrink pre-r15 consumers")
+      }
       axes(0)
         .join(axes(1).withColumnRenamed("v", "v2"), "node")
         .join(axes(2).withColumnRenamed("v", "v3"), "node")

@@ -1254,14 +1254,19 @@ object Streams {
     * deploys: each arriving doc maps STATELESSLY to its adjacent
     * char-pair multiset (two explodes, no per-doc state), and one
     * complete-mode aggregate keeps the per-pair counter — ≤ |Σ|²
-    * rows of one BIGINT, alphabet-bounded, never corpus-bound. The
-    * batch op counts pairs on the word-frequency table (words → f,
-    * then Σ f per pair); per-occurrence streaming counting
-    * telescopes to the identical totals, so the final state equals
-    * the batch pair table bit-for-bit and the crowned round-1 merge
-    * (the argmax an online trainer would apply at the next
-    * checkpoint) matches tokenizer_bpe_merges' — both proven in
-    * StreamingSpec with mid-replay pair-mass conservation. */
+    * rows of one BIGINT, alphabet-bounded, never corpus-bound.
+    * PARITY CONTRACT (r16, ADVICE — stated to match what the spec
+    * asserts, no wider): the proven equivalence is against the
+    * UNLIMITED raw char-bigram reformulation of the batch counting
+    * stage (words → f, then Σ f per adjacent char pair, NO top-50
+    * limit and raw 2-char keys rather than the trainer's
+    * symbol-spaced 'e r' spelling), plus a merged-token/count match
+    * for the ROUND-1 crown only (the argmax an online trainer would
+    * apply at the next checkpoint) against tokenizer_bpe_merges —
+    * both replayed in StreamingSpec with mid-replay pair-mass
+    * conservation. The declared batch op tokenizer_pair_counts is
+    * that reformulation top-50-limited and symbol-keyed; rounds ≥ 2
+    * need the merged symbol state and are the batch trainer's job. */
   def pairCounts(docs: Dataset[LangDoc]): DataFrame =
     docs.toDF()
       .select(explode(split(col("text"), " ")).as("word"))
