@@ -141,7 +141,12 @@ object ScalingCurve {
       // run 16 vocab-sized rounds)
       "sink_backbone", "sink_ebc", "tokenizer_train_k",
       "tokenizer_apply_k", "graph_walk_embed_k4", "tokenizer_merge_curve",
-      "sink_bpe_history")
+      "sink_bpe_history",
+      // r16 wave (sink_girvan_trace's one-time build happens in the
+      // WARM pass like every session sink; its curve — and
+      // graph_girvan_rounds', now a projection of it — prices the
+      // steady-state 3-row bucketed read + gate rollup)
+      "sink_girvan_trace")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)
