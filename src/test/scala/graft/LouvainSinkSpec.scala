@@ -35,4 +35,40 @@ class LouvainSinkSpec extends SparkSpec {
     assert(sweep == want,
       "per-community node counts diverge between sink-fed sweep and raw loop")
   }
+
+  test("sink_louvain_l2: read-back is bit-equal to the raw level-2 loop; one file per bucket") {
+    val labc = queries.GraphOps.louvainL2Labels(spark, sf)
+    val raw = queries.GraphOps.louvainL2Loop(spark, sf)
+    assert(labc.exceptAll(raw).isEmpty && raw.exceptAll(labc).isEmpty,
+      "materialized composed label table diverges from the level-2 loop")
+    val out = engine.Registry.byName("sink_louvain_l2")
+      .build(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(_.getInt(5) == queries.GraphOps.LouvainL2Buckets),
+      "part-file count != bucket count")
+    // membership accounting closes on BOTH levels: Σ n_nodes = |labc|
+    // and Σ n_l1 = |distinct level-1 comms in the contracted graph|
+    assert(out.map(_.getLong(1)).sum == labc.count())
+    assert(out.map(_.getLong(3)).sum ==
+      labc.select("nc").distinct().count())
+  }
+
+  test("coarsen rollup off the l2 sink matches a direct rollup of the loop labels") {
+    val raw = queries.GraphOps.louvainL2Loop(spark, sf)
+    val co = engine.Registry.byName("graph_louvain_coarsen")
+      .build(spark, sf).collect()
+      .map(r => r.get(0).toString.toLong ->
+        (r.getLong(1), r.getLong(2))).toMap
+    val want = raw.groupBy("nc2")
+      .agg(countDistinct(col("node")).as("n"),
+        countDistinct(col("nc")).as("n1"))
+      .collect().map(r => r.get(0).toString.toLong ->
+        (r.getLong(1), r.getLong(2))).toMap
+    // coarsen's rollup only reports communities with edges — every
+    // reported (n_nodes, n_comms1) must match the loop's own counts
+    co.foreach { case (comm, v) =>
+      assert(want.get(comm).contains(v),
+        s"community $comm diverges between sink-fed coarsen and raw loop")
+    }
+  }
 }
