@@ -1276,6 +1276,45 @@ object Streams {
         .as("pair"))
       .groupBy("pair").agg(count(lit(1)).as("cnt"))
 
+  /** Live BPE ENCODE panel (stream_bpe_apply, r16 — VERDICT r15
+    * "next" #6, the deep trainer's online apply side, closing the
+    * tokenizer family's loop: stream_pair_counts covers the live
+    * COUNT half, this covers the live ENCODE half): the merge table
+    * is trained offline and FROZEN (stream_dsir's train-batch/
+    * apply-online contract), shipped as the round-K word→sym vocab
+    * relation — the precomputed encode cache production tokenizer
+    * serving reads (sink_bpe_history round K verbatim). Each
+    * arriving doc's words join STATELESSLY against the static vocab
+    * (a stream-static equi join — no per-doc state, broadcast-able
+    * at any stream rate since the vocab is bounded); an OOV word
+    * falls back to its character spelling (zero merges apply — the
+    * slow-path spelling) and is counted separately, so an OOV surge
+    * — the signal that the frozen vocab has gone stale against the
+    * live distribution — is visible on the panel long before
+    * compression degrades. The panel keeps per-lang word/OOV/char/
+    * token counters in one complete-mode aggregate: |langs| rows of
+    * four BIGINTs. Per-word encodes being pure functions of (word,
+    * frozen vocab), replaying the training corpus recomposes
+    * tokenizer_apply_k's per-lang (n_tokens_char, n_tokens_bpe)
+    * rollup bit-for-bit with zero OOV — parity + token-mass
+    * conservation + the planted-OOV fallback proven in
+    * StreamingSpec. */
+  def bpeApply(docs: Dataset[LangDoc], vocab: DataFrame): DataFrame =
+    docs.toDF()
+      .select(col("lang"), explode(split(col("text"), " ")).as("word"))
+      .filter(length(col("word")) >= 2)
+      .join(vocab.select(col("word"), col("sym")), Seq("word"), "left")
+      .select(col("lang"), col("sym").isNull.as("oov"),
+        length(col("word")).cast("long").as("chars"),
+        size(split(coalesce(col("sym"),
+          trim(regexp_replace(col("word"), "(.)", "$1 "))), " "))
+          .cast("long").as("toks"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("oov"), 1L).otherwise(0L)).as("n_oov"),
+        sum(col("chars")).as("n_tokens_char"),
+        sum(col("toks")).as("n_tokens_bpe"))
+
   /** Live value-distribution panel — the streaming form of
     * dq_drift_psi (stream_psi, r13): per (feed, bin) counters under
     * the SAME stated literal edges (ONE CASE string —

@@ -922,6 +922,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream_bpe_apply: frozen-vocab encode panel recomposes batch tokenizer_apply_k after replay; planted OOV falls back to chars") {
+    val s = spark
+    import s.implicits._
+    // the vocab is trained OFFLINE (sink_bpe_history round K) and
+    // frozen — the deployment shape the panel exists for
+    val vocab = graft.queries.CorpusOps.bpeHistory(spark, sf)
+      .filter(col("round") === graft.queries.CorpusOps.BpeTrainK)
+      .select("word", "sym").localCheckpoint(true)
+    val docs = graft.engine.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .as[Streams.LangDoc].collect().sortBy(_.doc_id)
+    val third = docs.length / 3
+    def charMass(sl: Seq[Streams.LangDoc]): Long = sl.iterator
+      .flatMap(_.text.split(" ")).filter(_.length >= 2)
+      .map(_.length.toLong).sum
+    val mem = MemoryStream[Streams.LangDoc](79, spark, None)
+    val q = Streams.bpeApply(mem.toDS(), vocab).writeStream
+      .format("memory").queryName("t_bpeapply")
+      .outputMode("complete").start()
+    try {
+      var mass = 0L
+      Seq(docs.take(third), docs.slice(third, 2 * third), docs.drop(2 * third))
+        .foreach { sl =>
+          mem.addData(sl.toIndexedSeq: _*); q.processAllAvailable()
+          mass += charMass(sl.toIndexedSeq)
+          // mid-replay conservation: every encodable char seen so
+          // far is accounted on the panel
+          assert(spark.table("t_bpeapply").agg(sum("n_tokens_char"))
+            .collect()(0).getLong(0) == mass,
+            "char mass not conserved mid-replay")
+        }
+      val cells = spark.table("t_bpeapply").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      // replaying the training corpus: zero OOV by construction
+      assert(cells.values.forall(_._2 == 0L), "OOV on in-vocab replay")
+      // batch parity: per-lang char and BPE token totals equal
+      // tokenizer_apply_k's weighted rollup exactly
+      val batch = engine.Registry.byName("tokenizer_apply_k")
+        .build(spark, sf).collect()
+      assert(batch.length == cells.size, "lang grid diverges")
+      batch.foreach { r =>
+        val (_, _, ch, tk) = cells(r.getString(0))
+        assert(ch == r.getLong(2) && tk == r.getLong(3),
+          s"${r.getString(0)}: streamed ($ch, $tk) diverges from batch " +
+            s"(${r.getLong(2)}, ${r.getLong(3)})")
+      }
+      // planted OOV: a novel word encodes as its character spelling
+      // (zero merges apply) and lands on the OOV counter
+      val novel = Streams.LangDoc(999999L, "xx", "zqzzqv zzqvq")
+      mem.addData(novel); q.processAllAvailable()
+      val xx = spark.table("t_bpeapply").collect()
+        .find(_.getString(0) == "xx").get
+      assert(xx.getLong(1) == 2L && xx.getLong(2) == 2L,
+        "planted OOV words not counted")
+      assert(xx.getLong(4) == 11L,
+        "OOV fallback must token-split to characters (6 + 5)")
+    } finally q.stop()
+  }
+
   test("stream_srm running arm counts match batch ab_test_srm cells and GOF after replay") {
     val s = spark
     import s.implicits._
