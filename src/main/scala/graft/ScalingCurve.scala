@@ -145,8 +145,12 @@ object ScalingCurve {
       // r16 wave (sink_girvan_trace's one-time build happens in the
       // WARM pass like every session sink; its curve — and
       // graph_girvan_rounds', now a projection of it — prices the
-      // steady-state 3-row bucketed read + gate rollup)
-      "sink_girvan_trace")
+      // steady-state 3-row bucketed read + gate rollup; the louvain
+      // l2 + ANN model sinks likewise price steady-state reads, and
+      // graph_louvain_coarsen / ann_kmeans / ann_pq price the serve
+      // paths off their sinks)
+      "sink_girvan_trace", "sink_louvain_l2", "sink_kmeans_model",
+      "sink_pq_codebook")
     try SparkEntry.entry(spark).count() catch { case _: Throwable => () }
     // optional dev filter: trailing args restrict the run to named
     // queries (Verify's pattern — unknown names fail loudly)

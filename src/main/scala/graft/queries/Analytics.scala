@@ -1652,6 +1652,106 @@ object Analytics extends QueryGroup {
         "tie-break differently per layout. OLS rides the same grid " +
         "for free — the sen-vs-ols gap IS the outlier alarm."),
 
+    // Mann–Kendall trend test (r16) — the SIGNIFICANCE half of the
+    // robust-trend pair ts_theil_sen started (the two are the
+    // textbook combo: Sen estimates HOW STEEP, Mann–Kendall answers
+    // IS IT REAL — a monitoring pipeline alerts on the second and
+    // reports the first). Distribution-free: S = Σ_{i<j}
+    // sign(y_j − y_i) over the daily grid's ordered pairs — an
+    // exact integer, computed on the SAME equi-self-join the Sen
+    // slope already runs. The tie-corrected variance is exact too:
+    // var18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5) (18·Var(S), kept in
+    // integer units so no engine ever divides early), with the tie
+    // groups read off a |distinct y| aggregate of the grid. Only
+    // the final z composes in floats — one sqrt of exact-integer
+    // inputs, IEEE-identical on both engines, rounded at the edge
+    // (ts_theil_sen's discipline) — and the ±1.96 alert fires on
+    // the ROUNDED value so both engines gate identically.
+    QueryDef(
+      "ts_mann_kendall",
+      (spark, sf) => {
+        val daily = Tables.loadEvents(spark, sf)
+          .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+          .agg(count(lit(1)).as("y"))
+        val d0 = daily.groupBy("event_type")
+          .agg(min(col("day")).as("d0"))
+        val pts = daily.join(d0, "event_type")
+          .select(col("event_type"),
+            datediff(col("day"), col("d0")).cast("long").as("x"),
+            col("y"))
+        val l = pts.select(col("event_type"), col("x").as("xa"),
+          col("y").as("ya"))
+        val r = pts.select(col("event_type"), col("x").as("xb"),
+          col("y").as("yb"))
+        val ps = l.join(r, Seq("event_type"))
+          .filter(col("xa") < col("xb"))
+          .select(col("event_type"),
+            when(col("yb") > col("ya"), 1L)
+              .when(col("yb") < col("ya"), -1L)
+              .otherwise(0L).as("sgn"))
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("sgn")).as("s_stat"),
+            sum(when(col("sgn") === 0L, 1L).otherwise(0L))
+              .as("n_tie_pairs"))
+        val ties = pts.groupBy(col("event_type"), col("y"))
+          .agg(count(lit(1)).as("t"))
+          .groupBy("event_type")
+          .agg(sum(col("t")).as("n_days"),
+            sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"))
+        ps.join(ties, Seq("event_type"))
+          .withColumn("var18", expr(
+            "n_days * (n_days - 1) * (2 * n_days + 5) - tie_term"))
+          .withColumn("s_adj",
+            when(col("s_stat") > 0, col("s_stat") - 1)
+              .when(col("s_stat") < 0, col("s_stat") + 1)
+              .otherwise(0L))
+          .withColumn("z_score",
+            round(col("s_adj").cast("double") /
+              when(col("var18") <= 0, lit(null).cast("double"))
+                .otherwise(sqrt(col("var18").cast("double") / 18.0)), 4))
+          .select(col("event_type"), col("n_days"), col("n_pairs"),
+            col("s_stat"), col("n_tie_pairs"), col("var18"),
+            col("z_score"),
+            coalesce(abs(col("z_score")) > 1.96, lit(false))
+              .as("trending"))
+          .orderBy("event_type")
+      },
+      Some("WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS y FROM events GROUP BY 1, 2), " +
+        "d0 AS (SELECT event_type, min(day) AS d0 FROM daily GROUP BY 1), " +
+        "pts AS (SELECT d.event_type, CAST(date_diff('day', x.d0, d.day) AS BIGINT) AS x, y FROM daily d JOIN d0 x ON d.event_type = x.event_type), " +
+        "pr AS (SELECT a.event_type, CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sgn " +
+        "FROM pts a JOIN pts b ON a.event_type = b.event_type AND a.x < b.x), " +
+        "ps AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(sgn) AS BIGINT) AS s_stat, " +
+        "CAST(sum(CASE WHEN sgn = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_pairs FROM pr GROUP BY 1), " +
+        "tg AS (SELECT event_type, y, count(*) AS t FROM pts GROUP BY 1, 2), " +
+        "ti AS (SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days, CAST(sum(t*(t-1)*(2*t+5)) AS BIGINT) AS tie_term FROM tg GROUP BY 1), " +
+        "j AS (SELECT ps.event_type, n_days, n_pairs, s_stat, n_tie_pairs, " +
+        "n_days*(n_days-1)*(2*n_days+5) - tie_term AS var18, " +
+        "CASE WHEN s_stat > 0 THEN s_stat - 1 WHEN s_stat < 0 THEN s_stat + 1 ELSE 0 END AS s_adj " +
+        "FROM ps JOIN ti ON ps.event_type = ti.event_type), " +
+        "z AS (SELECT *, round(CAST(s_adj AS DOUBLE) / " +
+        "CASE WHEN var18 <= 0 THEN NULL ELSE sqrt(CAST(var18 AS DOUBLE) / 18.0) END, 4) AS z_score FROM j) " +
+        "SELECT event_type, n_days, n_pairs, s_stat, n_tie_pairs, CAST(var18 AS BIGINT) AS var18, z_score, " +
+        "COALESCE(abs(z_score) > 1.96, FALSE) AS trending " +
+        "FROM z ORDER BY event_type"),
+      scaleNote = "ts_theil_sen's economics verbatim — the pairwise " +
+        "stage runs on the aggregate-collapsed daily grid " +
+        "(|types|×|days| rows; ~5k pairs at d=100, an equi self-join " +
+        "on the series key with the sign computed in the join " +
+        "output), the raw log is touched once by the first rollup, " +
+        "and long series switch to the same deterministic k-pair " +
+        "subsample (S/n_pairs is a mean of bounded terms — accuracy " +
+        "∝ 1/√k, plan unchanged). S, the pair census, and the " +
+        "tie-corrected 18·Var(S) are EXACT BIGINTs (var18's leading " +
+        "term n³ overflows past n ≈ 2e6 days — five thousand years " +
+        "of daily data; DECIMAL(38,0) past it, the house fence), so " +
+        "the only float is the final z — one sqrt over exact " +
+        "integers, rounded at the edge, with the ±1.96 alert firing " +
+        "on the rounded value so both engines gate identically. " +
+        "Paired with ts_theil_sen this is the complete robust-trend " +
+        "monitor: alert on MK significance, report the Sen slope."),
+
     // Rolling-origin forecast BACKTEST (r11) — the evaluation step
     // the forecasting family was missing: ts_linear_forecast and
     // ts_ar1 each emit a forecast, but which model should a

@@ -1925,6 +1925,74 @@ object GraphOps extends QueryGroup {
         "|E|-entry driver collections never happen), and the per-node " +
         "rollup ships |triangle-corner| partials, never raw wedges."),
 
+    // Local clustering coefficient (r16) — the per-node closure
+    // ratio graph_triangles' counts exist to feed: lcc(v) =
+    // 2·tri(v) / (deg(v)·(deg(v)−1)), the fraction of v's neighbor
+    // pairs that are themselves connected — THE standard
+    // small-world/cohesion readout (a co-purchase node with high
+    // degree and low closure is a hub; high closure is a clique
+    // member — degree alone cannot tell them apart, which is what
+    // this adds over graph_degree_dist). Same co-purchase projection
+    // and the SAME degree-ordered intersection machinery
+    // ([[triangleCounts]]); degrees come from the dedup'd unique-
+    // pair edge list, triangle-less nodes keep their row at 0, and
+    // wedge-less nodes (deg < 2) emit an explicit NULL — the
+    // undefined case surfaced, not folded into 0. The ratio is one
+    // ppm floor division of exact BIGINTs: bit-stable on any layout.
+    QueryDef(
+      "graph_clustering_coeff",
+      (spark, sf) => {
+        val a = array_sort(col("ps"))
+        val pairs = Tables.lineitem(spark, sf)
+          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+          .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+          .select(explode(flatten(transform(a, (x, i) =>
+            transform(slice(a, i + 2, size(a)), y =>
+              struct(x.as("u"), y.as("v")))))).as("e"))
+          .select(col("e.u").as("u"), col("e.v").as("v"))
+        val ed = pairs.distinct().localCheckpoint(false)
+        val deg = ed.select(col("u").as("node"))
+          .unionAll(ed.select(col("v").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        deg.join(triangleCounts(ed), Seq("node"), "left")
+          .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+          .select(col("node"), col("deg"), col("n_tri"),
+            when(col("deg") < 2, lit(null).cast("long"))
+              .otherwise(expr(
+                "(n_tri * 2 * 1000000) div (deg * (deg - 1))"))
+              .as("lcc_ppm"))
+          .orderBy("node")
+      },
+      Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s, " +
+        "CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t " +
+        "FROM e JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v), " +
+        "tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 " +
+        "JOIN o e2 ON e1.t = e2.s WHERE EXISTS " +
+        "(SELECT 1 FROM o e3 WHERE e3.s = e1.s AND e3.t = e2.t)), " +
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY node) " +
+        "SELECT deg.x AS node, CAST(deg.d AS BIGINT) AS deg, COALESCE(tc.n_tri, 0) AS n_tri, " +
+        "CASE WHEN deg.d < 2 THEN NULL ELSE (COALESCE(tc.n_tri, 0) * 2 * 1000000) // (deg.d * (deg.d - 1)) END AS lcc_ppm " +
+        "FROM deg LEFT JOIN tc ON deg.x = tc.node ORDER BY node"),
+      scaleNote = "graph_triangles' two scale levers carry over " +
+        "unchanged (degree-ordered orientation bounds per-edge " +
+        "intersection at O(√m); adjacency-array intersection never " +
+        "materializes the wedge set), plus one |pairs|-row distinct " +
+        "for the degree table — at 100 TB that dedup rides the same " +
+        "map-side-combined collect_set adjacency build the counter " +
+        "already runs (degrees ARE the adjacency set sizes; the " +
+        "separate distinct here keeps the test-scale plan simple). " +
+        "The rollup joins two |V|-row tables and the ratio is one " +
+        "ppm floor division per node — no float path, so the " +
+        "cohesion leaderboard is bit-stable under any partitioning. " +
+        "Numerator bound: 2e6·tri(v) stays in BIGINT below ~4.6e12 " +
+        "triangles per node (unreachable: tri(v) ≤ deg²); the NULL " +
+        "fence keeps deg<2 nodes out of every downstream average " +
+        "instead of biasing it toward zero."),
+
     // Reachability (BFS) from a seed set TO FRONTIER EXHAUSTION —
     // the 'blast radius' query (which suppliers are within ANY
     // number of trades of these customers). The fixed 3-hop

@@ -768,6 +768,36 @@ object NearDup extends QueryGroup {
     // r11→r12 drift (1.41×, untouched code) re-adjudicated r13 the
     // same way: A/B medians 3.72 vs 3.48 s (1.07×, inside sibling
     // noise) — box drift again; figures at graph_hits's block.
+    //
+    // r14→r15 LEDGER DRIFT ADJUDICATED (r16, VERDICT r15 "next" #3;
+    // house procedure — driver figures + interleaved BenchOne A/B,
+    // quiet box, 3 rounds × 4 keys, 2026-08-17): the four untouched
+    // keys that moved ≥1.4× in BENCH_r14→r15 —
+    //   dedup_clusters_star  ~2.4 → 6.10 s; A/B warm 4.34/11.02/4.37
+    //   attribution_markov   2.84 → 5.27 s; A/B warm 5.17/6.30/3.46
+    //   dedup_simhash_accuracy 2.70 → 4.12 s; A/B warm 4.39/10.14/7.13
+    //   graph_coreness       4.28 → 5.82 s; A/B warm 7.84/6.75/17.10
+    // The decisive observation: round 2 of the interleaved session
+    // was a correlated box spike (cold times 21-46 s on EVERY key in
+    // that round, 2-2.5× the sibling rounds on identical unchanged
+    // code) — within ONE session the same keys moved more than any
+    // driver round-over-round delta, and the spike hit all four
+    // simultaneously, the signature of external load, not of any
+    // plan. Excluding the spiked round: markov 3.46-5.17 brackets
+    // both its ledger figures (box drift); simhash floor 4.39 ≈ the
+    // r15 4.12 (the 32-plane hamming verify is compute-bound and
+    // load-sensitive — mild real floor growth with corpus, no plan
+    // change); coreness floor 6.75 ≳ its r15 5.82 (8 sequential
+    // unrolled h-index rounds — the scheduler-latency-bound class,
+    // 2.5× in-session spread); THIS key's floor 4.34-4.37 sits above
+    // its 2.4-3.8 all-time band — the one genuine drift candidate,
+    // but its code is untouched since r9 and the per-round
+    // sequential star-contraction actions (count + xor fingerprint
+    // probe per round) make it the suite's most load-coupled shape
+    // after the two r16-sinked louvain/girvan loops. VERDICT: box
+    // drift on all four; no plan changed, nothing to fix; keep this
+    // key first in any future interleave (its floor trend is the one
+    // to watch).
     QueryDef(
       "dedup_clusters_star",
       (spark, sf) =>

@@ -527,6 +527,75 @@ object QualityOps extends QueryGroup {
         "divided once at the edge. Deeper cutoffs (hit@100) change " +
         "the rank-table limit, not the plan."),
 
+    // MAP@10 (r16) — the ORDER-SENSITIVE set metric completing the
+    // retrieval-eval triad off the SAME shared rank table: NDCG
+    // grades WHERE hits land under a stated discount, MRR scores the
+    // FIRST hit only, AP integrates precision over EVERY hit — the
+    // metric that distinguishes a ranker that clusters its relevant
+    // results early from one that scatters them through the page,
+    // which neither sibling sees (MRR ignores hits 2..k; NDCG's
+    // fixed discounts under-penalize late clustering). Per query:
+    // precision@r at each relevant rank r as an exact micro floor
+    // division ((hits_so_far·1e6) div r), summed, then normalized by
+    // min(10, |relevant pool|) — the honest AP@k denominator (k caps
+    // what the cutoff can see of a larger pool). The metric is
+    // DEFINED on the floored integers (both engines compose the
+    // identical floor sequence), so the leaderboard is bit-stable on
+    // any layout; a pool-less query keeps its row with an explicit
+    // NULL ap_ppm (rank_ndcg's no-drop discipline).
+    QueryDef(
+      "rank_map",
+      (spark, sf) => {
+        val labCnt = Tables.embeddings(spark, sf)
+          .groupBy("label").agg(count(lit(1)).as("nl"))
+          .select(col("label").as("qlabel"),
+            (col("nl") - lit(1L)).as("n_rel_pool"))
+        val w = Window.partitionBy("query_id").orderBy("rank")
+        val per = annRankTable(spark, sf)
+          .withColumn("hit",
+            when(col("label") === col("qlabel"), 1L).otherwise(0L))
+          .withColumn("cum", sum(col("hit")).over(w))
+          .withColumn("contrib_micro",
+            when(col("hit") === 1L, expr("(cum * 1000000) div rank"))
+              .otherwise(0L))
+          .groupBy("query_id", "qlabel")
+          .agg(sum(col("hit")).as("n_rel_top10"),
+            sum(col("contrib_micro")).as("ap_sum_micro"))
+        per.join(broadcast(labCnt), Seq("qlabel"), "left")
+          .select(col("query_id"), col("qlabel"),
+            coalesce(col("n_rel_pool"), lit(0L)).as("n_rel_pool"),
+            col("n_rel_top10"), col("ap_sum_micro"),
+            when(least(lit(10L), col("n_rel_pool")) <= 0L,
+              lit(null).cast("long"))
+              .otherwise(expr(
+                "ap_sum_micro div least(10, n_rel_pool)"))
+              .as("ap_micro"))
+          .orderBy("query_id")
+      },
+      Some(s"WITH $AnnRankSqlCtes, " +
+        "lc AS (SELECT label AS qlabel, CAST(count(*) - 1 AS BIGINT) AS n_rel_pool FROM q GROUP BY 1), " +
+        "h AS (SELECT query_id, qlabel, rank, CASE WHEN clabel = qlabel THEN 1 ELSE 0 END AS hit FROM rt), " +
+        "cum AS (SELECT *, sum(hit) OVER (PARTITION BY query_id ORDER BY rank) AS c FROM h), " +
+        "p AS (SELECT query_id, qlabel, CAST(sum(hit) AS BIGINT) AS n_rel_top10, " +
+        "CAST(sum(CASE WHEN hit = 1 THEN (c * 1000000) // rank ELSE 0 END) AS BIGINT) AS ap_sum_micro FROM cum GROUP BY 1, 2) " +
+        "SELECT query_id, p.qlabel, COALESCE(lc.n_rel_pool, 0) AS n_rel_pool, n_rel_top10, ap_sum_micro, " +
+        "CASE WHEN least(10, lc.n_rel_pool) <= 0 THEN NULL ELSE ap_sum_micro // least(10, lc.n_rel_pool) END AS ap_micro " +
+        "FROM p LEFT JOIN lc ON p.qlabel = lc.qlabel ORDER BY query_id"),
+      scaleNote = "rank_ndcg's economics verbatim — the triad " +
+        "SHARES one rank table (fixed 16-query broadcast side, " +
+        "partition-local scoring, WindowGroupLimit keeping 10 rows " +
+        "per query), so adding AP costs one 160-row cumulative " +
+        "window + aggregate, and at 100 TB all three metrics read " +
+        "ONE materialized rank table (the sink_walk_corpus pattern " +
+        "when the eval suite grows — the rank table build is the " +
+        "only corpus-sized stage any of them has). Exact integer " +
+        "micro floors everywhere: precision contributions and the " +
+        "final AP are floor divisions of BIGINT counters, so the " +
+        "eval is reproducible bit-for-bit across engines, reruns, " +
+        "and partitionings — the property a regression gate on " +
+        "retrieval quality needs. Deeper cutoffs change the rank-" +
+        "table limit literal, not the plan."),
+
     // Zipf rank–frequency fit — the corpus law text_heaps_curve
     // doesn't measure (Heaps: how VOCABULARY grows with corpus; Zipf:
     // how frequency DECAYS with rank — healthy natural text fits
