@@ -395,7 +395,10 @@ object PipelineOps extends QueryGroup {
         // flagship's wall time), above it the O(log n) star
         // contraction (dedup_clusters_star's oracled path) runs
         // unchanged; same min-label fixpoint either way
-        val canon = NearDup.clustersAuto(docs, 0.5, Some(sh))
+        // r16 pre-adjudicated: the cluster arm reads the sinked
+        // corpus pair table (the shared shingle scan now serves the
+        // decontamination stage alone; same fixpoint, same oracle)
+        val canon = NearDup.corpusClusters(spark, sf)
           .select(col("doc_id"), col("is_canonical"))
         // decontamination gate: a pool doc with ≥ half its shingles
         // contained in ONE eval doc is an eval leak (shares the
@@ -709,7 +712,7 @@ object PipelineOps extends QueryGroup {
       "corpus_release",
       (spark, sf) => {
         val docs = Tables.documents(spark, sf)
-        val lex = NearDup.clustersAuto(docs, 0.5)
+        val lex = NearDup.corpusClusters(spark, sf)
           .select(col("doc_id"), col("is_canonical").as("lex_canon"))
         val sem = NearDup.resolveEdges(
           AnnIvf.cosineNearDup(AnnIvf.bucketed(spark, sf, planes = 4), 0.25)

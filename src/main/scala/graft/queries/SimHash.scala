@@ -112,7 +112,7 @@ object SimHash extends QueryGroup {
       (spark, sf) => {
         val docs = Tables.documents(spark, sf)
         val found = nearPairs(docs, 3).select("id1", "id2")
-        val truth = NearDup.nearDupPairs(docs, 0.5).select("id1", "id2")
+        val truth = NearDup.corpusPairs(spark, sf).select("id1", "id2")
         // ONE full-outer join + one aggregation carries all three
         // verdict ingredients (truth count, hits, found-only junk).
         // A recall join plus a precision anti-join would reference the
