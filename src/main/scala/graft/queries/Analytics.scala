@@ -1156,15 +1156,27 @@ object Analytics extends QueryGroup {
             col("event_type"))
           .withColumn("prev", lag(col("event_type"), 1).over(w))
           .withColumn("nxt", lead(col("event_type"), 1).over(w))
-        val steps = sq.select(
-          when(col("prev").isNull || col("prev") === "purchase", "start")
-            .otherwise(col("prev")).as("s"),
-          when(col("event_type") === "purchase", "conv")
+        // r16 (guide §2.4): the r13 form read `sq` twice (a steps
+        // branch and an ends branch unioned below the aggregate), so
+        // the per-user lag/lead window — the only corpus-scale stage
+        // in the query — sorted the event stream TWICE per
+        // invocation. One pass now emits both rows per event via a
+        // 2-slot array (the end slot NULL unless this is a journey's
+        // last non-purchase event) compacted and exploded; the
+        // resulting (s, t) multiset is identical, and the aggregate
+        // collapses it map-side as before.
+        val stepRow = struct(
+          when(col("prev").isNull || col("prev") === "purchase",
+            lit("start")).otherwise(col("prev")).as("s"),
+          when(col("event_type") === "purchase", lit("conv"))
             .otherwise(col("event_type")).as("t"))
-        val ends = sq.filter(col("nxt").isNull &&
-            col("event_type") =!= "purchase")
-          .select(col("event_type").as("s"), lit("null").as("t"))
-        val tc = steps.unionAll(ends).groupBy("s", "t")
+        val endRow = when(col("nxt").isNull &&
+            col("event_type") =!= "purchase",
+          struct(col("event_type").as("s"), lit("null").as("t")))
+        val tc = sq
+          .select(explode(array_compact(array(stepRow, endRow))).as("r"))
+          .select(col("r.s").as("s"), col("r.t").as("t"))
+          .groupBy("s", "t")
           .agg(count(lit(1)).as("n"))
         val tn = tc.groupBy("s").agg(sum(col("n")).as("ns"))
         val bm = tc.join(tn, "s")

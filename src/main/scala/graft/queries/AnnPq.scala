@@ -473,7 +473,15 @@ object AnnPq extends QueryGroup {
       "ann_ivfadc",
       (spark, sf) => {
         val vecs = AnnKmeans.quantized(spark, sf).localCheckpoint(false)
-        val queries = vecs.filter(col("vec_id") < 100)
+        // limit(100) is a semantic no-op (vec_id is unique, so the
+        // filter admits ≤ 100 rows) that makes the exact-truth arm's
+        // broadcast side PROVABLY bounded to the structural BNLJ
+        // sweep — rank_fusion_rrf's self-certifying device, needed
+        // because the localCheckpoint's Scan ExistingRDD hides the
+        // filter's selectivity from the walker (r16 green-up: this
+        // key landed mid-build without it and PlanPropertiesSpec
+        // flagged the plan).
+        val queries = vecs.filter(col("vec_id") < 100).limit(100)
         val (qprobe, cand, ivfadc) = ivfadcTopk(spark, sf, vecs)
         val exact = topkExactL2(vecs, queries, TopK)
         val recall = exact

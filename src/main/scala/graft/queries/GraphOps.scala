@@ -85,17 +85,66 @@ object GraphOps extends QueryGroup {
     * suffices; a deeper graph fails the hash instead of truncating). */
   val OracleReachUnroll = 4
 
-  /** Undirected edge list, both directions, one row per (src,dst). */
-  private def edges(spark: SparkSession, sf: String): DataFrame = {
-    val pairs = Tables.lineitem(spark, sf)
-      .join(Tables.orders(spark, sf),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("c"),
-        (col("l_suppkey") * 2 + 1).as("s"))
-      .distinct()
-    pairs.select(col("c").as("src"), col("s").as("dst"))
-      .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
-  }
+  /** Bucket-count literal for the materialized symmetric edge list —
+    * sink_edges' file-count gate. 8 buckets keeps the bucketed reads
+    * parallel enough locally; at 100 TB the count scales with cluster
+    * width × target file size (sink_bucketed's dial). */
+  val EdgeBuckets = 8
+
+  /** The symmetric bipartite trade edge list MATERIALIZED once per
+    * (session, sf) — r16, guide §2.4 (remove shuffles outright) and
+    * the walk-corpus sink pattern's widest application after the
+    * near-dup pair table: THIRTEEN declared graph keys re-derived
+    * the identical lineitem⋈orders → distinct → symmetrize chain per
+    * invocation (pagerank, reachability, closeness, betweenness's
+    * seed base, shortest_path, k_core, label_spread, coreness,
+    * degree_dist, assortativity, modularity, conductance, the
+    * Louvain family), each paying the ~1 s fact-join build before
+    * any graph work started. The build now runs once and lands
+    * bucketBy(EdgeBuckets, src) + sortBy(src, dst), so per-node
+    * aggregates and src-keyed joins read co-located edges. */
+  private[graft] def edgesTable(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_edges", EdgeBuckets,
+      "src", Seq("src", "dst")) {
+      val pairs = Tables.lineitem(spark, sf)
+        .join(Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("c"),
+          (col("l_suppkey") * 2 + 1).as("s"))
+        .distinct()
+      pairs.select(col("c").as("src"), col("s").as("dst"))
+        .unionAll(pairs.select(col("s").as("src"), col("c").as("dst")))
+    }
+
+  /** Undirected edge list, both directions, one row per (src,dst) —
+    * a bucketed read of [[edgesTable]] since r16. */
+  private def edges(spark: SparkSession, sf: String): DataFrame =
+    edgesTable(spark, sf)
+
+  /** Bucket-count literal for the materialized part co-purchase pair
+    * list — sink_part_pairs' file-count gate. */
+  val PartPairBuckets = 8
+
+  /** The DISTINCT within-order part pair list (u, v), u < v —
+    * the co-purchase graph graph_triangles and
+    * graph_clustering_coeff both projected per invocation (the
+    * per-order collect_set + ordered pair explode over the full
+    * lineitem scan), MATERIALIZED once per (session, sf) — r16,
+    * guide §2.4. The sink stores the distinct pair set (the
+    * dup-tolerant counter's fixpoint input), bucketed by u. */
+  private[graft] def partPairTable(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_part_pairs", PartPairBuckets,
+      "u", Seq("u", "v")) {
+      val a = array_sort(col("ps"))
+      Tables.lineitem(spark, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
+        .select(explode(flatten(transform(a, (x, i) =>
+          transform(slice(a, i + 2, size(a)), y =>
+            struct(x.as("u"), y.as("v")))))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+        .distinct()
+    }
 
   /** The same edge list in DuckDB SQL. */
   private val EdgesSql =
@@ -1037,7 +1086,15 @@ object GraphOps extends QueryGroup {
     * (the r5 form did: self-join → 3.6M-row distinct → count-based
     * degrees → two orientation joins; fusing dedup into one map-side-
     * combined collect_set measured 4.7 → 2.6 s warm at sf0.1). */
-  def triangleCounts(e0: DataFrame): DataFrame = {
+  def triangleCounts(e0: DataFrame): DataFrame = triangleCore(e0)._2
+
+  /** [[triangleCounts]] plus the full-adjacency degree table
+    * (node, deg) the same build already computes — factored (r16,
+    * guide §2.4) so graph_clustering_coeff reads degrees off the
+    * adjacency sets (deg = size of the dedup'd neighbor set) instead
+    * of paying a separate distinct() shuffle + unionAll count pass
+    * over the raw pair stream. */
+  def triangleCore(e0: DataFrame): (DataFrame, DataFrame) = {
     // the raw pair stream feeds both symmetrization branches:
     // materialize once so the upstream build (for graph_triangles the
     // per-order pair explode) runs once, not twice. (r6 A/B note: a
@@ -1086,8 +1143,11 @@ object GraphOps extends QueryGroup {
           col("nu"), col("nv"))).as("c"))
     // one corner explode, not a 3-way unionAll of `tri` — unionAll
     // re-evaluates the whole intersection pipeline per branch
-    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+    val counts = tri
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    (adjFull.select(col("x").as("node"), col("d").cast("long").as("deg")),
+      counts)
   }
 
   /** Damped integer power iteration over an edge list (src, dst):
@@ -1874,23 +1934,12 @@ object GraphOps extends QueryGroup {
     // Contract: only nodes in ≥1 triangle emit a row.
     QueryDef(
       "graph_triangles",
-      (spark, sf) => {
-        // within-order part pairs WITHOUT the self-join: one exchange
-        // groups each order's distinct parts, the ordered pairs explode
-        // narrowly from the sorted array (u < v by construction).
-        // Cross-order duplicate pairs are left in — triangleCounts'
-        // adjacency build dedups them map-side, so the 3.6M-row
-        // distinct() stage the self-join form needed never runs
-        val a = array_sort(col("ps"))
-        val e = Tables.lineitem(spark, sf)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-          .select(explode(flatten(transform(a, (x, i) =>
-            transform(slice(a, i + 2, size(a)), y =>
-              struct(x.as("u"), y.as("v")))))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-        triangleCounts(e).orderBy("node")
-      },
+      (spark, sf) =>
+        // r16: the within-order pair stream comes off the session
+        // part-pair sink (built once — see partPairTable); the
+        // counter's adjacency build is unchanged (a distinct pair
+        // set is the dup-tolerant input's fixpoint).
+        triangleCounts(partPairTable(spark, sf)).orderBy("node"),
       Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
         "deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1), " +
@@ -1942,19 +1991,13 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_clustering_coeff",
       (spark, sf) => {
-        val a = array_sort(col("ps"))
-        val pairs = Tables.lineitem(spark, sf)
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .groupBy("ok").agg(collect_set(col("pk")).as("ps"))
-          .select(explode(flatten(transform(a, (x, i) =>
-            transform(slice(a, i + 2, size(a)), y =>
-              struct(x.as("u"), y.as("v")))))).as("e"))
-          .select(col("e.u").as("u"), col("e.v").as("v"))
-        val ed = pairs.distinct().localCheckpoint(false)
-        val deg = ed.select(col("u").as("node"))
-          .unionAll(ed.select(col("v").as("node")))
-          .groupBy("node").agg(count(lit(1)).as("deg"))
-        deg.join(triangleCounts(ed), Seq("node"), "left")
+        // r16 (guide §2.4): the pair stream comes off the session
+        // part-pair sink, and degrees come off the counter's own
+        // dedup'd adjacency sets (triangleCore) — the separate
+        // |pairs|-row distinct() + unionAll degree pass this key
+        // paid at build time is gone.
+        val (deg, tri) = triangleCore(partPairTable(spark, sf))
+        deg.join(tri, Seq("node"), "left")
           .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
           .select(col("node"), col("deg"), col("n_tri"),
             when(col("deg") < 2, lit(null).cast("long"))
@@ -2420,6 +2463,90 @@ object GraphOps extends QueryGroup {
         "and the gated file count PROVES the single-writer bucket " +
         "layout every consumer's scan relies on."),
 
+    // The materialized distinct part co-purchase pair list, GATED
+    // (r16 — see [[partPairTable]]): pair count, exact endpoint
+    // checksums, the u < v orientation invariant as a conservation
+    // column, and the measured part-file count vs the pinned bucket
+    // literal. The oracle replays the distinct within-order pair
+    // self-join both consumers' oracles already carry.
+    QueryDef(
+      "sink_part_pairs",
+      (spark, sf) => {
+        val t = partPairTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_part_pairs")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        t.agg(count(lit(1)).as("n_pairs"),
+            countDistinct(col("u")).as("n_u"),
+            sum(col("u")).as("u_checksum"),
+            sum(col("v")).as("v_checksum"),
+            max(when(col("u") >= col("v"), 1L).otherwise(0L))
+              .as("order_violations"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey) " +
+        "SELECT count(*) AS n_pairs, count(DISTINCT u) AS n_u, " +
+        "CAST(sum(u) AS BIGINT) AS u_checksum, CAST(sum(v) AS BIGINT) AS v_checksum, " +
+        "CAST(max(CASE WHEN u >= v THEN 1 ELSE 0 END) AS BIGINT) AS order_violations, " +
+        s"$PartPairBuckets AS n_files FROM e"),
+      scaleNote = "The co-purchase projection is the triangle " +
+        "family's shared input and a pure function of the corpus " +
+        "version — it ran per consumer (the full lineitem scan + " +
+        "per-order set aggregate + ordered pair explode, twice per " +
+        "bench pass) and now lands once, bucketed by u. At 100 TB " +
+        "this is the item-graph build every co-occurrence pipeline " +
+        "materializes nightly; the per-order explode is bounded by " +
+        "the basket-size cap the source data carries (line items " +
+        "per order ≤ 7 in TPC-H shape), so the build is scan-linear, " +
+        "and the checksum/orientation gates make a drifted pair set " +
+        "or a broken u < v invariant an exact-integer alert."),
+
+    // The materialized FULL symmetric edge list, GATED (r16 — the
+    // sink pattern's widest graph application; see [[edgesTable]]):
+    // row/node counts, exact endpoint checksums, the symmetry
+    // conservation column (Σsrc = Σdst holds by construction for a
+    // both-directions union — a dropped direction fails it loudly),
+    // and the measured part-file count vs the pinned bucket literal.
+    // The oracle replays the distinct+symmetrize chain off the raw
+    // fact tables.
+    QueryDef(
+      "sink_edges",
+      (spark, sf) => {
+        val t = edgesTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_edges")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        t.agg(count(lit(1)).as("n_edges_directed"),
+            countDistinct(col("src")).as("n_nodes"),
+            sum(col("src")).as("src_checksum"),
+            sum(col("dst")).as("dst_checksum"))
+          .select(col("n_edges_directed"), col("n_nodes"),
+            col("src_checksum"), col("dst_checksum"),
+            (col("src_checksum") === col("dst_checksum")).as("symmetric"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some(s"WITH bp AS ($EdgesSql), " +
+        "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp) " +
+        "SELECT count(*) AS n_edges_directed, count(DISTINCT src) AS n_nodes, " +
+        "CAST(sum(src) AS BIGINT) AS src_checksum, " +
+        "CAST(sum(dst) AS BIGINT) AS dst_checksum, " +
+        "CAST(sum(src) AS BIGINT) = CAST(sum(dst) AS BIGINT) AS symmetric, " +
+        s"$EdgeBuckets AS n_files FROM e"),
+      scaleNote = "The graph family's shared input moves from " +
+        "every-query to once-per-corpus-version: thirteen declared " +
+        "keys paid the lineitem⋈orders → distinct → symmetrize " +
+        "build (~1 s at sf0.1, the full fact join) before their own " +
+        "graph work; the sink runs it once and every consumer opens " +
+        "with a bucketed scan whose src-keyed aggregates and joins " +
+        "satisfy their clustering from the bucket spec — walkCorpus' " +
+        "exact economics applied to the family's root. At 100 TB " +
+        "this IS the materialized graph table every production " +
+        "pipeline maintains beside the fact store (the nightly " +
+        "edge-build job), versioned per corpus snapshot with the " +
+        "bucket count scaled to cluster width; the checksum gate " +
+        "makes a drifted edge set an exact-integer alert."),
+
     // Girvan–Newman SPLIT (r13, VERDICT r12 #1's promised consumer)
     // — the loop graph_edge_betweenness's scaleNote names, landed:
     // cut the top-k undirected edges by sampled edge betweenness,
@@ -2669,23 +2796,27 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_neighbor_jaccard",
       (spark, sf) => {
-        // the distinct pair table feeds FOUR consumers (degrees, the
-        // fan-out filter, and both sides of the wedge self-join):
-        // checkpoint it once so the lineitem⋈orders+distinct build
-        // runs once, not four times (pagerank's edge-build pattern)
-        val cs = Tables.lineitem(spark, sf)
-          .join(Tables.orders(spark, sf),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct()
+        // r16 (guide §2.4, the graph_triangles precedent): the
+        // distinct (c, s) pair set is decoded from the session edge
+        // sink (even-src half — graph_hits' device), and the wedge
+        // pairs explode from ONE per-customer sorted set aggregate
+        // instead of the capped self-join: the fan cap becomes a
+        // size() filter on the same aggregate (cs is distinct, so
+        // set size IS the fan count), which deletes the separate
+        // fan-out aggregate, the cap join, and the second shuffle
+        // of the capped table.
+        val cs = edgesTable(spark, sf)
+          .filter(col("src") % 2 === 0)
+          .select(expr("src div 2").as("c"), expr("dst div 2").as("s"))
           .localCheckpoint(true)
         val deg = cs.groupBy("s").agg(count(lit(1)).as("d"))
-        val fanOk = cs.groupBy("c").agg(count(lit(1)).as("f"))
-          .filter(col("f") <= 100).select("c")
-        val capped = cs.join(fanOk, "c")
-        val wedges = capped.select(col("c"), col("s").as("s1"))
-          .join(capped.select(col("c"), col("s").as("s2")), "c")
-          .filter(col("s1") < col("s2"))
+        val a = array_sort(col("ss"))
+        val wedges = cs.groupBy("c").agg(collect_set(col("s")).as("ss"))
+          .filter(size(col("ss")) <= 100)
+          .select(explode(flatten(transform(a, (x, i) =>
+            transform(slice(a, i + 2, size(a)), y =>
+              struct(x.as("s1"), y.as("s2")))))).as("e"))
+          .select(col("e.s1").as("s1"), col("e.s2").as("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
         wedges
           .join(deg.select(col("s").as("s1"), col("d").as("deg1")), "s1")
@@ -3224,7 +3355,11 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_louvain_round",
       (spark, sf) => {
-        val e = edges(spark, sf)
+        // r16 (guide §2.4): the edge list feeds FOUR subtrees (deg,
+        // tot, euc, the final rescoring join j2) — checkpoint once so
+        // the lineitem⋈orders⋈distinct build runs once per
+        // invocation, not per subtree.
+        val e = edges(spark, sf).localCheckpoint(true)
         val comm = Tables.customer(spark, sf)
             .select((col("c_custkey") * 2).as("node"),
               col("c_nationkey").as("cu"))
@@ -3415,17 +3550,26 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_hits",
       (spark, sf) => {
-        val e = Tables.lineitem(spark, sf)
-          .join(Tables.orders(spark, sf),
-            col("l_orderkey") === col("o_orderkey"))
-          .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-          .distinct()
+        // r16 (guide §2.4): the distinct edge build was referenced by
+        // FOUR subtrees (a1, h1's probe, a2's probe, indeg) and
+        // rebuilt lineitem⋈orders⋈distinct per reference — the
+        // distinct (c, s) pair set is now DECODED from the session
+        // edge sink (its even-src half is exactly the customer→
+        // supplier direction: c = src div 2, s = dst div 2), one
+        // eager checkpoint makes every half-step read cached blocks,
+        // and indeg is derived from a1's own count aggregate (ar div
+        // 1e6 IS count(*), exactly) instead of a fourth edge pass.
+        val e = edgesTable(spark, sf)
+          .filter(col("src") % 2 === 0)
+          .select(expr("src div 2").as("c"), expr("dst div 2").as("s"))
+          .localCheckpoint(true)
         val a1raw = e.groupBy("s")
           .agg((count(lit(1)) * lit(1000000L)).as("ar"))
         val a1mx = a1raw.agg(max(col("ar")).as("amx"))
         val a1 = a1raw.crossJoin(broadcast(a1mx))
-          .select(col("s"), expr("(ar * 1000000) div amx").as("a1"))
-        val h1raw = e.join(a1, "s").groupBy("c")
+          .select(col("s"), expr("(ar * 1000000) div amx").as("a1"),
+            expr("ar div 1000000").as("indeg"))
+        val h1raw = e.join(a1.select("s", "a1"), "s").groupBy("c")
           .agg(sum(col("a1")).as("hr"))
         val h1mx = h1raw.agg(max(col("hr")).as("hmx"))
         val h1 = h1raw.crossJoin(broadcast(h1mx))
@@ -3435,8 +3579,7 @@ object GraphOps extends QueryGroup {
         val a2mx = a2raw.agg(max(col("ar2")).as("amx2"))
         val a2 = a2raw.crossJoin(broadcast(a2mx))
           .select(col("s"), expr("(ar2 * 1000000) div amx2").as("a2"))
-        val indeg = e.groupBy("s").agg(count(lit(1)).as("indeg"))
-        a1.join(a2, "s").join(indeg, "s")
+        a1.join(a2, "s")
           .select(col("s").as("suppkey"), col("indeg"),
             col("a1").as("auth1_micro"), col("a2").as("auth2_micro"))
           .orderBy(col("auth2_micro").desc, col("suppkey"))
@@ -4470,7 +4613,23 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_coreness",
       (spark, sf) => {
-        val e = edges(spark, sf).localCheckpoint(true)
+        // r16 (guide §2.4 "remove shuffles outright"): the edge list
+        // is hash-partitioned by src ONCE before the checkpoint, and
+        // every round rides that layout — the broadcast value join
+        // preserves the stream side's partitioning, the (node, cn)
+        // partial-count satisfies its clustering from the src
+        // partitioning (subset rule), and so do the window and the
+        // final per-node max: ZERO exchanges per round where the r11
+        // form re-shuffled all |E| rows into a row_number window
+        // every round. The h-index itself is computed in COUNT-
+        // COLLAPSED form: h = max over distinct neighbor values v of
+        // min(#neighbors with value ≥ v, v) — identical to
+        // max(min(rank, value)) over the desc-ranked neighbor list
+        // (within the run of a value v the best rank is the run's
+        // last = the cumulative count), but the window input is
+        // |distinct (node, value)| rows instead of |E|.
+        val e = edges(spark, sf).repartition(col("src"))
+          .localCheckpoint(true)
         var vals = freshDf(e.groupBy(col("src").as("node"))
           .agg(count(lit(1)).cast("long").as("c")))
         var prev: DataFrame = null
@@ -4481,9 +4640,10 @@ object GraphOps extends QueryGroup {
             .join(bcastNodeState(vals.select(col("node").as("dst"),
               col("c").as("cn"))), Seq("dst"))
             .select(col("src").as("node"), col("cn"))
-            .withColumn("rk", row_number().over(w).cast("long"))
+            .groupBy("node", "cn").agg(count(lit(1)).as("m"))
+            .withColumn("cum", sum(col("m")).over(w))
             .groupBy("node")
-            .agg(max(least(col("rk"), col("cn"))).as("c")))
+            .agg(max(least(col("cum"), col("cn"))).as("c")))
         }
         val unstable = vals.select(col("node"), col("c"))
           .join(prev.select(col("node"), col("c").as("cp")), Seq("node"))

@@ -240,15 +240,26 @@ object Multimodal extends QueryGroup {
     QueryDef(
       "multimodal_near_dup",
       (spark, sf) => {
+        // r16 (guide §1.2 "per-task work"): the gram integer is
+        // extracted from the BINARY payload by O(1) byte slicing —
+        // the r12 form chained four ascii(substr(s, i+j, 1)) calls
+        // per gram over a STRING, and UTF8String.substring walks
+        // from the start of the string to find the char offset, so
+        // each doc paid O(len²) char steps (A/B in
+        // OPTIMIZATION_r16.md). The big-endian
+        // 4-byte value is IDENTICAL on pure-ASCII payloads (asserted
+        // by MultimodalSpec's octet_length = length check):
+        // conv(hex(b[i..i+3]), 16, 10) = b[i]·2²⁴+b[i+1]·2¹⁶+
+        // b[i+2]·2⁸+b[i+3], and hex() of a byte slice is
+        // position-exact on BINARY.
+        // ...and the per-gram work itself is the codegen'd
+        // ByteGrams4 primitive loop rather than a transform() HOF
+        // (interpreted per element — the measured HOF trap);
+        // ByteGrams4Spec pins bit-equality to the SQL formulation.
         val grams = mediaTable(spark, sf).toDF()
-          .select(col("media_id"), expr("CAST(payload AS STRING)").as("s"))
-          .filter(length(col("s")) >= 4)
-          .select(col("media_id"), explode(expr(
-            "transform(sequence(1, length(s) - 3), i -> " +
-              "CAST(ascii(substr(s, i, 1)) AS BIGINT)*16777216 + " +
-              "CAST(ascii(substr(s, i+1, 1)) AS BIGINT)*65536 + " +
-              "CAST(ascii(substr(s, i+2, 1)) AS BIGINT)*256 + " +
-              "CAST(ascii(substr(s, i+3, 1)) AS BIGINT))")).as("k"))
+          .filter(length(col("payload")) >= 4)
+          .select(col("media_id"),
+            explode(graft.plans.ByteGrams4.grams4(col("payload"))).as("k"))
         val votes = (0 until SimBits).map { b =>
           sum(when(((lit(SimA(b)) * (col("k") % SimP) + lit(SimB(b))) % SimP) % 2
             === 1, 1L).otherwise(-1L)).as(s"v$b")

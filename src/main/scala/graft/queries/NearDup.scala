@@ -572,6 +572,75 @@ object NearDup extends QueryGroup {
     * Denominators count each doc's rare shingles (df-1 shingles kept:
     * discriminative, merely unshareable), so C is measured over the
     * same universe the join can see. */
+  /** Bucket-count literal for the two r16 pair-universe sinks —
+    * their file-count gates. */
+  val PairUniverseBuckets = 4
+
+  /** The df-capped RARE-SHINGLE pair universe (id1, id2, ni, n1, n2)
+    * on the xxhash64 basis, MATERIALIZED once per (session, sf) —
+    * r16, guide §2.4: dedup_containment and dedup_lsh_scurve each
+    * re-ran the identical shingle-scan → distinct → df-cap →
+    * inverted-index self-join chain (~2.5 s at sf0.1 apiece) and
+    * then diverged only in the last projection (containment ratio
+    * vs S-curve sweep). ni = shared rare shingles, n1/n2 = each
+    * side's rare-shingle count — every consumer statistic is a
+    * projection of these three exact integers. */
+  private[graft] def shinglePairTable(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame =
+    GraphOps.sessionSink(spark, sf, "sink_shingle_pairs",
+      PairUniverseBuckets, "id1", Seq("id1", "id2")) {
+      val hs = shingleRows(Tables.documents(spark, sf)).distinct()
+        .select(col("doc_id"), xxhash64(col("sh")).as("h"))
+        .localCheckpoint(false)
+      val dfc = hs.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= ContainmentDfCap)
+        .select("h")
+      val rare = hs.join(dfc, "h").localCheckpoint(false)
+      val nr = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
+      rare.as("a")
+        .join(rare.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("ni"))
+        .join(nr.select(col("doc_id").as("id1"), col("n_rare").as("n1")), "id1")
+        .join(nr.select(col("doc_id").as("id2"), col("n_rare").as("n2")), "id2")
+        .select(col("id1"), col("id2"), col("ni"), col("n1"), col("n2"))
+    }
+
+  /** The exact pair-truth table on the PORTABLE (affine rolling
+    * encode) shingle basis, same shape — r16: dedup_minhash_accuracy
+    * and dedup_simhash_accuracy shared the candidate build (df-cap →
+    * self-join → distinct) AND the per-pair exact intersection
+    * (sorted tok arrays + merge-walk count); both truths are
+    * projections of (ni, n1, n2). The signature halves (min-wise vs
+    * bit-majority) stay per-query — they are what each operator
+    * measures. */
+  private[graft] def portablePairTable(spark: org.apache.spark.sql.SparkSession,
+      sf: String): DataFrame =
+    GraphOps.sessionSink(spark, sf, "sink_portable_pairs",
+      PairUniverseBuckets, "id1", Seq("id1", "id2")) {
+      val sh = portableShingles(Tables.documents(spark, sf))
+        .localCheckpoint(false)
+      val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= MaxBucketDocs).select("h")
+      val rare = sh.join(okH, "h")
+      val cand = rare.as("a")
+        .join(rare.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .distinct()
+      val toks = sh.groupBy("doc_id")
+        .agg(array_sort(collect_list(col("h"))).as("toks"))
+      cand
+        .join(toks.select(col("doc_id").as("id1"), col("toks").as("ta")), "id1")
+        .join(toks.select(col("doc_id").as("id2"), col("toks").as("tb")), "id2")
+        .select(col("id1"), col("id2"),
+          graft.plans.SortedIntersectCount.count(col("ta"), col("tb"))
+            .as("ni"),
+          size(col("ta")).cast("long").as("n1"),
+          size(col("tb")).cast("long").as("n2"))
+    }
+
   def containmentPairs(docs: DataFrame, tau: Double = 0.8): DataFrame = {
     // 8-byte shingle hashes end-to-end (ngram_jaccard's basis:
     // collision odds ~2^-64 are the accepted cross-engine risk); the
@@ -668,6 +737,92 @@ object NearDup extends QueryGroup {
         "family, or verify threshold an exact-integer alert, and " +
         "the gated file count proves the single-writer layout."),
 
+    // The df-capped rare-shingle pair universe sink, GATED (r16 —
+    // the sink_neardup_pairs pattern applied to the containment
+    // family's shared chain): pair count, exact Σid checksums, the
+    // three integer totals every consumer statistic projects from
+    // (Σni, Σn1, Σn2), and the measured part-file count vs the
+    // pinned bucket literal. The oracle replays the df/rare/pc/nr
+    // chain both consumers' oracles already carry.
+    QueryDef(
+      "sink_shingle_pairs",
+      (spark, sf) => {
+        val p = shinglePairTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_shingle_pairs")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        p.agg(count(lit(1)).as("n_pairs"),
+            sum(col("id1")).as("id1_checksum"),
+            sum(col("id2")).as("id2_checksum"),
+            sum(col("ni")).as("ni_total"),
+            sum(col("n1")).as("n1_total"),
+            sum(col("n2")).as("n2_total"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some(s"WITH $ShingleCtes, " +
+        "df AS (SELECT g, count(*) AS df FROM s GROUP BY 1), " +
+        s"rare AS (SELECT s.doc_id, s.g FROM s JOIN df USING (g) WHERE df.df <= $ContainmentDfCap), " +
+        "nr AS (SELECT doc_id, count(*) AS n_rare FROM rare GROUP BY 1), " +
+        "pc AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni FROM rare a JOIN rare b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1,2) " +
+        "SELECT count(*) AS n_pairs, CAST(sum(id1) AS BIGINT) AS id1_checksum, " +
+        "CAST(sum(id2) AS BIGINT) AS id2_checksum, CAST(sum(ni) AS BIGINT) AS ni_total, " +
+        "CAST(sum(n1.n_rare) AS BIGINT) AS n1_total, CAST(sum(n2.n_rare) AS BIGINT) AS n2_total, " +
+        s"$PairUniverseBuckets AS n_files " +
+        "FROM pc JOIN nr n1 ON pc.id1 = n1.doc_id JOIN nr n2 ON pc.id2 = n2.doc_id"),
+      scaleNote = "sink_neardup_pairs' economics for the containment " +
+        "family: the shingle scan → distinct → df-cap → inverted-" +
+        "index self-join chain ran per consumer (dedup_containment " +
+        "AND the S-curve tuner — ~2.5 s apiece at sf0.1) and is a " +
+        "pure function of the corpus version; it now lands once, " +
+        "bucketed by id1, and both consumers are projections of its " +
+        "(ni, n1, n2) integers. Work in the build is Σ_g df(g)² over " +
+        "rare shingles — near-linear at fixed cap, the posting-list " +
+        "fence unchanged; at 100 TB this is the containment-candidate " +
+        "table a quote-detection pipeline persists between its index " +
+        "and policy stages."),
+
+    // The portable-basis exact pair-truth sink, GATED (r16 — same
+    // pattern, the accuracy family's shared truth side): both
+    // estimator-accuracy operators (minhash + simhash) re-built the
+    // identical df-capped candidate set AND the per-pair exact
+    // intersections; the table (id1, id2, ni, n1, n2) is their
+    // common truth, each keeps only its own signature half.
+    QueryDef(
+      "sink_portable_pairs",
+      (spark, sf) => {
+        val p = portablePairTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_portable_pairs")
+        val nFiles = new java.io.File(dir).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+        p.agg(count(lit(1)).as("n_pairs"),
+            sum(col("id1")).as("id1_checksum"),
+            sum(col("id2")).as("id2_checksum"),
+            sum(col("ni")).as("ni_total"),
+            sum(col("n1")).as("n1_total"),
+            sum(col("n2")).as("n2_total"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some(s"WITH $PortableShingleSql, " +
+        s"okh AS (SELECT h FROM (SELECT h, count(*) AS df FROM s GROUP BY 1) WHERE df <= $MaxBucketDocs), " +
+        "rare AS (SELECT s.doc_id, s.h FROM s JOIN okh USING (h)), " +
+        "pc AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2 FROM rare a JOIN rare b ON a.h = b.h AND a.doc_id < b.doc_id), " +
+        "nsz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY 1), " +
+        "pi AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS ni FROM s a JOIN s b ON a.h = b.h AND a.doc_id < b.doc_id JOIN pc ON pc.id1 = a.doc_id AND pc.id2 = b.doc_id GROUP BY 1, 2) " +
+        "SELECT count(*) AS n_pairs, CAST(sum(pi.id1) AS BIGINT) AS id1_checksum, " +
+        "CAST(sum(pi.id2) AS BIGINT) AS id2_checksum, CAST(sum(pi.ni) AS BIGINT) AS ni_total, " +
+        "CAST(sum(n1.n) AS BIGINT) AS n1_total, CAST(sum(n2.n) AS BIGINT) AS n2_total, " +
+        s"$PairUniverseBuckets AS n_files " +
+        "FROM pi JOIN nsz n1 ON pi.id1 = n1.doc_id JOIN nsz n2 ON pi.id2 = n2.doc_id"),
+      scaleNote = "The truth side of estimator accuracy is itself an " +
+        "exact-dedup workload (df-capped inverted index + sorted-" +
+        "array merge-walk intersections) and a pure function of the " +
+        "corpus — it now runs once per session where minhash- and " +
+        "simhash-accuracy each re-ran it. The estimator halves stay " +
+        "per-query (they ARE the measurement); at 100 TB the truth " +
+        "table is the labeled-eval artifact an LSH deployment " +
+        "refreshes per corpus version while re-pricing estimator " +
+        "families against it on every tuning pass."),
+
     // One-sided containment dedup — the subset relation Jaccard
     // structurally misses (a tweet quoted whole inside an article:
     // J small, C ≈ 1). Candidates from a df-pruned inverted shingle
@@ -677,8 +832,18 @@ object NearDup extends QueryGroup {
     // shared shingle definition.
     QueryDef(
       "dedup_containment",
-      (spark, sf) =>
-        containmentPairs(Tables.documents(spark, sf)).orderBy("id1", "id2"),
+      (spark, sf) => {
+        // r16: the containment ratio is a projection of the sinked
+        // rare-shingle pair universe (same chain, built once per
+        // session — see shinglePairTable); containmentPairs stays
+        // factored for fixture-driven tests.
+        val c = col("ni").cast("double") /
+          least(col("n1"), col("n2")).cast("double")
+        shinglePairTable(spark, sf)
+          .filter(c >= 0.8)
+          .select(col("id1"), col("id2"), round(c, 4).as("containment"))
+          .orderBy("id1", "id2")
+      },
       Some(s"WITH $ShingleCtes, " +
         s"df AS (SELECT g, count(*) AS df FROM s GROUP BY 1), " +
         s"rare AS (SELECT s.doc_id, s.g FROM s JOIN df USING (g) WHERE df.df <= $ContainmentDfCap), " +
@@ -724,24 +889,10 @@ object NearDup extends QueryGroup {
       (spark, sf) => {
         val session = spark
         import session.implicits._
-        val docs = Tables.documents(spark, sf)
-        val hs = shingleRows(docs).distinct()
-          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
-          .localCheckpoint(false)
-        val dfc = hs.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= ContainmentDfCap)
-          .select("h")
-        val rare = hs.join(dfc, "h").localCheckpoint(false)
-        val nr = rare.groupBy("doc_id").agg(count(lit(1)).as("n_rare"))
-        val pj = rare.as("a")
-          .join(rare.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .agg(count(lit(1)).as("ni"))
-          .join(nr.select(col("doc_id").as("id1"),
-            col("n_rare").as("n1")), "id1")
-          .join(nr.select(col("doc_id").as("id2"),
-            col("n_rare").as("n2")), "id2")
+        // r16: the pair universe comes off the session sink (the
+        // same df-capped chain, built once — see shinglePairTable);
+        // the S-curve sweep is a projection of its (ni, n1, n2).
+        val pj = shinglePairTable(spark, sf)
           .select(expr("(ni * 1000000) div (n1 + n2 - ni)").as("s_micro"))
         val cfgs = Seq((2, 64), (4, 32), (8, 16), (16, 8)).toDF("r", "b")
         pj.crossJoin(broadcast(cfgs))
@@ -1314,36 +1465,25 @@ object NearDup extends QueryGroup {
     QueryDef(
       "dedup_minhash_accuracy",
       (spark, sf) => {
+        // r16: the candidate pairs AND the exact intersections come
+        // off the sinked portable pair-truth table (built once per
+        // session — see portablePairTable); this operator keeps only
+        // its OWN half, the 64 min-wise signature sums it measures.
         val sh = portableShingles(Tables.documents(spark, sf))
-          .localCheckpoint(false) // feeds sig, sets, df, and both join sides
-        val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxBucketDocs).select("h")
-        val rare = sh.join(okH, "h")
-        val cand = rare.as("a")
-          .join(rare.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .distinct()
+          .localCheckpoint(false) // feeds the signature aggregate
         val sig = sh.groupBy("doc_id").agg(
           min(pmod(lit(coefA(0)) * col("h") + lit(coefB(0)), lit(P))).as("m0"),
           (1 until NumHashes).map(i =>
             min(pmod(lit(coefA(i)) * col("h") + lit(coefB(i)), lit(P))).as(s"m$i")): _*)
-        val toks = sh.groupBy("doc_id")
-          .agg(array_sort(collect_list(col("h"))).as("toks"))
         val s1 = sig.select(col("doc_id").as("id1") +:
           (0 until NumHashes).map(i => col(s"m$i").as(s"x$i")): _*)
         val s2 = sig.select(col("doc_id").as("id2") +:
           (0 until NumHashes).map(i => col(s"m$i").as(s"y$i")): _*)
-        cand
-          .join(toks.select(col("doc_id").as("id1"), col("toks").as("ta")), "id1")
-          .join(toks.select(col("doc_id").as("id2"), col("toks").as("tb")), "id2")
+        portablePairTable(spark, sf)
           .join(s1, "id1").join(s2, "id2")
           .withColumn("k", (0 until NumHashes)
             .map(i => (col(s"x$i") === col(s"y$i")).cast("long")).reduce(_ + _))
-          .withColumn("ni",
-            graft.plans.SortedIntersectCount.count(col("ta"), col("tb")))
-          .withColumn("un",
-            (size(col("ta")) + size(col("tb"))).cast("long") - col("ni"))
+          .withColumn("un", col("n1") + col("n2") - col("ni"))
           // non-negative operands: div == floor division on both engines
           .withColumn("exact_bp", expr("(ni * 10000) div un"))
           .withColumn("est_bp", expr("(k * 10000) div 64"))

@@ -963,32 +963,43 @@ object PipelineOps extends QueryGroup {
       (spark, sf) => {
         val ev = Tables.loadEvents(spark, sf)
         def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+        // r16 (guide §2.3/§2.4): six countDistinct in ONE aggregate
+        // made Catalyst plan the 7-way Expand — every event row
+        // multiplied 7×, then TWO full sorts around a SortAggregate
+        // whose grouping key was all six columns at once (the before
+        // plan in plans/r16/dq_profile_before.txt). The exact
+        // distincts now run as six independent single-column
+        // branches (groupBy-the-column hash aggregate, map-side
+        // combined, each scan column-pruned to 1 column) crossJoined
+        // into the same 1-row frame: no Expand, no sort, and the
+        // non-distinct stats keep their one-pass scan. Counts are
+        // identical — count(col) over a distinct() skips the NULL
+        // group exactly as countDistinct does.
+        def nd(c: String) = broadcast(ev.select(col(c)).distinct()
+          .agg(count(col(c)).as(s"nd_$c")))
         val agg = ev.agg(
           count(lit(1)).as("n_rows"),
           nn("event_id").as("nn_event_id"),
-          countDistinct(col("event_id")).as("nd_event_id"),
           min(col("event_id")).cast("double").as("mn_event_id"),
           max(col("event_id")).cast("double").as("mx_event_id"),
           nn("ts").as("nn_ts"),
-          countDistinct(col("ts")).as("nd_ts"),
           date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mn_ts"),
           date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss").as("mx_ts"),
           nn("user_id").as("nn_user_id"),
-          countDistinct(col("user_id")).as("nd_user_id"),
           min(col("user_id")).cast("double").as("mn_user_id"),
           max(col("user_id")).cast("double").as("mx_user_id"),
           nn("event_type").as("nn_event_type"),
-          countDistinct(col("event_type")).as("nd_event_type"),
           min(col("event_type")).as("mn_event_type"),
           max(col("event_type")).as("mx_event_type"),
           nn("value").as("nn_value"),
-          countDistinct(col("value")).as("nd_value"),
           min(col("value")).as("mn_value"),
           max(col("value")).as("mx_value"),
           nn("props").as("nn_props"),
-          countDistinct(col("props")).as("nd_props"),
           min(col("props")).as("mn_props"),
           max(col("props")).as("mx_props"))
+          .crossJoin(nd("event_id")).crossJoin(nd("ts"))
+          .crossJoin(nd("user_id")).crossJoin(nd("event_type"))
+          .crossJoin(nd("value")).crossJoin(nd("props"))
         agg.select(expr("stack(6, " +
           "'event_id', n_rows, nn_event_id, nd_event_id, mn_event_id, mx_event_id, CAST(NULL AS STRING), CAST(NULL AS STRING), " +
           "'event_type', n_rows, nn_event_type, nd_event_type, CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), mn_event_type, mx_event_type, " +

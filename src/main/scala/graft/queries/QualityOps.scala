@@ -53,7 +53,13 @@ object QualityOps extends QueryGroup {
       .select(col("vec_id"), col("label"),
         graft.engine.Vec.quantize(col("embedding")).as("qv"))
       .withColumn("n2", graft.engine.Vec.norm2(col("qv")))
-    val queries = q.filter(col("vec_id") < 16)
+    // limit(16) is a semantic no-op (vec_id is unique) that makes
+    // the broadcast side PROVABLY bounded to the structural BNLJ
+    // sweep — the rank_fusion_rrf device (r16 green-up: rank_map
+    // landed mid-build without it and PlanPropertiesSpec flagged
+    // the theta-join plan; ndcg/mrr shared the shape via the
+    // semantic allowlist).
+    val queries = q.filter(col("vec_id") < 16).limit(16)
       .select(col("vec_id").as("query_id"), col("label").as("qlabel"),
         col("qv").as("qq"), col("n2").as("qn"))
     val w = Window.partitionBy("query_id")

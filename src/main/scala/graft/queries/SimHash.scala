@@ -167,17 +167,14 @@ object SimHash extends QueryGroup {
     QueryDef(
       "dedup_simhash_accuracy",
       (spark, sf) => {
-        import NearDup.{P, MaxBucketDocs, coefA, coefB}
+        import NearDup.{P, coefA, coefB}
+        // r16: candidate pairs + exact intersections come off the
+        // sinked portable pair-truth table (NearDup.portablePairTable
+        // — built once per session, shared with dedup_minhash_
+        // accuracy); this operator keeps only its OWN half, the 64
+        // bit-majority counters it measures.
         val sh = NearDup.portableShingles(Tables.documents(spark, sf))
-          .localCheckpoint(false) // feeds sig, sets, df, both join sides
-        val okH = sh.groupBy("h").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= MaxBucketDocs).select("h")
-        val rare = sh.join(okH, "h")
-        val cand = rare.as("a")
-          .join(rare.as("b"),
-            col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
-          .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-          .distinct()
+          .localCheckpoint(false) // feeds the signature aggregate
         val cnts = (0 until Bits).map { b =>
           sum(pmod(lit(coefA(b)) * col("h") + lit(coefB(b)), lit(P)) % 2)
             .as(s"c$b")
@@ -186,25 +183,18 @@ object SimHash extends QueryGroup {
           .agg(count(lit(1)).as("n"), cnts: _*)
         val sig = sig0.select(col("doc_id") +: (0 until Bits).map(b =>
           (col(s"c$b") * 2 > col("n")).cast("long").as(s"x$b")): _*)
-        val toks = sh.groupBy("doc_id")
-          .agg(array_sort(collect_list(col("h"))).as("toks"))
         val s1 = sig.select(col("doc_id").as("id1") +:
           (0 until Bits).map(b => col(s"x$b").as(s"p$b")): _*)
         val s2 = sig.select(col("doc_id").as("id2") +:
           (0 until Bits).map(b => col(s"x$b").as(s"q$b")): _*)
-        cand
-          .join(toks.select(col("doc_id").as("id1"), col("toks").as("ta")), "id1")
-          .join(toks.select(col("doc_id").as("id2"), col("toks").as("tb")), "id2")
+        NearDup.portablePairTable(spark, sf)
           .join(s1, "id1").join(s2, "id2")
           .withColumn("ham", lit(64L) - (0 until Bits)
             .map(b => (col(s"p$b") === col(s"q$b")).cast("long"))
             .reduce(_ + _))
-          .withColumn("ni",
-            graft.plans.SortedIntersectCount.count(col("ta"), col("tb")))
           // exact squared cosine of the shingle SETS in basis points —
           // integer-only (no sqrt): ni²·10⁴ div (|A|·|B|)
-          .withColumn("cos2_bp", expr(
-            "(ni * ni * 10000) div (size(ta) * CAST(size(tb) AS BIGINT))"))
+          .withColumn("cos2_bp", expr("(ni * ni * 10000) div (n1 * n2)"))
           .groupBy(expr("cos2_bp div 1000").as("cos2_band"))
           .agg(count(lit(1)).as("n_pairs"),
             sum(col("ham")).as("sum_ham"),
