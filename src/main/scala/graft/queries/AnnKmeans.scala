@@ -261,8 +261,7 @@ object AnnKmeans extends QueryGroup {
       (spark, sf) => {
         val m = kmeansModel(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_kmeans_model")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         val byIter = m.groupBy("iter")
           .agg(sum(col("n_vec")).as("nv"), sum(col("wcss_c")).as("w"),
             sum(when(col("n_vec") > 0, 1).otherwise(0)).as("live"))

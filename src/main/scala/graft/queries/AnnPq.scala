@@ -419,8 +419,7 @@ object AnnPq extends QueryGroup {
       (spark, sf) => {
         val b = pqCodebook(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_pq_codebook")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         val n = AnnKmeans.quantized(spark, sf)
           .agg(count(lit(1)).as("n_vectors"))
         b.agg(countDistinct(col("m")).as("n_subspaces"),

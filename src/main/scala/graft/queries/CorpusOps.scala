@@ -1417,8 +1417,7 @@ object CorpusOps extends QueryGroup {
       (spark, sf) => {
         val h = bpeHistory(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_bpe_history")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         h.groupBy("round")
           .agg(count(lit(1)).as("n_words"),
             sum(col("f")).as("f_total"),

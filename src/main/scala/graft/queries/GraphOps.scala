@@ -284,8 +284,13 @@ object GraphOps extends QueryGroup {
     val t = s"graft_${op}_$sfx"
     val dir = SourceOps.sinkDir(spark, sf, op)
     def dirOk = {
-      val d = new java.io.File(dir)
-      d.isDirectory && d.listFiles().exists(_.getName.startsWith("part-"))
+      // Hadoop FileSystem API, not java.io.File (r17, VERDICT r16
+      // #9): the idempotency re-check must work wherever the sink
+      // dir lives (file://, hdfs://, s3a://)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p)
+        .exists(_.getPath.getName.startsWith("part-"))
     }
     if (!spark.catalog.tableExists(t) || !dirOk) {
       if (spark.catalog.tableExists(t)) spark.sql(s"DROP TABLE `$t`")
@@ -1568,6 +1573,64 @@ object GraphOps extends QueryGroup {
           max(col("rounds")).as("rounds"))
     }
 
+  /** Bucket-count literal for the three r17 BFS-family sinks —
+    * their file-count gates (1 bucket: each table is |V|-bounded —
+    * ≤ |reachable| rows — so a single writer is the right layout;
+    * at 100 TB the bucket count scales with |V| like
+    * sink_bucketed's dial). */
+  val BfsSinkBuckets = 1
+
+  /** The merged-frontier BFS level table (node, h) + the rounds
+    * certificate, MATERIALIZED once per (session, sf) — r17,
+    * VERDICT r16 #3 (the sink_girvan_trace precedent applied to the
+    * sequential-BFS class): graph_reachability re-ran the frontier
+    * loop per invocation — one broadcast + distinct + anti-join +
+    * count() probe PER ROUND, all driver-serialized (the class's
+    * 0.94-1.12 core-scaling ratios show the rounds, not the data,
+    * are the cost). The loop now runs once per corpus version and
+    * the declared query is a projection of the sinked table. */
+  private[graft] def reachLevels(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_reach_levels", BfsSinkBuckets,
+      "node", Seq("node")) {
+      val e = edges(spark, sf).localCheckpoint(false)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
+      val (levels, rounds) = bfsLevels(e, seeds)
+      levels.withColumn("rounds", lit(rounds))
+    }
+
+  /** The Bellman–Ford distance table (node, d) + rounds, same
+    * materialize-once move for graph_shortest_path (r17, VERDICT
+    * r16 #3) — the weighted sibling of [[reachLevels]]. */
+  private[graft] def bfDist(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_bf_dist", BfsSinkBuckets,
+      "node", Seq("node")) {
+      val e = edges(spark, sf)
+        .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
+        .localCheckpoint(false)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
+      val (dist, rounds) = bellmanFord(e, seeds)
+      dist.withColumn("rounds", lit(rounds))
+    }
+
+  /** The per-source BFS level table (s, node, h) + rounds for the
+    * closeness seed sample, materialized once per (session, sf) —
+    * r17, the same move for graph_closeness's 8-wave forward pass
+    * (the query keeps its own seed definition rather than reading
+    * sink_brandes_deps' top-8 sample: the two seed rules coincide
+    * on this data but are not the same rule, and a sink must never
+    * change what its consumer computes on OTHER data). */
+  private[graft] def closeLevels(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_close_levels", BfsSinkBuckets,
+      "s", Seq("s", "node")) {
+      val e = edges(spark, sf).localCheckpoint(false)
+      val seeds = e.select(col("src").as("node")).distinct()
+        .filter(col("node") % 2 === 0 && col("node") < 16) // custkey < 8
+      val (levels, rounds) = bfsLevelsPerSource(e, seeds)
+      levels.withColumn("rounds", lit(rounds))
+    }
+
   /** Bucket-count literal for the materialized iterated-GN trace —
     * sink_girvan_trace's file-count gate (3 rows: the pre-cut
     * baseline plus one per divisive round; 1 bucket — single-writer
@@ -2049,15 +2112,14 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_reachability",
       (spark, sf) => {
-        val e = edges(spark, sf).localCheckpoint(false)
-        val seeds = e.select(col("src").as("node")).distinct()
-          .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
-        val (levels, rounds) = bfsLevels(e, seeds)
-        levels.select(
+        // r17 (VERDICT r16 #3): the frontier loop lives in the
+        // once-per-session sink build (see reachLevels); the
+        // declared query is a projection of the sinked level table.
+        reachLevels(spark, sf).select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
-            expr("node div 2").as("key"), col("h").as("hops"))
-          .withColumn("rounds", lit(rounds))
+            expr("node div 2").as("key"), col("h").as("hops"),
+            col("rounds"))
           .orderBy("node_type", "key")
       },
       Some {
@@ -2098,6 +2160,56 @@ object GraphOps extends QueryGroup {
         "silently truncated at its unroll depth; the gated rounds " +
         "column now makes traversal depth part of the contract)."),
 
+    // The BFS level-table SINK as a declared operator (r17 — the
+    // session-sink gate pattern, VERDICT r16 #3): rollups over the
+    // materialized merged-frontier level table — node count, exact
+    // Σnode / Σhops checksums, the max level, the gated rounds
+    // certificate, and the measured part-file count vs the pinned
+    // bucket literal. The oracle replays graph_reachability's
+    // unrolled level CTEs, so a drifted frontier anywhere in the
+    // loop fails here loudly.
+    QueryDef(
+      "sink_reach_levels",
+      (spark, sf) => {
+        val t = reachLevels(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_reach_levels")
+        val nFiles = SourceOps.countPartFiles(spark, dir)
+        t.agg(count(lit(1)).as("n_nodes"),
+            sum(col("node")).as("node_checksum"),
+            sum(col("h")).as("hops_total"),
+            max(col("h")).as("max_hops"),
+            max(col("rounds")).as("rounds"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some {
+        val nbr = (prev: String, cur: String) =>
+          s"$cur AS (SELECT DISTINCT e.dst AS node FROM e JOIN $prev ON e.src = $prev.node)"
+        val unroll = (1 to OracleReachUnroll)
+          .map(i => nbr(s"r${i - 1}", s"r$i")).mkString(", ")
+        val lv = (1 to OracleReachUnroll)
+          .map(i => s"SELECT node, $i FROM r$i").mkString(" UNION ALL ")
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "r0 AS (SELECT DISTINCT src AS node FROM e WHERE src % 2 = 0 AND src < 20), " +
+          unroll + ", " +
+          s"lv AS (SELECT node, 0 AS h FROM r0 UNION ALL $lv), " +
+          "d AS (SELECT node, CAST(min(h) AS BIGINT) AS h FROM lv GROUP BY node) " +
+          "SELECT count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum, " +
+          "CAST(sum(h) AS BIGINT) AS hops_total, CAST(max(h) AS BIGINT) AS max_hops, " +
+          s"CAST($ReachRoundsSf001 AS INT) AS rounds, $BfsSinkBuckets AS n_files FROM d"
+      },
+      scaleNote = "The sink moves the sequential frontier loop from " +
+        "every-invocation to once-per-corpus-version — the " +
+        "sequential-BFS class is round-bound, not data-bound (all " +
+        "core-scaling ratios ≈ 1), so the only local[32] win left " +
+        "was removing the rounds from the steady-state path " +
+        "entirely. At 100 TB the reachability closure over a seed " +
+        "cohort IS a persisted artifact (blast-radius tables are " +
+        "refreshed per graph version, not recomputed per read); the " +
+        "checksum columns make a drifted frontier an exact-integer " +
+        "alert, and the gated file count proves the single-writer " +
+        "layout."),
+
     // Sampled-source closeness centrality (r10) — "which nodes are
     // CLOSE to everything": per seed, the exact BFS distance to every
     // reachable node, folded to 1e6·(n_reached)/Σhops (the reciprocal
@@ -2115,20 +2227,20 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_closeness",
       (spark, sf) => {
-        val e = edges(spark, sf).localCheckpoint(false)
-        val seeds = e.select(col("src").as("node")).distinct()
-          .filter(col("node") % 2 === 0 && col("node") < 16) // custkey < 8
-        val (levels, rounds) = bfsLevelsPerSource(e, seeds)
-        levels.groupBy(col("s"))
+        // r17 (VERDICT r16 #3): the 8-wave forward pass lives in the
+        // once-per-session sink build (see closeLevels); the rollup
+        // below runs on the |seeds|·|reachable|-row sinked table.
+        closeLevels(spark, sf).groupBy(col("s"))
           .agg((count(lit(1)) - 1).as("n_reached"),
-            sum(col("h")).as("sum_hops"))
+            sum(col("h")).as("sum_hops"),
+            max(col("rounds")).as("rounds"))
           .select(
             expr("s div 2").as("src_key"),
             col("n_reached"), col("sum_hops"),
             when(col("sum_hops") > 0,
               expr("(n_reached * 1000000) div sum_hops"))
-              .otherwise(lit(0L)).as("closeness_micro"))
-          .withColumn("rounds", lit(rounds))
+              .otherwise(lit(0L)).as("closeness_micro"),
+            col("rounds"))
           .orderBy("src_key")
       },
       Some {
@@ -2164,6 +2276,51 @@ object GraphOps extends QueryGroup {
         "scale. Integer micro-unit closeness keeps the ranking " +
         "bit-stable on any partitioning; the rounds certificate " +
         "makes traversal depth part of the contract."),
+
+    // The per-source BFS level-table SINK, GATED (r17 — closeness's
+    // forward pass under the session-sink gate pattern): row count,
+    // exact Σs / Σnode / Σhops checksums, the rounds certificate,
+    // and the measured part-file count vs the pinned bucket literal.
+    // The oracle replays graph_closeness's unrolled per-source CTEs
+    // with the same min(h) re-visit fold.
+    QueryDef(
+      "sink_close_levels",
+      (spark, sf) => {
+        val t = closeLevels(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_close_levels")
+        val nFiles = SourceOps.countPartFiles(spark, dir)
+        t.agg(count(lit(1)).as("n_rows"),
+            sum(col("s")).as("s_checksum"),
+            sum(col("node")).as("node_checksum"),
+            sum(col("h")).as("hops_total"),
+            max(col("rounds")).as("rounds"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some {
+        val nbr = (prev: String, cur: String) =>
+          s"$cur AS (SELECT DISTINCT $prev.s AS s, e.dst AS node FROM e JOIN $prev ON e.src = $prev.node)"
+        val unroll = (1 to OracleCloseUnroll)
+          .map(i => nbr(s"r${i - 1}", s"r$i")).mkString(", ")
+        val lv = (1 to OracleCloseUnroll)
+          .map(i => s"SELECT s, node, $i AS h FROM r$i").mkString(" UNION ALL ")
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "r0 AS (SELECT DISTINCT src AS s, src AS node FROM e WHERE src % 2 = 0 AND src < 16), " +
+          unroll + ", " +
+          s"lv AS (SELECT s, node, 0 AS h FROM r0 UNION ALL $lv), " +
+          "d AS (SELECT s, node, CAST(min(h) AS BIGINT) AS h FROM lv GROUP BY 1, 2) " +
+          "SELECT count(*) AS n_rows, CAST(sum(s) AS BIGINT) AS s_checksum, " +
+          "CAST(sum(node) AS BIGINT) AS node_checksum, " +
+          "CAST(sum(h) AS BIGINT) AS hops_total, " +
+          s"CAST($CloseRoundsSf001 AS INT) AS rounds, $BfsSinkBuckets AS n_files FROM d"
+      },
+      scaleNote = "sink_reach_levels' economics on the per-source " +
+        "wave: |seeds| synchronized BFS waves run once per corpus " +
+        "version instead of per invocation, and the closeness " +
+        "rollup reads |seeds|·|reachable| sinked rows. The sampled " +
+        "seed set is what bounds the state (closeness at scale is a " +
+        "pivot-sampling estimator — never |V| waves); the checksum " +
+        "columns make a drifted wave an exact-integer alert."),
 
     // Sampled-source BETWEENNESS centrality (r12, VERDICT r11 #3) —
     // the missing member of the centrality family, and the one
@@ -2321,8 +2478,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val deps = brandesDeps(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_brandes_deps")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         deps.groupBy("h")
           .agg(count(lit(1)).as("n_rows"),
             sum(when(col("wnode").isNull, 1L).otherwise(0L))
@@ -2376,8 +2532,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val t = ebcRollup(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_ebc")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         t.agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("node")).as("n_src"),
             sum(col("node")).as("node_checksum"),
@@ -2430,8 +2585,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val bb = backboneTable(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_backbone")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         bb.agg(count(lit(1)).as("n_edges"),
             countDistinct(col("c")).as("n_cust"),
             countDistinct(col("s")).as("n_supp"),
@@ -2474,8 +2628,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val t = partPairTable(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_part_pairs")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         t.agg(count(lit(1)).as("n_pairs"),
             countDistinct(col("u")).as("n_u"),
             sum(col("u")).as("u_checksum"),
@@ -2515,8 +2668,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val t = edgesTable(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_edges")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         t.agg(count(lit(1)).as("n_edges_directed"),
             countDistinct(col("src")).as("n_nodes"),
             sum(col("src")).as("src_checksum"),
@@ -2747,8 +2899,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val t = girvanTrace(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_girvan_trace")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         t.agg(count(lit(1)).as("n_rounds"),
             sum(col("n_cut")).as("cut_total"),
             sum(col("n_comms")).as("comms_checksum"),
@@ -2796,27 +2947,29 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_neighbor_jaccard",
       (spark, sf) => {
-        // r16 (guide §2.4, the graph_triangles precedent): the
-        // distinct (c, s) pair set is decoded from the session edge
-        // sink (even-src half — graph_hits' device), and the wedge
-        // pairs explode from ONE per-customer sorted set aggregate
-        // instead of the capped self-join: the fan cap becomes a
-        // size() filter on the same aggregate (cs is distinct, so
-        // set size IS the fan count), which deletes the separate
-        // fan-out aggregate, the cap join, and the second shuffle
-        // of the capped table.
+        // r16 kept: the distinct (c, s) pair set is decoded from the
+        // session edge sink (even-src half — graph_hits' device).
+        // r17 (VERDICT r16 #2): the wedge enumeration REVERTS to the
+        // capped self-join — the r16 collect_set + nested
+        // transform/slice pair explode was right for the ≤7-part
+        // basket cap of graph_triangles and wrong at this fan cap
+        // (100): up to 4,950 struct elements allocated per customer
+        // row through an interpreted HOF chain regressed the query
+        // 5.5× (2.55 → 14.14 s driver) with a 0.75 core-scaling
+        // ratio (GC/allocation contention). The self-join streams
+        // wedge pairs through a hash join instead of materializing
+        // them per row.
         val cs = edgesTable(spark, sf)
           .filter(col("src") % 2 === 0)
           .select(expr("src div 2").as("c"), expr("dst div 2").as("s"))
           .localCheckpoint(true)
         val deg = cs.groupBy("s").agg(count(lit(1)).as("d"))
-        val a = array_sort(col("ss"))
-        val wedges = cs.groupBy("c").agg(collect_set(col("s")).as("ss"))
-          .filter(size(col("ss")) <= 100)
-          .select(explode(flatten(transform(a, (x, i) =>
-            transform(slice(a, i + 2, size(a)), y =>
-              struct(x.as("s1"), y.as("s2")))))).as("e"))
-          .select(col("e.s1").as("s1"), col("e.s2").as("s2"))
+        val fanOk = cs.groupBy("c").agg(count(lit(1)).as("f"))
+          .filter(col("f") <= 100).select("c")
+        val capped = cs.join(fanOk, "c")
+        val wedges = capped.select(col("c"), col("s").as("s1"))
+          .join(capped.select(col("c"), col("s").as("s2")), "c")
+          .filter(col("s1") < col("s2"))
           .groupBy("s1", "s2").agg(count(lit(1)).as("inter"))
         wedges
           .join(deg.select(col("s").as("s1"), col("d").as("deg1")), "s1")
@@ -2867,23 +3020,16 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_shortest_path",
       (spark, sf) => {
-        val e = edges(spark, sf)
-          .withColumn("w", lit(1L) + (col("src") + col("dst")) % 5)
-          .localCheckpoint(false)
-        val seeds = e.select(col("src").as("node")).distinct()
-          .filter(col("node") % 2 === 0 && col("node") < 20) // custkey < 10
-        // to STABILITY since r8 (VERDICT r7 #4) — the fixed 4-round
-        // form silently truncated deeper graphs (GraphOpsSpec's
-        // planted chain proves it); the emitted rounds column gates
-        // the convergence depth against the oracle's pinned literal,
-        // so a data change that needs more rounds than the oracle
-        // unrolls fails the hash LOUDLY instead of silently
-        val (dist, rounds) = bellmanFord(e, seeds)
-        dist.select(
+        // runs to STABILITY since r8 (VERDICT r7 #4) — the emitted
+        // rounds column still gates the convergence depth against
+        // the oracle's pinned literal. r17 (VERDICT r16 #3): the
+        // Bellman–Ford loop lives in the once-per-session sink
+        // build (see bfDist); the declared query is a projection.
+        bfDist(spark, sf).select(
             when(col("node") % 2 === 0, lit("customer"))
               .otherwise(lit("supplier")).as("node_type"),
-            expr("node div 2").as("key"), col("d").as("dist"))
-          .withColumn("rounds", lit(rounds))
+            expr("node div 2").as("key"), col("d").as("dist"),
+            col("rounds"))
           .orderBy("node_type", "key")
       },
       Some {
@@ -2918,6 +3064,47 @@ object GraphOps extends QueryGroup {
         "station_headway's gaps feed exactly this); the integer " +
         "min-plus algebra is what keeps every round's state exact " +
         "and partition-order-free at any scale."),
+
+    // The Bellman–Ford distance-table SINK, GATED (r17 — VERDICT
+    // r16 #3, sink_reach_levels' weighted sibling): node count,
+    // exact Σnode / Σd checksums, max distance, the rounds
+    // certificate, and the measured part-file count vs the pinned
+    // bucket literal. The oracle replays graph_shortest_path's
+    // unrolled relaxation CTEs to the same fixpoint.
+    QueryDef(
+      "sink_bf_dist",
+      (spark, sf) => {
+        val t = bfDist(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_bf_dist")
+        val nFiles = SourceOps.countPartFiles(spark, dir)
+        t.agg(count(lit(1)).as("n_nodes"),
+            sum(col("node")).as("node_checksum"),
+            sum(col("d")).as("dist_total"),
+            max(col("d")).as("max_dist"),
+            max(col("rounds")).as("rounds"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some {
+        val rel = (prev: String, cur: String) =>
+          s"$cur AS (SELECT node, CAST(min(d) AS BIGINT) AS d FROM (" +
+            s"SELECT node, d FROM $prev UNION ALL " +
+            s"SELECT e.dst AS node, $prev.d + 1 + (e.src + e.dst) % 5 AS d " +
+            s"FROM e JOIN $prev ON e.src = $prev.node) GROUP BY node)"
+        s"WITH bp AS ($EdgesSql), " +
+          "e AS (SELECT c AS src, s AS dst FROM bp UNION ALL SELECT s, c FROM bp), " +
+          "d0 AS (SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS d FROM e WHERE src % 2 = 0 AND src < 20), " +
+          rel("d0", "d1") + ", " + rel("d1", "d2") + ", " +
+          rel("d2", "d3") + ", " + rel("d3", "d4") + " " +
+          "SELECT count(*) AS n_nodes, CAST(sum(node) AS BIGINT) AS node_checksum, " +
+          "CAST(sum(d) AS BIGINT) AS dist_total, CAST(max(d) AS BIGINT) AS max_dist, " +
+          s"3 AS rounds, $BfsSinkBuckets AS n_files FROM d4"
+      },
+      scaleNote = "sink_reach_levels' economics with the min-plus " +
+        "algebra: the round-bound relaxation loop runs once per " +
+        "corpus version, every read is a bucketed scan. The Σd " +
+        "checksum doubles as the loop's own monotone convergence " +
+        "certificate (d only decreases), so a drifted relaxation " +
+        "anywhere moves an exact integer under the hash gate."),
 
     // k-core decomposition (k=10), peeled TO THE FIXPOINT (r8):
     // repeatedly drop nodes of degree < k and the edges they carry
@@ -3822,8 +4009,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val lab = louvainLabels(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_louvain_labels")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         lab.groupBy("nc")
           .agg(count(lit(1)).as("n_nodes"),
             sum(col("node")).as("node_checksum"))
@@ -3864,8 +4050,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val labc = louvainL2Labels(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_louvain_l2")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         labc.groupBy("nc2")
           .agg(count(lit(1)).as("n_nodes"),
             sum(col("node")).as("node_checksum"),
@@ -4022,8 +4207,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val walks = walkCorpus(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_walk_corpus")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         walks.groupBy("step")
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("node")).as("n_nodes"),
@@ -4758,8 +4942,7 @@ object GraphOps extends QueryGroup {
       (spark, sf) => {
         val walks = biasedWalkCorpus(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_walk_biased")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         walks.groupBy("step")
           .agg(count(lit(1)).as("n_rows"),
             countDistinct(col("node")).as("n_nodes"),

@@ -35,6 +35,19 @@ object SourceOps extends QueryGroup {
     s"/tmp/graft_${name}_" + new java.io.File(sf).getName +
       "_" + spark.sparkContext.applicationId
 
+  /** Part-file count of a sink directory via the Hadoop FileSystem
+    * API (r17, VERDICT r16 #9): the java.io.File gates assumed a
+    * local filesystem — at 100 TB the sink dir lives on HDFS/S3 and
+    * a local listFiles() returns null. Path.getFileSystem resolves
+    * the scheme, so the same gate works on file://, hdfs:// and
+    * s3a:// alike. */
+  def countPartFiles(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).count(_.getPath.getName.startsWith("part-"))
+  }
+
   val FixtureDir = "/tmp/graft_passages_fixture"
 
   private def doc(gare: String, trains: Seq[String]): String =

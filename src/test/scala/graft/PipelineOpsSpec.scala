@@ -376,7 +376,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(out.exists(_.getLong(3) == 0L), "no feed carries the watermark")
   }
 
-  test("dq_profile_approx: the Expand is GONE from the plan; exact columns match dq_profile; every sketch in tolerance") {
+  test("dq_profile and dq_profile_approx both plan NO Expand; exact columns match; every sketch in tolerance") {
     import org.apache.spark.sql.execution.ExpandExec
     def expands(name: String): Int = {
       val p0 = run(name).queryExecution.executedPlan
@@ -387,10 +387,11 @@ class PipelineOpsSpec extends SparkSpec {
       }
       p.collect { case e: ExpandExec => e }.size
     }
-    // the exact profiler pays the k-way multi-distinct Expand — the
-    // named honest cost; the approx twin must NOT (that is its point)
-    assert(expands("dq_profile") >= 1,
-      "dq_profile's exact multi-distinct should plan an Expand")
+    // r16: the exact profiler's k-way multi-distinct was rewritten as
+    // six independent single-column distinct branches — the 7-way
+    // Expand (row multiplication) is gone from BOTH profilers
+    assert(expands("dq_profile") == 0,
+      "dq_profile's rewrite must plan NO Expand (six independent distinct branches)")
     assert(expands("dq_profile_approx") == 0,
       "dq_profile_approx must plan NO Expand — the 100 TB profile pass")
     // identical report apart from the verdict column: n_rows, n_null,

@@ -67,11 +67,16 @@ class PlanPropertiesSpec extends SparkSpec {
     assert(!p.contains("WindowExec"), p.take(1200))
   }
 
-  test("dedup_containment joins on the shingle hash only (no cartesian, 2-phase counts)") {
+  test("dedup_containment is a filter+projection over the bucketed sink_shingle_pairs read (no cartesian, no rebuild)") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       p.take(1200))
-    assert(p.contains("partial_count"), p.take(1200))
+    // r16: the df-capped inverted-index self-join lives in the
+    // once-per-session sink build (shinglePairTable); the declared
+    // query must read the bucketed table, not re-run the 2-phase
+    // count chain
+    assert(p.contains("graft_sink_shingle_pairs"), p.take(1200))
+    assert(!p.contains("partial_count"), p.take(1200))
   }
 
   test("merge_scd2 shares ONE hash exchange across both windows and the agg") {
