@@ -1178,57 +1178,60 @@ object Analytics extends QueryGroup {
           .select(col("r.s").as("s"), col("r.t").as("t"))
           .groupBy("s", "t")
           .agg(count(lit(1)).as("n"))
-        val tn = tc.groupBy("s").agg(sum(col("n")).as("ns"))
-        val bm = tc.join(tn, "s")
-          .select(col("s"), col("t"), expr("(n * 1000000) div ns").as("p"))
-          .unionAll(Seq(("conv", "conv", 1000000L), ("null", "null", 1000000L))
-            .toDF("s", "t", "p"))
+        // r17 (guide §1.2/§2.4, the ann_pq driver-local-Lloyd
+        // precedent): everything below the tc grid is BOUNDED model
+        // state — ≤37 exact integer cells, ≤185 rows across the five
+        // scenarios — yet the r16 form ran it as six distributed
+        // join+groupBy squarings with a localCheckpoint each (~20
+        // sub-second stages of <200 rows, the dominant share of the
+        // query's 3.8 s steady state; the corpus window itself costs
+        // ~1 s). The grid now collects ONCE (the bounded-model-state
+        // collect ann_pq's codebook training established) and the
+        // squarings run as exact Long arithmetic on the driver —
+        // bit-identical by construction: same (n·1e6) div ns cells,
+        // same sum(pa·pb) div 1e6 per squaring (products ≤1e12, ≤37
+        // terms — no overflow), same ≥0 clamp and zero-total fence.
+        // The ONLY corpus-scale stage left is the one window pass.
+        val grid = tc.collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+        val ns = grid.groupBy(_._1).map { case (s, rs) =>
+          s -> rs.map(_._3).sum }
+        val bm = grid.map { case (s, t, n) => (s, t, n * 1000000L / ns(s)) } ++
+          Seq(("conv", "conv", 1000000L), ("null", "null", 1000000L))
         val channels = Seq("view", "click", "signup", "error")
-        val sc0 = bm.withColumn("k", lit("base"))
-        val scenarios = channels.foldLeft(sc0) { (acc, c) =>
-          acc.unionAll(
-            bm.filter(col("s") =!= c).withColumn("k", lit(c))
-              .unionAll(Seq((c, "null", 1000000L)).toDF("s", "t", "p")
-                .withColumn("k", lit(c))))
-        }.select("k", "s", "t", "p")
-        // six squarings = M^64; localCheckpoint truncates the lineage
-        // so the logical plan doesn't double per squaring (the
-        // GraphOps iterative-operator device) — the matrix is ≤185
-        // rows across all five scenarios
-        var m = scenarios.localCheckpoint(false)
-        for (_ <- 1 to 6) {
-          val a = m.select(col("k"), col("s"), col("t").as("mid"),
-            col("p").as("pa"))
-          val b = m.select(col("k").as("kb"), col("s").as("mid"),
-            col("t"), col("p").as("pb"))
-          m = a.join(b, col("k") === col("kb") && a("mid") === b("mid"))
-            .groupBy("k", "s", "t")
-            .agg(expr("sum(pa * pb) div 1000000").as("p"))
-            .localCheckpoint(false)
+        val scenarios: Map[String, Seq[(String, String, Long)]] =
+          (("base" -> bm.toSeq) +: channels.map(c =>
+            c -> (bm.toSeq.filter(_._1 != c) :+ ((c, "null", 1000000L))))).toMap
+        def square(m: Seq[(String, String, Long)]): Seq[(String, String, Long)] = {
+          val byMid = m.groupBy(_._1)
+          m.flatMap { case (s, mid, pa) =>
+            byMid.getOrElse(mid, Seq.empty).map { case (_, t, pb) =>
+              ((s, t), pa * pb) }
+          }.groupBy(_._1).toSeq.map { case ((s, t), ps) =>
+            (s, t, ps.map(_._2).sum / 1000000L) }
         }
-        val res = m.filter(col("s") === "start" && col("t") === "conv")
-          .select(col("k"), col("p"))
-        // limit(1) is a semantic no-op (one base start→conv cell
-        // exists) that makes the broadcast side PROVABLY 1-row to the
-        // structural BNLJ sweep — rank_fusion_rrf's self-certifying
-        // device, needed here because the localCheckpoint's Scan
-        // ExistingRDD hides the filter's selectivity from the walker
-        val base = res.filter(col("k") === "base")
-          .select(col("p").as("p_base_micro")).limit(1)
-        val eff = res.filter(col("k") =!= "base")
-          .crossJoin(broadcast(base))
-          .select(col("k").as("channel"), col("p_base_micro"),
-            col("p").as("p_removed_micro"),
-            greatest(col("p_base_micro") - col("p"), lit(0L))
-              .as("removal_effect_micro"))
-        val tot = eff.agg(sum(col("removal_effect_micro")).as("te"))
-        eff.crossJoin(broadcast(tot))
-          .select(col("channel"), col("p_base_micro"),
-            col("p_removed_micro"), col("removal_effect_micro"),
-            when(col("te") > 0L,
-              expr("(removal_effect_micro * 1000000) div te"))
-              .otherwise(0L).as("attribution_ppm"),
-            lit(64L).as("horizon_steps"))
+        val m6 = scenarios.map { case (k, m0) =>
+          k -> (1 to 6).foldLeft(m0.toSeq)((m, _) => square(m)) }
+        val res = m6.map { case (k, m) =>
+          k -> m.collectFirst { case ("start", "conv", p) => p } }
+        // a channel whose removed matrix has NO start→conv cell after
+        // 64 steps emits no row — exactly the original inner-join
+        // semantics (res only carries existing cells, and the oracle's
+        // res CTE likewise)
+        val out = res.get("base").flatten match {
+          case None => Seq.empty[(String, Long, Long, Long)]
+          case Some(pBase) =>
+            channels.flatMap { ch =>
+              res.get(ch).flatten.map(pRem =>
+                (ch, pBase, pRem, math.max(pBase - pRem, 0L)))
+            }
+        }
+        val te = out.map(_._4).sum
+        out.map { case (ch, pBase, pRem, re) =>
+          (ch, pBase, pRem, re,
+            if (te > 0L) re * 1000000L / te else 0L, 64L)
+        }.toDF("channel", "p_base_micro", "p_removed_micro",
+            "removal_effect_micro", "attribution_ppm", "horizon_steps")
           .orderBy("channel")
       },
       Some("WITH sq AS (SELECT user_id, event_type, lag(event_type) OVER w AS prev, lead(event_type) OVER w AS nxt FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), " +
