@@ -248,6 +248,18 @@ object AnnPq extends QueryGroup {
     val r = math.max(Shortlist, (vecs.count() / 20L).toInt)
     val wShort = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("vec_id").asc)
+    // r17 NOTE (guide §1.1, measured-then-reverted): an array-form
+    // ADC — one M-slot code array per vector + one dense M·Kc LUT
+    // array per query, both broadcast, adist as M codegen'd
+    // element_at sums, removing this |cand|·M join + groupBy — was
+    // built, oracled green, and MEASURED SLOWER at sf0.1 (3.0-3.15 s
+    // vs 2.55 s fresh-JVM warm): the two collect_list aggregates +
+    // broadcast builds add blocking stages that cost more here than
+    // the 1.5M-row join+groupBy they remove, because the join rows
+    // are tiny and the stages run wide. At 100 TB the array form's
+    // shuffle-bytes argument returns (the groupBy would be
+    // |cand|·M-row); the swap is mechanical and recorded in
+    // OPTIMIZATION_r17.md. The r16 join form stands on measurement.
     val short = cand
       .join(codes.select(col("vec_id"), col("m"), col("cid")),
         col("cand_id") === col("vec_id"))

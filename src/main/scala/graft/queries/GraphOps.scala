@@ -1093,6 +1093,23 @@ object GraphOps extends QueryGroup {
     * combined collect_set measured 4.7 → 2.6 s warm at sf0.1). */
   def triangleCounts(e0: DataFrame): DataFrame = triangleCore(e0)._2
 
+  /** The per-node (deg, n_tri) table MATERIALIZED once per
+    * (session, sf) — r17: graph_triangles and graph_clustering_coeff
+    * each re-ran the whole degree-ordered intersection pipeline
+    * (triangleCore over the part-pair sink, ~1.4 s apiece at sf0.1)
+    * and then diverged only in the final projection (count list vs
+    * closure ratio). Both declared keys are now projections of this
+    * sinked table; triangle-less nodes carry n_tri = 0 so the
+    * count-list consumer recovers its exact row set with
+    * n_tri > 0. */
+  private[graft] def triCountTable(spark: SparkSession, sf: String): DataFrame =
+    sessionSink(spark, sf, "sink_tri_counts", BfsSinkBuckets,
+      "node", Seq("node")) {
+      val (deg, tri) = triangleCore(partPairTable(spark, sf))
+      deg.join(tri, Seq("node"), "left")
+        .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+    }
+
   /** [[triangleCounts]] plus the full-adjacency degree table
     * (node, deg) the same build already computes — factored (r16,
     * guide §2.4) so graph_clustering_coeff reads degrees off the
@@ -2032,11 +2049,11 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_triangles",
       (spark, sf) =>
-        // r16: the within-order pair stream comes off the session
-        // part-pair sink (built once — see partPairTable); the
-        // counter's adjacency build is unchanged (a distinct pair
-        // set is the dup-tolerant input's fixpoint).
-        triangleCounts(partPairTable(spark, sf)).orderBy("node"),
+        // r17: the whole intersection pipeline lives in the
+        // once-per-session sink build (see triCountTable); nodes
+        // with at least one triangle are exactly the counter's rows.
+        triCountTable(spark, sf).filter(col("n_tri") > 0)
+          .select(col("node"), col("n_tri")).orderBy("node"),
       Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
         "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
         "deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1), " +
@@ -2088,14 +2105,9 @@ object GraphOps extends QueryGroup {
     QueryDef(
       "graph_clustering_coeff",
       (spark, sf) => {
-        // r16 (guide §2.4): the pair stream comes off the session
-        // part-pair sink, and degrees come off the counter's own
-        // dedup'd adjacency sets (triangleCore) — the separate
-        // |pairs|-row distinct() + unionAll degree pass this key
-        // paid at build time is gone.
-        val (deg, tri) = triangleCore(partPairTable(spark, sf))
-        deg.join(tri, Seq("node"), "left")
-          .withColumn("n_tri", coalesce(col("n_tri"), lit(0L)))
+        // r17: reads the sinked (node, deg, n_tri) table — the
+        // closure ratio is a pure projection of it.
+        triCountTable(spark, sf)
           .select(col("node"), col("deg"), col("n_tri"),
             when(col("deg") < 2, lit(null).cast("long"))
               .otherwise(expr(
@@ -2132,6 +2144,53 @@ object GraphOps extends QueryGroup {
         "triangles per node (unreachable: tri(v) ≤ deg²); the NULL " +
         "fence keeps deg<2 nodes out of every downstream average " +
         "instead of biasing it toward zero."),
+
+    // The per-node triangle/degree SINK, GATED (r17): node count,
+    // exact Σnode / Σdeg / Σn_tri checksums, the triangle-corner
+    // total, and the measured part-file count vs the pinned bucket
+    // literal. The oracle replays the full degree-ordered
+    // orientation + intersection chain both consumers' oracles
+    // already carry.
+    QueryDef(
+      "sink_tri_counts",
+      (spark, sf) => {
+        val t = triCountTable(spark, sf)
+        val dir = SourceOps.sinkDir(spark, sf, "sink_tri_counts")
+        val nFiles = SourceOps.countPartFiles(spark, dir)
+        t.agg(count(lit(1)).as("n_nodes"),
+            sum(col("node")).as("node_checksum"),
+            sum(col("deg")).as("deg_total"),
+            sum(col("n_tri")).as("tri_corner_total"),
+            max(col("n_tri")).as("tri_max"))
+          .withColumn("n_files", lit(nFiles))
+      },
+      Some("WITH e AS (SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v " +
+        "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), " +
+        "deg AS (SELECT x, count(*) AS d FROM (SELECT u AS x FROM e UNION ALL SELECT v AS x FROM e) GROUP BY 1), " +
+        "o AS (SELECT CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN u ELSE v END AS s, " +
+        "CASE WHEN (du.d < dv.d) OR (du.d = dv.d AND u < v) THEN v ELSE u END AS t " +
+        "FROM e JOIN deg du ON du.x = u JOIN deg dv ON dv.x = v), " +
+        "tri AS (SELECT e1.s AS a, e1.t AS b, e2.t AS c FROM o e1 " +
+        "JOIN o e2 ON e1.t = e2.s WHERE EXISTS " +
+        "(SELECT 1 FROM o e3 WHERE e3.s = e1.s AND e3.t = e2.t)), " +
+        "tc AS (SELECT node, CAST(count(*) AS BIGINT) AS n_tri FROM " +
+        "(SELECT a AS node FROM tri UNION ALL SELECT b FROM tri UNION ALL SELECT c FROM tri) GROUP BY node) " +
+        "SELECT count(*) AS n_nodes, CAST(sum(deg.x) AS BIGINT) AS node_checksum, " +
+        "CAST(sum(deg.d) AS BIGINT) AS deg_total, " +
+        "CAST(sum(COALESCE(tc.n_tri, 0)) AS BIGINT) AS tri_corner_total, " +
+        "CAST(max(COALESCE(tc.n_tri, 0)) AS BIGINT) AS tri_max, " +
+        s"$BfsSinkBuckets AS n_files " +
+        "FROM deg LEFT JOIN tc ON deg.x = tc.node"),
+      scaleNote = "The sink moves the co-purchase triangle pipeline " +
+        "(orientation + sorted-array intersection over the part-pair " +
+        "sink) from per-consumer to once-per-corpus-version — the " +
+        "two declared consumers diverge only in their final " +
+        "projection, so the shared build was pure duplicated work. " +
+        "At 100 TB the per-node triangle table is the cohesion " +
+        "artifact clustering dashboards and k-truss filters read; " +
+        "the corner-total checksum (3 × triangle count) makes a " +
+        "drifted orientation or intersection an exact-integer " +
+        "alert."),
 
     // Reachability (BFS) from a seed set TO FRONTIER EXHAUSTION —
     // the 'blast radius' query (which suppliers are within ANY

@@ -540,12 +540,27 @@ object NearDup extends QueryGroup {
     // near the front) become sort-adjacent; candidates union before
     // the keep-1, and a pair found by both passes dedups in the rank
     // filter (identical rows, same keep decision).
+    //
+    // r17 NOTE (guide §1.1, the measured-then-reverted loop): a fused
+    // single-join form (both ranks in one frame, one (block, pass,
+    // rn) join, with and without a checkpoint on the rank frame) was
+    // built and MEASURED SLOWER at sf0.1 — 4.6-4.7 s vs 3.3 s —
+    // because the two per-pass window subtrees here run as parallel
+    // stages on idle cores while the fused chain serializes
+    // exchange → sort → window → sort → window in the critical path.
+    // Kept: the parallel two-pass shape. Changed: symmetrization by
+    // explode instead of union — the union form re-ran BOTH pass
+    // subtrees once per direction (4 executions of the window+join
+    // pipeline per invocation); the explode emits both directions
+    // from one traversal (2 executions), same pair multiset.
     val p0 =
       if (passes <= 1) passPairs(Seq(col("len").asc, col("doc_id").asc))
       else passPairs(Seq(col("len").asc, col("doc_id").asc))
         .unionAll(passPairs(Seq(reverse(col("p")).asc, col("doc_id").asc)))
-    val pairs = p0.unionAll(p0.select(col("id2").as("id1"),
-      col("id1").as("id2"), col("dist")))
+    val pairs = p0.select(col("dist"), explode(array(
+        struct(col("id1"), col("id2")),
+        struct(col("id2").as("id1"), col("id1").as("id2")))).as("e"))
+      .select(col("e.id1").as("id1"), col("e.id2").as("id2"), col("dist"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id1").orderBy(col("dist").asc, col("id2").asc)
     pairs.withColumn("rk", row_number().over(w))
@@ -707,8 +722,7 @@ object NearDup extends QueryGroup {
       (spark, sf) => {
         val p = corpusPairs(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_neardup_pairs")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         p.agg(count(lit(1)).as("n_pairs"),
             sum(col("id1")).as("id1_checksum"),
             sum(col("id2")).as("id2_checksum"),
@@ -749,8 +763,7 @@ object NearDup extends QueryGroup {
       (spark, sf) => {
         val p = shinglePairTable(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_shingle_pairs")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         p.agg(count(lit(1)).as("n_pairs"),
             sum(col("id1")).as("id1_checksum"),
             sum(col("id2")).as("id2_checksum"),
@@ -792,8 +805,7 @@ object NearDup extends QueryGroup {
       (spark, sf) => {
         val p = portablePairTable(spark, sf)
         val dir = SourceOps.sinkDir(spark, sf, "sink_portable_pairs")
-        val nFiles = new java.io.File(dir).listFiles()
-          .count(f => f.getName.startsWith("part-"))
+        val nFiles = SourceOps.countPartFiles(spark, dir)
         p.agg(count(lit(1)).as("n_pairs"),
             sum(col("id1")).as("id1_checksum"),
             sum(col("id2")).as("id2_checksum"),
