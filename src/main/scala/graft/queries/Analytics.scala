@@ -920,8 +920,13 @@ object Analytics extends QueryGroup {
     QueryDef(
       "basket_pairs",
       (spark, sf) => {
+        // the distinct item table feeds FOUR consumers (the order
+        // total, item frequencies, and both self-join sides):
+        // checkpoint it once so the scan+distinct runs once, not four
+        // times (r17 — graph_neighbor_jaccard's cs pattern)
         val i = Tables.lineitem(spark, sf)
           .select(col("l_orderkey"), col("l_partkey")).distinct()
+          .localCheckpoint(false)
         val tot = i.agg(countDistinct(col("l_orderkey")).as("n_orders"))
         val freq = i.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
         val a = i.select(col("l_orderkey"), col("l_partkey").as("x"))

@@ -234,14 +234,22 @@ object QualityOps extends QueryGroup {
       "dedup_shingle_stats",
       (spark, sf) => {
         val ws = split(col("text"), " ")
+        // r17 (guide §2.3 "narrower types", this key's own scaleNote):
+        // the (doc, shingle) distinct and the df groupBy shuffled raw
+        // ~25-byte shingle STRINGS; hashing first (xxhash64 — the
+        // ngram_jaccard/containment 8-byte basis, collision odds
+        // ~2^-64 the accepted cross-engine risk) shuffles 8-byte keys
+        // instead. df counts are identical because the hash is applied
+        // BEFORE the distinct — same (doc, shingle) multiset.
         Tables.documents(spark, sf)
           .filter(size(ws) >= 3)
           .select(col("doc_id"), ws.as("ws"))
           .select(col("doc_id"), explode(expr(
             "transform(sequence(1, size(ws) - 2), " +
               "i -> concat_ws(' ', ws[i-1], ws[i], ws[i+1]))")).as("sh"))
+          .select(col("doc_id"), xxhash64(col("sh")).as("h"))
           .distinct()
-          .groupBy("sh").agg(count(lit(1)).as("df"))
+          .groupBy("h").agg(count(lit(1)).as("df"))
           .groupBy("df").agg(count(lit(1)).as("n_shingles"))
           .orderBy("df")
       },
